@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** North-star LLM-data-pipeline + eventing ops (SURVEY.md §2.3 q70–q81).
+  *
+  * Event time is an exact ns-epoch long (see [[T]]); 30 min = 1.8e12 ns,
+  * 1 h = 3.6e12 ns, 5 min = 3e11 ns.
+  */
+object NorthStar {
+
+  /** q70: exact dedup cardinality. At 100 TB `count(DISTINCT text)` on raw
+    * text shuffles full documents; production path hashes first (see the
+    * dedup module) — here the oracle-checked semantics is the exact count. */
+  def q70DedupExact(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .agg(countDistinct(col("text")).as("n_distinct_text"))
+
+  /** q71: keyed latest-wins dedup via ranking window. */
+  def q71DedupKeyed(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    T(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** q73: brute-force cosine top-k vs a single reference vector.
+    * One-row broadcast crossJoin — no shuffle of the big side; the
+    * dot/norm folds cast to double inside the lambda so accumulation
+    * matches the oracle bit-for-bit. */
+  def q73SimCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val ref = emb.filter(col("vec_id") === 0).select(col("embedding").as("ref_emb"))
+    val dot = aggregate(
+      zip_with(col("embedding"), col("ref_emb"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val normA = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val normB = aggregate(col("ref_emb"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(ref))
+      .withColumn("sim_raw", dot / (sqrt(normA) * sqrt(normB)))
+      .orderBy(col("sim_raw").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("sim_raw"), 4).as("sim"))
+  }
+
+  /** q74: tokenize + explode word count (the Generator/UDTF axis). */
+  def q74TextWordcount(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(20)
+
+  /** q75: scalar Scala UDF (string reverse). */
+  def q75UdfScalar(s: SparkSession, dir: String): DataFrame = {
+    val rev = udf((v: String) => Option(v).map(_.reverse).orNull)
+    T(s, dir, "region")
+      .select(col("r_regionkey"), rev(col("r_name")).as("reversed"))
+      .orderBy("r_regionkey")
+  }
+
+  /** q76: typed Aggregator UDAF — weighted average with partial+final
+    * merge (map-side combine at scale). */
+  def q76UdafWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val wavg = udaf(WeightedAvg,
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 4).as("wavg"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q80: 1-hour tumbling window aggregation (batch mode) on ns longs. */
+  def q80EventTumbling(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(expr("(ts div 3600000000000) * 3600000000000").as("ws_ns"),
+        col("event_type"), col("value"))
+      .groupBy("ws_ns", "event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_val"))
+      .orderBy("ws_ns", "event_type")
+
+  /** q81: sessionization with 30-min inactivity gap (lag + cumulative sum). */
+  def q81EventSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ts") - col("prev") > 1800000000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("is_new").over(cum))
+      .groupBy("user_id", "session_id")
+      // output µs (ts div 1000): DuckDB reads the ns parquet truncated to
+      // µs, so µs is the precision both engines share exactly
+      .agg(count(lit(1)).as("cnt"),
+        min(expr("ts div 1000")).as("min_us"),
+        max(expr("ts div 1000")).as("max_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_dedup_exact" -> q70DedupExact _,
+    "q71_dedup_keyed" -> q71DedupKeyed _,
+    "q73_sim_cosine_topk" -> q73SimCosineTopk _,
+    "q74_text_wordcount" -> q74TextWordcount _,
+    "q75_udf_scalar" -> q75UdfScalar _,
+    "q76_udaf_weighted_avg" -> q76UdafWeightedAvg _,
+    "q80_event_tumbling" -> q80EventTumbling _,
+    "q81_event_sessionize" -> q81EventSessionize _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q70_dedup_exact" ->
+      "SELECT count(DISTINCT text) AS n_distinct_text FROM documents",
+    "q71_dedup_keyed" ->
+      """SELECT user_id, event_type, event_id
+        |FROM (SELECT user_id, event_type, event_id,
+        |             row_number() OVER (PARTITION BY user_id, event_type
+        |                                ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q73_sim_cosine_topk" ->
+      """WITH r AS (SELECT embedding AS re FROM embeddings WHERE vec_id = 0),
+        |p AS (SELECT e.vec_id, unnest(e.embedding) AS a, unnest(r.re) AS b
+        |      FROM embeddings e CROSS JOIN r WHERE e.vec_id <> 0),
+        |sums AS (SELECT vec_id,
+        |                sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dot,
+        |                sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
+        |                sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
+        |         FROM p GROUP BY vec_id)
+        |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS sim
+        |FROM sums ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
+    "q74_text_wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+    "q75_udf_scalar" ->
+      "SELECT r_regionkey, reverse(r_name) AS reversed FROM region ORDER BY 1",
+    "q76_udaf_weighted_avg" ->
+      """SELECT l_returnflag,
+        |       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q80_event_tumbling" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600000000000 AS ws_ns,
+        |       event_type, count(*) AS cnt, round(sum(value), 4) AS sum_val
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q81_event_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, epoch_us(ts) AS tus FROM events),
+        |l AS (SELECT user_id, event_id, tns, tus,
+        |             lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev
+        |      FROM x),
+        |n AS (SELECT user_id, event_id, tns, tus,
+        |             CASE WHEN prev IS NULL OR tns - prev > 1800000000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM l),
+        |sess AS (SELECT user_id, tus,
+        |                CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |         FROM n)
+        |SELECT user_id, session_id, count(*) AS cnt, min(tus) AS min_us, max(tus) AS max_us
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}
+
+/** Weighted average: sum(price*qty)/sum(qty). Buffer is (numerator, weight);
+  * `merge` makes it a proper partial-aggregable UDAF. */
+object WeightedAvg extends Aggregator[(Double, Double), (Double, Double), Double] {
+  override def zero: (Double, Double) = (0.0, 0.0)
+  override def reduce(b: (Double, Double), a: (Double, Double)): (Double, Double) =
+    (b._1 + a._1 * a._2, b._2 + a._2)
+  override def merge(b1: (Double, Double), b2: (Double, Double)): (Double, Double) =
+    (b1._1 + b2._1, b1._2 + b2._2)
+  override def finish(r: (Double, Double)): Double =
+    if (r._2 == 0.0) Double.NaN else r._1 / r._2
+  override def bufferEncoder: Encoder[(Double, Double)] =
+    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}

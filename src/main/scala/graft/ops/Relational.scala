@@ -1,0 +1,481 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator surface (SURVEY.md §2.3 q01, q10–q57).
+  *
+  * Every query obeys the determinism contract: explicit trailing ORDER BY
+  * over a key set that makes row order unique (or over all output columns),
+  * floats rounded to 4 (6 for variances), and output column names identical
+  * to the DuckDB oracle SQL in [[Relational.oracle]].
+  *
+  * Scale notes (100 TB thinking, even though tests run local):
+  *  - filters/projections are plain `Column` predicates so Catalyst pushes
+  *    them into the parquet scan (verified via explain: PushedFilters);
+  *  - small dimension tables (region/nation/supplier) are broadcast
+  *    explicitly; the big fact-fact joins rely on sort-merge + AQE;
+  *  - aggregations are declarative `groupBy().agg()` so Spark plans
+  *    partial (map-side) + final HashAggregate automatically;
+  *  - top-k uses orderBy+limit which Spark plans as TakeOrderedAndProject
+  *    (no global sort materialization).
+  */
+object Relational {
+
+  // ---- scans / filters -------------------------------------------------
+
+  /** q01: scan + projection (reference R1/R3 shape on testdata). */
+  def q01ScanProject(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+
+  /** q10: range + between predicates (TPC-H Q6 predicate shape). */
+  def q10FilterRange(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= expr("timestamp'1996-01-01'") &&
+          col("l_shipdate") < expr("timestamp'1997-01-01'") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .select(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice"), 4).as("extprice"))
+      .orderBy("l_orderkey", "l_partkey", "l_suppkey", "extprice")
+
+  /** q11: IN-list predicate. */
+  def q11FilterIn(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select("o_orderkey", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  /** q12: LIKE patterns. */
+  def q12FilterLike(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part")
+      .filter(col("p_type").like("%ECO%") || col("p_name").like("b%"))
+      .select("p_partkey")
+      .orderBy("p_partkey")
+
+  /** q13: boolean algebra + null handling. */
+  def q13FilterNullBool(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .filter(
+        !(col("event_type") === "error") && col("value").isNotNull &&
+          (col("value") > 150 || col("user_id") % 2 === 0))
+      .select("event_id")
+      .orderBy("event_id")
+
+  // ---- joins -----------------------------------------------------------
+
+  /** q20: inner equi-join (Catalyst picks SMJ/BHJ by stats). */
+  def q20JoinInner(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"),
+        round(col("o_totalprice"), 4).as("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  /** q21: star-schema join with explicit broadcast of the dims. */
+  def q21JoinBroadcast(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .join(broadcast(T(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey", "n_name", "r_name")
+      .orderBy("c_custkey")
+
+  /** q22: left outer join. */
+  def q22JoinLeft(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("o_orderkey"), lit(-1L)).as("o_orderkey"))
+      .orderBy("c_custkey", "o_orderkey")
+
+  /** q23: left-semi join (EXISTS). */
+  def q23JoinSemi(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .join(T(s, dir, "orders").filter(col("o_totalprice") > 100000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  /** q24: left-anti join (NOT EXISTS) — parts never shipped in bulk. */
+  def q24JoinAnti(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part")
+      .join(T(s, dir, "lineitem").filter(col("l_quantity") >= 48),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select("p_partkey")
+      .orderBy("p_partkey")
+
+  /** q25: interval/theta join on events; ts is an exact ns-epoch long.
+    * Equi on user_id keeps it a hash/SMJ join with a range residual
+    * (not a BNLJ) — crucial at scale. 5 min = 3e11 ns. */
+  def q25JoinInterval(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events")
+    val e1 = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("e1_id"), col("user_id").as("u1"), col("ts").as("ts1"))
+    val e2 = e.select(col("event_id").as("e2_id"), col("user_id").as("u2"), col("ts").as("ts2"))
+    e1.join(e2,
+        col("u1") === col("u2") && col("ts2") > col("ts1") &&
+          col("ts2") <= col("ts1") + lit(300000000000L))
+      .select("e1_id", "e2_id")
+      .orderBy("e1_id", "e2_id")
+  }
+
+  // ---- aggregations ----------------------------------------------------
+
+  /** q30: TPC-H Q1 shape — partial+final hash aggregate. */
+  def q30AggQ1(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= expr("timestamp'1998-09-02'"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q31: distinct aggregate. */
+  def q31AggDistinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy("o_orderpriority")
+
+  /** q32: rollup with NULL-key sentinels (determinism contract). SQL
+    * surface (the post-rollup coalesce select trips Spark's ambiguous-
+    * self-join detection in the DataFrame API). */
+  def q32AggRollup(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "region").createOrReplaceTempView("graft_region")
+    T(s, dir, "nation").createOrReplaceTempView("graft_nation")
+    T(s, dir, "customer").createOrReplaceTempView("graft_customer")
+    s.sql(
+      """SELECT coalesce(r_name, '<ALL>') AS r_name, coalesce(n_name, '<ALL>') AS n_name,
+        |       round(sum(c_acctbal), 4) AS sum_bal, count(*) AS cnt
+        |FROM graft_region JOIN graft_nation ON r_regionkey = n_regionkey
+        |JOIN graft_customer ON n_nationkey = c_nationkey
+        |GROUP BY ROLLUP (r_name, n_name) ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** q33: cube. */
+  def q33AggCube(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("<ALL>")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("<ALL>")).as("l_linestatus"),
+        col("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q34: GROUPING SETS (SQL surface). */
+  def q34AggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "orders").createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT coalesce(o_orderpriority, '<ALL>') AS pri,
+        |       coalesce(o_orderstatus, '<ALL>') AS status,
+        |       count(*) AS cnt,
+        |       round(sum(o_totalprice), 4) AS sum_price
+        |FROM graft_orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY pri, status""".stripMargin)
+  }
+
+  /** q35: statistical aggregates. */
+  def q35AggStats(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_discount")), 6).as("var_disc"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"))
+      .orderBy("l_returnflag")
+
+  /** q36: HLL sketch aggregate — no DuckDB oracle (estimates differ);
+    * ScalaTest asserts within 5% of exact. */
+  def q36AggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  // ---- window functions ------------------------------------------------
+
+  private def custWindow = Window.partitionBy("o_custkey")
+    .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+
+  /** q40: rank + dense_rank, keep top-ranked. */
+  def q40WinRank(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .withColumn("rnk", rank().over(custWindow))
+      .withColumn("drnk", dense_rank().over(custWindow))
+      .filter(col("rnk") === 1)
+      .select("o_custkey", "o_orderkey", "rnk", "drnk")
+      .orderBy("o_custkey", "o_orderkey")
+
+  /** q41: row_number top-2 per customer. */
+  def q41WinRowNumber(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .withColumn("rn", row_number().over(custWindow))
+      .filter(col("rn") <= 2)
+      .select("o_custkey", "o_orderkey", "rn")
+      .orderBy("o_custkey", "rn")
+
+  /** q42: lag/lead analytics over event stream (ts = ns long). */
+  def q42WinLagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    T(s, dir, "events")
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .withColumn("next", lead("event_type", 1).over(w))
+      .select("event_id", "prev", "next")
+      .orderBy("event_id")
+  }
+
+  /** q43: running sum frame. */
+  def q43WinRunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T(s, dir, "orders")
+      .withColumn("running", round(sum("o_totalprice").over(w), 4))
+      .select("o_custkey", "o_orderkey", "running")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q44: centered moving average. */
+  def q44WinMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      .rowsBetween(-1, 1)
+    T(s, dir, "events")
+      .withColumn("mavg", round(avg("value").over(w), 4))
+      .select("event_id", "mavg")
+      .orderBy("event_id")
+  }
+
+  /** q45: ntile quartiles (global window). */
+  def q45WinNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    T(s, dir, "customer")
+      .withColumn("quartile", ntile(4).over(w))
+      .select("c_custkey", "quartile")
+      .orderBy("c_custkey")
+  }
+
+  // ---- sort / limit / top-k -------------------------------------------
+
+  /** q50: global top-100 — TakeOrderedAndProject, no full sort at scale.
+    * Ordering uses the rounded price (identity on 2-decimal data) so both
+    * engines order by the same expression. */
+  def q50SortLimit(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** q51: per-group top-k via ranking window. */
+  def q51TopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+    T(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 4).as("extprice"), col("rn"))
+      .orderBy("l_orderkey", "rn")
+  }
+
+  // ---- set operations --------------------------------------------------
+
+  /** q55: UNION (distinct). */
+  def q55SetUnion(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(T(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  /** q56: INTERSECT. */
+  def q56SetIntersect(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(T(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** q57: EXCEPT — nations with customers but no supplier among the first
+    * five (filter keeps the difference non-empty at every scale factor). */
+  def q57SetExcept(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(T(s, dir, "supplier").filter(col("s_suppkey") <= 5)
+        .select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  // ---- registry --------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project" -> q01ScanProject _,
+    "q10_filter_range" -> q10FilterRange _,
+    "q11_filter_in" -> q11FilterIn _,
+    "q12_filter_like" -> q12FilterLike _,
+    "q13_filter_null_bool" -> q13FilterNullBool _,
+    "q20_join_inner" -> q20JoinInner _,
+    "q21_join_broadcast" -> q21JoinBroadcast _,
+    "q22_join_left" -> q22JoinLeft _,
+    "q23_join_semi" -> q23JoinSemi _,
+    "q24_join_anti" -> q24JoinAnti _,
+    "q25_join_interval" -> q25JoinInterval _,
+    "q30_agg_q1" -> q30AggQ1 _,
+    "q31_agg_distinct" -> q31AggDistinct _,
+    "q32_agg_rollup" -> q32AggRollup _,
+    "q33_agg_cube" -> q33AggCube _,
+    "q34_agg_grouping_sets" -> q34AggGroupingSets _,
+    "q35_agg_stats" -> q35AggStats _,
+    "q36_agg_approx_distinct" -> q36AggApproxDistinct _,
+    "q40_win_rank" -> q40WinRank _,
+    "q41_win_row_number" -> q41WinRowNumber _,
+    "q42_win_lag_lead" -> q42WinLagLead _,
+    "q43_win_running_sum" -> q43WinRunningSum _,
+    "q44_win_moving_avg" -> q44WinMovingAvg _,
+    "q45_win_ntile" -> q45WinNtile _,
+    "q50_sort_limit" -> q50SortLimit _,
+    "q51_topk_per_group" -> q51TopkPerGroup _,
+    "q55_set_union" -> q55SetUnion _,
+    "q56_set_intersect" -> q56SetIntersect _,
+    "q57_set_except" -> q57SetExcept _,
+  )
+
+  /** DuckDB oracle twins. Type alignment: Spark int outputs → CAST AS
+    * INTEGER; DuckDB HUGEINT sums → CAST AS BIGINT; ceil/floor → BIGINT. */
+  val oracle: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem ORDER BY 1, 2, 3, 4",
+    "q10_filter_range" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, round(l_extendedprice, 4) AS extprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "q11_filter_in" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') ORDER BY 1""".stripMargin,
+    "q12_filter_like" ->
+      """SELECT p_partkey FROM part
+        |WHERE p_type LIKE '%ECO%' OR p_name LIKE 'b%' ORDER BY 1""".stripMargin,
+    "q13_filter_null_bool" ->
+      """SELECT event_id FROM events
+        |WHERE NOT (event_type = 'error') AND value IS NOT NULL
+        |  AND (value > 150 OR user_id % 2 = 0) ORDER BY 1""".stripMargin,
+    "q20_join_inner" ->
+      """SELECT o_orderkey, c_name, round(o_totalprice, 4) AS o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY 1""".stripMargin,
+    "q21_join_broadcast" ->
+      """SELECT c_custkey, n_name, r_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey ORDER BY 1""".stripMargin,
+    "q22_join_left" ->
+      """SELECT c_custkey, coalesce(o_orderkey, -1) AS o_orderkey
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey ORDER BY 1, 2""".stripMargin,
+    "q23_join_semi" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY 1""".stripMargin,
+    "q24_join_anti" ->
+      """SELECT p_partkey FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 48)
+        |ORDER BY 1""".stripMargin,
+    "q25_join_interval" ->
+      """SELECT e1.event_id AS e1_id, e2.event_id AS e2_id
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND epoch_ns(e2.ts) > epoch_ns(e1.ts)
+        | AND epoch_ns(e2.ts) <= epoch_ns(e1.ts) + 300000000000
+        |WHERE e1.event_type = 'signup' ORDER BY 1, 2""".stripMargin,
+    "q30_agg_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(sum(l_extendedprice), 4) AS sum_base,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       count(*) AS cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q31_agg_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q32_agg_rollup" ->
+      """SELECT coalesce(r_name, '<ALL>') AS r_name, coalesce(n_name, '<ALL>') AS n_name,
+        |       round(sum(c_acctbal), 4) AS sum_bal, count(*) AS cnt
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY ROLLUP (r_name, n_name) ORDER BY 1, 2""".stripMargin,
+    "q33_agg_cube" ->
+      """SELECT coalesce(l_returnflag, '<ALL>') AS l_returnflag,
+        |       coalesce(l_linestatus, '<ALL>') AS l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY 1, 2""".stripMargin,
+    "q34_agg_grouping_sets" ->
+      """SELECT coalesce(o_orderpriority, '<ALL>') AS pri,
+        |       coalesce(o_orderstatus, '<ALL>') AS status,
+        |       count(*) AS cnt, round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY pri, status""".stripMargin,
+    "q35_agg_stats" ->
+      """SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |       round(var_samp(l_discount), 6) AS var_disc,
+        |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q40_win_rank" ->
+      """SELECT o_custkey, o_orderkey, CAST(rnk AS INTEGER) AS rnk, CAST(drnk AS INTEGER) AS drnk
+        |FROM (SELECT o_custkey, o_orderkey,
+        |             rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |      FROM orders
+        |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rnk = 1 ORDER BY 1, 2""".stripMargin,
+    "q41_win_row_number" ->
+      """SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn
+        |FROM (SELECT o_custkey, o_orderkey,
+        |             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "q42_win_lag_lead" ->
+      """SELECT event_id,
+        |       lag(event_type) OVER w AS prev,
+        |       lead(event_type) OVER w AS next
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q43_win_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q44_win_moving_avg" ->
+      """SELECT event_id,
+        |       round(avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) AS mavg
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q45_win_ntile" ->
+      """SELECT c_custkey, CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q50_sort_limit" ->
+      """SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+        |FROM orders ORDER BY 2 DESC, 1 LIMIT 100""".stripMargin,
+    "q51_topk_per_group" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS extprice, CAST(rn AS INTEGER) AS rn
+        |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |      FROM lineitem WHERE l_orderkey < 100)
+        |WHERE rn <= 2 ORDER BY l_orderkey, rn""".stripMargin,
+    "q55_set_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY 1""".stripMargin,
+    "q56_set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY 1""".stripMargin,
+    "q57_set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier WHERE s_suppkey <= 5 ORDER BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY.md §2.3 q05, q60–q64).
+  * All built-in codegen'd `functions._` — no UDFs in this file. */
+object Scalars {
+
+  /** q05: error-tolerant numeric-text cast (reference R6,
+    * `pyrfc_read_table.py:172-174` — per-value `try_cast` is the documented
+    * improvement over pandas' all-or-nothing `errors='ignore'`). */
+  def q05CastNumericText(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(
+        col("event_id"),
+        expr("try_cast(get_json_object(props, '$.k') AS LONG)").as("k_long"),
+        expr("try_cast(concat(event_type, 'x') AS LONG)").as("poison"))
+      .orderBy("event_id")
+
+  /** q60: string functions (trim is reference R5). */
+  def q60StrFuncs(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_up"),
+        lower(col("p_type")).as("type_lo"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_size").cast("string")).as("brand_size"),
+        trim(concat(lit(" "), col("p_name"), lit(" "))).as("name_trim"))
+      .orderBy("p_partkey")
+
+  /** q61: date/time functions. */
+  def q61DateFuncs(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("mon_start"),
+        datediff(lit(java.sql.Date.valueOf("1998-12-01")), col("o_orderdate")).as("dd"))
+      .orderBy("o_orderkey")
+
+  /** q62: math functions. */
+  def q62MathFuncs(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 50)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("extp2"),
+        ceil(col("l_discount") * 100).as("ceil_disc"),
+        floor(col("l_tax") * 100).as("floor_tax"),
+        abs(col("l_quantity") - 25).as("absq"),
+        round(sqrt(col("l_quantity")), 4).as("sqrtq"),
+        (col("l_partkey") % 7).as("mod7"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q63: array / higher-order functions over embeddings. Lambda casts to
+    * double keep the fold bit-identical with the oracle's left-assoc sum. */
+  def q63ArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
+        round(
+          aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 4).as("s8"))
+      .orderBy("vec_id")
+
+  /** q64: JSON extraction. */
+  def q64JsonFuncs(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q05_cast_numeric_text" -> q05CastNumericText _,
+    "q60_str_funcs" -> q60StrFuncs _,
+    "q61_date_funcs" -> q61DateFuncs _,
+    "q62_math_funcs" -> q62MathFuncs _,
+    "q63_array_funcs" -> q63ArrayFuncs _,
+    "q64_json_funcs" -> q64JsonFuncs _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q05_cast_numeric_text" ->
+      """SELECT event_id,
+        |       try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+        |       try_cast(event_type || 'x' AS BIGINT) AS poison
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q60_str_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_up, lower(p_type) AS type_lo,
+        |       substring(p_name, 1, 5) AS name5, CAST(length(p_name) AS INTEGER) AS name_len,
+        |       concat_ws('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+        |       trim(' ' || p_name || ' ') AS name_trim
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q61_date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |       CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |       CAST(date_trunc('month', o_orderdate) AS DATE) AS mon_start,
+        |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS INTEGER) AS dd
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q62_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS extp2,
+        |       CAST(ceil(l_discount * 100) AS BIGINT) AS ceil_disc,
+        |       CAST(floor(l_tax * 100) AS BIGINT) AS floor_tax,
+        |       abs(l_quantity - 25) AS absq,
+        |       round(sqrt(l_quantity), 4) AS sqrtq,
+        |       l_partkey % 7 AS mod7
+        |FROM lineitem WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q63_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+        |       round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
+        |       round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) +
+        |             CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE) +
+        |             CAST(embedding[5] AS DOUBLE) + CAST(embedding[6] AS DOUBLE) +
+        |             CAST(embedding[7] AS DOUBLE) + CAST(embedding[8] AS DOUBLE), 4) AS s8
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q64_json_funcs" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Dev-only local replica of the driver's DuckDB-oracle compare (t2).
+
+NOT part of the shipped library (the Scala engine never imports this) —
+it exists so oracle SQL can be validated locally before the driver runs.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+For each query dir under <verifyOutDir>: read the Spark result parquet,
+run the matching oracle SQL from oracle_sql.json in DuckDB (tables
+registered as views over <sfDir>/*.parquet), sort columns by name, and
+compare row count, schema (column names), and cell values.
+"""
+import json, math, sys, glob, os
+import duckdb
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver rounds via the query contract; normalize -0.0 and format
+        if v == 0.0:
+            v = 0.0
+        return f"{v:.10g}"
+    return str(v)
+
+def table_of(rel):
+    cols = rel.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = rel.fetchall()
+    return [cols[i] for i in order], [[norm_cell(r[i]) for i in order] for r in rows]
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(oracle):
+        qdir = f"{out_dir}/{name}"
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            results[name] = "MISSING_SPARK_OUTPUT"
+            continue
+        try:
+            scols, srows = table_of(con.sql(
+                f"SELECT * FROM read_parquet({files!r})"))
+            ocols, orows = table_of(con.sql(oracle[name]))
+        except Exception as e:
+            results[name] = f"ERROR: {e}"
+            continue
+        if scols != ocols:
+            results[name] = f"SCHEMA: spark={scols} oracle={ocols}"
+        elif len(srows) != len(orows):
+            results[name] = f"ROWS: spark={len(srows)} oracle={len(orows)}"
+        elif srows != orows:
+            bad = next(i for i, (a, b) in enumerate(zip(srows, orows)) if a != b)
+            results[name] = (f"VALUES at row {bad}: spark={srows[bad]} "
+                             f"oracle={orows[bad]}")
+        else:
+            results[name] = f"OK ({len(srows)} rows)"
+    width = max(len(k) for k in results)
+    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    for k, v in results.items():
+        print(f"{k:<{width}}  {v[:300]}")
+    print(f"-- {n_ok}/{len(results)} OK")
+    # queries dumped but lacking oracle (rows-only check)
+    for qdir in sorted(glob.glob(f"{out_dir}/q*")):
+        nm = os.path.basename(qdir)
+        if nm not in oracle:
+            n = con.sql(f"SELECT count(*) FROM read_parquet({glob.glob(qdir + '/*.parquet')!r})").fetchone()[0]
+            print(f"{nm:<{width}}  NO-ORACLE rows={n}")
+
+if __name__ == "__main__":
+    main()
