@@ -3,13 +3,15 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.{NorthStar, ParseRoute, Relational, Scalars}
+import graft.sink.Layout
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3 (normative inventory).
   *
   * `queries` maps each declared operator id to a function
   * `(spark, sfDir) => DataFrame`; `oracleSql` carries the DuckDB twin for
-  * every oracle-checked op (no-oracle ops: q36 HLL estimates, q06 sink
-  * layout — ScalaTest-verified instead).
+  * every oracle-checked op. The two no-oracle ops are ScalaTest-verified:
+  * q36 by `HllBoundSpec` (estimate within 5% of exact), q06 by
+  * `LayoutSpec` (the four sink-layout quirks).
   */
 object SparkEntry {
 
@@ -19,7 +21,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ ParseRoute.queries ++ Scalars.queries ++
-      NorthStar.queries
+      NorthStar.queries ++ Layout.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ ParseRoute.oracle ++ Scalars.oracle ++

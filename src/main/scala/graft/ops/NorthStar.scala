@@ -11,18 +11,23 @@ import org.apache.spark.sql.functions._
   */
 object NorthStar {
 
-  /** q70: exact dedup cardinality. At 100 TB `count(DISTINCT text)` on raw
-    * text shuffles full documents; production path hashes first (see the
-    * dedup module) — here the oracle-checked semantics is the exact count. */
+  /** q70: exact dedup cardinality, hash-first: distinct over
+    * `sha2(text)` so the shuffle carries 32-byte digests instead of full
+    * document bodies (at 100 TB the raw-text shuffle IS the corpus).
+    * Same count as `count(DISTINCT text)` modulo SHA-256 collisions;
+    * the oracle computes the identical digest on its side. */
   def q70DedupExact(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
-      .agg(countDistinct(col("text")).as("n_distinct_text"))
+      .agg(countDistinct(sha2(col("text"), 256)).as("n_distinct_text"))
 
-  /** q71: keyed latest-wins dedup via ranking window. */
+  /** q71: keyed latest-wins dedup via ranking window (latest = max µs
+    * event time — quantized so same-µs ties break identically on both
+    * engines, via event_id desc). */
   def q71DedupKeyed(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type")
-      .orderBy(col("ts").desc, col("event_id").desc)
+      .orderBy(col("tus").desc, col("event_id").desc)
     T(s, dir, "events")
+      .withColumn("tus", expr("ts div 1000"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("user_id", "event_type", "event_id")
@@ -81,32 +86,34 @@ object NorthStar {
       .orderBy("l_returnflag")
   }
 
-  /** q80: 1-hour tumbling window aggregation (batch mode) on ns longs. */
+  /** q80: 1-hour tumbling window aggregation (batch mode). Buckets are
+    * computed on µs (1 h = 3.6e9 µs) — a pure projection + partial/final
+    * hash agg, no window, scale-safe. */
   def q80EventTumbling(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events")
-      .select(expr("(ts div 3600000000000) * 3600000000000").as("ws_ns"),
+      .select(expr("((ts div 1000) div 3600000000) * 3600000000").as("ws_us"),
         col("event_type"), col("value"))
-      .groupBy("ws_ns", "event_type")
+      .groupBy("ws_us", "event_type")
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_val"))
-      .orderBy("ws_ns", "event_type")
+      .orderBy("ws_us", "event_type")
 
   /** q81: sessionization with 30-min inactivity gap (lag + cumulative sum). */
   def q81EventSessionize(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // all event-time arithmetic in µs (30 min = 1.8e9 µs) — the precision
+    // both engines share exactly (DuckDB reads the ns parquet µs-truncated)
     T(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("ts"))
-      .withColumn("prev", lag("ts", 1).over(w))
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
+      .withColumn("prev", lag("tus", 1).over(w))
       .withColumn("is_new",
-        when(col("prev").isNull || col("ts") - col("prev") > 1800000000000L, 1)
+        when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1)
           .otherwise(0))
       .withColumn("session_id", sum("is_new").over(cum))
       .groupBy("user_id", "session_id")
-      // output µs (ts div 1000): DuckDB reads the ns parquet truncated to
-      // µs, so µs is the precision both engines share exactly
       .agg(count(lit(1)).as("cnt"),
-        min(expr("ts div 1000")).as("min_us"),
-        max(expr("ts div 1000")).as("max_us"))
+        min(col("tus")).as("min_us"),
+        max(col("tus")).as("max_us"))
       .orderBy("user_id", "session_id")
   }
 
@@ -123,7 +130,7 @@ object NorthStar {
 
   val oracle: Map[String, String] = Map(
     "q70_dedup_exact" ->
-      "SELECT count(DISTINCT text) AS n_distinct_text FROM documents",
+      "SELECT count(DISTINCT sha256(text)) AS n_distinct_text FROM documents",
     "q71_dedup_keyed" ->
       """SELECT user_id, event_type, event_id
         |FROM (SELECT user_id, event_type, event_id,
@@ -153,19 +160,19 @@ object NorthStar {
         |       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q80_event_tumbling" ->
-      """SELECT (epoch_ns(ts) // 3600000000000) * 3600000000000 AS ws_ns,
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
         |       event_type, count(*) AS cnt, round(sum(value), 4) AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q81_event_sessionize" ->
-      """WITH x AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, epoch_us(ts) AS tus FROM events),
-        |l AS (SELECT user_id, event_id, tns, tus,
-        |             lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |l AS (SELECT user_id, event_id, tus,
+        |             lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
         |      FROM x),
-        |n AS (SELECT user_id, event_id, tns, tus,
-        |             CASE WHEN prev IS NULL OR tns - prev > 1800000000000 THEN 1 ELSE 0 END AS is_new
+        |n AS (SELECT user_id, event_id, tus,
+        |             CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
         |      FROM l),
         |sess AS (SELECT user_id, tus,
-        |                CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |                CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |         FROM n)
         |SELECT user_id, session_id, count(*) AS cnt, min(tus) AS min_us, max(tus) AS max_us

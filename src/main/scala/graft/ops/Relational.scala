@@ -110,17 +110,18 @@ object Relational {
       .select("p_partkey")
       .orderBy("p_partkey")
 
-  /** q25: interval/theta join on events; ts is an exact ns-epoch long.
-    * Equi on user_id keeps it a hash/SMJ join with a range residual
-    * (not a BNLJ) — crucial at scale. 5 min = 3e11 ns. */
+  /** q25: interval/theta join on events. Equi on user_id keeps it a
+    * hash/SMJ join with a range residual (not a BNLJ) — crucial at scale.
+    * Boundary comparisons quantize ts (ns long) to µs — the precision the
+    * oracle shares (see [[T]]'s event-time contract). 5 min = 3e8 µs. */
   def q25JoinInterval(s: SparkSession, dir: String): DataFrame = {
-    val e = T(s, dir, "events")
+    val e = T(s, dir, "events").withColumn("tus", expr("ts div 1000"))
     val e1 = e.filter(col("event_type") === "signup")
-      .select(col("event_id").as("e1_id"), col("user_id").as("u1"), col("ts").as("ts1"))
-    val e2 = e.select(col("event_id").as("e2_id"), col("user_id").as("u2"), col("ts").as("ts2"))
+      .select(col("event_id").as("e1_id"), col("user_id").as("u1"), col("tus").as("ts1"))
+    val e2 = e.select(col("event_id").as("e2_id"), col("user_id").as("u2"), col("tus").as("ts2"))
     e1.join(e2,
         col("u1") === col("u2") && col("ts2") > col("ts1") &&
-          col("ts2") <= col("ts1") + lit(300000000000L))
+          col("ts2") <= col("ts1") + lit(300000000L))
       .select("e1_id", "e2_id")
       .orderBy("e1_id", "e2_id")
   }
@@ -227,10 +228,12 @@ object Relational {
       .select("o_custkey", "o_orderkey", "rn")
       .orderBy("o_custkey", "rn")
 
-  /** q42: lag/lead analytics over event stream (ts = ns long). */
+  /** q42: lag/lead analytics over event stream. Window order quantizes
+    * ts to µs so same-µs neighbors order identically on both engines. */
   def q42WinLagLead(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
     T(s, dir, "events")
+      .withColumn("tus", expr("ts div 1000"))
       .withColumn("prev", lag("event_type", 1).over(w))
       .withColumn("next", lead("event_type", 1).over(w))
       .select("event_id", "prev", "next")
@@ -247,24 +250,27 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  /** q44: centered moving average. */
+  /** q44: centered moving average (window order µs-quantized, see q42). */
   def q44WinMovingAvg(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val w = Window.partitionBy("event_type").orderBy("tus", "event_id")
       .rowsBetween(-1, 1)
     T(s, dir, "events")
+      .withColumn("tus", expr("ts div 1000"))
       .withColumn("mavg", round(avg("value").over(w), 4))
       .select("event_id", "mavg")
       .orderBy("event_id")
   }
 
-  /** q45: ntile quartiles (global window). */
-  def q45WinNtile(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-    T(s, dir, "customer")
-      .withColumn("quartile", ntile(4).over(w))
+  /** q45: ntile quartiles over a global ordering. A bare
+    * `Window.orderBy` would funnel every row through one task; instead
+    * [[ScalableRank.withNtile]] computes the exact same bucketing via
+    * range-repartitioned two-pass ranking (see its scaladoc). */
+  def q45WinNtile(s: SparkSession, dir: String): DataFrame =
+    ScalableRank.withNtile(
+        T(s, dir, "customer").select("c_custkey", "c_acctbal"),
+        4, "quartile", col("c_acctbal").desc, col("c_custkey").asc)
       .select("c_custkey", "quartile")
       .orderBy("c_custkey")
-  }
 
   // ---- sort / limit / top-k -------------------------------------------
 
@@ -390,8 +396,8 @@ object Relational {
       """SELECT e1.event_id AS e1_id, e2.event_id AS e2_id
         |FROM events e1 JOIN events e2
         |  ON e1.user_id = e2.user_id
-        | AND epoch_ns(e2.ts) > epoch_ns(e1.ts)
-        | AND epoch_ns(e2.ts) <= epoch_ns(e1.ts) + 300000000000
+        | AND epoch_us(e2.ts) > epoch_us(e1.ts)
+        | AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 300000000
         |WHERE e1.event_type = 'signup' ORDER BY 1, 2""".stripMargin,
     "q30_agg_q1" ->
       """SELECT l_returnflag, l_linestatus,

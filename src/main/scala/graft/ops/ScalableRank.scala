@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Exact global ranking without the single-task global window.
+  *
+  * `Window.orderBy(...)` with no partition moves every row to one task —
+  * correct at sf0.01, a scale-killer at 100 TB (Spark logs exactly this
+  * warning). The scalable equivalent is the classic two-pass rank:
+  *
+  *  1. `repartitionByRange` on the sort key + local sort, so partition i
+  *     holds a contiguous, ordered key range;
+  *  2. a per-partition `row_number` window (partitioned by
+  *     `spark_partition_id()` — parallel, no global exchange);
+  *  3. per-partition row counts — one tiny row per partition — collected
+  *     to the driver, turned into cumulative offsets, and broadcast back.
+  *
+  * The input is persisted across the two passes so both see identical
+  * range boundaries (range partitioning samples its bounds; determinism
+  * across separate recomputations is not guaranteed otherwise). That one
+  * materialization replaces the all-rows-to-one-task exchange.
+  */
+object ScalableRank {
+
+  /** Adds `rnCol` = exact global row_number over `sortExprs`. */
+  def withGlobalRowNumber(df: DataFrame, rnCol: String,
+                          sortExprs: Column*): DataFrame =
+    withRankAndTotal(df, rnCol, sortExprs: _*)._1
+
+  /** Adds `outCol` = exact `ntile(n)` over `sortExprs`. SQL ntile gives
+    * the first `r = N mod n` buckets `q+1 = N div n + 1` rows and the
+    * rest `q`; the inverse of that layout is bucket
+    * `ceil(rn/(q+1))` while `rn <= r*(q+1)`, else
+    * `r + ceil((rn - r*(q+1))/q)`. */
+  def withNtile(df: DataFrame, n: Int, outCol: String,
+                sortExprs: Column*): DataFrame = {
+    val (ranked, total) = withRankAndTotal(df, "_g_rn", sortExprs: _*)
+    val q = total / n
+    val r = total % n
+    val bigCut = r * (q + 1)     // rows in the size-(q+1) buckets
+    val qSafe = math.max(q, 1L)  // q=0 only when n>N, then rn<=bigCut always
+    ranked
+      .withColumn(outCol,
+        when(col("_g_rn") <= bigCut,
+          expr(s"cast((_g_rn - 1) div ${q + 1} as int) + 1"))
+          .otherwise(
+            expr(s"cast($r + (_g_rn - $bigCut - 1) div $qSafe as int) + 1")))
+      .drop("_g_rn")
+  }
+
+  private def withRankAndTotal(df: DataFrame, rnCol: String,
+                               sortExprs: Column*): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = df.repartitionByRange(sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = parts.groupBy("_pid").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) =>
+      val o = (pid, acc); acc += c; o
+    }.toSeq
+    val offDf = broadcast(offsets.toDF("_pid", "_off"))
+    val w = Window.partitionBy("_pid").orderBy(sortExprs: _*)
+    val ranked = parts
+      .withColumn("_lrn", row_number().over(w))
+      .join(offDf, "_pid")
+      .withColumn(rnCol, col("_off") + col("_lrn"))
+      .drop("_pid", "_lrn", "_off")
+    (ranked, acc)
+  }
+}

@@ -10,13 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Verify/Bench/test session builders — NOT per table load, which would be
   * racy under concurrent queries) so `ts` arrives as a LongType ns epoch.
   *
-  * Event-time contract: DuckDB reads TIMESTAMP(NANOS) truncated to µs, so
-  * every boundary comparison/bucketing in the declared queries quantizes to
-  * µs (`ts div 1000`) first — the precision both engines share exactly.
-  * Data with genuine sub-µs precision would make the two engines see
-  * different µs values only if a boundary falls strictly between two ns
-  * inside the same µs, which the quantization rules out. `ts >= 0`
-  * (post-1970) is asserted by the test suite; `div`-vs-floor-division
+  * Event-time contract: DuckDB reads TIMESTAMP(NANOS) truncated to µs,
+  * and the testdata carries genuine sub-µs precision (verified — raw ns
+  * values are not µs-aligned). Every declared query therefore quantizes
+  * `ts` to µs (`ts div 1000`) BEFORE any boundary comparison, window
+  * ordering, or bucketing — the precision both engines share exactly.
+  * Comparing raw ns on the Spark side would silently diverge whenever two
+  * events share a µs or a boundary falls inside one. `ts >= 0`
+  * (post-1970) is asserted by DataContractSpec; `div`-vs-floor-division
   * divergence for negative epochs is therefore out of contract.
   */
 object T {

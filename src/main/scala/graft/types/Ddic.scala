@@ -1,0 +1,55 @@
+package graft.types
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SAP ABAP DDIC type codes → Spark types (SURVEY.md §1.2).
+  *
+  * Reference behavior (`/root/reference/pyrfc_read_table/pyrfc_read_table.py`):
+  * the RFC result's `FIELDS` metadata carries a one-char `TYPE` per column
+  * (`:128-133`); the reference consumes exactly one code — `'N'` numeric
+  * text, coerced to int with `errors='ignore'` (`:172-174`, all-or-nothing
+  * per column) — and leaves every other code as a string.
+  *
+  * This map covers the full DDIC code set with an unknown-code→string
+  * fallback, and its casts are **per-value** tolerant (`try_cast`
+  * semantics): a single malformed cell becomes NULL instead of silently
+  * degrading the whole column to strings. That is the documented
+  * improvement over the reference (`:174`), and the only intentional
+  * behavior difference.
+  */
+object Ddic {
+
+  /** Spark type for a DDIC code. `length`/`decimals` are the FIELDS
+    * LENGTH/DECIMALS metadata, used only by `P` (packed decimal). */
+  def toSpark(code: String, length: Int = 0, decimals: Int = 0): DataType =
+    code match {
+      case "C" => StringType                       // char
+      case "N" => LongType                         // numeric text
+      case "D" => DateType                         // YYYYMMDD
+      case "T" => StringType                       // HHMMSS (kept textual)
+      case "P" => DecimalType(math.max(length, 1), math.max(decimals, 0))
+      case "I" => IntegerType
+      case "F" => DoubleType
+      case "X" => BinaryType                       // raw hex
+      case _   => StringType                       // unknown code fallback
+    }
+
+  /** Typed conversion of a (trimmed) string cell for a DDIC code.
+    * Every branch is null-on-failure (per-value tolerance), ANSI-safe,
+    * and codegen'd — no UDFs. */
+  def castColumn(c: Column, code: String, length: Int = 0,
+                 decimals: Int = 0): Column = code match {
+    case "C" => c
+    case "N" => c.try_cast(LongType)
+    case "D" => try_to_timestamp(c, lit("yyyyMMdd")).cast(DateType)
+    case "T" => c
+    case "P" => c.try_cast(
+      DecimalType(math.max(length, 1), math.max(decimals, 0)))
+    case "I" => c.try_cast(IntegerType)
+    case "F" => c.try_cast(DoubleType)
+    case "X" => try_to_binary(c, lit("hex"))
+    case _   => c
+  }
+}

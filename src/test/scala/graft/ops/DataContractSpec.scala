@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Event-time data contract asserted by Tables.scala's doc:
+  *  - `ts >= 0` (post-1970) — keeps Spark `div` and DuckDB `//`
+  *    floor-division in agreement for the µs quantization;
+  *  - the raw ns values are NOT µs-aligned (the testdata has genuine
+  *    sub-µs precision), which is exactly why every declared query must
+  *    quantize to µs before boundary comparisons — this test documents
+  *    that the hazard is real, so nobody "simplifies" the quantization
+  *    away against data that happens to be aligned. */
+class DataContractSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"events.ts at $sf is non-negative (floor-div contract)") {
+      val bad = T(spark, s"/root/testdata/$sf", "events")
+        .filter(col("ts") < 0).count()
+      assert(bad == 0L)
+    }
+
+    test(s"events.ts at $sf has sub-µs precision (quantization is load-bearing)") {
+      val subUs = T(spark, s"/root/testdata/$sf", "events")
+        .filter(col("ts") % 1000 =!= 0).count()
+      assert(subUs > 0L)
+    }
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** ScalableRank must agree exactly with the built-in global window
+  * (row_number / ntile) — the point is the plan, not the answer. */
+class ScalableRankSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def df = (1 to 103).map(i => (i.toLong, (i * 37 % 101).toDouble))
+    .toDF("id", "v")
+
+  test("global row_number matches single-task window") {
+    val sortKeys = Seq(col("v").desc, col("id").asc)
+    val got = ScalableRank.withGlobalRowNumber(df, "rn", sortKeys: _*)
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    val want = df
+      .withColumn("rn", row_number().over(Window.orderBy(sortKeys: _*)))
+      .select("id", "rn").as[(Long, Int)].collect()
+      .map { case (k, v) => (k, v.toLong) }.toMap
+    assert(got == want)
+  }
+
+  test("ntile matches single-task window, incl. uneven bucket sizes") {
+    for (n <- Seq(4, 7)) {
+      val sortKeys = Seq(col("v").desc, col("id").asc)
+      val got = ScalableRank.withNtile(df, n, "b", sortKeys: _*)
+        .select("id", "b").as[(Long, Int)].collect().toMap
+      val want = df
+        .withColumn("b", ntile(n).over(Window.orderBy(sortKeys: _*)))
+        .select("id", "b").as[(Long, Int)].collect().toMap
+      assert(got == want, s"ntile($n)")
+    }
+  }
+
+  test("q45 plan has no unpartitioned window (scale guard)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = Relational.q45WinNtile(spark, SparkTestBase.Sf0001)
+      .queryExecution.optimizedPlan
+    val globalWindows = plan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"unpartitioned (single-task) window in plan:\n$plan")
+  }
+}

@@ -21,9 +21,11 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         # driver rounds via the query contract; normalize -0.0 and format
+        # with full round-trip precision (%.17g) so this local replica is
+        # never more lenient than the driver's hash compare
         if v == 0.0:
             v = 0.0
-        return f"{v:.10g}"
+        return f"{v:.17g}"
     return str(v)
 
 def table_of(rel):
@@ -44,7 +46,9 @@ def main():
     results = {}
     for name in sorted(oracle):
         qdir = f"{out_dir}/{name}"
-        files = glob.glob(f"{qdir}/*.parquet")
+        # sorted: stable part-file order (Verify writes coalesce(1), but
+        # never depend on filesystem enumeration order)
+        files = sorted(glob.glob(f"{qdir}/*.parquet"))
         if not files:
             results[name] = "MISSING_SPARK_OUTPUT"
             continue
