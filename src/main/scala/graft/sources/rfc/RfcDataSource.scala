@@ -1,0 +1,286 @@
+package graft.sources.rfc
+
+import java.util
+import java.util.regex.Pattern
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.types.Ddic
+
+/** `sap-rfc` DataSource V2 source (SURVEY.md §4.3, FIXTURES.md §B).
+  *
+  * Models the reference's R1/R2 source operator
+  * (`/root/reference/pyrfc_read_table/pyrfc_read_table.py`) Spark-first:
+  *
+  *  - schema is discovered from the backend's FIELDS metadata (`:124-133`)
+  *    via [[Ddic]] — never declared by the caller;
+  *  - each `ROWSKIPS`/`ROWCOUNT` page (`:33,66-83`) becomes one
+  *    [[InputPartition]] so pages read in parallel (the reference loops
+  *    sequentially on the driver; when the backend cannot estimate a row
+  *    count the source falls back to exactly that sequential short-page
+  *    loop, `:68`);
+  *  - column pruning, `=/</>/<=/>=/LIKE/IN` predicates, and limits push
+  *    down into the call's `FIELDS`/`OPTIONS`/`ROWCOUNT` inputs — the RFC
+  *    module's documented-but-unused-by-the-reference surface (`:71`,
+  *    SURVEY.md §4.1);
+  *  - WA rows are split/trimmed/arity-checked like R4/R5 (`:135-149`);
+  *    malformed rows follow Spark's CSV/JSON convention instead of the
+  *    reference's side-channel: `mode=DROPMALFORMED` (default),
+  *    `PERMISSIVE` (null row + `_corrupt_record` carrying the raw WA),
+  *    or `FAILFAST`.
+  *
+  * Usage: `spark.read.format("sap-rfc").option("table", "ZSALES").load()`.
+  */
+class RfcTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "sap-rfc"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val conf = RfcOptions(options.asScala.toMap)
+    val meta = conf.newBackend.call(conf.table, conf.delimiter, 0, 0, Nil, Nil)
+    val base = StructType(meta.fields.map(f =>
+      StructField(f.fieldName, Ddic.toSpark(f.tpe, f.length, f.decimals))))
+    if (conf.permissive) base.add(StructField(RfcOptions.CorruptCol, StringType))
+    else base
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new RfcTable(schema, RfcOptions(properties.asScala.toMap))
+}
+
+final case class RfcOptions(map: Map[String, String]) {
+  private def get(k: String): Option[String] =
+    map.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
+  val table: String = get("table").getOrElse(
+    throw new IllegalArgumentException("sap-rfc: 'table' option is required"))
+  /** backtick, as the reference chooses (`pyrfc_read_table.py:32`). */
+  val delimiter: String = get("delimiter").getOrElse("`")
+  /** 100 000 rows/call, as the reference (`pyrfc_read_table.py:33`). */
+  val pageSize: Int = get("pageSize").map(_.toInt).getOrElse(100000)
+  val mode: String = get("mode").map(_.toUpperCase).getOrElse("DROPMALFORMED")
+  require(Set("PERMISSIVE", "DROPMALFORMED", "FAILFAST").contains(mode),
+    s"sap-rfc: bad mode $mode")
+  def permissive: Boolean = mode == "PERMISSIVE"
+  val backendClass: String =
+    get("backend").getOrElse(classOf[MockRfcBackend].getName)
+  def newBackend: RfcBackend = Class.forName(backendClass)
+    .getDeclaredConstructor().newInstance().asInstanceOf[RfcBackend]
+}
+
+object RfcOptions { val CorruptCol = "_corrupt_record" }
+
+class RfcTable(tableSchema: StructType, opts: RfcOptions)
+  extends Table with SupportsRead {
+  override def name(): String = s"sap-rfc:${opts.table}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new RfcScanBuilder(tableSchema, opts)
+}
+
+class RfcScanBuilder(fullSchema: StructType, opts: RfcOptions)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters with SupportsPushDownLimit {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var fragments: Seq[String] = Nil
+  private var limit: Option[Int] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Translated predicates become server-side OPTIONS WHERE fragments; the
+    * backend applies them exactly (mock included), so they are fully
+    * handled. In PERMISSIVE mode nothing pushes: a server-side WHERE
+    * would silently drop malformed rows the mode promises to surface. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (opts.permissive) { pushed = Array.empty; return filters }
+    val translated = filters.map(f => f -> translate(f))
+    pushed = translated.collect { case (f, Some(_)) => f }
+    fragments = translated.collect { case (_, Some(s)) => s }.toSeq
+    translated.collect { case (f, None) => f }
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  override def build(): Scan =
+    new RfcScan(required, opts, fragments, limit)
+
+  private def quote(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case b: Array[Byte] => None
+    case other => Some("'" + other.toString + "'")
+  }
+
+  private def translate(f: Filter): Option[String] = f match {
+    case EqualTo(a, v) => quote(v).map(q => s"$a = $q")
+    case GreaterThan(a, v) => quote(v).map(q => s"$a > $q")
+    case GreaterThanOrEqual(a, v) => quote(v).map(q => s"$a >= $q")
+    case LessThan(a, v) => quote(v).map(q => s"$a < $q")
+    case LessThanOrEqual(a, v) => quote(v).map(q => s"$a <= $q")
+    case In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
+      Some(s"$a IN (${vs.flatMap(quote).mkString(",")})")
+    case StringStartsWith(a, v) => quote(v + "%").map(q => s"$a LIKE $q")
+    case StringEndsWith(a, v) => quote("%" + v).map(q => s"$a LIKE $q")
+    case StringContains(a, v) => quote("%" + v + "%").map(q => s"$a LIKE $q")
+    case _ => None
+  }
+}
+
+final case class RfcInputPartition(rowSkips: Long, rowCount: Long)
+  extends InputPartition
+
+class RfcScan(prunedSchema: StructType, opts: RfcOptions,
+              fragments: Seq[String], limit: Option[Int])
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = prunedSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"sap-rfc table=${opts.table} options=[${fragments.mkString(", ")}]" +
+      limit.fold("")(l => s" limit=$l")
+
+  /** One partition per `ROWSKIPS`/`ROWCOUNT` page when the backend can
+    * estimate the (post-OPTIONS) row count; otherwise a single partition
+    * running the reference's sequential short-page loop. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val est = opts.newBackend.tableRowCount(opts.table, fragments)
+    est match {
+      case Some(n0) =>
+        val n = limit.fold(n0)(l => math.min(n0, l.toLong))
+        if (n <= 0) Array(RfcInputPartition(0, 0))
+        else {
+          val pages = ((n + opts.pageSize - 1) / opts.pageSize).toInt
+          (0 until pages).map { i =>
+            val skip = i.toLong * opts.pageSize
+            RfcInputPartition(skip, math.min(opts.pageSize.toLong, n - skip))
+          }.toArray
+        }
+      case None =>
+        Array(RfcInputPartition(0, limit.fold(-1L)(_.toLong)))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RfcReaderFactory(prunedSchema, opts, fragments)
+}
+
+class RfcReaderFactory(schema: StructType, opts: RfcOptions,
+                       fragments: Seq[String])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rp = p.asInstanceOf[RfcInputPartition]
+    new RfcPartitionReader(schema, opts, fragments, rp.rowSkips, rp.rowCount)
+  }
+}
+
+/** Reads one page range. `rowCount >= 0`: exactly that many rows were
+  * planned (single call). `rowCount = -1`: unknown total — loop pages of
+  * `pageSize` until a short page, the reference's termination contract
+  * (`pyrfc_read_table.py:68`). */
+class RfcPartitionReader(schema: StructType, opts: RfcOptions,
+                         fragments: Seq[String], startSkip: Long,
+                         rowCount: Long)
+  extends PartitionReader[InternalRow] {
+
+  private val backend = opts.newBackend
+  private val delimRe = Pattern.quote(opts.delimiter)
+  private val projected: Seq[String] =
+    schema.fieldNames.filterNot(_ == RfcOptions.CorruptCol).toSeq
+
+  private var pageFields: Seq[RfcField] = Nil
+  // schema position -> (WA cell index, DDIC field); -1 for _corrupt_record
+  private var colMap: Array[(Int, RfcField)] = _
+  private var buf: Iterator[String] = Iterator.empty
+  private var nextSkip = startSkip
+  private var remaining = rowCount
+  private var exhausted = false
+  private var current: InternalRow = _
+
+  private def fetchPage(): Boolean = {
+    if (exhausted) return false
+    val ask =
+      if (remaining < 0) opts.pageSize
+      else math.min(remaining, opts.pageSize.toLong).toInt
+    if (ask == 0) { exhausted = true; return false }
+    val page = backend.call(opts.table, opts.delimiter, nextSkip, ask,
+      projected, fragments)
+    if (colMap == null) {
+      pageFields = page.fields
+      colMap = schema.fields.map { sf =>
+        if (sf.name == RfcOptions.CorruptCol) (-1, null)
+        else {
+          val i = pageFields.indexWhere(_.fieldName == sf.name)
+          require(i >= 0, s"sap-rfc: field ${sf.name} missing from FIELDS")
+          (i, pageFields(i))
+        }
+      }
+    }
+    nextSkip += page.rows.size
+    if (remaining >= 0) remaining -= page.rows.size
+    // short page ⇒ done (`:68`); planned pages are single-shot anyway
+    if (page.rows.size < ask || remaining == 0) exhausted = true
+    buf = page.rows.iterator
+    page.rows.nonEmpty
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (buf.hasNext) {
+        val wa = buf.next()
+        parse(wa) match {
+          case Some(row) => current = row; return true
+          case None => // malformed handled per mode; DROPMALFORMED loops
+        }
+      } else if (!fetchPage() && !buf.hasNext) {
+        return false
+      }
+    }
+    false
+  }
+
+  /** R4/R5 semantics: strip + split (trailing empties kept) + arity check
+    * + per-cell trim; typed per DDIC code with per-value tolerance. */
+  private def parse(wa: String): Option[InternalRow] = {
+    val parts = wa.strip().split(delimRe, -1)
+    if (parts.length != pageFields.size) {
+      opts.mode match {
+        case "FAILFAST" => throw new IllegalStateException(
+          s"sap-rfc: malformed WA row (arity ${parts.length} != " +
+            s"${pageFields.size}): $wa")
+        case "PERMISSIVE" =>
+          val vals = colMap.map {
+            case (-1, _) => UTF8String.fromString(wa)
+            case _ => null
+          }
+          Some(new GenericInternalRow(vals.asInstanceOf[Array[Any]]))
+        case _ => None // DROPMALFORMED
+      }
+    } else {
+      val vals = colMap.map {
+        case (-1, _) => null
+        case (i, f) =>
+          Ddic.parseCatalyst(parts(i).trim, f.tpe, f.length, f.decimals)
+      }
+      Some(new GenericInternalRow(vals.asInstanceOf[Array[Any]]))
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

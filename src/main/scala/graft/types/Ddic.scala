@@ -1,8 +1,12 @@
 package graft.types
 
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SAP ABAP DDIC type codes → Spark types (SURVEY.md §1.2).
   *
@@ -51,5 +55,32 @@ object Ddic {
     case "F" => c.try_cast(DoubleType)
     case "X" => try_to_binary(c, lit("hex"))
     case _   => c
+  }
+
+  /** Catalyst-value parse of one (already trimmed) WA cell — same
+    * per-value tolerance as [[castColumn]], used by the `sap-rfc` DSv2
+    * reader to build `InternalRow`s directly. Returns null on failure. */
+  def parseCatalyst(v: String, code: String, length: Int = 0,
+                    decimals: Int = 0): Any = code match {
+    case "C" | "T" => UTF8String.fromString(v)
+    case "N" => v.toLongOption.map(Long.box).orNull
+    case "D" =>
+      try Int.box(
+        LocalDate.parse(v, DateTimeFormatter.BASIC_ISO_DATE).toEpochDay.toInt)
+      catch { case _: Exception => null }
+    case "P" =>
+      try {
+        val d = Decimal(new java.math.BigDecimal(v))
+        if (d.changePrecision(math.max(length, 1), math.max(decimals, 0))) d
+        else null
+      } catch { case _: Exception => null }
+    case "I" => v.toIntOption.map(Int.box).orNull
+    case "F" => v.toDoubleOption.map(Double.box).orNull
+    case "X" =>
+      if (v.nonEmpty && v.length % 2 == 0 &&
+        v.forall(c => Character.digit(c, 16) >= 0))
+        v.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      else null
+    case _ => UTF8String.fromString(v)
   }
 }

@@ -1,0 +1,146 @@
+package graft.sources.rfc
+
+import java.sql.Date
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.sources.rfc.MockRfcBackend.MockTable
+
+/** The six fixture scenarios of FIXTURES.md §B against the `sap-rfc`
+  * DSv2 source served by the deterministic mock backend. */
+class RfcSourceSpec extends AnyFunSuite with BeforeAndAfterEach {
+  private lazy val spark = SparkTestBase.spark
+
+  // Canonical ZSALES fixture — every DDIC code in the map (FIXTURES.md §B)
+  private val zfields = Seq(
+    RfcField("MANDT", "C"), RfcField("DOCNUM", "N"),
+    RfcField("DOCDATE", "D"), RfcField("DOCTIME", "T"),
+    RfcField("AMOUNT", "P", 13, 2), RfcField("QTY", "I"),
+    RfcField("RATE", "F"), RfcField("FLAG", "X"), RfcField("NOTE", "C"))
+
+  private def zrow(i: Int): Seq[String] = Seq(
+    "100", f"$i%010d", "20240115", "134501", "199.99", s"$i",
+    "1.0825", "0A", s" padded text $i ")
+
+  override def beforeEach(): Unit = MockRfcBackend.clear()
+
+  private def read(extra: (String, String)*): DataFrame = {
+    val base = spark.read.format("sap-rfc").option("table", "ZSALES")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  test("1: happy page — 5 well-formed rows, full DDIC typing") {
+    MockRfcBackend.register("ZSALES",
+      MockTable(zfields, (1 to 5).map(zrow)))
+    val df = read()
+    assert(df.schema.fieldNames.toSeq == zfields.map(_.fieldName))
+    val rows = df.orderBy("DOCNUM").collect()
+    assert(rows.length == 5)
+    val r = rows.head
+    assert(r.getAs[String]("MANDT") == "100")
+    assert(r.getAs[Long]("DOCNUM") == 1L)            // N → long, zeros ok
+    assert(r.getAs[Date]("DOCDATE") == Date.valueOf("2024-01-15"))
+    assert(r.getAs[String]("DOCTIME") == "134501")
+    assert(r.getAs[java.math.BigDecimal]("AMOUNT")
+      .compareTo(new java.math.BigDecimal("199.99")) == 0)
+    assert(r.getAs[Int]("QTY") == 1)
+    assert(r.getAs[Double]("RATE") == 1.0825)
+    assert(r.getAs[Array[Byte]]("FLAG").toSeq == Seq(0x0a.toByte))
+    assert(r.getAs[String]("NOTE") == "padded text 1") // trimmed
+  }
+
+  test("2: arity underflow/overflow routes per mode") {
+    val bad = Seq(
+      "100`2`20240101",                                     // underflow
+      "100`3`20240101`120000`1.00`1`1.0`0A`note`extra")     // embedded delim
+    MockRfcBackend.register("ZSALES",
+      MockTable(zfields, (1 to 3).map(zrow), rawWa = bad))
+
+    assert(read().count() == 3) // DROPMALFORMED (default) keeps good only
+
+    val perm = read("mode" -> "PERMISSIVE")
+    assert(perm.schema.fieldNames.last == "_corrupt_record")
+    assert(perm.count() == 5)
+    val corrupt = perm.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").collect().map(_.getString(0)).sorted
+    assert(corrupt.toSeq == bad.sorted) // raw WA kept, other cols null
+    assert(perm.filter(col("_corrupt_record").isNotNull)
+      .filter(col("DOCNUM").isNotNull).count() == 0)
+
+    val ex = intercept[Exception] { read("mode" -> "FAILFAST").count() }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(_.toString).mkString("\n")
+    assert(chain.contains("malformed"))
+  }
+
+  test("3: tolerant N-cast — malformed numeric text is per-value null") {
+    MockRfcBackend.register("ZSALES", MockTable(zfields, Seq(
+      zrow(1), zrow(2).updated(1, "00ABC"))))
+    val got = read().select("DOCNUM").collect().map(r =>
+      if (r.isNullAt(0)) null else r.getLong(0))
+    assert(got.toSet == Set[Any](1L, null))
+  }
+
+  test("4a: pagination — known count plans one partition per page") {
+    MockRfcBackend.register("ZSALES",
+      MockTable(zfields, (0 until 250).map(zrow)))
+    val df = read("pageSize" -> "100")
+    assert(df.rdd.getNumPartitions == 3) // 100/100/50
+    assert(df.select("DOCNUM").collect().map(_.getLong(0)).toSet ==
+      (0 until 250).map(_.toLong).toSet) // ROWSKIPS honored, no dup/loss
+    val dataCalls = MockRfcBackend.calls.filter(_.rowCount > 0)
+    assert(dataCalls.map(c => (c.rowSkips, c.rowCount)).toSet ==
+      Set((0L, 100), (100L, 100), (200L, 50)))
+  }
+
+  test("4b: pagination — unknown count falls back to sequential " +
+    "short-page loop and stops after the short page") {
+    MockRfcBackend.register("ZSALES",
+      MockTable(zfields, (0 until 250).map(zrow), hideRowCount = true))
+    val df = read("pageSize" -> "100")
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == 250)
+    val dataCalls = MockRfcBackend.calls.filter(_.rowCount > 0)
+    // 3 calls: 100, 100, then the 50-row short page terminates the loop
+    assert(dataCalls.map(c => (c.rowSkips, c.rowCount)) ==
+      Seq((0L, 100), (100L, 100), (200L, 100)))
+  }
+
+  test("5: pushdown plumbing — FIELDS, OPTIONS, and ROWCOUNT arrive") {
+    MockRfcBackend.register("ZSALES",
+      MockTable(zfields, (0 until 50).map(zrow)))
+    val got = read()
+      .select("MANDT", "QTY")
+      .filter(col("QTY") > 10 && col("NOTE").startsWith("padded"))
+      .collect()
+    assert(got.length == 39 && got.head.schema.fieldNames.length == 2)
+    val dataCalls = MockRfcBackend.calls.filter(_.rowCount > 0)
+    assert(dataCalls.nonEmpty)
+    val c = dataCalls.head
+    // column prune reaches FIELDS: the projected columns arrive; unused
+    // ones (e.g. DOCDATE) do not (NOTE may or may not ride along
+    // depending on whether Spark keeps pushed filters' inputs required)
+    assert(Set("MANDT", "QTY").subsetOf(c.fields.toSet))
+    assert(!c.fields.contains("DOCDATE"))
+    assert(c.options.toSet ==
+      Set("QTY > '10'", "NOTE LIKE 'padded%'"))
+
+    MockRfcBackend.clear()
+    MockRfcBackend.register("ZSALES",
+      MockTable(zfields, (0 until 50).map(zrow)))
+    assert(read().limit(7).collect().length == 7)
+    val limited = MockRfcBackend.calls.filter(_.rowCount > 0)
+    assert(limited.forall(_.rowCount <= 7)) // limit reached ROWCOUNT
+  }
+
+  test("6: empty table — zero rows, schema still inferred from FIELDS") {
+    MockRfcBackend.register("ZSALES", MockTable(zfields, Nil))
+    val df = read()
+    assert(df.schema.fieldNames.toSeq == zfields.map(_.fieldName))
+    assert(df.count() == 0)
+  }
+}
