@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{NorthStar, ParseRoute, Relational, Scalars}
+import graft.ops.{NorthStar, ParseRoute, Relational, Scalars, TrainingData}
 import graft.sink.Layout
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3 (normative inventory).
@@ -21,9 +21,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ ParseRoute.queries ++ Scalars.queries ++
-      NorthStar.queries ++ Layout.queries
+      NorthStar.queries ++ TrainingData.queries ++ Layout.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ ParseRoute.oracle ++ Scalars.oracle ++
-      NorthStar.oracle
+      NorthStar.oracle ++ TrainingData.oracle
 }

@@ -1,0 +1,359 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the q70/q71 basics: near-dup
+  * detection (MinHash+LSH, SimHash, exact n-gram Jaccard), embedding
+  * similarity (blocked near-dup, bucketed many-query ANN), and text
+  * analysis (language-ID, quality scoring, token counting, winnowing
+  * fingerprints), plus opaque-binary column plumbing.
+  *
+  * Portability contract with the DuckDB oracle: all content hashing is
+  * `md5` (identical hex in both engines), array indexing is 1-based
+  * (`element_at` ⇔ DuckDB `l[i]`), float math is explicit-`double`
+  * accumulation, and every query ends with a deterministic ORDER BY.
+  *
+  * Scale notes (100 TB):
+  *  - q72/q78 are the standard shuffle-on-key LSH/inverted-index shapes —
+  *    work is linear in (doc, shingle/band) pairs, never all-pairs; hot
+  *    shingles skew the q78 join at scale (mitigation: drop shingles with
+  *    document frequency above a cap before the join — AQE skew-join
+  *    handles moderate skew);
+  *  - q77/q83/q84/q85 are pure per-row projections (HOFs, codegen, no
+  *    shuffle);
+  *  - q79/q86 never form a cross product: candidates are bounded by the
+  *    label block / sign-bucket, and the query set in q86 is broadcast.
+  */
+object TrainingData {
+
+  /** Distinct 3-word shingles per doc (empty array when < 3 words). */
+  private val shingleExpr =
+    """case when size(w) >= 3 then
+      |  array_distinct(transform(sequence(1, size(w) - 2),
+      |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+      |                   element_at(w, i + 2))))
+      |else array() end""".stripMargin
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("ss", expr(shingleExpr))
+
+  /** q72: MinHash + LSH near-duplicate candidate pairs. K=8 minhashes
+    * (md5 over keyed shingles, lexicographic min), 4 bands × 2 rows;
+    * docs sharing any band bucket become candidates. The join is on
+    * (band, bucket-key) — the LSH shuffle key — so cost is linear in
+    * banded docs, not quadratic in the corpus. */
+  def q72DedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val bands = shingled(s, dir)
+      .withColumn("sg", expr(
+        """transform(sequence(0, 7),
+          |  k -> array_min(transform(ss,
+          |         x -> md5(concat(cast(k as string), ':', x)))))""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> struct(b as band,
+          |              concat(element_at(sg, 2*b+1), element_at(sg, 2*b+2)) as key))"""
+          .stripMargin)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q77: 64-bit SimHash fingerprint per document — token md5s, signed
+    * bit-vote per position, sign → bit. Pure projection (nested HOFs,
+    * md5 computed once per token), no shuffle. */
+  def q77DedupSimhash(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("transform(filter(split(text, ' '), x -> x != ''), t -> md5(t))")
+          .as("hs"))
+      .select(col("doc_id"), expr(
+        """array_join(transform(sequence(0, 63), i ->
+          |  case when aggregate(hs, 0L, (acc, h) -> acc +
+          |    (case when (cast(conv(substring(h, cast(i div 4 as int) + 1, 1), 16, 10) as int)
+          |                & shiftleft(1, 3 - cast(i % 4 as int))) > 0
+          |          then 1 else -1 end)) > 0
+          |  then '1' else '0' end), '')""".stripMargin).as("simhash"))
+      .orderBy("doc_id")
+
+  /** q78: exact n-gram Jaccard near-dup pairs via the inverted-index
+    * join: explode distinct shingles, self-join on the shingle, count
+    * intersections, compute |A∩B| / (|A|+|B|-|A∩B|). Only docs sharing
+    * at least one shingle ever pair up. */
+  def q78NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir).select(col("doc_id"), explode(col("ss")).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jac_raw",
+        col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
+      .filter(col("jac_raw") >= 0.18)
+      .select(col("da"), col("db"), round(col("jac_raw"), 4).as("jac"))
+      .orderBy("da", "db")
+  }
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(expr(
+      "aggregate(embedding, 0d, (acc, x) -> acc + cast(x as double) * cast(x as double))")))
+
+  private val dotExpr =
+    "aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)), 0d, (acc, v) -> acc + v)"
+
+  /** q79: embedding near-duplicate search, blocked by `label` — the
+    * block join bounds candidates (never a corpus cross product); exact
+    * top-1 cosine neighbor per query vector (vec_id < 40). */
+  def q79EmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(T(s, dir, "embeddings"))
+    val a = e.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("va"), col("label").as("la"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("label").as("lb"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("va").orderBy(col("sim_raw").desc, col("vb"))
+    a.join(b, col("la") === col("lb") && col("va") =!= col("vb"))
+      .withColumn("sim_raw", expr(dotExpr) / (col("na") * col("nb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("va"), col("vb"), round(col("sim_raw"), 4).as("sim"))
+      .orderBy("va")
+  }
+
+  /** q86: bucketed many-query ANN — sign-bit LSH on the first 4
+    * dimensions (16 buckets), query set broadcast, exact cosine rerank
+    * inside the bucket, top-3 per query. The approximate/scale path next
+    * to q73's exact single-query scan: candidate count is corpus/16 per
+    * query instead of the full corpus, and the big side never shuffles. */
+  def q86AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val bucketExpr = expr(
+      """cast(element_at(embedding, 1) > 0 as int) * 8 +
+        |cast(element_at(embedding, 2) > 0 as int) * 4 +
+        |cast(element_at(embedding, 3) > 0 as int) * 2 +
+        |cast(element_at(embedding, 4) > 0 as int)""".stripMargin)
+    val b = withNorm(T(s, dir, "embeddings")).withColumn("bucket", bucketExpr)
+    val qs = b.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("ea"),
+        col("nrm").as("nq"), col("bucket").as("qb"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim_raw").desc, col("c_id"))
+    b.select(col("vec_id").as("c_id"), col("embedding").as("eb"),
+        col("nrm").as("nc"), col("bucket"))
+      .join(broadcast(qs), col("bucket") === col("qb") && col("c_id") =!= col("q_id"))
+      .withColumn("sim_raw", expr(dotExpr) / (col("nq") * col("nc")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("c_id"), round(col("sim_raw"), 4).as("sim"),
+        col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Marker lexicon for q82 — stand-in per-language stopword lists drawn
+    * from the synthetic vocabulary (a real deployment broadcasts real
+    * lexicons; the shape — broadcast dictionary join + per-doc argmax —
+    * is what scales). */
+  private val lexicon: Seq[(String, String, Int)] = Seq(
+    ("en", "the", 2), ("en", "a", 1),
+    ("es", "row", 1), ("es", "data", 1), ("es", "value", 1),
+    ("de", "join", 1), ("de", "hash", 1), ("de", "merge", 1),
+    ("fr", "stream", 1), ("fr", "window", 1), ("fr", "batch", 1))
+
+  /** q82: language-ID by weighted marker-token scoring: broadcast the
+    * lexicon, join exploded tokens, sum weights per (doc, lang), argmax
+    * with deterministic tie-break; docs with no hits → 'und'. */
+  def q82LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lex = broadcast(lexicon.toDF("lang", "word", "wt"))
+    val docs = T(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("word"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+    val best = toks.join(lex, "word")
+      .groupBy("doc_id", "lang")
+      .agg(sum("wt").as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    docs.select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lang"), lit("und")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** q83: document quality scoring — word count, uniqueness ratio,
+    * stopword ratio, combined into one bounded score. Pure projection. */
+  def q83QualityScore(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        round(expr("size(array_distinct(ws)) * 1.0d / size(ws)"), 4)
+          .as("uniq_ratio"),
+        round(expr("size(filter(ws, x -> x in ('the', 'a'))) * 1.0d / size(ws)"), 4)
+          .as("stop_ratio"),
+        round(expr(
+          """0.4d * least(size(ws) / 100.0d, 1.0d)
+            | + 0.3d * (size(array_distinct(ws)) * 1.0d / size(ws))
+            | + 0.3d * (1.0d - size(filter(ws, x -> x in ('the', 'a'))) * 1.0d / size(ws))"""
+            .stripMargin), 4).as("quality"))
+      .orderBy("doc_id")
+
+  /** q84: token counting — whitespace tokens and a regex tokenizer
+    * (letter runs / digit runs / single other chars, a BPE-ish pre-split). */
+  def q84TokenCount(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long")
+          .as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("re_tokens"))
+      .orderBy("doc_id")
+
+  /** q85: winnowing document fingerprints — md5 over char 5-grams,
+    * window-4 minima (the standard rolling-min selection), distinct
+    * fingerprints per doc. Pure projection. */
+  def q85DocFingerprint(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .filter(length(col("text")) >= 8) // ≥ 4 five-grams ⇒ ≥ 1 window
+      .withColumn("hs", expr(
+        "transform(sequence(1, length(text) - 4), i -> md5(substring(text, i, 5)))"))
+      .withColumn("fps", expr(
+        "array_distinct(transform(sequence(1, size(hs) - 3), i -> array_min(slice(hs, i, 4))))"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("min_fp"))
+      .orderBy("doc_id")
+
+  /** q87: opaque-binary column plumbing — treat content as a binary blob
+    * with typed metadata (byte length, magic-prefix hex). The decode
+    * stage itself is [[Multimodal.decodeStub]] (ScalaTest-verified); this
+    * query verifies the schema/metadata path both engines share. */
+  def q87BinaryMeta(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .withColumn("bin", expr("encode(text, 'utf-8')"))
+      .select(col("doc_id"),
+        length(col("bin")).cast("long").as("n_bytes"),
+        upper(substring(hex(col("bin")), 1, 8)).as("magic"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_dedup_minhash" -> q72DedupMinhash _,
+    "q77_dedup_simhash" -> q77DedupSimhash _,
+    "q78_ngram_jaccard" -> q78NgramJaccard _,
+    "q79_embed_neardup" -> q79EmbedNeardup _,
+    "q82_lang_id" -> q82LangId _,
+    "q83_quality_score" -> q83QualityScore _,
+    "q84_token_count" -> q84TokenCount _,
+    "q85_doc_fingerprint" -> q85DocFingerprint _,
+    "q86_ann_lsh" -> q86AnnLsh _,
+    "q87_binary_meta" -> q87BinaryMeta _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q72_dedup_minhash" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id,
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS ss
+        |        FROM words WHERE len(w) >= 3),
+        |sig AS (SELECT doc_id,
+        |        [list_min([md5(k::VARCHAR || ':' || x) for x in ss]) for k in range(0, 8)] AS sg
+        |        FROM shl),
+        |b AS (SELECT doc_id, unnest([{band: i, key: sg[2*i+1] || sg[2*i+2]} for i in range(0, 4)], recursive := true) FROM sig)
+        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q77_dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, [md5(x) for x in list_filter(string_split(text, ' '), x -> x <> '')] AS hs FROM documents)
+        |SELECT doc_id,
+        |  array_to_string([CASE WHEN list_sum([CASE WHEN (('0x' || h[(i // 4) + 1])::INT & (1 << (3 - (i % 4)))) > 0 THEN 1 ELSE -1 END for h in hs]) > 0 THEN '1' ELSE '0' END for i in range(0, 64)], '') AS simhash
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q78_ngram_jaccard" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS s
+        |        FROM words WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shl GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |          FROM shl a JOIN shl b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jac
+        |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.18 ORDER BY 1, 2""".stripMargin,
+    "q79_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, label, embedding,
+        |           sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+        |           FROM embeddings),
+        |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        |      list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, len(a.embedding) + 1)]) / (a.nrm * b.nrm) AS sim
+        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+        |      WHERE a.vec_id < 40),
+        |r AS (SELECT va, vb, sim, row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb) AS rn FROM p)
+        |SELECT va, vb, round(sim, 4) AS sim FROM r WHERE rn = 1 ORDER BY va""".stripMargin,
+    "q82_lang_id" ->
+      """WITH lex(lang, word, wt) AS (VALUES
+        |  ('en','the',2),('en','a',1),('es','row',1),('es','data',1),('es','value',1),
+        |  ('de','join',1),('de','hash',1),('de','merge',1),('fr','stream',1),('fr','window',1),('fr','batch',1)),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |scores AS (SELECT t.doc_id, l.lang, sum(l.wt) AS score
+        |           FROM toks t JOIN lex l ON t.word = l.word GROUP BY 1, 2),
+        |best AS (SELECT doc_id, lang, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM scores)
+        |SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang,
+        |       coalesce(CAST(b.score AS BIGINT), 0) AS score
+        |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q83_quality_score" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents)
+        |SELECT doc_id,
+        |       len(ws) AS n_words,
+        |       round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS uniq_ratio,
+        |       round(CAST(len(list_filter(ws, x -> x IN ('the', 'a'))) AS DOUBLE) / len(ws), 4) AS stop_ratio,
+        |       round(0.4 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
+        |             + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+        |             + 0.3 * (1.0 - CAST(len(list_filter(ws, x -> x IN ('the', 'a'))) AS DOUBLE) / len(ws)), 4) AS quality
+        |FROM w WHERE len(ws) > 0 ORDER BY doc_id""".stripMargin,
+    "q84_token_count" ->
+      """SELECT doc_id,
+        |       len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q85_doc_fingerprint" ->
+      """WITH g AS (SELECT doc_id, [md5(text[i:i+4]) for i in range(1, len(text) - 3)] AS hs
+        |           FROM documents WHERE len(text) >= 8),
+        |f AS (SELECT doc_id, list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]) AS fps
+        |      FROM g WHERE len(hs) >= 4)
+        |SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS min_fp FROM f ORDER BY doc_id""".stripMargin,
+    "q86_ann_lsh" ->
+      """WITH b AS (SELECT vec_id, embedding,
+        |           ((embedding[1] > 0)::INT * 8 + (embedding[2] > 0)::INT * 4 +
+        |            (embedding[3] > 0)::INT * 2 + (embedding[4] > 0)::INT) AS bucket,
+        |           sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+        |           FROM embeddings),
+        |qs AS (SELECT * FROM b WHERE vec_id % 50 = 0),
+        |cand AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in range(1, len(q.embedding) + 1)]) / (q.nrm * c.nrm) AS sim
+        |         FROM qs q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+        |ranked AS (SELECT q_id, c_id, sim,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn
+        |           FROM cand)
+        |SELECT q_id, c_id, round(sim, 4) AS sim, CAST(rn AS INTEGER) AS rn
+        |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "q87_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |       upper(substr(hex(encode(text)), 1, 8)) AS magic
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
