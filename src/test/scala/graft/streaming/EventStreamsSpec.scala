@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.streaming.EventStreams.SEvent
+
+/** MemoryStream-driven specs for the streaming stretch (SURVEY.md §7):
+  * tumbling windows close at the watermark, late data is dropped,
+  * session windows merge by gap, custom keyed state accumulates. */
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  private def ev(id: Long, t: String, user: Long = 1L,
+                 typ: String = "click", v: Double = 1.0): SEvent =
+    SEvent(id, ts(t), user, typ, v)
+
+  private def drain(q: StreamingQuery): Unit = q.processAllAvailable()
+
+  test("tumbling windows emit on close; late data past watermark dropped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[SEvent]
+    val q = EventStreams.tumblingCounts(in.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(EventStreams.TumblingMode).start()
+    try {
+      in.addData(ev(1, "10:05"), ev(2, "10:25"), ev(3, "10:55", v = 2.0))
+      drain(q)
+      // nothing closed yet (watermark still at epoch)
+      assert(spark.table("tumbling").count() == 0)
+      // an event far ahead advances the watermark past 11:00 → the
+      // 10:00 window closes with all three rows
+      in.addData(ev(4, "14:30"))
+      drain(q)
+      val closed = spark.table("tumbling")
+        .selectExpr("cast(ws as string)", "cnt", "sum_val").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(closed == Set(("2024-01-01 10:00:00", 3L, 4.0)))
+      // a late event inside the already-closed window is dropped
+      in.addData(ev(5, "10:40"), ev(6, "18:30"))
+      drain(q)
+      val after = spark.table("tumbling")
+        .selectExpr("cast(ws as string)", "cnt").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(after("2024-01-01 10:00:00") == 3L) // unchanged: late row dropped
+      assert(after("2024-01-01 14:00:00") == 1L)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the 30-min gap per user") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[SEvent]
+    val q = EventStreams.sessionCounts(in.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(EventStreams.SessionMode).start()
+    try {
+      // user 1: 10:00,10:20,10:45 chain into one session (gaps < 30 min);
+      // 12:00 starts a second. user 2: one singleton.
+      in.addData(ev(1, "10:00"), ev(2, "10:20"), ev(3, "10:45"),
+        ev(4, "12:00"), ev(5, "10:10", user = 2L))
+      drain(q)
+      in.addData(ev(9, "20:00")) // advance watermark, close everything
+      drain(q)
+      val got = spark.table("sessions")
+        .selectExpr("user_id", "cast(ss as string)", "cast(se as string)", "cnt")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(got.contains(
+        (1L, "2024-01-01 10:00:00", "2024-01-01 11:15:00", 3L)))
+      assert(got.contains(
+        (1L, "2024-01-01 12:00:00", "2024-01-01 12:30:00", 1L)))
+      assert(got.contains(
+        (2L, "2024-01-01 10:10:00", "2024-01-01 10:40:00", 1L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user running aggregates " +
+    "across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[SEvent]
+    val q = EventStreams.runningUserCounts(in.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(EventStreams.RunningMode).start()
+    try {
+      in.addData(ev(1, "10:00", user = 1, typ = "a", v = 1.5),
+        ev(2, "10:10", user = 1, typ = "b", v = 2.5),
+        ev(3, "10:05", user = 2, typ = "c", v = 10.0))
+      drain(q)
+      in.addData(ev(4, "11:00", user = 1, typ = "d", v = 6.0))
+      drain(q)
+      // memory sink in update mode appends updated rows; take the latest
+      // per user
+      val latest = spark.table("running").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getString(3))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      assert(latest(1L) == ((3L, 10.0, "d")))
+      assert(latest(2L) == ((1L, 10.0, "c")))
+    } finally q.stop()
+  }
+}
