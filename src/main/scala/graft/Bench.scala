@@ -21,6 +21,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: session/codegen/parquet-footer setup otherwise
+    // lands on whichever query sorts first
+    SparkEntry.queries.get("q30_agg_q1").foreach { fn =>
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    }
     var failures = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -126,6 +126,33 @@ object Relational {
       .orderBy("e1_id", "e2_id")
   }
 
+  /** q26: as-of join — for each purchase event, the user's most recent
+    * signup at or before it (no signup yet → -1).
+    *
+    * Implemented as the scale-safe union+window shape: tag both streams,
+    * union, one shuffle on user_id, carry the last signup id forward
+    * with an ignore-nulls `last` — no inequality join, no per-row probe,
+    * state linear in the partition. Tie discipline at equal µs: signups
+    * sort before purchases (inclusive as-of); same-µs signups resolve to
+    * the larger event_id. */
+  def q26JoinAsof(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+    val tagged = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("tus"), lit(0).as("src"),
+        col("event_id"), col("event_id").as("s_id"))
+      .union(e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"), lit(1).as("src"),
+          col("event_id"), lit(null).cast("long").as("s_id")))
+    val w = Window.partitionBy("user_id").orderBy("tus", "src", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_signup", last("s_id", ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("event_id"),
+        coalesce(col("asof_signup"), lit(-1L)).as("asof_signup"))
+      .orderBy("event_id")
+  }
+
   // ---- aggregations ----------------------------------------------------
 
   /** q30: TPC-H Q1 shape — partial+final hash aggregate. */
@@ -333,6 +360,7 @@ object Relational {
     "q23_join_semi" -> q23JoinSemi _,
     "q24_join_anti" -> q24JoinAnti _,
     "q25_join_interval" -> q25JoinInterval _,
+    "q26_join_asof" -> q26JoinAsof _,
     "q30_agg_q1" -> q30AggQ1 _,
     "q31_agg_distinct" -> q31AggDistinct _,
     "q32_agg_rollup" -> q32AggRollup _,
@@ -399,6 +427,17 @@ object Relational {
         | AND epoch_us(e2.ts) > epoch_us(e1.ts)
         | AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 300000000
         |WHERE e1.event_type = 'signup' ORDER BY 1, 2""".stripMargin,
+    "q26_join_asof" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |tagged AS (
+        |  SELECT user_id, tus, 0 AS src, event_id, event_id AS s_id FROM e WHERE event_type = 'signup'
+        |  UNION ALL
+        |  SELECT user_id, tus, 1 AS src, event_id, NULL AS s_id FROM e WHERE event_type = 'purchase'),
+        |x AS (SELECT user_id, src, event_id,
+        |      last_value(s_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus, src, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup
+        |      FROM tagged)
+        |SELECT event_id, coalesce(asof_signup, -1) AS asof_signup FROM x WHERE src = 1 ORDER BY event_id""".stripMargin,
     "q30_agg_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 4) AS sum_qty,

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Guards the physical plan shapes the 100 TB design depends on — a
+  * query that still returns right answers through a regressed plan
+  * (lost pushdown, broadcast turned shuffle, sort instead of top-k,
+  * nested-loop instead of hash join) fails here, not in production.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q10 filter predicates reach the parquet scan (PushedFilters)") {
+    val plan = planOf(Relational.q10FilterRange(spark, SparkTestBase.Sf0001))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("IsNotNull(l_discount)") ||
+      plan.contains("GreaterThanOrEqual(l_discount"), plan)
+  }
+
+  test("q01 projection prunes the scan to the selected columns") {
+    val plan = planOf(Relational.q01ScanProject(spark, SparkTestBase.Sf0001))
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:" +
+      "bigint,l_suppkey:bigint,l_quantity:double>"), plan)
+  }
+
+  test("q21 dimension joins broadcast (no shuffle of the fact side)") {
+    val plan = planOf(Relational.q21JoinBroadcast(spark, SparkTestBase.Sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q25 interval join plans as an equi-join with range residual, " +
+    "not a nested-loop cross product") {
+    val plan = planOf(Relational.q25JoinInterval(spark, SparkTestBase.Sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q50 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(Relational.q50SortLimit(spark, SparkTestBase.Sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q86 ANN broadcasts the query set (big side never shuffles)") {
+    val plan = planOf(TrainingData.q86AnnLsh(spark, SparkTestBase.Sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("no query plans an unpartitioned (single-task) window") {
+    // every declared op: global windows funnel all rows to one task
+    for ((name, fn) <- graft.SparkEntry.queries if name != "q06_sink_layout") {
+      val plan = fn(spark, SparkTestBase.Sf0001).queryExecution.optimizedPlan
+      val global = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(global.isEmpty, s"$name has a global window")
+    }
+  }
+}
