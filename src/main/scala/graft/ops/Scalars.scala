@@ -69,12 +69,16 @@ object Scalars {
             (acc, x) => acc + x.cast("double")), 4).as("s8"))
       .orderBy("vec_id")
 
-  /** q64: JSON extraction. */
+  /** q64: JSON extraction — path-based (`get_json_object`) and through
+    * the transient MapType route (`from_json` → `element_at`), the map-
+    * function surface SURVEY.md §2.2 declares. */
   def q64JsonFuncs(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events")
       .select(
         col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        element_at(from_json(col("props"), lit("map<string,bigint>")),
+          lit("k")).as("k_map"))
       .orderBy("event_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -121,7 +125,8 @@ object Scalars {
         |             CAST(embedding[7] AS DOUBLE) + CAST(embedding[8] AS DOUBLE), 4) AS s8
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q64_json_funcs" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_map
         |FROM events ORDER BY event_id""".stripMargin,
   )
 }

@@ -87,7 +87,10 @@ object TrainingData {
     * md5 with ordinary codegen'd expressions, and one partial+final hash
     * aggregate computes all 64 bit-votes as 64 sum columns (~2 s). One
     * shuffle of (doc_id, 4 ints) rows. */
-  def q77DedupSimhash(s: SparkSession, dir: String): DataFrame = {
+  def q77DedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashes(s, dir).orderBy("doc_id")
+
+  private def simhashes(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
     val words = docs
       .select(col("doc_id"),
@@ -109,7 +112,38 @@ object TrainingData {
         concat((0 until 64).map(i =>
           when(col(s"b$i") > 0, lit("1")).otherwise(lit("0"))): _*)
           .as("simhash"))
-      .orderBy("doc_id")
+  }
+
+  /** q88: SimHash near-duplicate pairs at hamming distance ≤ 3.
+    * Banding the 64 bits into 4×16-bit chunks is EXACT for this
+    * threshold: ≤3 differing bits cannot touch all 4 bands
+    * (pigeonhole), so every qualifying pair collides on some band.
+    * Candidates then get the true hamming distance verified. Join key =
+    * (band, chunk) — linear, never all-pairs. */
+  def q88SimhashHamming(s: SparkSession, dir: String): DataFrame = {
+    val sh = simhashes(s, dir)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          expr(s"substring(simhash, ${b * 16 + 1}, 16)").as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.b").as("b"), col("bk.key").as("key"))
+    val cand = bands.alias("a")
+      .join(bands.alias("b2"),
+        col("a.b") === col("b2.b") && col("a.key") === col("b2.key") &&
+          col("a.doc_id") < col("b2.doc_id"))
+      .select(col("a.doc_id").as("da"), col("a.simhash").as("ha"),
+        col("b2.doc_id").as("db"), col("b2.simhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr(
+        """aggregate(zip_with(split(ha, ''), split(hb, ''),
+          |  (x, y) -> if(x = y, 0L, 1L)), 0L, (acc, v) -> acc + v)"""
+          .stripMargin))
+      .filter(col("hamming") <= 3)
+      .select("da", "db", "hamming")
+      .orderBy("da", "db")
   }
 
   /** q78: exact n-gram Jaccard ≥ 0.5 near-dup pairs via a
@@ -328,6 +362,7 @@ object TrainingData {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_dedup_minhash" -> q72DedupMinhash _,
     "q77_dedup_simhash" -> q77DedupSimhash _,
+    "q88_simhash_hamming" -> q88SimhashHamming _,
     "q78_ngram_jaccard" -> q78NgramJaccard _,
     "q79_embed_neardup" -> q79EmbedNeardup _,
     "q82_lang_id" -> q82LangId _,
@@ -356,6 +391,18 @@ object TrainingData {
         |SELECT doc_id,
         |  array_to_string([CASE WHEN list_sum([CASE WHEN (('0x' || h[(i // 4) + 1])::INT & (1 << (3 - (i % 4)))) > 0 THEN 1 ELSE -1 END for h in hs]) > 0 THEN '1' ELSE '0' END for i in range(0, 64)], '') AS simhash
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q88_simhash_hamming" ->
+      """WITH t AS (SELECT doc_id, [md5(x) for x in list_filter(string_split(text, ' '), x -> x <> '')] AS hs FROM documents),
+        |sh AS (SELECT doc_id,
+        |  array_to_string([CASE WHEN list_sum([CASE WHEN (('0x' || h[(i // 4) + 1])::INT & (1 << (3 - (i % 4)))) > 0 THEN 1 ELSE -1 END for h in hs]) > 0 THEN '1' ELSE '0' END for i in range(0, 64)], '') AS simhash
+        |FROM t),
+        |bands AS (SELECT doc_id, simhash, unnest([{b: i, key: simhash[i*16+1:i*16+16]} for i in range(0, 4)], recursive := true) FROM sh),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, a.simhash AS ha, b2.doc_id AS db, b2.simhash AS hb
+        |         FROM bands a JOIN bands b2 ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id)
+        |SELECT da, db, CAST(list_sum([CASE WHEN ha[i:i] <> hb[i:i] THEN 1 ELSE 0 END for i in range(1, 65)]) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE list_sum([CASE WHEN ha[i:i] <> hb[i:i] THEN 1 ELSE 0 END for i in range(1, 65)]) <= 3
+        |ORDER BY 1, 2""".stripMargin,
     "q78_ngram_jaccard" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |shl AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS s
