@@ -121,25 +121,34 @@ object TrainingData {
     * Candidates then get the true hamming distance verified. Join key =
     * (band, chunk) — linear, never all-pairs. */
   def q88SimhashHamming(s: SparkSession, dir: String): DataFrame = {
-    val sh = simhashes(s, dir)
-    val bands = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("b"),
-          expr(s"substring(simhash, ${b * 16 + 1}, 16)").as("key"))): _*))
-        .as("bk"))
-      .select(col("doc_id"), col("simhash"),
+    // fingerprint also as 4×16-bit words so the verify is codegen'd
+    // bit_count(xor) arithmetic, not an interpreted char-array zip —
+    // shared vocabulary makes bands collide broadly, so the verify runs
+    // over many candidates and its constant factor matters
+    val sh = simhashes(s, dir).select(
+      col("doc_id") +: (0 until 4).map(b =>
+        expr(s"cast(conv(substring(simhash, ${b * 16 + 1}, 16), 2, 10) as int)")
+          .as(s"w$b")): _*)
+    val bands = sh.select(col("doc_id"), col("w0"), col("w1"), col("w2"),
+      col("w3"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"), col(s"w$b").as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("w0"), col("w1"), col("w2"), col("w3"),
         col("bk.b").as("b"), col("bk.key").as("key"))
     val cand = bands.alias("a")
       .join(bands.alias("b2"),
         col("a.b") === col("b2.b") && col("a.key") === col("b2.key") &&
           col("a.doc_id") < col("b2.doc_id"))
-      .select(col("a.doc_id").as("da"), col("a.simhash").as("ha"),
-        col("b2.doc_id").as("db"), col("b2.simhash").as("hb"))
+      .select(col("a.doc_id").as("da"),
+        col("a.w0").as("a0"), col("a.w1").as("a1"),
+        col("a.w2").as("a2"), col("a.w3").as("a3"),
+        col("b2.doc_id").as("db"),
+        col("b2.w0").as("b0"), col("b2.w1").as("b1"),
+        col("b2.w2").as("b2w"), col("b2.w3").as("b3"))
       .distinct()
     cand
       .withColumn("hamming", expr(
-        """aggregate(zip_with(split(ha, ''), split(hb, ''),
-          |  (x, y) -> if(x = y, 0L, 1L)), 0L, (acc, v) -> acc + v)"""
+        """cast(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) +
+          |     bit_count(a2 ^ b2w) + bit_count(a3 ^ b3) as bigint)"""
           .stripMargin))
       .filter(col("hamming") <= 3)
       .select("da", "db", "hamming")
