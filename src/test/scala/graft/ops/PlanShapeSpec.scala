@@ -55,6 +55,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("no query plans a cartesian product or nested-loop join " +
+    "(except q73's deliberate 1-row broadcast crossJoin)") {
+    for ((name, fn) <- graft.SparkEntry.queries
+         if name != "q06_sink_layout" && name != "q73_sim_cosine_topk") {
+      val plan = fn(spark, SparkTestBase.Sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name: cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name: BNLJ")
+    }
+  }
+
   test("no query plans an unpartitioned (single-task) window") {
     // every declared op: global windows funnel all rows to one task
     for ((name, fn) <- graft.SparkEntry.queries if name != "q06_sink_layout") {
