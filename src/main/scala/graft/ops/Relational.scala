@@ -323,6 +323,36 @@ object Relational {
       .orderBy("l_orderkey", "rn")
   }
 
+  /** q58: pivot — one column per returnflag value, counts per
+    * linestatus. Spark plans it as a single partial+final hash agg over
+    * the pivot expressions (the value list is explicit, so no extra
+    * distinct-values job runs). */
+  def q58Pivot(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(count(lit(1)))
+      .select(col("l_linestatus"),
+        coalesce(col("A"), lit(0L)).as("cnt_a"),
+        coalesce(col("N"), lit(0L)).as("cnt_n"),
+        coalesce(col("R"), lit(0L)).as("cnt_r"))
+      .orderBy("l_linestatus")
+
+  /** q59: correlated scalar subquery — orders priced above 2× their
+    * customer's average. Catalyst decorrelates it into an aggregate +
+    * join (no per-row subquery execution); the SQL surface is the point
+    * of this op. */
+  def q59ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "orders").createOrReplaceTempView("graft_orders59")
+    s.sql(
+      """SELECT o_orderkey, round(o_totalprice, 4) AS price
+        |FROM graft_orders59 o
+        |WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
+        |                      FROM graft_orders59 o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   // ---- set operations --------------------------------------------------
 
   /** q55: UNION (distinct). */
@@ -376,6 +406,8 @@ object Relational {
     "q45_win_ntile" -> q45WinNtile _,
     "q50_sort_limit" -> q50SortLimit _,
     "q51_topk_per_group" -> q51TopkPerGroup _,
+    "q58_pivot" -> q58Pivot _,
+    "q59_scalar_subquery" -> q59ScalarSubquery _,
     "q55_set_union" -> q55SetUnion _,
     "q56_set_intersect" -> q56SetIntersect _,
     "q57_set_except" -> q57SetExcept _,
@@ -513,6 +545,18 @@ object Relational {
         |             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rn
         |      FROM lineitem WHERE l_orderkey < 100)
         |WHERE rn <= 2 ORDER BY l_orderkey, rn""".stripMargin,
+    "q58_pivot" ->
+      """SELECT l_linestatus,
+        |       sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS cnt_a,
+        |       sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS cnt_n,
+        |       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS cnt_r
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q59_scalar_subquery" ->
+      """SELECT o_orderkey, round(o_totalprice, 4) AS price
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
+        |                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q55_set_union" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |UNION SELECT s_nationkey FROM supplier ORDER BY 1""".stripMargin,

@@ -368,6 +368,48 @@ object TrainingData {
         upper(substring(hex(col("bin")), 1, 8)).as("magic"))
       .orderBy("doc_id")
 
+  /** q89: deterministic dataset splitting — train/val/test by content
+    * hash (md5 of the key → bucket 0-99 → 80/10/10), the standard way a
+    * training pipeline splits so membership is stable across runs and
+    * machines. Pure projection + one aggregate. */
+  def q89HashSplit(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "split")
+
+  /** q90: TF-IDF top terms per document (doc_id < 20): term frequency
+    * agg, document-frequency agg, idf = ln(N/df), top-3 per doc. The
+    * document-frequency table is vocabulary-sized → broadcast here; at
+    * 100 TB a vocabulary can exceed broadcast, in which case the same
+    * plan shuffle-joins on the word. */
+  def q90TfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    tf.filter(col("doc_id") < 20)
+      .join(broadcast(dfq), "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("n").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("word"), round(col("score"), 4).as("tfidf"),
+        col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_dedup_minhash" -> q72DedupMinhash _,
     "q77_dedup_simhash" -> q77DedupSimhash _,
@@ -380,6 +422,8 @@ object TrainingData {
     "q85_doc_fingerprint" -> q85DocFingerprint _,
     "q86_ann_lsh" -> q86AnnLsh _,
     "q87_binary_meta" -> q87BinaryMeta _,
+    "q89_hash_split" -> q89HashSplit _,
+    "q90_tfidf_top_terms" -> q90TfidfTopTerms _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -485,5 +529,26 @@ object TrainingData {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |       upper(substr(hex(encode(text)), 1, 8)) AS magic
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q89_hash_split" ->
+      """WITH b AS (SELECT lang,
+        |           (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT) % 100 AS bucket
+        |           FROM documents)
+        |SELECT lang,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS cnt
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q90_tfidf_top_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks WHERE word <> '' GROUP BY 1, 2),
+        |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT t.doc_id, t.word, t.tf * ln(CAST(n.n AS DOUBLE) / dfq.df) AS score
+        |           FROM tf t JOIN dfq ON t.word = dfq.word CROSS JOIN n
+        |           WHERE t.doc_id < 20),
+        |r AS (SELECT doc_id, word, score,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn FROM scored)
+        |SELECT doc_id, word, round(score, 4) AS tfidf, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
   )
 }

@@ -56,9 +56,10 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("no query plans a cartesian product or nested-loop join " +
-    "(except q73's deliberate 1-row broadcast crossJoin)") {
-    for ((name, fn) <- graft.SparkEntry.queries
-         if name != "q06_sink_layout" && name != "q73_sim_cosine_topk") {
+    "(except the deliberate 1-row broadcast crossJoins in q73/q90)") {
+    val oneRowCross = Set("q06_sink_layout", "q73_sim_cosine_topk",
+      "q90_tfidf_top_terms")
+    for ((name, fn) <- graft.SparkEntry.queries if !oneRowCross(name)) {
       val plan = fn(spark, SparkTestBase.Sf0001)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name: cartesian product")
