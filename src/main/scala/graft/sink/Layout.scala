@@ -42,18 +42,26 @@ object Layout {
                                cumulativeRows: Long)
 
   /** Dual good/err write for one page. `cumulativeBefore` is the row count
-    * of previously written pages (the filename embeds before+this, `:122`). */
+    * of previously written pages (the filename embeds before+this, `:122`).
+    * `partitionCols` adds hive-style partition directories under the dated
+    * path for the good side — a capability the reference lacks (SURVEY.md
+    * §1.2) and the scale path for selective downstream reads; it implies
+    * the multi-file layout (no single-object rename). */
   def writeDual(good: DataFrame, err: DataFrame, root: String, fmt: String,
                 table: String, ts: String, cumulativeBefore: Long = 0L,
-                singleFile: Boolean = true): WriteResult = {
+                singleFile: Boolean = true,
+                partitionCols: Seq[String] = Nil): WriteResult = {
     require(fmt == "json" || fmt == "parquet", s"unsupported fmt: $fmt")
+    require(partitionCols.isEmpty || !singleFile,
+      "partitionCols implies singleFile = false")
 
     val goodRows = good.count()
     val cumulative = cumulativeBefore + goodRows
     val goodDir = dirPath(root, isErr = false, fmt, table, ts)
     writeOne(good, goodDir, fmt, singleFile,
       renameTo = if (singleFile) Some(dataFileName(table, cumulative, fmt))
-                 else None)
+                 else None,
+      partitionCols = partitionCols)
 
     // Err quirks: only materialize when non-empty (`:185,196,220`), and
     // drop the column names — integer headers like pandas (`:186,197`).
@@ -72,11 +80,13 @@ object Layout {
   }
 
   private def writeOne(df: DataFrame, dir: String, fmt: String,
-                       singleFile: Boolean, renameTo: Option[String]): Unit = {
+                       singleFile: Boolean, renameTo: Option[String],
+                       partitionCols: Seq[String] = Nil): Unit = {
     val out = if (singleFile) df.coalesce(1) else df
+    val writer = out.write.mode("overwrite").partitionBy(partitionCols: _*)
     fmt match {
-      case "json"    => out.write.mode("overwrite").json(dir)
-      case "parquet" => out.write.mode("overwrite").parquet(dir)
+      case "json"    => writer.json(dir)
+      case "parquet" => writer.parquet(dir)
     }
     renameTo.foreach { name =>
       val d = Paths.get(dir)

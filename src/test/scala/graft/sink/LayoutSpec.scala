@@ -66,6 +66,18 @@ class LayoutSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(s"$root/result/json/ztab/$ts/ztab3.json")))
   }
 
+  test("partitioned good-side write: hive-style dirs under the dated path") {
+    val root = freshRoot()
+    Layout.writeDual(good, emptyErr, root, "parquet", "ztab", ts,
+      singleFile = false, partitionCols = Seq("v"))
+    val base = s"$root/result/parquet/ztab/$ts"
+    assert(Files.exists(Paths.get(s"$base/v=A")))
+    assert(Files.exists(Paths.get(s"$base/v=C")))
+    val back = spark.read.parquet(base)
+    assert(back.count() == 3)
+    assert(back.columns.toSet == Set("k", "v")) // partition col restored
+  }
+
   test("good data roundtrips with schema intact") {
     val root = freshRoot()
     Layout.writeDual(good, err, root, "parquet", "ztab", ts)

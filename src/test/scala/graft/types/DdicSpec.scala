@@ -71,4 +71,31 @@ class DdicSpec extends AnyFunSuite {
     assert(castOne("134501", "T") == "134501")
     assert(castOne("anything", "Z") == "anything")
   }
+
+  test("parseCatalyst (DSv2 reader path) agrees with castColumn " +
+    "(DataFrame path) on every code and on malformed values") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val cases = Seq(
+      ("100", "C", 0, 0), ("0000012345", "N", 0, 0), ("00ABC", "N", 0, 0),
+      ("20240115", "D", 0, 0), ("2024011", "D", 0, 0),
+      ("134501", "T", 0, 0), ("199.99", "P", 13, 2), ("boom", "P", 13, 2),
+      ("42", "I", 0, 0), ("x", "I", 0, 0), ("1.0825", "F", 0, 0),
+      ("0A", "X", 0, 0), ("zz", "X", 0, 0), ("w", "?", 0, 0))
+    for ((v, code, len, dec) <- cases) {
+      val viaColumn = castOne(v, code, len, dec)
+      val viaCatalyst = Ddic.parseCatalyst(v, code, len, dec) match {
+        case null => null
+        case u: UTF8String => u.toString
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case days: Integer if code == "D" =>
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
+        case other => other
+      }
+      (viaColumn, viaCatalyst) match {
+        case (a: Array[Byte], b: Array[Byte]) =>
+          assert(a.toSeq == b.toSeq, s"$code($v)")
+        case (a, b) => assert(a == b, s"$code($v): column=$a catalyst=$b")
+      }
+    }
+  }
 }
