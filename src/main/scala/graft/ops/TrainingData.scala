@@ -300,8 +300,23 @@ object TrainingData {
   }
 
   /** q83: document quality scoring — word count, uniqueness ratio,
-    * stopword ratio, combined into one bounded score. Pure projection. */
-  def q83QualityScore(s: SparkSession, dir: String): DataFrame =
+    * stopword ratio, combined into one bounded score. Pure projection.
+    *
+    * Every output ratio here is a small exact rational (k/n), which can
+    * land precisely on a 4-decimal half-way point (0.59825, 0.72125, …).
+    * There, engines legitimately disagree: Spark's `round` half-ups the
+    * double's shortest decimal representation while DuckDB rounds the
+    * binary value — same double, different 4th decimal (bit us at
+    * sf0.1). So the rounding itself is done in EXACT integer arithmetic
+    * — round(a/b, 4) = (2·a·10⁴ + b) div (2·b) basis points — and only
+    * the final /10⁴ touches floating point, identically on both sides.
+    * Score = 0.4·min(n,100)/100 + 0.3·k/n + 0.3·(n−s)/n, as the single
+    * rational (10·min(n,100)·n + 750·k + 750·(n−s)) / (2500·n). */
+  def q83QualityScore(s: SparkSession, dir: String): DataFrame = {
+    def r4(num: String, den: String) = // exact half-up 4-dp rounding
+      expr(s"""cast((2 * cast($num as bigint) * 10000 + cast($den as bigint))
+              |     div (2 * cast($den as bigint)) as double) / 10000.0d"""
+        .stripMargin)
     T(s, dir, "documents")
       .select(col("doc_id"),
         expr("filter(split(text, ' '), x -> x != '')").as("ws"))
@@ -309,16 +324,15 @@ object TrainingData {
       .select(
         col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
-        round(expr("size(array_distinct(ws)) * 1.0d / size(ws)"), 4)
-          .as("uniq_ratio"),
-        round(expr("size(filter(ws, x -> x in ('the', 'a'))) * 1.0d / size(ws)"), 4)
+        r4("size(array_distinct(ws))", "size(ws)").as("uniq_ratio"),
+        r4("size(filter(ws, x -> x in ('the', 'a')))", "size(ws)")
           .as("stop_ratio"),
-        round(expr(
-          """0.4d * least(size(ws) / 100.0d, 1.0d)
-            | + 0.3d * (size(array_distinct(ws)) * 1.0d / size(ws))
-            | + 0.3d * (1.0d - size(filter(ws, x -> x in ('the', 'a'))) * 1.0d / size(ws))"""
-            .stripMargin), 4).as("quality"))
+        r4("""10 * least(size(ws), 100) * size(ws)
+             | + 750 * size(array_distinct(ws))
+             | + 750 * (size(ws) - size(filter(ws, x -> x in ('the', 'a'))))"""
+          .stripMargin, "2500 * size(ws)").as("quality"))
       .orderBy("doc_id")
+  }
 
   /** q84: token counting — whitespace tokens and a regex tokenizer
     * (letter runs / digit runs / single other chars, a BPE-ish pre-split). */
@@ -490,15 +504,17 @@ object TrainingData {
         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "q83_quality_score" ->
-      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents)
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+        |           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n FROM documents),
+        |k AS (SELECT doc_id, n, len(list_distinct(ws)) AS uniq,
+        |      len(list_filter(ws, x -> x IN ('the', 'a'))) AS stop FROM w WHERE n > 0)
         |SELECT doc_id,
-        |       len(ws) AS n_words,
-        |       round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS uniq_ratio,
-        |       round(CAST(len(list_filter(ws, x -> x IN ('the', 'a'))) AS DOUBLE) / len(ws), 4) AS stop_ratio,
-        |       round(0.4 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
-        |             + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
-        |             + 0.3 * (1.0 - CAST(len(list_filter(ws, x -> x IN ('the', 'a'))) AS DOUBLE) / len(ws)), 4) AS quality
-        |FROM w WHERE len(ws) > 0 ORDER BY doc_id""".stripMargin,
+        |       n AS n_words,
+        |       CAST((2 * uniq * 10000 + n) // (2 * n) AS DOUBLE) / 10000.0 AS uniq_ratio,
+        |       CAST((2 * stop * 10000 + n) // (2 * n) AS DOUBLE) / 10000.0 AS stop_ratio,
+        |       CAST((2 * (10 * least(n, 100) * n + 750 * uniq + 750 * (n - stop)) * 10000
+        |             + 2500 * n) // (2 * 2500 * n) AS DOUBLE) / 10000.0 AS quality
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q84_token_count" ->
       """SELECT doc_id,
         |       len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
