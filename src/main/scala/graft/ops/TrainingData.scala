@@ -206,10 +206,16 @@ object TrainingData {
       .join(broadcast(setsA), "da")
       .join(broadcast(setsB), "db")
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jac_raw",
-        col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
-      .filter(col("jac_raw") >= t)
-      .select(col("da"), col("db"), round(col("jac_raw"), 4).as("jac"))
+      .withColumn("u", col("na") + col("nb") - col("i"))
+      // threshold on the exact rational (2i >= u ⟺ i/u >= 0.5), and the
+      // 4-dp rounding in exact integer math — Jaccard is a small
+      // rational, which can land on a 4-decimal half-way point where
+      // Spark and the oracle round the same double differently (see q83)
+      .filter(col("i") * 2 >= col("u"))
+      .select(col("da"), col("db"),
+        expr("""cast((2 * cast(i as bigint) * 10000 + cast(u as bigint))
+               |     div (2 * cast(u as bigint)) as double) / 10000.0d"""
+          .stripMargin).as("jac"))
       .orderBy("da", "db")
   }
 
@@ -477,9 +483,10 @@ object TrainingData {
         |sizes AS (SELECT doc_id, count(*) AS n FROM shl GROUP BY 1),
         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
         |          FROM shl a JOIN shl b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jac
+        |SELECT da, db,
+        |       CAST((2 * i * 10000 + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i)) AS DOUBLE) / 10000.0 AS jac
         |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5 ORDER BY 1, 2""".stripMargin,
+        |WHERE 2 * i >= sa.n + sb.n - i ORDER BY 1, 2""".stripMargin,
     "q79_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding,
         |           sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
