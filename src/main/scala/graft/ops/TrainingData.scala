@@ -430,6 +430,25 @@ object TrainingData {
       .orderBy("doc_id", "rn")
   }
 
+  /** q91: text cleaning — scrub emails/URLs to placeholder tokens
+    * (regexp_replace, codegen'd projection). The testdata has no PII, so
+    * the dirt is injected deterministically first; the patterns are kept
+    * in the Java∩RE2 common dialect so the oracle's regex engine agrees. */
+  def q91TextClean(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .withColumn("dirty", concat(col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@example.com see https://example.org/d/"), col("doc_id")))
+      .withColumn("clean",
+        regexp_replace(
+          regexp_replace(col("dirty"), "[a-z0-9.]+@[a-z0-9.]+", "<email>"),
+          "https?://[^ ]+", "<url>"))
+      .select(col("doc_id"),
+        length(col("dirty")).cast("long").as("n_dirty"),
+        length(col("clean")).cast("long").as("n_clean"),
+        expr("right(clean, 21)").as("tail"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_dedup_minhash" -> q72DedupMinhash _,
     "q77_dedup_simhash" -> q77DedupSimhash _,
@@ -444,6 +463,7 @@ object TrainingData {
     "q87_binary_meta" -> q87BinaryMeta _,
     "q89_hash_split" -> q89HashSplit _,
     "q90_tfidf_top_terms" -> q90TfidfTopTerms _,
+    "q91_text_clean" -> q91TextClean _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -573,5 +593,16 @@ object TrainingData {
         |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn FROM scored)
         |SELECT doc_id, word, round(score, 4) AS tfidf, CAST(rn AS INTEGER) AS rn
         |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q91_text_clean" ->
+      """WITH d AS (SELECT doc_id,
+        |           text || ' contact user' || doc_id || '@example.com see https://example.org/d/' || doc_id AS dirty
+        |           FROM documents),
+        |c AS (SELECT doc_id, dirty,
+        |      regexp_replace(regexp_replace(dirty, '[a-z0-9.]+@[a-z0-9.]+', '<email>', 'g'),
+        |                     'https?://[^ ]+', '<url>', 'g') AS clean
+        |      FROM d)
+        |SELECT doc_id, length(dirty) AS n_dirty, length(clean) AS n_clean,
+        |       right(clean, 21) AS tail
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }
