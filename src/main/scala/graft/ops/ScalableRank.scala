@@ -51,6 +51,37 @@ object ScalableRank {
       .drop("_g_rn")
   }
 
+  /** Adds `outCol` = exact global EXCLUSIVE running sum of `valueCol`
+    * over `sortExprs` (value of all strictly-preceding rows). Same
+    * two-pass shape as the rank: per-partition local prefix sums in
+    * parallel, per-partition totals (one tiny row each) collected and
+    * broadcast back as offsets. The distributed prefix-scan. */
+  def withGlobalCumsumExclusive(df: DataFrame, valueCol: Column,
+                                outCol: String,
+                                sortExprs: Column*): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = df.repartitionByRange(sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_v", valueCol.cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = parts.groupBy("_pid").agg(sum("_v").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, t) =>
+      val o = (pid, acc); acc += t; o
+    }.toSeq
+    val offDf = broadcast(offsets.toDF("_pid", "_off"))
+    val w = Window.partitionBy("_pid").orderBy(sortExprs: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts
+      .withColumn("_lcum", sum("_v").over(w))
+      .join(offDf, "_pid")
+      .withColumn(outCol, col("_off") + col("_lcum") - col("_v"))
+      .drop("_pid", "_v", "_lcum", "_off")
+  }
+
   private def withRankAndTotal(df: DataFrame, rnCol: String,
                                sortExprs: Column*): (DataFrame, Long) = {
     val spark = df.sparkSession

@@ -449,6 +449,27 @@ object TrainingData {
         expr("right(clean, 21)").as("tail"))
       .orderBy("doc_id")
 
+  /** q92: sequence packing — assign documents to fixed token-budget
+    * bins for training-batch assembly: bin = exclusive-prefix-sum of
+    * token counts (in doc_id order) div budget, so each bin holds
+    * consecutive docs whose tokens fit ~2000 (the last doc may spill,
+    * standard greedy semantics). The global prefix sum uses
+    * [[ScalableRank.withGlobalCumsumExclusive]] — the distributed
+    * two-pass scan, not a single-task global window. */
+  def q92SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2000L
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long")
+          .as("tokens"))
+    ScalableRank.withGlobalCumsumExclusive(
+        docs, col("tokens"), "cumex", col("doc_id").asc)
+      .withColumn("bin", expr(s"cumex div $budget"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("sum_tokens"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_dedup_minhash" -> q72DedupMinhash _,
     "q77_dedup_simhash" -> q77DedupSimhash _,
@@ -464,6 +485,7 @@ object TrainingData {
     "q89_hash_split" -> q89HashSplit _,
     "q90_tfidf_top_terms" -> q90TfidfTopTerms _,
     "q91_text_clean" -> q91TextClean _,
+    "q92_sequence_pack" -> q92SequencePack _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -604,5 +626,16 @@ object TrainingData {
         |SELECT doc_id, length(dirty) AS n_dirty, length(clean) AS n_clean,
         |       right(clean, 21) AS tail
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q92_sequence_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |           len(list_filter(string_split(text, ' '), x -> x <> '')) AS tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, tokens,
+        |      coalesce(sum(tokens) OVER (ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumex
+        |      FROM d)
+        |SELECT cumex // 2000 AS bin, count(*) AS n_docs,
+        |       CAST(sum(tokens) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

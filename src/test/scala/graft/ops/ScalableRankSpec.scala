@@ -38,6 +38,19 @@ class ScalableRankSpec extends AnyFunSuite {
     }
   }
 
+  test("global exclusive cumsum matches single-task window") {
+    val sortKeys = Seq(col("id").asc)
+    val got = ScalableRank
+      .withGlobalCumsumExclusive(df, col("v"), "c", sortKeys: _*)
+      .select("id", "c").as[(Long, Long)].collect().toMap
+    val w = Window.orderBy(sortKeys: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df
+      .withColumn("c", coalesce(sum(col("v").cast("long")).over(w), lit(0L)))
+      .select("id", "c").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("q45 plan has no unpartitioned window (scale guard)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val plan = Relational.q45WinNtile(spark, SparkTestBase.Sf0001)
