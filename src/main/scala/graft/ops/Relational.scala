@@ -225,6 +225,31 @@ object Relational {
         max("l_quantity").as("max_qty"))
       .orderBy("l_returnflag")
 
+  /** q37: exact interpolated percentiles (continuous-quantile
+    * semantics, identical interpolation on both engines). Exact
+    * percentile sorts per group — fine as a declared agg; the sketch
+    * alternative for 100 TB is q36's approx path. */
+  def q37Percentile(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5d)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.9d)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.25d)"), 4).as("price_p25"))
+      .orderBy("l_returnflag")
+
+  /** q38: string aggregation (LISTAGG) — sorted distinct statuses
+    * joined per group; sort before join makes the result order-
+    * deterministic regardless of shuffle arrival order. */
+  def q38StringAgg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"),
+        countDistinct(col("l_linestatus")).as("n"))
+      .orderBy("l_returnflag")
+
   /** q36: HLL sketch aggregate — no DuckDB oracle (estimates differ);
     * ScalaTest asserts within 5% of exact. */
   def q36AggApproxDistinct(s: SparkSession, dir: String): DataFrame =
@@ -398,6 +423,8 @@ object Relational {
     "q34_agg_grouping_sets" -> q34AggGroupingSets _,
     "q35_agg_stats" -> q35AggStats _,
     "q36_agg_approx_distinct" -> q36AggApproxDistinct _,
+    "q37_percentile" -> q37Percentile _,
+    "q38_string_agg" -> q38StringAgg _,
     "q40_win_rank" -> q40WinRank _,
     "q41_win_row_number" -> q41WinRowNumber _,
     "q42_win_lag_lead" -> q42WinLagLead _,
@@ -502,6 +529,17 @@ object Relational {
       """SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty,
         |       round(var_samp(l_discount), 6) AS var_disc,
         |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q37_percentile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        |       round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q38_string_agg" ->
+      """SELECT l_returnflag,
+        |       string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+        |       count(DISTINCT l_linestatus) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q40_win_rank" ->
       """SELECT o_custkey, o_orderkey, CAST(rnk AS INTEGER) AS rnk, CAST(drnk AS INTEGER) AS drnk
