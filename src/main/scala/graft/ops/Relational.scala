@@ -250,6 +250,18 @@ object Relational {
         countDistinct(col("l_linestatus")).as("n"))
       .orderBy("l_returnflag")
 
+  /** q39: percentile sketch (Greenwald-Khanna via approx_percentile) —
+    * the mergeable, bounded-memory path that replaces q37's exact
+    * per-group sort at 100 TB. No DuckDB oracle (sketch internals are
+    * engine-specific); ScalaTest bounds it against the exact values. */
+  def q39ApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5d, 1000)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, 0.9d, 1000)").as("ap90"))
+      .orderBy("l_returnflag")
+
   /** q36: HLL sketch aggregate — no DuckDB oracle (estimates differ);
     * ScalaTest asserts within 5% of exact. */
   def q36AggApproxDistinct(s: SparkSession, dir: String): DataFrame =
@@ -425,6 +437,7 @@ object Relational {
     "q36_agg_approx_distinct" -> q36AggApproxDistinct _,
     "q37_percentile" -> q37Percentile _,
     "q38_string_agg" -> q38StringAgg _,
+    "q39_approx_percentile" -> q39ApproxPercentile _,
     "q40_win_rank" -> q40WinRank _,
     "q41_win_row_number" -> q41WinRowNumber _,
     "q42_win_lag_lead" -> q42WinLagLead _,
