@@ -325,6 +325,37 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** q46: value-based RANGE frame — rolling 30-day order count/sum per
+    * customer, ordered by days-since-epoch (a numeric key so the frame
+    * bound is a value distance, not a row count; peers with the same day
+    * all join the frame — RANGE semantics). */
+  def q46RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("od")
+      .rangeBetween(-30, 0)
+    T(s, dir, "orders")
+      .withColumn("od",
+        datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1992-01-01"))))
+      .select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n_30d"),
+        round(sum("o_totalprice").over(w), 4).as("sum_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q47: first_value / last_value / nth_value over the full-partition
+    * frame (unbounded both ways — last_value needs it, else the frame
+    * ends at the current row). */
+  def q47ValueWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    T(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(first("o_totalprice").over(w), 4).as("first_price"),
+        round(last("o_totalprice").over(w), 4).as("last_price"),
+        round(nth_value(col("o_totalprice"), 2).over(w), 4).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** q45: ntile quartiles over a global ordering. A bare
     * `Window.orderBy` would funnel every row through one task; instead
     * [[ScalableRank.withNtile]] computes the exact same bucketing via
@@ -444,6 +475,8 @@ object Relational {
     "q43_win_running_sum" -> q43WinRunningSum _,
     "q44_win_moving_avg" -> q44WinMovingAvg _,
     "q45_win_ntile" -> q45WinNtile _,
+    "q46_range_frame" -> q46RangeFrame _,
+    "q47_value_window" -> q47ValueWindow _,
     "q50_sort_limit" -> q50SortLimit _,
     "q51_topk_per_group" -> q51TopkPerGroup _,
     "q58_pivot" -> q58Pivot _,
@@ -587,6 +620,24 @@ object Relational {
     "q45_win_ntile" ->
       """SELECT c_custkey, CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS quartile
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q46_range_frame" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |           date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS od FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_30d,
+        |       round(sum(o_totalprice) OVER w, 4) AS sum_30d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY od RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q47_value_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(first_value(o_totalprice) OVER w, 4) AS first_price,
+        |       round(last_value(o_totalprice) OVER w, 4) AS last_price,
+        |       round(nth_value(o_totalprice, 2) OVER w, 4) AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q50_sort_limit" ->
       """SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
         |FROM orders ORDER BY 2 DESC, 1 LIMIT 100""".stripMargin,
