@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's sink contract (SURVEY.md §2.3 q06 / R7–R9), re-expressed
@@ -55,13 +55,16 @@ object Layout {
     require(partitionCols.isEmpty || !singleFile,
       "partitionCols implies singleFile = false")
 
-    val goodRows = good.count()
-    val cumulative = cumulativeBefore + goodRows
+    // good-side row count via Observation: one pass instead of a
+    // count() scan followed by the write scan (matters at 100 TB)
+    val obs = Observation()
     val goodDir = dirPath(root, isErr = false, fmt, table, ts)
-    writeOne(good, goodDir, fmt, singleFile,
-      renameTo = if (singleFile) Some(dataFileName(table, cumulative, fmt))
-                 else None,
-      partitionCols = partitionCols)
+    writeOne(good.observe(obs, count(lit(1)).as("rows")), goodDir, fmt,
+      singleFile, renameTo = None, partitionCols = partitionCols)
+    val goodRows = obs.get("rows").asInstanceOf[Long]
+    val cumulative = cumulativeBefore + goodRows
+    if (singleFile)
+      renameSingle(goodDir, dataFileName(table, cumulative, fmt))
 
     // Err quirks: only materialize when non-empty (`:185,196,220`), and
     // drop the column names — integer headers like pandas (`:186,197`).
@@ -88,22 +91,24 @@ object Layout {
       case "json"    => writer.json(dir)
       case "parquet" => writer.parquet(dir)
     }
-    renameTo.foreach { name =>
-      val d = Paths.get(dir)
-      val part = Files.list(d).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("part-"))
-        .toList match {
-          case one :: Nil => one
-          case other => sys.error(s"expected 1 part file in $dir, got $other")
-        }
-      Files.move(part, d.resolve(name), StandardCopyOption.REPLACE_EXISTING)
-      // one object per page, like the reference's put_object (`:210-221`)
-      Files.list(d).iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n == "_SUCCESS" || n.endsWith(".crc")
-        }.foreach(Files.deleteIfExists(_))
-    }
+    renameTo.foreach(renameSingle(dir, _))
+  }
+
+  private def renameSingle(dir: String, name: String): Unit = {
+    val d = Paths.get(dir)
+    val part = Files.list(d).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toList match {
+        case one :: Nil => one
+        case other => sys.error(s"expected 1 part file in $dir, got $other")
+      }
+    Files.move(part, d.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    // one object per page, like the reference's put_object (`:210-221`)
+    Files.list(d).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n == "_SUCCESS" || n.endsWith(".crc")
+      }.foreach(Files.deleteIfExists(_))
   }
 
   /** q06_sink_layout — driver-visible smoke for the sink contract (no SQL

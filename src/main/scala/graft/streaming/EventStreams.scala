@@ -28,6 +28,11 @@ object EventStreams {
   final case class UserAgg(user_id: Long, n_events: Long, sum_value: Double,
                            last_type: String)
 
+  /** A session emitted by [[closedSessions]] once its inactivity timeout
+    * fires (times in epoch ms). */
+  final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
+                                 n_events: Long)
+
   /** 1-hour tumbling counts per event type, 2-hour watermark: the
     * streaming twin of q80. Append mode — a window emits once closed. */
   def tumblingCounts(events: DataFrame): DataFrame =
@@ -72,10 +77,52 @@ object EventStreams {
       }
   }
 
+  /** Fully custom sessionization with `flatMapGroupsWithState` +
+    * event-time timeouts — the pattern `session_window` can't express
+    * (per-session custom state, emit-on-close): a user's open session
+    * accumulates in state; when the watermark passes the session's
+    * inactivity deadline (last event + 30 min) the timeout fires, the
+    * closed session is EMITTED, and its state evicted. Requires a
+    * watermark on the input (drives both timeouts and state cleanup). */
+  def closedSessions(events: Dataset[SEvent]): Dataset[ClosedSession] = {
+    implicit val outEnc: Encoder[ClosedSession] = Encoders.product[ClosedSession]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    val gapMs = 30L * 60 * 1000
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[SEvent], state: GroupState[ClosedSession]) =>
+          if (state.hasTimedOut) {
+            val closed = state.get
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val batch = rows.toSeq
+            val lo = batch.map(_.ts.getTime).min
+            val hi = batch.map(_.ts.getTime).max
+            val prev = state.getOption
+            // batch events extend the open session (the 2 h watermark
+            // exceeds the 30 min gap, so same-session events cannot be
+            // split across a fired timeout)
+            val next = prev match {
+              case Some(s) => ClosedSession(uid, math.min(s.start_ms, lo),
+                math.max(s.end_ms, hi), s.n_events + batch.size)
+              case None => ClosedSession(uid, lo, hi, batch.size.toLong)
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(next.end_ms + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Output mode each transform requires (kept next to the transforms so
     * callers don't guess): tumbling/session → Append, custom state →
     * Update. */
   val TumblingMode: OutputMode = OutputMode.Append()
   val SessionMode: OutputMode = OutputMode.Append()
   val RunningMode: OutputMode = OutputMode.Update()
+  val ClosedSessionsMode: OutputMode = OutputMode.Append()
 }

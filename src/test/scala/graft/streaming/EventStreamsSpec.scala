@@ -84,6 +84,33 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits a session when its event-time " +
+    "timeout fires, then evicts the state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[SEvent]
+    val q = EventStreams.closedSessions(in.toDS())
+      .writeStream.format("memory").queryName("closed")
+      .outputMode(EventStreams.ClosedSessionsMode).start()
+    try {
+      in.addData(ev(1, "10:00"), ev(2, "10:10"), ev(3, "10:20"))
+      drain(q)
+      assert(spark.table("closed").count() == 0) // session still open
+      // far-future events from OTHER users advance the watermark
+      // (= max ts - 2 h) past 10:50; the next batch's timeout check
+      // then fires for user 1's open session and emits it
+      in.addData(ev(4, "23:00", user = 99L))
+      drain(q)
+      in.addData(ev(5, "23:05", user = 98L))
+      drain(q)
+      val got = spark.table("closed").as[EventStreams.ClosedSession]
+        .collect().toSeq
+      assert(got.map(s => (s.user_id, s.n_events)).contains((1L, 3L)))
+      val s = got.find(_.n_events == 3L).get
+      assert(s.start_ms == ts("10:00").getTime && s.end_ms == ts("10:20").getTime)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user running aggregates " +
     "across batches") {
     import spark.implicits._
