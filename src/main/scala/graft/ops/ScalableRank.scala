@@ -21,7 +21,12 @@ import org.apache.spark.storage.StorageLevel
   * The input is persisted across the two passes so both see identical
   * range boundaries (range partitioning samples its bounds; determinism
   * across separate recomputations is not guaranteed otherwise). That one
-  * materialization replaces the all-rows-to-one-task exchange.
+  * materialization replaces the all-rows-to-one-task exchange. The
+  * result is eagerly `localCheckpoint`ed so the intermediate cache can
+  * be released immediately — without it every invocation would pin its
+  * input in the cache for the session's lifetime (Dataset persist
+  * entries are not reclaimed by GC). Checkpoint blocks themselves are
+  * context-cleaned once the result is unreferenced.
   */
 object ScalableRank {
 
@@ -75,11 +80,14 @@ object ScalableRank {
     val offDf = broadcast(offsets.toDF("_pid", "_off"))
     val w = Window.partitionBy("_pid").orderBy(sortExprs: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parts
+    val out = parts
       .withColumn("_lcum", sum("_v").over(w))
       .join(offDf, "_pid")
       .withColumn(outCol, col("_off") + col("_lcum") - col("_v"))
       .drop("_pid", "_v", "_lcum", "_off")
+      .localCheckpoint(true)
+    parts.unpersist(blocking = false)
+    out
   }
 
   private def withRankAndTotal(df: DataFrame, rnCol: String,
@@ -103,6 +111,8 @@ object ScalableRank {
       .join(offDf, "_pid")
       .withColumn(rnCol, col("_off") + col("_lrn"))
       .drop("_pid", "_lrn", "_off")
+      .localCheckpoint(true)
+    parts.unpersist(blocking = false)
     (ranked, acc)
   }
 }

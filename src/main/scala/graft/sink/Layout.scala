@@ -68,17 +68,22 @@ object Layout {
 
     // Err quirks: only materialize when non-empty (`:185,196,220`), and
     // drop the column names — integer headers like pandas (`:186,197`).
-    val errRows = err.count()
+    // Persisted across the count and the write so both see one snapshot
+    // of the lineage (the source's offset paging is not snapshot-
+    // consistent; the filename count must match the file's contents).
+    val errCached = err.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val errRows = errCached.count()
     val errPath =
       if (errRows == 0) None
       else {
-        val headerless = err.toDF(err.columns.indices.map(_.toString): _*)
+        val headerless = errCached.toDF(err.columns.indices.map(_.toString): _*)
         val errDir = dirPath(root, isErr = true, fmt, table, ts)
         writeOne(headerless, errDir, fmt, singleFile,
           renameTo = if (singleFile) Some(dataFileName(table, errRows, fmt))
                      else None)
         Some(errDir)
       }
+    errCached.unpersist(blocking = false)
     WriteResult(goodDir, errPath, goodRows, errRows, cumulative)
   }
 
@@ -96,19 +101,21 @@ object Layout {
 
   private def renameSingle(dir: String, name: String): Unit = {
     val d = Paths.get(dir)
-    val part = Files.list(d).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .toList match {
+    def withListing[A](f: List[Path] => A): A = {
+      val s = Files.list(d)
+      try f(s.iterator().asScala.toList) finally s.close()
+    }
+    val part = withListing(
+      _.filter(_.getFileName.toString.startsWith("part-"))) match {
         case one :: Nil => one
         case other => sys.error(s"expected 1 part file in $dir, got $other")
       }
     Files.move(part, d.resolve(name), StandardCopyOption.REPLACE_EXISTING)
     // one object per page, like the reference's put_object (`:210-221`)
-    Files.list(d).iterator().asScala
-      .filter { p =>
-        val n = p.getFileName.toString
-        n == "_SUCCESS" || n.endsWith(".crc")
-      }.foreach(Files.deleteIfExists(_))
+    withListing(_.filter { p =>
+      val n = p.getFileName.toString
+      n == "_SUCCESS" || n.endsWith(".crc")
+    }).foreach(Files.deleteIfExists(_))
   }
 
   /** q06_sink_layout — driver-visible smoke for the sink contract (no SQL
@@ -140,9 +147,12 @@ object Layout {
     writeDual(good, err, root, "parquet", "lineitem", ts)
 
     val rootPath = Paths.get(root)
-    val listing = Files.walk(rootPath).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map(p => rootPath.relativize(p).toString).toSeq.sorted
+    val walk = Files.walk(rootPath)
+    val listing =
+      try walk.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => rootPath.relativize(p).toString).toSeq.sorted
+      finally walk.close()
     import s.implicits._
     listing.toDF("rel_path").orderBy("rel_path")
   }

@@ -99,18 +99,23 @@ class MockRfcBackend extends RfcBackend {
         val op = m.group(2)
         val v = m.group(3)
         val numeric = isNumericType(t, m.group(1))
-        def cmpNum = BigDecimal(cell).compare(BigDecimal(v))
-        def cmpStr = cell.compare(v)
+        // tolerant-cast semantics on numeric columns: a cell that doesn't
+        // parse (e.g. the scenario-3 "00ABC" DOCNUM) compares as NULL —
+        // i.e. matches nothing — instead of crashing the scan
+        def cmpNumOpt: Option[Int] =
+          scala.util.Try(BigDecimal(cell.trim)).toOption
+            .map(_.compare(BigDecimal(v)))
+        def cmp: Option[Int] = if (numeric) cmpNumOpt else Some(cell.compare(v))
         op match {
           case "LIKE" =>
             val re = java.util.regex.Pattern.quote(v)
               .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q")
             cell.matches(re)
-          case "=" => if (numeric) cmpNum == 0 else cell == v
-          case ">" => (if (numeric) cmpNum else cmpStr) > 0
-          case "<" => (if (numeric) cmpNum else cmpStr) < 0
-          case ">=" => (if (numeric) cmpNum else cmpStr) >= 0
-          case "<=" => (if (numeric) cmpNum else cmpStr) <= 0
+          case "=" => if (numeric) cmpNumOpt.contains(0) else cell == v
+          case ">" => cmp.exists(_ > 0)
+          case "<" => cmp.exists(_ < 0)
+          case ">=" => cmp.exists(_ >= 0)
+          case "<=" => cmp.exists(_ <= 0)
           case _ => sys.error(s"mock: unsupported op in $option")
         }
       case _ => sys.error(s"mock: unparseable OPTIONS fragment: $option")

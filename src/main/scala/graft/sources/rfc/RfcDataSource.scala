@@ -68,6 +68,7 @@ final case class RfcOptions(map: Map[String, String]) {
   val delimiter: String = get("delimiter").getOrElse("`")
   /** 100 000 rows/call, as the reference (`pyrfc_read_table.py:33`). */
   val pageSize: Int = get("pageSize").map(_.toInt).getOrElse(100000)
+  require(pageSize > 0, s"sap-rfc: pageSize must be positive, got $pageSize")
   val mode: String = get("mode").map(_.toUpperCase).getOrElse("DROPMALFORMED")
   require(Set("PERMISSIVE", "DROPMALFORMED", "FAILFAST").contains(mode),
     s"sap-rfc: bad mode $mode")
@@ -99,6 +100,12 @@ class RfcScanBuilder(fullSchema: StructType, opts: RfcOptions)
   private var fragments: Seq[String] = Nil
   private var limit: Option[Int] = None
 
+  /** Output schema pruning always applies; the server-side FIELDS
+    * projection additionally applies only in DROPMALFORMED mode. In
+    * PERMISSIVE/FAILFAST the reader must see the full-width WA row —
+    * arity validation against a pruned field list would let a malformed
+    * full-width row coincidentally match the pruned arity and be
+    * misclassified as good. */
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -120,11 +127,19 @@ class RfcScanBuilder(fullSchema: StructType, opts: RfcOptions)
   override def build(): Scan =
     new RfcScan(required, opts, fragments, limit)
 
+  /** Only values whose toString matches the backend's cell text format
+    * may push: strings and plain numerics. Dates/timestamps/binary
+    * serialize differently than their DDIC cell form ('2024-01-15' vs
+    * '20240115') — pushing them would compare against text that never
+    * matches; they stay Spark-side where the typed column compares
+    * correctly. */
   private def quote(v: Any): Option[String] = v match {
-    case null => None
     case s: String => Some("'" + s.replace("'", "''") + "'")
-    case b: Array[Byte] => None
-    case other => Some("'" + other.toString + "'")
+    case (_: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+          _: java.lang.Byte | _: java.lang.Float | _: java.lang.Double |
+          _: java.math.BigDecimal) =>
+      Some("'" + v.toString + "'")
+    case _ => None // null, Date, Timestamp, Array[Byte], ...
   }
 
   private def translate(f: Filter): Option[String] = f match {
@@ -200,8 +215,13 @@ class RfcPartitionReader(schema: StructType, opts: RfcOptions,
 
   private val backend = opts.newBackend
   private val delimRe = Pattern.quote(opts.delimiter)
+  // server-side FIELDS projection only when malformed rows are dropped:
+  // PERMISSIVE/FAILFAST need the full-width WA so arity validation can't
+  // be fooled by a malformed row that matches the pruned width
   private val projected: Seq[String] =
-    schema.fieldNames.filterNot(_ == RfcOptions.CorruptCol).toSeq
+    if (opts.mode == "DROPMALFORMED")
+      schema.fieldNames.filterNot(_ == RfcOptions.CorruptCol).toSeq
+    else Nil // empty FIELDS ⇒ backend returns all columns
 
   private var pageFields: Seq[RfcField] = Nil
   // schema position -> (WA cell index, DDIC field); -1 for _corrupt_record

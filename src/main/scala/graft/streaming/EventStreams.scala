@@ -80,10 +80,14 @@ object EventStreams {
   /** Fully custom sessionization with `flatMapGroupsWithState` +
     * event-time timeouts — the pattern `session_window` can't express
     * (per-session custom state, emit-on-close): a user's open session
-    * accumulates in state; when the watermark passes the session's
-    * inactivity deadline (last event + 30 min) the timeout fires, the
-    * closed session is EMITTED, and its state evicted. Requires a
-    * watermark on the input (drives both timeouts and state cleanup). */
+    * accumulates in state; a >30-min gap WITHIN the arriving events
+    * closes the earlier session immediately, and the watermark passing
+    * the open session's inactivity deadline fires the timeout, emitting
+    * it and evicting its state. Requires a watermark on the input
+    * (drives timeouts, late-row dropping, and state cleanup). Assumes
+    * per-user arrival is event-time-ordered across batches (in-batch
+    * disorder is sorted out); a cross-batch late event lands in the
+    * current open session when within the gap of its end. */
   def closedSessions(events: Dataset[SEvent]): Dataset[ClosedSession] = {
     implicit val outEnc: Encoder[ClosedSession] = Encoders.product[ClosedSession]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
@@ -99,21 +103,30 @@ object EventStreams {
             state.remove()
             Iterator.single(closed)
           } else {
-            val batch = rows.toSeq
-            val lo = batch.map(_.ts.getTime).min
-            val hi = batch.map(_.ts.getTime).max
-            val prev = state.getOption
-            // batch events extend the open session (the 2 h watermark
-            // exceeds the 30 min gap, so same-session events cannot be
-            // split across a fired timeout)
-            val next = prev match {
-              case Some(s) => ClosedSession(uid, math.min(s.start_ms, lo),
-                math.max(s.end_ms, hi), s.n_events + batch.size)
-              case None => ClosedSession(uid, lo, hi, batch.size.toLong)
+            val times = rows.toSeq.map(_.ts.getTime).sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            for (t <- times) cur match {
+              case Some(s) if t - s.end_ms <= gapMs =>
+                cur = Some(ClosedSession(uid, math.min(s.start_ms, t),
+                  math.max(s.end_ms, t), s.n_events + 1))
+              case Some(s) => // gap exceeded inside the batch: close it now
+                closed ::= s
+                cur = Some(ClosedSession(uid, t, t, 1L))
+              case None =>
+                cur = Some(ClosedSession(uid, t, t, 1L))
             }
-            state.update(next)
-            state.setTimeoutTimestamp(next.end_ms + gapMs)
-            Iterator.empty
+            val open = cur.get
+            // a timeout timestamp at/below the watermark is invalid —
+            // and means the session is already expired: close it now
+            if (open.end_ms + gapMs <= state.getCurrentWatermarkMs()) {
+              closed ::= open
+              state.remove()
+            } else {
+              state.update(open)
+              state.setTimeoutTimestamp(open.end_ms + gapMs)
+            }
+            closed.reverse.iterator
           }
       }
   }

@@ -77,8 +77,8 @@ object Ddic {
     case "I" => v.toIntOption.map(Int.box).orNull
     case "F" => v.toDoubleOption.map(Double.box).orNull
     case "X" =>
-      if (v.nonEmpty && v.length % 2 == 0 &&
-        v.forall(c => Character.digit(c, 16) >= 0))
+      // empty → empty bytes (matches try_to_binary('') in castColumn)
+      if (v.length % 2 == 0 && v.forall(c => Character.digit(c, 16) >= 0))
         v.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
       else null
     case _ => UTF8String.fromString(v)

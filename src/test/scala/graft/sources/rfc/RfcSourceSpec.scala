@@ -137,6 +137,40 @@ class RfcSourceSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(limited.forall(_.rowCount <= 7)) // limit reached ROWCOUNT
   }
 
+  test("7: typed-column (date) filters stay Spark-side and compare " +
+    "correctly (toString would not match the DDIC cell format)") {
+    val rows = (1 to 5).map(zrow).toList
+      .updated(2, zrow(3).updated(2, "20240116"))
+    MockRfcBackend.register("ZSALES", MockTable(zfields, rows))
+    val got = read()
+      .filter(col("DOCDATE") === java.sql.Date.valueOf("2024-01-16"))
+      .select("DOCNUM").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(3L))
+    // the date predicate must NOT have been pushed as an OPTIONS string
+    assert(MockRfcBackend.calls.forall(
+      _.options.forall(!_.contains("DOCDATE"))))
+  }
+
+  test("8: pushed numeric filter treats unparseable cells as null " +
+    "(matches tolerant-cast semantics; no crash)") {
+    MockRfcBackend.register("ZSALES", MockTable(zfields, Seq(
+      zrow(1), zrow(5), zrow(9).updated(1, "00ABC"))))
+    val got = read().filter(col("DOCNUM") > 1L).select("DOCNUM").collect()
+    assert(got.map(_.getLong(0)).toSet == Set(5L)) // 1 excluded, ABC null
+    assert(MockRfcBackend.calls.exists(
+      _.options.exists(_.startsWith("DOCNUM >"))))
+  }
+
+  test("9: PERMISSIVE keeps full-width arity validation under projection " +
+    "(a 1-cell malformed row must not satisfy a 1-column prune)") {
+    MockRfcBackend.register("ZSALES",
+      MockTable(zfields, (1 to 3).map(zrow), rawWa = Seq("loneval")))
+    val perm = read("mode" -> "PERMISSIVE")
+      .select("MANDT", "_corrupt_record")
+    assert(perm.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(perm.filter(col("_corrupt_record").isNull).count() == 3)
+  }
+
   test("6: empty table — zero rows, schema still inferred from FIELDS") {
     MockRfcBackend.register("ZSALES", MockTable(zfields, Nil))
     val df = read()

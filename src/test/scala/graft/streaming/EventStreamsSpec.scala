@@ -111,6 +111,26 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState splits on a >30-min gap inside one batch " +
+    "(no timeout needed)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[SEvent]
+    val q = EventStreams.closedSessions(in.toDS())
+      .writeStream.format("memory").queryName("gapsplit")
+      .outputMode(EventStreams.ClosedSessionsMode).start()
+    try {
+      // 10:00-10:10 then 13:00 in the SAME batch: the 2h50m gap closes
+      // the first session immediately, before any timeout fires
+      in.addData(ev(1, "10:00"), ev(2, "10:10"), ev(3, "13:00"))
+      drain(q)
+      val got = spark.table("gapsplit").as[EventStreams.ClosedSession]
+        .collect().toSeq
+      assert(got.map(s => (s.start_ms, s.end_ms, s.n_events)) ==
+        Seq((ts("10:00").getTime, ts("10:10").getTime, 2L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user running aggregates " +
     "across batches") {
     import spark.implicits._

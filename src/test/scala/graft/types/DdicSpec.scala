@@ -80,7 +80,8 @@ class DdicSpec extends AnyFunSuite {
       ("20240115", "D", 0, 0), ("2024011", "D", 0, 0),
       ("134501", "T", 0, 0), ("199.99", "P", 13, 2), ("boom", "P", 13, 2),
       ("42", "I", 0, 0), ("x", "I", 0, 0), ("1.0825", "F", 0, 0),
-      ("0A", "X", 0, 0), ("zz", "X", 0, 0), ("w", "?", 0, 0))
+      ("0A", "X", 0, 0), ("zz", "X", 0, 0), ("", "X", 0, 0),
+      ("w", "?", 0, 0))
     for ((v, code, len, dec) <- cases) {
       val viaColumn = castOne(v, code, len, dec)
       val viaCatalyst = Ddic.parseCatalyst(v, code, len, dec) match {
