@@ -649,9 +649,9 @@ object Relational {
         |WHERE rn <= 2 ORDER BY l_orderkey, rn""".stripMargin,
     "q58_pivot" ->
       """SELECT l_linestatus,
-        |       sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS cnt_a,
-        |       sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS cnt_n,
-        |       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS cnt_r
+        |       CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |       CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_n,
+        |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_r
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q59_scalar_subquery" ->
       """SELECT o_orderkey, round(o_totalprice, 4) AS price

@@ -57,10 +57,16 @@ object TrainingData {
   def q72DedupMinhash(s: SparkSession, dir: String): DataFrame = {
     // hash shingle rows with plain codegen'd md5 columns, minhash as
     // 8 min-aggregates (partial+final, one shuffle on doc_id) — an
-    // HOF-lambda formulation evaluates interpreted and ran ~4× slower
+    // HOF-lambda formulation evaluates interpreted and ran ~4× slower.
+    // The 8 md5s run once per DISTINCT shingle (dictionary pattern,
+    // see simhashes) and join back — shingles repeat heavily in any
+    // shared-vocabulary corpus, and the distinct table is the small
+    // side AQE broadcasts (shuffle join at vocabulary scale).
     val sh = shingleRows(s, dir)
-    val hashed = sh.select(col("doc_id") +: (0 until 8).map(k =>
-      md5(concat(lit(s"$k:"), col("sh"))).as(s"h$k")): _*)
+    val dict = sh.select("sh").distinct()
+      .select(col("sh") +: (0 until 8).map(k =>
+        md5(concat(lit(s"$k:"), col("sh"))).as(s"h$k")): _*)
+    val hashed = sh.join(broadcast(dict), "sh")
     val sig = hashed.groupBy("doc_id")
       .agg(min(col("h0")).as("m0"),
         (1 until 8).map(k => min(col(s"h$k")).as(s"m$k")): _*)
@@ -92,6 +98,11 @@ object TrainingData {
 
   private def simhashes(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
+    // per-occurrence md5 + bit extraction, NOT a distinct-token
+    // dictionary join: an A/B at sf0.1 measured the dictionary variant
+    // (md5 once per distinct token, broadcast join back) at parity for
+    // this query and 2.3× SLOWER for q85 — codegen'd md5 over short
+    // strings is cheaper than the extra scan + distinct + hash probe
     val words = docs
       .select(col("doc_id"),
         explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
@@ -118,41 +129,82 @@ object TrainingData {
     * Banding the 64 bits into 4×16-bit chunks is EXACT for this
     * threshold: ≤3 differing bits cannot touch all 4 bands
     * (pigeonhole), so every qualifying pair collides on some band.
-    * Candidates then get the true hamming distance verified. Join key =
-    * (band, chunk) — linear, never all-pairs. */
+    *
+    * Shape (round 3 — replaced a band self-join that recomputed the
+    * whole simhash pipeline on both branches):
+    *
+    *  1. collapse identical fingerprints first — docs sharing a
+    *     fingerprint pair trivially at hamming 0 without touching the
+    *     band machinery (at corpus scale exact duplicates are the
+    *     common case; they are also exactly what made the old band
+    *     buckets quadratic);
+    *  2. band only DISTINCT fingerprints, `groupBy(band, chunk)` into
+    *     bucket lists, and pair WITHIN each bucket — one aggregate
+    *     instead of a self-join, so the simhash pipeline runs once;
+    *  3. verify candidates at the FINGERPRINT level (`bit_count(xor)`
+    *     on the packed 64-bit word) before expanding to doc pairs —
+    *     verify work is O(distinct-fingerprint pairs), and doc-pair
+    *     expansion happens only for qualifying pairs (output-bound).
+    *
+    * The in-bucket pairing is an output-size-bound HOF (interpreted,
+    * but only over buckets with ≥2 distinct fingerprints). At 100 TB an
+    * adversarial bucket (16-bit key space) can still grow; AQE cannot
+    * split an aggregate, so the documented mitigation is a bucket-size
+    * cap with salted recheck — not needed at any tested SF. */
   def q88SimhashHamming(s: SparkSession, dir: String): DataFrame = {
-    // fingerprint also as 4×16-bit words so the verify is codegen'd
-    // bit_count(xor) arithmetic, not an interpreted char-array zip —
-    // shared vocabulary makes bands collide broadly, so the verify runs
-    // over many candidates and its constant factor matters
-    val sh = simhashes(s, dir).select(
-      col("doc_id") +: (0 until 4).map(b =>
-        expr(s"cast(conv(substring(simhash, ${b * 16 + 1}, 16), 2, 10) as int)")
-          .as(s"w$b")): _*)
-    val bands = sh.select(col("doc_id"), col("w0"), col("w1"), col("w2"),
-      col("w3"), explode(array((0 until 4).map(b =>
-        struct(lit(b).as("b"), col(s"w$b").as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("w0"), col("w1"), col("w2"), col("w3"),
+    // pack the fingerprint into one BIGINT: shiftleft/or keeps the
+    // exact bit pattern (sign is irrelevant — the word is only an
+    // identity, a sort key, and an xor operand)
+    val packed = expr((0 until 4).map(b =>
+      s"shiftleft(cast(conv(substring(simhash, ${b * 16 + 1}, 16), 2, 10) as bigint), ${48 - 16 * b})")
+      .mkString(" | "))
+    val fps = simhashes(s, dir)
+      .select(col("doc_id"), packed.as("fp"))
+      .groupBy("fp")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    // docs with identical fingerprints: hamming 0, pairs straight from
+    // the group (sorted list ⇒ da < db)
+    val intra = fps.filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |            y -> named_struct('da', x, 'db', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"),
+        lit(0L).as("hamming"))
+    val bands = fps.select(col("fp"), col("ds"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          expr(s"cast(shiftright(fp, ${48 - 16 * b}) & 65535 as int)")
+            .as("key"))): _*)).as("bk"))
+      .select(col("fp"), col("ds"),
         col("bk.b").as("b"), col("bk.key").as("key"))
-    val cand = bands.alias("a")
-      .join(bands.alias("b2"),
-        col("a.b") === col("b2.b") && col("a.key") === col("b2.key") &&
-          col("a.doc_id") < col("b2.doc_id"))
-      .select(col("a.doc_id").as("da"),
-        col("a.w0").as("a0"), col("a.w1").as("a1"),
-        col("a.w2").as("a2"), col("a.w3").as("a3"),
-        col("b2.doc_id").as("db"),
-        col("b2.w0").as("b0"), col("b2.w1").as("b1"),
-        col("b2.w2").as("b2w"), col("b2.w3").as("b3"))
-      .distinct()
-    cand
-      .withColumn("hamming", expr(
-        """cast(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) +
-          |     bit_count(a2 ^ b2w) + bit_count(a3 ^ b3) as bigint)"""
-          .stripMargin))
+    val buckets = bands.groupBy("b", "key")
+      .agg(sort_array(collect_list(struct(col("fp"), col("ds")))).as("gs"))
+      .filter(size(col("gs")) > 1)
+    // fingerprint-level candidates: i < j over the fp-sorted bucket list
+    // gives a canonical (fa < fb) orientation, so the cross-band dedup
+    // is a plain dropDuplicates
+    val candFp = buckets
+      .select(explode(expr(
+        """flatten(transform(gs, (x, i) ->
+          |  transform(slice(gs, i + 2, size(gs)),
+          |            y -> named_struct('fa', x.fp, 'dsa', x.ds,
+          |                              'fb', y.fp, 'dsb', y.ds))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.fa").as("fa"), col("p.dsa").as("dsa"),
+        col("p.fb").as("fb"), col("p.dsb").as("dsb"))
+      .withColumn("hamming", expr("cast(bit_count(fa ^ fb) as bigint)"))
       .filter(col("hamming") <= 3)
-      .select("da", "db", "hamming")
-      .orderBy("da", "db")
+      .dropDuplicates("fa", "fb")
+    // expand qualifying fingerprint pairs to doc pairs (disjoint doc
+    // sets — the fingerprints differ — so least/greatest normalizes)
+    val inter = candFp
+      .select(explode(col("dsa")).as("x"), col("dsb"), col("hamming"))
+      .select(col("x"), explode(col("dsb")).as("y"), col("hamming"))
+      .select(least(col("x"), col("y")).as("da"),
+        greatest(col("x"), col("y")).as("db"), col("hamming"))
+    intra.union(inter).orderBy("da", "db")
   }
 
   /** q78: exact n-gram Jaccard ≥ 0.5 near-dup pairs via a
@@ -163,7 +215,7 @@ object TrainingData {
     * docs contributes c² join rows — the naive shape took 17 s at sf0.1
     * and is quadratic at scale. Prefix filtering keeps it EXACT for the
     * threshold: order each doc's shingles by ascending global document
-    * frequency (rarest first, ties by shingle), keep only the first
+    * frequency (rarest first, ties by shingle hash), keep only the first
     * `n - ceil(t·n) + 1`; any pair with Jaccard ≥ t must collide inside
     * these prefixes (pigeonhole under the common total order), and hot
     * shingles — the c² offenders — sort last, out of every prefix.
@@ -172,39 +224,59 @@ object TrainingData {
     * oracle runs the naive SQL as ground truth. */
   def q78NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val t = 0.5
+    // Everything downstream — df ordering, prefix join, intersection —
+    // keys on `xxhash64(shingle)` longs, never the shingle strings:
+    // the verify intersects ~50-element arrays per candidate, and long
+    // compares cut that stage 6.0 s → measured fraction of it (string
+    // array_intersect dominated the old profile). A cross-doc 64-bit
+    // collision could in principle perturb one count (P ≈ pairs·n²/2⁶⁴
+    // ≈ 1e-11 here); the DuckDB oracle cross-checks the string-exact
+    // ground truth every round, so a collision cannot pass silently.
+    //
+    // The per-doc sets feed FOUR branches (both prefix join sides,
+    // both verify join sides); localCheckpoint materializes the
+    // window+distinct shingle build once instead of per branch.
     val docsets = shingleRows(s, dir)
+      .select(col("doc_id"), expr("xxhash64(sh)").as("hv"))
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("sh"))).as("ss"))
-      .withColumn("n", size(col("ss")))
-    val sh = docsets.select(col("doc_id"), col("n"), explode(col("ss")).as("sh"))
-    // document frequency as a count-over-window (one shuffle on the
-    // shingle) instead of groupBy + join back (two)
-    val wDf = Window.partitionBy("sh")
-    val wRank = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
-    val prefix = sh
-      .withColumn("df", count(lit(1)).over(wDf))
+      .agg(sort_array(collect_list(col("hv"))).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .localCheckpoint(true)
+    val sh = docsets.select(col("doc_id"), col("n"), explode(col("hs")).as("hv"))
+    // document frequency via groupBy + join back: the partial (map-side)
+    // aggregate shrinks the shuffle to distinct shingles, where the old
+    // count-over-window shuffled the full (doc, shingle) expansion on
+    // the shingle — a skewed key by construction; AQE broadcasts the
+    // small df table locally and shuffle-joins it at vocabulary scale
+    val dfTab = sh.groupBy("hv").agg(count(lit(1)).as("df"))
+    // rarest-first order by (df, hv): any consistent total order over
+    // shingles preserves the prefix-filter exactness proof
+    val wRank = Window.partitionBy("doc_id").orderBy(col("df"), col("hv"))
+    val prefix = sh.join(dfTab, "hv")
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= col("n") - ceil(col("n") * t) + 1)
-      .select(col("doc_id"), col("n"), col("sh"))
+      .select(col("doc_id"), col("n"), col("hv"))
     // candidate generation: prefix collision + PPJoin length filter
     // (Jaccard ≥ t ⟹ min(n) ≥ t·max(n)) — both exact-preserving
     val cand = prefix.alias("a")
       .join(prefix.alias("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.hv") === col("b.hv") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") >= ceil(col("b.n") * t) &&
           col("b.n") >= ceil(col("a.n") * t))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    // verification: true |A∩B| via array_intersect against broadcast
-    // per-doc shingle sets (~KBs/doc; at 100 TB the docset table exceeds
-    // broadcast — shuffle-join it on da/db instead, same plan shape)
-    val setsA = docsets.select(col("doc_id").as("da"), col("ss").as("sa"),
+    // verification: true |A∩B| via array_intersect against the per-doc
+    // hashed shingle sets, joined as plain equi-joins on da/db — no
+    // broadcast hint, so the plan holds when the docset table exceeds
+    // executor memory at corpus scale (AQE still picks a broadcast
+    // locally)
+    val setsA = docsets.select(col("doc_id").as("da"), col("hs").as("sa"),
       col("n").as("na"))
-    val setsB = docsets.select(col("doc_id").as("db"), col("ss").as("sb"),
+    val setsB = docsets.select(col("doc_id").as("db"), col("hs").as("sb"),
       col("n").as("nb"))
     cand
-      .join(broadcast(setsA), "da")
-      .join(broadcast(setsB), "db")
+      .join(setsA, "da")
+      .join(setsB, "db")
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("u", col("na") + col("nb") - col("i"))
       // threshold on the exact rational (2i >= u ⟺ i/u >= 0.5), and the
@@ -367,6 +439,10 @@ object TrainingData {
       .select(col("doc_id"), col("text"),
         (length(col("text")) - 4).as("m"), // number of 5-grams
         explode(expr("sequence(1, length(text) - 4)")).as("pos"))
+      // md5 per position, not per distinct gram: a dictionary variant
+      // (md5 per distinct 5-gram + broadcast join) measured 2.3× slower
+      // at sf0.1 — the extra pass + hash probe cost more than the
+      // codegen'd md5s it saved
       .withColumn("h", md5(expr("substring(text, pos, 5)")))
       .withColumn("minfp", min(col("h")).over(w))
       .filter(col("pos") <= col("m") - 3) // full windows only
@@ -634,7 +710,7 @@ object TrainingData {
         |      coalesce(sum(tokens) OVER (ORDER BY doc_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumex
         |      FROM d)
-        |SELECT cumex // 2000 AS bin, count(*) AS n_docs,
+        |SELECT CAST(cumex // 2000 AS BIGINT) AS bin, count(*) AS n_docs,
         |       CAST(sum(tokens) AS BIGINT) AS sum_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
   )
