@@ -59,10 +59,9 @@ object Probe {
     val results = collection.mutable.Map.empty[String, List[Double]]
     def run(name: String)(f: => DataFrame): Unit =
       results(name) = time(name)(f) :: results.getOrElse(name, Nil)
+    graft.ops.TrainingData.q86AnnLsh(spark, dir).show(10, false)
     for (_ <- 1 to rounds) {
-      run("q78_full")(graft.ops.TrainingData.q78NgramJaccard(spark, dir))
-      run("q88_full")(graft.ops.TrainingData.q88SimhashHamming(spark, dir))
-      run("q72_full")(graft.ops.TrainingData.q72DedupMinhash(spark, dir))
+      run("q86_full")(graft.ops.TrainingData.q86AnnLsh(spark, dir))
     }
     println("[probe] === medians ===")
     results.toSeq.sortBy(_._1).foreach { case (k, v) =>

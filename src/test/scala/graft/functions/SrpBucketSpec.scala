@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.ops.TrainingData
+
+/** Pins the three-way agreement q86's LSH depends on: the codegen'd
+  * [[SrpBucket]] expression, its interpreted `eval` path, and the
+  * expanded ±cast SQL chain (the form the DuckDB oracle executes) must
+  * assign the identical bucket to every vector. */
+class SrpBucketSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def vectors: Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(7)
+    // include sign-sensitive shapes: tiny magnitudes, exact zeros, and a
+    // short (truncated) vector
+    val dense = Seq.fill(50)(Array.fill(64)((rnd.nextGaussian() * 2).toFloat))
+    val tiny = Seq.fill(10)(Array.fill(64)((rnd.nextGaussian() * 1e-6).toFloat))
+    val zeros = Seq(Array.fill(64)(0f))
+    dense ++ tiny ++ zeros
+  }
+
+  test("codegen, interpreted eval, and the oracle SQL chain agree") {
+    import spark.implicits._
+    val df = vectors.toDF("embedding")
+    val chain = expr(TrainingData.lshBucketSql(
+      j => s"element_at(embedding, $j)", c => s"cast($c as int)"))
+    val rows = df
+      .withColumn("b_expr", SrpBucket.bucket(col("embedding"), TrainingData.lshPlanes))
+      .withColumn("b_chain", chain)
+      .collect()
+    assert(rows.length == vectors.length)
+    rows.foreach { case Row(_, be: Int, bc: Int) => assert(be == bc) }
+
+    // interpreted path (direct eval, no codegen)
+    val e = SrpBucket(
+      BoundReference(0, ArrayType(FloatType, containsNull = false), nullable = true),
+      TrainingData.lshPlanes)
+    vectors.zip(rows).foreach { case (v, Row(_, be: Int, _)) =>
+      val interpreted = e.eval(InternalRow(ArrayData.toArrayData(v)))
+      assert(interpreted == be)
+    }
+  }
+
+  test("all-zero and truncated vectors bucket to 0 without error") {
+    import spark.implicits._
+    val df = Seq(Array.fill(64)(0f), Array(1f, -1f), Array.empty[Float])
+      .toDF("embedding")
+      .withColumn("b", SrpBucket.bucket(col("embedding"), TrainingData.lshPlanes))
+    val bs = df.select("b").as[Int].collect()
+    assert(bs(0) == 0) // dot == 0 is not > 0 on any plane
+    assert(bs(2) == 0) // empty vector: every dot is the empty sum
+    // 2-element vector: only the first two signs of each plane matter —
+    // recompute expected straight from the matrix
+    val expected = TrainingData.lshPlanes.zipWithIndex.collect {
+      case (p, k) if p(0) * 1f + p(1) * -1f > 0 => 1 << k
+    }.sum
+    assert(bs(1) == expected)
+  }
+}
