@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.{NorthStar, ParseRoute, Relational, Scalars, TrainingData}
 import graft.sink.Layout
+import graft.sources.rfc.RfcQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3 (normative inventory).
   *
@@ -21,9 +22,10 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ ParseRoute.queries ++ Scalars.queries ++
-      NorthStar.queries ++ TrainingData.queries ++ Layout.queries
+      NorthStar.queries ++ TrainingData.queries ++ Layout.queries ++
+      RfcQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ ParseRoute.oracle ++ Scalars.oracle ++
-      NorthStar.oracle ++ TrainingData.oracle
+      NorthStar.oracle ++ TrainingData.oracle ++ RfcQueries.oracle
 }

@@ -37,6 +37,10 @@ object Layout {
   def dataFileName(table: String, cumulativeRows: Long, fmt: String): String =
     s"$table$cumulativeRows.$fmt"
 
+  /** Err filename: `<table>-err.<fmt>`, NO row count — only the good-side
+    * name embeds the cumulative count (`:50` vs `:122`). */
+  def errFileName(table: String, fmt: String): String = s"$table-err.$fmt"
+
   final case class WriteResult(goodPath: String, errPath: Option[String],
                                goodRows: Long, errRows: Long,
                                cumulativeRows: Long)
@@ -79,7 +83,7 @@ object Layout {
         val headerless = errCached.toDF(err.columns.indices.map(_.toString): _*)
         val errDir = dirPath(root, isErr = true, fmt, table, ts)
         writeOne(headerless, errDir, fmt, singleFile,
-          renameTo = if (singleFile) Some(dataFileName(table, errRows, fmt))
+          renameTo = if (singleFile) Some(errFileName(table, fmt))
                      else None)
         Some(errDir)
       }

@@ -68,8 +68,9 @@ class MockRfcBackend extends RfcBackend {
     // paged as one logical sequence
     val allWa = filtered.map(r => selIdx.map(r(_)).mkString(delimiter)) ++
       t.rawWa
-    val page = allWa.slice(rowSkips.toInt,
-      rowSkips.toInt + math.max(rowCount, 0))
+    // clamp instead of truncating: .toInt past 2³¹ rows would wrap
+    val from = math.min(rowSkips, Int.MaxValue.toLong).toInt
+    val page = allWa.slice(from, from + math.max(rowCount, 0))
     RfcPage("TAB512", sel, page)
   }
 

@@ -149,7 +149,12 @@ class RfcScanBuilder(fullSchema: StructType, opts: RfcOptions)
     case LessThan(a, v) => quote(v).map(q => s"$a < $q")
     case LessThanOrEqual(a, v) => quote(v).map(q => s"$a <= $q")
     case In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
-      Some(s"$a IN (${vs.flatMap(quote).mkString(",")})")
+      // all-or-nothing: if ANY value fails to quote (Date/Timestamp/
+      // binary), the whole IN stays Spark-side — a partial list would
+      // silently drop matching rows, and an empty one malforms OPTIONS
+      val qs = vs.map(quote)
+      if (qs.forall(_.isDefined)) Some(s"$a IN (${qs.flatten.mkString(",")})")
+      else None
     case StringStartsWith(a, v) => quote(v + "%").map(q => s"$a LIKE $q")
     case StringEndsWith(a, v) => quote("%" + v).map(q => s"$a LIKE $q")
     case StringContains(a, v) => quote("%" + v + "%").map(q => s"$a LIKE $q")

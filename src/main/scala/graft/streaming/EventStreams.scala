@@ -55,25 +55,43 @@ object EventStreams {
         col("session_window.end").as("se"), col("user_id"), col("cnt"),
         col("sum_val"))
 
-  /** Custom keyed state via `mapGroupsWithState`: a per-user running
+  /** Custom keyed state via `flatMapGroupsWithState`: a per-user running
     * profile (event count, value sum, last event type). Update output
-    * mode; state lives for the key's lifetime (NoTimeout — a production
-    * job would set a processing/event-time timeout to bound state). */
-  def runningUserCounts(events: Dataset[SEvent]): Dataset[UserAgg] = {
+    * mode. State is bounded by an event-time idle timeout: a user idle
+    * for `idleMs` past the watermark is silently evicted (nothing
+    * emitted — the last update already carried the final profile), so
+    * state size tracks ACTIVE users, not all users ever seen. The
+    * timeout re-arms on every batch at
+    * `max(last event time + idleMs, watermark + 1)` — the max keeps the
+    * timestamp legal (must exceed the watermark) when a batch contains
+    * only late-but-kept rows; such a user may be evicted one trigger
+    * early, which only means its next event reopens from zero. */
+  def runningUserCounts(events: Dataset[SEvent],
+                        idleMs: Long = 4L * 3600 * 1000): Dataset[UserAgg] = {
     implicit val aggEnc: Encoder[UserAgg] = Encoders.product[UserAgg]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
     events
+      .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, rows: Iterator[SEvent], state: GroupState[UserAgg]) =>
-          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0, ""))
-          // deterministic in-batch order: by event time then id
-          val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val next = batch.foldLeft(prev) { (a, e) =>
-            UserAgg(uid, a.n_events + 1, a.sum_value + e.value, e.event_type)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0, ""))
+            // deterministic in-batch order: by event time then id
+            val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val next = batch.foldLeft(prev) { (a, e) =>
+              UserAgg(uid, a.n_events + 1, a.sum_value + e.value, e.event_type)
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(math.max(
+              batch.last.ts.getTime + idleMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.single(next)
           }
-          state.update(next)
-          next
       }
   }
 

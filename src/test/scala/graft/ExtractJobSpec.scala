@@ -31,7 +31,7 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(files.exists(f => f.contains("/result/parquet/ZJOB/") &&
       f.endsWith("ZJOB4.parquet")))
     assert(files.exists(f => f.contains("/result-err/parquet/ZJOB/") &&
-      f.endsWith("ZJOB1.parquet")))
+      f.endsWith("ZJOB-err.parquet")))
 
     val goodDir = files.find(_.endsWith("ZJOB4.parquet")).get
       .replaceAll("/[^/]+$", "")

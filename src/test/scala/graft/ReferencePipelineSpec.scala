@@ -40,11 +40,12 @@ class ReferencePipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     val res = Layout.writeDual(good, err, root, "parquet", "zdoc", ts)
     assert(res.goodRows == 7 && res.errRows == 2)
 
-    // cumulative-rowcount filename; err present because err_count > 0
+    // cumulative-rowcount filename; err present because err_count > 0,
+    // named <table>-err.<fmt> with no count (reference `:50`)
     assert(Files.exists(
       Paths.get(s"$root/result/parquet/zdoc/$ts/zdoc7.parquet")))
     assert(Files.exists(
-      Paths.get(s"$root/result-err/parquet/zdoc/$ts/zdoc2.parquet")))
+      Paths.get(s"$root/result-err/parquet/zdoc/$ts/zdoc-err.parquet")))
 
     // typed roundtrip: N column came back as longs through the source
     val back = spark.read.parquet(s"$root/result/parquet/zdoc/$ts")

@@ -36,12 +36,13 @@ class LayoutSpec extends AnyFunSuite {
     assert(r2.cumulativeRows == 6)
 
     assert(Files.exists(Paths.get(s"$root/result/json/ztab/$ts/ztab3.json")))
+    // err name carries NO row count — reference `:50` (`<table>-err.<fmt>`)
     assert(Files.exists(
-      Paths.get(s"$root/result-err/json/ztab/$ts/ztab2.json")))
+      Paths.get(s"$root/result-err/json/ztab/$ts/ztab-err.json")))
     assert(Files.exists(
       Paths.get(s"$root/result/parquet/ztab/$ts/ztab6.parquet")))
     assert(Files.exists(
-      Paths.get(s"$root/result-err/parquet/ztab/$ts/ztab2.parquet")))
+      Paths.get(s"$root/result-err/parquet/ztab/$ts/ztab-err.parquet")))
   }
 
   test("err rows are header-less: integer column names (`:186,197`)") {
@@ -54,7 +55,7 @@ class LayoutSpec extends AnyFunSuite {
     // json side: keys are "0","1" too
     Layout.writeDual(good, err, root, "json", "ztab", ts)
     val line = Files.readAllLines(
-      Paths.get(s"$root/result-err/json/ztab/$ts/ztab2.json")).asScala.head
+      Paths.get(s"$root/result-err/json/ztab/$ts/ztab-err.json")).asScala.head
     assert(line.contains("\"0\":") && line.contains("\"1\":"))
   }
 

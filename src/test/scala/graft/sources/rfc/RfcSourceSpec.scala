@@ -171,6 +171,27 @@ class RfcSourceSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(perm.filter(col("_corrupt_record").isNull).count() == 3)
   }
 
+  test("10: IN over a typed (date) column stays Spark-side — a partial " +
+    "or empty pushed IN list would silently drop rows") {
+    val rows = (1 to 5).map(zrow).toList
+      .updated(2, zrow(3).updated(2, "20240116"))
+    MockRfcBackend.register("ZSALES", MockTable(zfields, rows))
+    val got = read()
+      .filter(col("DOCDATE").isin(
+        java.sql.Date.valueOf("2024-01-16"), java.sql.Date.valueOf("2030-01-01")))
+      .select("DOCNUM").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(3L))
+    // must not appear in OPTIONS at all (all-or-nothing translate)
+    assert(MockRfcBackend.calls.forall(
+      _.options.forall(!_.contains("DOCDATE"))))
+    // a string IN still pushes fully
+    MockRfcBackend.clear()
+    MockRfcBackend.register("ZSALES", MockTable(zfields, rows))
+    assert(read().filter(col("MANDT").isin("100", "200")).count() == 5)
+    assert(MockRfcBackend.calls.exists(
+      _.options.contains("MANDT IN ('100','200')")))
+  }
+
   test("6: empty table — zero rows, schema still inferred from FIELDS") {
     MockRfcBackend.register("ZSALES", MockTable(zfields, Nil))
     val df = read()

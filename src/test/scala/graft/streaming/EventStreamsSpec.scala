@@ -155,4 +155,82 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(latest(2L) == ((1L, 10.0, "c")))
     } finally q.stop()
   }
+
+  test("idle users are evicted by the event-time timeout: the next event " +
+    "reopens the profile from zero") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[SEvent]
+    // 1-hour idle timeout for the test (default is 4 h)
+    val q = EventStreams.runningUserCounts(in.toDS(), idleMs = 3600L * 1000)
+      .writeStream.format("memory").queryName("evict")
+      .outputMode(EventStreams.RunningMode).start()
+    try {
+      in.addData(ev(1, "10:00", user = 1, v = 1.0),
+        ev(2, "10:10", user = 1, v = 2.0))
+      drain(q)
+      // two far-future events advance the watermark (= max ts - 2 h) past
+      // 11:10 (= last event + idle); the second batch fires the timeout
+      in.addData(ev(3, "23:00", user = 9L))
+      drain(q)
+      in.addData(ev(4, "23:05", user = 8L))
+      drain(q)
+      // user 1 returns: state was evicted, so the profile restarts at 1
+      // (without eviction this would be (3, 10.0))
+      in.addData(ev(5, "23:10", user = 1, v = 7.0))
+      drain(q)
+      val user1 = spark.table("evict").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(user1 == Set((2L, 3.0), (1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("RocksDB state store: running aggregates survive a query restart " +
+    "from the checkpoint") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("rocksdb-ckpt-").toString
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[SEvent]
+      val seen = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]
+      def start() = EventStreams.runningUserCounts(in.toDS())
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[EventStreams.UserAgg],
+                         _: Long) =>
+          val rows = df.collect()
+          seen.synchronized {
+            seen ++= rows.map(a => (a.user_id, a.n_events, a.sum_value))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(EventStreams.RunningMode).start()
+      val q1 = start()
+      in.addData(ev(1, "10:00", user = 1, v = 1.0),
+        ev(2, "10:10", user = 1, v = 2.0))
+      drain(q1)
+      q1.stop()
+      // restart from the same checkpoint: state (n=2, sum=3.0) must be
+      // recovered from the RocksDB store, not rebuilt from zero
+      val q2 = start()
+      try {
+        in.addData(ev(3, "10:20", user = 1, v = 4.0))
+        drain(q2)
+        val latest = seen.synchronized {
+          seen.filter(_._1 == 1L).map(a => (a._2, a._3)).maxBy(_._1)
+        }
+        assert(latest == ((3L, 7.0)))
+      } finally q2.stop()
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
