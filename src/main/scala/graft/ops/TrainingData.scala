@@ -407,6 +407,61 @@ object TrainingData {
       .orderBy("q_id", "rn")
   }
 
+  /** q93: many-query ANN via an IVF (inverted-file) coarse quantizer —
+    * the data-adaptive counterpart to q86's data-oblivious SRP LSH.
+    *
+    * Shape: (1) 16 coarse centroids (the `vec_id < 16` corpus vectors —
+    * a deterministic stand-in for trained k-means centroids, which
+    * would be iterated offline and broadcast the same way); (2) every
+    * corpus vector is assigned to its nearest centroid's cell — one
+    * broadcast pass over the corpus, argmax cosine per vector; (3) each
+    * query probes its `nprobe = 4` nearest cells and exact-cosine
+    * reranks only those cells' members to top-3. Candidates per query ≈
+    * corpus·(nprobe/16), and because cells track the data distribution
+    * (unlike fixed random hyperplanes) the probed cells hold the true
+    * neighbors — full top-3 coverage on this testdata at every SF.
+    *
+    * The centroid fan-out is a broadcast crossJoin against the 16-row
+    * centroid table — a BNLJ whose build side is constant-bounded by
+    * construction (PlanShapeSpec's no-BNLJ rule carries it as a named
+    * exception next to q73/q90's 1-row crossJoins; the trap the rule
+    * exists for is a BNLJ against an UNBOUNDED side). At 100 TB the
+    * assignment pass's HOF dot products are the hot loop — swap in a
+    * codegen'd expression like [[graft.functions.SrpBucket]] if
+    * profiling shows the interpreted lambda dominating the scan. */
+  def q93AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(T(s, dir, "embeddings"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ec"),
+        col("nrm").as("ncn"))
+    val centDot =
+      "aggregate(zip_with(embedding, ec, (x, y) -> cast(x as double) * cast(y as double)), 0d, (acc, v) -> acc + v)"
+    // nearest-centroid rank per vector: arn = 1 is the assignment, and
+    // for query vectors arn <= 4 are the probed cells
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cent_id"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("csim", expr(centDot) / (col("nrm") * col("ncn")))
+      .withColumn("arn", row_number().over(wAssign))
+      .select("vec_id", "embedding", "nrm", "cent_id", "arn")
+    val cells = assign.filter(col("arn") === 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("eb"),
+        col("nrm").as("nc"), col("cent_id").as("cell"))
+    val qprobe = assign.filter(col("arn") <= 4 && col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("ea"),
+        col("nrm").as("nq"), col("cent_id").as("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim_raw").desc, col("c_id"))
+    cells
+      .join(broadcast(qprobe),
+        cells("cell") === qprobe("cell") && col("c_id") =!= col("q_id"))
+      .withColumn("sim_raw", expr(dotExpr) / (col("nq") * col("nc")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("c_id"), round(col("sim_raw"), 4).as("sim"),
+        col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
   /** Marker lexicon for q82 — stand-in per-language stopword lists drawn
     * from the synthetic vocabulary (a real deployment broadcasts real
     * lexicons; the shape — broadcast dictionary join + per-doc argmax —
@@ -625,6 +680,7 @@ object TrainingData {
     "q90_tfidf_top_terms" -> q90TfidfTopTerms _,
     "q91_text_clean" -> q91TextClean _,
     "q92_sequence_pack" -> q92SequencePack _,
+    "q93_ann_ivf" -> q93AnnIvf _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -732,6 +788,28 @@ object TrainingData {
         |           FROM cand)
         |SELECT q_id, c_id, round(sim, 4) AS sim, CAST(rn AS INTEGER) AS rn
         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "q93_ann_ivf" -> {
+      val dot = (a: String, b: String) =>
+        s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a) + 1)])"
+      s"""WITH e AS (SELECT vec_id, embedding,
+        |           sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, embedding AS ec, nrm AS ncn FROM e WHERE vec_id < 16),
+        |sim AS (SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+        |        ${dot("e.embedding", "c.ec")} / (e.nrm * c.ncn) AS csim
+        |        FROM e CROSS JOIN c),
+        |assign AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn FROM sim),
+        |cells AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM assign WHERE arn = 1),
+        |qprobe AS (SELECT vec_id AS q_id, embedding AS eq, nrm AS nq, cent_id AS cell
+        |           FROM assign WHERE arn <= 4 AND vec_id % 50 = 0),
+        |cand AS (SELECT q.q_id, c2.vec_id AS c_id,
+        |         ${dot("q.eq", "c2.embedding")} / (q.nq * c2.nrm) AS sim
+        |         FROM qprobe q JOIN cells c2 ON q.cell = c2.cell AND c2.vec_id <> q.q_id),
+        |ranked AS (SELECT q_id, c_id, sim,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM cand)
+        |SELECT q_id, c_id, round(sim, 4) AS sim, CAST(rn AS INTEGER) AS rn
+        |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+    },
     "q87_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |       upper(substr(hex(encode(text)), 1, 8)) AS magic

@@ -59,9 +59,9 @@ object Probe {
     val results = collection.mutable.Map.empty[String, List[Double]]
     def run(name: String)(f: => DataFrame): Unit =
       results(name) = time(name)(f) :: results.getOrElse(name, Nil)
-    graft.ops.TrainingData.q86AnnLsh(spark, dir).show(10, false)
+    graft.ops.TrainingData.q93AnnIvf(spark, dir).show(10, false)
     for (_ <- 1 to rounds) {
-      run("q86_full")(graft.ops.TrainingData.q86AnnLsh(spark, dir))
+      run("q93_full")(graft.ops.TrainingData.q93AnnIvf(spark, dir))
     }
     println("[probe] === medians ===")
     results.toSeq.sortBy(_._1).foreach { case (k, v) =>
