@@ -149,9 +149,24 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of q70/q71: keep the
+    * first occurrence per `event_id`. `dropDuplicatesWithinWatermark`
+    * bounds the dedup state by the watermark (a plain dropDuplicates
+    * would grow state forever): two events with the same id are
+    * deduplicated whenever they arrive within the watermark delay of
+    * each other, and an id's state is evicted once the watermark passes
+    * its event time — the contract a training-data ingest needs
+    * (duplicates cluster in time; an unbounded-lookback guarantee is
+    * what the batch q70 pass is for). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Output mode each transform requires (kept next to the transforms so
     * callers don't guess): tumbling/session → Append, custom state →
     * Update. */
+  val DedupMode: OutputMode = OutputMode.Append()
   val TumblingMode: OutputMode = OutputMode.Append()
   val SessionMode: OutputMode = OutputMode.Append()
   val RunningMode: OutputMode = OutputMode.Update()

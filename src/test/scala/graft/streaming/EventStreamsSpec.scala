@@ -186,6 +186,36 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first occurrence per event_id; state is " +
+    "watermark-bounded (a stale id re-admits after eviction)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[SEvent]
+    val q = EventStreams.dedupedEvents(in.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(EventStreams.DedupMode).start()
+    try {
+      // id 1 twice in one batch, id 2 once
+      in.addData(ev(1, "10:00", v = 1.0), ev(1, "10:00", v = 1.0),
+        ev(2, "10:10"))
+      drain(q)
+      // id 1 again in a later batch, still within the watermark → dropped
+      in.addData(ev(1, "10:30"))
+      drain(q)
+      assert(spark.table("dedup").select("event_id").as[Long].collect()
+        .toSeq.sorted == Seq(1L, 2L))
+      // advance the watermark far past id 1's state, then send id 1 again:
+      // its dedup state was evicted, so it re-admits (documented contract —
+      // watermark-bounded, not unbounded-lookback)
+      in.addData(ev(9, "23:00", user = 9L))
+      drain(q)
+      in.addData(ev(1, "23:05"))
+      drain(q)
+      val ones = spark.table("dedup").filter($"event_id" === 1L).count()
+      assert(ones == 2L)
+    } finally q.stop()
+  }
+
   test("RocksDB state store: running aggregates survive a query restart " +
     "from the checkpoint") {
     import spark.implicits._
