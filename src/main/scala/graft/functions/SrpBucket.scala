@@ -25,8 +25,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * and `±1 * x` are exact), so the sign — hence the bucket — is
   * identical in both engines.
   *
-  * Assumes non-null array elements (embedding vectors); a vector shorter
-  * than a plane is dotted over its own length. */
+  * Assumes non-null array elements (embedding vectors). A vector
+  * shorter than a plane yields NULL — the answer the ORACLE's chain
+  * gives (DuckDB's out-of-range `embedding[j]` is NULL, propagating
+  * through sum and comparison), so malformed rows drop out of bucket
+  * joins identically in both engines rather than silently bucketing on
+  * a prefix. (Spark's own `element_at` chain would instead throw under
+  * ANSI mode — a third behavior nobody wants.) */
 case class SrpBucket(child: Expression, planes: Array[Array[Int]])
     extends UnaryExpression {
 
@@ -38,16 +43,19 @@ case class SrpBucket(child: Expression, planes: Array[Array[Int]])
   override def dataType: DataType = IntegerType
   override def prettyName: String = "srp_bucket"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    val dims = if (planes.isEmpty) 0 else planes(0).length
+    if (arr.numElements() < dims) return null
     var bucket = 0
     var k = 0
     while (k < planes.length) {
       val p = planes(k)
-      val n = math.min(p.length, arr.numElements())
       var acc = 0.0
       var j = 0
-      while (j < n) { acc += p(j) * arr.getFloat(j).toDouble; j += 1 }
+      while (j < p.length) { acc += p(j) * arr.getFloat(j).toDouble; j += 1 }
       if (acc > 0) bucket |= 1 << k
       k += 1
     }
@@ -56,22 +64,25 @@ case class SrpBucket(child: Expression, planes: Array[Array[Int]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("planes", planes, "int[][]")
+    val dims = if (planes.isEmpty) 0 else planes(0).length
     nullSafeCodeGen(ctx, ev, arr => {
       val k = ctx.freshName("k")
       val j = ctx.freshName("j")
-      val n = ctx.freshName("n")
       val p = ctx.freshName("p")
       val acc = ctx.freshName("acc")
       s"""
          |${ev.value} = 0;
-         |for (int $k = 0; $k < $planesRef.length; $k++) {
-         |  int[] $p = $planesRef[$k];
-         |  int $n = java.lang.Math.min($p.length, $arr.numElements());
-         |  double $acc = 0.0;
-         |  for (int $j = 0; $j < $n; $j++) {
-         |    $acc += $p[$j] * (double) $arr.getFloat($j);
+         |if ($arr.numElements() < $dims) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $k = 0; $k < $planesRef.length; $k++) {
+         |    int[] $p = $planesRef[$k];
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $p.length; $j++) {
+         |      $acc += $p[$j] * (double) $arr.getFloat($j);
+         |    }
+         |    if ($acc > 0.0) ${ev.value} |= 1 << $k;
          |  }
-         |  if ($acc > 0.0) ${ev.value} |= 1 << $k;
          |}
        """.stripMargin
     })

@@ -59,14 +59,15 @@ object TrainingData {
     // 8 min-aggregates (partial+final, one shuffle on doc_id) — an
     // HOF-lambda formulation evaluates interpreted and ran ~4× slower.
     // The 8 md5s run once per DISTINCT shingle (dictionary pattern,
-    // see simhashes) and join back — shingles repeat heavily in any
-    // shared-vocabulary corpus, and the distinct table is the small
-    // side AQE broadcasts (shuffle join at vocabulary scale).
+    // see simhashes) and join back. No broadcast hint: locally AQE
+    // broadcasts the small dictionary on its own, and at vocabulary
+    // scale — where the dictionary exceeds executor memory — the same
+    // plan degrades to a shuffle join instead of a forced-broadcast OOM.
     val sh = shingleRows(s, dir)
     val dict = sh.select("sh").distinct()
       .select(col("sh") +: (0 until 8).map(k =>
         md5(concat(lit(s"$k:"), col("sh"))).as(s"h$k")): _*)
-    val hashed = sh.join(broadcast(dict), "sh")
+    val hashed = sh.join(dict, "sh")
     val sig = hashed.groupBy("doc_id")
       .agg(min(col("h0")).as("m0"),
         (1 until 8).map(k => min(col(s"h$k")).as(s"m$k")): _*)
@@ -150,7 +151,15 @@ object TrainingData {
     * but only over buckets with ≥2 distinct fingerprints). At 100 TB an
     * adversarial bucket (16-bit key space) can still grow; AQE cannot
     * split an aggregate, so the documented mitigation is a bucket-size
-    * cap with salted recheck — not needed at any tested SF. */
+    * cap with salted recheck — not needed at any tested SF.
+    *
+    * The per-fingerprint doc list (`ds`) is likewise unbounded: a
+    * boilerplate document duplicated millions of times puts its whole
+    * cluster in one aggregation row (2 GB row limit), and its intra
+    * pairs are c² *by the query's own definition*. At corpus scale the
+    * correct contract change is representative semantics — keep
+    * (fingerprint, count, min doc_id) per cluster and emit clusters,
+    * not pairs; the banding/verify machinery is unchanged by that. */
   def q88SimhashHamming(s: SparkSession, dir: String): DataFrame = {
     // pack the fingerprint into one BIGINT: shiftleft/or keeps the
     // exact bit pattern (sign is irrelevant — the word is only an
@@ -440,10 +449,16 @@ object TrainingData {
     // for query vectors arn <= 4 are the probed cells
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cent_id"))
+    // materialize the top-4 assignment slice once: `cells` (arn = 1) and
+    // `qprobe` (arn <= 4) both branch off it, and without the checkpoint
+    // the corpus × 16 dot-product pass + window shuffle would execute
+    // once per branch
     val assign = e.crossJoin(broadcast(cents))
       .withColumn("csim", expr(centDot) / (col("nrm") * col("ncn")))
       .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= 4)
       .select("vec_id", "embedding", "nrm", "cent_id", "arn")
+      .localCheckpoint(true)
     val cells = assign.filter(col("arn") === 1)
       .select(col("vec_id").as("c_id"), col("embedding").as("eb"),
         col("nrm").as("nc"), col("cent_id").as("cell"))

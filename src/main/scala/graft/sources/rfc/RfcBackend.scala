@@ -68,9 +68,11 @@ class MockRfcBackend extends RfcBackend {
     // paged as one logical sequence
     val allWa = filtered.map(r => selIdx.map(r(_)).mkString(delimiter)) ++
       t.rawWa
-    // clamp instead of truncating: .toInt past 2³¹ rows would wrap
+    // clamp both indices instead of truncating: .toInt (or the end-index
+    // sum) past 2³¹ rows would wrap negative and silently empty the page
     val from = math.min(rowSkips, Int.MaxValue.toLong).toInt
-    val page = allWa.slice(from, from + math.max(rowCount, 0))
+    val until = math.min(rowSkips + math.max(rowCount, 0), Int.MaxValue.toLong).toInt
+    val page = allWa.slice(from, until)
     RfcPage("TAB512", sel, page)
   }
 
@@ -93,8 +95,18 @@ class MockRfcBackend extends RfcBackend {
     (in, cmp) match {
       case (Some(m), _) =>
         val cell = cellOf(t, row, m.group(1))
-        m.group(2).split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
-          .contains(cell)
+        // tokenize the quoted list properly ('' is an escaped quote — a
+        // comma split would shred values containing commas), and compare
+        // numerically on numeric columns (the cell text is zero-padded,
+        // so 'DOCNUM IN ('3')' must match cell '0000000003' the same way
+        // the comparison branch does)
+        val vals = QuotedRe.findAllMatchIn(m.group(2))
+          .map(_.group(1).replace("''", "'")).toSeq
+        if (isNumericType(t, m.group(1))) {
+          val cellNum = scala.util.Try(BigDecimal(cell)).toOption
+          cellNum.exists(c => vals.exists(v =>
+            scala.util.Try(BigDecimal(v)).toOption.contains(c)))
+        } else vals.contains(cell)
       case (_, Some(m)) =>
         val cell = cellOf(t, row, m.group(1))
         val op = m.group(2)
@@ -137,6 +149,7 @@ class MockRfcBackend extends RfcBackend {
 object MockRfcBackend {
   private val InRe = """^(\w+) IN \((.+)\)$""".r
   private val CmpRe = """^(\w+) (=|<>|>=|<=|>|<|LIKE) '(.*)'$""".r
+  private val QuotedRe = """'((?:[^']|'')*)'""".r
 
   /** `rows` are structured cell lists (projectable/filterable); `rawWa`
     * are pre-joined malformed WA strings for arity-error fixtures;

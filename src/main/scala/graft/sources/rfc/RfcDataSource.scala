@@ -155,11 +155,22 @@ class RfcScanBuilder(fullSchema: StructType, opts: RfcOptions)
       val qs = vs.map(quote)
       if (qs.forall(_.isDefined)) Some(s"$a IN (${qs.flatten.mkString(",")})")
       else None
-    case StringStartsWith(a, v) => quote(v + "%").map(q => s"$a LIKE $q")
-    case StringEndsWith(a, v) => quote("%" + v).map(q => s"$a LIKE $q")
-    case StringContains(a, v) => quote("%" + v + "%").map(q => s"$a LIKE $q")
+    // only push when the literal is free of LIKE metacharacters: a '%'
+    // or '_' inside the value would be interpreted as a wildcard
+    // server-side (ABAP LIKE), silently widening the Spark contract
+    // (startsWith/endsWith/contains are literal matches) — such filters
+    // stay Spark-side
+    case StringStartsWith(a, v) if !hasLikeMeta(v) =>
+      quote(v + "%").map(q => s"$a LIKE $q")
+    case StringEndsWith(a, v) if !hasLikeMeta(v) =>
+      quote("%" + v).map(q => s"$a LIKE $q")
+    case StringContains(a, v) if !hasLikeMeta(v) =>
+      quote("%" + v + "%").map(q => s"$a LIKE $q")
     case _ => None
   }
+
+  private def hasLikeMeta(v: String): Boolean =
+    v.contains("%") || v.contains("_")
 }
 
 final case class RfcInputPartition(rowSkips: Long, rowCount: Long)

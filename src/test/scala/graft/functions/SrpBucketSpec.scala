@@ -50,19 +50,20 @@ class SrpBucketSpec extends AnyFunSuite {
     }
   }
 
-  test("all-zero and truncated vectors bucket to 0 without error") {
+  test("all-zero buckets to 0; short/empty vectors are NULL (the DuckDB " +
+    "chain's answer — they must drop out of bucket joins, not prefix-bucket)") {
     import spark.implicits._
     val df = Seq(Array.fill(64)(0f), Array(1f, -1f), Array.empty[Float])
       .toDF("embedding")
       .withColumn("b", SrpBucket.bucket(col("embedding"), TrainingData.lshPlanes))
-    val bs = df.select("b").as[Int].collect()
-    assert(bs(0) == 0) // dot == 0 is not > 0 on any plane
-    assert(bs(2) == 0) // empty vector: every dot is the empty sum
-    // 2-element vector: only the first two signs of each plane matter —
-    // recompute expected straight from the matrix
-    val expected = TrainingData.lshPlanes.zipWithIndex.collect {
-      case (p, k) if p(0) * 1f + p(1) * -1f > 0 => 1 << k
-    }.sum
-    assert(bs(1) == expected)
+    val bs = df.select("b").collect()
+    assert(!bs(0).isNullAt(0) && bs(0).getInt(0) == 0) // dot == 0 is not > 0
+    assert(bs(1).isNullAt(0)) // 2 of 64 dims
+    assert(bs(2).isNullAt(0)) // empty
+    // interpreted path agrees
+    val e = SrpBucket(
+      BoundReference(0, ArrayType(FloatType, containsNull = false), nullable = true),
+      TrainingData.lshPlanes)
+    assert(e.eval(InternalRow(ArrayData.toArrayData(Array(1f, -1f)))) == null)
   }
 }

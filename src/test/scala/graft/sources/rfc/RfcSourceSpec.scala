@@ -192,6 +192,25 @@ class RfcSourceSpec extends AnyFunSuite with BeforeAndAfterEach {
       _.options.contains("MANDT IN ('100','200')")))
   }
 
+  test("11: numeric IN pushes and matches zero-padded cells numerically; " +
+    "LIKE-metacharacter prefixes stay Spark-side") {
+    MockRfcBackend.register("ZSALES", MockTable(zfields, (1 to 5).map(zrow)))
+    // DOCNUM cells are '0000000003'-style; a pushed IN ('3','4') must
+    // still match them (numeric compare, like the > < branches)
+    val got = read().filter(col("DOCNUM").isin(3L, 4L))
+      .select("DOCNUM").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(3L, 4L))
+    assert(MockRfcBackend.calls.exists(
+      _.options.contains("DOCNUM IN ('3','4')")))
+    // 'padded_' contains a LIKE wildcard char: the filter must not push
+    // (server-side LIKE would treat '_' as any-char), and must still
+    // evaluate correctly Spark-side
+    MockRfcBackend.clear()
+    MockRfcBackend.register("ZSALES", MockTable(zfields, (1 to 5).map(zrow)))
+    assert(read().filter(col("NOTE").startsWith("padded_")).count() == 0)
+    assert(MockRfcBackend.calls.forall(_.options.forall(!_.contains("LIKE"))))
+  }
+
   test("6: empty table — zero rows, schema still inferred from FIELDS") {
     MockRfcBackend.register("ZSALES", MockTable(zfields, Nil))
     val df = read()
