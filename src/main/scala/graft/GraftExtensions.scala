@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.SrpBucket
+import graft.ops.TrainingData
+
+/** `SparkSessionExtensions` entry point: registers the library's native
+  * expressions so SQL users reach them without the Scala Column API —
+  * `SELECT srp_bucket(embedding) FROM ...` works in plain `spark.sql`.
+  *
+  * Wire-up (either):
+  *  - `SparkSession.builder.withExtensions(new GraftExtensions)` in code;
+  *  - `spark.sql.extensions=graft.GraftExtensions` in config — the path a
+  *    cluster deployment uses, no code changes.
+  *
+  * `srp_bucket(vec)` uses the library's seeded default sign matrix (the
+  * one q86 and its DuckDB oracle share); programmatic callers who need
+  * custom planes keep using [[SrpBucket.bucket]] directly. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.srpBucketDescriptor)
+  }
+}
+
+object GraftExtensions {
+  private[graft] val srpBucketDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("srp_bucket"),
+    new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "srp_bucket(vec) takes exactly one argument")
+      SrpBucket(children.head, TrainingData.lshPlanes)
+    })
+
+  /** Same registration against an already-built session (tests, REPL). */
+  def register(registry: FunctionRegistry): Unit = {
+    val (id, info, builder) = srpBucketDescriptor
+    registry.registerFunction(id, info, builder)
+  }
+}

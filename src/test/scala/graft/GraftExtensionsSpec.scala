@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SrpBucket
+import graft.ops.TrainingData
+
+/** `srp_bucket` registered through the extension point must be reachable
+  * from plain SQL and agree with the Column-API route. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("srp_bucket registers and matches the Column API from SQL") {
+    GraftExtensions.register(ColumnBridge.registry(spark))
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    Seq.fill(20)(Array.fill(64)(rnd.nextGaussian().toFloat))
+      .toDF("embedding").createOrReplaceTempView("ext_vecs")
+    val viaSql = spark.sql("SELECT srp_bucket(embedding) AS b FROM ext_vecs")
+      .as[Int].collect().toSeq
+    val viaColumn = spark.table("ext_vecs")
+      .select(SrpBucket.bucket(col("embedding"), TrainingData.lshPlanes).as("b"))
+      .as[Int].collect().toSeq
+    assert(viaSql == viaColumn)
+    assert(viaSql.distinct.size > 1) // not degenerate
+  }
+
+  test("srp_bucket arity is enforced") {
+    GraftExtensions.register(ColumnBridge.registry(spark))
+    val e = intercept[Exception] {
+      spark.sql("SELECT srp_bucket(array(1.0f), array(1.0f))").collect()
+    }
+    assert(e.getMessage.contains("exactly one argument") ||
+      e.getMessage.toLowerCase.contains("srp_bucket"))
+  }
+}
