@@ -613,6 +613,33 @@ object TrainingData {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("lang", "split")
 
+  /** Per-language sampling rates for q94 (percent kept). Languages
+    * without a rate are dropped — an explicit rebalancing contract, not
+    * an accident (the inner join makes it visible in the plan). */
+  private val sampleRates: Seq[(String, Int)] =
+    Seq(("en", 10), ("es", 50), ("de", 75), ("fr", 100))
+
+  /** q94: stratified downsampling — the corpus-rebalancing op between
+    * q89's fixed three-way split and a real training mix: each language
+    * keeps `rate`% of its documents, selected by the same deterministic
+    * md5 bucket as q89 (machine-stable: membership depends only on
+    * doc_id, so a rerun, a different cluster, or an incremental append
+    * keeps/drops the same documents). Broadcast rates join + pure
+    * projection filter — no shuffle except the output sort; linear at
+    * any scale. */
+  def q94StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = broadcast(sampleRates.toDF("lang", "rate"))
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .join(rates, Seq("lang"))
+      .filter(expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 100")
+        < col("rate"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   /** q90: TF-IDF top terms per document (doc_id < 20): term frequency
     * agg, document-frequency agg, idf = ln(N/df), top-3 per doc. The
     * document-frequency table is vocabulary-sized → broadcast here; at
@@ -696,6 +723,7 @@ object TrainingData {
     "q91_text_clean" -> q91TextClean _,
     "q92_sequence_pack" -> q92SequencePack _,
     "q93_ann_ivf" -> q93AnnIvf _,
+    "q94_stratified_sample" -> q94StratifiedSample _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -838,6 +866,16 @@ object TrainingData {
         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         |       count(*) AS cnt
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q94_stratified_sample" -> {
+      val rateCase = sampleRates
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      s"""WITH r AS (SELECT lang, CASE lang $rateCase END AS rate
+        |           FROM (SELECT DISTINCT lang FROM documents)
+        |           WHERE CASE lang $rateCase END IS NOT NULL)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::INT) % 100 < r.rate
+        |ORDER BY d.doc_id""".stripMargin
+    },
     "q90_tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks WHERE word <> '' GROUP BY 1, 2),
