@@ -48,4 +48,54 @@ object Multimodal {
       }
     }
   }
+
+  /** Output of [[resize]]: the re-encoded blob plus its new dimensions. */
+  final case class ResizedRow(doc_id: Long, bin: Array[Byte], width: Int,
+                              height: Int)
+
+  /** STUB resize — stands in for decode→scale→re-encode. Deterministic:
+    * the "re-encoded" blob is a byte subsample whose length scales with
+    * the target area, so size/shape assertions are exact. A real
+    * implementation swaps only this function. */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = math.max(1, math.min(bytes.length, (w * h) / 8))
+    val step = math.max(1, bytes.length / n)
+    bytes.indices.by(step).take(n).map(bytes(_)).toArray
+  }
+
+  /** Partition-wise resize to a fixed target — the normalize step before
+    * feature extraction. Same iterator shape as [[decode]] (codec init
+    * amortizes per partition); blob-in/blob-out, so stages compose:
+    * `resize(...) |> decode`. */
+  def resize(ds: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedRow] = {
+    implicit val enc: Encoder[ResizedRow] = Encoders.product[ResizedRow]
+    ds.mapPartitions { rows =>
+      rows.map(r => ResizedRow(r.doc_id, resizeStub(r.bin, w, h), w, h))
+    }
+  }
+
+  /** One sampled frame of a video blob. */
+  final case class FrameRow(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: treat a video blob as fixed-size frame records and
+    * emit every `every`-th frame as its own row (`flatMap` — one input
+    * row explodes to its sampled frames; a trailing partial frame is
+    * dropped, as a real demuxer drops a truncated tail). Downstream the
+    * per-frame rows hash-partition like any other table, so frame-level
+    * feature extraction parallelizes beyond the video count. A real
+    * implementation replaces fixed-size slicing with container demuxing
+    * (the `every`-th-keyframe contract is unchanged). */
+  def frameSample(ds: Dataset[MediaRow], frameBytes: Int,
+                  every: Int): Dataset[FrameRow] = {
+    require(frameBytes > 0 && every > 0, "frameBytes and every must be > 0")
+    implicit val enc: Encoder[FrameRow] = Encoders.product[FrameRow]
+    ds.flatMap { r =>
+      val nFrames = r.bin.length / frameBytes
+      (0 until nFrames by every).map { i =>
+        FrameRow(r.doc_id, i,
+          java.util.Arrays.copyOfRange(r.bin, i * frameBytes,
+            (i + 1) * frameBytes))
+      }
+    }
+  }
 }

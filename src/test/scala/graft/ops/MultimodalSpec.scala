@@ -44,4 +44,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(media).schema.fieldNames.toSeq ==
       Seq("doc_id", "n_bytes", "width", "height", "checksum"))
   }
+
+  test("resize targets the requested shape and composes with decode") {
+    val out = Multimodal.resize(media, 32, 32).collect()
+    assert(out.length == media.count())
+    out.foreach { r =>
+      assert(r.width == 32 && r.height == 32)
+      assert(r.bin.length <= 32 * 32 / 8 && r.bin.nonEmpty)
+    }
+    // blob-in/blob-out: the resized set feeds decode unchanged
+    import spark.implicits._
+    val resized = Multimodal.resize(media, 32, 32)
+      .select(col("doc_id"), col("bin")).as[MediaRow]
+    assert(Multimodal.decode(resized).count() == media.count())
+  }
+
+  test("frameSample emits every k-th fixed-size frame and drops the " +
+    "truncated tail") {
+    import spark.implicits._
+    // 10.5 frames of 4 bytes: frames 0..9 exist, tail dropped; every=3
+    // samples frames 0, 3, 6, 9
+    val bin = Array.tabulate(42)(_.toByte)
+    val ds = Seq(Multimodal.MediaRow(7L, bin)).toDS()
+    val out = Multimodal.frameSample(ds, frameBytes = 4, every = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq == Seq(0, 3, 6, 9))
+    out.foreach { f =>
+      assert(f.doc_id == 7L && f.frame.length == 4)
+      assert(f.frame.toSeq ==
+        (f.frame_idx * 4 until f.frame_idx * 4 + 4).map(_.toByte))
+    }
+  }
 }
