@@ -16,6 +16,21 @@ import graft.SparkTestBase
 class DataContractSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
+  test("every declared query has a DuckDB oracle or is on the named " +
+    "ScalaTest-verified exception list (the driver records only a weak " +
+    "rows-check without an oracle — additions must opt out explicitly)") {
+    val noOracle = Set( // each verified by a dedicated ScalaTest suite
+      "q06_sink_layout",         // LayoutSpec
+      "q36_agg_approx_distinct", // HllBoundSpec
+      "q39_approx_percentile")   // HllBoundSpec
+    val queries = graft.SparkEntry.queries.keySet
+    val oracles = graft.SparkEntry.oracleSql.keySet
+    assert((queries -- oracles -- noOracle).isEmpty,
+      s"queries without oracle: ${queries -- oracles -- noOracle}")
+    assert((oracles -- queries).isEmpty,
+      s"orphan oracle entries: ${oracles -- queries}")
+  }
+
   for (sf <- Seq("sf0.001", "sf0.01")) {
     test(s"events.ts at $sf is non-negative (floor-div contract)") {
       val bad = T(spark, s"/root/testdata/$sf", "events")

@@ -55,6 +55,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q04 pushes its filters into the RFC scan's OPTIONS (visible in " +
+    "the DSv2 scan description)") {
+    val plan = planOf(graft.sources.rfc.RfcQueries.q04RfcSourceScan(
+      spark, SparkTestBase.Sf0001))
+    assert(plan.contains("sap-rfc"), plan)
+    assert(plan.contains("REGIONKEY >= '2'") && plan.contains("NATIONKEY < '20'"),
+      plan)
+  }
+
   test("no query plans a cartesian product or nested-loop join " +
     "(except deliberate bounded broadcast crossJoins: 1-row in q73/q90, " +
     "the 16-row centroid table in q93)") {
