@@ -243,12 +243,23 @@ object TrainingData {
     // ground truth every round, so a collision cannot pass silently.
     //
     // The per-doc sets feed FOUR branches (both prefix join sides,
-    // both verify join sides); localCheckpoint materializes the
-    // window+distinct shingle build once instead of per branch.
-    val docsets = shingleRows(s, dir)
-      .select(col("doc_id"), expr("xxhash64(sh)").as("hv"))
+    // both verify join sides); localCheckpoint materializes the build
+    // once instead of per branch. The build itself is ONE shuffle: the
+    // lead-window shingling leaves data hash-partitioned by doc_id, the
+    // per-doc dedup is collect_set INSIDE the aggregate (not a separate
+    // distinct — that's a second full (doc, shingle) exchange), and the
+    // groupBy reuses the window's partitioning, so no further exchange.
+    val wSh = Window.partitionBy("doc_id").orderBy("pos")
+    val docsets = T(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "word")
+      .withColumn("w1", lead("word", 1).over(wSh))
+      .withColumn("w2", lead("word", 2).over(wSh))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        expr("xxhash64(concat_ws(' ', word, w1, w2))").as("hv"))
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("hv"))).as("hs"))
+      .agg(sort_array(collect_set(col("hv"))).as("hs"))
       .withColumn("n", size(col("hs")))
       .localCheckpoint(true)
     val sh = docsets.select(col("doc_id"), col("n"), explode(col("hs")).as("hv"))
