@@ -28,14 +28,17 @@ import org.apache.spark.sql.functions._
   */
 object TrainingData {
 
-  /** Distinct 3-word shingles, one row per (doc_id, sh).
+  /** 3-word shingles, one row per OCCURRENCE (doc_id, sh) — callers
+    * that need per-doc set semantics dedup in their own aggregate
+    * (q72's min-aggregates don't need to: min over a multiset equals
+    * min over its set, so no distinct exchange is spent here).
     *
     * Built with posexplode + two `lead` windows rather than an HOF
     * `transform` over the split array: CollapseProject inlines the
     * `split(text)` into every lambda `element_at`, re-splitting the text
     * per shingle element — quadratic per document (measured: the HOF
     * build alone cost ~8 s at sf0.1; this shape is fully codegen'd).
-    * One shuffle on doc_id (window) + the distinct. */
+    * One shuffle on doc_id (the window). */
   private def shingleRows(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     T(s, dir, "documents")
@@ -46,7 +49,6 @@ object TrainingData {
       .filter(col("w2").isNotNull)
       .select(col("doc_id"),
         concat_ws(" ", col("word"), col("w1"), col("w2")).as("sh"))
-      .distinct()
   }
 
   /** q72: MinHash + LSH near-duplicate candidate pairs. K=8 minhashes
