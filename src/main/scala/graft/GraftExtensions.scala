@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -33,7 +33,18 @@ object GraftExtensions {
     FunctionIdentifier("srp_bucket"),
     new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
     (children: Seq[Expression]) => {
-      require(children.length == 1, "srp_bucket(vec) takes exactly one argument")
+      // Spark's standard wrong-arity UX: an AnalysisException with the
+      // WRONG_NUM_ARGS error class (what built-in functions raise), not
+      // a bare IllegalArgumentException escaping analysis.
+      if (children.length != 1) {
+        throw new AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "`srp_bucket`",
+            "expectedNum" -> "1",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }
       SrpBucket(children.head, TrainingData.lshPlanes)
     })
 

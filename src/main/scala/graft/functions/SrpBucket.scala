@@ -25,13 +25,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * and `±1 * x` are exact), so the sign — hence the bucket — is
   * identical in both engines.
   *
-  * Assumes non-null array elements (embedding vectors). A vector
-  * shorter than a plane yields NULL — the answer the ORACLE's chain
-  * gives (DuckDB's out-of-range `embedding[j]` is NULL, propagating
-  * through sum and comparison), so malformed rows drop out of bucket
-  * joins identically in both engines rather than silently bucketing on
-  * a prefix. (Spark's own `element_at` chain would instead throw under
-  * ANSI mode — a third behavior nobody wants.) */
+  * A vector shorter than a plane, or one with a NULL element, yields
+  * NULL — the answer the ORACLE's chain gives (DuckDB's out-of-range
+  * `embedding[j]` and NULL elements are both NULL, propagating through
+  * sum, comparison, cast, shift, and or), so malformed rows drop out
+  * of bucket joins identically in both engines rather than silently
+  * bucketing on a prefix or reading a null slot as 0.0. (Spark's own
+  * `element_at` chain would instead throw under ANSI mode — a third
+  * behavior nobody wants.) */
 case class SrpBucket(child: Expression, planes: Array[Array[Int]])
     extends UnaryExpression {
 
@@ -49,6 +50,8 @@ case class SrpBucket(child: Expression, planes: Array[Array[Int]])
     val arr = input.asInstanceOf[ArrayData]
     val dims = if (planes.isEmpty) 0 else planes(0).length
     if (arr.numElements() < dims) return null
+    var i = 0
+    while (i < dims) { if (arr.isNullAt(i)) return null; i += 1 }
     var bucket = 0
     var k = 0
     while (k < planes.length) {
@@ -70,9 +73,16 @@ case class SrpBucket(child: Expression, planes: Array[Array[Int]])
       val j = ctx.freshName("j")
       val p = ctx.freshName("p")
       val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
          |${ev.value} = 0;
-         |if ($arr.numElements() < $dims) {
+         |boolean ${i}_hasNull = false;
+         |if ($arr.numElements() >= $dims) {
+         |  for (int $i = 0; $i < $dims; $i++) {
+         |    if ($arr.isNullAt($i)) { ${i}_hasNull = true; break; }
+         |  }
+         |}
+         |if ($arr.numElements() < $dims || ${i}_hasNull) {
          |  ${ev.isNull} = true;
          |} else {
          |  for (int $k = 0; $k < $planesRef.length; $k++) {

@@ -152,16 +152,34 @@ object TrainingData {
     * The in-bucket pairing is an output-size-bound HOF (interpreted,
     * but only over buckets with ≥2 distinct fingerprints). At 100 TB an
     * adversarial bucket (16-bit key space) can still grow; AQE cannot
-    * split an aggregate, so the documented mitigation is a bucket-size
-    * cap with salted recheck — not needed at any tested SF.
+    * split an aggregate, so both collect_list aggregates carry an
+    * `assert_true` cap ([[q88MaxClusterDocs]] docs per fingerprint,
+    * [[q88MaxBucketFps]] fingerprints per band bucket): past the cap
+    * the job FAILS LOUDLY with the migration instruction instead of
+    * crawling toward the 2 GB row limit.
     *
-    * The per-fingerprint doc list (`ds`) is likewise unbounded: a
-    * boilerplate document duplicated millions of times puts its whole
-    * cluster in one aggregation row (2 GB row limit), and its intra
-    * pairs are c² *by the query's own definition*. At corpus scale the
-    * correct contract change is representative semantics — keep
-    * (fingerprint, count, min doc_id) per cluster and emit clusters,
-    * not pairs; the banding/verify machinery is unchanged by that. */
+    * The caps are the boundary of this query's contract: a boilerplate
+    * document duplicated millions of times puts its whole cluster in
+    * one aggregation row, and its intra pairs are c² *by the query's
+    * own definition*. At corpus scale the correct contract change is
+    * representative semantics — keep (fingerprint, count, min doc_id)
+    * per cluster and emit clusters, not pairs; the banding/verify
+    * machinery is unchanged by that. */
+  /** Loud-failure bounds for q88's two collect_list aggregates. Far
+    * above anything the tested SFs produce (≤ dozens), far below the
+    * 2 GB aggregation-row limit; exceeded ⇒ the corpus needs the
+    * representative-semantics variant, and the job says so. */
+  private[graft] val q88MaxClusterDocs = 1000000
+  private[graft] val q88MaxBucketFps = 100000
+
+  /** Keeps every row while forcing `cond` to be checked per row:
+    * `assert_true` returns NULL when the predicate holds (so the filter
+    * passes everything) and raises with `msg` when it does not. As a
+    * filter the check cannot be pruned the way an unused projected
+    * column would be. */
+  private def assertFilter(df: DataFrame, cond: String, msg: String): DataFrame =
+    df.filter(expr(s"assert_true($cond, '$msg') IS NULL"))
+
   def q88SimhashHamming(s: SparkSession, dir: String): DataFrame = {
     // pack the fingerprint into one BIGINT: shiftleft/or keeps the
     // exact bit pattern (sign is irrelevant — the word is only an
@@ -169,10 +187,14 @@ object TrainingData {
     val packed = expr((0 until 4).map(b =>
       s"shiftleft(cast(conv(substring(simhash, ${b * 16 + 1}, 16), 2, 10) as bigint), ${48 - 16 * b})")
       .mkString(" | "))
-    val fps = simhashes(s, dir)
-      .select(col("doc_id"), packed.as("fp"))
-      .groupBy("fp")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    val fps = assertFilter(
+      simhashes(s, dir)
+        .select(col("doc_id"), packed.as("fp"))
+        .groupBy("fp")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds")),
+      s"size(ds) <= $q88MaxClusterDocs",
+      s"q88: >$q88MaxClusterDocs docs share one simhash fingerprint - " +
+        "switch this corpus to representative cluster semantics")
     // docs with identical fingerprints: hamming 0, pairs straight from
     // the group (sorted list ⇒ da < db)
     val intra = fps.filter(size(col("ds")) > 1)
@@ -190,8 +212,12 @@ object TrainingData {
             .as("key"))): _*)).as("bk"))
       .select(col("fp"), col("ds"),
         col("bk.b").as("b"), col("bk.key").as("key"))
-    val buckets = bands.groupBy("b", "key")
-      .agg(sort_array(collect_list(struct(col("fp"), col("ds")))).as("gs"))
+    val buckets = assertFilter(
+      bands.groupBy("b", "key")
+        .agg(sort_array(collect_list(struct(col("fp"), col("ds")))).as("gs")),
+      s"size(gs) <= $q88MaxBucketFps",
+      s"q88: >$q88MaxBucketFps distinct fingerprints in one band bucket - " +
+        "cap/salt this bucket or raise the band width")
       .filter(size(col("gs")) > 1)
     // fingerprint-level candidates: i < j over the fp-sorted bucket list
     // gives a canonical (fa < fb) orientation, so the cross-band dedup

@@ -27,12 +27,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql.distinct.size > 1) // not degenerate
   }
 
-  test("srp_bucket arity is enforced") {
+  test("srp_bucket arity raises Spark's standard WRONG_NUM_ARGS analysis error") {
     GraftExtensions.register(ColumnBridge.registry(spark))
-    val e = intercept[Exception] {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT srp_bucket(array(1.0f), array(1.0f))").collect()
     }
-    assert(e.getMessage.contains("exactly one argument") ||
-      e.getMessage.toLowerCase.contains("srp_bucket"))
+    assert(e.getErrorClass != null && e.getErrorClass.startsWith("WRONG_NUM_ARGS"))
+    assert(e.getMessage.contains("srp_bucket"))
   }
 }

@@ -66,4 +66,25 @@ class SrpBucketSpec extends AnyFunSuite {
       TrainingData.lshPlanes)
     assert(e.eval(InternalRow(ArrayData.toArrayData(Array(1f, -1f)))) == null)
   }
+
+  test("a NULL element yields a NULL bucket (the DuckDB chain's answer — " +
+    "not a silent 0.0 read), in both codegen and interpreted paths") {
+    // array<float> with containsNull=true carrying one null slot
+    val df = spark.sql(
+      """SELECT transform(sequence(1, 64),
+        |                 i -> CAST(if(i = 5, NULL, 0.5) AS FLOAT)) AS embedding
+        |UNION ALL
+        |SELECT transform(sequence(1, 64), i -> CAST(0.5 AS FLOAT))""".stripMargin)
+      .withColumn("b", SrpBucket.bucket(col("embedding"), TrainingData.lshPlanes))
+    val bs = df.select("b").collect()
+    assert(bs(0).isNullAt(0))  // null element → NULL bucket
+    assert(!bs(1).isNullAt(0)) // same vector without the null → real bucket
+    // interpreted path agrees
+    val e = SrpBucket(
+      BoundReference(0, ArrayType(FloatType, containsNull = true), nullable = true),
+      TrainingData.lshPlanes)
+    val withNull: Array[Any] =
+      Array.tabulate[Any](64)(i => if (i == 4) null else 0.5f)
+    assert(e.eval(InternalRow(ArrayData.toArrayData(withNull))) == null)
+  }
 }

@@ -43,5 +43,14 @@ class DataContractSpec extends AnyFunSuite {
         .filter(col("ts") % 1000 =!= 0).count()
       assert(subUs > 0L)
     }
+
+    test(s"documents.text at $sf is pure ASCII (q85's rolling-hash " +
+      "injectivity and Spark↔DuckDB ascii()/ord() parity both assume " +
+      "codepoints < 257 — a generator change must fail loudly here, not " +
+      "silently corrupt fingerprints)") {
+      val nonAscii = T(spark, s"/root/testdata/$sf", "documents")
+        .filter(!col("text").rlike("^[\\x00-\\x7f]*$")).count()
+      assert(nonAscii == 0L)
+    }
   }
 }
