@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{NorthStar, ParseRoute, Relational, Scalars, TrainingData}
+import graft.ops.{Curation, NorthStar, ParseRoute, Relational, Scalars, TrainingData}
 import graft.sink.Layout
 import graft.sources.rfc.RfcQueries
 
@@ -22,10 +22,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ ParseRoute.queries ++ Scalars.queries ++
-      NorthStar.queries ++ TrainingData.queries ++ Layout.queries ++
-      RfcQueries.queries
+      NorthStar.queries ++ TrainingData.queries ++ Curation.queries ++
+      Layout.queries ++ RfcQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ ParseRoute.oracle ++ Scalars.oracle ++
-      NorthStar.oracle ++ TrainingData.oracle ++ RfcQueries.oracle
+      NorthStar.oracle ++ TrainingData.oracle ++ Curation.oracle ++
+      RfcQueries.oracle
 }

@@ -1,0 +1,318 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators rounding out the training-data pipeline:
+  * benchmark decontamination, repetition-based quality signals,
+  * source-mix rebalancing, SCD2 change capture, embedding quantization,
+  * and duplicate-cluster resolution (connected components).
+  *
+  * Same portability contract as [[TrainingData]]: md5 is the shared
+  * content hash, ratios round through exact integer arithmetic (the q83
+  * half-way-point rule), float chains are explicit-double with
+  * identical association in both engines, and every query ends with a
+  * deterministic total-order sort.
+  */
+object Curation {
+
+  /** Exact half-up 4-dp rounding of the rational num/den via integer
+    * arithmetic — same rule as q83 (Spark and DuckDB disagree on
+    * `round(double, 4)` when a small exact rational lands on a
+    * 4-decimal half-way point). */
+  private def r4(num: String, den: String) =
+    expr(s"""cast((2 * cast($num as bigint) * 10000 + cast($den as bigint))
+            |     div (2 * cast($den as bigint)) as double) / 10000.0d"""
+      .stripMargin)
+
+  /** q95: benchmark decontamination — flag training documents sharing
+    * any word 3-gram with the held-out eval set (`doc_id % 97 == 0`, a
+    * deterministic stand-in for a benchmark suite). The standard
+    * n-gram-overlap decontamination pass an LLM pipeline runs before
+    * training.
+    *
+    * Scale shape: the eval side of the join is the BENCHMARK set —
+    * small by construction (benchmarks are thousands of documents, not
+    * corpora) — so its distinct shingles broadcast and the corpus side
+    * never shuffles; cost is one scan of the training shingles plus a
+    * per-doc count aggregate. With a corpus-sized right side the same
+    * plan degrades to a shuffle join on the shingle, still linear. */
+  def q95Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = TrainingData.shingleRows(s, dir).distinct()
+    val evalSet = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("sh")).distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalSet), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** q96: repetition quality signals (Gopher-style) — per document, the
+    * top-word mass ratio and the duplicate-bigram ratio, plus the
+    * repetition flag at the 0.2 threshold. Highly repetitious text is
+    * the classic low-quality signal these filters exist to catch.
+    *
+    * Two partial+final aggregates keyed on doc_id (word counts via
+    * (doc, word) sub-aggregate; bigrams via the shingle lead-window
+    * shape), joined per doc — no HOF lambdas in the hot path, all
+    * ratios through exact-integer rounding. */
+  def q96RepetitionSignals(s: SparkSession, dir: String): DataFrame = {
+    val words = T(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "word")
+      .filter(col("word") =!= "")
+    val top = words.groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"), max("c").as("top_c"))
+    val wLead = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = words
+      .withColumn("w1", lead("word", 1).over(wLead))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("word"), col("w1")).as("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"), countDistinct(col("bg")).as("n_bg_d"))
+    top.join(bg, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        r4("top_c", "n_words").as("top_word_ratio"),
+        r4("n_bg - n_bg_d", "n_bg").as("dup_bigram_ratio"))
+      .withColumn("repetitious",
+        col("top_word_ratio") > 0.2 || col("dup_bigram_ratio") > 0.2)
+      .orderBy("doc_id")
+  }
+
+  /** q97: source-mix rebalancing — downsample every source toward a
+    * common cap (half the mean source size) by deterministic hash
+    * threshold, reporting before/after counts per source. The
+    * data-mixing step that flattens a corpus dominated by a few crawls.
+    *
+    * Scale shape: membership is `hash16(doc_id) · n_source < cap · 2¹⁶`
+    * — a pure projection filter against a broadcast per-source count,
+    * NOT a per-source row_number cap. The rank formulation needs a
+    * window partitioned by source, and source is the textbook skewed
+    * key (one crawl = billions of rows in one partition); the hash
+    * threshold keeps ≈cap docs per source (exact-count caps need the
+    * rank), is machine-stable, and stays stable under incremental
+    * appends. The only driver-sized data is the per-source count table
+    * and the 1-row global aggregate (a bounded broadcast crossJoin,
+    * PlanShapeSpec-listed). */
+  def q97SourceRebalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_before"))
+    val g = counts.agg(sum("n_before").as("total"), count(lit(1)).as("ns"))
+    val kept = docs.select("doc_id", "source")
+      .join(broadcast(counts), "source")
+      .crossJoin(broadcast(g))
+      .filter(
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int)")
+          * col("n_before") < expr("total div (2 * ns)") * 65536)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_after"))
+    counts.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .orderBy("source")
+  }
+
+  /** q98: SCD2 change capture — compress each customer's order-status
+    * history to its change points and emit slowly-changing-dimension
+    * type-2 validity intervals (valid_from / valid_to / is_current).
+    * The merge step every warehouse integration (the reference's whole
+    * domain) runs on CDC feeds.
+    *
+    * One shuffle: both windows (the lag that finds change points and
+    * the lead that closes intervals) share the same
+    * partition-by-custkey order, so Spark reuses the exchange+sort.
+    * `chg_orderkey` rides along to give the output a total order —
+    * two same-day status flips would otherwise tie. */
+  def q98Scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    T(s, dir, "orders")
+      .withColumn("prev", lag("o_orderstatus", 1).over(w))
+      .filter(col("prev").isNull || col("o_orderstatus") =!= col("prev"))
+      .withColumn("valid_to", lead("o_orderdate", 1).over(w))
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderstatus").as("status"),
+        col("o_orderdate").as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.as("is_current"),
+        col("o_orderkey").as("chg_orderkey"))
+      .orderBy("custkey", "valid_from", "chg_orderkey")
+  }
+
+  /** q99: int8 embedding quantization — symmetric per-vector scaling
+    * (scale = max |x|, code = ⌊x·127/scale + 0.5⌋), reporting per-label
+    * vector counts, an exact integer code checksum, and the mean
+    * reconstruction SSE. The compression pass a vector store applies
+    * before indexing at scale.
+    *
+    * Pure projection + one aggregate; the per-element folds are HOF
+    * `aggregate` chains whose left-association matches DuckDB's
+    * `list_sum` term-for-term (same IEEE sums both sides — the q86
+    * bit-exactness argument). `floor(x + 0.5)` rather than `round`:
+    * floor of a double is exact in both engines, while half-up
+    * `round` re-derives a decimal representation Spark and DuckDB
+    * disagree on. The squared error is written as an explicit product,
+    * not `pow` (libm pow vs Java Math.pow may differ in the last ulp).
+    * Each intermediate (scale, codes) is referenced twice downstream,
+    * which keeps CollapseProject from inlining it into the lambdas. */
+  def q99EmbedQuantize(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings")
+      .withColumn("scale",
+        expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+      .withColumn("codes", expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 127.0d / scale + 0.5d) as bigint))"))
+      .withColumn("code_sum", expr("aggregate(codes, 0L, (a, c) -> a + c)"))
+      .withColumn("sse", expr(
+        """aggregate(zip_with(embedding, codes,
+          |  (x, c) -> (cast(x as double) - c * scale / 127.0d)
+          |          * (cast(x as double) - c * scale / 127.0d)),
+          |  0d, (a, v) -> a + v)""".stripMargin))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("code_sum").as("code_checksum"),
+        round(avg("sse"), 6).as("avg_sse"))
+      .orderBy("label")
+
+  /** q100: duplicate-cluster resolution — connected components over the
+    * q72 MinHash candidate edges, so transitively-linked near-dups
+    * collapse into one cluster (the step between pair detection and
+    * "keep one representative per cluster").
+    *
+    * Hash-to-min label propagation: every node starts as its own root;
+    * each round joins labels across edges and takes the per-node min;
+    * converged when no label shrinks. Each round is a distributed
+    * join + aggregate — the driver sees ONLY the scalar changed-count
+    * (and the per-round localCheckpoint truncates the growing lineage).
+    * Rounds are bounded by component diameter — near-dup clusters are
+    * dense and shallow (2-4 rounds here). At 100 TB with adversarial
+    * long-chain components, swap the round body for the large-star/
+    * small-star rewrite (Kiveris et al., CC in MapReduce) — same
+    * join-aggregate primitive, provably O(log n) rounds; the fixpoint
+    * and output contract are unchanged, which is why the simpler body
+    * ships here. */
+  def q100DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TrainingData.q72DedupMinhash(s, dir)
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("root", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, edges("a") === labels("node"))
+        .select(edges("b").as("node"), col("root"))
+      val next = labels.select("node", "root").union(prop)
+        .groupBy("node").agg(min("root").as("root"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("root", "old"), "node")
+        .filter(col("root") < col("old")).count()
+      labels = next
+    }
+    labels.groupBy("root")
+      .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
+      .select(col("root").as("cluster_root"), col("n_docs"), col("max_doc"))
+      .orderBy("cluster_root")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_decontaminate" -> q95Decontaminate _,
+    "q96_repetition_signals" -> q96RepetitionSignals _,
+    "q97_source_rebalance" -> q97SourceRebalance _,
+    "q98_scd2_merge" -> q98Scd2Merge _,
+    "q99_embed_quantize" -> q99EmbedQuantize _,
+    "q100_dup_clusters" -> q100DupClusters _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q95_decontaminate" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS s
+        |        FROM words WHERE len(w) >= 3),
+        |ev AS (SELECT DISTINCT s FROM shl WHERE doc_id % 97 = 0)
+        |SELECT t.doc_id, count(*) AS n_shared
+        |FROM shl t JOIN ev ON t.s = ev.s
+        |WHERE t.doc_id % 97 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q96_repetition_signals" ->
+      """WITH words AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS word FROM words WHERE len(w) > 0),
+        |wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2),
+        |top AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, CAST(max(c) AS BIGINT) AS top_c FROM wc GROUP BY 1),
+        |bg0 AS (SELECT doc_id, [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bgs FROM words WHERE len(w) >= 2),
+        |bg AS (SELECT doc_id, CAST(len(bgs) AS BIGINT) AS n_bg, CAST(len(list_distinct(bgs)) AS BIGINT) AS n_bg_d FROM bg0),
+        |r AS (SELECT t.doc_id, t.n_words,
+        |        CAST((2 * t.top_c * 10000 + t.n_words) // (2 * t.n_words) AS DOUBLE) / 10000.0 AS top_word_ratio,
+        |        CAST((2 * (b.n_bg - b.n_bg_d) * 10000 + b.n_bg) // (2 * b.n_bg) AS DOUBLE) / 10000.0 AS dup_bigram_ratio
+        |      FROM top t JOIN bg b ON t.doc_id = b.doc_id)
+        |SELECT doc_id, n_words, top_word_ratio, dup_bigram_ratio,
+        |       (top_word_ratio > 0.2 OR dup_bigram_ratio > 0.2) AS repetitious
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q97_source_rebalance" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_before FROM documents GROUP BY 1),
+        |g AS (SELECT CAST(sum(n_before) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS ns FROM c),
+        |kept AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_after
+        |         FROM documents d JOIN c ON d.source = c.source, g
+        |         WHERE ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 4))::INT * c.n_before < (g.total // (2 * g.ns)) * 65536
+        |         GROUP BY 1)
+        |SELECT c.source, c.n_before, CAST(coalesce(k.n_after, 0) AS BIGINT) AS n_after
+        |FROM c LEFT JOIN kept k ON c.source = k.source
+        |ORDER BY c.source""".stripMargin,
+    "q98_scd2_merge" ->
+      """WITH h AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |                  lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |           FROM orders),
+        |chg AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+        |        FROM h WHERE prev IS NULL OR o_orderstatus <> prev)
+        |SELECT o_custkey AS custkey, o_orderstatus AS status,
+        |       o_orderdate AS valid_from,
+        |       lead(o_orderdate) OVER w AS valid_to,
+        |       (lead(o_orderdate) OVER w IS NULL) AS is_current,
+        |       o_orderkey AS chg_orderkey
+        |FROM chg
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY custkey, valid_from, chg_orderkey""".stripMargin,
+    "q99_embed_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |         list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS scale,
+        |         [CAST(floor(CAST(x AS DOUBLE) * 127.0 / list_max([abs(CAST(y AS DOUBLE)) for y in embedding]) + 0.5) AS BIGINT) for x in embedding] AS codes
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT q.vec_id, q.label, CAST(list_sum(q.codes) AS BIGINT) AS code_sum,
+        |         list_sum([(CAST(em.embedding[i] AS DOUBLE) - q.codes[i] * q.scale / 127.0)
+        |                 * (CAST(em.embedding[i] AS DOUBLE) - q.codes[i] * q.scale / 127.0)
+        |                   for i in range(1, len(em.embedding) + 1)]) AS sse
+        |  FROM q JOIN embeddings em ON q.vec_id = em.vec_id)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(sum(code_sum) AS BIGINT) AS code_checksum,
+        |       round(avg(sse), 6) AS avg_sse
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
+    "q100_dup_clusters" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id,
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS ss
+        |        FROM words WHERE len(w) >= 3),
+        |sig AS (SELECT doc_id,
+        |        [list_min([md5(k::VARCHAR || ':' || x) for x in ss]) for k in range(0, 8)] AS sg
+        |        FROM shl),
+        |b AS (SELECT doc_id, unnest([{band: i, key: sg[2*i+1] || sg[2*i+2]} for i in range(0, 4)], recursive := true) FROM sig),
+        |pairs AS (SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
+        |          FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id),
+        |edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |rec AS (
+        |  WITH RECURSIVE r(node, reach) AS (
+        |    SELECT node, node FROM nodes
+        |    UNION
+        |    SELECT r.node, e.b FROM r JOIN edges e ON e.a = r.reach
+        |  ) SELECT node, min(reach) AS root FROM r GROUP BY node)
+        |SELECT root AS cluster_root, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(max(node) AS BIGINT) AS max_doc
+        |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

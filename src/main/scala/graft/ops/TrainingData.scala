@@ -39,7 +39,7 @@ object TrainingData {
     * per shingle element — quadratic per document (measured: the HOF
     * build alone cost ~8 s at sf0.1; this shape is fully codegen'd).
     * One shuffle on doc_id (the window). */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def shingleRows(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     T(s, dir, "documents")
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
