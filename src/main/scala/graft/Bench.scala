@@ -24,8 +24,15 @@ object Bench {
     SparkEntry.queries.get("q30_agg_q1").foreach { fn =>
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     }
+    // dev loop: SPARK_GRAFT_ONLY=q72_dedup_minhash,q78_ngram_jaccard
+    // restricts the run; the driver never sets it, so round benches
+    // always cover the full surface
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     var failures = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val sec =
         try {
           (1 to reps).map { _ =>

@@ -298,11 +298,11 @@ object Curation {
         |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS ss
         |        FROM words WHERE len(w) >= 3),
         |sig AS (SELECT doc_id,
-        |        [list_min([md5(k::VARCHAR || ':' || x) for x in ss]) for k in range(0, 8)] AS sg
+        |        [list_min([('0x' || substring(md5(k::VARCHAR || ':' || x), 1, 15))::BIGINT for x in ss]) for k in range(0, 8)] AS sg
         |        FROM shl),
-        |b AS (SELECT doc_id, unnest([{band: i, key: sg[2*i+1] || sg[2*i+2]} for i in range(0, 4)], recursive := true) FROM sig),
+        |b AS (SELECT doc_id, unnest([{band: i, k1: sg[2*i+1], k2: sg[2*i+2]} for i in range(0, 4)], recursive := true) FROM sig),
         |pairs AS (SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
-        |          FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id),
+        |          FROM b a JOIN b b2 ON a.band = b2.band AND a.k1 = b2.k1 AND a.k2 = b2.k2 AND a.doc_id < b2.doc_id),
         |edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
         |nodes AS (SELECT DISTINCT a AS node FROM edges),
         |rec AS (

@@ -65,23 +65,34 @@ object TrainingData {
     // broadcasts the small dictionary on its own, and at vocabulary
     // scale — where the dictionary exceeds executor memory — the same
     // plan degrades to a shuffle join instead of a forced-broadcast OOM.
+    //
+    // Each hash is the md5's first 15 hex chars as a BIGINT (60 bits —
+    // conv() is exact there, and DuckDB computes the identical value as
+    // `('0x' || substring(md5(..),1,15))::BIGINT`): the signature
+    // shuffle carries 8 longs instead of 8×32-char strings (~4×
+    // narrower rows), min-aggregates compare words instead of strings,
+    // and band keys join on two longs. Minhash only needs a hash
+    // family both engines share — truncation changes which shingle
+    // wins a min, so the ORACLE applies the same truncation.
     val sh = shingleRows(s, dir)
     val dict = sh.select("sh").distinct()
       .select(col("sh") +: (0 until 8).map(k =>
-        md5(concat(lit(s"$k:"), col("sh"))).as(s"h$k")): _*)
+        expr(s"cast(conv(substring(md5(concat('$k:', sh)), 1, 15), 16, 10) as bigint)")
+          .as(s"h$k")): _*)
     val hashed = sh.join(dict, "sh")
     val sig = hashed.groupBy("doc_id")
       .agg(min(col("h0")).as("m0"),
         (1 until 8).map(k => min(col(s"h$k")).as(s"m$k")): _*)
     val bands = sig.select(col("doc_id"), explode(array((0 until 4).map(b =>
       struct(lit(b).as("band"),
-        concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key"))): _*))
+        col(s"m${2 * b}").as("k1"), col(s"m${2 * b + 1}").as("k2"))): _*))
       .as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.k1").as("k1"), col("bk.k2").as("k2"))
     bands.alias("a")
       .join(bands.alias("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
+          col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .orderBy("doc_a", "doc_b")
@@ -782,11 +793,11 @@ object TrainingData {
         |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS ss
         |        FROM words WHERE len(w) >= 3),
         |sig AS (SELECT doc_id,
-        |        [list_min([md5(k::VARCHAR || ':' || x) for x in ss]) for k in range(0, 8)] AS sg
+        |        [list_min([('0x' || substring(md5(k::VARCHAR || ':' || x), 1, 15))::BIGINT for x in ss]) for k in range(0, 8)] AS sg
         |        FROM shl),
-        |b AS (SELECT doc_id, unnest([{band: i, key: sg[2*i+1] || sg[2*i+2]} for i in range(0, 4)], recursive := true) FROM sig)
+        |b AS (SELECT doc_id, unnest([{band: i, k1: sg[2*i+1], k2: sg[2*i+2]} for i in range(0, 4)], recursive := true) FROM sig)
         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
-        |FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+        |FROM b a JOIN b b2 ON a.band = b2.band AND a.k1 = b2.k1 AND a.k2 = b2.k2 AND a.doc_id < b2.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q77_dedup_simhash" ->
       """WITH t AS (SELECT doc_id, [md5(x) for x in list_filter(string_split(text, ' '), x -> x <> '')] AS hs FROM documents)
