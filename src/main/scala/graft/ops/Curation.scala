@@ -196,8 +196,24 @@ object Curation {
     * ships here. */
   def q100DupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = TrainingData.q72DedupMinhash(s, dir)
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    connectedComponents(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .groupBy("root")
+      .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
+      .select(col("root").as("cluster_root"), col("n_docs"), col("max_doc"))
+      .orderBy("cluster_root")
+  }
+
+  /** Hash-to-min connected components over an undirected edge list
+    * (given as one direction; symmetrized here): returns `(node, root)`
+    * with root = the component's minimum node id. Each round is a
+    * distributed join + min-aggregate; only the scalar changed-count
+    * reaches the driver, and the per-round localCheckpoint truncates
+    * the growing lineage. See [[q100DupClusters]] for the
+    * adversarial-diameter scaling note. */
+  private[ops] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("root", col("node"))
@@ -213,10 +229,7 @@ object Curation {
         .filter(col("root") < col("old")).count()
       labels = next
     }
-    labels.groupBy("root")
-      .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
-      .select(col("root").as("cluster_root"), col("n_docs"), col("max_doc"))
-      .orderBy("cluster_root")
+    labels
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

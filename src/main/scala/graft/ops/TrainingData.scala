@@ -188,7 +188,7 @@ object TrainingData {
     * passes everything) and raises with `msg` when it does not. As a
     * filter the check cannot be pruned the way an unused projected
     * column would be. */
-  private def assertFilter(df: DataFrame, cond: String, msg: String): DataFrame =
+  private[ops] def assertFilter(df: DataFrame, cond: String, msg: String): DataFrame =
     df.filter(expr(s"assert_true($cond, '$msg') IS NULL"))
 
   def q88SimhashHamming(s: SparkSession, dir: String): DataFrame = {
