@@ -5,12 +5,13 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.SrpBucket
+import graft.functions.{SrpBucket, VecDot}
 import graft.ops.TrainingData
 
 /** `SparkSessionExtensions` entry point: registers the library's native
   * expressions so SQL users reach them without the Scala Column API —
-  * `SELECT srp_bucket(embedding) FROM ...` works in plain `spark.sql`.
+  * `SELECT srp_bucket(embedding)` and `SELECT vec_dot(a, b)` work in
+  * plain `spark.sql`.
   *
   * Wire-up (either):
   *  - `SparkSession.builder.withExtensions(new GraftExtensions)` in code;
@@ -24,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.srpBucketDescriptor)
+    ext.injectFunction(GraftExtensions.vecDotDescriptor)
   }
 }
 
@@ -48,9 +50,27 @@ object GraftExtensions {
       SrpBucket(children.head, TrainingData.lshPlanes)
     })
 
+  private[graft] val vecDotDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+    (children: Seq[Expression]) => {
+      if (children.length != 2) {
+        throw new AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "`vec_dot`",
+            "expectedNum" -> "2",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }
+      VecDot(children.head, children(1))
+    })
+
   /** Same registration against an already-built session (tests, REPL). */
   def register(registry: FunctionRegistry): Unit = {
-    val (id, info, builder) = srpBucketDescriptor
-    registry.registerFunction(id, info, builder)
+    Seq(srpBucketDescriptor, vecDotDescriptor).foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
   }
 }

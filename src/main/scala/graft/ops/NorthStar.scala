@@ -35,20 +35,16 @@ object NorthStar {
   }
 
   /** q73: brute-force cosine top-k vs a single reference vector.
-    * One-row broadcast crossJoin — no shuffle of the big side; the
-    * dot/norm folds cast to double inside the lambda so accumulation
-    * matches the oracle bit-for-bit. */
+    * One-row broadcast crossJoin — no shuffle of the big side; dot and
+    * norms run through the codegen'd [[graft.functions.VecDot]], whose
+    * left-assoc double accumulation matches the oracle bit-for-bit
+    * (identical to the HOF folds it replaced). */
   def q73SimCosineTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     val ref = emb.filter(col("vec_id") === 0).select(col("embedding").as("ref_emb"))
-    val dot = aggregate(
-      zip_with(col("embedding"), col("ref_emb"),
-        (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val normA = aggregate(col("embedding"), lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double"))
-    val normB = aggregate(col("ref_emb"), lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val dot = graft.functions.VecDot.dot(col("embedding"), col("ref_emb"))
+    val normA = graft.functions.VecDot.normSq(col("embedding"))
+    val normB = graft.functions.VecDot.normSq(col("ref_emb"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(ref))
       .withColumn("sim_raw", dot / (sqrt(normA) * sqrt(normB)))

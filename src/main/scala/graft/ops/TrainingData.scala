@@ -350,12 +350,14 @@ object TrainingData {
       .orderBy("da", "db")
   }
 
+  // norms and dot products run through the native codegen'd
+  // graft.functions.VecDot (bit-identical left-assoc accumulation to
+  // the HOF aggregate/zip_with chains it replaced — see its scaladoc;
+  // the HOF lambdas evaluate interpreted, a closure call per element)
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm", sqrt(expr(
-      "aggregate(embedding, 0d, (acc, x) -> acc + cast(x as double) * cast(x as double))")))
+    df.withColumn("nrm", sqrt(graft.functions.VecDot.normSq(col("embedding"))))
 
-  private val dotExpr =
-    "aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)), 0d, (acc, v) -> acc + v)"
+  private def dotCol = graft.functions.VecDot.dot(col("ea"), col("eb"))
 
   /** q79: embedding near-duplicate search, blocked by `label` — the
     * block join bounds candidates (never a corpus cross product); exact
@@ -378,7 +380,7 @@ object TrainingData {
       col("embedding").as("eb"), col("nrm").as("nb"))
     val w = Window.partitionBy("va").orderBy(col("sim_raw").desc, col("vb"))
     a.join(b, col("la") === col("lb") && col("va") =!= col("vb"))
-      .withColumn("sim_raw", expr(dotExpr) / (col("na") * col("nb")))
+      .withColumn("sim_raw", dotCol / (col("na") * col("nb")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("va"), col("vb"), round(col("sim_raw"), 4).as("sim"))
@@ -458,7 +460,7 @@ object TrainingData {
     b.select(col("vec_id").as("c_id"), col("embedding").as("eb"),
         col("nrm").as("nc"), col("bucket"))
       .join(broadcast(qs), col("bucket") === col("pb") && col("c_id") =!= col("q_id"))
-      .withColumn("sim_raw", expr(dotExpr) / (col("nq") * col("nc")))
+      .withColumn("sim_raw", dotCol / (col("nq") * col("nc")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("c_id"), round(col("sim_raw"), 4).as("sim"),
@@ -484,17 +486,15 @@ object TrainingData {
     * centroid table — a BNLJ whose build side is constant-bounded by
     * construction (PlanShapeSpec's no-BNLJ rule carries it as a named
     * exception next to q73/q90's 1-row crossJoins; the trap the rule
-    * exists for is a BNLJ against an UNBOUNDED side). At 100 TB the
-    * assignment pass's HOF dot products are the hot loop — swap in a
-    * codegen'd expression like [[graft.functions.SrpBucket]] if
-    * profiling shows the interpreted lambda dominating the scan. */
+    * exists for is a BNLJ against an UNBOUNDED side). The assignment
+    * pass's dot products — the 100 TB hot loop (corpus × 16 per scan) —
+    * run through the native codegen'd [[graft.functions.VecDot]]. */
   def q93AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(T(s, dir, "embeddings"))
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ec"),
         col("nrm").as("ncn"))
-    val centDot =
-      "aggregate(zip_with(embedding, ec, (x, y) -> cast(x as double) * cast(y as double)), 0d, (acc, v) -> acc + v)"
+    val centDot = graft.functions.VecDot.dot(col("embedding"), col("ec"))
     // nearest-centroid rank per vector: arn = 1 is the assignment, and
     // for query vectors arn <= 4 are the probed cells
     val wAssign = Window.partitionBy("vec_id")
@@ -504,7 +504,7 @@ object TrainingData {
     // the corpus × 16 dot-product pass + window shuffle would execute
     // once per branch
     val assign = e.crossJoin(broadcast(cents))
-      .withColumn("csim", expr(centDot) / (col("nrm") * col("ncn")))
+      .withColumn("csim", centDot / (col("nrm") * col("ncn")))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") <= 4)
       .select("vec_id", "embedding", "nrm", "cent_id", "arn")
@@ -519,7 +519,7 @@ object TrainingData {
     cells
       .join(broadcast(qprobe),
         cells("cell") === qprobe("cell") && col("c_id") =!= col("q_id"))
-      .withColumn("sim_raw", expr(dotExpr) / (col("nq") * col("nc")))
+      .withColumn("sim_raw", dotCol / (col("nq") * col("nc")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("c_id"), round(col("sim_raw"), 4).as("sim"),
