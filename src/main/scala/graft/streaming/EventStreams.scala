@@ -163,6 +163,33 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join — attribute each purchase to the
+    * click(s) by the same user in the preceding hour. Both sides carry
+    * watermarks and the join condition bounds event time on BOTH ends
+    * (`p_ts ∈ [c_ts, c_ts + 1h]`), which is what lets Spark evict
+    * buffered rows: a click older than watermark − 1 h can never match
+    * a future purchase, so per-side state is (watermark + interval)-
+    * bounded instead of unbounded. Without the range bound (or the
+    * watermarks) the join would buffer both streams forever — the
+    * streaming analogue of q25's interval join, with the same
+    * "equi-key + time residual" shape. Append mode: a joined row emits
+    * once both sides' watermarks pass it. */
+  def attributedPurchases(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks,
+      expr("""p_user = c_user AND
+             |p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR""".stripMargin))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("p_ts"), col("c_ts"), col("value"))
+  }
+
   /** Output mode each transform requires (kept next to the transforms so
     * callers don't guess): tumbling/session → Append, custom state →
     * Update. */
@@ -171,4 +198,5 @@ object EventStreams {
   val SessionMode: OutputMode = OutputMode.Append()
   val RunningMode: OutputMode = OutputMode.Update()
   val ClosedSessionsMode: OutputMode = OutputMode.Append()
+  val AttributionMode: OutputMode = OutputMode.Append()
 }

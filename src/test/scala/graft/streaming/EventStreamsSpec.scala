@@ -263,4 +263,34 @@ class EventStreamsSpec extends AnyFunSuite {
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("stream-stream interval join attributes purchases to prior clicks " +
+    "within the hour; out-of-window and cross-user pairs never match") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[SEvent]
+    val q = EventStreams.attributedPurchases(in.toDF())
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode(EventStreams.AttributionMode).start()
+    try {
+      in.addData(
+        ev(1, "10:00", user = 1, typ = "click"),
+        ev(2, "10:40", user = 1, typ = "purchase", v = 9.0), // ← click 1 (40m)
+        ev(3, "09:30", user = 2, typ = "click"),
+        ev(4, "11:30", user = 2, typ = "purchase", v = 5.0), // 2h after: no match
+        ev(5, "10:30", user = 3, typ = "purchase", v = 7.0)) // other-user click only
+      drain(q)
+      // advance both watermarks far enough to finalize the joins
+      in.addData(ev(6, "20:00", user = 9, typ = "click"),
+        ev(7, "20:00", user = 9, typ = "purchase"))
+      drain(q)
+      val rows = spark.table("attribution")
+        .select("purchase_id", "click_id", "value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((2L, 1L, 9.0)))      // in-window same-user pair
+      assert(rows.contains((7L, 6L, 1.0)))      // zero-delay pair
+      assert(!rows.exists(_._1 == 4L))          // outside the 1h window
+      assert(!rows.exists(_._1 == 5L))          // no same-user click
+    } finally q.stop()
+  }
 }
