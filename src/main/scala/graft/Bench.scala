@@ -26,9 +26,16 @@ object Bench {
     }
     // dev loop: SPARK_GRAFT_ONLY=q72_dedup_minhash,q78_ngram_jaccard
     // restricts the run; the driver never sets it, so round benches
-    // always cover the full surface
+    // always cover the full surface. Unknown names fail loudly — a
+    // typo'd filter would otherwise run zero queries and print a
+    // green-looking total of 0 s.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: " +
+        s"${unknown.toSeq.sorted.mkString(", ")}")
+    }
     var failures = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -46,12 +46,21 @@ case class SrpBucket(child: Expression, planes: Array[Array[Int]])
 
   override def nullable: Boolean = true
 
+  /** Null-element scan only emitted when the input type can hold one —
+    * zero per-element cost on the containsNull=false embedding scans. */
+  private def mayHaveNullElements: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val dims = if (planes.isEmpty) 0 else planes(0).length
     if (arr.numElements() < dims) return null
-    var i = 0
-    while (i < dims) { if (arr.isNullAt(i)) return null; i += 1 }
+    if (mayHaveNullElements) {
+      var i = 0
+      while (i < dims) { if (arr.isNullAt(i)) return null; i += 1 }
+    }
     var bucket = 0
     var k = 0
     while (k < planes.length) {
@@ -74,14 +83,17 @@ case class SrpBucket(child: Expression, planes: Array[Array[Int]])
       val p = ctx.freshName("p")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
+      val nullScan = if (mayHaveNullElements) {
+        s"""if ($arr.numElements() >= $dims) {
+           |  for (int $i = 0; $i < $dims; $i++) {
+           |    if ($arr.isNullAt($i)) { ${i}_hasNull = true; break; }
+           |  }
+           |}""".stripMargin
+      } else ""
       s"""
          |${ev.value} = 0;
          |boolean ${i}_hasNull = false;
-         |if ($arr.numElements() >= $dims) {
-         |  for (int $i = 0; $i < $dims; $i++) {
-         |    if ($arr.isNullAt($i)) { ${i}_hasNull = true; break; }
-         |  }
-         |}
+         |$nullScan
          |if ($arr.numElements() < $dims || ${i}_hasNull) {
          |  ${ev.isNull} = true;
          |} else {

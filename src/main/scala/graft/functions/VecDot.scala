@@ -26,10 +26,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * left-associated IEEE sequence — so replacing the HOF form cannot
   * perturb a single bit.
   *
-  * NULL contract (mirrors the HOF chain and DuckDB): NULL input array →
-  * NULL; length mismatch → NULL (`zip_with` pads the shorter side with
-  * NULL, poisoning the sum; DuckDB's out-of-range `b[i]` likewise);
-  * NULL element → NULL. Empty arrays → 0.0 (the fold's seed). */
+  * NULL contract (mirrors the Spark HOF chain this replaced): NULL
+  * input array → NULL; length mismatch → NULL (`zip_with` pads the
+  * shorter side with NULL, poisoning the fold); NULL element → NULL.
+  * Empty arrays → 0.0 (the fold's seed). NOTE for oracle authors:
+  * DuckDB's `list_sum` SKIPS NULL elements (list_sum([1.0, NULL]) =
+  * 1.0) — a DuckDB twin over a nullable product list does NOT match
+  * this contract; every current oracle avoids it because the embedding
+  * columns carry containsNull=false (for which the null branch below
+  * is not even emitted). */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -45,15 +50,24 @@ case class VecDot(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
   override def nullable: Boolean = true
 
+  /** The per-element null scan only exists when an input can actually
+    * hold a null element — for the containsNull=false embedding columns
+    * (every declared query) the hot loop carries no per-element branch. */
+  private def mayHaveNullElements: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (y.numElements() != n) return null
+    val checkNulls = mayHaveNullElements
     var acc = 0.0
     var j = 0
     while (j < n) {
-      if (x.isNullAt(j) || y.isNullAt(j)) return null
+      if (checkNulls && (x.isNullAt(j) || y.isNullAt(j))) return null
       acc += x.getFloat(j).toDouble * y.getFloat(j).toDouble
       j += 1
     }
@@ -64,6 +78,9 @@ case class VecDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
+      val nullCheck = if (mayHaveNullElements) {
+        s"if ($x.isNullAt($j) || $y.isNullAt($j)) { ${ev.isNull} = true; break; }"
+      } else ""
       s"""
          |${ev.value} = 0.0;
          |int $n = $x.numElements();
@@ -71,7 +88,7 @@ case class VecDot(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  for (int $j = 0; $j < $n; $j++) {
-         |    if ($x.isNullAt($j) || $y.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |    $nullCheck
          |    ${ev.value} += (double) $x.getFloat($j) * (double) $y.getFloat($j);
          |  }
          |}

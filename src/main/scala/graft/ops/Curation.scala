@@ -17,14 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Exact half-up 4-dp rounding of the rational num/den via integer
-    * arithmetic — same rule as q83 (Spark and DuckDB disagree on
-    * `round(double, 4)` when a small exact rational lands on a
-    * 4-decimal half-way point). */
-  private def r4(num: String, den: String) =
-    expr(s"""cast((2 * cast($num as bigint) * 10000 + cast($den as bigint))
-            |     div (2 * cast($den as bigint)) as double) / 10000.0d"""
-      .stripMargin)
+  import Exact.r4
 
   /** q95: benchmark decontamination — flag training documents sharing
     * any word 3-gram with the held-out eval set (`doc_id % 97 == 0`, a
@@ -195,7 +188,7 @@ object Curation {
     * and output contract are unchanged, which is why the simpler body
     * ships here. */
   def q100DupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = TrainingData.q72DedupMinhash(s, dir)
+    val pairs = TrainingData.minhashPairs(s, dir)
     connectedComponents(
       pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
       .groupBy("root")
@@ -306,16 +299,7 @@ object Curation {
         |       round(avg(sse), 6) AS avg_sse
         |FROM e GROUP BY label ORDER BY label""".stripMargin,
     "q100_dup_clusters" ->
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |shl AS (SELECT doc_id,
-        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS ss
-        |        FROM words WHERE len(w) >= 3),
-        |sig AS (SELECT doc_id,
-        |        [list_min([('0x' || substring(md5(k::VARCHAR || ':' || x), 1, 15))::BIGINT for x in ss]) for k in range(0, 8)] AS sg
-        |        FROM shl),
-        |b AS (SELECT doc_id, unnest([{band: i, k1: sg[2*i+1], k2: sg[2*i+2]} for i in range(0, 4)], recursive := true) FROM sig),
-        |pairs AS (SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
-        |          FROM b a JOIN b b2 ON a.band = b2.band AND a.k1 = b2.k1 AND a.k2 = b2.k2 AND a.doc_id < b2.doc_id),
+      s"""WITH ${TrainingData.minhashPairsCtes},
         |edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
         |nodes AS (SELECT DISTINCT a AS node FROM edges),
         |rec AS (

@@ -24,3 +24,19 @@ object T {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 }
+
+/** Exact cross-engine arithmetic shared by the declared queries. */
+object Exact {
+  /** Exact half-up 4-dp rounding of the rational `num/den` in integer
+    * arithmetic: `(2·num·10⁴ + den) div (2·den)` basis points, then one
+    * `/10⁴`. Spark's `round(double, 4)` half-ups the double's shortest
+    * decimal representation while DuckDB rounds the binary value, so
+    * they disagree whenever a small exact rational lands on a 4-decimal
+    * half-way point (0.59825, 0.72125 — bit q83 at sf0.1). Used by
+    * q78/q83/q96; the oracle SQL applies the same integer formula. */
+  def r4(num: String, den: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"""cast((2 * cast($num as bigint) * 10000 + cast($den as bigint))
+         |     div (2 * cast($den as bigint)) as double) / 10000.0d"""
+        .stripMargin)
+}

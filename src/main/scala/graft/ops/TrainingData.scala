@@ -56,7 +56,14 @@ object TrainingData {
     * docs sharing any band bucket become candidates. The join is on
     * (band, bucket-key) — the LSH shuffle key — so cost is linear in
     * banded docs, not quadratic in the corpus. */
-  def q72DedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  def q72DedupMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** The q72 candidate-pair set WITHOUT the presentation sort — q100's
+    * connected components consume the unordered pairs, and the global
+    * orderBy would otherwise execute (uselessly) under its eager
+    * localCheckpoint. */
+  private[ops] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // hash shingle rows with plain codegen'd md5 columns, minhash as
     // 8 min-aggregates (partial+final, one shuffle on doc_id) — an
     // HOF-lambda formulation evaluates interpreted and ran ~4× slower.
@@ -95,8 +102,23 @@ object TrainingData {
           col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** DuckDB CTE chain producing the q72 candidate pairs (`pairs(da, db)`)
+    * — interpolated into BOTH the q72 and q100 oracles so the two can
+    * never drift (the Spark sides already share [[minhashPairs]]). */
+  private[ops] val minhashPairsCtes: String =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |shl AS (SELECT doc_id,
+      |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS ss
+      |        FROM words WHERE len(w) >= 3),
+      |sig AS (SELECT doc_id,
+      |        [list_min([('0x' || substring(md5(k::VARCHAR || ':' || x), 1, 15))::BIGINT for x in ss]) for k in range(0, 8)] AS sg
+      |        FROM shl),
+      |b AS (SELECT doc_id, unnest([{band: i, k1: sg[2*i+1], k2: sg[2*i+2]} for i in range(0, 4)], recursive := true) FROM sig),
+      |pairs AS (SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
+      |          FROM b a JOIN b b2 ON a.band = b2.band AND a.k1 = b2.k1 AND a.k2 = b2.k2 AND a.doc_id < b2.doc_id)"""
+      .stripMargin
 
   /** q77: 64-bit SimHash fingerprint per document — token md5s, signed
     * bit-vote per position, sign → bit.
@@ -187,9 +209,10 @@ object TrainingData {
     * `assert_true` returns NULL when the predicate holds (so the filter
     * passes everything) and raises with `msg` when it does not. As a
     * filter the check cannot be pruned the way an unused projected
-    * column would be. */
+    * column would be. `msg` rides as a typed literal, not spliced into
+    * the SQL text, so quotes in a message can't break the parse. */
   private[ops] def assertFilter(df: DataFrame, cond: String, msg: String): DataFrame =
-    df.filter(expr(s"assert_true($cond, '$msg') IS NULL"))
+    df.filter(assert_true(expr(cond), lit(msg)).isNull)
 
   def q88SimhashHamming(s: SparkSession, dir: String): DataFrame = {
     // pack the fingerprint into one BIGINT: shiftleft/or keeps the
@@ -343,10 +366,7 @@ object TrainingData {
       // rational, which can land on a 4-decimal half-way point where
       // Spark and the oracle round the same double differently (see q83)
       .filter(col("i") * 2 >= col("u"))
-      .select(col("da"), col("db"),
-        expr("""cast((2 * cast(i as bigint) * 10000 + cast(u as bigint))
-               |     div (2 * cast(u as bigint)) as double) / 10000.0d"""
-          .stripMargin).as("jac"))
+      .select(col("da"), col("db"), Exact.r4("i", "u").as("jac"))
       .orderBy("da", "db")
   }
 
@@ -574,10 +594,7 @@ object TrainingData {
     * Score = 0.4·min(n,100)/100 + 0.3·k/n + 0.3·(n−s)/n, as the single
     * rational (10·min(n,100)·n + 750·k + 750·(n−s)) / (2500·n). */
   def q83QualityScore(s: SparkSession, dir: String): DataFrame = {
-    def r4(num: String, den: String) = // exact half-up 4-dp rounding
-      expr(s"""cast((2 * cast($num as bigint) * 10000 + cast($den as bigint))
-              |     div (2 * cast($den as bigint)) as double) / 10000.0d"""
-        .stripMargin)
+    import Exact.r4
     T(s, dir, "documents")
       .select(col("doc_id"),
         expr("filter(split(text, ' '), x -> x != '')").as("ws"))
@@ -788,17 +805,8 @@ object TrainingData {
 
   val oracle: Map[String, String] = Map(
     "q72_dedup_minhash" ->
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |shl AS (SELECT doc_id,
-        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS ss
-        |        FROM words WHERE len(w) >= 3),
-        |sig AS (SELECT doc_id,
-        |        [list_min([('0x' || substring(md5(k::VARCHAR || ':' || x), 1, 15))::BIGINT for x in ss]) for k in range(0, 8)] AS sg
-        |        FROM shl),
-        |b AS (SELECT doc_id, unnest([{band: i, k1: sg[2*i+1], k2: sg[2*i+2]} for i in range(0, 4)], recursive := true) FROM sig)
-        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
-        |FROM b a JOIN b b2 ON a.band = b2.band AND a.k1 = b2.k1 AND a.k2 = b2.k2 AND a.doc_id < b2.doc_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH $minhashPairsCtes
+         |SELECT da AS doc_a, db AS doc_b FROM pairs ORDER BY 1, 2""".stripMargin,
     "q77_dedup_simhash" ->
       """WITH t AS (SELECT doc_id, [md5(x) for x in list_filter(string_split(text, ' '), x -> x <> '')] AS hs FROM documents)
         |SELECT doc_id,

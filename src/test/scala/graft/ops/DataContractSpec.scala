@@ -52,5 +52,15 @@ class DataContractSpec extends AnyFunSuite {
         .filter(!col("text").rlike("^[\\x00-\\x7f]*$")).count()
       assert(nonAscii == 0L)
     }
+
+    test(s"embeddings at $sf contain no all-zero vector (q99's scale " +
+      "would be 0: Spark's 0/0 → NaN codes cast to 0 vs DuckDB's NULL " +
+      "division — a silent cross-engine divergence; a generator change " +
+      "must fail here instead)") {
+      val zeroVecs = T(spark, s"/root/testdata/$sf", "embeddings")
+        .filter(graft.functions.VecDot.normSq(col("embedding")) === 0.0)
+        .count()
+      assert(zeroVecs == 0L)
+    }
   }
 }
