@@ -225,6 +225,105 @@ object Curation {
     labels
   }
 
+  /** q101: time-series gap filling — resample each user's event values
+    * to a daily spine (that user's observed [min, max] day range) with
+    * last-observation-carried-forward. The resampling step every
+    * metric/feature store runs before joining series with different
+    * cadences.
+    *
+    * Day arithmetic stays in integer µs (`tus div 86_400_000_000`) —
+    * the precision both engines share (events.ts is ns on the Spark
+    * side, µs in DuckDB; see Tables.T) — and the last-per-day pick is
+    * totally ordered by (tus, event_id) desc. Per-user work is bounded
+    * by calendar days, the spine explode is linear, and the fill
+    * window partitions by user — no global window anywhere. */
+  def q101GapFill(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events")
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("value"), col("event_id"))
+      .withColumn("day", expr("tus div 86400000000"))
+    val wDay = Window.partitionBy("user_id", "day")
+      .orderBy(col("tus").desc, col("event_id").desc)
+    val lastPerDay = e
+      .withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value"))
+    val spine = lastPerDay.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    val wFill = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(lastPerDay, Seq("user_id", "day"), "left")
+      .withColumn("value_filled", last("value", ignoreNulls = true).over(wFill))
+      .select(col("user_id"), col("day"), col("value_filled"))
+      .orderBy("user_id", "day")
+  }
+
+  /** q102: fuzzy entity matching — candidate duplicate part names by
+    * edit distance ≤ 2 within a blocking key (the name's final word).
+    * The entity-resolution step a data-integration pipeline (the
+    * reference's whole domain) runs when merging catalogs that spell
+    * the same thing differently.
+    *
+    * Matching runs over DISTINCT names (the name dictionary), not rows:
+    * candidate work scales with vocabulary², independent of corpus row
+    * count — the same dictionary trick as q72's minhash — and each
+    * name carries its row count so callers can weigh merges. The
+    * blocking key keeps comparisons inside blocks (never all-pairs);
+    * `levenshtein` computes the same classic edit distance in both
+    * engines. */
+  def q102FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val names = T(s, dir, "part")
+      .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+      .withColumn("noun", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("p_name").as("name_a"), col("noun"),
+      col("n_parts").as("cnt_a"))
+    val b = names.select(col("p_name").as("name_b"), col("noun"),
+      col("n_parts").as("cnt_b"))
+    a.join(b, Seq("noun"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 2)
+      .select(col("name_a"), col("name_b"), col("dist"), col("cnt_a"), col("cnt_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** q103: funnel analysis — users progressing view → click → purchase
+    * in strict event-time order, with the click and purchase inside 7
+    * days of the first view. Three keyed min-aggregates chained by
+    * joins (each stage's threshold time feeds the next stage's filter),
+    * then one global 3-row stage summary. All shuffles key on user_id;
+    * event-time compares at µs (the shared precision). */
+  def q103Funnel(s: SparkSession, dir: String): DataFrame = {
+    val week = 604800000000L // 7 days in µs
+    val ev = T(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tus").as("t1"))
+    val c = ev.join(v, "user_id")
+      .filter(col("event_type") === "click" && col("tus") > col("t1"))
+      .groupBy("user_id").agg(min("tus").as("t2"))
+    val p = ev.join(c, "user_id")
+      .filter(col("event_type") === "purchase" && col("tus") > col("t2"))
+      .groupBy("user_id").agg(min("tus").as("t3"))
+    val f = v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(
+        (col("t2").isNotNull && col("t2") - col("t1") <= week).as("s2"),
+        (col("t3").isNotNull && col("t2") - col("t1") <= week &&
+          col("t3") - col("t1") <= week).as("s3"))
+    f.agg(count(lit(1)).as("n1"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("n3"))
+      .select(explode(array(
+        struct(lit("stage1_view").as("stage"), col("n1").as("n_users")),
+        struct(lit("stage2_click").as("stage"), col("n2").as("n_users")),
+        struct(lit("stage3_purchase").as("stage"), col("n3").as("n_users"))))
+        .as("r"))
+      .select(col("r.stage").as("stage"), col("r.n_users").as("n_users"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_decontaminate" -> q95Decontaminate _,
     "q96_repetition_signals" -> q96RepetitionSignals _,
@@ -232,6 +331,9 @@ object Curation {
     "q98_scd2_merge" -> q98Scd2Merge _,
     "q99_embed_quantize" -> q99EmbedQuantize _,
     "q100_dup_clusters" -> q100DupClusters _,
+    "q101_gap_fill" -> q101GapFill _,
+    "q102_fuzzy_match" -> q102FuzzyMatch _,
+    "q103_funnel" -> q103Funnel _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -311,5 +413,44 @@ object Curation {
         |SELECT root AS cluster_root, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(max(node) AS BIGINT) AS max_doc
         |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q101_gap_fill" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value, event_id FROM events WHERE user_id < 20),
+        |daily AS (SELECT user_id, tus // 86400000000 AS day, value,
+        |                 row_number() OVER (PARTITION BY user_id, tus // 86400000000
+        |                                    ORDER BY tus DESC, event_id DESC) AS rn
+        |          FROM e),
+        |last_per_day AS (SELECT user_id, day, value FROM daily WHERE rn = 1),
+        |spine AS (SELECT user_id, unnest(range(min(day), max(day) + 1)) AS day
+        |          FROM last_per_day GROUP BY user_id),
+        |j AS (SELECT s.user_id, s.day, l.value
+        |      FROM spine s LEFT JOIN last_per_day l ON s.user_id = l.user_id AND s.day = l.day)
+        |SELECT user_id, CAST(day AS BIGINT) AS day,
+        |       last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        |FROM j ORDER BY user_id, day""".stripMargin,
+    "q102_fuzzy_match" ->
+      """WITH names AS (SELECT p_name, string_split(p_name, ' ')[-1] AS noun,
+        |                      CAST(count(*) AS BIGINT) AS n_parts
+        |               FROM part GROUP BY 1, 2)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |       a.n_parts AS cnt_a, b.n_parts AS cnt_b
+        |FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q103_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(epoch_us(ts)) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_us(ts)) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2 GROUP BY 1),
+        |f AS (SELECT v.user_id,
+        |             (c.t2 IS NOT NULL AND c.t2 - v.t1 <= 604800000000) AS s2,
+        |             (p.t3 IS NOT NULL AND c.t2 - v.t1 <= 604800000000 AND p.t3 - v.t1 <= 604800000000) AS s3
+        |      FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON c.user_id = p.user_id)
+        |SELECT 'stage1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM f
+        |UNION ALL SELECT 'stage2_click', CAST(count(*) AS BIGINT) FROM f WHERE s2
+        |UNION ALL SELECT 'stage3_purchase', CAST(count(*) AS BIGINT) FROM f WHERE s3
+        |ORDER BY stage""".stripMargin,
   )
 }
