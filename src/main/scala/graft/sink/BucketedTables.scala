@@ -1,0 +1,47 @@
+package graft.sink
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-table layout — the co-located-join half of the write-side
+  * story (ClusteredWrite is the file-skipping half).
+  *
+  * `bucketBy(n, key)` + `sortBy(key)` at write time hash-partitions each
+  * table into `n` sorted buckets recorded in the catalog. A join between
+  * two tables bucketed the same way on the join key then needs NO
+  * exchange on either side — Spark proves both children already satisfy
+  * the required hash distribution — and with `sortBy` no sort either,
+  * so the 100 TB fact-to-fact join degenerates to a per-bucket merge.
+  * That shuffle is the single largest cost in a repeated big-join
+  * pipeline; paying it once at write time and never again per query is
+  * the point of bucketing (BucketedJoinSpec pins the exchange-free plan
+  * shape).
+  *
+  * Notes for cluster use:
+  *  - both sides must agree on bucket count (or be integer multiples,
+  *    with `spark.sql.bucketing.coalesceBucketsInJoin.enabled`);
+  *  - bucket pruning applies equality predicates on the bucket key to
+  *    skip whole buckets at scan time;
+  *  - pick `n` so one bucket of the BIG table fits an executor's task
+  *    comfortably (≈ table_size / n ≤ a few hundred MB).
+  */
+object BucketedTables {
+
+  /** Saves `df` as a bucketed, per-bucket-sorted catalog table.
+    *
+    * The `repartition(numBuckets, key)` before the write is load-bearing
+    * for the no-sort half of the contract: it uses the same murmur3 hash
+    * as the bucket router, so each write task holds exactly one bucket's
+    * rows and each bucket lands in ONE file. Spark's scan only treats a
+    * bucket as pre-sorted when it has a single file (two sorted files
+    * would need a merge); with multiple input partitions per bucket the
+    * join would keep its Sort nodes — still exchange-free, but paying a
+    * per-query sort that the write already paid for. */
+  def save(df: DataFrame, table: String, numBuckets: Int, key: String): Unit =
+    df.repartition(numBuckets, df(key))
+      .write
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+}
