@@ -324,6 +324,32 @@ object Curation {
       .orderBy("stage")
   }
 
+  /** q104: incremental near-dup screening — the ingest-time shape of
+    * q72: a NEW batch (`doc_id % 10 = 0`, the arriving delta) is LSH
+    * band-joined against the EXISTING corpus only, never against
+    * itself; flagged docs (any corpus band collision) are what an
+    * ingest pipeline rejects or routes to verification.
+    *
+    * This asymmetry is the production contract for growing corpora:
+    * per-ingest cost is |batch| × band-collision rate, not the
+    * corpus² of re-running full dedup, and the corpus-side band table
+    * is exactly the persistent LSH index a deployment maintains
+    * (append new bands after admission). Same hash family as
+    * q72/q100 — [[TrainingData.minhashBands]] on the Spark side, the
+    * shared band CTE in the oracle. */
+  def q104IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val bands = TrainingData.minhashBands(s, dir)
+    val newB = bands.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("band"), col("k1"), col("k2"))
+    val corpus = bands.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("o_doc"), col("band"), col("k1"), col("k2"))
+    newB.join(corpus, Seq("band", "k1", "k2"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("o_doc")).as("n_dups"),
+        min(col("o_doc")).as("first_dup"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_decontaminate" -> q95Decontaminate _,
     "q96_repetition_signals" -> q96RepetitionSignals _,
@@ -334,6 +360,7 @@ object Curation {
     "q101_gap_fill" -> q101GapFill _,
     "q102_fuzzy_match" -> q102FuzzyMatch _,
     "q103_funnel" -> q103Funnel _,
+    "q104_incremental_dedup" -> q104IncrementalDedup _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -452,5 +479,12 @@ object Curation {
         |UNION ALL SELECT 'stage2_click', CAST(count(*) AS BIGINT) FROM f WHERE s2
         |UNION ALL SELECT 'stage3_purchase', CAST(count(*) AS BIGINT) FROM f WHERE s3
         |ORDER BY stage""".stripMargin,
+    "q104_incremental_dedup" ->
+      s"""WITH ${TrainingData.minhashBandsCtes}
+        |SELECT n.doc_id, CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_dups,
+        |       CAST(min(o.doc_id) AS BIGINT) AS first_dup
+        |FROM b n JOIN b o ON n.band = o.band AND n.k1 = o.k1 AND n.k2 = o.k2
+        |WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -59,11 +59,10 @@ object TrainingData {
   def q72DedupMinhash(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, dir).orderBy("doc_a", "doc_b")
 
-  /** The q72 candidate-pair set WITHOUT the presentation sort — q100's
-    * connected components consume the unordered pairs, and the global
-    * orderBy would otherwise execute (uselessly) under its eager
-    * localCheckpoint. */
-  private[ops] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The (doc_id, band, k1, k2) LSH band rows every minhash consumer
+    * shares: q72/q100 self-join them for candidate pairs, q104 joins
+    * new-batch bands against corpus bands for incremental dedup. */
+  private[ops] def minhashBands(s: SparkSession, dir: String): DataFrame = {
     // hash shingle rows with plain codegen'd md5 columns, minhash as
     // 8 min-aggregates (partial+final, one shuffle on doc_id) — an
     // HOF-lambda formulation evaluates interpreted and ran ~4× slower.
@@ -90,12 +89,20 @@ object TrainingData {
     val sig = hashed.groupBy("doc_id")
       .agg(min(col("h0")).as("m0"),
         (1 until 8).map(k => min(col(s"h$k")).as(s"m$k")): _*)
-    val bands = sig.select(col("doc_id"), explode(array((0 until 4).map(b =>
+    sig.select(col("doc_id"), explode(array((0 until 4).map(b =>
       struct(lit(b).as("band"),
         col(s"m${2 * b}").as("k1"), col(s"m${2 * b + 1}").as("k2"))): _*))
       .as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+  }
+
+  /** The q72 candidate-pair set WITHOUT the presentation sort — q100's
+    * connected components consume the unordered pairs, and the global
+    * orderBy would otherwise execute (uselessly) under its eager
+    * localCheckpoint. */
+  private[ops] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(s, dir)
     bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
@@ -104,10 +111,11 @@ object TrainingData {
       .distinct()
   }
 
-  /** DuckDB CTE chain producing the q72 candidate pairs (`pairs(da, db)`)
-    * — interpolated into BOTH the q72 and q100 oracles so the two can
-    * never drift (the Spark sides already share [[minhashPairs]]). */
-  private[ops] val minhashPairsCtes: String =
+  /** DuckDB CTE chain producing the q72 LSH band rows (`b(doc_id, band,
+    * k1, k2)`) — interpolated into every minhash oracle (q72, q100,
+    * q104) so the hash family can never drift between them (the Spark
+    * sides already share [[minhashBands]]). */
+  private[ops] val minhashBandsCtes: String =
     """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |shl AS (SELECT doc_id,
       |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS ss
@@ -115,9 +123,15 @@ object TrainingData {
       |sig AS (SELECT doc_id,
       |        [list_min([('0x' || substring(md5(k::VARCHAR || ':' || x), 1, 15))::BIGINT for x in ss]) for k in range(0, 8)] AS sg
       |        FROM shl),
-      |b AS (SELECT doc_id, unnest([{band: i, k1: sg[2*i+1], k2: sg[2*i+2]} for i in range(0, 4)], recursive := true) FROM sig),
-      |pairs AS (SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
-      |          FROM b a JOIN b b2 ON a.band = b2.band AND a.k1 = b2.k1 AND a.k2 = b2.k2 AND a.doc_id < b2.doc_id)"""
+      |b AS (SELECT doc_id, unnest([{band: i, k1: sg[2*i+1], k2: sg[2*i+2]} for i in range(0, 4)], recursive := true) FROM sig)"""
+      .stripMargin
+
+  /** [[minhashBandsCtes]] extended with the `pairs(da, db)` self-join —
+    * the q72/q100 shared prefix. */
+  private[ops] val minhashPairsCtes: String =
+    s"""$minhashBandsCtes,
+       |pairs AS (SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
+       |          FROM b a JOIN b b2 ON a.band = b2.band AND a.k1 = b2.k1 AND a.k2 = b2.k2 AND a.doc_id < b2.doc_id)"""
       .stripMargin
 
   /** q77: 64-bit SimHash fingerprint per document — token md5s, signed
