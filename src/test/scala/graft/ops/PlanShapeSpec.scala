@@ -55,6 +55,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q95 broadcasts the eval shingle set (the corpus side never " +
+    "shuffles for the decontamination join)") {
+    val plan = planOf(Curation.q95Decontaminate(spark, SparkTestBase.Sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q102 fuzzy match joins the name dictionary, not raw part rows " +
+    "(vocabulary-squared cost, row-count independent)") {
+    val df = Curation.q102FuzzyMatch(spark, SparkTestBase.Sf0001)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // both join inputs must be aggregates (the distinct-name dictionary),
+    // visible as Aggregate nodes below the join in the optimized plan
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0, plan)
+    assert(plan.indexOf("Aggregate", joinIdx) > joinIdx, plan)
+  }
+
   test("q04 pushes its filters into the RFC scan's OPTIONS (visible in " +
     "the DSv2 scan description)") {
     val plan = planOf(graft.sources.rfc.RfcQueries.q04RfcSourceScan(
