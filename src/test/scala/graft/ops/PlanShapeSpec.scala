@@ -72,6 +72,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.indexOf("Aggregate", joinIdx) > joinIdx, plan)
   }
 
+  test("q99's scale/codes intermediates are evaluated once per row, not " +
+    "inlined into the HOF lambdas (the CollapseProject quadratic trap)") {
+    val plan = Curation.q99EmbedQuantize(spark, SparkTestBase.Sf0001)
+      .queryExecution.optimizedPlan.toString
+    // one array_max for the scale column; inlining would duplicate it
+    // into the codes AND sse lambdas (3+ occurrences, re-run per element)
+    val occurrences = "array_max".r.findAllIn(plan).length
+    assert(occurrences == 1, s"array_max appears $occurrences times:\n$plan")
+  }
+
   test("q04 pushes its filters into the RFC scan's OPTIONS (visible in " +
     "the DSv2 scan description)") {
     val plan = planOf(graft.sources.rfc.RfcQueries.q04RfcSourceScan(
