@@ -47,11 +47,13 @@ case class SrpBucket(child: Expression, planes: Array[Array[Int]])
   override def nullable: Boolean = true
 
   /** Null-element scan only emitted when the input type can hold one —
-    * zero per-element cost on the containsNull=false embedding scans. */
-  private def mayHaveNullElements: Boolean = child.dataType match {
-    case ArrayType(_, containsNull) => containsNull
-    case _ => true
-  }
+    * zero per-element cost on the containsNull=false embedding scans.
+    * (lazy val: the interpreted path calls this per row.) */
+  @transient private lazy val mayHaveNullElements: Boolean =
+    child.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

@@ -52,11 +52,13 @@ case class VecDot(left: Expression, right: Expression)
 
   /** The per-element null scan only exists when an input can actually
     * hold a null element — for the containsNull=false embedding columns
-    * (every declared query) the hot loop carries no per-element branch. */
-  private def mayHaveNullElements: Boolean = Seq(left, right).exists(_.dataType match {
-    case ArrayType(_, containsNull) => containsNull
-    case _ => true
-  })
+    * (every declared query) the hot loop carries no per-element branch.
+    * (lazy val: the interpreted path calls this per row.) */
+  @transient private lazy val mayHaveNullElements: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    })
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

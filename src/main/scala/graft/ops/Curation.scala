@@ -312,9 +312,12 @@ object Curation {
         (col("t2").isNotNull && col("t2") - col("t1") <= week).as("s2"),
         (col("t3").isNotNull && col("t2") - col("t1") <= week &&
           col("t3") - col("t1") <= week).as("s3"))
+    // coalesce: on an empty funnel (no views at all) Spark's sum is
+    // NULL while the oracle's filtered count(*) is 0 — same answer
+    // only with the explicit zero
     f.agg(count(lit(1)).as("n1"),
-        sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
-        sum(when(col("s3"), 1L).otherwise(0L)).as("n3"))
+        coalesce(sum(when(col("s2"), 1L).otherwise(0L)), lit(0L)).as("n2"),
+        coalesce(sum(when(col("s3"), 1L).otherwise(0L)), lit(0L)).as("n3"))
       .select(explode(array(
         struct(lit("stage1_view").as("stage"), col("n1").as("n_users")),
         struct(lit("stage2_click").as("stage"), col("n2").as("n_users")),
@@ -338,6 +341,15 @@ object Curation {
     * q72/q100 — [[TrainingData.minhashBands]] on the Spark side, the
     * shared band CTE in the oracle. */
   def q104IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    // the two filter branches are non-identical subtrees (the % 10
+    // predicates push below the signature aggregate), so the pipeline
+    // executes twice — measured CHEAPER here than materializing the
+    // band rows once (localCheckpoint A/B at sf0.1: 1.3 s vs 2.6 s;
+    // the recompute overlaps across cores, the checkpoint serializes).
+    // In a real deployment neither happens: the corpus band table is a
+    // PERSISTED LSH index (e.g. BucketedTables on (band, k1, k2)) that
+    // ingest appends to — only the new batch's bands are computed per
+    // run, which is the whole point of the incremental shape.
     val bands = TrainingData.minhashBands(s, dir)
     val newB = bands.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("band"), col("k1"), col("k2"))

@@ -47,6 +47,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("Exact.r4's actual SQL expression matches BigDecimal HALF_UP " +
+    "(ExactR4Props pins the formula in Scala; this pins the production " +
+    "Column, so a typo in the SQL string cannot hide)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4)
+    val halfway = Seq((11965L, 20000L), (1L, 20000L), (3L, 2000L))
+    val cases = halfway ++ Seq.fill(200) {
+      val den = 1L + rnd.nextInt(1000000)
+      (math.abs(rnd.nextLong()) % (den + 1), den)
+    }
+    val got = cases.toDF("num", "den")
+      .select(Exact.r4("num", "den").as("r"))
+      .as[Double].collect()
+    cases.zip(got).foreach { case ((num, den), r) =>
+      val ref = BigDecimal(num)
+        .underlying.divide(java.math.BigDecimal.valueOf(den), 4,
+          java.math.RoundingMode.HALF_UP).doubleValue
+      assert(r == ref, s"$num/$den: got $r, want $ref")
+    }
+  }
+
   test("q88's assertFilter fires loudly past the cap and passes under it") {
     import spark.implicits._
     val df = Seq((1L, Seq(1L, 2L, 3L)), (2L, Seq(4L)))

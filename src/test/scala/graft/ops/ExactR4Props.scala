@@ -13,7 +13,7 @@ import org.scalacheck.{Gen, Prop, Properties}
 object ExactR4Props extends Properties("Exact.r4") {
 
   // the queries feed counts: num ∈ [0, den], den ≥ 1, both well under
-  // the bigint overflow bound (den ≤ ~9.2e14 before 2·den·10⁴ overflows)
+  // the bigint overflow bound (2·num·10⁴ overflows Long at num ≈ 4.6e14)
   private val fractions = for {
     den <- Gen.chooseNum(1L, 1000000L)
     num <- Gen.chooseNum(0L, den)

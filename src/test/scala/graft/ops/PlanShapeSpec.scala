@@ -63,13 +63,18 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q102 fuzzy match joins the name dictionary, not raw part rows " +
     "(vocabulary-squared cost, row-count independent)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     val df = Curation.q102FuzzyMatch(spark, SparkTestBase.Sf0001)
-    val plan = df.queryExecution.optimizedPlan.toString
-    // both join inputs must be aggregates (the distinct-name dictionary),
-    // visible as Aggregate nodes below the join in the optimized plan
-    val joinIdx = plan.indexOf("Join")
-    assert(joinIdx >= 0, plan)
-    assert(plan.indexOf("Aggregate", joinIdx) > joinIdx, plan)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    // BOTH sides of the blocking join must be the distinct-name
+    // aggregate — one raw side would restore row-count-dependent cost
+    joins.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        assert(side.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"q102 join side is not dictionary-aggregated:\n$side")
+      }
+    }
   }
 
   test("q99's scale/codes intermediates are evaluated once per row, not " +

@@ -34,7 +34,9 @@ class BucketedJoinSpec extends AnyFunSuite {
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), plan)
       assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
-      assert(!plan.contains("+- Sort "), s"bucketed join still sorts:\n$plan")
+      // "- Sort " matches both renderings (":- Sort" first child,
+      // "+- Sort" second child) — a one-sided regression must fail too
+      assert(!plan.contains("- Sort "), s"bucketed join still sorts:\n$plan")
       // correctness: identical row count to the plain (shuffling) join
       val expected = orders.join(
         lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
