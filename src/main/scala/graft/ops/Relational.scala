@@ -406,6 +406,22 @@ object Relational {
         coalesce(col("R"), lit(0L)).as("cnt_r"))
       .orderBy("l_linestatus")
 
+  /** q65: unpivot/melt — q58's inverse: three measure columns fold into
+    * (metric, value) rows. Pure narrow projection (Spark's Expand node,
+    * one output row per measure per input row, no shuffle until the
+    * presentation sort); the melt step every feature pipeline runs
+    * before long-format aggregation. */
+  def q65Unpivot(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric", "value")
+
   /** q59: correlated scalar subquery — orders priced above 2× their
     * customer's average. Catalyst decorrelates it into an aggregate +
     * join (no per-row subquery execution); the SQL surface is the point
@@ -480,6 +496,7 @@ object Relational {
     "q50_sort_limit" -> q50SortLimit _,
     "q51_topk_per_group" -> q51TopkPerGroup _,
     "q58_pivot" -> q58Pivot _,
+    "q65_unpivot" -> q65Unpivot _,
     "q59_scalar_subquery" -> q59ScalarSubquery _,
     "q55_set_union" -> q55SetUnion _,
     "q56_set_intersect" -> q56SetIntersect _,
@@ -653,6 +670,12 @@ object Relational {
         |       CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_n,
         |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_r
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q65_unpivot" ->
+      """WITH src AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |             FROM lineitem WHERE l_orderkey < 100)
+        |SELECT l_orderkey, l_linenumber, metric, value
+        |FROM (UNPIVOT src ON l_quantity, l_extendedprice, l_discount INTO NAME metric VALUE value)
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
     "q59_scalar_subquery" ->
       """SELECT o_orderkey, round(o_totalprice, 4) AS price
         |FROM orders o
