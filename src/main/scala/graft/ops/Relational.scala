@@ -292,6 +292,35 @@ object Relational {
       .select("o_custkey", "o_orderkey", "rn")
       .orderBy("o_custkey", "rn")
 
+  /** q48: distribution window functions — percent_rank / cume_dist per
+    * customer. The window order carries the o_orderkey tiebreak, making
+    * ranks unique, so both engines evaluate the same exact integer
+    * ratios (rn−1)/(n−1) and rn/n; IEEE division of identical ints is
+    * bit-identical — no rounding needed (rounding would actually ADD
+    * the 4-decimal half-way hazard these rationals are prone to). */
+  def q48DistWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T(s, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q49: bivariate statistics — Pearson correlation and sample
+    * covariance of quantity vs price per return flag. Rounded like the
+    * q35 variances (sums of many double products; rounding absorbs
+    * accumulation-order differences between engines). */
+  def q49Corr(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
+      .orderBy("l_returnflag")
+
   /** q42: lag/lead analytics over event stream. Window order quantizes
     * ts to µs so same-µs neighbors order identically on both engines. */
   def q42WinLagLead(s: SparkSession, dir: String): DataFrame = {
@@ -493,6 +522,8 @@ object Relational {
     "q45_win_ntile" -> q45WinNtile _,
     "q46_range_frame" -> q46RangeFrame _,
     "q47_value_window" -> q47ValueWindow _,
+    "q48_dist_window" -> q48DistWindow _,
+    "q49_corr" -> q49Corr _,
     "q50_sort_limit" -> q50SortLimit _,
     "q51_topk_per_group" -> q51TopkPerGroup _,
     "q58_pivot" -> q58Pivot _,
@@ -655,6 +686,18 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q48_dist_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q49_corr" ->
+      """SELECT l_returnflag,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |       round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q50_sort_limit" ->
       """SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
         |FROM orders ORDER BY 2 DESC, 1 LIMIT 100""".stripMargin,
