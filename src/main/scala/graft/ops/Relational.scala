@@ -451,6 +451,25 @@ object Relational {
         "metric", "value")
       .orderBy("l_orderkey", "l_linenumber", "metric", "value")
 
+  /** q52: LATERAL correlated subquery — top-2 orders per customer
+    * through the SQL LATERAL surface (the per-row-subquery formulation
+    * users write; q51 is the window formulation of the same semantics).
+    * Catalyst decorrelates the correlated LIMIT into a join + windowed
+    * filter — no per-row subquery execution survives to the physical
+    * plan. */
+  def q52LateralTopk(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "customer").createOrReplaceTempView("graft_cust52")
+    T(s, dir, "orders").createOrReplaceTempView("graft_ord52")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice AS price
+        |FROM graft_cust52 c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM graft_ord52 o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_custkey < 50
+        |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)
+  }
+
   /** q59: correlated scalar subquery — orders priced above 2× their
     * customer's average. Catalyst decorrelates it into an aggregate +
     * join (no per-row subquery execution); the SQL surface is the point
@@ -526,6 +545,7 @@ object Relational {
     "q49_corr" -> q49Corr _,
     "q50_sort_limit" -> q50SortLimit _,
     "q51_topk_per_group" -> q51TopkPerGroup _,
+    "q52_lateral_topk" -> q52LateralTopk _,
     "q58_pivot" -> q58Pivot _,
     "q65_unpivot" -> q65Unpivot _,
     "q59_scalar_subquery" -> q59ScalarSubquery _,
@@ -707,6 +727,14 @@ object Relational {
         |             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rn
         |      FROM lineitem WHERE l_orderkey < 100)
         |WHERE rn <= 2 ORDER BY l_orderkey, rn""".stripMargin,
+    "q52_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice AS price
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_custkey < 50
+        |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin,
     "q58_pivot" ->
       """SELECT l_linestatus,
         |       CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
