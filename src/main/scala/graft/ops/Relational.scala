@@ -153,6 +153,26 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** q27: full outer join — both sides filtered so each has unmatched
+    * rows (order-only custkeys ≥ 500, customers with no 400k+ order).
+    * Full outer is never broadcast-able (both sides must surface their
+    * unmatched rows), so this is the deliberate shuffle-join entry:
+    * SMJ/shuffled-hash on the key, null-extended on both sides. */
+  def q27JoinFull(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer").filter(col("c_custkey") < 500)
+      .select("c_custkey", "c_name")
+    val o = T(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("o_orderkey"), lit(-1L)).as("orderkey"),
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_orderkey").isNull, "cust_only")
+          .otherwise("both").as("side"))
+      .orderBy("custkey", "orderkey")
+  }
+
   // ---- aggregations ----------------------------------------------------
 
   /** q30: TPC-H Q1 shape — partial+final hash aggregate. */
@@ -470,6 +490,19 @@ object Relational {
         |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)
   }
 
+  /** q53: pagination — page 3 of the price-ranked order list via
+    * LIMIT 20 OFFSET 40 (unique o_orderkey tiebreak makes every page
+    * deterministic). Spark plans GlobalLimit(offset+limit) over a
+    * TakeOrdered-style partial sort — no full global sort; the driver
+    * only ever sees offset+limit rows. */
+  def q53LimitOffset(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .offset(40).limit(20)
+      // contract: explicit final ORDER BY (20-row re-sort, free)
+      .orderBy(col("price").desc, col("o_orderkey"))
+
   /** q59: correlated scalar subquery — orders priced above 2× their
     * customer's average. Catalyst decorrelates it into an aggregate +
     * join (no per-row subquery execution); the SQL surface is the point
@@ -523,6 +556,7 @@ object Relational {
     "q24_join_anti" -> q24JoinAnti _,
     "q25_join_interval" -> q25JoinInterval _,
     "q26_join_asof" -> q26JoinAsof _,
+    "q27_join_full" -> q27JoinFull _,
     "q30_agg_q1" -> q30AggQ1 _,
     "q31_agg_distinct" -> q31AggDistinct _,
     "q32_agg_rollup" -> q32AggRollup _,
@@ -546,6 +580,7 @@ object Relational {
     "q50_sort_limit" -> q50SortLimit _,
     "q51_topk_per_group" -> q51TopkPerGroup _,
     "q52_lateral_topk" -> q52LateralTopk _,
+    "q53_limit_offset" -> q53LimitOffset _,
     "q58_pivot" -> q58Pivot _,
     "q65_unpivot" -> q65Unpivot _,
     "q59_scalar_subquery" -> q59ScalarSubquery _,
@@ -611,6 +646,15 @@ object Relational {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup
         |      FROM tagged)
         |SELECT event_id, coalesce(asof_signup, -1) AS asof_signup FROM x WHERE src = 1 ORDER BY event_id""".stripMargin,
+    "q27_join_full" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 500),
+        |     o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000)
+        |SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+        |       coalesce(o.o_orderkey, -1) AS orderkey,
+        |       CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+        |            WHEN o.o_orderkey IS NULL THEN 'cust_only' ELSE 'both' END AS side
+        |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey, orderkey""".stripMargin,
     "q30_agg_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 4) AS sum_qty,
@@ -735,6 +779,9 @@ object Relational {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         |WHERE c.c_custkey < 50
         |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin,
+    "q53_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice AS price FROM orders
+        |ORDER BY price DESC, o_orderkey LIMIT 20 OFFSET 40""".stripMargin,
     "q58_pivot" ->
       """SELECT l_linestatus,
         |       CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
