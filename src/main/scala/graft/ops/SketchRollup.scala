@@ -34,4 +34,36 @@ object SketchRollup {
   def totalDistinctUsers(daily: DataFrame): Long =
     daily.agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
       .collect()(0).getLong(0)
+
+  // ---- frequency sketches (count-min) ---------------------------------
+
+  /** Per-day count-min sketches of per-user event frequencies — the
+    * heavy-hitters counterpart to the HLL distinct-count sketch. Same
+    * ingest-time pattern: one shuffle on day, ~KB blob per day. The
+    * seed is FIXED: count-min merge is plain counter addition, so
+    * same-seed sketches merge EXACTLY (sum of daily tables = direct
+    * global table, bit for bit — pinned by SketchRollupSpec), and the
+    * estimate error stays one-sided: est ≥ true, est ≤ true + ε·N with
+    * probability 1-δ. */
+  def dailyUserFreqSketches(events: DataFrame,
+                            eps: Double = 0.001,
+                            confidence: Double = 0.99): DataFrame =
+    events
+      .withColumn("day", expr("(ts div 1000) div 86400000000"))
+      .groupBy("day")
+      .agg(expr(s"count_min_sketch(user_id, ${eps}d, ${confidence}d, 42)")
+        .as("cms"),
+        count(lit(1)).as("n_events"))
+
+  /** Merges the per-day count-min blobs (days × KB — driver-side merge
+    * is the point: no rescan of raw events) and answers per-key
+    * frequency queries from the merged sketch. */
+  def mergedUserFreq(daily: DataFrame, userIds: Seq[Long]): Map[Long, Long] = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val blobs = daily.select("cms").collect().map(_.getAs[Array[Byte]](0))
+    val merged = blobs.map(b =>
+        CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    userIds.map(u => u -> merged.estimateCount(u)).toMap
+  }
 }

@@ -31,4 +31,38 @@ class SketchRollupSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(rolled == direct, s"union-of-daily $rolled != direct $direct")
   }
+
+  test("count-min rollup: merged daily sketches bound every user's true " +
+    "frequency one-sidedly and equal the direct global sketch bit-for-bit") {
+    import org.apache.spark.sql.Row
+    val events = T(spark, SparkTestBase.Sf0001, "events")
+    val daily = SketchRollup.dailyUserFreqSketches(events)
+    assert(daily.count() > 1)
+
+    val exact = events.groupBy("user_id").count()
+      .collect().map { case Row(u: Long, c: Long) => u -> c }.toMap
+    val n = exact.values.sum
+    val est = SketchRollup.mergedUserFreq(daily, exact.keys.toSeq)
+    // count-min error is one-sided: never under, over by ≤ ε·N w.p. 1-δ
+    est.foreach { case (u, e) =>
+      assert(e >= exact(u), s"user $u: est $e under-counts ${exact(u)}")
+      assert(e <= exact(u) + (0.001 * n).ceil.toLong + 1,
+        s"user $u: est $e exceeds ε·N bound over ${exact(u)}")
+    }
+
+    // merge is plain counter addition at a fixed seed: the merged daily
+    // blobs must equal the one-pass global sketch EXACTLY
+    val direct = events
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"))
+      .collect()(0).getAs[Array[Byte]](0)
+    import org.apache.spark.util.sketch.CountMinSketch
+    val merged = daily.select("cms").collect()
+      .map(r => CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    assert(java.util.Arrays.equals(out.toByteArray, direct),
+      "merged daily count-min sketches differ from the direct global sketch")
+  }
 }
