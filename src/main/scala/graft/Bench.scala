@@ -58,16 +58,18 @@ object Bench {
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val fails = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}"""
-    println(line)
-    // The full line above can exceed a log-capture tail window once the
-    // queries map grows (the r3 harness tail cut off the leading
-    // "value" field). Repeat the headline WITHOUT the per-query map as
-    // the final line so the total always survives truncation; full
-    // detail stays in the first line and bench_out.json.
+    // Both stdout lines derive from one headline template so they can't
+    // drift apart. The full line can exceed a log-capture tail window
+    // once the queries map grows (the r3 harness tail cut off the
+    // leading "value" field), so the map-free summary repeats LAST —
+    // the total always survives truncation; full detail stays in the
+    // first line and bench_out.json.
     val n = results.count { case (_, v) => v >= 0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"failures":$fails,"sf":"$sfDir"}""")
+    def headline(detail: String) =
+      s"""{"metric":"total","value":$total,"unit":"sec",$detail"failures":$fails,"sf":"$sfDir"}"""
+    val line = headline(s""""queries":$qs,""")
+    println(line)
+    println(headline(s""""n_queries":$n,"""))
     Files.writeString(Paths.get("bench_out.json"), line)
     spark.stop()
   }

@@ -14,6 +14,8 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      // empty filter would silently verify zero queries and exit green
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but names no queries")
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty, s"SPARK_GRAFT_ONLY unknown queries: $unknown")
     }

@@ -19,11 +19,16 @@ import org.apache.spark.sql.functions._
   * ClusteredWrite. */
 object SketchRollup {
 
+  /** ns-epoch `ts` → day bucket, µs-quantized FIRST (the portability
+    * contract both sketch families must share — one definition so HLL
+    * days and count-min days can never disagree). */
+  private val dayExpr = "(ts div 1000) div 86400000000"
+
   /** Per-day HLL sketches of distinct users — the persisted ingest-time
     * aggregate. One shuffle on day; sketch blobs are ~KB each. */
   def dailyUserSketches(events: DataFrame): DataFrame =
     events
-      .withColumn("day", expr("(ts div 1000) div 86400000000"))
+      .withColumn("day", expr(dayExpr))
       .groupBy("day")
       .agg(hll_sketch_agg(col("user_id")).as("sketch"),
         count(lit(1)).as("n_events"))
@@ -49,7 +54,7 @@ object SketchRollup {
                             eps: Double = 0.001,
                             confidence: Double = 0.99): DataFrame =
     events
-      .withColumn("day", expr("(ts div 1000) div 86400000000"))
+      .withColumn("day", expr(dayExpr))
       .groupBy("day")
       .agg(expr(s"count_min_sketch(user_id, ${eps}d, ${confidence}d, 42)")
         .as("cms"),
@@ -61,6 +66,7 @@ object SketchRollup {
   def mergedUserFreq(daily: DataFrame, userIds: Seq[Long]): Map[Long, Long] = {
     import org.apache.spark.util.sketch.CountMinSketch
     val blobs = daily.select("cms").collect().map(_.getAs[Array[Byte]](0))
+    if (blobs.isEmpty) return userIds.map(_ -> 0L).toMap // freq of nothing
     val merged = blobs.map(b =>
         CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
       .reduce { (a, b) => a.mergeInPlace(b); a }

@@ -52,10 +52,15 @@ object ZOrderWrite {
     * code of `(a, b)` — each file a contiguous z-range, internally
     * sorted, so min/max stats are tight in both `a` and `b`. */
   def parquet(df: DataFrame, path: String, numFiles: Int,
-              a: Column, b: Column): Unit =
+              a: Column, b: Column): Unit = {
+    // withColumn would silently REPLACE a caller column of this name and
+    // drop would then erase it from the written output
+    require(!df.columns.contains("__graft_z"),
+      "input already has a __graft_z column")
     df.withColumn("__graft_z", zvalue(a, b))
       .repartitionByRange(numFiles, col("__graft_z"))
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z")
       .write.mode("overwrite").parquet(path)
+  }
 }

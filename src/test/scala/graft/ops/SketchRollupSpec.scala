@@ -36,7 +36,9 @@ class SketchRollupSpec extends AnyFunSuite {
     "frequency one-sidedly and equal the direct global sketch bit-for-bit") {
     import org.apache.spark.sql.Row
     val events = T(spark, SparkTestBase.Sf0001, "events")
-    val daily = SketchRollup.dailyUserFreqSketches(events)
+    // cache: count / merge / bit-compare below would otherwise re-run
+    // the sketch aggregation three times
+    val daily = SketchRollup.dailyUserFreqSketches(events).cache()
     assert(daily.count() > 1)
 
     val exact = events.groupBy("user_id").count()
