@@ -81,6 +81,20 @@ object Scalars {
           lit("k")).as("k_map"))
       .orderBy("event_id")
 
+  /** q66: regex group extraction — the structured-field-from-text
+    * surface (q84 counts matches, q91 replaces; this EXTRACTS). Both
+    * engines return '' for a no-match, and the patterns stay inside the
+    * Java∩RE2 common dialect (q91's portability rule). */
+  def q66RegexExtract(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "Brand#([0-9]+)", 1)
+          .cast("long").as("brand_no"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        regexp_extract(col("p_type"), "([0-9]+)", 1).as("type_digits"))
+      .orderBy("p_partkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_cast_numeric_text" -> q05CastNumericText _,
     "q60_str_funcs" -> q60StrFuncs _,
@@ -88,6 +102,7 @@ object Scalars {
     "q62_math_funcs" -> q62MathFuncs _,
     "q63_array_funcs" -> q63ArrayFuncs _,
     "q64_json_funcs" -> q64JsonFuncs _,
+    "q66_regex_extract" -> q66RegexExtract _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -128,5 +143,11 @@ object Scalars {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_map
         |FROM events ORDER BY event_id""".stripMargin,
+    "q66_regex_extract" ->
+      """SELECT p_partkey,
+        |       CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS BIGINT) AS brand_no,
+        |       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |       regexp_extract(p_type, '([0-9]+)', 1) AS type_digits
+        |FROM part ORDER BY p_partkey""".stripMargin,
   )
 }
