@@ -55,7 +55,14 @@ object PlanAudit {
     "q104_incremental_dedup" ->
       ("**Look for:** the asymmetric join — the small new-batch band table " +
         "joins the full corpus band index on the equi-key; per-ingest cost " +
-        "scales with the batch, not the corpus."))
+        "scales with the batch, not the corpus."),
+    "q105_curation_pipeline" ->
+      ("**Look for:** the md5 digest projected BEFORE the exchange (the " +
+        "shuffle carries 32-hex digests + 3 small columns, never document " +
+        "text), the dedup window's rn<=1 pushed down as WindowGroupLimit " +
+        "partial group-limits on BOTH sides of its exchange, and " +
+        "partial+final aggregation for the (lang, split) stats — two data " +
+        "shuffles plus the presentation sort."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

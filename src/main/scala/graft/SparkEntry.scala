@@ -16,9 +16,13 @@ import graft.sources.rfc.RfcQueries
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * q105 — the composed curation pipeline (quality gate → hash-first
+    * exact dedup → deterministic split → per-(lang, split) stats): one
+    * query exercising scan, filter, window dedup, hash bucketing, and
+    * partial+final aggregation end to end. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q30AggQ1(spark, "/root/testdata/sf0.001")
+    Curation.q105CurationPipeline(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ ParseRoute.queries ++ Scalars.queries ++

@@ -362,6 +362,36 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q105: the composed curation pipeline — the flagship end-to-end
+    * shape a corpus actually flows through, built from the library's own
+    * stages: character-length quality gate → exact near-zero-cost dedup
+    * (md5 digest computed BEFORE the shuffle, so the exchange carries
+    * 32-hex digests + 3 small columns, never text — q70's hash-first
+    * rule) → q89's deterministic md5-bucket 80/10/10 split →
+    * per-(lang, split) doc and token counts. One digest-keyed window,
+    * one final aggregate; every stage linear and partition-parallel.
+    * Dedup keeps the smallest doc_id per digest (stable across runs,
+    * machines, and incremental appends — same argument as q89). */
+  def q105CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val wDigest = Window.partitionBy("digest").orderBy("doc_id")
+    T(s, dir, "documents")
+      .filter(col("n_chars").between(20, 5000))
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("text")).as("digest"))
+      .withColumn("rn", row_number().over(wDigest))
+      .filter(col("rn") === 1)
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .orderBy("lang", "split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_decontaminate" -> q95Decontaminate _,
     "q96_repetition_signals" -> q96RepetitionSignals _,
@@ -373,6 +403,7 @@ object Curation {
     "q102_fuzzy_match" -> q102FuzzyMatch _,
     "q103_funnel" -> q103Funnel _,
     "q104_incremental_dedup" -> q104IncrementalDedup _,
+    "q105_curation_pipeline" -> q105CurationPipeline _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -498,5 +529,25 @@ object Curation {
         |FROM b n JOIN b o ON n.band = o.band AND n.k1 = o.k1 AND n.k2 = o.k2
         |WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q105_curation_pipeline" ->
+      """WITH gated AS (
+        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         md5(text) AS digest
+        |  FROM documents WHERE n_chars BETWEEN 20 AND 5000),
+        |deduped AS (
+        |  SELECT doc_id, lang, n_tokens FROM (
+        |    SELECT doc_id, lang, n_tokens,
+        |           row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+        |    FROM gated) WHERE rn = 1),
+        |split AS (
+        |  SELECT lang,
+        |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |         n_tokens
+        |  FROM (SELECT lang, n_tokens,
+        |               (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT) % 100 AS b
+        |        FROM deduped))
+        |SELECT lang, split, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM split GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }
