@@ -181,12 +181,13 @@ object Curation {
     * join + aggregate — the driver sees ONLY the scalar changed-count
     * (and the per-round localCheckpoint truncates the growing lineage).
     * Rounds are bounded by component diameter — near-dup clusters are
-    * dense and shallow (2-4 rounds here). At 100 TB with adversarial
-    * long-chain components, swap the round body for the large-star/
-    * small-star rewrite (Kiveris et al., CC in MapReduce) — same
-    * join-aggregate primitive, provably O(log n) rounds; the fixpoint
-    * and output contract are unchanged, which is why the simpler body
-    * ships here. */
+    * dense and shallow (2-4 rounds here). For adversarial long-chain
+    * components, [[connectedComponentsStar]] ships the large-star/
+    * small-star rewrite (Kiveris et al., CC in MapReduce): same
+    * join-aggregate primitive and output contract, provably
+    * logarithmic rounds (CurationSpec: a 256-link chain in ≤15 rounds
+    * where hash-to-min would take ~256). Hash-to-min stays the default
+    * here because shallow clusters converge faster under it. */
   def q100DupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = TrainingData.minhashPairs(s, dir)
     connectedComponents(
@@ -223,6 +224,72 @@ object Curation {
       labels = next
     }
     labels
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") — the same
+    * `(node, root)` contract as [[connectedComponents]], but the round
+    * count is logarithmic in component size instead of linear in
+    * component DIAMETER. Hash-to-min stays q100's default (near-dup
+    * clusters are dense and shallow, 2-4 rounds); this is the drop-in
+    * for adversarial long-chain graphs, where hash-to-min needs
+    * diameter rounds (a 100k-link chain = 100k rounds vs ~17 here).
+    *
+    * Each round is two groupBy-min + join passes over the edge set:
+    *  - large-star: every node links its strictly-LARGER neighbors to
+    *    the smallest node it can see (min of neighbors ∪ self) —
+    *    tall trees flatten;
+    *  - small-star: every node links its smaller-or-equal parents (and
+    *    itself) to their minimum — stars canonicalize onto the min.
+    * Fixpoint when the edge set stops changing; only the two scalar
+    * difference-counts reach the driver, and the per-round eager
+    * localCheckpoint truncates the growing lineage (same discipline as
+    * hash-to-min). */
+  private[ops] def connectedComponentsStar(pairs: DataFrame): DataFrame =
+    starWithRounds(pairs)._1
+
+  private[ops] def starWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    val nodes = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node"))).distinct()
+      .localCheckpoint(true)
+    // canonical working set: symmetric, no self-loops, distinct
+    var edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      // large-star over the symmetrized view: m(u) = min(Γ(u) ∪ {u});
+      // each undirected {u,v} (u<v) emits exactly one directed (v, m(u))
+      val sym = edges
+        .union(edges.select(col("b").as("a"), col("a").as("b"))).distinct()
+      val mLarge = sym.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      val ls = sym.join(mLarge, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star on the directed (child > parent) edges: every child
+      // links its parents ∪ itself to their minimum
+      val mSmall = ls.groupBy("a").agg(min("b").as("m"))
+      val joined = ls.join(mSmall, "a")
+      val ss = joined
+        .select(col("a"), col("m").as("b"))         // child → min parent
+        .union(joined.select(col("b").as("a"), col("m").as("b"))) // co-parents → min
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(true)
+      // fixpoint = canonical edge set unchanged (two scalar counts)
+      converged = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      edges = ss
+      rounds += 1
+    }
+    // final star forest: children point at their component min; roots
+    // (and any node isolated by self-loop removal) label themselves
+    val labels = nodes
+      .join(edges.withColumnRenamed("a", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("b"), col("node")).as("root"))
+    (labels, rounds)
   }
 
   /** q101: time-series gap filling — resample each user's event values

@@ -47,6 +47,30 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponentsStar equals union-find on the same graphs and " +
+    "converges in O(log n) rounds on a 256-link chain (the adversarial " +
+    "diameter where hash-to-min would need ~256 propagation rounds)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(200)
+    def randomGraph(): Seq[(Long, Long)] = {
+      val n = 2 + rnd.nextInt(23)
+      Seq.fill(1 + rnd.nextInt(30)) {
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+    }
+    for (es <- Seq.fill(6)(randomGraph()).filter(_.nonEmpty)) {
+      val got = Curation.connectedComponentsStar(es.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == bruteComponents(es), s"edges: $es")
+    }
+
+    val chain = (0L until 256L).map(i => (i, i + 1))
+    val (labels, rounds) = Curation.starWithRounds(chain.toDF("a", "b"))
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got == (0L to 256L).map(_ -> 0L).toMap)
+    assert(rounds <= 15, s"star contraction took $rounds rounds on a chain")
+  }
+
   test("Exact.r4's actual SQL expression matches BigDecimal HALF_UP " +
     "(ExactR4Props pins the formula in Scala; this pins the production " +
     "Column, so a typo in the SQL string cannot hide)") {
