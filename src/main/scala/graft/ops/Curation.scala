@@ -98,9 +98,8 @@ object Curation {
     val kept = docs.select("doc_id", "source")
       .join(broadcast(counts), "source")
       .crossJoin(broadcast(g))
-      .filter(
-        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int)")
-          * col("n_before") < expr("total div (2 * ns)") * 65536)
+      .filter(TrainingData.md5Hash16
+        * col("n_before") < expr("total div (2 * ns)") * 65536)
       .groupBy("source")
       .agg(count(lit(1)).as("n_after"))
     counts.join(kept, Seq("source"), "left")
@@ -252,9 +251,12 @@ object Curation {
     val nodes = pairs.select(col("a").as("node"))
       .union(pairs.select(col("b").as("node"))).distinct()
       .localCheckpoint(true)
-    // canonical working set: symmetric, no self-loops, distinct
-    var edges = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    // canonical working set: DIRECTED a > b, no self-loops, distinct —
+    // the symmetrized view each round is then duplicate-free by
+    // construction (no per-round distinct shuffle on 2|E| rows)
+    var edges = pairs
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
     var rounds = 0
@@ -263,7 +265,7 @@ object Curation {
       // large-star over the symmetrized view: m(u) = min(Γ(u) ∪ {u});
       // each undirected {u,v} (u<v) emits exactly one directed (v, m(u))
       val sym = edges
-        .union(edges.select(col("b").as("a"), col("a").as("b"))).distinct()
+        .union(edges.select(col("b").as("a"), col("a").as("b")))
       val mLarge = sym.groupBy("a").agg(min("b").as("mb"))
         .select(col("a"), least(col("a"), col("mb")).as("m"))
       val ls = sym.join(mLarge, "a")
@@ -279,8 +281,10 @@ object Curation {
         .union(joined.select(col("b").as("a"), col("m").as("b"))) // co-parents → min
         .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint(true)
-      // fixpoint = canonical edge set unchanged (two scalar counts)
-      converged = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      // fixpoint = edge set unchanged; both sides are distinct sets, so
+      // equal counts + empty one-way difference suffice (one exceptAll
+      // job, not two)
+      converged = ss.count() == edges.count() && ss.exceptAll(edges).isEmpty
       edges = ss
       rounds += 1
     }
@@ -448,12 +452,8 @@ object Curation {
         md5(col("text")).as("digest"))
       .withColumn("rn", row_number().over(wDigest))
       .filter(col("rn") === 1)
-      .withColumn("bucket", expr(
-        "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 100"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
+      .withColumn("bucket", TrainingData.md5Bucket100)
+      .withColumn("split", TrainingData.md5Split(col("bucket")))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
       .orderBy("lang", "split")
@@ -498,11 +498,11 @@ object Curation {
         |       (top_word_ratio > 0.2 OR dup_bigram_ratio > 0.2) AS repetitious
         |FROM r ORDER BY doc_id""".stripMargin,
     "q97_source_rebalance" ->
-      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_before FROM documents GROUP BY 1),
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_before FROM documents GROUP BY 1),
         |g AS (SELECT CAST(sum(n_before) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS ns FROM c),
         |kept AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_after
         |         FROM documents d JOIN c ON d.source = c.source, g
-        |         WHERE ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 4))::INT * c.n_before < (g.total // (2 * g.ns)) * 65536
+        |         WHERE ${TrainingData.md5Hash16Sql("d.doc_id")} * c.n_before < (g.total // (2 * g.ns)) * 65536
         |         GROUP BY 1)
         |SELECT c.source, c.n_before, CAST(coalesce(k.n_after, 0) AS BIGINT) AS n_after
         |FROM c LEFT JOIN kept k ON c.source = k.source
@@ -597,7 +597,7 @@ object Curation {
         |WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q105_curation_pipeline" ->
-      """WITH gated AS (
+      s"""WITH gated AS (
         |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |         md5(text) AS digest
         |  FROM documents WHERE n_chars BETWEEN 20 AND 5000),
@@ -611,7 +611,7 @@ object Curation {
         |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
         |         n_tokens
         |  FROM (SELECT lang, n_tokens,
-        |               (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT) % 100 AS b
+        |               ${TrainingData.md5Hash16Sql()} % 100 AS b
         |        FROM deduped))
         |SELECT lang, split, count(*) AS n_docs,
         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens

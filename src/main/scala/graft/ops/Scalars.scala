@@ -89,7 +89,10 @@ object Scalars {
     T(s, dir, "part")
       .select(
         col("p_partkey"),
-        regexp_extract(col("p_brand"), "Brand#([0-9]+)", 1)
+        // nullif before the cast: regexp_extract's no-match '' would
+        // throw under ANSI cast (and error the oracle's CAST) — the
+        // ''-on-no-match parity only holds for the string columns
+        nullif(regexp_extract(col("p_brand"), "Brand#([0-9]+)", 1), lit(""))
           .cast("long").as("brand_no"),
         regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
         regexp_extract(col("p_type"), "([0-9]+)", 1).as("type_digits"))
@@ -145,7 +148,7 @@ object Scalars {
         |FROM events ORDER BY event_id""".stripMargin,
     "q66_regex_extract" ->
       """SELECT p_partkey,
-        |       CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS BIGINT) AS brand_no,
+        |       CAST(nullif(regexp_extract(p_brand, 'Brand#([0-9]+)', 1), '') AS BIGINT) AS brand_no,
         |       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
         |       regexp_extract(p_type, '([0-9]+)', 1) AS type_digits
         |FROM part ORDER BY p_partkey""".stripMargin,

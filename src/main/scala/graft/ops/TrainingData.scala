@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,6 +27,27 @@ import org.apache.spark.sql.functions._
   *    label block / sign-bucket, and the query set in q86 is broadcast.
   */
 object TrainingData {
+
+  /** Deterministic doc_id → 16-bit value (hex chars 1-4 of md5) — the
+    * machine-stable membership primitive q89/q94/q97/q105 share:
+    * bucket depends only on doc_id, so reruns, other clusters, and
+    * incremental appends keep/drop the same documents. ONE definition
+    * (plus its DuckDB twin below) — the stability contract across those
+    * ops is literally "same expression everywhere". */
+  private[ops] def md5Hash16: Column =
+    expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int)")
+
+  /** [0,100) bucket over [[md5Hash16]] — q89/q94/q105's split basis. */
+  private[ops] def md5Bucket100: Column = md5Hash16 % 100
+
+  /** q89's 80/10/10 bucket → split-name mapping (shared by q105). */
+  private[ops] def md5Split(bucket: Column): Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+  /** DuckDB twin of [[md5Hash16]]; `ref` lets oracle SQL qualify the
+    * key column through a table alias. */
+  private[ops] def md5Hash16Sql(ref: String = "doc_id"): String =
+    s"(('0x' || substr(md5($ref::VARCHAR), 1, 4))::INT)"
 
   /** 3-word shingles, one row per OCCURRENCE (doc_id, sh) — callers
     * that need per-doc set semantics dedup in their own aggregate
@@ -694,12 +715,8 @@ object TrainingData {
     * machines. Pure projection + one aggregate. */
   def q89HashSplit(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
-      .withColumn("bucket", expr(
-        "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 100"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
+      .withColumn("bucket", md5Bucket100)
+      .withColumn("split", md5Split(col("bucket")))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("lang", "split")
@@ -724,9 +741,7 @@ object TrainingData {
     T(s, dir, "documents")
       .select(col("doc_id"), col("lang"))
       .join(rates, Seq("lang"))
-      .filter(expr(
-        "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 100")
-        < col("rate"))
+      .filter(md5Bucket100 < col("rate"))
       .select("doc_id", "lang")
       .orderBy("doc_id")
   }
@@ -946,8 +961,8 @@ object TrainingData {
         |       upper(substr(hex(encode(text)), 1, 8)) AS magic
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q89_hash_split" ->
-      """WITH b AS (SELECT lang,
-        |           (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT) % 100 AS bucket
+      s"""WITH b AS (SELECT lang,
+        |           ${md5Hash16Sql()} % 100 AS bucket
         |           FROM documents)
         |SELECT lang,
         |       CASE WHEN bucket < 80 THEN 'train'
@@ -961,7 +976,7 @@ object TrainingData {
         |           FROM (SELECT DISTINCT lang FROM documents)
         |           WHERE CASE lang $rateCase END IS NOT NULL)
         |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
-        |WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::INT) % 100 < r.rate
+        |WHERE ${md5Hash16Sql("d.doc_id")} % 100 < r.rate
         |ORDER BY d.doc_id""".stripMargin
     },
     "q90_tfidf_top_terms" ->

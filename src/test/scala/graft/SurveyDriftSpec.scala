@@ -34,10 +34,6 @@ class SurveyDriftSpec extends AnyFunSuite {
       s"declared in SURVEY §2.3 but not registered: ${unregistered.toSeq.sorted}")
     assert(undeclared.isEmpty,
       s"registered but missing a SURVEY §2.3 row: ${undeclared.toSeq.sorted}")
-
-    // and the oracle map never names a query that doesn't run
-    val orphanOracles = SparkEntry.oracleSql.keySet -- registered
-    assert(orphanOracles.isEmpty,
-      s"oracleSql entries without a query: ${orphanOracles.toSeq.sorted}")
+    // (oracle-without-query orphans are DataContractSpec's invariant)
   }
 }
