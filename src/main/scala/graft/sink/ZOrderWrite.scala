@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   * [[ClusteredWrite]] clusters on ONE key: files are range-disjoint in
   * that key, but a predicate on any OTHER column still touches every
   * file (each file spans that column's full range). Z-ordering
-  * interleaves the bits of two keys into one Morton code and clusters
-  * on that, so every file covers a small rectangle of the (a, b) space
-  * — predicates on EITHER column (or both) prune files via parquet
-  * min/max stats. This is the standard lakehouse layout trick for
-  * "filter by either dimension" tables (e.g. documents by
-  * (source, date), events by (user, day)); at 100 TB it turns a
-  * full-corpus scan on the second column into touching ~√F of F files.
+  * interleaves the bits of 2-4 keys into one Morton code and clusters
+  * on that, so every file covers a small hyper-rectangle of the key
+  * space — predicates on ANY clustered column (or several) prune files
+  * via parquet min/max stats. This is the standard lakehouse layout
+  * trick for "filter by any dimension" tables (e.g. documents by
+  * (source, date, lang), events by (user, day)); at 100 TB it turns a
+  * full-corpus scan on a secondary column into touching ~F^((k-1)/k)
+  * of F files.
   *
   * The Morton code is pure codegen'd bitwise built-ins (shiftleft /
   * bitwiseAND / bitwiseOR) — no UDF, no custom expression needed;
@@ -25,39 +26,59 @@ import org.apache.spark.sql.functions._
   */
 object ZOrderWrite {
 
-  /** Spreads the low 32 bits of `x` to the even bit positions of a
-    * 64-bit long (classic Morton spread via five shift-mask rounds). */
-  private def spread(x: Column): Column = {
-    val m: Seq[(Int, Long)] = Seq(
-      16 -> 0x0000FFFF0000FFFFL,
-      8  -> 0x00FF00FF00FF00FFL,
-      4  -> 0x0F0F0F0F0F0F0F0FL,
-      2  -> 0x3333333333333333L,
-      1  -> 0x5555555555555555L)
-    m.foldLeft(x.cast("long").bitwiseAND(lit(0xFFFFFFFFL))) {
+  /** Bits available per key at stride k (64 / k, floored). */
+  def bitsPerDim(k: Int): Int = Seq(32, 21, 16)(k - 2)
+
+  // Classic Morton spread tables: after masking the input to
+  // bitsPerDim(k) bits, each (shift, mask) round doubles the gap until
+  // consecutive input bits sit k positions apart.
+  private val spreadRounds: Map[Int, Seq[(Int, Long)]] = Map(
+    2 -> Seq(
+      16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+      4  -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
+      1  -> 0x5555555555555555L),
+    3 -> Seq(
+      32 -> 0x001F00000000FFFFL, 16 -> 0x001F0000FF0000FFL,
+      8  -> 0x100F00F00F00F00FL, 4  -> 0x10C30C30C30C30C3L,
+      2  -> 0x1249249249249249L),
+    4 -> Seq(
+      24 -> 0x000000FF000000FFL, 12 -> 0x000F000F000F000FL,
+      6  -> 0x0303030303030303L, 3  -> 0x1111111111111111L))
+
+  /** Spreads the low bitsPerDim(k) bits of `x` to every k-th bit
+    * position (shift-mask rounds). */
+  private def spread(x: Column, k: Int): Column = {
+    val keep = (1L << bitsPerDim(k)) - 1
+    spreadRounds(k).foldLeft(x.cast("long").bitwiseAND(lit(keep))) {
       case (v, (s, mask)) => v.bitwiseOR(shiftleft(v, s)).bitwiseAND(lit(mask))
     }
   }
 
-  /** The 64-bit Morton code of two non-negative 32-bit keys: bits of
-    * `a` on even positions, bits of `b` on odd. Adjacent z values are
-    * adjacent in BOTH dimensions, which is what makes contiguous
-    * z-ranges (= output files) cover small (a, b) rectangles. Keys
-    * outside [0, 2³¹) must be rank- or scale-normalized by the caller
-    * first (negative/wider keys would fold into the low 32 bits). */
-  def zvalue(a: Column, b: Column): Column =
-    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  /** The Morton code of 2-4 non-negative keys: bit i of `cols(c)` lands
+    * at position i·k + c, so adjacent z values are adjacent in EVERY
+    * dimension — that is what makes contiguous z-ranges (= output
+    * files) cover small key-space hyper-rectangles. Keys outside
+    * [0, 2^bitsPerDim(k)) must be rank- or scale-normalized by the
+    * caller first (wider/negative keys would fold into the low bits):
+    * 32 bits each at k=2, 21 at k=3, 16 at k=4. */
+  def zvalue(cols: Column*): Column = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"z-order supports 2-4 dimensions, got ${cols.size}")
+    cols.zipWithIndex
+      .map { case (c, i) => shiftleft(spread(c, cols.size), i) }
+      .reduce(_ bitwiseOR _)
+  }
 
   /** Writes `df` as `numFiles` parquet files clustered on the Morton
-    * code of `(a, b)` — each file a contiguous z-range, internally
-    * sorted, so min/max stats are tight in both `a` and `b`. */
+    * code of `cols` — each file a contiguous z-range, internally
+    * sorted, so min/max stats are tight in every clustered dimension. */
   def parquet(df: DataFrame, path: String, numFiles: Int,
-              a: Column, b: Column): Unit = {
+              cols: Column*): Unit = {
     // withColumn would silently REPLACE a caller column of this name and
     // drop would then erase it from the written output
     require(!df.columns.contains("__graft_z"),
       "input already has a __graft_z column")
-    df.withColumn("__graft_z", zvalue(a, b))
+    df.withColumn("__graft_z", zvalue(cols: _*))
       .repartitionByRange(numFiles, col("__graft_z"))
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z")

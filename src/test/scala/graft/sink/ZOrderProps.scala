@@ -17,30 +17,36 @@ object ZOrderProps extends Properties("ZOrder") {
 
   private lazy val spark = SparkTestBase.spark
 
-  /** Bit-by-bit reference: bit i of a → bit 2i, bit i of b → bit 2i+1. */
-  private def mortonRef(a: Long, b: Long): Long = {
+  /** Bit-by-bit reference: bit i of dimension c → bit i·k + c. */
+  private def mortonRef(vals: Seq[Long]): Long = {
+    val k = vals.size
     var z = 0L
-    var i = 0
-    while (i < 32) {
-      z |= ((a >> i) & 1L) << (2 * i)
-      z |= ((b >> i) & 1L) << (2 * i + 1)
-      i += 1
-    }
+    for (c <- 0 until k; i <- 0 until ZOrderWrite.bitsPerDim(k))
+      z |= ((vals(c) >> i) & 1L) << (i * k + c)
     z
   }
 
-  private val key: Gen[Long] = Gen.oneOf(
-    Gen.chooseNum(0L, 0xFFFFFFFFL),             // arbitrary 32-bit
-    Gen.oneOf(0L, 1L, 0x7FFFFFFFL, 0x80000000L, 0xFFFFFFFFL)) // edges
+  private def key(k: Int): Gen[Long] = {
+    val max = (1L << ZOrderWrite.bitsPerDim(k)) - 1
+    Gen.oneOf(
+      Gen.chooseNum(0L, max),                       // arbitrary in-range
+      Gen.oneOf(0L, 1L, max / 2, max / 2 + 1, max)) // edges
+  }
 
-  property("codegen zvalue == bit-by-bit reference") =
-    Prop.forAll(Gen.listOfN(64, Gen.zip(key, key))) { pairs =>
+  private def prop(k: Int): Prop =
+    Prop.forAll(Gen.listOfN(48, Gen.listOfN(k, key(k)))) { rows =>
       import spark.implicits._
       import org.apache.spark.sql.functions.col
-      val got = pairs.toDF("a", "b")
-        .select(ZOrderWrite.zvalue(col("a"), col("b")).as("z"))
+      val got = rows.map(_.mkString(","))
+        .toDF("csv")
+        .selectExpr((0 until k).map(i =>
+          s"cast(split(csv, ',')[$i] as long) as c$i"): _*)
+        .select(ZOrderWrite.zvalue((0 until k).map(i => col(s"c$i")): _*).as("z"))
         .collect().map(_.getLong(0)).toSeq
-      val want = pairs.map { case (a, b) => mortonRef(a, b) }
-      got == want
+      got == rows.map(mortonRef)
     }
+
+  property("codegen zvalue == bit-by-bit reference, k=2") = prop(2)
+  property("codegen zvalue == bit-by-bit reference, k=3") = prop(3)
+  property("codegen zvalue == bit-by-bit reference, k=4") = prop(4)
 }
