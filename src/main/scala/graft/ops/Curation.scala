@@ -187,10 +187,24 @@ object Curation {
     * logarithmic rounds (CurationSpec: a 256-link chain in ≤15 rounds
     * where hash-to-min would take ~256). Hash-to-min stays the default
     * here because shallow clusters converge faster under it. */
-  def q100DupClusters(s: SparkSession, dir: String): DataFrame = {
+  def q100DupClusters(s: SparkSession, dir: String): DataFrame =
+    dupClusters(s, dir, connectedComponents)
+
+  /** q106: q100's exact output contract through the OTHER connected-
+    * components implementation — [[connectedComponentsStar]]'s
+    * logarithmic-round star contraction — so the adversarial-diameter
+    * path is driver-verified against the same DuckDB recursive-CTE
+    * oracle, not just ScalaTest-pinned. Identical results by
+    * construction (same fixpoint); what differs is the round bound. */
+  def q106DupClustersStar(s: SparkSession, dir: String): DataFrame =
+    dupClusters(s, dir, connectedComponentsStar)
+
+  /** Shared q100/q106 body: cluster the q72 MinHash candidate edges
+    * with the given components routine, then summarize per cluster. */
+  private def dupClusters(s: SparkSession, dir: String,
+                          cc: DataFrame => DataFrame): DataFrame = {
     val pairs = TrainingData.minhashPairs(s, dir)
-    connectedComponents(
-      pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+    cc(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
       .groupBy("root")
       .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
       .select(col("root").as("cluster_root"), col("n_docs"), col("max_doc"))
@@ -471,7 +485,25 @@ object Curation {
     "q103_funnel" -> q103Funnel _,
     "q104_incremental_dedup" -> q104IncrementalDedup _,
     "q105_curation_pipeline" -> q105CurationPipeline _,
+    "q106_dup_clusters_star" -> q106DupClustersStar _,
   )
+
+  /** One DuckDB ground truth (recursive-CTE reachability) for BOTH
+    * connected-components implementations (q100 hash-to-min, q106
+    * star contraction). */
+  private val dupClustersOracle: String =
+    s"""WITH ${TrainingData.minhashPairsCtes},
+      |edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS node FROM edges),
+      |rec AS (
+      |  WITH RECURSIVE r(node, reach) AS (
+      |    SELECT node, node FROM nodes
+      |    UNION
+      |    SELECT r.node, e.b FROM r JOIN edges e ON e.a = r.reach
+      |  ) SELECT node, min(reach) AS root FROM r GROUP BY node)
+      |SELECT root AS cluster_root, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(max(node) AS BIGINT) AS max_doc
+      |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q95_decontaminate" ->
@@ -537,19 +569,10 @@ object Curation {
         |       CAST(sum(code_sum) AS BIGINT) AS code_checksum,
         |       round(avg(sse), 6) AS avg_sse
         |FROM e GROUP BY label ORDER BY label""".stripMargin,
-    "q100_dup_clusters" ->
-      s"""WITH ${TrainingData.minhashPairsCtes},
-        |edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
-        |nodes AS (SELECT DISTINCT a AS node FROM edges),
-        |rec AS (
-        |  WITH RECURSIVE r(node, reach) AS (
-        |    SELECT node, node FROM nodes
-        |    UNION
-        |    SELECT r.node, e.b FROM r JOIN edges e ON e.a = r.reach
-        |  ) SELECT node, min(reach) AS root FROM r GROUP BY node)
-        |SELECT root AS cluster_root, CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(max(node) AS BIGINT) AS max_doc
-        |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q100_dup_clusters" -> dupClustersOracle,
+    // q106 is the same contract through the star-contraction components
+    // routine — one ground truth for both implementations
+    "q106_dup_clusters_star" -> dupClustersOracle,
     "q101_gap_fill" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value, event_id FROM events WHERE user_id < 20),
         |daily AS (SELECT user_id, tus // 86400000000 AS day, value,
