@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
 object ZOrderWrite {
 
   /** Bits available per key at stride k (64 / k, floored). */
-  def bitsPerDim(k: Int): Int = Seq(32, 21, 16)(k - 2)
+  def bitsPerDim(k: Int): Int = {
+    require(k >= 2 && k <= 4, s"z-order supports 2-4 dimensions, got $k")
+    Seq(32, 21, 16)(k - 2)
+  }
 
   // Classic Morton spread tables: after masking the input to
   // bitsPerDim(k) bits, each (shift, mask) round doubles the gap until
@@ -78,7 +81,12 @@ object ZOrderWrite {
     // drop would then erase it from the written output
     require(!df.columns.contains("__graft_z"),
       "input already has a __graft_z column")
-    df.withColumn("__graft_z", zvalue(cols: _*))
+    // XOR the sign bit so the SIGNED range partitioning orders z values
+    // in UNSIGNED order: full-width keys at k=2/k=4 can set bit 63, and
+    // without the flip those rows sort FIRST — one file then straddles
+    // the wrap and covers both corners of the key space, pruning nothing
+    df.withColumn("__graft_z",
+        zvalue(cols: _*).bitwiseXOR(lit(Long.MinValue)))
       .repartitionByRange(numFiles, col("__graft_z"))
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z")

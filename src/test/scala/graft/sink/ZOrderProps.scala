@@ -33,8 +33,11 @@ object ZOrderProps extends Properties("ZOrder") {
       Gen.oneOf(0L, 1L, max / 2, max / 2 + 1, max)) // edges
   }
 
+  // forAllNoShrink: default shrinking would shorten the inner lists
+  // below k, turning a genuine counterexample into an arity crash
+  // (bitsPerDim require / null array slot) that masks it
   private def prop(k: Int): Prop =
-    Prop.forAll(Gen.listOfN(48, Gen.listOfN(k, key(k)))) { rows =>
+    Prop.forAllNoShrink(Gen.listOfN(48, Gen.listOfN(k, key(k)))) { rows =>
       import spark.implicits._
       import org.apache.spark.sql.functions.col
       val got = rows.map(_.mkString(","))

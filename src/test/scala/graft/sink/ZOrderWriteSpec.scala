@@ -65,4 +65,29 @@ class ZOrderWriteSpec extends AnyFunSuite {
     assert(spark.read.parquet(zDir)
       .filter($"y" <= 7).count() == 128L * 8)
   }
+
+  test("full-width keys don't wrap: files stay range-disjoint when the " +
+    "Morton code's sign bit is set (the signed/unsigned ordering trap)") {
+    import org.apache.spark.sql.Row
+    // a = 0 constant, b spans the FULL 32-bit range → z is monotone in b
+    // and half the z values have bit 63 set (negative as signed longs);
+    // without the sign-bit flip one file would straddle the wrap and
+    // cover both ends of the b range
+    val step = (1L << 32) / 4096
+    val data = spark.range(4096)
+      .select(lit(0L).as("a"), (col("id") * step).as("b"))
+    val dir = Files.createTempDirectory("zwrap-").toString
+    ZOrderWrite.parquet(data, dir, 8, col("a"), col("b"))
+
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("b").as("lo"), max("b").as("hi"))
+      .collect().map { case Row(_, lo: Long, hi: Long) => (lo, hi) }
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi < lo, s"overlapping file b-ranges: ${ranges.toSeq}")
+      case _ =>
+    }
+  }
 }
