@@ -190,10 +190,24 @@ object EventStreams {
         col("p_ts"), col("c_ts"), col("value"))
   }
 
+  /** Stream-static enrichment join — each streaming event picks up its
+    * user's segment from a STATIC dimension table. Stateless: unlike
+    * stream-stream joins there is no buffered state and no watermark
+    * requirement; the static side is broadcast and re-resolved per
+    * micro-batch (so a dim table refreshed on disk is picked up by the
+    * next batch — the standard slowly-refreshing-dimension deployment).
+    * Left join keeps unmatched events with a sentinel segment, so the
+    * enrichment can't silently drop traffic for unknown users. */
+  def enrichedEvents(events: DataFrame, userSegments: DataFrame): DataFrame =
+    events.join(broadcast(userSegments), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        coalesce(col("segment"), lit("unknown")).as("segment"))
+
   /** Output mode each transform requires (kept next to the transforms so
     * callers don't guess): tumbling/session → Append, custom state →
     * Update. */
   val DedupMode: OutputMode = OutputMode.Append()
+  val EnrichedMode: OutputMode = OutputMode.Append()
   val TumblingMode: OutputMode = OutputMode.Append()
   val SessionMode: OutputMode = OutputMode.Append()
   val RunningMode: OutputMode = OutputMode.Update()

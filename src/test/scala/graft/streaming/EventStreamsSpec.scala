@@ -293,4 +293,24 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(!rows.exists(_._1 == 5L))          // no same-user click
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins each event to the broadcast " +
+    "dimension; unknown users keep a sentinel instead of dropping") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "free"), (2L, "paid")).toDF("user_id", "segment")
+    val in = MemoryStream[SEvent]
+    val q = EventStreams.enrichedEvents(in.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(EventStreams.EnrichedMode).start()
+    try {
+      in.addData(ev(1, "10:05", user = 1), ev(2, "10:06", user = 2),
+        ev(3, "10:07", user = 99))
+      drain(q)
+      val rows = spark.table("enriched")
+        .select("event_id", "segment").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((1L, "free"), (2L, "paid"), (3L, "unknown")))
+    } finally q.stop()
+  }
 }
