@@ -135,8 +135,16 @@ object Relational {
     * state linear in the partition. Tie discipline at equal µs: signups
     * sort before purchases (inclusive as-of); same-µs signups resolve to
     * the larger event_id. */
-  def q26JoinAsof(s: SparkSession, dir: String): DataFrame = {
-    val e = T(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+  def q26JoinAsof(s: SparkSession, dir: String): DataFrame =
+    asofCore(T(s, dir, "events").withColumn("tus", expr("ts div 1000")))
+      .orderBy("event_id")
+
+  /** The q26 as-of core on any `(event_id, user_id, tus, event_type)`
+    * frame — separated so AsofProps can cross-check it against an
+    * independent brute-force scan on arbitrary generated histories
+    * (the DuckDB oracle runs the SAME window formulation, so it would
+    * not catch a shared misconception in this shape). */
+  private[ops] def asofCore(e: DataFrame): DataFrame = {
     val tagged = e.filter(col("event_type") === "signup")
       .select(col("user_id"), col("tus"), lit(0).as("src"),
         col("event_id"), col("event_id").as("s_id"))
@@ -150,7 +158,6 @@ object Relational {
       .filter(col("src") === 1)
       .select(col("event_id"),
         coalesce(col("asof_signup"), lit(-1L)).as("asof_signup"))
-      .orderBy("event_id")
   }
 
   /** q27: full outer join — both sides filtered so each has unmatched
