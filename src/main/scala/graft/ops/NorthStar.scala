@@ -94,13 +94,21 @@ object NorthStar {
       .orderBy("ws_us", "event_type")
 
   /** q81: sessionization with 30-min inactivity gap (lag + cumulative sum). */
-  def q81EventSessionize(s: SparkSession, dir: String): DataFrame = {
+  def q81EventSessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizeCore(T(s, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus")))
+      .orderBy("user_id", "session_id")
+
+  /** The q81 core on any `(user_id, event_id, tus)` frame — separated so
+    * SessionizeProps can cross-check the lag+cumsum formulation against
+    * an independent split-on-gaps scan (the DuckDB oracle runs the SAME
+    * formulation, so it shares any misconception in this shape). */
+  private[ops] def sessionizeCore(e: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // all event-time arithmetic in µs (30 min = 1.8e9 µs) — the precision
     // both engines share exactly (DuckDB reads the ns parquet µs-truncated)
-    T(s, dir, "events")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
+    e
       .withColumn("prev", lag("tus", 1).over(w))
       .withColumn("is_new",
         when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1)
@@ -110,7 +118,6 @@ object NorthStar {
       .agg(count(lit(1)).as("cnt"),
         min(col("tus")).as("min_us"),
         max(col("tus")).as("max_us"))
-      .orderBy("user_id", "session_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
