@@ -119,10 +119,18 @@ object Curation {
     * partition-by-custkey order, so Spark reuses the exchange+sort.
     * `chg_orderkey` rides along to give the output a total order —
     * two same-day status flips would otherwise tie. */
-  def q98Scd2Merge(s: SparkSession, dir: String): DataFrame = {
+  def q98Scd2Merge(s: SparkSession, dir: String): DataFrame =
+    scd2Core(T(s, dir, "orders"))
+      .orderBy("custkey", "valid_from", "chg_orderkey")
+
+  /** The q98 core on any `(o_custkey, o_orderstatus, o_orderdate,
+    * o_orderkey)` frame — separated so CurationProps can cross-check the
+    * lag/lead formulation against an independent run-compression scan
+    * (the DuckDB oracle runs the SAME formulation). */
+  private[ops] def scd2Core(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate"), col("o_orderkey"))
-    T(s, dir, "orders")
+    orders
       .withColumn("prev", lag("o_orderstatus", 1).over(w))
       .filter(col("prev").isNull || col("o_orderstatus") =!= col("prev"))
       .withColumn("valid_to", lead("o_orderdate", 1).over(w))
@@ -132,7 +140,6 @@ object Curation {
         col("valid_to"),
         col("valid_to").isNull.as("is_current"),
         col("o_orderkey").as("chg_orderkey"))
-      .orderBy("custkey", "valid_from", "chg_orderkey")
   }
 
   /** q99: int8 embedding quantization — symmetric per-vector scaling
@@ -380,10 +387,17 @@ object Curation {
     * joins (each stage's threshold time feeds the next stage's filter),
     * then one global 3-row stage summary. All shuffles key on user_id;
     * event-time compares at µs (the shared precision). */
-  def q103Funnel(s: SparkSession, dir: String): DataFrame = {
+  def q103Funnel(s: SparkSession, dir: String): DataFrame =
+    funnelCore(T(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_type")))
+
+  /** The q103 core on any `(user_id, tus, event_type)` frame —
+    * separated so CurationProps can cross-check the chained min-agg
+    * formulation against an independent per-user scan (the DuckDB
+    * oracle runs the SAME chained shape). */
+  private[ops] def funnelCore(ev: DataFrame): DataFrame = {
     val week = 604800000000L // 7 days in µs
-    val ev = T(s, dir, "events")
-      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_type"))
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("tus").as("t1"))
     val c = ev.join(v, "user_id")
