@@ -329,12 +329,19 @@ object Curation {
     * totally ordered by (tus, event_id) desc. Per-user work is bounded
     * by calendar days, the spine explode is linear, and the fill
     * window partitions by user — no global window anywhere. */
-  def q101GapFill(s: SparkSession, dir: String): DataFrame = {
-    val e = T(s, dir, "events")
+  def q101GapFill(s: SparkSession, dir: String): DataFrame =
+    gapFillCore(T(s, dir, "events")
       .filter(col("user_id") < 20)
       .select(col("user_id"), expr("ts div 1000").as("tus"),
-        col("value"), col("event_id"))
-      .withColumn("day", expr("tus div 86400000000"))
+        col("value"), col("event_id")))
+      .orderBy("user_id", "day")
+
+  /** The q101 core on any `(user_id, tus, value, event_id)` frame —
+    * separated so CurationProps can cross-check the spine+fill
+    * formulation against an independent per-user LOCF scan (the DuckDB
+    * oracle runs the SAME shape). */
+  private[ops] def gapFillCore(in: DataFrame): DataFrame = {
+    val e = in.withColumn("day", expr("tus div 86400000000"))
     val wDay = Window.partitionBy("user_id", "day")
       .orderBy(col("tus").desc, col("event_id").desc)
     val lastPerDay = e
@@ -349,7 +356,6 @@ object Curation {
     spine.join(lastPerDay, Seq("user_id", "day"), "left")
       .withColumn("value_filled", last("value", ignoreNulls = true).over(wFill))
       .select(col("user_id"), col("day"), col("value_filled"))
-      .orderBy("user_id", "day")
   }
 
   /** q102: fuzzy entity matching — candidate duplicate part names by

@@ -96,4 +96,42 @@ object CurationProps extends Properties("Curation") {
       got == Map("stage1_view" -> n1, "stage2_click" -> n2,
         "stage3_purchase" -> n3)
     }
+
+  // ---- q101 gap fill: per-user LOCF scan -------------------------------
+
+  // sub-day timestamps with same-µs collisions; value occasionally
+  // repeats so "same value, different day" and tie-break paths both run
+  private val gev: Gen[(Long, Long, Double)] = for {
+    u <- Gen.chooseNum(0L, 2L)
+    t <- Gen.chooseNum(0L, 5L * DayUs)
+    v <- Gen.chooseNum(0, 3)
+  } yield (u, t, v.toDouble)
+
+  private def bruteGapFill(evs: Seq[(Long, Long, Long, Double)]) // id,u,tus,v
+      : Map[(Long, Long), Double] =
+    evs.groupBy(_._2).flatMap { case (u, es) =>
+      val lastPerDay = es.groupBy(_._3 / DayUs).map { case (day, des) =>
+        day -> des.maxBy(e => (e._3, e._1))._4
+      }
+      val days = lastPerDay.keys
+      var carried = 0.0
+      (days.min to days.max).map { day =>
+        carried = lastPerDay.getOrElse(day, carried)
+        (u, day) -> carried
+      }
+    }
+
+  property("q101 spine+fill == per-user LOCF scan") =
+    Prop.forAllNoShrink(Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, gev))) { raw =>
+      import spark.implicits._
+      val evs = raw.zipWithIndex.map { case ((u, t, v), i) =>
+        (i.toLong, u, t, v)
+      }
+      val got = Curation.gapFillCore(
+          evs.toDF("event_id", "user_id", "tus", "value"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (u, d, v) => (u, d) -> v }.toMap
+      got == bruteGapFill(evs)
+    }
 }
