@@ -302,10 +302,14 @@ object Curation {
         .union(joined.select(col("b").as("a"), col("m").as("b"))) // co-parents → min
         .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint(true)
-      // fixpoint = edge set unchanged; both sides are distinct sets, so
-      // equal counts + empty one-way difference suffice (one exceptAll
-      // job, not two)
-      converged = ss.count() == edges.count() && ss.exceptAll(edges).isEmpty
+      // fixpoint = edge set unchanged. Both sides are DISTINCT sets, so
+      // the symmetric difference is exactly the union rows with
+      // multiplicity 1 — one aggregate, ONE job per round (r5; the
+      // count+exceptAll formulation it replaces ran 2-3 jobs per round,
+      // which at log-rounds scale doubles driver round-trips)
+      converged = ss.union(edges)
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .filter(col("c") === 1).isEmpty
       edges = ss
       rounds += 1
     }
@@ -467,6 +471,52 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q107: q104's incremental near-dup screening driven by the PERSISTED
+    * LSH band index — the deployment shape q104's scaladoc promises. The
+    * corpus band table is materialized ONCE per (session, dataset) as a
+    * [[graft.sink.BucketedTables]] catalog table bucketed on the full
+    * band key (band, k1, k2); every subsequent ingest batch computes only
+    * its OWN bands and probes the index, and because the index's bucket
+    * hash already satisfies the join's required distribution, the
+    * corpus side reads with NO exchange — only the (small) batch side
+    * shuffles into the bucket layout (IndexedDedupSpec pins that plan
+    * shape). Same output contract and DuckDB oracle as q104.
+    *
+    * At 100 TB this is the difference between re-scanning the corpus
+    * text per ingest (q104's self-contained shape, two full scans) and
+    * touching only `|batch| × collision-rate` index rows: admission
+    * appends the new batch's bands to the index (here: rebuild-if-absent,
+    * since the testdata is immutable per scale factor). */
+  def q107IndexedDedup(s: SparkSession, dir: String): DataFrame = {
+    val idx = s.table(ensureBandIndex(s, dir))
+    val newB = TrainingData.minhashBands(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("band"), col("k1"), col("k2"))
+    newB.join(idx, Seq("band", "k1", "k2"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("o_doc")).as("n_dups"),
+        min(col("o_doc")).as("first_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Builds (once per session per dataset) the persistent corpus band
+    * index q107 probes: the existing-corpus half of
+    * [[TrainingData.minhashBands]], bucketed+sorted on (band, k1, k2).
+    * The table name carries a digest of the dataset dir so different
+    * scale factors never alias to a stale index. */
+  private[ops] def ensureBandIndex(s: SparkSession, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val table = s"graft_band_index_$digest"
+    if (!s.catalog.tableExists(table)) {
+      val corpus = TrainingData.minhashBands(s, dir)
+        .filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("o_doc"), col("band"), col("k1"), col("k2"))
+      graft.sink.BucketedTables.save(corpus, table, 8, Seq("band", "k1", "k2"))
+    }
+    table
+  }
+
   /** q105: the composed curation pipeline — the flagship end-to-end
     * shape a corpus actually flows through, built from the library's own
     * stages: character-length quality gate → exact near-zero-cost dedup
@@ -506,7 +556,19 @@ object Curation {
     "q104_incremental_dedup" -> q104IncrementalDedup _,
     "q105_curation_pipeline" -> q105CurationPipeline _,
     "q106_dup_clusters_star" -> q106DupClustersStar _,
+    "q107_indexed_dedup" -> q107IndexedDedup _,
   )
+
+  /** One DuckDB ground truth for BOTH incremental-dedup shapes (q104
+    * recompute-per-run, q107 persisted-index probe): the batch×corpus
+    * band join over the shared q72 hash family. */
+  private val incrementalDedupOracle: String =
+    s"""WITH ${TrainingData.minhashBandsCtes}
+      |SELECT n.doc_id, CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_dups,
+      |       CAST(min(o.doc_id) AS BIGINT) AS first_dup
+      |FROM b n JOIN b o ON n.band = o.band AND n.k1 = o.k1 AND n.k2 = o.k2
+      |WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** One DuckDB ground truth (recursive-CTE reachability) for BOTH
     * connected-components implementations (q100 hash-to-min, q106
@@ -632,13 +694,10 @@ object Curation {
         |UNION ALL SELECT 'stage2_click', CAST(count(*) AS BIGINT) FROM f WHERE s2
         |UNION ALL SELECT 'stage3_purchase', CAST(count(*) AS BIGINT) FROM f WHERE s3
         |ORDER BY stage""".stripMargin,
-    "q104_incremental_dedup" ->
-      s"""WITH ${TrainingData.minhashBandsCtes}
-        |SELECT n.doc_id, CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_dups,
-        |       CAST(min(o.doc_id) AS BIGINT) AS first_dup
-        |FROM b n JOIN b o ON n.band = o.band AND n.k1 = o.k1 AND n.k2 = o.k2
-        |WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q104_incremental_dedup" -> incrementalDedupOracle,
+    // q107 is the same contract probed through the PERSISTED bucketed
+    // band index — one ground truth for both shapes
+    "q107_indexed_dedup" -> incrementalDedupOracle,
     "q105_curation_pipeline" ->
       s"""WITH gated AS (
         |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -37,11 +37,22 @@ object BucketedTables {
     * join would keep its Sort nodes — still exchange-free, but paying a
     * per-query sort that the write already paid for. */
   def save(df: DataFrame, table: String, numBuckets: Int, key: String): Unit =
-    df.repartition(numBuckets, df(key))
+    save(df, table, numBuckets, Seq(key))
+
+  /** Multi-column variant — the bucket hash (and therefore the
+    * exchange-free join guarantee) covers the whole key tuple, so a join
+    * must use ALL bucket columns as (a superset of) its equi-keys to
+    * skip the shuffle. Used by the q107 persistent LSH band index,
+    * bucketed on (band, k1, k2). */
+  def save(df: DataFrame, table: String, numBuckets: Int,
+           keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "bucketed save needs at least one key column")
+    df.repartition(numBuckets, keys.map(df(_)): _*)
       .write
-      .bucketBy(numBuckets, key)
-      .sortBy(key)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+  }
 }
