@@ -371,24 +371,48 @@ object Curation {
     * Matching runs over DISTINCT names (the name dictionary), not rows:
     * candidate work scales with vocabulary², independent of corpus row
     * count — the same dictionary trick as q72's minhash — and each
-    * name carries its row count so callers can weigh merges. The
-    * blocking key keeps comparisons inside blocks (never all-pairs);
+    * name carries its row count so callers can weigh merges.
     * `levenshtein` computes the same classic edit distance in both
-    * engines. */
-  def q102FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
-    val names = T(s, dir, "part")
-      .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
-      .withColumn("noun", element_at(split(col("p_name"), " "), -1))
-    val a = names.select(col("p_name").as("name_a"), col("noun"),
-      col("n_parts").as("cnt_a"))
-    val b = names.select(col("p_name").as("name_b"), col("noun"),
-      col("n_parts").as("cnt_b"))
-    a.join(b, Seq("noun"))
-      .filter(col("name_a") < col("name_b"))
+    * engines. Blocking is two-dimensional (r5): the final word PLUS a
+    * length band — see [[fuzzyCandidates]] — so a hot noun at catalog
+    * scale no longer means a quadratic block. */
+  def q102FuzzyMatch(s: SparkSession, dir: String): DataFrame =
+    fuzzyMatchCore(T(s, dir, "part").select("p_name"))
+
+  /** The q102 body over any `(p_name)` frame. */
+  private[ops] def fuzzyMatchCore(parts: DataFrame): DataFrame =
+    fuzzyCandidates(fuzzyNameDict(parts))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist") <= 2)
       .select(col("name_a"), col("name_b"), col("dist"), col("cnt_a"), col("cnt_b"))
       .orderBy("name_a", "name_b")
+
+  /** Distinct-name dictionary with both blocking keys: the final word
+    * (`noun`) and the width-3 length band (`lband`). */
+  private[ops] def fuzzyNameDict(parts: DataFrame): DataFrame =
+    parts.groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+      .withColumn("noun", element_at(split(col("p_name"), " "), -1))
+      .withColumn("lband", expr("length(p_name) div 3"))
+
+  /** Candidate pairs under (noun, length-band) blocking — EXACT for the
+    * edit-distance ≤ 2 threshold: each edit changes length by at most 1,
+    * so |len(a) − len(b)| ≤ 2, and with bands of width 3 the two lengths
+    * land in the same or adjacent bands. The a-side therefore probes
+    * bands {lband−1, lband, lband+1} (a 3× fan-out of the DICTIONARY,
+    * not the corpus) and the join stays an equi-join on (noun, lband);
+    * each unordered pair matches exactly once because the b-side keeps
+    * its single true band. What the band buys at scale: a hot noun
+    * ("box") shared by v names no longer builds one v² block — FuzzyBlockSpec
+    * pins the shrink on a hot-noun fixture and the unchanged output. */
+  private[ops] def fuzzyCandidates(names: DataFrame): DataFrame = {
+    val a = names.select(col("p_name").as("name_a"), col("noun"),
+        col("n_parts").as("cnt_a"),
+        explode(array(col("lband") - 1, col("lband"), col("lband") + 1))
+          .as("lband"))
+    val b = names.select(col("p_name").as("name_b"), col("noun"),
+      col("n_parts").as("cnt_b"), col("lband"))
+    a.join(b, Seq("noun", "lband"))
+      .filter(col("name_a") < col("name_b"))
   }
 
   /** q103: funnel analysis — users progressing view → click → purchase
@@ -509,6 +533,14 @@ object Curation {
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val table = s"graft_band_index_$digest"
     if (!s.catalog.tableExists(table)) {
+      // the in-memory catalog dies with the JVM but the warehouse files
+      // don't: a rebuild in a fresh session would otherwise trip CTAS's
+      // LOCATION_ALREADY_EXISTS on the previous run's directory. Only
+      // this index's own managed path is ever removed.
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
       val corpus = TrainingData.minhashBands(s, dir)
         .filter(col("doc_id") % 10 =!= 0)
         .select(col("doc_id").as("o_doc"), col("band"), col("k1"), col("k2"))

@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB):
   *  - q72/q78 are the standard shuffle-on-key LSH/inverted-index shapes —
   *    work is linear in (doc, shingle/band) pairs, never all-pairs; hot
-  *    shingles skew the q78 join at scale (mitigation: drop shingles with
-  *    document frequency above a cap before the join — AQE skew-join
-  *    handles moderate skew);
+  *    shingles skew the q78 join at scale — bounded by the `maxDf` cap in
+  *    [[ngramCandidates]] (drop shingles above a document-frequency cap
+  *    before the prefix join; NgramCapSpec pins both the exactness at
+  *    cap = ∞ and the candidate collapse + recall condition under a
+  *    finite cap); AQE skew-join handles residual moderate skew;
   *  - q77/q83/q84/q85 are pure per-row projections (HOFs, codegen, no
   *    shuffle);
   *  - q79/q86 never form a cross product: candidates are bounded by the
@@ -328,26 +330,31 @@ object TrainingData {
     * Candidates then get their true intersection counted and the exact
     * Jaccard filter applied, so the result equals the naive one; the
     * oracle runs the naive SQL as ground truth. */
-  def q78NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val t = 0.5
-    // Everything downstream — df ordering, prefix join, intersection —
-    // keys on `xxhash64(shingle)` longs, never the shingle strings:
-    // the verify intersects ~50-element arrays per candidate, and long
-    // compares cut that stage 6.0 s → measured fraction of it (string
-    // array_intersect dominated the old profile). A cross-doc 64-bit
-    // collision could in principle perturb one count (P ≈ pairs·n²/2⁶⁴
-    // ≈ 1e-11 here); the DuckDB oracle cross-checks the string-exact
-    // ground truth every round, so a collision cannot pass silently.
-    //
-    // The per-doc sets feed FOUR branches (both prefix join sides,
-    // both verify join sides); localCheckpoint materializes the build
-    // once instead of per branch. The build itself is ONE shuffle: the
-    // lead-window shingling leaves data hash-partitioned by doc_id, the
-    // per-doc dedup is collect_set INSIDE the aggregate (not a separate
-    // distinct — that's a second full (doc, shingle) exchange), and the
-    // groupBy reuses the window's partitioning, so no further exchange.
+  def q78NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardCore(T(s, dir, "documents"), Long.MaxValue)
+
+  /** Per-doc hashed shingle sets `(doc_id, hs, n)` — the build stage all
+    * four q78 branches share.
+    *
+    * Everything downstream — df ordering, prefix join, intersection —
+    * keys on `xxhash64(shingle)` longs, never the shingle strings:
+    * the verify intersects ~50-element arrays per candidate, and long
+    * compares cut that stage 6.0 s → measured fraction of it (string
+    * array_intersect dominated the old profile). A cross-doc 64-bit
+    * collision could in principle perturb one count (P ≈ pairs·n²/2⁶⁴
+    * ≈ 1e-11 here); the DuckDB oracle cross-checks the string-exact
+    * ground truth every round, so a collision cannot pass silently.
+    *
+    * The per-doc sets feed FOUR branches (both prefix join sides,
+    * both verify join sides); localCheckpoint materializes the build
+    * once instead of per branch. The build itself is ONE shuffle: the
+    * lead-window shingling leaves data hash-partitioned by doc_id, the
+    * per-doc dedup is collect_set INSIDE the aggregate (not a separate
+    * distinct — that's a second full (doc, shingle) exchange), and the
+    * groupBy reuses the window's partitioning, so no further exchange. */
+  private[ops] def ngramDocsets(docs: DataFrame): DataFrame = {
     val wSh = Window.partitionBy("doc_id").orderBy("pos")
-    val docsets = T(s, dir, "documents")
+    docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .toDF("doc_id", "pos", "word")
       .withColumn("w1", lead("word", 1).over(wSh))
@@ -359,6 +366,23 @@ object TrainingData {
       .agg(sort_array(collect_set(col("hv"))).as("hs"))
       .withColumn("n", size(col("hs")))
       .localCheckpoint(true)
+  }
+
+  /** q78 candidate pairs `(da, db)` via prefix collision + PPJoin length
+    * filter (Jaccard ≥ t ⟹ min(n) ≥ t·max(n)) — both exact-preserving.
+    *
+    * `maxDf` is the hot-shingle cap (the 100 TB skew knob): shingles
+    * whose document frequency exceeds it are dropped BEFORE the prefix
+    * ranking, so a boilerplate n-gram shared by millions of documents
+    * can never seed c² candidate rows. With `maxDf = Long.MaxValue` the
+    * filter is omitted and candidates are exactly the uncapped PPJoin
+    * set. With a finite cap the join stays EXACT for every pair that
+    * shares at least one sub-cap shingle inside its prefixes (the
+    * documented recall condition, pinned by NgramCapSpec): a pair whose
+    * overlap consists ONLY of super-cap boilerplate is — by design — no
+    * longer reported. */
+  private[ops] def ngramCandidates(docsets: DataFrame, t: Double,
+                                   maxDf: Long): DataFrame = {
     val sh = docsets.select(col("doc_id"), col("n"), explode(col("hs")).as("hv"))
     // document frequency via groupBy + join back: the partial (map-side)
     // aggregate shrinks the shuffle to distinct shingles, where the old
@@ -366,22 +390,36 @@ object TrainingData {
     // the shingle — a skewed key by construction; AQE broadcasts the
     // small df table locally and shuffle-joins it at vocabulary scale
     val dfTab = sh.groupBy("hv").agg(count(lit(1)).as("df"))
+    val ranked0 = sh.join(dfTab, "hv")
+    val ranked = if (maxDf == Long.MaxValue) ranked0
+      else ranked0.filter(col("df") <= maxDf)
     // rarest-first order by (df, hv): any consistent total order over
-    // shingles preserves the prefix-filter exactness proof
+    // shingles preserves the prefix-filter exactness proof (the cap
+    // drops only shingles that sort LAST under this order, so for docs
+    // with ≥ prefix-length surviving shingles the prefix is unchanged)
     val wRank = Window.partitionBy("doc_id").orderBy(col("df"), col("hv"))
-    val prefix = sh.join(dfTab, "hv")
+    val prefix = ranked
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= col("n") - ceil(col("n") * t) + 1)
       .select(col("doc_id"), col("n"), col("hv"))
-    // candidate generation: prefix collision + PPJoin length filter
-    // (Jaccard ≥ t ⟹ min(n) ≥ t·max(n)) — both exact-preserving
-    val cand = prefix.alias("a")
+    prefix.alias("a")
       .join(prefix.alias("b"),
         col("a.hv") === col("b.hv") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") >= ceil(col("b.n") * t) &&
           col("b.n") >= ceil(col("a.n") * t))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+  }
+
+  /** The q78 body over any `(doc_id, text)` frame — the prefix-filtered
+    * (PPJoin-style) exact similarity join, with the [[ngramCandidates]]
+    * hot-shingle cap threaded through. Verification computes the TRUE
+    * intersection on the full (uncapped) shingle sets, so every reported
+    * pair carries its exact Jaccard regardless of the cap. */
+  private[ops] def ngramJaccardCore(docs: DataFrame, maxDf: Long): DataFrame = {
+    val t = 0.5
+    val docsets = ngramDocsets(docs)
+    val cand = ngramCandidates(docsets, t, maxDf)
     // verification: true |A∩B| via array_intersect against the per-doc
     // hashed shingle sets, joined as plain equi-joins on da/db — no
     // broadcast hint, so the plan holds when the docset table exceeds
