@@ -456,23 +456,52 @@ object TrainingData {
     * block join bounds candidates (never a corpus cross product); exact
     * top-1 cosine neighbor per query vector (vec_id < 40).
     *
-    * Scale caveat: WITHIN a block the candidate set is all-pairs, so a
-    * dominant label reintroduces c² — blocking only helps while the
-    * largest block stays bounded. At corpus scale either (a) cap block
-    * size and sub-split hot labels by a secondary key (e.g. the q86 SRP
-    * bucket, giving label × bucket blocks), or (b) route hot labels
-    * through q86's multiprobe LSH and keep the exact in-block scan for
-    * the long tail. Block sizes are observable cheaply
-    * (`groupBy(label).count`) before choosing. */
-  def q79EmbedNeardup(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(T(s, dir, "embeddings"))
+    * WITHIN a block the candidate set is all-pairs, so a dominant label
+    * would reintroduce c² — the hot-block cap (r5, [[subBlocked]])
+    * sub-splits any label above `maxBlock` rows on the low bits of its
+    * q86 SRP bucket, giving label × bucket blocks whose expected size
+    * is ≤ maxBlock/2. The default cap (2¹⁶) is far above every tested
+    * SF's largest label, so the verified results are the exact
+    * label-blocked ones; past the cap the contract degrades gracefully
+    * to near-exact (the top-1 is found within the query's sub-block —
+    * near-identical vectors agree on SRP sign bits with probability
+    * 1 − θ/π per bit, the Goemans–Williamson bound, so true near-dups
+    * rarely split). EmbedBlockCapSpec pins both halves. */
+  def q79EmbedNeardup(s: SparkSession, dir: String): DataFrame =
+    embedNeardupCore(T(s, dir, "embeddings"), 1 << 16)
+
+  /** Adds the q79 blocking columns to an embeddings frame: `nrm`,
+    * the SRP `bucket`, and `subkey` — 0 for labels within `maxBlock`
+    * rows; for hot labels the low `bits` of the bucket, with
+    * bits = min(16, ⌈log₂(block_n / maxBlock)⌉ + 1) so the expected
+    * sub-block size is ≤ maxBlock/2 (the +1 bit is headroom for hash
+    * imbalance). Per-label counts ride a broadcast join — the decision
+    * is data-driven per label, never a global conf. */
+  private[ops] def subBlocked(emb: DataFrame, maxBlock: Int): DataFrame = {
+    val counts = emb.groupBy("label").agg(count(lit(1)).as("block_n"))
+    withNorm(emb)
+      .withColumn("bucket",
+        graft.functions.SrpBucket.bucket(col("embedding"), lshPlanes))
+      .join(broadcast(counts), "label")
+      .withColumn("bits", when(col("block_n") <= maxBlock, lit(0))
+        .otherwise(least(lit(lshK),
+          (ceil(log2(col("block_n").cast("double") / maxBlock)) + 1)
+            .cast("int"))))
+      .withColumn("subkey", expr("bucket & (shiftleft(1, bits) - 1)"))
+  }
+
+  /** The q79 body over any `(vec_id, label, embedding)` frame, with the
+    * hot-block cap threaded through. */
+  private[ops] def embedNeardupCore(emb: DataFrame, maxBlock: Int): DataFrame = {
+    val e = subBlocked(emb, maxBlock)
     val a = e.filter(col("vec_id") < 40)
       .select(col("vec_id").as("va"), col("label").as("la"),
-        col("embedding").as("ea"), col("nrm").as("na"))
+        col("subkey").as("ka"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vb"), col("label").as("lb"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
+      col("subkey").as("kb"), col("embedding").as("eb"), col("nrm").as("nb"))
     val w = Window.partitionBy("va").orderBy(col("sim_raw").desc, col("vb"))
-    a.join(b, col("la") === col("lb") && col("va") =!= col("vb"))
+    a.join(b, col("la") === col("lb") && col("ka") === col("kb") &&
+        col("va") =!= col("vb"))
       .withColumn("sim_raw", dotCol / (col("na") * col("nb")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
