@@ -18,9 +18,10 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q105 — the composed curation pipeline (quality gate → hash-first
-    * exact dedup → deterministic split → per-(lang, split) stats): one
-    * query exercising scan, filter, window dedup, hash bucketing, and
-    * partial+final aggregation end to end. */
+    * exact dedup → MinHash near-dup cluster drop → deterministic split →
+    * per-(lang, split) stats): one query exercising scan, filter, window
+    * dedup, LSH banding, iterative connected components, anti-join, hash
+    * bucketing, and partial+final aggregation end to end. */
   def entry(spark: SparkSession): DataFrame =
     Curation.q105CurationPipeline(spark, "/root/testdata/sf0.001")
 

@@ -554,12 +554,23 @@ object Curation {
     * stages: character-length quality gate → exact near-zero-cost dedup
     * (md5 digest computed BEFORE the shuffle, so the exchange carries
     * 32-hex digests + 3 small columns, never text — q70's hash-first
-    * rule) → q89's deterministic md5-bucket 80/10/10 split →
-    * per-(lang, split) doc and token counts. One digest-keyed window,
-    * one final aggregate; every stage linear and partition-parallel.
-    * Dedup keeps the smallest doc_id per digest (stable across runs,
-    * machines, and incremental appends — same argument as q89). */
+    * rule) → NEAR-dup cluster drop (r5: the q72 MinHash candidate pairs
+    * → q100 connected components; every non-root cluster member — i.e.
+    * everything but the smallest doc_id per cluster — is anti-joined
+    * away, the "keep one representative per near-dup cluster" step) →
+    * q89's deterministic md5-bucket 80/10/10 split → per-(lang, split)
+    * doc and token counts. Dedup keeps the smallest doc_id per digest /
+    * per cluster (stable across runs, machines, and incremental appends
+    * — same argument as q89); a cluster root always survives the exact
+    * stage because the root IS the cluster's minimum doc_id. Clusters
+    * are computed on the FULL corpus (near-dup identity is a content
+    * property, not a post-gate one); the oracle mirrors that choice. */
   def q105CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val nonRoots = connectedComponents(
+        TrainingData.minhashPairs(s, dir)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .filter(col("node") =!= col("root"))
+      .select(col("node").as("doc_id"))
     val wDigest = Window.partitionBy("digest").orderBy("doc_id")
     T(s, dir, "documents")
       .filter(col("n_chars").between(20, 5000))
@@ -568,6 +579,7 @@ object Curation {
         md5(col("text")).as("digest"))
       .withColumn("rn", row_number().over(wDigest))
       .filter(col("rn") === 1)
+      .join(nonRoots, Seq("doc_id"), "left_anti")
       .withColumn("bucket", TrainingData.md5Bucket100)
       .withColumn("split", TrainingData.md5Split(col("bucket")))
       .groupBy("lang", "split")
@@ -602,19 +614,26 @@ object Curation {
       |WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** One DuckDB ground truth (recursive-CTE reachability) for BOTH
-    * connected-components implementations (q100 hash-to-min, q106
-    * star contraction). */
-  private val dupClustersOracle: String =
-    s"""WITH ${TrainingData.minhashPairsCtes},
-      |edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+  /** DuckDB recursive-CTE connected components over the q72 `pairs` CTE
+    * — `rec(node, root)` — shared by the q100/q106 cluster oracle and
+    * the q105 pipeline oracle so the ground-truth clustering can never
+    * drift between them. */
+  private val ccCtes: String =
+    """edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
       |nodes AS (SELECT DISTINCT a AS node FROM edges),
       |rec AS (
       |  WITH RECURSIVE r(node, reach) AS (
       |    SELECT node, node FROM nodes
       |    UNION
       |    SELECT r.node, e.b FROM r JOIN edges e ON e.a = r.reach
-      |  ) SELECT node, min(reach) AS root FROM r GROUP BY node)
+      |  ) SELECT node, min(reach) AS root FROM r GROUP BY node)""".stripMargin
+
+  /** One DuckDB ground truth (recursive-CTE reachability) for BOTH
+    * connected-components implementations (q100 hash-to-min, q106
+    * star contraction). */
+  private val dupClustersOracle: String =
+    s"""WITH ${TrainingData.minhashPairsCtes},
+      |$ccCtes
       |SELECT root AS cluster_root, CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(max(node) AS BIGINT) AS max_doc
       |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin
@@ -731,7 +750,10 @@ object Curation {
     // band index — one ground truth for both shapes
     "q107_indexed_dedup" -> incrementalDedupOracle,
     "q105_curation_pipeline" ->
-      s"""WITH gated AS (
+      s"""WITH ${TrainingData.minhashPairsCtes},
+        |$ccCtes,
+        |nonroots AS (SELECT node FROM rec WHERE node <> root),
+        |gated AS (
         |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |         md5(text) AS digest
         |  FROM documents WHERE n_chars BETWEEN 20 AND 5000),
@@ -739,7 +761,8 @@ object Curation {
         |  SELECT doc_id, lang, n_tokens FROM (
         |    SELECT doc_id, lang, n_tokens,
         |           row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
-        |    FROM gated) WHERE rn = 1),
+        |    FROM gated) WHERE rn = 1
+        |      AND doc_id NOT IN (SELECT node FROM nonroots)),
         |split AS (
         |  SELECT lang,
         |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
