@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions.{col, regexp_extract}
 
 /** Multimodal (image/audio/video) column plumbing.
   *
@@ -21,6 +22,29 @@ object Multimodal {
 
   /** Input: opaque media blob keyed by document. */
   final case class MediaRow(doc_id: Long, bin: Array[Byte])
+
+  /** Ingests on-disk media blobs through Spark's `binaryFile` source —
+    * the real read path in front of [[decode]]/[[resize]]/[[frameSample]]
+    * (MultimodalIngestSpec drives the whole chain end to end). Files are
+    * expected to follow the content-addressed `<anything><id>.bin`
+    * convention (the numeric id keys the blob to its metadata row); the
+    * source splits the listing across tasks, so a million blobs
+    * parallelize like any other table scan. `binaryFile` reads each
+    * whole file as one `content` cell — the right model for media blobs
+    * (bounded per-file size), not for multi-GB archives, which would
+    * want a custom DSv2 source with range reads. */
+  def readBlobs(spark: SparkSession, path: String,
+                pattern: String = "*.bin"): Dataset[MediaRow] = {
+    implicit val enc: Encoder[MediaRow] = Encoders.product[MediaRow]
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", pattern)
+      .load(path)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.[a-z0-9]+$", 1)
+          .cast("long").as("doc_id"),
+        col("content").as("bin"))
+      .as[MediaRow]
+  }
 
   /** Output: extracted features/metadata per blob. */
   final case class DecodedRow(doc_id: Long, n_bytes: Int, width: Int,
