@@ -1,5 +1,11 @@
 package graft.ops
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions.{col, regexp_extract}
 
@@ -9,14 +15,18 @@ import org.apache.spark.sql.functions.{col, regexp_extract}
   * the layout a 100 TB training-data pipeline uses (content-addressed
   * blobs co-partitioned with their metadata). The decode/feature-extract
   * stage runs partition-wise over a typed `Dataset` (`mapPartitions`: one
-  * iterator per partition, so a real decoder amortizes model/codec init
-  * per partition, not per row).
+  * iterator per partition, so codec init amortizes per partition, not
+  * per row).
   *
-  * The actual decoder is a clearly-marked deterministic STUB — the
-  * image/audio codecs are not available in this environment. Everything
-  * around it (schema, encoders, partition-wise batching, determinism) is
-  * real and covered by MultimodalSpec; swapping `decodeStub` for a JNI or
-  * codec-library call changes no plumbing.
+  * Image decode and resize are REAL: the JDK's bundled ImageIO codecs
+  * (PNG/BMP/GIF/JPEG — no external dependency) read actual pixel
+  * dimensions and re-encode scaled output. Blobs that are not decodable
+  * images take a documented fallback (byte-level fingerprint in
+  * [[decode]]; dropped by [[resize]]) — the decode-failure routing every
+  * real media pipeline needs, since a 100 TB blob store always contains
+  * some corrupt or mislabeled files. Video demux ([[frameSample]]) keeps
+  * a fixed-size-frame model (no container demuxer ships with the JDK);
+  * its every-k-th-frame contract is codec-independent.
   */
 object Multimodal {
 
@@ -26,49 +36,91 @@ object Multimodal {
   /** Ingests on-disk media blobs through Spark's `binaryFile` source —
     * the real read path in front of [[decode]]/[[resize]]/[[frameSample]]
     * (MultimodalIngestSpec drives the whole chain end to end). Files are
-    * expected to follow the content-addressed `<anything><id>.bin`
-    * convention (the numeric id keys the blob to its metadata row); the
-    * source splits the listing across tasks, so a million blobs
-    * parallelize like any other table scan. `binaryFile` reads each
-    * whole file as one `content` cell — the right model for media blobs
-    * (bounded per-file size), not for multi-GB archives, which would
-    * want a custom DSv2 source with range reads. */
+    * expected to follow the content-addressed `<anything><id>.<ext>`
+    * convention — the trailing numeric id keys the blob to its metadata
+    * row, and MUST be unique across the ingested tree: `a_7.png` and
+    * `b7.png` both map to doc_id 7 and will surface as duplicate keys
+    * downstream (pinned in MultimodalIngestSpec; screen with a
+    * count-distinct check if the naming discipline is not guaranteed).
+    * Glob-matched files WITHOUT a trailing numeric id are filtered out
+    * before the cast — under ANSI mode (Spark 4 default) casting the
+    * empty extract would otherwise abort the whole scan with
+    * CAST_INVALID_INPUT on the first such file. The source splits the
+    * listing across tasks, so a million blobs parallelize like any other
+    * table scan. `binaryFile` reads each whole file as one `content`
+    * cell — the right model for media blobs (bounded per-file size), not
+    * for multi-GB archives, which would want a custom DSv2 source with
+    * range reads. */
   def readBlobs(spark: SparkSession, path: String,
                 pattern: String = "*.bin"): Dataset[MediaRow] = {
     implicit val enc: Encoder[MediaRow] = Encoders.product[MediaRow]
+    val idRe = "(\\d+)\\.[A-Za-z0-9]+$"
     spark.read.format("binaryFile")
       .option("pathGlobFilter", pattern)
       .load(path)
-      .select(
-        regexp_extract(col("path"), "(\\d+)\\.[a-z0-9]+$", 1)
-          .cast("long").as("doc_id"),
+      .select(regexp_extract(col("path"), idRe, 1).as("id_str"),
         col("content").as("bin"))
+      .where(col("id_str") =!= "") // ANSI-safe: skip digit-less names
+      .select(col("id_str").cast("long").as("doc_id"), col("bin"))
       .as[MediaRow]
   }
 
-  /** Output: extracted features/metadata per blob. */
+  /** Output: extracted features/metadata per blob. `width`/`height` are
+    * the real pixel dimensions for decodable images and -1 for blobs the
+    * codecs reject; `checksum` is pixel-content-based for images (format
+    * independent) and byte-based for the rest. */
   final case class DecodedRow(doc_id: Long, n_bytes: Int, width: Int,
                               height: Int, checksum: Long)
 
-  /** STUB — stands in for a real image decode + feature extraction.
-    * Deterministic in the blob bytes (a polynomial checksum and fake
-    * dimensions derived from it), so tests can assert exact outputs. */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Long) = {
-    val checksum = bytes.foldLeft(1125899906842597L)((a, b) => 31 * a + b)
-    val width = 16 + (math.floorMod(checksum, 64)).toInt
-    val height = 16 + (math.floorMod(checksum >> 6, 64)).toInt
-    (width, height, checksum)
+  /** Polynomial fingerprint of raw bytes — the fallback identity for
+    * blobs that are not decodable images. */
+  def byteChecksum(bytes: Array[Byte]): Long =
+    bytes.foldLeft(1125899906842597L)((a, b) => 31 * a + b)
+
+  /** Polynomial fingerprint of the decoded ARGB pixel grid (`getRGB`
+    * converts every source color model to default-sRGB ARGB, so a PNG
+    * and a BMP of the same pixels hash equal — a content hash of the
+    * image, not of its encoding). */
+  def pixelChecksum(img: BufferedImage): Long = {
+    var acc = 1125899906842597L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        acc = 31 * acc + img.getRGB(x, y)
+        x += 1
+      }
+      y += 1
+    }
+    acc
   }
 
-  /** Partition-wise decode: one `decodeStub` (→ real codec) call per row,
-    * iterator-in/iterator-out so per-partition setup happens once. */
+  /** Real image decode via the JDK's ImageIO (PNG/BMP/GIF/JPEG readers
+    * ship with the JRE). Returns (width, height, pixel checksum), or
+    * None when the bytes are not a decodable image. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) None
+    else Some((img.getWidth, img.getHeight, pixelChecksum(img)))
+  }
+
+  /** Partition-wise decode: real ImageIO decode per row, iterator-in/
+    * iterator-out so per-partition setup (here: disabling ImageIO's
+    * temp-file cache, which would otherwise hit local disk on every
+    * decode) happens once. Non-image blobs keep their row — width/height
+    * -1 and a byte-level fingerprint — so the metadata table stays total
+    * over the corpus and corrupt blobs are queryable, not silently
+    * vanished. */
   def decode(ds: Dataset[MediaRow]): Dataset[DecodedRow] = {
     implicit val enc: Encoder[DecodedRow] = Encoders.product[DecodedRow]
     ds.mapPartitions { rows =>
-      // a real decoder opens its codec/session HERE, once per partition
+      ImageIO.setUseCache(false) // once per partition: in-memory decode
       rows.map { r =>
-        val (w, h, c) = decodeStub(r.bin)
-        DecodedRow(r.doc_id, r.bin.length, w, h, c)
+        decodeImage(r.bin) match {
+          case Some((w, h, c)) => DecodedRow(r.doc_id, r.bin.length, w, h, c)
+          case None =>
+            DecodedRow(r.doc_id, r.bin.length, -1, -1, byteChecksum(r.bin))
+        }
       }
     }
   }
@@ -77,24 +129,41 @@ object Multimodal {
   final case class ResizedRow(doc_id: Long, bin: Array[Byte], width: Int,
                               height: Int)
 
-  /** STUB resize — stands in for decode→scale→re-encode. Deterministic:
-    * the "re-encoded" blob is a byte subsample whose length scales with
-    * the target area, so size/shape assertions are exact. A real
-    * implementation swaps only this function. */
-  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val n = math.max(1, math.min(bytes.length, (w * h) / 8))
-    val step = math.max(1, bytes.length / n)
-    bytes.indices.by(step).take(n).map(bytes(_)).toArray
+  /** Real resize: decode → bilinear `Graphics2D.drawImage` scale to
+    * w×h → re-encode as PNG. None when the input is not a decodable
+    * image. */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    require(w > 0 && h > 0, "target dimensions must be > 0")
+    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (src == null) None
+    else {
+      val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(dst, "png", bos)
+      Some(bos.toByteArray)
+    }
   }
 
   /** Partition-wise resize to a fixed target — the normalize step before
-    * feature extraction. Same iterator shape as [[decode]] (codec init
+    * feature extraction. Same iterator shape as [[decode]] (codec setup
     * amortizes per partition); blob-in/blob-out, so stages compose:
-    * `resize(...) |> decode`. */
+    * `resize(...) |> decode`. Blobs the codecs cannot decode are DROPPED
+    * (flatMap over the Option) — the decode-failure filter a training
+    * pipeline applies before normalization; run [[decode]] first if you
+    * need the reject set (its width = -1 rows are exactly the blobs
+    * resize drops). */
   def resize(ds: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedRow] = {
     implicit val enc: Encoder[ResizedRow] = Encoders.product[ResizedRow]
     ds.mapPartitions { rows =>
-      rows.map(r => ResizedRow(r.doc_id, resizeStub(r.bin, w, h), w, h))
+      ImageIO.setUseCache(false)
+      rows.flatMap(r =>
+        resizeImage(r.bin, w, h).map(b => ResizedRow(r.doc_id, b, w, h)))
     }
   }
 
@@ -106,9 +175,10 @@ object Multimodal {
     * row explodes to its sampled frames; a trailing partial frame is
     * dropped, as a real demuxer drops a truncated tail). Downstream the
     * per-frame rows hash-partition like any other table, so frame-level
-    * feature extraction parallelizes beyond the video count. A real
-    * implementation replaces fixed-size slicing with container demuxing
-    * (the `every`-th-keyframe contract is unchanged). */
+    * feature extraction parallelizes beyond the video count. The JDK
+    * ships no video container demuxer, so slicing stays fixed-size; a
+    * codec-library build replaces only the slicing, not the
+    * every-k-th-keyframe contract. */
   def frameSample(ds: Dataset[MediaRow], frameBytes: Int,
                   every: Int): Dataset[FrameRow] = {
     require(frameBytes > 0 && every > 0, "frameBytes and every must be > 0")

@@ -766,8 +766,9 @@ object TrainingData {
 
   /** q87: opaque-binary column plumbing — treat content as a binary blob
     * with typed metadata (byte length, magic-prefix hex). The decode
-    * stage itself is [[Multimodal.decodeStub]] (ScalaTest-verified); this
-    * query verifies the schema/metadata path both engines share. */
+    * stage itself is [[Multimodal.decode]] (real JDK ImageIO codecs,
+    * ScalaTest-verified on generated PNG/BMP fixtures); this query
+    * verifies the schema/metadata path both engines share. */
   def q87BinaryMeta(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .withColumn("bin", expr("encode(text, 'utf-8')"))

@@ -1,34 +1,76 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
-import graft.ops.Multimodal.{DecodedRow, MediaRow}
+import graft.ops.Multimodal.MediaRow
 
-/** Binary-column decode plumbing: typed Dataset in/out, partition-wise
-  * batching, deterministic stub outputs. */
+/** Binary-column decode path with REAL JDK ImageIO codecs: typed Dataset
+  * in/out, partition-wise batching, exact pixel dimensions, format-
+  * independent content checksums, and the non-image fallback routing. */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
-  private def media = T(spark, SparkTestBase.Sf0001, "documents")
-    .select(col("doc_id"), expr("encode(text, 'utf-8')").as("bin"))
-    .as[MediaRow]
+  /** Deterministic w×h test image (opaque sRGB pixels from a seed). */
+  private def image(w: Int, h: Int, seed: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (seed * 2654435761L + x * 7 + y * 131).toInt & 0xFFFFFF)
+    img
+  }
 
-  test("decode preserves rows and computes per-blob metadata") {
-    val in = media
-    val out = Multimodal.decode(in).collect()
-    assert(out.length == in.count())
-    val byId = out.map(d => d.doc_id -> d).toMap
-    val sample = in.collect().take(5)
-    sample.foreach { m =>
-      val d = byId(m.doc_id)
-      assert(d.n_bytes == m.bin.length)
-      val (w, h, c) = Multimodal.decodeStub(m.bin)
-      assert((d.width, d.height, d.checksum) == (w, h, c))
-      assert(d.width >= 16 && d.width < 80 && d.height >= 16 && d.height < 80)
+  private def encodeBytes(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, bos), s"no JDK writer for $fmt")
+    bos.toByteArray
+  }
+
+  /** 6 PNGs with distinct, id-derived dimensions. */
+  private def media = (0 until 6).map { i =>
+    MediaRow(i.toLong, encodeBytes(image(16 + 4 * i, 12 + 3 * i, i), "png"))
+  }.toDS()
+
+  test("decode reads real pixel dimensions and content checksums") {
+    val out = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    assert(out.length == 6)
+    out.foreach { d =>
+      val i = d.doc_id.toInt
+      assert((d.width, d.height) == ((16 + 4 * i, 12 + 3 * i)),
+        s"doc $i: ImageIO must report the true encoded dimensions")
+      val bytes = encodeBytes(image(16 + 4 * i, 12 + 3 * i, i), "png")
+      assert(d.n_bytes == bytes.length)
+      assert(d.checksum == Multimodal.decodeImage(bytes).get._3)
     }
+  }
+
+  test("checksum is pixel-content-based: PNG and BMP of the same image " +
+    "hash equal, different pixels do not") {
+    val img = image(20, 10, 42)
+    val Some((pw, ph, pc)) = Multimodal.decodeImage(encodeBytes(img, "png"))
+    val Some((bw, bh, bc)) = Multimodal.decodeImage(encodeBytes(img, "bmp"))
+    assert((pw, ph) == ((20, 10)) && (bw, bh) == ((20, 10)))
+    assert(pc == bc, "same pixels, different container must hash equal")
+    val other = Multimodal.decodeImage(
+      encodeBytes(image(20, 10, 43), "png")).get._3
+    assert(other != pc, "different pixels must hash differently")
+  }
+
+  test("non-image blobs keep their row with the fallback fingerprint") {
+    val blob = "definitely not an image".getBytes("UTF-8")
+    val mixed = (media.collect().toSeq :+ MediaRow(99L, blob)).toDS()
+    val out = Multimodal.decode(mixed).collect()
+    assert(out.length == 7, "decode is total: corrupt blobs stay queryable")
+    val bad = out.find(_.doc_id == 99L).get
+    assert(bad.width == -1 && bad.height == -1)
+    assert(bad.checksum == Multimodal.byteChecksum(blob))
+    assert(bad.n_bytes == blob.length)
   }
 
   test("decode is deterministic and partition-wise (no repartitioning)") {
@@ -45,23 +87,33 @@ class MultimodalSpec extends AnyFunSuite {
       Seq("doc_id", "n_bytes", "width", "height", "checksum"))
   }
 
-  test("resize targets the requested shape and composes with decode") {
-    val out = Multimodal.resize(media, 32, 32).collect()
-    assert(out.length == media.count())
-    out.foreach { r =>
-      assert(r.width == 32 && r.height == 32)
-      assert(r.bin.length <= 32 * 32 / 8 && r.bin.nonEmpty)
+  test("resize really rescales: decode of the output reports the target " +
+    "shape, and non-decodable blobs are dropped") {
+    val blob = MediaRow(99L, "not an image".getBytes("UTF-8"))
+    val mixed = (media.collect().toSeq :+ blob).toDS()
+    val resized = Multimodal.resize(mixed, 32, 24)
+    val rows = resized.collect()
+    assert(rows.length == 6, "the non-image blob is filtered, images kept")
+    rows.foreach(r => assert(r.width == 32 && r.height == 24))
+    // blob-in/blob-out: the resized PNGs re-enter decode and report the
+    // target dimensions — proof the pixels were actually rescaled and
+    // re-encoded, not just relabeled
+    val redecoded = Multimodal.decode(
+      resized.select(col("doc_id"), col("bin")).as[MediaRow]).collect()
+    assert(redecoded.length == 6)
+    redecoded.foreach(d => assert((d.width, d.height) == ((32, 24))))
+  }
+
+  test("resize is deterministic in its inputs") {
+    val a = Multimodal.resize(media, 8, 8).collect().sortBy(_.doc_id)
+    val b = Multimodal.resize(media, 8, 8).collect().sortBy(_.doc_id)
+    (a zip b).foreach { case (x, y) =>
+      assert(java.util.Arrays.equals(x.bin, y.bin))
     }
-    // blob-in/blob-out: the resized set feeds decode unchanged
-    import spark.implicits._
-    val resized = Multimodal.resize(media, 32, 32)
-      .select(col("doc_id"), col("bin")).as[MediaRow]
-    assert(Multimodal.decode(resized).count() == media.count())
   }
 
   test("frameSample emits every k-th fixed-size frame and drops the " +
     "truncated tail") {
-    import spark.implicits._
     // 10.5 frames of 4 bytes: frames 0..9 exist, tail dropped; every=3
     // samples frames 0, 3, 6, 9
     val bin = Array.tabulate(42)(_.toByte)
