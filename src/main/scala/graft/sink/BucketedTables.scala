@@ -55,4 +55,28 @@ object BucketedTables {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** Appends rows to an EXISTING bucketed table, preserving the bucket
+    * layout (`numBuckets`/`keys` must match the table's spec — Spark
+    * validates and rejects a mismatch rather than corrupting the
+    * layout). The same pre-repartition keeps it one NEW file per bucket
+    * per append. After any append a bucket holds >1 file, so scans no
+    * longer treat it as pre-sorted (joins re-grow their per-bucket Sort)
+    * — but the exchange-free guarantee, the 100 TB cost, is unchanged:
+    * bucket membership is by content hash, which appends preserve.
+    * Periodic compaction (a fresh [[save]]) restores the
+    * one-file-per-bucket no-sort property. Used by the q107 incremental
+    * ingest path: admitted batches append their band rows so the index
+    * grows without ever rescanning the corpus. */
+  def append(df: DataFrame, table: String, numBuckets: Int,
+             keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "bucketed append needs at least one key column")
+    df.repartition(numBuckets, keys.map(df(_)): _*)
+      .write
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

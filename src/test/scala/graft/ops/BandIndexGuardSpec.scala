@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** `ensureBandIndex`'s crash/race protocol, all three entry paths:
+  *
+  *  1. fresh build — staged write + atomic rename, `_SUCCESS` present,
+  *     table registered EXTERNAL;
+  *  2. adopt — a complete directory left by a previous session (table
+  *     gone from the in-memory catalog, files on disk) is adopted
+  *     as-is, byte-for-byte, with no rebuild;
+  *  3. rebuild — an INCOMPLETE leftover (no `_SUCCESS`: a crashed
+  *     writer) is cleared and rebuilt.
+  *
+  * Uses a path alias of the testdata so its index table is disjoint
+  * from q107's and from IndexAdmissionSpec's. */
+class BandIndexGuardSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val aliasDir = "/root/testdata/./sf0.001"
+
+  private def fs = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def whPath(table: String) =
+    new Path(spark.conf.get("spark.sql.warehouse.dir"), table)
+
+  private def fileListing(dir: Path): Seq[(String, Long, Long)] = {
+    val it = fs.listFiles(dir, false)
+    val b = Seq.newBuilder[(String, Long, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      b += ((st.getPath.getName, st.getLen, st.getModificationTime))
+    }
+    b.result().sortBy(_._1)
+  }
+
+  test("fresh build: staged, committed (_SUCCESS), registered external, " +
+    "and no staging debris left behind") {
+    val table = Curation.ensureBandIndex(spark, aliasDir)
+    val dir = whPath(table)
+    assert(fs.exists(new Path(dir, "_SUCCESS")), "build must be committed")
+    assert(spark.table(table).count() > 0)
+    val cat = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    assert(cat.tableType ==
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      "index must register external so DROP TABLE leaves files to adopt")
+    // no *_stg_* staging directory survives a successful build
+    val debris = fs.listStatus(dir.getParent)
+      .map(_.getPath.getName).filter(_.contains(s"${table}_stg_"))
+    assert(debris.isEmpty, s"staging debris: ${debris.mkString(",")}")
+  }
+
+  test("adopt: a complete directory from a dead session is reused " +
+    "byte-for-byte, not rebuilt") {
+    val table = Curation.ensureBandIndex(spark, aliasDir)
+    val dir = whPath(table)
+    val n = spark.table(table).count()
+    val before = fileListing(dir)
+    // simulate the next session: catalog entry gone, files remain
+    spark.sql(s"DROP TABLE $table")
+    assert(fs.exists(dir), "DROP TABLE on the external index ate the files")
+    assert(!spark.catalog.tableExists(table))
+
+    val again = Curation.ensureBandIndex(spark, aliasDir)
+    assert(again == table)
+    assert(fileListing(dir) == before,
+      "adoption must not rewrite a single file (names/sizes/mtimes)")
+    assert(spark.table(table).count() == n)
+  }
+
+  test("rebuild: an incomplete leftover (no _SUCCESS) is cleared and " +
+    "rebuilt to the same contents") {
+    val table = Curation.ensureBandIndex(spark, aliasDir)
+    val dir = whPath(table)
+    val n = spark.table(table).count()
+    // simulate a writer that died mid-build: drop the commit marker and
+    // plant junk the rebuild must clear
+    spark.sql(s"DROP TABLE $table")
+    fs.delete(new Path(dir, "_SUCCESS"), false)
+    val junk = new Path(dir, "part-junk-halfwritten.parquet")
+    val out = fs.create(junk)
+    out.write(Array.fill[Byte](64)(0x7f)); out.close()
+
+    val again = Curation.ensureBandIndex(spark, aliasDir)
+    assert(again == table)
+    assert(fs.exists(new Path(dir, "_SUCCESS")), "rebuild must commit")
+    assert(!fs.exists(junk), "rebuild must clear the crashed writer's junk")
+    assert(spark.table(table).count() == n)
+  }
+}
