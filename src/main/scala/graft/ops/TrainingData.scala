@@ -590,19 +590,115 @@ object TrainingData {
       .orderBy("q_id", "rn")
   }
 
+  /** One coarse-quantizer centroid (see [[trainIvfCentroids]]). */
+  private[ops] final case class IvfCent(cent_id: Int, ec: Array[Float])
+
+  private val IvfK = 16
+  private[ops] val IvfIters = 3
+  private val FixScale = 1048576.0 // 2^20 — exact exponent-shift factor
+
+  /** dataset dir → trained centroids (train once per JVM per dataset —
+    * the deployment shape: the quantizer is trained offline and
+    * broadcast, not re-fit per query). */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap[String, Seq[IvfCent]]()
+
+  /** Trains q93's coarse quantizer: [[IvfIters]] spherical-k-means
+    * (Lloyd) iterations from the deterministic seed (the vec_id < 16
+    * corpus vectors). Assignment maximizes cosine (ties → lowest
+    * cent_id); the update is the mean of the cell's UNIT-NORMALIZED
+    * members (empty cells carry their centroid forward), so the
+    * objective J = Σ(1 − cos(v, c_assigned)) is non-increasing by
+    * construction — assignment optimizes it given centroids, the
+    * normalized mean optimizes it given assignments (IvfTrainSpec pins
+    * the monotonicity and that training actually moves the seed).
+    *
+    * Cross-engine determinism is exact, not approximate: each member's
+    * per-dimension contribution is quantized to a 2⁻²⁰ fixed-point
+    * BIGINT — `floor(x/‖v‖ · 2²⁰ + ½)`, where the division is IEEE
+    * correctly-rounded and the ×2²⁰ an exact exponent shift — and
+    * summed as INTEGERS, which are associative, so Spark's partial-
+    * aggregation order cannot perturb the result the way a double sum
+    * would. The mean divides back in one correctly-rounded double op
+    * and casts to float once (round-half-even in both engines). The
+    * DuckDB oracle unrolls the identical three iterations on the
+    * identical integers, so the trained centroids — and every
+    * downstream assignment — are bit-identical across engines.
+    *
+    * Driver traffic per iteration: the k×dim fixed-point update table
+    * (16×64 rows) plus one objective scalar — bounded by construction
+    * (k and dim are model constants), the same argument as
+    * SketchRollup's per-day blobs. At 100 TB the assignment pass is
+    * the standard corpus×k dot-product scan through the codegen'd
+    * [[graft.functions.VecDot]]; train on a sample if even that is too
+    * hot — the protocol is unchanged. Returns the centroids and the
+    * per-iteration objective trace. */
+  private[ops] def trainIvfCentroids(s: SparkSession, dir: String)
+      : (Seq[IvfCent], Seq[Double]) = {
+    val e = withNorm(T(s, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .localCheckpoint(true) // reused by IvfIters assignment passes
+    var cents: Seq[IvfCent] = e.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect() // k rows — bounded by the model constant
+      .map(r => IvfCent(r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_.cent_id).toSeq
+    val objs = Seq.newBuilder[Double]
+    for (_ <- 1 to IvfIters) {
+      val cdf = centroidFrame(s, cents)
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("cent_id"))
+      val assigned = e.crossJoin(broadcast(cdf))
+        .withColumn("csim",
+          graft.functions.VecDot.dot(col("embedding"), col("ec"))
+            / (col("nrm") * col("ncn")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select("vec_id", "embedding", "nrm", "cent_id", "csim")
+        .localCheckpoint(true) // objective + update branch off one pass
+      objs += assigned.agg(sum(lit(1.0) - col("csim"))).head.getDouble(0)
+      val updated = assigned
+        .select(col("cent_id"), col("nrm"), posexplode(col("embedding")))
+        .withColumn("fx",
+          floor(col("col").cast("double") / col("nrm") * lit(FixScale)
+            + lit(0.5)).cast("long"))
+        .groupBy("cent_id", "pos")
+        .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
+        .collect() // k×dim rows — bounded by model constants
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.map(r => (r.getInt(1),
+              (r.getLong(2).toDouble / (r.getLong(3) * FixScale)).toFloat))
+            .sortBy(_._1).map(_._2).toArray
+        }
+      cents = cents.map(c =>
+        IvfCent(c.cent_id, updated.getOrElse(c.cent_id, c.ec)))
+    }
+    (cents, objs.result())
+  }
+
+  /** Lifts driver-side centroids into the (cent_id, ec, ncn) frame the
+    * assignment pass broadcasts. */
+  private def centroidFrame(s: SparkSession, cents: Seq[IvfCent]): DataFrame = {
+    import s.implicits._
+    cents.toDF("cent_id", "ec")
+      .withColumn("ncn", sqrt(graft.functions.VecDot.normSq(col("ec"))))
+  }
+
   /** q93: many-query ANN via an IVF (inverted-file) coarse quantizer —
     * the data-adaptive counterpart to q86's data-oblivious SRP LSH.
     *
-    * Shape: (1) 16 coarse centroids (the `vec_id < 16` corpus vectors —
-    * a deterministic stand-in for trained k-means centroids, which
-    * would be iterated offline and broadcast the same way); (2) every
-    * corpus vector is assigned to its nearest centroid's cell — one
-    * broadcast pass over the corpus, argmax cosine per vector; (3) each
-    * query probes its `nprobe = 4` nearest cells and exact-cosine
-    * reranks only those cells' members to top-3. Candidates per query ≈
-    * corpus·(nprobe/16), and because cells track the data distribution
-    * (unlike fixed random hyperplanes) the probed cells hold the true
-    * neighbors — full top-3 coverage on this testdata at every SF.
+    * Shape: (1) 16 coarse centroids TRAINED by [[trainIvfCentroids]]
+    * (r6 — three deterministic spherical-Lloyd iterations seeded from
+    * the vec_id < 16 corpus vectors, fixed-point-exact across engines);
+    * (2) every corpus vector is assigned to its nearest centroid's cell
+    * — one broadcast pass over the corpus, argmax cosine per vector;
+    * (3) each query probes its `nprobe = 4` nearest cells and
+    * exact-cosine reranks only those cells' members to top-3.
+    * Candidates per query ≈ corpus·(nprobe/16), and because cells track
+    * the data distribution (unlike fixed random hyperplanes) the probed
+    * cells hold the true neighbors — full top-3 coverage on this
+    * testdata at every SF.
     *
     * The centroid fan-out is a broadcast crossJoin against the 16-row
     * centroid table — a BNLJ whose build side is constant-bounded by
@@ -613,9 +709,9 @@ object TrainingData {
     * run through the native codegen'd [[graft.functions.VecDot]]. */
   def q93AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(T(s, dir, "embeddings"))
-    val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ec"),
-        col("nrm").as("ncn"))
+    val trained = ivfCache.getOrElseUpdate(dir,
+      trainIvfCentroids(s, dir)._1)
+    val cents = centroidFrame(s, trained)
     val centDot = graft.functions.VecDot.dot(col("embedding"), col("ec"))
     // nearest-centroid rank per vector: arn = 1 is the assignment, and
     // for query vectors arn <= 4 are the probed cells
@@ -1005,13 +1101,38 @@ object TrainingData {
     "q93_ann_ivf" -> {
       val dot = (a: String, b: String) =>
         s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a) + 1)])"
+      // One unrolled spherical-Lloyd iteration (mirrors
+      // trainIvfCentroids exactly): assignment by argmax cosine with
+      // cent_id tie-break, update = per-dimension 2^-20 fixed-point
+      // INTEGER sums of unit-normalized members divided back and cast
+      // to FLOAT once, empty cells carrying the previous centroid.
+      def lloydIter(prev: String, t: Int): String =
+        s"""a$t AS (SELECT vec_id, cent_id,
+           |        row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn
+           |        FROM (SELECT e.vec_id, c.cent_id, ${dot("e.embedding", "c.ec")} / (e.nrm * c.ncn) AS csim
+           |              FROM e CROSS JOIN $prev c)),
+           |s$t AS (SELECT a.cent_id, d.i AS dim,
+           |        SUM(CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) / e.nrm * 1048576.0 + 0.5) AS BIGINT)) AS sfx,
+           |        count(*) AS n
+           |        FROM a$t a, e, range(1, 65) d(i)
+           |        WHERE a.vec_id = e.vec_id AND a.arn = 1 GROUP BY 1, 2),
+           |u$t AS (SELECT cent_id, ec,
+           |        sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in ec])) AS ncn
+           |        FROM (SELECT cent_id,
+           |              list(CAST(CAST(sfx AS DOUBLE) / (n * 1048576.0) AS FLOAT) ORDER BY dim) AS ec
+           |              FROM s$t GROUP BY cent_id)),
+           |c$t AS (SELECT p.cent_id, COALESCE(u.ec, p.ec) AS ec, COALESCE(u.ncn, p.ncn) AS ncn
+           |        FROM $prev p LEFT JOIN u$t u ON p.cent_id = u.cent_id),""".stripMargin
       s"""WITH e AS (SELECT vec_id, embedding,
         |           sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
         |           FROM embeddings),
-        |c AS (SELECT vec_id AS cent_id, embedding AS ec, nrm AS ncn FROM e WHERE vec_id < 16),
+        |c0 AS (SELECT vec_id AS cent_id, embedding AS ec, nrm AS ncn FROM e WHERE vec_id < 16),
+        |${lloydIter("c0", 1)}
+        |${lloydIter("c1", 2)}
+        |${lloydIter("c2", 3)}
         |sim AS (SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
         |        ${dot("e.embedding", "c.ec")} / (e.nrm * c.ncn) AS csim
-        |        FROM e CROSS JOIN c),
+        |        FROM e CROSS JOIN c3 c),
         |assign AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn FROM sim),
         |cells AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM assign WHERE arn = 1),
         |qprobe AS (SELECT vec_id AS q_id, embedding AS eq, nrm AS nq, cent_id AS cell
