@@ -688,7 +688,7 @@ object Curation {
     * — `rec(node, root)` — shared by the q100/q106 cluster oracle and
     * the q105 pipeline oracle so the ground-truth clustering can never
     * drift between them. */
-  private val ccCtes: String =
+  private[ops] val ccCtes: String =
     """edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
       |nodes AS (SELECT DISTINCT a AS node FROM edges),
       |rec AS (

@@ -169,7 +169,7 @@ object TrainingData {
   def q77DedupSimhash(s: SparkSession, dir: String): DataFrame =
     simhashes(s, dir).orderBy("doc_id")
 
-  private def simhashes(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def simhashes(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
     // per-occurrence md5 + bit extraction, NOT a distinct-token
     // dictionary join: an A/B at sf0.1 measured the dictionary variant
@@ -232,9 +232,10 @@ object TrainingData {
     * document duplicated millions of times puts its whole cluster in
     * one aggregation row, and its intra pairs are c² *by the query's
     * own definition*. At corpus scale the correct contract change is
-    * representative semantics — keep (fingerprint, count, min doc_id)
-    * per cluster and emit clusters, not pairs; the banding/verify
-    * machinery is unchanged by that. */
+    * representative semantics — emit clusters, not pairs — which is
+    * exactly [[q109SimhashClusters]] (r6): same banding, doc mass
+    * pre-aggregated to (n_docs, min_doc), linking and components at
+    * the fingerprint level only. */
   /** Loud-failure bounds for q88's two collect_list aggregates. Far
     * above anything the tested SFs produce (≤ dozens), far below the
     * 2 GB aggregation-row limit; exceeded ⇒ the corpus needs the
@@ -265,7 +266,8 @@ object TrainingData {
         .agg(sort_array(collect_list(col("doc_id"))).as("ds")),
       s"size(ds) <= $q88MaxClusterDocs",
       s"q88: >$q88MaxClusterDocs docs share one simhash fingerprint - " +
-        "switch this corpus to representative cluster semantics")
+        "switch this corpus to q109_simhash_clusters (representative " +
+        "cluster semantics: never expands doc pairs)")
     // docs with identical fingerprints: hamming 0, pairs straight from
     // the group (sorted list ⇒ da < db)
     val intra = fps.filter(size(col("ds")) > 1)
@@ -288,7 +290,9 @@ object TrainingData {
         .agg(sort_array(collect_list(struct(col("fp"), col("ds")))).as("gs")),
       s"size(gs) <= $q88MaxBucketFps",
       s"q88: >$q88MaxBucketFps distinct fingerprints in one band bucket - " +
-        "cap/salt this bucket or raise the band width")
+        "cap/salt this bucket, raise the band width, or move to " +
+        "q109_simhash_clusters (fingerprint-level join, no bucket " +
+        "aggregation rows)")
       .filter(size(col("gs")) > 1)
     // fingerprint-level candidates: i < j over the fp-sorted bucket list
     // gives a canonical (fa < fb) orientation, so the cross-band dedup
@@ -313,6 +317,67 @@ object TrainingData {
       .select(least(col("x"), col("y")).as("da"),
         greatest(col("x"), col("y")).as("db"), col("hamming"))
     intra.union(inter).orderBy("da", "db")
+  }
+
+  /** Packs a 64-char binary simhash string column into one BIGINT (same
+    * bit pattern as q88's in-pipeline packing — the word is an identity
+    * and xor operand, sign irrelevant). */
+  private def packedFp(c: String) = expr((0 until 4).map(b =>
+    s"shiftleft(cast(conv(substring($c, ${b * 16 + 1}, 16), 2, 10) as bigint), ${48 - 16 * b})")
+    .mkString(" | "))
+
+  /** q109: SimHash near-duplicate CLUSTERS with representative
+    * semantics — the migration path q88's loud-failure caps point at.
+    * Where q88 emits doc PAIRS (c² by definition inside a hot
+    * fingerprint cluster), q109 never expands a pair: per-fingerprint
+    * doc mass collapses to `(n_docs, min_doc)` aggregates FIRST, the
+    * hamming-≤3 linking runs at the DISTINCT-FINGERPRINT level (same
+    * pigeonhole 4×16 banding as q88, band equi-self-join), connected
+    * components ([[Curation.connectedComponents]], hash-to-min) merge
+    * linked fingerprints, and the output is one row per duplicate
+    * cluster: `(cluster_fp, n_fps, n_docs, min_doc)` — the cluster's
+    * lexicographic-min fingerprint (= unsigned-min, identical order in
+    * both engines), its distinct-fingerprint count, total doc count,
+    * and representative (minimum) doc_id. Clusters with a single doc
+    * are not duplicates and are filtered.
+    *
+    * Every stage is bounded by DISTINCT-fingerprint count, not doc
+    * count: a boilerplate doc duplicated millions of times is one
+    * fingerprint row with n_docs = millions — exactly the case that
+    * trips q88's cap — and contributes one node to the band join and
+    * the CC, no c² anywhere. The oracle mirrors the whole shape with
+    * a recursive-CTE reachability ground truth (q100's CC shape over
+    * fingerprint edges). */
+  def q109SimhashClusters(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint: bands (twice, self-join) + the final label join all
+    // branch off fps — without it the simhash pipeline would run 3×
+    val fps = simhashes(s, dir)
+      .select(col("doc_id"), col("simhash").as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .localCheckpoint(true)
+    val bands = fps.select(col("fp"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          expr(s"substring(fp, ${b * 16 + 1}, 16)").as("key"))): _*))
+        .as("bk"))
+      .select(col("fp"), col("bk.b").as("b"), col("bk.key").as("key"))
+    val edges = bands.select(col("fp").as("fa"), col("b"), col("key"))
+      .join(bands.select(col("fp").as("fb"), col("b"), col("key")),
+        Seq("b", "key"))
+      .filter(col("fa") < col("fb"))
+      .withColumn("pa", packedFp("fa")).withColumn("pb", packedFp("fb"))
+      .filter(expr("bit_count(pa ^ pb)") <= 3)
+      .select(col("fa").as("a"), col("fb").as("b")).distinct()
+    val cc = Curation.connectedComponents(edges)
+    fps.join(cc, fps("fp") === cc("node"), "left")
+      .select(col("fp"), col("n_docs"), col("min_doc"),
+        coalesce(col("root"), col("fp")).as("cluster_fp"))
+      .groupBy("cluster_fp")
+      .agg(count(lit(1)).as("n_fps"), sum(col("n_docs")).as("n_docs"),
+        min(col("min_doc")).as("min_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("cluster_fp")
   }
 
   /** q78: exact n-gram Jaccard ≥ 0.5 near-dup pairs via a
@@ -994,6 +1059,7 @@ object TrainingData {
     "q92_sequence_pack" -> q92SequencePack _,
     "q93_ann_ivf" -> q93AnnIvf _,
     "q94_stratified_sample" -> q94StratifiedSample _,
+    "q109_simhash_clusters" -> q109SimhashClusters _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1145,6 +1211,27 @@ object TrainingData {
         |SELECT q_id, c_id, round(sim, 4) AS sim, CAST(rn AS INTEGER) AS rn
         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
     },
+    "q109_simhash_clusters" ->
+      s"""WITH t AS (SELECT doc_id, [md5(x) for x in list_filter(string_split(text, ' '), x -> x <> '')] AS hs FROM documents),
+        |sh AS (SELECT doc_id,
+        |  array_to_string([CASE WHEN list_sum([CASE WHEN (('0x' || h[(i // 4) + 1])::INT & (1 << (3 - (i % 4)))) > 0 THEN 1 ELSE -1 END for h in hs]) > 0 THEN '1' ELSE '0' END for i in range(0, 64)], '') AS simhash
+        |FROM t),
+        |fps AS (SELECT simhash AS fp, CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(min(doc_id) AS BIGINT) AS min_doc
+        |        FROM sh GROUP BY 1),
+        |bands AS (SELECT fp, r.i AS b, substr(fp, r.i * 16 + 1, 16) AS key
+        |          FROM fps, range(0, 4) r(i)),
+        |pairs AS (SELECT DISTINCT a.fp AS da, b2.fp AS db
+        |          FROM bands a JOIN bands b2 ON a.b = b2.b AND a.key = b2.key AND a.fp < b2.fp
+        |          WHERE list_sum([CASE WHEN a.fp[i:i] <> b2.fp[i:i] THEN 1 ELSE 0 END for i in range(1, 65)]) <= 3),
+        |${Curation.ccCtes},
+        |labels AS (SELECT f.fp, f.n_docs, f.min_doc, COALESCE(r.root, f.fp) AS cluster_fp
+        |           FROM fps f LEFT JOIN rec r ON r.node = f.fp)
+        |SELECT cluster_fp, CAST(count(*) AS BIGINT) AS n_fps,
+        |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |       CAST(min(min_doc) AS BIGINT) AS min_doc
+        |FROM labels GROUP BY 1 HAVING sum(n_docs) >= 2
+        |ORDER BY 1""".stripMargin,
     "q87_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |       upper(substr(hex(encode(text)), 1, 8)) AS magic
