@@ -88,6 +88,82 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  /** Drives [[EventStreams.closedSessions]] (the flatMapGroupsWithState
+    * custom-state path) through MemoryStream micro-batches. */
+  private def streamedSessions(name: String,
+                               batches: Seq[Seq[SEvent]]) = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[SEvent]
+    val q = EventStreams.closedSessions(in.toDS()).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      spark.table(name)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization: streaming equals the " +
+    "batch q81 lag+cumsum formulation on the same rows") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val batches = fixture.grouped(20).toSeq ++
+      Seq(Seq(sentinel(1000, 600)), Seq(sentinel(1001, 605)))
+    val got = streamedSessions("parity_closed", batches)
+      .filter("user_id <> 999")
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .collect().map(_.toSeq).toSet
+    // independent batch formulation — q81's lag + cumulative-sum session
+    // ids, not the streaming code path
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = fixture.toDF()
+      .withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        unix_millis(col("ts")) - unix_millis(col("prev")) >
+          30L * 60 * 1000, 1L).otherwise(0L))
+      .withColumn("sid", sum("brk").over(wRun))
+      .groupBy("user_id", "sid")
+      .agg(min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("closedSessions late data: a sub-watermark event is dropped, the " +
+    "timed-out session is emitted once, and its state is evicted") {
+    def ev(id: Long, user: Long, min: Long) =
+      SEvent(id, new Timestamp(base + min * 60 * 1000), user, "view", 0.25)
+    // batch 1: user 1's session (t = 0..10 min, 3 events) plus a far-
+    // future user-2 event that drags the watermark to 500 - 120 min
+    val b1 = Seq(ev(1, 1, 0), ev(2, 1, 5), ev(3, 1, 10), ev(4, 2, 500))
+    // batch 2: a LATE user-1 event at t = 50 min — far below the 380 min
+    // watermark, so it must be dropped, not reopen/extend the session;
+    // the same batch's watermark fires user 1's 10+30 min timeout
+    val b2 = Seq(ev(5, 1, 50))
+    // batch 3: user 1 returns at t = 600 — state was evicted, so this is
+    // a FRESH session of one event, not a continuation
+    val b3 = Seq(ev(6, 1, 600))
+    // sentinels push the watermark past 600 + 30 to flush the new session
+    val b4 = Seq(ev(1000, 999, 800))
+    val b5 = Seq(ev(1001, 999, 805))
+    val out = streamedSessions("parity_late", Seq(b1, b2, b3, b4, b5))
+      .filter("user_id = 1")
+      .select("start_ms", "end_ms", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    def ms(min: Long) = base + min * 60 * 1000
+    assert(out.toSeq == Seq(
+      (ms(0), ms(10), 3L),   // closed by timeout; late event NOT included
+      (ms(600), ms(600), 1L) // fresh session after eviction
+    ), s"got: ${out.toSeq}")
+  }
+
   test("stream-stream interval attribution join: streaming equals batch " +
     "on the same rows") {
     import spark.implicits._
