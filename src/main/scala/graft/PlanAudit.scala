@@ -62,7 +62,20 @@ object PlanAudit {
         "text), the dedup window's rn<=1 pushed down as WindowGroupLimit " +
         "partial group-limits on BOTH sides of its exchange, and " +
         "partial+final aggregation for the (lang, split) stats — two data " +
-        "shuffles plus the presentation sort."))
+        "shuffles plus the presentation sort."),
+    "q107_indexed_dedup" ->
+      ("**Look for:** the probe join against the PERSISTED bucketed band " +
+        "index: the index side is a bucketed parquet scan (`Bucketed: " +
+        "true`) feeding the SortMergeJoin with NO shuffle exchange above " +
+        "it — only the small batch side repartitions into the bucket " +
+        "layout. Per-ingest cost never includes re-shuffling the corpus."),
+    "q108_zorder_prune" ->
+      ("**Look for:** `PushedFilters` carrying the `l_partkey` band into " +
+        "the scan over the Z-ORDERED copy and `ReadSchema` pruned to the " +
+        "four needed columns — min/max row-group stats prune on a SECOND " +
+        "clustered dimension, which a single-key layout cannot do " +
+        "(ZOrderQueriesSpec pins files-touched ≤ 8 of 16 through this " +
+        "query)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
