@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.{Curation, NorthStar, ParseRoute, Relational, Scalars, TrainingData}
-import graft.sink.{Layout, ZOrderQueries}
+import graft.sink.{BucketQueries, Layout, ZOrderQueries}
 import graft.sources.rfc.RfcQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3 (normative inventory).
@@ -28,10 +28,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ ParseRoute.queries ++ Scalars.queries ++
       NorthStar.queries ++ TrainingData.queries ++ Curation.queries ++
-      Layout.queries ++ ZOrderQueries.queries ++ RfcQueries.queries
+      Layout.queries ++ ZOrderQueries.queries ++ BucketQueries.queries ++
+      RfcQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ ParseRoute.oracle ++ Scalars.oracle ++
       NorthStar.oracle ++ TrainingData.oracle ++ Curation.oracle ++
-      ZOrderQueries.oracle ++ RfcQueries.oracle
+      ZOrderQueries.oracle ++ BucketQueries.oracle ++ RfcQueries.oracle
 }

@@ -547,77 +547,26 @@ object Curation {
 
   private val BandIndexBuckets = 8
 
-  /** Registers `table` as an EXTERNAL bucketed table over an
-    * already-materialized index directory. External is load-bearing
-    * twice: a later DROP TABLE leaves the files for the next session to
-    * adopt, and registration never mutates the directory — so adopting
-    * a concurrent builder's output is read-only. */
-  private def registerBandIndex(s: SparkSession, table: String,
-                                loc: org.apache.hadoop.fs.Path): Unit =
-    s.sql(
-      s"""CREATE TABLE $table (o_doc BIGINT, band INT, k1 BIGINT, k2 BIGINT)
-         |USING parquet
-         |CLUSTERED BY (band, k1, k2) SORTED BY (band, k1, k2)
-         |INTO $BandIndexBuckets BUCKETS
-         |LOCATION '${loc.toString}'""".stripMargin)
-
   /** Ensures (once per session per dataset) the persistent corpus band
     * index q107 probes: the existing-corpus half of
     * [[TrainingData.minhashBands]], bucketed+sorted on (band, k1, k2).
     * The table name carries a digest of the dataset dir so different
-    * scale factors never alias to a stale index.
-    *
-    * Concurrency: the in-memory catalog dies with the JVM but the
-    * warehouse files don't, and a second session (or a concurrent one)
-    * may race this build. The protocol is crash- and race-safe without
-    * locks: a COMPLETE directory (committer's `_SUCCESS` present) is
-    * adopted as-is — index content is a pure function of the dataset
-    * dir, so any complete build is THE build; an incomplete leftover
-    * (no `_SUCCESS`: a crashed writer) is cleared; a fresh build goes to
-    * a session-unique staging directory and enters the final location by
-    * a single atomic rename, so no reader or racer can observe a
-    * half-written index. If the rename loses the race (destination
-    * appeared), the loser discards its staging output and adopts the
-    * winner's. BandIndexGuardSpec pins all three entry paths. */
-  private[ops] def ensureBandIndex(s: SparkSession, dir: String): String =
-    synchronized { // threads within a session; cross-JVM is the FS protocol
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val table = s"graft_band_index_$digest"
-      if (!s.catalog.tableExists(table)) {
-        val wh = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), table)
-        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-        def complete(p: org.apache.hadoop.fs.Path) =
-          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
-        if (!fs.exists(wh) || !complete(wh)) {
-          if (fs.exists(wh)) fs.delete(wh, true) // crashed partial write
-          val stg = table + "_stg_" +
-            java.util.UUID.randomUUID.toString.replace("-", "")
-          val corpus = TrainingData.minhashBands(s, dir)
-            .filter(col("doc_id") % 10 =!= 0)
-            .select(col("doc_id").as("o_doc"), col("band"), col("k1"),
-              col("k2"))
-          graft.sink.BucketedTables.save(corpus, stg, BandIndexBuckets,
-            Seq("band", "k1", "k2"))
-          val stgPath = new org.apache.hadoop.fs.Path(
-            s.conf.get("spark.sql.warehouse.dir"), stg)
-          if (!fs.rename(stgPath, wh)) {
-            // lost the race: a concurrent session renamed its complete
-            // build in first. Discard ours, adopt theirs below.
-            fs.delete(stgPath, true)
-            require(complete(wh),
-              s"band index $wh exists but is incomplete after a lost " +
-                "build race — a concurrent writer crashed mid-rename?")
-          }
-          // staging catalog entry now points at a gone (renamed) or
-          // deleted directory; dropping it deletes nothing extant
-          s.sql(s"DROP TABLE IF EXISTS $stg")
-        }
-        registerBandIndex(s, table, wh)
-      }
-      table
-    }
+    * scale factors never alias to a stale index. Crash/race safety
+    * (complete-adopt / incomplete-clear / staged-build + atomic
+    * rename, EXTERNAL registration) is the shared
+    * [[graft.sink.BucketedTables.ensure]] protocol —
+    * BandIndexGuardSpec pins its three entry paths through this
+    * call. */
+  private[ops] def ensureBandIndex(s: SparkSession, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    graft.sink.BucketedTables.ensure(s, s"graft_band_index_$digest",
+      TrainingData.minhashBands(s, dir)
+        .filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("o_doc"), col("band"), col("k1"),
+          col("k2")),
+      BandIndexBuckets, Seq("band", "k1", "k2"))
+  }
 
   /** q105: the composed curation pipeline — the flagship end-to-end
     * shape a corpus actually flows through, built from the library's own

@@ -79,4 +79,64 @@ object BucketedTables {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** Ensures a bucketed catalog table exists whose content is a pure
+    * function of its name, crash- and race-safe without locks (used by
+    * the q107 band index and the q110 bucketed-orders copy; the
+    * session-independent hazard is that the in-memory catalog dies with
+    * the JVM while the warehouse files don't, so a fresh session must
+    * handle leftovers, and a concurrent session may race the build):
+    *
+    *  - a COMPLETE directory (committer's `_SUCCESS` present) is
+    *    ADOPTED as-is — any complete build is THE build;
+    *  - an incomplete leftover (crashed writer) is cleared;
+    *  - a fresh build goes to a session-unique staging directory and
+    *    enters the final location by one atomic rename, so no reader
+    *    or racer observes a half-written table; a rename loser discards
+    *    its staging output and adopts the winner's;
+    *  - registration is EXTERNAL (schema from `df`), so a later DROP
+    *    TABLE leaves the files for the next session to adopt.
+    *
+    * `df` supplies the build rows AND the registration schema (schema
+    * use is analysis-only — no job runs on the adopt path).
+    * BandIndexGuardSpec pins all three entry paths. */
+  def ensure(s: org.apache.spark.sql.SparkSession, table: String,
+             df: => DataFrame, numBuckets: Int,
+             keys: Seq[String]): String = synchronized {
+    if (!s.catalog.tableExists(table)) {
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def complete(p: org.apache.hadoop.fs.Path) =
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      val frame = df
+      if (!fs.exists(wh) || !complete(wh)) {
+        if (fs.exists(wh)) fs.delete(wh, true) // crashed partial write
+        val stg = table + "_stg_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        save(frame, stg, numBuckets, keys)
+        val stgPath = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), stg)
+        if (!fs.rename(stgPath, wh)) {
+          // lost the race: a concurrent session renamed its complete
+          // build in first. Discard ours, adopt theirs below.
+          fs.delete(stgPath, true)
+          require(complete(wh),
+            s"table $wh exists but is incomplete after a lost build " +
+              "race — a concurrent writer crashed mid-rename?")
+        }
+        // staging catalog entry now points at a gone (renamed) or
+        // deleted directory; dropping it deletes nothing extant
+        s.sql(s"DROP TABLE IF EXISTS $stg")
+      }
+      s.sql(
+        s"""CREATE TABLE $table (${frame.schema.toDDL})
+           |USING parquet
+           |CLUSTERED BY (${keys.mkString(", ")})
+           |SORTED BY (${keys.mkString(", ")})
+           |INTO $numBuckets BUCKETS
+           |LOCATION '${wh.toString}'""".stripMargin)
+    }
+    table
+  }
 }
