@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions.{col, regexp_extract}
   * images take a documented fallback (byte-level fingerprint in
   * [[decode]]; dropped by [[resize]]) — the decode-failure routing every
   * real media pipeline needs, since a 100 TB blob store always contains
-  * some corrupt or mislabeled files. Video demux ([[frameSample]]) keeps
-  * a fixed-size-frame model (no container demuxer ships with the JDK);
-  * its every-k-th-frame contract is codec-independent.
+  * some corrupt or mislabeled files. Container demuxing is real for the
+  * one animated format the JDK reads ([[gifFrameSample]]: per-frame
+  * GIF extraction via `ImageReader`); [[frameSample]] keeps the
+  * fixed-size-frame model for raw frame streams — the every-k-th-frame
+  * contract is the same in both.
   */
 object Multimodal {
 
@@ -169,6 +171,50 @@ object Multimodal {
 
   /** One sampled frame of a video blob. */
   final case class FrameRow(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** REAL container demuxing for the one animated format the JDK ships
+    * a reader for: every `every`-th frame of each GIF blob is decoded
+    * with ImageIO's GIF `ImageReader` and re-encoded as a standalone
+    * PNG row — actual frame extraction, not byte slicing (GifFrameSpec
+    * drives multi-frame GIFs end to end and re-decodes exact frame
+    * pixels). Non-GIF blobs yield no rows (the decode-failure filter,
+    * as [[resize]]). Same iterator shape as [[decode]]: the reader spins
+    * up per partition and `dispose()`s per blob, and the per-frame
+    * output rows hash-partition downstream so frame-level feature
+    * extraction parallelizes beyond the video count.
+    *
+    * NOTE: frames are decoded independently (`reader.read(i)` returns
+    * the raw frame raster); GIFs using inter-frame delta coalescing
+    * would need frame compositing on top — out of scope for the
+    * fixture-grade full-frame GIFs this targets. */
+  def gifFrameSample(ds: Dataset[MediaRow], every: Int): Dataset[FrameRow] = {
+    require(every > 0, "every must be > 0")
+    implicit val enc: Encoder[FrameRow] = Encoders.product[FrameRow]
+    ds.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val readers = ImageIO.getImageReadersByFormatName("gif")
+        if (!readers.hasNext) Iterator.empty
+        else {
+          val reader = readers.next()
+          try {
+            val in = ImageIO.createImageInputStream(
+              new ByteArrayInputStream(r.bin))
+            reader.setInput(in, false, true)
+            val n =
+              try reader.getNumImages(true)
+              catch { case _: Exception => 0 } // not a GIF: drop the blob
+            (0 until n by every).iterator.map { i =>
+              val img = reader.read(i)
+              val bos = new ByteArrayOutputStream()
+              ImageIO.write(img, "png", bos)
+              FrameRow(r.doc_id, i, bos.toByteArray)
+            }.toVector
+          } finally reader.dispose()
+        }
+      }
+    }
+  }
 
   /** Frame sampling: treat a video blob as fixed-size frame records and
     * emit every `every`-th frame as its own row (`flatMap` — one input
