@@ -421,6 +421,50 @@ object Curation {
     * joins (each stage's threshold time feeds the next stage's filter),
     * then one global 3-row stage summary. All shuffles key on user_id;
     * event-time compares at µs (the shared precision). */
+  /** Email / phone / IPv4 regexes shared by q111's Spark and DuckDB
+    * sides — conservative constructs (`\b`, `\d`, bounded classes) that
+    * Java regex and RE2 interpret identically. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** q111: PII scrubbing — the redaction stage every public-corpus
+    * training pipeline runs before anything else sees the text: emails,
+    * phone numbers, and IPv4 addresses are counted and replaced by
+    * typed placeholder tokens, and the redacted text is fingerprinted
+    * (md5) so the oracle pins the EXACT byte-level scrub, not just the
+    * counts. The synthetic corpus carries no PII, so the query injects
+    * deterministic PII first — the same `doc_id`-keyed expressions in
+    * both engines — making the scrub equality meaningful at every SF.
+    * Pure codegen'd projection (regexp_count / regexp_replace), no
+    * shuffle but the presentation sort: scales as a map-only pass. */
+  def q111PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val injected = T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit(" call 555-867-5309")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" from 10.0."),
+              (col("doc_id") % 256).cast("string"), lit(".1")))
+            .otherwise(lit(""))).as("text"))
+    // Column-API regexp_count, NOT expr(): a SQL string literal would
+    // eat the pattern's backslashes (\b, \d) as SQL escapes
+    injected.select(col("doc_id"), col("lang"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(IpRe)).cast("long").as("n_ips"),
+      md5(regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]"),
+        IpRe, "[IP]")).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
   def q103Funnel(s: SparkSession, dir: String): DataFrame =
     funnelCore(T(s, dir, "events")
       .select(col("user_id"), expr("ts div 1000").as("tus"),
@@ -616,6 +660,7 @@ object Curation {
     "q101_gap_fill" -> q101GapFill _,
     "q102_fuzzy_match" -> q102FuzzyMatch _,
     "q103_funnel" -> q103Funnel _,
+    "q111_pii_scrub" -> q111PiiScrub _,
     "q104_incremental_dedup" -> q104IncrementalDedup _,
     "q105_curation_pipeline" -> q105CurationPipeline _,
     "q106_dup_clusters_star" -> q106DupClustersStar _,
@@ -764,6 +809,23 @@ object Curation {
         |UNION ALL SELECT 'stage2_click', CAST(count(*) AS BIGINT) FROM f WHERE s2
         |UNION ALL SELECT 'stage3_purchase', CAST(count(*) AS BIGINT) FROM f WHERE s3
         |ORDER BY stage""".stripMargin,
+    "q111_pii_scrub" ->
+      s"""WITH injected AS (
+        |  SELECT doc_id, lang,
+        |         text ||
+        |         CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |         CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+        |         CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |       CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+        |       CAST(len(regexp_extract_all(text, '$IpRe')) AS BIGINT) AS n_ips,
+        |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |           '$EmailRe', '[EMAIL]', 'g'),
+        |           '$PhoneRe', '[PHONE]', 'g'),
+        |           '$IpRe', '[IP]', 'g')) AS scrub_md5
+        |FROM injected ORDER BY doc_id""".stripMargin,
     "q104_incremental_dedup" -> incrementalDedupOracle,
     // q107 is the same contract probed through the PERSISTED bucketed
     // band index — one ground truth for both shapes
