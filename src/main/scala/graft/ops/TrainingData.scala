@@ -1027,6 +1027,38 @@ object TrainingData {
     * standard greedy semantics). The global prefix sum uses
     * [[ScalableRank.withGlobalCumsumExclusive]] — the distributed
     * two-pass scan, not a single-task global window. */
+  /** q112 window geometry: 64-token chunks every 48 tokens (16-token
+    * overlap) — the sliding-window shape context-length-bounded
+    * training prep uses. */
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
+  /** q112: document chunking — long documents split into fixed-size
+    * token windows with stride/overlap, each chunk fingerprinted (md5
+    * of the re-joined tokens) so the oracle pins exact chunk CONTENT
+    * and boundaries, not just counts. The explode is output-bound
+    * (Σ ceil(n/stride) rows); everything before the presentation sort
+    * is a map-only codegen'd projection — at 100 TB chunking
+    * parallelizes per doc with no shuffle, and downstream per-chunk
+    * rows hash-partition like any other table (the same argument as
+    * frame sampling). Tail chunks shorter than the window are kept
+    * (standard for training prep; packing them is q92's job). */
+  def q112ChunkSplit(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(0, n - 1, $ChunkStride)")).as("start"))
+      .select(col("doc_id"),
+        expr(s"cast(start div $ChunkStride as bigint)").as("chunk_idx"),
+        expr(s"slice(w, start + 1, $ChunkSize)").as("cw"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("cw")).cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", col("cw"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   def q92SequencePack(s: SparkSession, dir: String): DataFrame = {
     val budget = 2000L
     val docs = T(s, dir, "documents")
@@ -1060,6 +1092,7 @@ object TrainingData {
     "q93_ann_ivf" -> q93AnnIvf _,
     "q94_stratified_sample" -> q94StratifiedSample _,
     "q109_simhash_clusters" -> q109SimhashClusters _,
+    "q112_chunk_split" -> q112ChunkSplit _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1211,6 +1244,14 @@ object TrainingData {
         |SELECT q_id, c_id, round(sim, 4) AS sim, CAST(rn AS INTEGER) AS rn
         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
     },
+    "q112_chunk_split" ->
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |c AS (SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) > 0),
+        |s AS (SELECT doc_id, w, unnest(range(0, n, $ChunkStride)) AS start FROM c)
+        |SELECT doc_id, CAST(start // $ChunkStride AS BIGINT) AS chunk_idx,
+        |       CAST(len(w[start + 1 : start + $ChunkSize]) AS BIGINT) AS chunk_tokens,
+        |       md5(array_to_string(w[start + 1 : start + $ChunkSize], ' ')) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
     "q109_simhash_clusters" ->
       s"""WITH t AS (SELECT doc_id, [md5(x) for x in list_filter(string_split(text, ' '), x -> x <> '')] AS hs FROM documents),
         |sh AS (SELECT doc_id,
