@@ -99,20 +99,35 @@ object BucketedTables {
     *
     * `df` supplies the build rows AND the registration schema (schema
     * use is analysis-only — no job runs on the adopt path).
-    * BandIndexGuardSpec pins all three entry paths. */
+    * BandIndexGuardSpec pins all three entry paths.
+    *
+    * Version drift: the returned table name embeds the bucket count
+    * (a count change can never silently re-register old files under a
+    * new layout — the bucket-aware scan would misroute rows), and the
+    * adopt path validates the on-disk parquet schema against `df`'s
+    * (footer-only read) — a column-drifted leftover from an older
+    * engine version is cleared and rebuilt instead of adopted. */
   def ensure(s: org.apache.spark.sql.SparkSession, table: String,
              df: => DataFrame, numBuckets: Int,
              keys: Seq[String]): String = synchronized {
-    if (!s.catalog.tableExists(table)) {
+    val full = s"${table}_b$numBuckets"
+    if (!s.catalog.tableExists(full)) {
       val wh = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), table)
+        s.conf.get("spark.sql.warehouse.dir"), full)
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
       def complete(p: org.apache.hadoop.fs.Path) =
         fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
       val frame = df
-      if (!fs.exists(wh) || !complete(wh)) {
+      def schemaMatches: Boolean = {
+        val disk = s.read.parquet(wh.toString).schema
+        disk.map(f => (f.name, f.dataType)) ==
+          frame.schema.map(f => (f.name, f.dataType))
+      }
+      // stale-version leftovers fail the footer-schema check and take
+      // the rebuild path exactly like a crashed partial write
+      if (!fs.exists(wh) || !complete(wh) || !schemaMatches) {
         if (fs.exists(wh)) fs.delete(wh, true) // crashed partial write
-        val stg = table + "_stg_" +
+        val stg = full + "_stg_" +
           java.util.UUID.randomUUID.toString.replace("-", "")
         save(frame, stg, numBuckets, keys)
         val stgPath = new org.apache.hadoop.fs.Path(
@@ -130,13 +145,13 @@ object BucketedTables {
         s.sql(s"DROP TABLE IF EXISTS $stg")
       }
       s.sql(
-        s"""CREATE TABLE $table (${frame.schema.toDDL})
+        s"""CREATE TABLE $full (${frame.schema.toDDL})
            |USING parquet
            |CLUSTERED BY (${keys.mkString(", ")})
            |SORTED BY (${keys.mkString(", ")})
            |INTO $numBuckets BUCKETS
            |LOCATION '${wh.toString}'""".stripMargin)
     }
-    table
+    full
   }
 }

@@ -93,4 +93,24 @@ class BandIndexGuardSpec extends AnyFunSuite {
     assert(!fs.exists(junk), "rebuild must clear the crashed writer's junk")
     assert(spark.table(table).count() == n)
   }
+
+  test("stale-version leftover (complete but wrong schema) is rebuilt, " +
+    "not adopted") {
+    val table = Curation.ensureBandIndex(spark, aliasDir)
+    val dir = whPath(table)
+    val n = spark.table(table).count()
+    spark.sql(s"DROP TABLE $table")
+    // a COMPLETE directory (committed _SUCCESS) whose schema drifted —
+    // what an older engine version's files look like to a newer one
+    fs.delete(dir, true)
+    spark.range(5).selectExpr("id AS wrong_col").write.parquet(dir.toString)
+    assert(fs.exists(new Path(dir, "_SUCCESS")))
+
+    val again = Curation.ensureBandIndex(spark, aliasDir)
+    assert(again == table)
+    assert(spark.table(table).columns.toSeq ==
+      Seq("o_doc", "band", "k1", "k2"),
+      "drifted files must not be adopted under the current schema")
+    assert(spark.table(table).count() == n)
+  }
 }
