@@ -1059,6 +1059,60 @@ object TrainingData {
         md5(concat_ws(" ", col("cw"))).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** q113 query terms — drawn from the synthetic vocabulary so every SF
+    * has matches (a real deployment parameterizes these). */
+  private val Bm25Terms = Seq("data", "join", "stream")
+
+  /** q113: BM25-style relevance ranking of the corpus against a fixed
+    * term set — the retrieval-scoring op a curation pipeline uses for
+    * query-targeted sampling ("give me training docs relevant to X").
+    *
+    * Scoring is the k1/b BM25 shape (k1 = 1.2, b = 0.75) with a
+    * RATIONAL idf — `(N − df + ½)/(df + ½)` instead of its logarithm —
+    * because `ln` is the one step whose cross-engine determinism cannot
+    * be guaranteed: IEEE 754 requires correctly-rounded + − × ÷ (so the
+    * tf normalization and the rational idf are bit-identical in any
+    * engine given identical inputs) but NOT correctly-rounded
+    * transcendentals, and Java's Math.log and DuckDB's libm genuinely
+    * differ in ulps — enough to flip a ranking tie. Same per-term
+    * monotonicity, deterministic everywhere. Per-doc totals sum the
+    * (≤3) term scores in FIXED left-assoc order as one expression — no
+    * row-wise SUM whose accumulation order Spark controls.
+    *
+    * Corpus stats (N, avgdl, per-term df) ride a one-row broadcast
+    * crossJoin (bounded by construction — PlanShapeSpec names it next
+    * to q73/q90/q97); token counts are integers, so their double sums
+    * are exact regardless of partial-aggregation order, and avgdl =
+    * exact-sum / exact-count is deterministic. Top-20 by (score desc,
+    * doc_id) plans as TakeOrderedAndProject — no global window, no full
+    * sort. */
+  def q113Bm25Rank(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("w"))
+      .withColumn("dl", size(col("w")).cast("double"))
+    val withTf = Bm25Terms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+      d.withColumn(s"tf$i",
+        expr(s"cast(size(filter(w, x -> x = '$t')) as double)"))
+    }.drop("w")
+    val stats = withTf.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl") +:
+        Bm25Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("double")
+            .as(s"df$i")): _*)
+    val termScore = (i: Int) =>
+      s"""((n_docs - df$i + 0.5) / (df$i + 0.5))
+         | * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl)))"""
+        .stripMargin.replace("\n", "")
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("score",
+        expr(Bm25Terms.indices.map(termScore).mkString(" + ")))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), round(col("score"), 4).as("bm25"))
+  }
+
   def q92SequencePack(s: SparkSession, dir: String): DataFrame = {
     val budget = 2000L
     val docs = T(s, dir, "documents")
@@ -1093,6 +1147,7 @@ object TrainingData {
     "q94_stratified_sample" -> q94StratifiedSample _,
     "q109_simhash_clusters" -> q109SimhashClusters _,
     "q112_chunk_split" -> q112ChunkSplit _,
+    "q113_bm25_rank" -> q113Bm25Rank _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1243,6 +1298,24 @@ object TrainingData {
         |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM cand)
         |SELECT q_id, c_id, round(sim, 4) AS sim, CAST(rn AS INTEGER) AS rn
         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+    },
+    "q113_bm25_rank" -> {
+      val termScore = (i: Int) =>
+        s"((n_docs - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+      val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(", ")
+      val dfCols = Bm25Terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+        .mkString(", ")
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |d AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfCols FROM w),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM d),
+        |sc AS (SELECT doc_id,
+        |       ${Bm25Terms.indices.map(termScore).mkString(" + ")} AS score
+        |       FROM d, st)
+        |SELECT doc_id, round(score, 4) AS bm25
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
     "q112_chunk_split" ->
       s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
