@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Curation, NorthStar, ParseRoute, Relational, Scalars, TrainingData}
+import graft.ops.{Curation, Multimodal, NorthStar, ParseRoute, Relational, Scalars, TrainingData}
 import graft.sink.{BucketQueries, Layout, ZOrderQueries}
 import graft.sources.rfc.RfcQueries
 
@@ -29,7 +29,7 @@ object SparkEntry {
     Relational.queries ++ ParseRoute.queries ++ Scalars.queries ++
       NorthStar.queries ++ TrainingData.queries ++ Curation.queries ++
       Layout.queries ++ ZOrderQueries.queries ++ BucketQueries.queries ++
-      RfcQueries.queries
+      Multimodal.queries ++ RfcQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ ParseRoute.oracle ++ Scalars.oracle ++

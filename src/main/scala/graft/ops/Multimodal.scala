@@ -6,7 +6,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions.{col, regexp_extract}
 
 /** Multimodal (image/audio/video) column plumbing.
@@ -171,6 +171,80 @@ object Multimodal {
 
   /** One sampled frame of a video blob. */
   final case class FrameRow(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Fixture dir for [[q114MediaPipeline]] (once per JVM): 12
+    * deterministic PNGs (id-derived dimensions, LCG pixels) plus one
+    * 6-frame animated GIF — written with the JDK's own encoders, so
+    * the fixture needs no binary test assets. */
+  private lazy val mediaFixtureDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media-")
+    (0 until 12).foreach { i =>
+      val w = 16 + 2 * i; val h = 12 + 3 * i
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var sd = i * 2654435761L.toInt
+      for (y <- 0 until h; x <- 0 until w) {
+        sd = sd * 1103515245 + 12345
+        img.setRGB(x, y, sd & 0xFFFFFF)
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      java.nio.file.Files.write(dir.resolve(s"img_$i.png"), bos.toByteArray)
+    }
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val gifBos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(gifBos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 6).foreach { f =>
+      val img = new BufferedImage(10, 10, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 10; x <- 0 until 10)
+        img.setRGB(x, y, Seq(0xFF0000, 0x00FF00, 0x0000FF)(f % 3))
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    java.nio.file.Files.write(dir.resolve("vid_100.gif"), gifBos.toByteArray)
+    dir.toString
+  }
+
+  /** q114: the multimodal chain as a driver-visible query — on-disk
+    * blobs → `binaryFile` ingest → real ImageIO decode → real resize →
+    * re-decode → real GIF demux, summarized to one deterministic row.
+    * No DuckDB oracle BY DESIGN (no SQL engine decodes PNG/GIF); the
+    * driver records the rows-only check, and the per-stage exactness
+    * lives in MultimodalSpec / MultimodalIngestSpec / GifFrameSpec /
+    * ImageProps. The `chk` column folds every blob's pixel checksum, so
+    * any decode regression flips the output row. `dir` is unused — the
+    * media fixture is self-contained, generated once per JVM. */
+  def q114MediaPipeline(s: SparkSession, dir: String): DataFrame = {
+    val pngs = readBlobs(s, mediaFixtureDir, "*.png")
+    val decoded = decode(pngs)
+    val resized = {
+      implicit val enc: Encoder[MediaRow] = Encoders.product[MediaRow]
+      decode(resize(pngs, 24, 24)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("bin")).as[MediaRow])
+    }
+    val gifs = readBlobs(s, mediaFixtureDir, "*.gif")
+    import org.apache.spark.sql.functions._
+    val d = decoded.agg(
+      count(lit(1)).as("n_blobs"),
+      sum(col("n_bytes").cast("long")).as("total_bytes"),
+      sum(col("width").cast("long")).as("sum_w"),
+      sum(col("height").cast("long")).as("sum_h"),
+      countDistinct(col("checksum")).as("n_distinct"),
+      sum(expr("checksum % 1000000007")).as("chk"))
+    val r = resized.agg(
+      sum(col("width").cast("long")).as("resized_w"),
+      sum(col("height").cast("long")).as("resized_h"))
+    val g = gifFrameSample(gifs, every = 2).agg(
+      count(lit(1)).as("gif_frames"))
+    d.crossJoin(r).crossJoin(g) // three 1-row frames — bounded
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_media_pipeline" -> q114MediaPipeline _,
+  )
 
   /** REAL container demuxing for the one animated format the JDK ships
     * a reader for: every `every`-th frame of each GIF blob is decoded
