@@ -22,7 +22,9 @@ class DataContractSpec extends AnyFunSuite {
     val noOracle = Set( // each verified by a dedicated ScalaTest suite
       "q06_sink_layout",         // LayoutSpec
       "q36_agg_approx_distinct", // HllBoundSpec
-      "q39_approx_percentile")   // HllBoundSpec
+      "q39_approx_percentile",   // HllBoundSpec
+      "q114_media_pipeline")     // Multimodal*/GifFrameSpec/ImageProps
+                                 // (no SQL engine decodes PNG/GIF)
     val queries = graft.SparkEntry.queries.keySet
     val oracles = graft.SparkEntry.oracleSql.keySet
     assert((queries -- oracles -- noOracle).isEmpty,
