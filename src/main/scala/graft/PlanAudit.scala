@@ -75,7 +75,19 @@ object PlanAudit {
         "four needed columns — min/max row-group stats prune on a SECOND " +
         "clustered dimension, which a single-key layout cannot do " +
         "(ZOrderQueriesSpec pins files-touched ≤ 8 of 16 through this " +
-        "query)."))
+        "query)."),
+    "q112_chunk_split" ->
+      ("**Look for:** one parquet scan with `ReadSchema` pruned to " +
+        "(doc_id, text), the window starts generated then exploded " +
+        "(`Generate`, output-bound — Σ ceil(n/stride) rows), and NO " +
+        "exchange before the presentation sort — chunking is a map-only " +
+        "pass that parallelizes per input split."),
+    "q113_bm25_rank" ->
+      ("**Look for:** the corpus-stats side as a 1-row broadcast " +
+        "(BroadcastNestedLoopJoin against a bounded single-row aggregate " +
+        "— the named-exception shape, same as q73/q90), the per-term " +
+        "scores as one codegen'd projection, and `TakeOrderedAndProject` " +
+        "for the top-20 — no global sort, no global window."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -94,6 +94,18 @@ class BandIndexGuardSpec extends AnyFunSuite {
     assert(spark.table(table).count() == n)
   }
 
+  test("append with a mismatched bucket layout fails loudly instead of " +
+    "corrupting the index") {
+    val table = Curation.ensureBandIndex(spark, aliasDir)
+    val rows = spark.table(table).limit(1)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      // wrong bucket count: Spark must reject, never mix layouts
+      graft.sink.BucketedTables.append(rows, table, 4,
+        Seq("band", "k1", "k2"))
+    }
+    assert(e.getMessage.toLowerCase.contains("bucket"), e.getMessage)
+  }
+
   test("stale-version leftover (complete but wrong schema) is rebuilt, " +
     "not adopted") {
     val table = Curation.ensureBandIndex(spark, aliasDir)
