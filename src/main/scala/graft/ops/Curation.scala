@@ -568,7 +568,7 @@ object Curation {
     * returns per-doc collision counts. The index's bucket hash satisfies
     * the join's required distribution, so only the (small) batch side
     * shuffles (IndexedDedupSpec pins the exchange-free corpus scan). */
-  private[ops] def screenAgainstIndex(s: SparkSession, idxTable: String,
+  private[graft] def screenAgainstIndex(s: SparkSession, idxTable: String,
                                       batchBands: DataFrame): DataFrame =
     batchBands.join(s.table(idxTable), Seq("band", "k1", "k2"))
       .groupBy("doc_id")
@@ -581,7 +581,11 @@ object Curation {
     * caller's policy admits) to the persisted index, preserving the
     * bucket layout, so the NEXT ingest's probe sees them with still no
     * corpus-side exchange. Per-ingest index growth is |admitted|×bands
-    * rows — the corpus text is never re-read. */
+    * rows — the corpus text is never re-read. Cache contract: the
+    * append invalidates THIS session's cached relation; any OTHER
+    * session (including the parent of a foreachBatch clone) that
+    * already resolved the table must `refreshTable` before its next
+    * read, or it will list the pre-append files. */
   def admitToBandIndex(s: SparkSession, idxTable: String,
                        admittedBands: DataFrame): Unit =
     graft.sink.BucketedTables.append(
@@ -601,7 +605,7 @@ object Curation {
     * [[graft.sink.BucketedTables.ensure]] protocol —
     * BandIndexGuardSpec pins its three entry paths through this
     * call. */
-  private[ops] def ensureBandIndex(s: SparkSession, dir: String): String = {
+  private[graft] def ensureBandIndex(s: SparkSession, dir: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     graft.sink.BucketedTables.ensure(s, s"graft_band_index_$digest",

@@ -62,9 +62,15 @@ object TrainingData {
     * per shingle element — quadratic per document (measured: the HOF
     * build alone cost ~8 s at sf0.1; this shape is fully codegen'd).
     * One shuffle on doc_id (the window). */
-  private[ops] def shingleRows(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def shingleRows(s: SparkSession, dir: String): DataFrame =
+    shingleRowsOf(T(s, dir, "documents"))
+
+  /** [[shingleRows]] over an arbitrary (doc_id, text) frame — the
+    * streaming ingest path shingles micro-batches, not the corpus
+    * table. */
+  private[graft] def shingleRowsOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    T(s, dir, "documents")
+    docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .toDF("doc_id", "pos", "word")
       .withColumn("w1", lead("word", 1).over(w))
@@ -103,7 +109,15 @@ object TrainingData {
     // and band keys join on two longs. Minhash only needs a hash
     // family both engines share — truncation changes which shingle
     // wins a min, so the ORACLE applies the same truncation.
-    val sh = shingleRows(s, dir)
+    minhashBandsOf(shingleRows(s, dir))
+  }
+
+  /** The minhash/banding stack over an arbitrary pre-shingled frame —
+    * shared by the corpus queries and the streaming ingest path (which
+    * bands one micro-batch at a time). Same hash family everywhere:
+    * collisions between a batch's bands and the persisted index are
+    * only meaningful because BOTH sides band with this code. */
+  private[graft] def minhashBandsOf(sh: DataFrame): DataFrame = {
     val dict = sh.select("sh").distinct()
       .select(col("sh") +: (0 until 8).map(k =>
         expr(s"cast(conv(substring(md5(concat('$k:', sh)), 1, 15), 16, 10) as bigint)")

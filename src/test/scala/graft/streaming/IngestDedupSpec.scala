@@ -1,0 +1,73 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.ops.Curation
+
+/** Streaming ingest dedup end to end: two micro-batches of documents
+  * screened against (and admitted into) the persisted band index. Batch
+  * 2 must collide with a batch-1 doc THROUGH THE INDEX — the admission
+  * is what carries batch 1 forward — and clean docs keep flowing in.
+  * Uses its own path alias of the testdata so its index table is
+  * disjoint from q107's and the other index suites'. */
+class IngestDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  // distinct dir string => distinct (isolated, mutable) index table
+  private val aliasDir = SparkTestBase.Sf0001 + "//"
+
+  private def sentence(seed: String): String =
+    (0 until 24).map(i => s"$seed$i").mkString(" ")
+
+  test("batch 2 collides with batch 1's admitted doc through the index; " +
+    "clean docs admit and grow it") {
+    // admissions PERSIST in the warehouse (that is the point of the
+    // index) — reset this suite's isolated index so a previous test
+    // JVM's admitted batches don't pre-populate it
+    val stale = Curation.ensureBandIndex(spark, aliasDir)
+    spark.sql(s"DROP TABLE $stale")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), stale)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(wh, true)
+    val idx = Curation.ensureBandIndex(spark, aliasDir) // fresh corpus-only
+    val n0 = spark.table(idx).count()
+
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val reports = mutable.Map[Long, Array[org.apache.spark.sql.Row]]()
+    val q = IngestDedup.start(in.toDF().toDF("doc_id", "text"), idx,
+      (rows, id) => reports.synchronized { reports(id) = rows })
+    try {
+      // batch 0: two docs with vocabulary disjoint from the corpus —
+      // no index collisions, both admitted (8 band rows)
+      in.addData((10001L, sentence("qqa")), (10002L, sentence("qqb")))
+      q.processAllAvailable()
+      // batch 1: one exact copy of doc 10001's text (collides via the
+      // bands ADMITTED in batch 0) and one fresh doc
+      in.addData((10003L, sentence("qqa")), (10004L, sentence("qqc")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val r0 = reports.synchronized(reports(0L))
+    assert(r0.isEmpty, s"batch 0 must screen clean, got ${r0.toSeq}")
+    val r1 = reports.synchronized(reports(1L))
+    assert(r1.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((10003L, 10001L)),
+      s"batch 1 must flag 10003 against admitted 10001, got ${r1.toSeq}")
+
+    // index growth: batches 0 and 1 admitted 3 clean docs × 4 bands;
+    // the flagged doc's bands were NOT admitted. The appends ran in
+    // foreachBatch's CLONED sessions, so this session's cached file
+    // listing is stale — refresh before reading (the documented
+    // admitToBandIndex cross-session contract)
+    spark.catalog.refreshTable(idx)
+    assert(spark.table(idx).count() == n0 + 3 * 4)
+  }
+}
