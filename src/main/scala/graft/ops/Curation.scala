@@ -571,6 +571,12 @@ object Curation {
   private[graft] def screenAgainstIndex(s: SparkSession, idxTable: String,
                                       batchBands: DataFrame): DataFrame =
     batchBands.join(s.table(idxTable), Seq("band", "k1", "k2"))
+      // self-collisions excluded: for q104/q107 the batch (%10 == 0) and
+      // corpus are disjoint so this never fires; for the streaming
+      // ingest it makes a REPLAYED batch (whose own bands a crashed
+      // attempt already admitted) screen identically to its first run
+      // instead of flagging every doc against itself
+      .filter(col("o_doc") =!= col("doc_id"))
       .groupBy("doc_id")
       .agg(countDistinct(col("o_doc")).as("n_dups"),
         min(col("o_doc")).as("first_dup"))

@@ -21,10 +21,12 @@ import graft.ops.{Curation, TrainingData}
   * a bucketed catalog-table write). Inside the callback the batch is a
   * plain DataFrame, so the whole q107 machinery applies unchanged.
   * Exactly-once caveat (documented, inherent to foreachBatch): a batch
-  * replayed after a crash between append and commit would re-append its
-  * bands; band rows are idempotent for SCREENING semantics (a duplicate
-  * band row changes no collision verdict, `countDistinct` dedups
-  * o_doc), so replays cost space, not correctness.
+  * replayed after a crash between append and commit re-appends its
+  * clean docs' bands, but the REPORT is replay-stable — the probe
+  * excludes self-collisions (a doc never flags against its own
+  * previously-admitted bands) and `countDistinct` dedups duplicate band
+  * rows — so replays cost index space, never screening correctness
+  * (IngestDedupSpec pins the replayed report equal to the original).
   *
   * The admission policy here is admit-if-no-collision; a deployment
   * swaps `screened.count == 0` routing for its own review queue without

@@ -51,16 +51,20 @@ class IndexAdmissionSpec extends AnyFunSuite {
     // rewritten or rescanned
     assert(spark.table(idx).count() == before + nB1)
 
-    // guaranteed visibility: re-screening batch 1 now finds each of its
-    // docs' own bands in the index (doc collides at least with itself)
-    val rescreened = Curation.screenAgainstIndex(spark, idx, batch1)
+    // guaranteed visibility: probe with batch 1's OWN band rows under
+    // renamed doc_ids — every probe doc must collide with its admitted
+    // original (self-collisions are excluded by the probe, so the
+    // renamed ids are what make the hit deterministic)
+    val probe = batch1.withColumn("doc_id", col("doc_id") + 1000000L)
+    val rescreened = Curation.screenAgainstIndex(spark, idx, probe)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     val b1Ids = batch1.select("doc_id").distinct()
       .collect().map(_.getLong(0))
     b1Ids.foreach { id =>
-      assert(rescreened.contains(id),
+      assert(rescreened.contains(id + 1000000L),
         s"admitted doc $id invisible to the index probe")
-      assert(rescreened(id) <= id, "first_dup must be ≤ the doc itself")
+      assert(rescreened(id + 1000000L) <= id,
+        "first_dup must be ≤ the admitted original")
     }
 
     // semantic check: screening batch 2 against the updated index equals

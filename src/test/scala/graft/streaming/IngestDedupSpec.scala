@@ -69,5 +69,17 @@ class IngestDedupSpec extends AnyFunSuite {
     // admitToBandIndex cross-session contract)
     spark.catalog.refreshTable(idx)
     assert(spark.table(idx).count() == n0 + 3 * 4)
+
+    // replay stability: re-running a batch whose clean docs were
+    // already admitted (the foreachBatch crash-replay case) must
+    // produce the SAME report — self-collisions are excluded and
+    // countDistinct absorbs the duplicate band rows
+    import spark.implicits._
+    val replay = Seq((10003L, sentence("qqa")), (10004L, sentence("qqc")))
+      .toDF("doc_id", "text")
+    val again = IngestDedup.ingestBatch(spark, idx, replay)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == Seq((10003L, 1L, 10001L)),
+      s"replayed report drifted: ${again.toSeq}")
   }
 }
