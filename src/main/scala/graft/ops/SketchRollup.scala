@@ -72,4 +72,58 @@ object SketchRollup {
       .reduce { (a, b) => a.mergeInPlace(b); a }
     userIds.map(u => u -> merged.estimateCount(u)).toMap
   }
+
+  // ---- quantile sketches (fixed-width histograms) ----------------------
+
+  /** Per-day fixed-width histograms of `value` over a declared bounded
+    * domain — the MERGEABLE quantile sketch completing the triad
+    * (distinct count = HLL, frequency = count-min, quantiles = this).
+    * Unlike KLL/t-digest (not in Spark's function library), an
+    * equi-width histogram over a known domain merges EXACTLY — counter
+    * addition, like count-min — and its quantile error is bounded a
+    * priori by the bucket width: the estimate returns a bucket's upper
+    * edge, so est ∈ [true, true + (hi−lo)/buckets]. Values are clamped
+    * into [lo, hi] (a deployment declares the domain; out-of-range mass
+    * lands in the edge buckets and is VISIBLE as edge-bucket counts,
+    * never silently dropped). One shuffle on (day, bucket); per-day
+    * state is ≤ `buckets` longs — tiny rows, never a blob, and the
+    * merge/rollup is itself a distributed aggregate (no driver
+    * collect() anywhere on this path). */
+  def dailyValueHistograms(events: DataFrame, lo: Double, hi: Double,
+                           buckets: Int = 256): DataFrame = {
+    require(buckets > 0 && hi > lo, "need hi > lo and buckets > 0")
+    events
+      .withColumn("day", expr(dayExpr))
+      .withColumn("bucket",
+        least(lit(buckets - 1), greatest(lit(0),
+          floor((col("value") - lit(lo)) / lit((hi - lo) / buckets))
+            .cast("int"))))
+      .groupBy("day", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Rolls daily histograms up to any coarser grain (here: global) and
+    * answers quantile queries from the merged counts — input is
+    * days × buckets rows, never raw events. Returns the upper edge of
+    * the bucket containing the q-quantile: est ≥ true quantile and
+    * est ≤ true + one bucket width (SketchRollupSpec pins both bounds
+    * against the exact percentile, and that merged-of-daily equals the
+    * direct global histogram bit-for-bit). */
+  def histogramQuantiles(daily: DataFrame, lo: Double, hi: Double,
+                         buckets: Int, qs: Seq[Double]): Seq[Double] = {
+    require(qs.forall(q => q >= 0 && q <= 1), "quantiles must be in [0,1]")
+    val merged = daily.groupBy("bucket").agg(sum("cnt").as("cnt"))
+      .orderBy("bucket")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)) // ≤ buckets rows
+    val total = merged.map(_._2).sum.toDouble
+    val width = (hi - lo) / buckets
+    val cum = merged.scanLeft((0, 0L)) { case ((_, acc), (b, c)) =>
+      (b, acc + c)
+    }.tail
+    qs.map { q =>
+      val target = q * total
+      cum.find(_._2 >= target).map { case (b, _) => lo + (b + 1) * width }
+        .getOrElse(hi)
+    }
+  }
 }

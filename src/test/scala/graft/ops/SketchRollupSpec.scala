@@ -67,4 +67,38 @@ class SketchRollupSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(out.toByteArray, direct),
       "merged daily count-min sketches differ from the direct global sketch")
   }
+
+  test("histogram quantile rollup: merged-of-daily equals the direct " +
+    "global histogram exactly, and every quantile estimate sits within " +
+    "one bucket width above the true quantile") {
+    val events = T(spark, SparkTestBase.Sf0001, "events")
+    val (lo, hi, buckets) = (0.0, 1000.0, 256)
+    val daily = SketchRollup.dailyValueHistograms(events, lo, hi, buckets)
+      .persist()
+    assert(daily.select("day").distinct().count() > 1)
+
+    // exact mergeability: summing the daily histograms equals a direct
+    // one-pass global histogram, count for count
+    val mergedCounts = daily.groupBy("bucket").agg(sum("cnt").as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val direct = SketchRollup.dailyValueHistograms(
+        events.withColumn("ts", org.apache.spark.sql.functions.lit(0L)),
+        lo, hi, buckets)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(mergedCounts == direct,
+      "summed daily histograms differ from the one-pass global histogram")
+
+    // quantile error bound: estimate ∈ [true, true + bucket width]
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val est = SketchRollup.histogramQuantiles(daily, lo, hi, buckets, qs)
+    val exactQ = events.stat.approxQuantile("value", qs.toArray, 0.0)
+    val width = (hi - lo) / buckets
+    qs.indices.foreach { i =>
+      assert(est(i) >= exactQ(i) - 1e-9,
+        s"q=${qs(i)}: est ${est(i)} below exact ${exactQ(i)}")
+      assert(est(i) <= exactQ(i) + width + 1e-9,
+        s"q=${qs(i)}: est ${est(i)} over a bucket width above ${exactQ(i)}")
+    }
+    daily.unpersist()
+  }
 }
