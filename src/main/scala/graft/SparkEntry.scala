@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Curation, Multimodal, NorthStar, ParseRoute, Relational, Scalars, TrainingData}
+import graft.ops.{Curation, Multimodal, NorthStar, ParseRoute, Relational, Scalars, SketchRollup, TrainingData}
 import graft.sink.{BucketQueries, Layout, ZOrderQueries}
 import graft.sources.rfc.RfcQueries
 
@@ -29,10 +29,11 @@ object SparkEntry {
     Relational.queries ++ ParseRoute.queries ++ Scalars.queries ++
       NorthStar.queries ++ TrainingData.queries ++ Curation.queries ++
       Layout.queries ++ ZOrderQueries.queries ++ BucketQueries.queries ++
-      Multimodal.queries ++ RfcQueries.queries
+      Multimodal.queries ++ RfcQueries.queries ++ SketchRollup.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ ParseRoute.oracle ++ Scalars.oracle ++
       NorthStar.oracle ++ TrainingData.oracle ++ Curation.oracle ++
-      ZOrderQueries.oracle ++ BucketQueries.oracle ++ RfcQueries.oracle
+      ZOrderQueries.oracle ++ BucketQueries.oracle ++ RfcQueries.oracle ++
+      SketchRollup.oracle
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Mergeable distinct-count sketches (Apache DataSketches HLL, built
@@ -126,4 +126,91 @@ object SketchRollup {
         .getOrElse(hi)
     }
   }
+
+  // ---- q115: the driver-visible, oracle-checked rollup ----------------
+
+  /** The declared histogram domain for `events.value` (observed range is
+    * ~[0, 328]; the clamp makes any drift visible as edge-bucket mass). */
+  private val Q115Lo = 0.0
+  private val Q115Hi = 400.0
+  private val Q115Buckets = 64
+
+  /** q115: the mergeable-sketch pattern as a driver-visible query — the
+    * one sketch of the triad whose merge a plain-SQL oracle can mirror
+    * EXACTLY (equi-width histograms merge by integer counter addition;
+    * HLL/count-min blobs are engine-specific). Per-day histograms of
+    * `events.value` (the persisted ingest-time aggregate) are rolled up
+    * to global bucket counts by a DISTRIBUTED `groupBy(bucket).sum` —
+    * days × buckets rows in, never raw events, and no driver merge on
+    * the query path. Cumulative counts come from the two-pass
+    * [[ScalableRank.withGlobalCumsumExclusive]] prefix scan (a global
+    * `Window.orderBy` would funnel all rows to one task — bounded here
+    * at ≤64 rows, but the declared ops keep the scale-safe shape on
+    * principle), and each row carries its bucket's upper edge plus
+    * is_p50/is_p90/is_p99 flags marking the bucket whose cumulative
+    * count first crosses q·total — the quantile-edge readout, est ∈
+    * [true, true + bucket width]. The grand total rides a 1-row
+    * broadcast crossJoin (the q73/q90/q97/q113 bounded exception).
+    * Multiplier literals stay in double (`0.5e0` on the DuckDB side):
+    * IEEE × and the bigint→double promotion round identically in both
+    * engines, so the flag comparisons can never disagree. */
+  def q115HistogramRollup(s: SparkSession, dir: String): DataFrame = {
+    val width = (Q115Hi - Q115Lo) / Q115Buckets // 6.25 — exact in binary
+    val daily = dailyValueHistograms(T(s, dir, "events"),
+      Q115Lo, Q115Hi, Q115Buckets)
+    // bounded: ≤ buckets rows. Checkpointed so the cumsum pass and the
+    // 1-row total aggregate don't each re-run the per-day histogram scan.
+    val merged = daily.groupBy("bucket").agg(sum("cnt").as("cnt"))
+      .localCheckpoint(true)
+    val total = merged.agg(sum("cnt").as("total"))
+    def crosses(q: Double) =
+      (col("cum_cnt") >= lit(q) * col("total")) &&
+        (col("cum_cnt") - col("cnt") < lit(q) * col("total"))
+    ScalableRank
+      .withGlobalCumsumExclusive(merged, col("cnt"), "excl", col("bucket"))
+      .withColumn("cum_cnt", col("excl") + col("cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"),
+        (lit(Q115Lo) + (col("bucket") + 1) * lit(width)).as("edge"),
+        col("cnt"), col("cum_cnt"),
+        crosses(0.5).cast("int").as("is_p50"),
+        crosses(0.9).cast("int").as("is_p90"),
+        crosses(0.99).cast("int").as("is_p99"))
+      .orderBy("bucket")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_histogram_rollup" -> q115HistogramRollup _,
+  )
+
+  /** The oracle mirrors the two-level structure (per-day histograms,
+    * then the counter-addition merge) so the hash match proves the
+    * MERGE exact, not just the final histogram. */
+  val oracle: Map[String, String] = Map(
+    "q115_histogram_rollup" ->
+      """WITH h AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         least(63, greatest(0,
+        |           CAST(floor((value - 0.0e0) / 6.25e0) AS INT))) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cnt FROM h GROUP BY bucket
+        |), c AS (
+        |  SELECT bucket, cnt,
+        |         CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum_cnt,
+        |         CAST(sum(cnt) OVER () AS BIGINT) AS total
+        |  FROM m
+        |)
+        |SELECT CAST(bucket AS INT) AS bucket,
+        |       0.0e0 + (bucket + 1) * 6.25e0 AS edge,
+        |       cnt, cum_cnt,
+        |       CAST(cum_cnt >= 0.5e0 * total
+        |            AND cum_cnt - cnt < 0.5e0 * total AS INT) AS is_p50,
+        |       CAST(cum_cnt >= 0.9e0 * total
+        |            AND cum_cnt - cnt < 0.9e0 * total AS INT) AS is_p90,
+        |       CAST(cum_cnt >= 0.99e0 * total
+        |            AND cum_cnt - cnt < 0.99e0 * total AS INT) AS is_p99
+        |FROM c ORDER BY bucket""".stripMargin,
+  )
 }
