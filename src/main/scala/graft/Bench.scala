@@ -54,7 +54,13 @@ object Bench {
           }.sorted
           val flagged = reps > 1 && times.head > 0 &&
             times.last / times.head > 2.0
-          (name, times.head, times(times.length / 2), flagged)
+          // true median: even rep counts average the two middle samples
+          // (times(n/2) alone would be the UPPER middle — with reps=2
+          // simply the max, biasing the reported median high)
+          val median =
+            if (times.length % 2 == 1) times(times.length / 2)
+            else (times(times.length / 2 - 1) + times(times.length / 2)) / 2
+          (name, times.head, median, flagged)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

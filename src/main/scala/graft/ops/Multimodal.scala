@@ -271,9 +271,9 @@ object Multimodal {
         if (!readers.hasNext) Iterator.empty
         else {
           val reader = readers.next()
+          val in = ImageIO.createImageInputStream(
+            new ByteArrayInputStream(r.bin))
           try {
-            val in = ImageIO.createImageInputStream(
-              new ByteArrayInputStream(r.bin))
             reader.setInput(in, false, true)
             val n =
               try reader.getNumImages(true)
@@ -284,7 +284,12 @@ object Multimodal {
               ImageIO.write(img, "png", bos)
               FrameRow(r.doc_id, i, bos.toByteArray)
             }.toVector
-          } finally reader.dispose()
+          } finally {
+            // dispose() does NOT close the reader's input stream — an
+            // unclosed ImageInputStream per blob would leak (temp-file
+            // handles, if caching were ever enabled)
+            reader.dispose(); in.close()
+          }
         }
       }
     }

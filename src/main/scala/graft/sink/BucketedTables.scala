@@ -139,6 +139,21 @@ object BucketedTables {
           require(complete(wh),
             s"table $wh exists but is incomplete after a lost build " +
               "race — a concurrent writer crashed mid-rename?")
+        } else {
+          // rename=true is NOT proof we won: RawLocalFileSystem falls
+          // back to FileUtil.copy when File.renameTo fails, which treats
+          // an existing destination dir as a PARENT and moves the
+          // staging dir INSIDE it — a race loser that took the winner
+          // path with the lost-race completeness check never run, and
+          // with its whole build left as un-'_'-prefixed debris one
+          // recursive-listing config away from scanning as duplicate
+          // rows. Sweep any nested staging dirs (ours or another
+          // loser's — a correct build never contains one) and re-assert
+          // completeness.
+          sweepNestedStaging(fs, wh)
+          require(complete(wh),
+            s"table $wh has no _SUCCESS after rename — the rename " +
+              "landed inside a concurrent writer's incomplete build?")
         }
         // staging catalog entry now points at a gone (renamed) or
         // deleted directory; dropping it deletes nothing extant
@@ -154,4 +169,18 @@ object BucketedTables {
     }
     full
   }
+
+  /** Deletes any `*_stg_*` directory nested directly under `table` —
+    * the residue of a lost build race on filesystems whose rename
+    * copies into an existing destination (RawLocalFileSystem). A
+    * correct build never nests one, so deletion is always safe; left in
+    * place the debris is one recursive-listing config away from
+    * scanning as duplicate rows (BandIndexGuardSpec reproduces the
+    * Hadoop move-into-dest behavior and pins the sweep). */
+  private[graft] def sweepNestedStaging(fs: org.apache.hadoop.fs.FileSystem,
+                                       table: org.apache.hadoop.fs.Path): Unit =
+    fs.listStatus(table).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.contains("_stg_"))
+        fs.delete(st.getPath, true)
+    }
 }

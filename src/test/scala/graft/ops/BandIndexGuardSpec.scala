@@ -106,6 +106,38 @@ class BandIndexGuardSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("bucket"), e.getMessage)
   }
 
+  test("a lost rename race that copied the staging dir INSIDE the live " +
+    "table (RawLocalFileSystem move-into-dest) is swept, not scanned") {
+    val table = Curation.ensureBandIndex(spark, aliasDir)
+    val dir = whPath(table)
+    val n = spark.table(table).count()
+    // reproduce the hazard with Hadoop's own rename: a loser's staged
+    // build renamed onto an EXISTING destination dir is treated as
+    // move-into-parent — rename returns true, the staging dir nests
+    // inside the live table, and its parquet would double-count
+    val stg = s"${table}_stg_racespec"
+    graft.sink.BucketedTables.save(spark.table(table), stg, 8,
+      Seq("band", "k1", "k2"))
+    val stgPath = whPath(stg)
+    assert(fs.rename(stgPath, dir),
+      "precondition: RawLocalFileSystem rename into an existing dest " +
+        "reports success (the hazard under test)")
+    val nested = new Path(dir, stg)
+    assert(fs.exists(nested), "precondition: staging dir nested inside")
+    // (the non-partitioned catalog scan happens to ignore subdirs, so
+    // rows don't double-count TODAY — but the loser took the winner
+    // path with its completeness check never run, and the debris is one
+    // recursive-listing config away from surfacing; sweep regardless)
+
+    graft.sink.BucketedTables.sweepNestedStaging(fs, dir)
+    spark.sql(s"DROP TABLE IF EXISTS $stg")
+    spark.sql(s"REFRESH TABLE $table")
+    assert(!fs.exists(nested), "sweep must delete the nested staging dir")
+    assert(fs.exists(new Path(dir, "_SUCCESS")))
+    assert(spark.table(table).count() == n,
+      "after the sweep the table must scan exactly the winner's build")
+  }
+
   test("stale-version leftover (complete but wrong schema) is rebuilt, " +
     "not adopted") {
     val table = Curation.ensureBandIndex(spark, aliasDir)
