@@ -570,13 +570,43 @@ object Curation {
     * shuffles (IndexedDedupSpec pins the exchange-free corpus scan). */
   private[graft] def screenAgainstIndex(s: SparkSession, idxTable: String,
                                       batchBands: DataFrame): DataFrame =
-    batchBands.join(s.table(idxTable), Seq("band", "k1", "k2"))
+    aggScreenReport(indexCollisionPairs(s, idxTable, batchBands))
+
+  /** Raw (doc_id, o_doc) collision pairs of a batch's band rows against
+    * the persisted index — the pre-aggregation half of
+    * [[screenAgainstIndex]], separated so the streaming ingest can
+    * union in batch-LOCAL collision pairs before aggregating one
+    * report. `excludeDocs`, when given, anti-joins the INDEX side on
+    * its doc ids (a small broadcast against the bucketed scan — a
+    * narrow join, so the index side still reads with no exchange):
+    * IngestDedup passes the whole batch's ids, which makes a crash-
+    * REPLAYED batch screen identically to its first run even when the
+    * batch contains intra-batch near-duplicates whose bands a previous
+    * attempt admitted (the per-row `o_doc =!= doc_id` filter alone
+    * only covers a doc's collision with ITSELF, not with an admitted
+    * batchmate). */
+  private[graft] def indexCollisionPairs(s: SparkSession, idxTable: String,
+                                         batchBands: DataFrame,
+                                         excludeDocs: Option[DataFrame] = None)
+      : DataFrame = {
+    val idx = excludeDocs.fold(s.table(idxTable)) { ids =>
+      s.table(idxTable).join(
+        broadcast(ids.select(col("doc_id").as("o_doc")).distinct()),
+        Seq("o_doc"), "left_anti")
+    }
+    batchBands.join(idx, Seq("band", "k1", "k2"))
       // self-collisions excluded: for q104/q107 the batch (%10 == 0) and
       // corpus are disjoint so this never fires; for the streaming
       // ingest it makes a REPLAYED batch (whose own bands a crashed
       // attempt already admitted) screen identically to its first run
-      // instead of flagging every doc against itself
       .filter(col("o_doc") =!= col("doc_id"))
+      .select(col("doc_id"), col("o_doc"))
+  }
+
+  /** Folds collision pairs into the screening report contract
+    * `(doc_id, n_dups, first_dup)` shared by q104/q107/IngestDedup. */
+  private[graft] def aggScreenReport(pairs: DataFrame): DataFrame =
+    pairs
       .groupBy("doc_id")
       .agg(countDistinct(col("o_doc")).as("n_dups"),
         min(col("o_doc")).as("first_dup"))
@@ -600,6 +630,17 @@ object Curation {
       idxTable, BandIndexBuckets, Seq("band", "k1", "k2"))
 
   private val BandIndexBuckets = 8
+
+  /** Compacts the persisted band index back to one file per bucket —
+    * every admitted batch appends a file per bucket, so a long-running
+    * ingest otherwise degrades its own probe (file-count growth, and
+    * scans lose the pre-sorted property). Delegates to the shared
+    * [[graft.sink.BucketedTables.compact]] swap protocol; IngestDedup's
+    * `compactEvery` hook calls this between batches, when no admission
+    * can race the swap. */
+  def compactBandIndex(s: SparkSession, idxTable: String): Unit =
+    graft.sink.BucketedTables.compact(s, idxTable, BandIndexBuckets,
+      Seq("band", "k1", "k2"))
 
   /** Ensures (once per session per dataset) the persistent corpus band
     * index q107 probes: the existing-corpus half of

@@ -64,8 +64,8 @@ object BucketedTables {
     * longer treat it as pre-sorted (joins re-grow their per-bucket Sort)
     * — but the exchange-free guarantee, the 100 TB cost, is unchanged:
     * bucket membership is by content hash, which appends preserve.
-    * Periodic compaction (a fresh [[save]]) restores the
-    * one-file-per-bucket no-sort property. Used by the q107 incremental
+    * Periodic [[compact]]ion restores the one-file-per-bucket no-sort
+    * property. Used by the q107 incremental
     * ingest path: admitted batches append their band rows so the index
     * grows without ever rescanning the corpus. */
   def append(df: DataFrame, table: String, numBuckets: Int,
@@ -78,6 +78,75 @@ object BucketedTables {
       .mode("append")
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Restores the one-file-per-bucket (and therefore no-sort-at-join)
+    * property that [[append]]s erode: rewrites the table's CURRENT
+    * contents through the same repartition+bucketBy shape as [[save]]
+    * into a staging directory, then swaps it into the live location.
+    * File count per bucket returns to 1 no matter how many batches
+    * appended (BucketCompactSpec pins file counts, preserved rows, and
+    * the join plan's Sort nodes gone), and the rewrite is EXCHANGE-FREE
+    * — source and target share the bucket layout, so each task streams
+    * one bucket's files into that bucket's one output file with no
+    * shuffle (at 100 TB, compaction costs a read + a write, period) —
+    * so a long-running ingest stream
+    * runs this every N admitted batches (the [[graft.streaming
+    * .IngestDedup]] `compactEvery` hook) instead of degrading its own
+    * probe forever.
+    *
+    * Atomicity: the stage is committed (`_SUCCESS`) before any mutation
+    * of the live dir, and the swap is two atomic renames (live → backup,
+    * stage → live). The instant between them is the ONLY non-atomic
+    * point; a crash there leaves the data complete in the backup, which
+    * the next compact() restores on entry before doing anything else.
+    * Single-compactor discipline is the caller's (one compactor —
+    * normally the ingest stream owner; concurrent READERS are safe at
+    * every point because both renamed states are committed builds).
+    * Appends racing the swap can vanish with the backup — quiesce
+    * admissions around compaction, as a stream's foreachBatch naturally
+    * does. */
+  def compact(s: org.apache.spark.sql.SparkSession, table: String,
+              numBuckets: Int, keys: Seq[String]): Unit = synchronized {
+    val whDir = s.conf.get("spark.sql.warehouse.dir")
+    val wh = new org.apache.hadoop.fs.Path(whDir, table)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def complete(p: org.apache.hadoop.fs.Path) =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    val bak = new org.apache.hadoop.fs.Path(whDir, table + "_precompact")
+    // crash recovery first: a compaction that died between the two swap
+    // renames left the live dir missing and the full data in the backup
+    if (!fs.exists(wh) && fs.exists(bak))
+      require(fs.rename(bak, wh), s"could not restore $bak to $wh")
+    if (fs.exists(bak)) fs.delete(bak, true) // a completed swap's leftover
+    require(fs.exists(wh) && complete(wh),
+      s"compact($table): no committed table at $wh")
+    s.catalog.refreshTable(table) // scan the current files, not a cache
+    val stg = table + "_stg_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    // Compaction is exchange-free: the source scan is the SAME bucket
+    // layout the rewrite targets, so save()'s repartition is optimized
+    // away as redundant — each write task reads exactly one bucket's
+    // files and writes that bucket's one output file. That only holds
+    // while the scan actually reads bucketed: with nothing downstream
+    // requiring the distribution, DisableUnnecessaryBucketedScan would
+    // flip the scan to per-FILE partitions and the write would emit one
+    // file per input file — a no-op compaction. Pin the bucketed scan
+    // on for the staged rewrite.
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = s.conf.getOption(autoKey)
+    s.conf.set(autoKey, "false")
+    try save(s.table(table), stg, numBuckets, keys)
+    finally prevAuto.fold(s.conf.unset(autoKey))(v => s.conf.set(autoKey, v))
+    val stgPath = new org.apache.hadoop.fs.Path(whDir, stg)
+    require(complete(stgPath), s"staged compaction $stg did not commit")
+    require(fs.rename(wh, bak), s"could not move $wh aside to $bak")
+    require(fs.rename(stgPath, wh), s"could not swap $stgPath into $wh")
+    sweepNestedStaging(fs, wh)
+    require(complete(wh), s"compacted $wh lost its commit marker")
+    fs.delete(bak, true)
+    s.sql(s"DROP TABLE IF EXISTS $stg") // its dir was renamed away
+    s.catalog.refreshTable(table)
   }
 
   /** Ensures a bucketed catalog table exists whose content is a pure

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.ops.{Curation, TrainingData}
@@ -23,10 +24,12 @@ import graft.ops.{Curation, TrainingData}
   * Exactly-once caveat (documented, inherent to foreachBatch): a batch
   * replayed after a crash between append and commit re-appends its
   * clean docs' bands, but the REPORT is replay-stable — the probe
-  * excludes self-collisions (a doc never flags against its own
-  * previously-admitted bands) and `countDistinct` dedups duplicate band
-  * rows — so replays cost index space, never screening correctness
-  * (IngestDedupSpec pins the replayed report equal to the original).
+  * anti-joins the WHOLE batch's doc ids off the index side, so a doc
+  * never flags against its own (or an intra-batch near-duplicate
+  * batchmate's) previously-admitted bands — so replays cost index
+  * space, never screening correctness (IngestDedupSpec pins replayed
+  * reports equal to the originals, including for a batch carrying its
+  * own near-dup pair).
   *
   * The admission policy here is admit-if-no-collision; a deployment
   * swaps `screened.count == 0` routing for its own review queue without
@@ -36,19 +39,39 @@ object IngestDedup {
 
   /** Screens one batch of `(doc_id, text)` docs against `idxTable` and
     * admits the non-flagged docs' bands. Returns the screening report
-    * `(doc_id, n_dups, first_dup)` — the flagged docs (collision
-    * against the index); everything else was admitted. Batch-local
-    * duplicates are NOT flagged (same contract as q104: the batch joins
-    * the index, not itself — run the batch through q72 first if
-    * intra-batch dedup is needed). */
-  def ingestBatch(s: SparkSession, idxTable: String,
-                  docs: DataFrame): DataFrame = {
+    * `(doc_id, n_dups, first_dup)` — the flagged docs; everything else
+    * was admitted.
+    *
+    * `intraBatch = false` (default): only collisions against the INDEX
+    * flag — batch-local duplicates pass unflagged (q104's contract: the
+    * batch joins the index, not itself). `intraBatch = true` composes
+    * the q72 pair shape over the batch's own bands: a doc also flags
+    * against any SMALLER-doc_id batchmate sharing a band, so the first
+    * of an intra-batch dup group survives and the rest are flagged
+    * (keep-first, deterministic across replays). Cost is bounded by the
+    * batch's band self-join — |batch|-squared only per colliding
+    * bucket, the same banding bound as q72. Either way the report is
+    * replay-stable: the index probe excludes the batch's own ids, and
+    * the intra pairs are a pure function of the batch. */
+  def ingestBatch(s: SparkSession, idxTable: String, docs: DataFrame,
+                  intraBatch: Boolean = false): DataFrame = {
     // checkpoint: the screen and the admission anti-join both consume
     // the bands; without it the shingle/minhash stack runs twice, and —
     // worse — the admission would race the screen's view of the index
     val bands = TrainingData.minhashBandsOf(TrainingData.shingleRowsOf(docs))
       .localCheckpoint(true)
-    val report = Curation.screenAgainstIndex(s, idxTable, bands)
+    val idxPairs = Curation.indexCollisionPairs(s, idxTable, bands,
+      excludeDocs = Some(bands.select("doc_id")))
+    val pairs =
+      if (!intraBatch) idxPairs
+      else idxPairs.union(
+        bands.join(
+            bands.select(col("doc_id").as("o_doc"), col("band"),
+              col("k1"), col("k2")),
+            Seq("band", "k1", "k2"))
+          .filter(col("o_doc") < col("doc_id")) // keep-first survivor
+          .select(col("doc_id"), col("o_doc")))
+    val report = Curation.aggScreenReport(pairs)
       .localCheckpoint(true) // stable snapshot BEFORE the index mutates
     val admitted = bands.join(report.select("doc_id"), Seq("doc_id"),
       "left_anti")
@@ -59,15 +82,21 @@ object IngestDedup {
   /** Starts the streaming ingest: each micro-batch flows through
     * [[ingestBatch]]; `onReport` receives the per-batch screening
     * report (collected driver-side — sized by the batch's FLAGGED docs,
-    * not the batch) with the batch id. */
+    * not the batch) with the batch id. `compactEvery = n` runs
+    * [[Curation.compactBandIndex]] after every n-th batch — between
+    * batches no admission can race the swap, so the stream repairs the
+    * file-count growth its own appends cause (0 = never). */
   def start(docs: DataFrame, idxTable: String,
-            onReport: (Array[org.apache.spark.sql.Row], Long) => Unit)
-      : StreamingQuery =
+            onReport: (Array[org.apache.spark.sql.Row], Long) => Unit,
+            intraBatch: Boolean = false,
+            compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        onReport(ingestBatch(batch.sparkSession, idxTable, batch).collect(),
-          id)
+        val s = batch.sparkSession
+        onReport(ingestBatch(s, idxTable, batch, intraBatch).collect(), id)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          Curation.compactBandIndex(s, idxTable)
       }
       .start()
 }

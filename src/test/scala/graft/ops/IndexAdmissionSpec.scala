@@ -91,19 +91,27 @@ class IndexAdmissionSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val idx = Curation.ensureBandIndex(spark, aliasDir)
-      val df = Curation.screenAgainstIndex(spark, idx, batchBands(1))
-      val plan = df.queryExecution.executedPlan
-      def hasBucketedScan(p: org.apache.spark.sql.execution.SparkPlan) =
-        p.collectFirst {
-          case f: FileSourceScanExec if f.relation.bucketSpec.nonEmpty => f
-        }.nonEmpty
-      val probe = plan.collect { case j: SortMergeJoinExec => j }
-        .find(j => Seq(j.left, j.right).exists(hasBucketedScan))
-      assert(probe.nonEmpty, s"no SMJ against the bucketed index:\n$plan")
-      val idxSide = Seq(probe.get.left, probe.get.right)
-        .find(hasBucketedScan).get
-      assert(idxSide.collect { case e: ShuffleExchangeLike => e }.isEmpty,
-        s"index side shuffles after append:\n$idxSide")
+      def assertExchangeFree(df: DataFrame): Unit = {
+        val plan = df.queryExecution.executedPlan
+        def hasBucketedScan(p: org.apache.spark.sql.execution.SparkPlan) =
+          p.collectFirst {
+            case f: FileSourceScanExec if f.relation.bucketSpec.nonEmpty => f
+          }.nonEmpty
+        val probe = plan.collect { case j: SortMergeJoinExec => j }
+          .find(j => Seq(j.left, j.right).exists(hasBucketedScan))
+        assert(probe.nonEmpty, s"no SMJ against the bucketed index:\n$plan")
+        val idxSide = Seq(probe.get.left, probe.get.right)
+          .find(hasBucketedScan).get
+        assert(idxSide.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+          s"index side shuffles after append:\n$idxSide")
+      }
+      assertExchangeFree(Curation.screenAgainstIndex(spark, idx,
+        batchBands(1)))
+      // the streaming probe's batch-id exclusion is a broadcast
+      // anti-join on the index side — narrow, so still no exchange
+      assertExchangeFree(Curation.aggScreenReport(
+        Curation.indexCollisionPairs(spark, idx, batchBands(1),
+          Some(batchBands(1).select("doc_id")))))
     } finally {
       spark.conf.unset("spark.sql.adaptive.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

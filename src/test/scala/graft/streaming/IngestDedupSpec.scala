@@ -82,4 +82,99 @@ class IngestDedupSpec extends AnyFunSuite {
     assert(again.toSeq == Seq((10003L, 1L, 10001L)),
       s"replayed report drifted: ${again.toSeq}")
   }
+
+  /** Resets (and returns) an isolated index for `alias` — admissions
+    * persist in the warehouse, so each mutating test starts fresh. */
+  private def freshIndex(alias: String): String = {
+    val stale = Curation.ensureBandIndex(spark, alias)
+    spark.sql(s"DROP TABLE $stale")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), stale)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(wh, true)
+    Curation.ensureBandIndex(spark, alias)
+  }
+
+  test("a batch carrying its own near-dup pair: the default contract " +
+    "passes it unflagged, and a crash-replay still reports identically") {
+    val idx = freshIndex(SparkTestBase.Sf0001 + "/./.")
+    val n0 = spark.table(idx).count()
+    import spark.implicits._
+    val batch = Seq((20001L, sentence("zza")), (20002L, sentence("zza")))
+      .toDF("doc_id", "text")
+
+    val first = IngestDedup.ingestBatch(spark, idx, batch).collect()
+    assert(first.isEmpty,
+      s"default contract: batch-local dups pass unflagged, got ${first.toSeq}")
+    spark.catalog.refreshTable(idx)
+    assert(spark.table(idx).count() == n0 + 2 * 4, "both docs admitted")
+
+    // the replay-stability case the per-row self-filter can NOT cover:
+    // each doc's batchmate-dup bands are in the index now; only the
+    // whole-batch id exclusion keeps the replayed report empty
+    val replay = IngestDedup.ingestBatch(spark, idx, batch).collect()
+    assert(replay.isEmpty,
+      s"replayed intra-dup batch must screen identically: ${replay.toSeq}")
+  }
+
+  test("intraBatch=true flags a doc against its smaller-id batchmate " +
+    "(keep-first), admits the survivor, and replays stably") {
+    val idx = freshIndex(SparkTestBase.Sf0001 + "/././.")
+    val n0 = spark.table(idx).count()
+    import spark.implicits._
+    val batch = Seq((30001L, sentence("yya")), (30002L, sentence("yya")),
+        (30003L, sentence("yyb")))
+      .toDF("doc_id", "text")
+
+    val first = IngestDedup.ingestBatch(spark, idx, batch, intraBatch = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(first.toSeq == Seq((30002L, 1L, 30001L)),
+      s"the LATER dup must flag against the earlier one: ${first.toSeq}")
+    spark.catalog.refreshTable(idx)
+    assert(spark.table(idx).count() == n0 + 2 * 4,
+      "the survivor and the clean doc admit; the flagged doc does not")
+
+    val replay = IngestDedup
+      .ingestBatch(spark, idx, batch, intraBatch = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(replay.toSeq == first.toSeq,
+      s"replayed intraBatch report drifted: ${replay.toSeq}")
+  }
+
+  test("compactEvery: the stream compacts its own index back to one " +
+    "file per bucket and screening keeps working across the swap") {
+    val idx = freshIndex(SparkTestBase.Sf0001 + "/.///")
+    def filesPerBucket: Set[Int] = {
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), idx)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val re = "_(\\d{5})\\.".r
+      fs.listStatus(wh).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("part-"))
+        .flatMap(n => re.findFirstMatchIn(n).map(_.group(1)))
+        .groupBy(identity).values.map(_.size).toSet
+    }
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val reports = mutable.Map[Long, Array[org.apache.spark.sql.Row]]()
+    val q = IngestDedup.start(in.toDF().toDF("doc_id", "text"), idx,
+      (rows, id) => reports.synchronized { reports(id) = rows },
+      compactEvery = 1)
+    try {
+      in.addData((40001L, sentence("wwa")), (40002L, sentence("wwb")))
+      q.processAllAvailable()
+      // batch 2 screens against the COMPACTED index (admissions from
+      // batch 1 must have survived the swap)
+      in.addData((40003L, sentence("wwa")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(reports.synchronized(reports(0L)).isEmpty)
+    assert(reports.synchronized(reports(1L))
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq == Seq((40003L, 40001L)),
+      "screening across a compaction lost the admitted doc")
+    spark.catalog.refreshTable(idx)
+    assert(filesPerBucket == Set(1),
+      s"compactEvery=1 must leave 1 file per bucket, got $filesPerBucket")
+  }
 }
