@@ -5,6 +5,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions.{col, regexp_extract}
@@ -20,15 +21,20 @@ import org.apache.spark.sql.functions.{col, regexp_extract}
   *
   * Image decode and resize are REAL: the JDK's bundled ImageIO codecs
   * (PNG/BMP/GIF/JPEG — no external dependency) read actual pixel
-  * dimensions and re-encode scaled output. Blobs that are not decodable
-  * images take a documented fallback (byte-level fingerprint in
-  * [[decode]]; dropped by [[resize]]) — the decode-failure routing every
-  * real media pipeline needs, since a 100 TB blob store always contains
-  * some corrupt or mislabeled files. Container demuxing is real for the
-  * one animated format the JDK reads ([[gifFrameSample]]: per-frame
-  * GIF extraction via `ImageReader`); [[frameSample]] keeps the
-  * fixed-size-frame model for raw frame streams — the every-k-th-frame
-  * contract is the same in both.
+  * dimensions and re-encode scaled output. Audio decode and resample
+  * are REAL too (r7): the JDK's `javax.sound.sampled` readers
+  * (WAV/AIFF/AU) and format-conversion providers give true sample
+  * rates, channel counts, frame counts, normalized-PCM checksums, and
+  * rate conversion — [[decodeAudio]]/[[resampleAudio]], the audio
+  * siblings of [[decodeImage]]/[[resize]]. Blobs that are not decodable
+  * take a documented fallback (byte-level fingerprint in [[decode]] /
+  * [[decodeAudioRows]]; dropped by [[resize]]/[[resampleAudio]]) — the
+  * decode-failure routing every real media pipeline needs, since a
+  * 100 TB blob store always contains some corrupt or mislabeled files.
+  * Container demuxing is real for the one animated format the JDK reads
+  * ([[gifFrameSample]]: per-frame GIF extraction via `ImageReader`);
+  * [[frameSample]] keeps the fixed-size-frame model for raw frame
+  * streams — the every-k-th-frame contract is the same in both.
   */
 object Multimodal {
 
@@ -169,6 +175,117 @@ object Multimodal {
     }
   }
 
+  // ---- audio ------------------------------------------------------------
+
+  /** Extracted audio metadata per blob: real values for decodable audio,
+    * -1 markers + byte-fingerprint for the rest (total over the corpus,
+    * like [[DecodedRow]]). `duration_ms` derives from frames/rate. */
+  final case class AudioRow(doc_id: Long, n_bytes: Int, sample_rate: Int,
+                            channels: Int, frames: Long, duration_ms: Long,
+                            pcm_checksum: Long)
+
+  /** Real audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * readers ship with the JRE — no external dependency, the audio
+    * sibling of [[decodeImage]]). Returns (sampleRate, channels, frames,
+    * checksum of the 16-bit little-endian signed PCM), or None when the
+    * bytes are not decodable audio. The checksum is computed on the
+    * NORMALIZED PCM (16-bit LE signed at the source rate/channels), so
+    * it is a content hash of the waveform, not of the container
+    * encoding — a WAV and an AIFF of the same samples hash equal, as
+    * [[pixelChecksum]] does for images. */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Long)] =
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        val norm = new AudioFormat(f.getSampleRate, 16, f.getChannels,
+          true, false)
+        val pcm = AudioSystem.getAudioInputStream(norm, in)
+        val data = pcm.readAllBytes()
+        Some((f.getSampleRate.toInt, f.getChannels,
+          (data.length / norm.getFrameSize).toLong, byteChecksum(data)))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+           _: java.io.IOException | _: IllegalArgumentException => None
+    }
+
+  /** Partition-wise audio decode — same iterator shape as [[decode]].
+    * Non-audio blobs keep their row with -1 markers and a byte-level
+    * fingerprint, so corrupt blobs stay queryable (the decode-failure
+    * routing, as images). */
+  def decodeAudioRows(ds: Dataset[MediaRow]): Dataset[AudioRow] = {
+    implicit val enc: Encoder[AudioRow] = Encoders.product[AudioRow]
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        decodeAudio(r.bin) match {
+          case Some((rate, ch, frames, chk)) =>
+            AudioRow(r.doc_id, r.bin.length, rate, ch, frames,
+              frames * 1000L / rate, chk)
+          case None =>
+            AudioRow(r.doc_id, r.bin.length, -1, -1, -1L, -1L,
+              byteChecksum(r.bin))
+        }
+      }
+    }
+  }
+
+  /** Output of [[resampleAudio]]: the re-encoded WAV plus its new rate
+    * and frame count. */
+  final case class ResampledRow(doc_id: Long, bin: Array[Byte],
+                                sample_rate: Int, frames: Long)
+
+  /** Real resample to `targetRate` via the JDK's format-conversion
+    * providers (the audio sibling of [[resizeImage]]): decode →
+    * rate-convert → re-encode as WAV. None when the input is not
+    * decodable audio. The converted stream's length is unknown up
+    * front, so it is drained before the WAV header (which needs the
+    * frame count) is written. */
+  def resampleWav(bytes: Array[Byte], targetRate: Int): Option[Array[Byte]] =
+    resampleCore(bytes, targetRate).map(_._1)
+
+  /** (wav bytes, frame count) — shared by the scalar and Dataset APIs so
+    * the frame count never re-derives from header guesses. */
+  private def resampleCore(bytes: Array[Byte],
+                           targetRate: Int): Option[(Array[Byte], Long)] = {
+    require(targetRate > 0, "target rate must be > 0")
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        val target = new AudioFormat(targetRate.toFloat, 16, f.getChannels,
+          true, false)
+        val data = AudioSystem.getAudioInputStream(target, in).readAllBytes()
+        val frames = (data.length / target.getFrameSize).toLong
+        val bos = new ByteArrayOutputStream()
+        AudioSystem.write(
+          new AudioInputStream(new ByteArrayInputStream(data), target, frames),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Some((bos.toByteArray, frames))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+           _: java.io.IOException | _: IllegalArgumentException => None
+    }
+  }
+
+  /** Partition-wise resample — the normalize-to-one-rate step a training
+    * pipeline runs before feature extraction. Blob-in/blob-out, so it
+    * composes with [[decodeAudioRows]]; non-audio blobs are DROPPED (the
+    * decode-failure filter, as [[resize]] for images — run
+    * [[decodeAudioRows]] first for the reject set). */
+  def resampleAudio(ds: Dataset[MediaRow], targetRate: Int)
+      : Dataset[ResampledRow] = {
+    implicit val enc: Encoder[ResampledRow] = Encoders.product[ResampledRow]
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        resampleCore(r.bin, targetRate).map { case (wav, frames) =>
+          ResampledRow(r.doc_id, wav, targetRate, frames)
+        }
+      }
+    }
+  }
+
   /** One sampled frame of a video blob. */
   final case class FrameRow(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
@@ -205,6 +322,72 @@ object Multimodal {
     writer.endWriteSequence(); writer.dispose(); ios.close()
     java.nio.file.Files.write(dir.resolve("vid_100.gif"), gifBos.toByteArray)
     dir.toString
+  }
+
+  /** Fixture dir for [[q116AudioPipeline]] (once per JVM): 8
+    * deterministic WAVs (id-derived rate/length/channels, sine PCM with
+    * an LCG dither) plus one junk blob under a `.wav` name — written
+    * with the JDK's own encoder, so the fixture needs no binary test
+    * assets (the audio sibling of [[mediaFixtureDir]]). */
+  private lazy val audioFixtureDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-audio-")
+    (0 until 8).foreach { i =>
+      val rate = 8000 + 4000 * (i % 2)
+      val ch = if (i % 3 == 2) 2 else 1
+      val frames = 2000 + 500 * i
+      val pcm = new Array[Byte](frames * 2 * ch)
+      var sd = 0x9e3779b9 ^ i
+      for (f <- 0 until frames; c <- 0 until ch) {
+        sd = sd * 1103515245 + 12345
+        val s = (math.sin(2 * math.Pi * (220 + 110 * c) * f / rate) * 12000
+          + (sd % 97)).toInt.toShort
+        pcm(2 * (f * ch + c)) = (s & 0xff).toByte
+        pcm(2 * (f * ch + c) + 1) = (s >> 8).toByte
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, ch, true, false)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
+          frames.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      java.nio.file.Files.write(dir.resolve(s"audio_$i.wav"), bos.toByteArray)
+    }
+    // decode-failure routing: not audio, despite the extension
+    java.nio.file.Files.write(dir.resolve("junk_99.wav"),
+      Array.fill[Byte](128)(0x55))
+    dir.toString
+  }
+
+  /** q116: the audio chain as a driver-visible query — on-disk WAVs →
+    * `binaryFile` ingest → real `javax.sound.sampled` decode (rates,
+    * channels, frame counts, normalized-PCM checksums, junk-blob
+    * routing) → real rate conversion to 4 kHz → re-decode, summarized
+    * to one deterministic row. No DuckDB oracle BY DESIGN (no SQL
+    * engine decodes WAV); the driver records the rows-only check, and
+    * per-stage exactness lives in AudioSpec. The `chk` column folds
+    * every blob's waveform checksum, so any decode regression flips the
+    * output row (q114's contract, for the audio modality). */
+  def q116AudioPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wavs = readBlobs(s, audioFixtureDir, "*.wav")
+    val d = decodeAudioRows(wavs).agg(
+      count(lit(1)).as("n_blobs"),
+      sum(when(col("sample_rate") > 0, 1L).otherwise(0L)).as("n_audio"),
+      sum(col("n_bytes").cast("long")).as("total_bytes"),
+      sum(when(col("sample_rate") > 0, col("frames")).otherwise(0L))
+        .as("sum_frames"),
+      sum(when(col("sample_rate") > 0, col("duration_ms")).otherwise(0L))
+        .as("sum_ms"),
+      countDistinct(col("pcm_checksum")).as("n_distinct"),
+      sum(expr("pcm_checksum % 1000000007")).as("chk"))
+    val r = {
+      implicit val enc: Encoder[MediaRow] = Encoders.product[MediaRow]
+      decodeAudioRows(resampleAudio(wavs, 4000)
+        .select(col("doc_id"), col("bin")).as[MediaRow])
+        .agg(sum(col("frames")).as("resampled_frames"),
+          countDistinct(col("sample_rate")).as("resampled_rates"))
+    }
+    d.crossJoin(r) // two 1-row frames — bounded
   }
 
   /** q114: the multimodal chain as a driver-visible query — on-disk
@@ -244,23 +427,45 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_media_pipeline" -> q114MediaPipeline _,
+    "q116_audio_pipeline" -> q116AudioPipeline _,
   )
 
+  /** Per-frame placement/disposal from the GIF image metadata tree. */
+  private def gifFrameMeta(reader: javax.imageio.ImageReader,
+                           i: Int): (Int, Int, String) = {
+    val tree = reader.getImageMetadata(i)
+      .getAsTree("javax_imageio_gif_image_1.0")
+      .asInstanceOf[org.w3c.dom.Element]
+    def attr(tag: String, name: String, dflt: String): String = {
+      val nodes = tree.getElementsByTagName(tag)
+      if (nodes.getLength == 0) dflt
+      else {
+        val a = nodes.item(0).getAttributes.getNamedItem(name)
+        if (a == null) dflt else a.getNodeValue
+      }
+    }
+    (attr("ImageDescriptor", "imageLeftPosition", "0").toInt,
+      attr("ImageDescriptor", "imageTopPosition", "0").toInt,
+      attr("GraphicControlExtension", "disposalMethod", "none"))
+  }
+
   /** REAL container demuxing for the one animated format the JDK ships
-    * a reader for: every `every`-th frame of each GIF blob is decoded
-    * with ImageIO's GIF `ImageReader` and re-encoded as a standalone
-    * PNG row — actual frame extraction, not byte slicing (GifFrameSpec
-    * drives multi-frame GIFs end to end and re-decodes exact frame
-    * pixels). Non-GIF blobs yield no rows (the decode-failure filter,
-    * as [[resize]]). Same iterator shape as [[decode]]: the reader spins
-    * up per partition and `dispose()`s per blob, and the per-frame
-    * output rows hash-partition downstream so frame-level feature
-    * extraction parallelizes beyond the video count.
-    *
-    * NOTE: frames are decoded independently (`reader.read(i)` returns
-    * the raw frame raster); GIFs using inter-frame delta coalescing
-    * would need frame compositing on top — out of scope for the
-    * fixture-grade full-frame GIFs this targets. */
+    * a reader for: each GIF blob's frames are decoded with ImageIO's
+    * GIF `ImageReader`, COMPOSITED per the GIF spec (frame offsets from
+    * the ImageDescriptor, `doNotDispose` accumulation,
+    * `restoreToBackgroundColor` rect clears, `restoreToPrevious`
+    * canvas snapshots — so delta-coded GIFs, where most frames are
+    * small patches over the previous canvas, sample correct FULL
+    * frames), and every `every`-th composited frame is re-encoded as a
+    * standalone PNG row (GifFrameSpec drives full-frame AND delta-coded
+    * fixtures end to end with exact-pixel assertions). Non-GIF blobs
+    * yield no rows (the decode-failure filter, as [[resize]]). Same
+    * iterator shape as [[decode]]: the reader spins up per partition
+    * and `dispose()`s per blob, and the per-frame output rows
+    * hash-partition downstream so frame-level feature extraction
+    * parallelizes beyond the video count. Compositing forces decoding
+    * every frame (sampled or not) — inherent to delta coding, where
+    * frame k's pixels depend on frames 0..k-1. */
   def gifFrameSample(ds: Dataset[MediaRow], every: Int): Dataset[FrameRow] = {
     require(every > 0, "every must be > 0")
     implicit val enc: Encoder[FrameRow] = Encoders.product[FrameRow]
@@ -274,16 +479,66 @@ object Multimodal {
           val in = ImageIO.createImageInputStream(
             new ByteArrayInputStream(r.bin))
           try {
-            reader.setInput(in, false, true)
+            reader.setInput(in, false, false) // metadata drives compositing
             val n =
               try reader.getNumImages(true)
               catch { case _: Exception => 0 } // not a GIF: drop the blob
-            (0 until n by every).iterator.map { i =>
-              val img = reader.read(i)
-              val bos = new ByteArrayOutputStream()
-              ImageIO.write(img, "png", bos)
-              FrameRow(r.doc_id, i, bos.toByteArray)
-            }.toVector
+            if (n == 0) Vector.empty
+            else {
+              // logical screen from the stream metadata; a frame can be
+              // a small patch of it
+              val (sw, sh) = {
+                val t = reader.getStreamMetadata
+                  .getAsTree("javax_imageio_gif_stream_1.0")
+                  .asInstanceOf[org.w3c.dom.Element]
+                val lsd = t.getElementsByTagName("LogicalScreenDescriptor")
+                if (lsd.getLength == 0)
+                  (reader.getWidth(0), reader.getHeight(0))
+                else {
+                  val a = lsd.item(0).getAttributes
+                  (a.getNamedItem("logicalScreenWidth").getNodeValue.toInt,
+                    a.getNamedItem("logicalScreenHeight").getNodeValue.toInt)
+                }
+              }
+              var canvas = new BufferedImage(sw.max(1), sh.max(1),
+                BufferedImage.TYPE_INT_ARGB)
+              def copyOf(img: BufferedImage): BufferedImage = {
+                val c = new BufferedImage(img.getWidth, img.getHeight,
+                  BufferedImage.TYPE_INT_ARGB)
+                val g = c.createGraphics()
+                try g.drawImage(img, 0, 0, null) finally g.dispose()
+                c
+              }
+              val out = Vector.newBuilder[FrameRow]
+              for (i <- 0 until n) {
+                val raster = reader.read(i)
+                val (left, top, disposal) = gifFrameMeta(reader, i)
+                val snapshot =
+                  if (disposal == "restoreToPrevious") copyOf(canvas)
+                  else null
+                val g = canvas.createGraphics()
+                try g.drawImage(raster, left, top, null) finally g.dispose()
+                if (i % every == 0) {
+                  val bos = new ByteArrayOutputStream()
+                  ImageIO.write(canvas, "png", bos)
+                  out += FrameRow(r.doc_id, i, bos.toByteArray)
+                }
+                disposal match {
+                  case "restoreToBackgroundColor" =>
+                    // spec: the frame's rect reverts; transparent is the
+                    // universal rendering (as browsers do)
+                    val g2 = canvas.createGraphics()
+                    try {
+                      g2.setComposite(java.awt.AlphaComposite.Clear)
+                      g2.fillRect(left, top, raster.getWidth,
+                        raster.getHeight)
+                    } finally g2.dispose()
+                  case "restoreToPrevious" => canvas = snapshot
+                  case _ => () // none / doNotDispose: accumulate
+                }
+              }
+              out.result()
+            }
           } finally {
             // dispose() does NOT close the reader's input stream — an
             // unclosed ImageInputStream per blob would leak (temp-file

@@ -23,8 +23,9 @@ class DataContractSpec extends AnyFunSuite {
       "q06_sink_layout",         // LayoutSpec
       "q36_agg_approx_distinct", // HllBoundSpec
       "q39_approx_percentile",   // HllBoundSpec
-      "q114_media_pipeline")     // Multimodal*/GifFrameSpec/ImageProps
+      "q114_media_pipeline",     // Multimodal*/GifFrameSpec/ImageProps
                                  // (no SQL engine decodes PNG/GIF)
+      "q116_audio_pipeline")     // AudioSpec (no SQL engine decodes WAV)
     val queries = graft.SparkEntry.queries.keySet
     val oracles = graft.SparkEntry.oracleSql.keySet
     assert((queries -- oracles -- noOracle).isEmpty,

@@ -71,4 +71,120 @@ class GifFrameSpec extends AnyFunSuite {
     assert(frames.rdd.getNumPartitions == 3)
     assert(frames.collect().map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3))
   }
+
+  // ---- delta-coded GIFs: offsets + disposal methods --------------------
+
+  /** Per-frame GIF metadata: placement offsets + disposal method. */
+  private def gifMeta(writer: javax.imageio.ImageWriter, img: BufferedImage,
+                      left: Int, top: Int, disposal: String)
+      : javax.imageio.metadata.IIOMetadata = {
+    val md = writer.getDefaultImageMetadata(
+      javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), null)
+    val fmt = "javax_imageio_gif_image_1.0"
+    val tree = md.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+    def child(name: String): org.w3c.dom.Element = {
+      val nodes = tree.getElementsByTagName(name)
+      if (nodes.getLength > 0) nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+      else {
+        val e = tree.getOwnerDocument.createElement(name)
+        tree.appendChild(e); e
+      }
+    }
+    val gce = child("GraphicControlExtension")
+    gce.setAttribute("disposalMethod", disposal)
+    gce.setAttribute("userInputFlag", "FALSE")
+    gce.setAttribute("transparentColorFlag", "FALSE")
+    gce.setAttribute("delayTime", "10")
+    gce.setAttribute("transparentColorIndex", "0")
+    val desc = child("ImageDescriptor")
+    desc.setAttribute("imageLeftPosition", left.toString)
+    desc.setAttribute("imageTopPosition", top.toString)
+    md.setFromTree(fmt, tree)
+    md
+  }
+
+  /** An animated GIF whose frames are patches placed at offsets with
+    * explicit disposal methods — the delta coding most real animated
+    * GIFs use. */
+  private def deltaGif(frames: Seq[(BufferedImage, Int, Int, String)])
+      : Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { case (img, l, t, d) =>
+      writer.writeToSequence(
+        new IIOImage(img, null, gifMeta(writer, img, l, t, d)), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  /** The expected composite: draw each (img, left, top) in order on a
+    * transparent ARGB canvas — an independent formulation of the
+    * accumulate rule. */
+  private def compose(w: Int, h: Int,
+                      ops: Seq[(BufferedImage, Int, Int)]): BufferedImage = {
+    val c = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+    val g = c.createGraphics()
+    try ops.foreach { case (img, l, t) => g.drawImage(img, l, t, null) }
+    finally g.dispose()
+    c
+  }
+
+  private def sampledChecksums(gif: Array[Byte]): Map[Int, Long] =
+    Multimodal.gifFrameSample(Seq(MediaRow(5L, gif)).toDS(), every = 1)
+      .collect()
+      .map(f => f.frame_idx -> Multimodal.decodeImage(f.frame).get._3)
+      .toMap
+
+  test("doNotDispose delta frames composite over the accumulated canvas " +
+    "at their offsets (exact pixels)") {
+    val full = solid(10, 10, 0xFF0000)
+    val green = solid(4, 4, 0x00FF00)
+    val blue = solid(3, 3, 0x0000FF)
+    val gif = deltaGif(Seq((full, 0, 0, "doNotDispose"),
+      (green, 2, 3, "doNotDispose"), (blue, 5, 5, "doNotDispose")))
+    val got = sampledChecksums(gif)
+    assert(got(0) == Multimodal.pixelChecksum(
+      compose(10, 10, Seq((full, 0, 0)))))
+    assert(got(1) == Multimodal.pixelChecksum(
+      compose(10, 10, Seq((full, 0, 0), (green, 2, 3)))))
+    assert(got(2) == Multimodal.pixelChecksum(
+      compose(10, 10, Seq((full, 0, 0), (green, 2, 3), (blue, 5, 5)))),
+      "frame 2 must still carry frame 1's patch (accumulation)")
+  }
+
+  test("restoreToPrevious rolls the canvas back after the frame " +
+    "(frame 2 must NOT carry frame 1's patch)") {
+    val full = solid(10, 10, 0xFF0000)
+    val green = solid(4, 4, 0x00FF00)
+    val blue = solid(2, 2, 0x0000FF)
+    val gif = deltaGif(Seq((full, 0, 0, "doNotDispose"),
+      (green, 1, 1, "restoreToPrevious"), (blue, 6, 6, "doNotDispose")))
+    val got = sampledChecksums(gif)
+    assert(got(1) == Multimodal.pixelChecksum(
+      compose(10, 10, Seq((full, 0, 0), (green, 1, 1)))),
+      "frame 1 composites its patch before disposal")
+    assert(got(2) == Multimodal.pixelChecksum(
+      compose(10, 10, Seq((full, 0, 0), (blue, 6, 6)))),
+      "frame 1's patch must be rolled back under restoreToPrevious")
+  }
+
+  test("restoreToBackgroundColor clears the frame's rect to transparent " +
+    "before the next frame") {
+    val full = solid(10, 10, 0xFF0000)
+    val green = solid(4, 4, 0x00FF00)
+    val gif = deltaGif(Seq((full, 0, 0, "restoreToBackgroundColor"),
+      (green, 2, 2, "doNotDispose")))
+    val got = sampledChecksums(gif)
+    assert(got(0) == Multimodal.pixelChecksum(
+      compose(10, 10, Seq((full, 0, 0)))))
+    // frame 0's whole rect reverted: only the green patch remains,
+    // everything else transparent
+    assert(got(1) == Multimodal.pixelChecksum(
+      compose(10, 10, Seq((green, 2, 2)))),
+      "the cleared rect must be transparent, not frame 0's pixels")
+  }
 }

@@ -85,6 +85,47 @@ class IndexAdmissionSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("cross-session admission visibility: a second session that " +
+    "resolved the index before an append lists the pre-append files " +
+    "until refreshTable, and the appended rows after (the documented " +
+    "admitToBandIndex contract)") {
+    // own alias => own index; this test appends
+    val dir = SparkTestBase.Sf0001 + "/./"
+    val stale = Curation.ensureBandIndex(spark, dir)
+    spark.sql(s"DROP TABLE $stale")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), stale)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    val idx = Curation.ensureBandIndex(spark, dir)
+    val before = spark.table(idx).count()
+
+    // session B: a REAL second session (own analyzer state and relation
+    // cache, shared catalog + warehouse — the multi-writer deployment
+    // shape) resolves and reads the table pre-append
+    val sessionB = spark.newSession()
+    assert(sessionB.table(idx).count() == before)
+
+    // session A admits a batch
+    val batch = TrainingData.minhashBands(spark, dir)
+      .filter(col("doc_id") % 20 === 10)
+      .select(col("doc_id"), col("band"), col("k1"), col("k2"))
+    val nB = batch.count()
+    assert(nB > 0)
+    Curation.admitToBandIndex(spark, idx, batch)
+
+    // the writing session sees its own append...
+    assert(spark.table(idx).count() == before + nB)
+    // ...session B still lists the PRE-append files (stale side of the
+    // contract — the documented hazard, not a bug)
+    assert(sessionB.table(idx).count() == before,
+      "session B saw the append without refreshTable — the documented " +
+        "contract (and this test) are stale")
+    // ...until it refreshes (the contract's required call)
+    sessionB.catalog.refreshTable(idx)
+    assert(sessionB.table(idx).count() == before + nB,
+      "session B must see the appended rows after refreshTable")
+  }
+
   test("after the append, the probe join still reads the index without " +
     "an exchange") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
