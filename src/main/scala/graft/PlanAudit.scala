@@ -87,7 +87,26 @@ object PlanAudit {
         "(BroadcastNestedLoopJoin against a bounded single-row aggregate " +
         "— the named-exception shape, same as q73/q90), the per-term " +
         "scores as one codegen'd projection, and `TakeOrderedAndProject` " +
-        "for the top-20 — no global sort, no global window."))
+        "for the top-20 — no global sort, no global window."),
+    "q117_substring_dedup" ->
+      ("**Look for:** the duplicated-window side collapsing to a " +
+        "`BroadcastHashJoin BuildRight` — the groupBy(k) aggregate " +
+        "shrinks hot boilerplate to one row per window and AQE " +
+        "broadcasts the (rare) dup-key list, so the probe side NEVER " +
+        "shuffles on the window key; the shuffles that remain carry " +
+        "md5 digests, never text. Above the broadcast threshold this " +
+        "degrades to a sort-merge join whose build side is already " +
+        "hash-partitioned by its aggregate — either way no replanning " +
+        "of the probe."),
+    "q119_retention_cohort" ->
+      ("**Look for:** the cohort table built by a partial+final min " +
+        "aggregate on `user_id`, then joined back as a `BroadcastHashJoin` " +
+        "(cohorts are users-bounded — far below raw events; above the " +
+        "threshold AQE falls back to a sort-merge join whose build side " +
+        "is already partitioned by its aggregate), partial+final " +
+        "`HashAggregate` pairs for the distinct and the matrix rollup, " +
+        "and NO window operator anywhere — retention is pure keyed " +
+        "aggregation."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Curation, Multimodal, NorthStar, ParseRoute, Relational, Scalars, SketchRollup, TrainingData}
+import graft.ops.{Corpus, Curation, Multimodal, NorthStar, ParseRoute, Relational, Scalars, SketchRollup, TrainingData}
 import graft.sink.{BucketQueries, Layout, ZOrderQueries}
 import graft.sources.rfc.RfcQueries
 
@@ -28,12 +28,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ ParseRoute.queries ++ Scalars.queries ++
       NorthStar.queries ++ TrainingData.queries ++ Curation.queries ++
+      Corpus.queries ++
       Layout.queries ++ ZOrderQueries.queries ++ BucketQueries.queries ++
       Multimodal.queries ++ RfcQueries.queries ++ SketchRollup.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ ParseRoute.oracle ++ Scalars.oracle ++
       NorthStar.oracle ++ TrainingData.oracle ++ Curation.oracle ++
+      Corpus.oracle ++
       ZOrderQueries.oracle ++ BucketQueries.oracle ++ RfcQueries.oracle ++
       SketchRollup.oracle
 }

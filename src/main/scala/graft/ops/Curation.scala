@@ -504,6 +504,38 @@ object Curation {
       .orderBy("stage")
   }
 
+  /** q119: cohort retention — the companion analytics op to q103's
+    * funnel: users cohort by the DAY of their first `purchase` (their
+    * activation event), and each (cohort_day, day_offset) cell counts
+    * distinct users with ANY event that many days after activation.
+    * Pre-activation activity is excluded by contract (retention measures
+    * behavior AFTER entry). Days are µs-quantized epoch-days
+    * (`(ts div 1000) div 86400000000`) — the same integer event-time
+    * arithmetic every declared query uses (Tables.scala contract), so
+    * both engines bucket identically. North-star op (prov `ns`).
+    *
+    * Shape: per-user min over the purchase subset (partial-agg'd), one
+    * equi-join back on user_id, a distinct on (user, cohort, offset) —
+    * bounded by users × days, far below raw events — then the matrix
+    * aggregate. All shuffles are on user_id until the final tiny
+    * cohort×offset rollup; no windows, no skew surface (per-user event
+    * counts are ingest-bounded). */
+  def q119RetentionCohort(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"), col("event_type"))
+    val cohorts = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.join(cohorts, "user_id")
+      .filter(col("day") >= col("cohort_day"))
+      .select(col("user_id"), col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** q104: incremental near-dup screening — the ingest-time shape of
     * q72: a NEW batch (`doc_id % 10 = 0`, the arriving delta) is LSH
     * band-joined against the EXISTING corpus only, never against
@@ -711,6 +743,7 @@ object Curation {
     "q101_gap_fill" -> q101GapFill _,
     "q102_fuzzy_match" -> q102FuzzyMatch _,
     "q103_funnel" -> q103Funnel _,
+    "q119_retention_cohort" -> q119RetentionCohort _,
     "q111_pii_scrub" -> q111PiiScrub _,
     "q104_incremental_dedup" -> q104IncrementalDedup _,
     "q105_curation_pipeline" -> q105CurationPipeline _,
@@ -860,6 +893,13 @@ object Curation {
         |UNION ALL SELECT 'stage2_click', CAST(count(*) AS BIGINT) FROM f WHERE s2
         |UNION ALL SELECT 'stage3_purchase', CAST(count(*) AS BIGINT) FROM f WHERE s3
         |ORDER BY stage""".stripMargin,
+    "q119_retention_cohort" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (SELECT DISTINCT e.user_id, f.cohort_day, e.day - f.cohort_day AS day_offset
+        |      FROM e JOIN f ON e.user_id = f.user_id WHERE e.day >= f.cohort_day)
+        |SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS users
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q111_pii_scrub" ->
       s"""WITH injected AS (
         |  SELECT doc_id, lang,

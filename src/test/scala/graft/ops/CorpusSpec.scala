@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Independent-formulation cross-checks for the r7 corpus/analytics ops
+  * (q117/q118/q119) beyond the DuckDB oracle: plain-Scala brute force on
+  * the sf0.001 testdata, built WITHOUT hashing or SQL (raw window
+  * strings, in-memory maps), so a shared misconception between the Spark
+  * query and its structurally similar oracle SQL — or an md5 collision —
+  * would be caught here. Each test also pins that the fixture actually
+  * carries signal (non-zero duplication / a multi-day cohort spread), so
+  * a silently empty result can never pass as green. */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val Sf = SparkTestBase.Sf0001
+
+  /** 1-based positions 1, 11, 21, … of full 50-char windows — the same
+    * contract as the query's `sequence(1, length-49, 10)`. */
+  private def windows(text: String): Seq[String] =
+    (0 to text.length - 50 by 10).map(i => text.substring(i, i + 50))
+
+  private lazy val docs: Seq[(Long, String, String)] = {
+    import spark.implicits._
+    spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+  }
+
+  test("q117 matches raw-string brute force (no md5) and has dup signal") {
+    import spark.implicits._
+    val winsByDoc = docs.filter(_._3.length >= 50)
+      .map { case (id, _, t) => id -> windows(t) }
+    val docsByWin = winsByDoc
+      .flatMap { case (id, ws) => ws.map(_ -> id) }
+      .groupMap(_._1)(_._2).map { case (w, ids) => w -> ids.toSet }
+    val expected = winsByDoc.map { case (id, ws) =>
+      id -> ((ws.size.toLong, ws.count(w => docsByWin(w).size > 1).toLong))
+    }.toMap
+
+    val got = Corpus.q117SubstringDedup(spark, Sf)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, d) => id -> ((n, d)) }.toMap
+    assert(got == expected)
+    assert(got.valuesIterator.map(_._2).sum > 0,
+      "fixture carries no duplicated windows — the test is vacuous")
+  }
+
+  test("q118 matches brute-force per-pair distinct-window intersections") {
+    import spark.implicits._
+    val bySource = docs.filter(_._3.length >= 50)
+      .groupMap(_._2)(d => windows(d._3))
+      .map { case (src, ws) => src -> ws.flatten.toSet }
+    val expected = (for {
+      (sa, wa) <- bySource; (sb, wb) <- bySource if sa < sb
+      shared = (wa & wb).size if shared > 0
+    } yield (sa, sb) -> shared.toLong).toMap
+
+    val got = Corpus.q118SourceOverlap(spark, Sf)
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "no cross-source overlap in fixture — vacuous")
+  }
+
+  test("q119 matches a brute-force cohort matrix; cohorts span >1 day") {
+    import spark.implicits._
+    val events = spark.read.parquet(s"$Sf/events.parquet")
+      .select("user_id", "ts", "event_type")
+      .as[(Long, Long, String)].collect().toSeq
+    def day(ts: Long): Long = (ts / 1000L) / 86400000000L
+    val cohort = events.filter(_._3 == "purchase")
+      .groupMap(_._1)(e => day(e._2)).map { case (u, ds) => u -> ds.min }
+    val expected = events.flatMap { case (u, ts, _) =>
+      cohort.get(u).collect { case c if day(ts) >= c => (u, c, day(ts) - c) }
+    }.distinct.groupMapReduce(e => (e._2, e._3))(_ => 1L)(_ + _)
+
+    val out = Curation.q119RetentionCohort(spark, Sf)
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, o, n) => (c, o) -> n }.toMap
+    assert(out == expected)
+    assert(expected.keysIterator.map(_._1).toSet.size > 1,
+      "single-day cohort fixture — matrix degenerate, test weakened")
+  }
+}
