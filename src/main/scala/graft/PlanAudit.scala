@@ -88,6 +88,18 @@ object PlanAudit {
         "— the named-exception shape, same as q73/q90), the per-term " +
         "scores as one codegen'd projection, and `TakeOrderedAndProject` " +
         "for the top-20 — no global sort, no global window."),
+    "q121_shipping_priority" ->
+      ("**Look for:** all three filters as `PushedFilters` in their " +
+        "scans (segment on customer, date on orders and lineitem), the " +
+        "filtered customer side as a `BroadcastHashJoin` chosen by AQE " +
+        "(not forced), and `TakeOrderedAndProject` for the top-10 — the " +
+        "classic Q3 plan with no global sort and no oversized shuffle."),
+    "q122_local_supplier_volume" ->
+      ("**Look for:** region→nation as tiny broadcasts, the supplier " +
+        "locality condition (`s_nationkey = c_nationkey`) riding the " +
+        "JOIN keys (two-column equi-join, no post-join filter and no " +
+        "nested-loop residual), the date filter pushed into the orders " +
+        "scan, and partial+final aggregation for the per-nation rollup."),
     "q117_substring_dedup" ->
       ("**Look for:** the duplicated-window side collapsing to a " +
         "`BroadcastHashJoin BuildRight` — the groupBy(k) aggregate " +

@@ -120,8 +120,31 @@ object NorthStar {
         max(col("tus")).as("max_us"))
   }
 
+  /** q120: event-transition matrix — the first-order sequence-mining op
+    * (Markov transition counts): for each user's event stream in strict
+    * event-time order, count (from_type → to_type) adjacent pairs across
+    * the whole corpus. This is the path-analysis complement to q103's
+    * fixed funnel (which asks about ONE ordained sequence; the matrix
+    * surfaces which sequences exist). Ordering is (µs-quantized ts,
+    * event_id) — the unique-tiebreak contract every windowed event query
+    * here uses. The window is partitioned on user_id (per-user streams
+    * are ingest-bounded — no skew surface), and the matrix aggregate
+    * output is |event_types|² rows, constant in corpus size. */
+  def q120EventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tus"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_dedup_exact" -> q70DedupExact _,
+    "q120_event_transitions" -> q120EventTransitions _,
     "q71_dedup_keyed" -> q71DedupKeyed _,
     "q73_sim_cosine_topk" -> q73SimCosineTopk _,
     "q74_text_wordcount" -> q74TextWordcount _,
@@ -134,6 +157,13 @@ object NorthStar {
   val oracle: Map[String, String] = Map(
     "q70_dedup_exact" ->
       "SELECT count(DISTINCT sha256(text)) AS n_distinct_text FROM documents",
+    "q120_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events),
+        |n AS (SELECT event_type AS from_type,
+        |             lead(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS to_type
+        |      FROM e)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |FROM n WHERE to_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q71_dedup_keyed" ->
       """SELECT user_id, event_type, event_id
         |FROM (SELECT user_id, event_type, event_id,

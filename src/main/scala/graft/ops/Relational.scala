@@ -180,6 +180,76 @@ object Relational {
       .orderBy("custkey", "orderkey")
   }
 
+  /** Exact revenue in hundredths-of-cents: prices/discounts are 2-decimal
+    * by generator contract (float error < 1e-8, far under the round
+    * threshold), so `round(x*100)` recovers the exact integer both
+    * engines agree on bit-for-bit, and the revenue SUM is integer
+    * arithmetic — immune to the float-summation-order divergence a
+    * `sum(price * (1 - discount))` double would hit cross-engine. */
+  private val revenueC4 =
+    expr("cast(round(l_extendedprice * 100) as bigint) * " +
+      "(100 - cast(round(l_discount * 100) as bigint))")
+
+  /** q121: TPC-H Q3 shape (shipping priority) — the classic 3-way
+    * fact-dimension join with filters on all three tables, a grouped
+    * revenue aggregate, and a top-10: the canonical "does the optimizer
+    * put the plan together" query. Filters reach all three scans as
+    * `PushedFilters`; the segment-filtered customer side is a
+    * broadcastable dimension at any realistic scale factor (AQE decides
+    * — not forced, so a 100× customer table degrades to shuffle join,
+    * not OOM); top-10 plans as `TakeOrderedAndProject`, never a global
+    * sort. Revenue is exact integer c4 units (see [[revenueC4]]). */
+  def q121ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = T(s, dir, "orders")
+      .filter(col("o_orderdate") < expr("timestamp'1996-07-01'"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = T(s, dir, "lineitem")
+      .filter(col("l_shipdate") > expr("timestamp'1996-07-01'"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(revenueC4).as("revenue_c4"))
+      .orderBy(col("revenue_c4").desc, col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "revenue_c4", "o_orderdate", "o_orderpriority")
+  }
+
+  /** q122: TPC-H Q5 shape (local supplier volume) — the 6-way join:
+    * region→nation (broadcast: genuinely constant 5/25-row dims)
+    * restricts to one region, customer/orders/lineitem carry the data
+    * volume, and the supplier join's extra `s_nationkey = c_nationkey`
+    * equi-condition keeps only LOCAL supply chains. All joins are
+    * equi-joins (the locality condition rides the supplier join key,
+    * not a post-join filter), the date filter pushes into the orders
+    * scan, and per-nation revenue is exact integer c4 units. */
+  def q122LocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val localNations = T(s, dir, "nation")
+      .join(broadcast(T(s, dir, "region")
+        .filter(col("r_name") === "ASIA").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = T(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val o = T(s, dir, "orders")
+      .filter(col("o_orderdate") >= expr("timestamp'1996-01-01'") &&
+        col("o_orderdate") < expr("timestamp'1997-01-01'"))
+      .select("o_orderkey", "o_custkey")
+    val l = T(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val sup = T(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    c.join(broadcast(localNations),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(o, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("s_suppkey") === col("l_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(revenueC4).as("revenue_c4"))
+      .orderBy(col("revenue_c4").desc, col("n_name"))
+  }
+
   // ---- aggregations ----------------------------------------------------
 
   /** q30: TPC-H Q1 shape — partial+final hash aggregate. */
@@ -564,6 +634,8 @@ object Relational {
     "q25_join_interval" -> q25JoinInterval _,
     "q26_join_asof" -> q26JoinAsof _,
     "q27_join_full" -> q27JoinFull _,
+    "q121_shipping_priority" -> q121ShippingPriority _,
+    "q122_local_supplier_volume" -> q122LocalSupplierVolume _,
     "q30_agg_q1" -> q30AggQ1 _,
     "q31_agg_distinct" -> q31AggDistinct _,
     "q32_agg_rollup" -> q32AggRollup _,
@@ -662,6 +734,34 @@ object Relational {
         |            WHEN o.o_orderkey IS NULL THEN 'cust_only' ELSE 'both' END AS side
         |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
         |ORDER BY custkey, orderkey""".stripMargin,
+    "q121_shipping_priority" ->
+      """SELECT l.l_orderkey,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4,
+        |       o.o_orderdate, o.o_orderpriority
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND l.l_shipdate > TIMESTAMP '1996-07-01'
+        |GROUP BY 1, 3, 4
+        |ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q122_local_supplier_volume" ->
+      """SELECT n.n_name,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
+        |FROM region r
+        |JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1
+        |ORDER BY revenue_c4 DESC, n_name""".stripMargin,
     "q30_agg_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 4) AS sum_qty,

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Independent-formulation cross-checks for the r7 relational/sequence
+  * additions (q120/q121/q122): plain-Scala brute force over collected
+  * sf0.001 rows — sorts, hash-maps, and BigInt arithmetic instead of
+  * joins/windows — so a misconception shared by the Spark query and its
+  * structurally similar oracle SQL would fail here. */
+class TpchShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val Sf = SparkTestBase.Sf0001
+
+  private def cents(x: Double): Long = math.round(x * 100)
+
+  test("q120 matches a brute-force per-user sorted-stream transition count") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .selectExpr("user_id", "event_id", "ts div 1000 as tus", "event_type")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2)).map(_._4)
+      sorted.zip(sorted.drop(1))
+    }.groupMapReduce(identity)(_ => 1L)(_ + _)
+
+    val got = NorthStar.q120EventTransitions(spark, Sf)
+      .as[(String, String, Long)].collect()
+      .map { case (f, t, n) => (f, t) -> n }.toMap
+    assert(got == expected)
+    assert(got.keysIterator.map(_._1).toSet.size > 1, "degenerate fixture")
+  }
+
+  test("q121 matches a brute-force 3-way join + top-10 (exact c4 revenue)") {
+    import spark.implicits._
+    val cust = spark.read.parquet(s"$Sf/customer.parquet")
+      .selectExpr("c_custkey", "c_mktsegment")
+      .as[(Long, String)].collect().filter(_._2 == "BUILDING").map(_._1).toSet
+    val cut = java.sql.Timestamp.valueOf("1996-07-01 00:00:00")
+    val orders = spark.read.parquet(s"$Sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .as[(Long, Long, java.sql.Timestamp, String)].collect()
+      .filter(o => o._3.before(cut) && cust(o._2))
+      .map(o => o._1 -> ((o._3, o._4))).toMap
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .as[(Long, java.sql.Timestamp, Double, Double)].collect()
+      .filter(l => l._2.after(cut) && orders.contains(l._1))
+    val expected = li.groupBy(_._1).map { case (ok, ls) =>
+      val rev = ls.map(l => cents(l._3) * (100L - cents(l._4))).sum
+      val (od, op) = orders(ok)
+      (ok, rev, od, op)
+    }.toSeq.sortBy(r => (-r._2, r._1)).take(10)
+
+    val got = Relational.q121ShippingPriority(spark, Sf)
+      .as[(Long, Long, java.sql.Timestamp, String)].collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "empty top-10 — filters killed the fixture")
+  }
+
+  test("q122 matches a brute-force 6-way local-supplier rollup") {
+    import spark.implicits._
+    val asiaKey = spark.read.parquet(s"$Sf/region.parquet")
+      .selectExpr("r_regionkey", "r_name").as[(Int, String)].collect()
+      .find(_._2 == "ASIA").get._1
+    val nations = spark.read.parquet(s"$Sf/nation.parquet")
+      .selectExpr("n_nationkey", "n_name", "n_regionkey")
+      .as[(Int, String, Int)].collect()
+      .filter(_._3 == asiaKey).map(n => n._1 -> n._2).toMap
+    val custNation = spark.read.parquet(s"$Sf/customer.parquet")
+      .selectExpr("c_custkey", "c_nationkey").as[(Long, Int)].collect()
+      .filter(c => nations.contains(c._2)).toMap
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val orderCust = spark.read.parquet(s"$Sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderdate")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+      .filter(o => !o._3.before(lo) && o._3.before(hi) &&
+        custNation.contains(o._2))
+      .map(o => o._1 -> o._2).toMap
+    val suppNation = spark.read.parquet(s"$Sf/supplier.parquet")
+      .selectExpr("s_suppkey", "s_nationkey").as[(Long, Int)].collect().toMap
+    val expected = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+      .flatMap { case (ok, sk, price, disc) =>
+        for {
+          ck <- orderCust.get(ok)
+          nk = custNation(ck)
+          snk <- suppNation.get(sk) if snk == nk
+        } yield nations(nk) -> (cents(price) * (100L - cents(disc)))
+      }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+      .toSeq.sortBy(r => (-r._2, r._1))
+
+    val got = Relational.q122LocalSupplierVolume(spark, Sf)
+      .as[(String, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "no local supply chains in fixture — vacuous")
+  }
+}
