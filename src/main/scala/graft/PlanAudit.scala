@@ -100,6 +100,34 @@ object PlanAudit {
         "JOIN keys (two-column equi-join, no post-join filter and no " +
         "nested-loop residual), the date filter pushed into the orders " +
         "scan, and partial+final aggregation for the per-nation rollup."),
+    "q124_small_qty_revenue" ->
+      ("**Look for:** the lineitem probe side with NO exchange at all — " +
+        "the per-part average collapses to |parts| rows in its " +
+        "partial+final aggregate and comes BACK as a `BroadcastHashJoin` " +
+        "build side, so the threshold filter runs where the data sits " +
+        "(above the broadcast threshold this degrades to a sort-merge " +
+        "join whose two sides share the same `l_partkey` hash " +
+        "partitioning — one reusable exchange, never a per-row correlated " +
+        "subquery), the part dimension broadcast, and partial+final " +
+        "aggregation for the brand rollup."),
+    "q126_order_count_distribution" ->
+      ("**Look for:** the priority filter applied to the orders scan " +
+        "BEFORE the left join (pushed as `PushedFilters` — the ON-residual " +
+        "equivalent that also prunes the shuffle), the LEFT join keeping " +
+        "zero-order customers, and TWO partial+final `HashAggregate` " +
+        "pairs — per-customer counts, then the distribution."),
+    "q120_event_transitions" ->
+      ("**Look for:** a `Window` partitioned on `user_id` (never a " +
+        "single-task global window) under partial+final `HashAggregate` " +
+        "for the matrix rollup — per-user streams bound the sort, and the " +
+        "output is |event_types|² rows regardless of corpus size."),
+    "q123_segment_dedup" ->
+      ("**Look for:** every exchange below the final projection carrying " +
+        "digests/positions only (doc_id, seg_id, 32-hex md5 — never " +
+        "segment text), the dup-key side collapsed by its aggregate before " +
+        "the join, the per-doc drop-list joining back as a " +
+        "`BroadcastHashJoin` onto the intact doc row (the doc side never " +
+        "shuffles), and the presentation sort over 4 narrow columns."),
     "q117_substring_dedup" ->
       ("**Look for:** the duplicated-window side collapsing to a " +
         "`BroadcastHashJoin BuildRight` — the groupBy(k) aggregate " +

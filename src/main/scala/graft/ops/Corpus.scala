@@ -90,9 +90,55 @@ object Corpus {
       .orderBy("src_a", "src_b")
   }
 
+  /** q123: segment-level dedup REWRITE — the excision counterpart to
+    * q117's profile. RefinedWeb/C4-style pipelines don't just measure
+    * repeated spans, they REMOVE them and keep the rest of the document;
+    * this op splits each doc into fixed 10-word segments, drops every
+    * segment whose exact text occurs in more than one DISTINCT document
+    * (corpus-wide boilerplate), and reconstructs the cleaned text in
+    * original order. Output is (doc_id, n_seg, n_kept, clean_md5) — the
+    * cleaned text itself is digested so the result stays narrow.
+    *
+    * Scale shape — the q105 hash-first discipline extended to a rewrite:
+    * segmentation is a codegen'd `transform`/`slice` projection (one pass,
+    * map-only); the explode that feeds the dup-detection shuffle carries
+    * (doc_id, seg_id, md5) — 32-byte digests, never segment text; the
+    * dup-key side collapses per key in its aggregate (a million-fold
+    * boilerplate segment is ONE row); the per-doc drop-list is bounded by
+    * duplicated positions and joins back to the INTACT doc row (AQE
+    * broadcasts it while small — the doc side never shuffles), and the
+    * excision itself is an indexed-lambda `filter` over the already-built
+    * segment array. The only text that ever moves is the final digest —
+    * the presentation sort carries 4 narrow columns. */
+  def q123SegmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, cast(ceil(size(words) / 10.0) as int) - 1), " +
+          "i -> concat_ws(' ', slice(words, i * 10 + 1, 10)))").as("segs"))
+    val ks = docs.select(col("doc_id"),
+      posexplode(expr("transform(segs, x -> md5(x))")).as(Seq("seg_id", "k")))
+    val dup = ks.groupBy("k")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("k")
+    val dropPos = ks.join(dup, Seq("k"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("seg_id")).as("drop_ids"))
+    docs.join(dropPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("segs")).as("n_seg"), expr(
+        "filter(segs, (x, i) -> drop_ids IS NULL OR NOT array_contains(drop_ids, i))")
+        .as("kept"))
+      .select(col("doc_id"), col("n_seg"),
+        size(col("kept")).as("n_kept"),
+        md5(concat_ws(" ", col("kept"))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_substring_dedup" -> q117SubstringDedup _,
     "q118_source_overlap" -> q118SourceOverlap _,
+    "q123_segment_dedup" -> q123SegmentDedup _,
   )
 
   /** The shared window CTE, verbatim in both oracles (DuckDB's
@@ -119,5 +165,36 @@ object Corpus {
         |       CAST(count(*) AS BIGINT) AS shared_windows
         |FROM ws a JOIN ws b ON a.k = b.k AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Independent formulation: the oracle builds segments by grouping word
+    // ordinals ((i-1)//10) and string_agg ORDER BY — no transform/slice —
+    // so a shared segmentation bug between the two engines can't hide.
+    "q123_segment_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, t.w, t.i
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+        |                       generate_subscripts(string_split(text, ' '), 1) AS i) t
+        |),
+        |seg AS (
+        |  SELECT doc_id, (i - 1) // 10 AS seg_id,
+        |         string_agg(w, ' ' ORDER BY i) AS seg
+        |  FROM words GROUP BY 1, 2
+        |),
+        |dup AS (
+        |  SELECT md5(seg) AS k FROM seg GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+        |),
+        |kept AS (
+        |  SELECT s.doc_id, s.seg_id, s.seg
+        |  FROM seg s LEFT JOIN dup d ON md5(s.seg) = d.k
+        |  WHERE d.k IS NULL
+        |)
+        |SELECT g.doc_id, g.n_seg,
+        |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |       md5(coalesce(k.clean, '')) AS clean_md5
+        |FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg FROM seg GROUP BY 1) g
+        |LEFT JOIN (SELECT doc_id, count(*) AS n_kept,
+        |                  string_agg(seg, ' ' ORDER BY seg_id) AS clean
+        |           FROM kept GROUP BY 1) k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -250,6 +250,76 @@ object Relational {
       .orderBy(col("revenue_c4").desc, col("n_name"))
   }
 
+  /** q124: TPC-H Q17 shape (small-quantity revenue) — the correlated
+    * aggregate threshold: lineitems whose quantity is below 20% of their
+    * PART'S average quantity, revenue grouped by brand. Re-expressed
+    * Spark-first as aggregate + join-back (never a correlated subquery
+    * re-executed per row): the per-part average is one partial+final
+    * aggregate over lineitem, and both that aggregate and the join-back
+    * hash-partition on `l_partkey`, so Catalyst reuses one exchange for
+    * both sides. The threshold compare is EXACT cross-engine: quantities
+    * are integer-valued doubles, their sum is order-independent in double
+    * (< 2^53), and `0.2 * avg` is the same single multiply in both
+    * engines. Part is a broadcastable dimension; revenue in exact integer
+    * c4 units. */
+  def q124SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = T(s, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val avgQty = l.groupBy("l_partkey").agg(avg(col("l_quantity")).as("avg_qty"))
+    l.join(avgQty, Seq("l_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .join(T(s, dir, "part").select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum(revenueC4).as("revenue_c4"), count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** q125: TPC-H Q18 shape (large-volume orders) — groupBy-HAVING as a
+    * semi-filter: orders whose total lineitem quantity exceeds 150, joined
+    * back to orders+customer, top-100 by price. The qualifying-order set
+    * comes from one partial+final aggregate (map-side combine shrinks the
+    * shuffle to one row per (partition, order)), and the top-100 plans as
+    * `TakeOrderedAndProject` — no global sort. `sum_qty` is exact
+    * (integer-valued doubles); price rounded to its generator's 2 decimals
+    * with the orderkey tiebreak making row order unique. */
+  def q125BigOrderCustomers(s: SparkSession, dir: String): DataFrame = {
+    val big = T(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).cast("bigint").as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    T(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), round(col("o_totalprice"), 2).as("total_price"),
+        col("sum_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** q126: TPC-H Q13 shape (customer order-count distribution) — the
+    * LEFT-join-with-ON-condition idiom: customers joined to their
+    * non-urgent orders (the priority filter belongs to the JOIN, not a
+    * WHERE — customers with only urgent orders must still appear with
+    * count 0), per-customer counts, then the distribution of those counts.
+    * Spark-first: the right side filters BEFORE the left join (equivalent
+    * to the ON-clause residual, and it prunes the shuffle), and both
+    * aggregations are partial+final. All-integer output — no float
+    * surface. */
+  def q126OrderCountDistribution(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    T(s, dir, "customer").select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   // ---- aggregations ----------------------------------------------------
 
   /** q30: TPC-H Q1 shape — partial+final hash aggregate. */
@@ -636,6 +706,9 @@ object Relational {
     "q27_join_full" -> q27JoinFull _,
     "q121_shipping_priority" -> q121ShippingPriority _,
     "q122_local_supplier_volume" -> q122LocalSupplierVolume _,
+    "q124_small_qty_revenue" -> q124SmallQtyRevenue _,
+    "q125_big_order_customers" -> q125BigOrderCustomers _,
+    "q126_order_count_distribution" -> q126OrderCountDistribution _,
     "q30_agg_q1" -> q30AggQ1 _,
     "q31_agg_distinct" -> q31AggDistinct _,
     "q32_agg_rollup" -> q32AggRollup _,
@@ -762,6 +835,33 @@ object Relational {
         |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1
         |ORDER BY revenue_c4 DESC, n_name""".stripMargin,
+    "q124_small_qty_revenue" ->
+      """SELECT p.p_brand,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN (SELECT l_partkey, avg(l_quantity) AS avg_qty
+        |      FROM lineitem GROUP BY 1) a ON a.l_partkey = l.l_partkey
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_quantity < 0.2 * a.avg_qty
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q125_big_order_customers" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |       round(o.o_totalprice, 2) AS total_price, b.sum_qty
+        |FROM (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |      FROM lineitem GROUP BY 1
+        |      HAVING CAST(sum(l_quantity) AS BIGINT) > 150) b
+        |JOIN orders o ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY total_price DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q126_order_count_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer c LEFT JOIN orders o
+        |        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+        |      GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q30_agg_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 4) AS sum_qty,

@@ -83,4 +83,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(expected.keysIterator.map(_._1).toSet.size > 1,
       "single-day cohort fixture — matrix degenerate, test weakened")
   }
+
+  test("q123 matches a raw-string brute-force excision (md5 only at the end)") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // Dup detection on RAW segment strings — md5 appears only when
+    // digesting the final cleaned text, so a collision inside the
+    // query's digest-keyed shuffle would be caught here.
+    val segsByDoc = docs.map { case (id, _, t) =>
+      id -> t.split(" ", -1).grouped(10).map(_.mkString(" ")).toVector
+    }
+    val docsPerSeg = segsByDoc
+      .flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupMap(_._1)(_._2).map { case (s, ids) => s -> ids.toSet }
+    val expected = segsByDoc.map { case (id, ss) =>
+      val kept = ss.filter(s => docsPerSeg(s).size <= 1)
+      id -> ((ss.size.toLong, kept.size.toLong, md5hex(kept.mkString(" "))))
+    }.toMap
+
+    val got = Corpus.q123SegmentDedup(spark, Sf)
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (id, n, k, h) => id -> ((n, k, h)) }.toMap
+    assert(got == expected)
+    val removed = expected.valuesIterator.map(v => v._1 - v._2).sum
+    assert(removed > 0, "no cross-doc duplicate segments — excision vacuous")
+    assert(expected.valuesIterator.exists(v => v._2 > 0 && v._1 > v._2),
+      "no PARTIAL excision — reconstruction path untested")
+  }
 }

@@ -99,4 +99,97 @@ class TpchShapeSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty, "no local supply chains in fixture — vacuous")
   }
+
+  test("q124 matches a brute-force per-part avg threshold rollup") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .selectExpr("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    val brand = spark.read.parquet(s"$Sf/part.parquet")
+      .selectExpr("p_partkey", "p_brand").as[(Long, String)].collect().toMap
+    val avgQty = li.groupBy(_._1).map { case (pk, ls) =>
+      pk -> ls.map(_._2).sum / ls.size
+    }
+    val expected = li
+      .filter(l => l._2 < 0.2 * avgQty(l._1))
+      .groupBy(l => brand(l._1))
+      .map { case (b, ls) =>
+        (b, ls.map(l => cents(l._3) * (100L - cents(l._4))).sum, ls.size.toLong)
+      }.toSeq.sortBy(_._1)
+
+    val got = Relational.q124SmallQtyRevenue(spark, Sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum > 0, "threshold filtered everything — vacuous")
+  }
+
+  test("q125 matches a brute-force having-filter join-back top-100") {
+    import spark.implicits._
+    val sumQty = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_quantity").as[(Long, Double)].collect()
+      .groupMapReduce(_._1)(_._2)(_ + _)
+      .map { case (ok, s) => ok -> s.toLong }.filter(_._2 > 150)
+    val cust = spark.read.parquet(s"$Sf/customer.parquet")
+      .selectExpr("c_custkey", "c_name").as[(Long, String)].collect().toMap
+    val expected = spark.read.parquet(s"$Sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .as[(Long, Long, java.sql.Timestamp, Double)].collect().toSeq
+      .filter(o => sumQty.contains(o._1))
+      .map { o =>
+        val tp = math.rint(o._4 * 100) / 100
+        (cust(o._2), o._2, o._1, o._3, tp, sumQty(o._1))
+      }
+      .sortBy(r => (-r._5, r._3)).take(100)
+
+    val got = Relational.q125BigOrderCustomers(spark, Sf)
+      .as[(String, Long, Long, java.sql.Timestamp, Double, Long)]
+      .collect().toSeq
+    assert(got == expected)
+    assert(got.size == 100, s"only ${got.size} qualifying orders — raise fixture signal")
+  }
+
+  test("q126 matches a brute-force count-of-counts with zero-order customers") {
+    import spark.implicits._
+    val perCust = spark.read.parquet(s"$Sf/orders.parquet")
+      .selectExpr("o_custkey", "o_orderpriority").as[(Long, String)].collect()
+      .filter(_._2 != "1-URGENT")
+      .groupMapReduce(_._1)(_ => 1L)(_ + _)
+    val expected = spark.read.parquet(s"$Sf/customer.parquet")
+      .selectExpr("c_custkey").as[Long].collect().toSeq
+      .map(ck => perCust.getOrElse(ck, 0L))
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+      .toSeq.map { case (cc, n) => (cc, n) }
+      .sortBy(r => (-r._2, -r._1))
+
+    val got = Relational.q126OrderCountDistribution(spark, Sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == expected)
+    // Every customer appears in exactly one bucket — an inner join would
+    // silently drop zero-order customers from the distribution.
+    val nCust = spark.read.parquet(s"$Sf/customer.parquet").count()
+    assert(got.map(_._2).sum == nCust)
+    assert(got.size > 1, "degenerate one-bucket distribution")
+  }
+
+  test("q126 keeps customers whose only orders are urgent (count 0 bucket)") {
+    // The sf0.001 fixture happens to have no zero-count customers, so the
+    // LEFT-join-with-ON-condition contract — they must appear with count
+    // 0, NOT vanish — is driven on a purpose-built table pair.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q126").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq(
+      (10L, 1L, "1-URGENT"),   // cust 1: urgent only -> count 0
+      (11L, 2L, "5-LOW"),      // cust 2: one counted order
+      (12L, 2L, "1-URGENT"),   // ...urgent one excluded
+      (13L, 3L, "3-MEDIUM"),   // cust 3: two counted orders
+      (14L, 3L, "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val got = Relational.q126OrderCountDistribution(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.toSet == Set((0L, 1L), (1L, 1L), (2L, 1L)))
+  }
 }
