@@ -190,6 +190,35 @@ object EventStreams {
         col("p_ts"), col("c_ts"), col("value"))
   }
 
+  /** Left-outer stream-stream interval join — [[attributedPurchases]]
+    * plus the UNattributed purchases, emitted with null click columns.
+    * This is the attribution AUDIT shape: "which conversions have no
+    * qualifying touchpoint" cannot be asked of an inner join, and in
+    * streaming it is the genuinely hard half — the engine may emit a
+    * null-padded row only after proving no future click can ever match,
+    * i.e. after BOTH watermarks pass the purchase's full match window.
+    * Same state bound as the inner join (watermark + interval); the
+    * null rows are the outer-join state-eviction path, so emission is
+    * deferred by up to the watermark delay — an audit consumer sees
+    * matched rows promptly and unmatched ones once they are provably
+    * final. */
+  def attributionAudit(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks,
+      expr("""p_user = c_user AND
+             |p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR""".stripMargin),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("p_ts"), col("c_ts"), col("value"))
+  }
+
   /** Stream-static enrichment join — each streaming event picks up its
     * user's segment from a STATIC dimension table. Stateless: unlike
     * stream-stream joins there is no buffered state and no watermark
@@ -213,4 +242,5 @@ object EventStreams {
   val RunningMode: OutputMode = OutputMode.Update()
   val ClosedSessionsMode: OutputMode = OutputMode.Append()
   val AttributionMode: OutputMode = OutputMode.Append()
+  val AttributionAuditMode: OutputMode = OutputMode.Append()
 }

@@ -294,6 +294,45 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unattributed purchases with " +
+    "null click columns only once both watermarks prove finality") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[SEvent]
+    val q = EventStreams.attributionAudit(in.toDF())
+      .writeStream.format("memory").queryName("attribution_audit")
+      .outputMode(EventStreams.AttributionAuditMode).start()
+    try {
+      in.addData(
+        ev(1, "10:00", user = 1, typ = "click"),
+        ev(2, "10:40", user = 1, typ = "purchase", v = 9.0), // matched
+        ev(3, "10:30", user = 3, typ = "purchase", v = 7.0)) // no click ever
+      drain(q)
+      // the unmatched purchase must NOT have emitted yet — a click for
+      // user 3 could still arrive within its 1-hour lookback
+      val early = spark.table("attribution_audit")
+        .select("purchase_id").collect().map(_.getLong(0)).toSet
+      assert(!early.contains(3L),
+        "outer row emitted before the watermark proved no click can match")
+      // advance BOTH sides' watermarks (each side only sees its own
+      // event type) far past 10:30 + lookback + the 2h delay...
+      in.addData(ev(10, "20:00", user = 9, typ = "click"),
+        ev(11, "20:00", user = 9, typ = "purchase"))
+      drain(q)
+      // ...and give the engine one more batch to evict + emit
+      in.addData(ev(12, "23:00", user = 9, typ = "click"),
+        ev(13, "23:00", user = 9, typ = "purchase"))
+      drain(q)
+      val rows = spark.table("attribution_audit")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet
+      assert(rows.contains((2L, Some(1L))))  // matched pair, no null twin
+      assert(!rows.contains((2L, None)))
+      assert(rows.contains((3L, None)))      // audit row: provably unattributed
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each event to the broadcast " +
     "dimension; unknown users keep a sentinel instead of dropping") {
     import spark.implicits._

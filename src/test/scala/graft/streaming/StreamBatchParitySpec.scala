@@ -177,4 +177,45 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(got == want)
     assert(want.nonEmpty, "fixture produced no click->purchase pairs")
   }
+
+  test("left-outer stream-stream attribution audit: streaming equals " +
+    "batch, including the null-padded unattributed purchases") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val cols = Seq("user_id", "purchase_id", "click_id", "cast(p_ts as string)",
+      "cast(c_ts as string)", "value")
+    // The outer join's null rows emit only when BOTH sides' watermarks
+    // pass the purchase's match window, and each side's watermark
+    // advances only on its own event type — so the flushing sentinels
+    // must be a click AND a purchase (the shared streamed() helper's
+    // view-typed sentinels would advance neither).
+    def typedSentinel(id: Long, plusMin: Long, typ: String): SEvent =
+      SEvent(id, new Timestamp(base + (600 + plusMin) * 60 * 1000),
+        999L, typ, 0.25)
+    val in = MemoryStream[SEvent]
+    val q = EventStreams.attributionAudit(in.toDF())
+      .writeStream.format("memory").queryName("parity_audit")
+      .outputMode("append").start()
+    val got = try {
+      fixture.grouped(20).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+      in.addData(typedSentinel(1000, 600, "click"),
+        typedSentinel(1001, 600, "purchase"))
+      q.processAllAvailable()
+      in.addData(typedSentinel(1002, 605, "click"),
+        typedSentinel(1003, 605, "purchase"))
+      q.processAllAvailable()
+      spark.table("parity_audit").filter("user_id <> 999")
+        .selectExpr(cols: _*).collect().map(_.toSeq).toSet
+    } finally q.stop()
+    val want = EventStreams.attributionAudit(fixture.toDF())
+      .selectExpr(cols: _*).collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(want.exists(_(2) == null),
+      "fixture has no unattributed purchase — the outer path is untested")
+    assert(want.exists(_(2) != null),
+      "fixture has no attributed purchase — degenerate")
+  }
 }
