@@ -320,6 +320,73 @@ object Relational {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** q127: TPC-H Q22 shape (idle high-balance customers) — the
+    * anti-join + scalar-subquery composite: customers with NO order since
+    * the cutoff (left ANTI join against the date-filtered orders scan —
+    * the filter pushes down, so the anti side is the RECENT slice, not
+    * all orders) whose balance exceeds the global positive-balance
+    * average (a 1-row aggregate broadcast back — the named bounded
+    * crossJoin exception, same shape as q73/q90/q113), grouped by nation.
+    * The threshold is EXACT cross-engine: balances are 2-decimal by
+    * generator contract, so `round(bal*100)` is an exact bigint, the
+    * average is one division of exact integer sums, and the compare
+    * promotes identically in both engines. */
+  def q127IdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("bal_c2"))
+    val thr = c.filter(col("bal_c2") > 0).agg(avg(col("bal_c2")).as("thr_c2"))
+    val recent = T(s, dir, "orders")
+      .filter(col("o_orderdate") >= expr("timestamp'2001-01-01'"))
+      .select("o_custkey")
+    c.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(thr))
+      .filter(col("bal_c2") > col("thr_c2"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), sum(col("bal_c2")).as("sum_bal_c2"))
+      .orderBy("c_nationkey")
+  }
+
+  /** q128: TPC-H Q8 shape (market share) — per order-year, each supplier
+    * nation's share of the revenue paid by EUROPE-region customers. The
+    * share-of-total is computed on the AGGREGATED table (|years| ×
+    * |nations| rows), so the window that sums each year's total is
+    * partitioned (by year) and tiny — the full fact table never sees a
+    * window. Dims (region→nation, supplier+nation) broadcast; revenue in
+    * exact integer c4 units, so the share is one double division of
+    * exact integers, identical cross-engine, rounded to 4. */
+  def q128MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val eurCust = T(s, dir, "customer")
+      .join(broadcast(T(s, dir, "nation")
+        .join(broadcast(T(s, dir, "region")
+          .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supNation = T(s, dir, "supplier")
+      .join(broadcast(T(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val rev = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+      .join(eurCust, col("o_custkey") === col("c_custkey"))
+      .join(T(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supNation), col("s_suppkey") === col("l_suppkey"))
+      .groupBy("o_year", "supp_nation")
+      .agg(sum(revenueC4).as("rev_c4"))
+    val byYear = Window.partitionBy("o_year")
+    rev
+      .withColumn("year_total_c4", sum(col("rev_c4")).over(byYear))
+      .select(col("o_year"), col("supp_nation"), col("rev_c4"),
+        round(col("rev_c4") / col("year_total_c4"), 4).as("share"))
+      .orderBy("o_year", "supp_nation")
+  }
+
   // ---- aggregations ----------------------------------------------------
 
   /** q30: TPC-H Q1 shape — partial+final hash aggregate. */
@@ -709,6 +776,8 @@ object Relational {
     "q124_small_qty_revenue" -> q124SmallQtyRevenue _,
     "q125_big_order_customers" -> q125BigOrderCustomers _,
     "q126_order_count_distribution" -> q126OrderCountDistribution _,
+    "q127_idle_customers" -> q127IdleCustomers _,
+    "q128_market_share" -> q128MarketShare _,
     "q30_agg_q1" -> q30AggQ1 _,
     "q31_agg_distinct" -> q31AggDistinct _,
     "q32_agg_rollup" -> q32AggRollup _,
@@ -862,6 +931,35 @@ object Relational {
         |        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
         |      GROUP BY 1)
         |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q127_idle_customers" ->
+      """SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c2
+        |FROM customer c
+        |WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) >
+        |      (SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT))
+        |       FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q128_market_share" ->
+      """WITH rev AS (
+        |  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        |         n2.n_name AS supp_nation,
+        |         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |                  (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_c4
+        |  FROM orders o
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'EUROPE'
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT o_year, supp_nation, rev_c4,
+        |       round(CAST(rev_c4 AS DOUBLE) /
+        |             CAST(sum(rev_c4) OVER (PARTITION BY o_year) AS DOUBLE), 4) AS share
+        |FROM rev ORDER BY 1, 2""".stripMargin,
     "q30_agg_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 4) AS sum_qty,

@@ -192,4 +192,70 @@ class TpchShapeSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(got.toSet == Set((0L, 1L), (1L, 1L), (2L, 1L)))
   }
+
+  test("q127 matches a brute-force anti-join + threshold rollup") {
+    import spark.implicits._
+    val cut = java.sql.Timestamp.valueOf("2001-01-01 00:00:00")
+    val activeCust = spark.read.parquet(s"$Sf/orders.parquet")
+      .selectExpr("o_custkey", "o_orderdate")
+      .as[(Long, java.sql.Timestamp)].collect()
+      .filter(o => !o._2.before(cut)).map(_._1).toSet
+    val cust = spark.read.parquet(s"$Sf/customer.parquet")
+      .selectExpr("c_custkey", "c_nationkey", "c_acctbal")
+      .as[(Long, Int, Double)].collect().toSeq
+      .map(c => (c._1, c._2, cents(c._3)))
+    val pos = cust.map(_._3).filter(_ > 0)
+    val thr = pos.sum.toDouble / pos.size
+    val expected = cust
+      .filter(c => !activeCust(c._1) && c._3 > thr)
+      .groupBy(_._2).map { case (nk, cs) =>
+        (nk, cs.size.toLong, cs.map(_._3).sum)
+      }.toSeq.sortBy(_._1)
+
+    val got = Relational.q127IdleCustomers(spark, Sf)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._2).sum > 0, "no idle high-balance customers — vacuous")
+  }
+
+  test("q128 matches a brute-force per-year market-share matrix") {
+    import spark.implicits._
+    val nations = spark.read.parquet(s"$Sf/nation.parquet")
+      .selectExpr("n_nationkey", "n_name", "n_regionkey")
+      .as[(Int, String, Int)].collect().toSeq
+    val eurKey = spark.read.parquet(s"$Sf/region.parquet")
+      .selectExpr("r_regionkey", "r_name").as[(Int, String)].collect()
+      .find(_._2 == "EUROPE").get._1
+    val eurNations = nations.filter(_._3 == eurKey).map(_._1).toSet
+    val nationName = nations.map(n => n._1 -> n._2).toMap
+    val eurCust = spark.read.parquet(s"$Sf/customer.parquet")
+      .selectExpr("c_custkey", "c_nationkey").as[(Long, Int)].collect()
+      .filter(c => eurNations(c._2)).map(_._1).toSet
+    val orderYear = spark.read.parquet(s"$Sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey", "cast(year(o_orderdate) as int)")
+      .as[(Long, Long, Int)].collect()
+      .filter(o => eurCust(o._2)).map(o => o._1 -> o._3).toMap
+    val suppNation = spark.read.parquet(s"$Sf/supplier.parquet")
+      .selectExpr("s_suppkey", "s_nationkey").as[(Long, Int)].collect()
+      .map(s => s._1 -> nationName(s._2)).toMap
+    val revCells = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+      .flatMap { case (ok, sk, price, disc) =>
+        orderYear.get(ok).map(y =>
+          (y, suppNation(sk)) -> (cents(price) * (100L - cents(disc))))
+      }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val yearTotal = revCells.toSeq.groupMapReduce(_._1._1)(_._2)(_ + _)
+    val expected = revCells.toSeq.map { case ((y, n), r) =>
+      val share = math.rint(r.toDouble / yearTotal(y) * 10000) / 10000
+      (y, n, r, share)
+    }.sortBy(r => (r._1, r._2))
+
+    val got = Relational.q128MarketShare(spark, Sf)
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._1).distinct.size > 1 && got.map(_._2).distinct.size > 1,
+      "degenerate market-share matrix")
+  }
 }
