@@ -31,23 +31,27 @@ import java.nio.file.{Files, Paths}
   * re-measures. */
 object Bench {
 
-  /** Per-query mins from a previous round's bench JSON (the `"queries"`
-    * map — values are plain numbers, so the object body is brace-free
-    * and a non-greedy scan suffices; no JSON library in the classpath).
-    * Failed queries recorded as -1 are dropped — a prior failure is not
-    * a drift baseline. Malformed input → empty map (drift checking is
+  /** Per-query mins from a previous round's bench JSON. Rather than
+    * locating the `"queries"` map (which the round driver's wrapper
+    * artifact TRUNCATES into a `"tail"` string fragment, where a
+    * map-shaped scan finds nothing), scan the whole input for
+    * `"qNN_name": number` pairs — query ids are distinctive, so this
+    * reads both this program's own output and the driver's wrapper.
+    * A key seen twice (the `queries` and `queries_median` maps, or a
+    * fragment overlapping `parsed`) keeps the MINIMUM, which is the
+    * correct drift baseline (median ≥ min by construction). Failed
+    * queries recorded as -1 are dropped — a prior failure is not a
+    * drift baseline. Malformed input → empty map (drift checking is
     * best-effort; it must never fail a bench run). */
   def parsePrevMins(json: String): Map[String, Double] =
-    """"queries":\{([^}]*)\}""".r.findFirstMatchIn(json)
-      .map(_.group(1).split(",").toSeq.flatMap { kv =>
-        kv.split(":") match {
-          case Array(k, v) =>
-            scala.util.Try(
-              k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
-              .toOption.filter(_._2 > 0)
-          case _ => None
-        }
-      }.toMap).getOrElse(Map.empty)
+    // the \\? arms admit the wrapper's tail fragment, where the original
+    // line's quotes arrive backslash-escaped inside a JSON string value
+    """\\?"(q\d+[A-Za-z0-9_]*)\\?"\s*:\s*(-?\d+(?:\.\d+)?(?:[eE]-?\d+)?)""".r
+      .findAllMatchIn(json)
+      .toSeq
+      .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble)
+        .toOption.filter(_._2 > 0))
+      .groupMapReduce(_._1)(_._2)(math.min)
 
   /** The drift rule: recheck when both mins are real and the new one is
     * more than 2× the previous — the same factor as the within-run

@@ -116,6 +116,19 @@ object PlanAudit {
         "equivalent that also prunes the shuffle), the LEFT join keeping " +
         "zero-order customers, and TWO partial+final `HashAggregate` " +
         "pairs — per-customer counts, then the distribution."),
+    "q127_idle_customers" ->
+      ("**Look for:** the date cutoff as `PushedFilters` in the orders " +
+        "scan feeding a `BroadcastHashJoin LeftAnti` (the anti side is " +
+        "the filtered RECENT slice, not all orders), and the 1-row " +
+        "threshold aggregate coming back as a broadcast nested-loop over " +
+        "exactly one row — the named bounded exception shape " +
+        "(PlanShapeSpec lists q127), never a data-sized cartesian."),
+    "q129_weighted_sample" ->
+      ("**Look for:** the weights as a tiny `BroadcastHashJoin`, the " +
+        "ticket explode as a `Generate` bounded by max weight (≤3 rows " +
+        "per doc), partial+final `HashAggregate` for the per-doc min, " +
+        "and `TakeOrderedAndProject` for the bottom-200 — no global " +
+        "sort, no window, and every compared value an exact integer."),
     "q120_event_transitions" ->
       ("**Look for:** a `Window` partitioned on `user_id` (never a " +
         "single-task global window) under partial+final `HashAggregate` " +

@@ -989,6 +989,43 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Integer ticket weights per language for [[q129WeightedSample]] —
+    * upsample low-resource languages into the mix. */
+  private val ticketWeights: Seq[(String, Int)] =
+    Seq(("en", 1), ("fr", 2), ("es", 2), ("zh", 3), ("de", 3))
+
+  /** q129: weighted bottom-k sampling — draw a 200-doc training mix where
+    * a document's selection odds scale with its language's weight. The
+    * mechanism is REPLICATION bottom-k: a weight-w doc holds w hash
+    * tickets (md5 of `doc_id:k`, 48-bit integer), its key is the MINIMUM
+    * ticket, and the k smallest keys win — exactly the distribution of
+    * unit-ticket bottom-k over the weight-expanded corpus. Chosen over
+    * Efraimidis–Spirakis `u^(1/w)` keys DELIBERATELY: E-S needs pow/ln,
+    * whose last-ulp behavior differs across engines (the q113
+    * rational-idf discipline) — here every compared value is an exact
+    * integer, so selection is bit-stable across engines, reruns, and
+    * machines (the q89 membership contract).
+    *
+    * Scale: the ticket explode is bounded by max weight (3×), the
+    * per-doc min is a partial+final aggregate, and the global bottom-200
+    * plans as `TakeOrderedAndProject` — no global sort, no window. */
+  def q129WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weights = broadcast(ticketWeights.toDF("lang", "w"))
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .join(weights, Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr("sequence(1, w)")).as("k"))
+      .select(col("doc_id"), col("lang"), expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':', " +
+          "cast(k as string))), 1, 12), 16, 10) as bigint)").as("ticket"))
+      .groupBy("doc_id", "lang")
+      .agg(min(col("ticket")).as("min_ticket"))
+      .orderBy(col("min_ticket"), col("doc_id"))
+      .limit(200)
+  }
+
   /** q90: TF-IDF top terms per document (doc_id < 20): term frequency
     * agg, document-frequency agg, idf = ln(N/df), top-3 per doc. The
     * document-frequency table is vocabulary-sized → broadcast here; at
@@ -1162,6 +1199,7 @@ object TrainingData {
     "q109_simhash_clusters" -> q109SimhashClusters _,
     "q112_chunk_split" -> q112ChunkSplit _,
     "q113_bm25_rank" -> q113Bm25Rank _,
+    "q129_weighted_sample" -> q129WeightedSample _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1382,6 +1420,19 @@ object TrainingData {
         |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
         |WHERE ${md5Hash16Sql("d.doc_id")} % 100 < r.rate
         |ORDER BY d.doc_id""".stripMargin
+    },
+    "q129_weighted_sample" -> {
+      val wCase = ticketWeights
+        .map { case (l, w) => s"WHEN '$l' THEN $w" }.mkString(" ")
+      s"""WITH w AS (SELECT lang, CASE lang $wCase END AS w
+        |           FROM (SELECT DISTINCT lang FROM documents)
+        |           WHERE CASE lang $wCase END IS NOT NULL),
+        |t AS (SELECT d.doc_id, d.lang,
+        |             ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || k.k::VARCHAR), 1, 12))::BIGINT AS ticket
+        |      FROM documents d JOIN w ON d.lang = w.lang,
+        |           LATERAL (SELECT unnest(generate_series(1, w.w)) AS k) k)
+        |SELECT doc_id, lang, min(ticket) AS min_ticket
+        |FROM t GROUP BY 1, 2 ORDER BY min_ticket, doc_id LIMIT 200""".stripMargin
     },
     "q90_tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -7,10 +7,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * tolerated — drift checking must never fail a bench run), and the
   * recheck rule fires exactly when both mins are real and the new one
   * exceeds 2× the previous — the uniform-window slowness that the
-  * within-run max/min ratio cannot catch (r6's q99). The end-to-end
-  * recheck path (re-run once, keep the better min, record all three
-  * numbers) lives in Bench.main and is exercised by the driver's round
-  * bench with SPARK_GRAFT_PREV set. */
+  * within-run max/min ratio cannot catch (r6's q99). The parser scans for
+  * `"qNN_name": number` pairs rather than locating the `queries` map,
+  * because the round driver's wrapper artifact (`BENCH_r{N}.json`)
+  * TRUNCATES that map into a `"tail"` string fragment — the per-query
+  * numbers survive, the braces don't. The end-to-end recheck path
+  * (re-run once, keep the better min, record all three numbers) lives in
+  * Bench.main and is exercised by the driver's round bench with
+  * SPARK_GRAFT_PREV set. */
 class BenchDriftSpec extends AnyFunSuite {
 
   private val prevLine =
@@ -26,11 +30,25 @@ class BenchDriftSpec extends AnyFunSuite {
       "q99_embed_quantize" -> 1.83))
   }
 
-  test("parsePrevMins takes the FIRST brace object after the queries key " +
-    "(queries_median must not shadow it)") {
+  test("parsePrevMins keeps the MINIMUM when a query id appears in both " +
+    "the queries and queries_median maps (median ≥ min by construction)") {
     val mins = Bench.parsePrevMins(prevLine)
     assert(mins.get("q01_scan_project").contains(0.25),
-      "0.31 would mean queries_median was parsed instead")
+      "0.31 would mean the median shadowed the min")
+  }
+
+  test("parsePrevMins reads the round driver's wrapper artifact, whose " +
+    "tail fragment truncates the queries map mid-object") {
+    val wrapper =
+      """{"n":6,"rc":0,"cpus":32,"sf":0.1,""" +
+        """"tail":"h\":2.878,\"q73_sim_cosine_topk\":2.517,""" +
+        """\"q74_text_wordcount\":0.310642,\"q75_udf_scalar\":-1.0",""" +
+        """"parsed":{"metric":"total","value":75.89,"n_queries":99}}"""
+    val mins = Bench.parsePrevMins(wrapper)
+    assert(mins == Map("q73_sim_cosine_topk" -> 2.517,
+      "q74_text_wordcount" -> 0.310642),
+      s"got $mins — escaped-quote keys in the tail fragment must parse, " +
+        "failures must drop")
   }
 
   test("parsePrevMins is total on malformed input") {
@@ -38,6 +56,7 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(Bench.parsePrevMins("not json at all").isEmpty)
     assert(Bench.parsePrevMins("""{"queries":{}}""").isEmpty)
     assert(Bench.parsePrevMins("""{"queries":{"q":"oops"}}""").isEmpty)
+    assert(Bench.parsePrevMins("""{"queries":{"q12_x":"oops"}}""").isEmpty)
   }
 
   test("needsRecheck fires only above 2x a real previous min") {

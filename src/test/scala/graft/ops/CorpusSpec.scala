@@ -112,4 +112,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(expected.valuesIterator.exists(v => v._2 > 0 && v._1 > v._2),
       "no PARTIAL excision — reconstruction path untested")
   }
+
+  test("q129 matches a brute-force ticket minimum and upsamples weight-3 langs") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val weights = Map("en" -> 1, "fr" -> 2, "es" -> 2, "zh" -> 3, "de" -> 3)
+    val langs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "lang").as[(Long, String)].collect().toSeq
+    val expected = langs.map { case (id, lang) =>
+      val key = (1 to weights(lang)).map(k =>
+        java.lang.Long.parseLong(md5hex(s"$id:$k").take(12), 16)).min
+      (id, lang, key)
+    }.sortBy(r => (r._3, r._1)).take(200)
+
+    val got = graft.ops.TrainingData.q129WeightedSample(spark, Sf)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == expected)
+    // the weighting must actually bite: weight-3 languages are selected
+    // at a visibly higher rate than the weight-1 majority language
+    val baseRate = langs.groupMapReduce(_._2)(_ => 1.0)(_ + _)
+    val selRate = got.groupMapReduce(_._2)(_ => 1.0)(_ + _)
+    def rate(l: String) = selRate.getOrElse(l, 0.0) / baseRate(l)
+    assert(rate("zh") > rate("en") && rate("de") > rate("en"),
+      s"weighting signal absent: zh=${rate("zh")} de=${rate("de")} en=${rate("en")}")
+  }
 }
