@@ -129,6 +129,14 @@ object PlanAudit {
         "per doc), partial+final `HashAggregate` for the per-doc min, " +
         "and `TakeOrderedAndProject` for the bottom-200 — no global " +
         "sort, no window, and every compared value an exact integer."),
+    "q130_mix_pipeline" ->
+      ("**Look for:** q123's excision shape feeding the sampler — " +
+        "digest/position-only exchanges below the broadcast join-back " +
+        "onto intact docs — then the weighted sample collapsing through " +
+        "partial+final `HashAggregate` (per-doc min ticket) into " +
+        "`TakeOrderedAndProject` (bottom-400), after which every " +
+        "operator touches 400 rows. One corpus-sized text movement in " +
+        "the whole composed pipeline."),
     "q120_event_transitions" ->
       ("**Look for:** a `Window` partitioned on `user_id` (never a " +
         "single-task global window) under partial+final `HashAggregate` " +

@@ -110,10 +110,21 @@ object Corpus {
     * excision itself is an indexed-lambda `filter` over the already-built
     * segment array. The only text that ever moves is the final digest —
     * the presentation sort carries 4 narrow columns. */
-  def q123SegmentDedup(s: SparkSession, dir: String): DataFrame = {
+  def q123SegmentDedup(s: SparkSession, dir: String): DataFrame =
+    cleanedDocs(s, dir)
+      .select(col("doc_id"), col("n_seg"),
+        size(col("kept")).as("n_kept"),
+        md5(concat_ws(" ", col("kept"))).as("clean_md5"))
+      .orderBy("doc_id")
+
+  /** The excision stage shared by q123 (digest profile) and q130 (the
+    * composed mix pipeline): per doc, (lang, n_seg, kept = the ordered
+    * array of segments surviving corpus-wide dedup). See
+    * [[q123SegmentDedup]] for the scale shape. */
+  private def cleanedDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"), expr(
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), col("lang"), expr(
         "transform(sequence(0, cast(ceil(size(words) / 10.0) as int) - 1), " +
           "i -> concat_ws(' ', slice(words, i * 10 + 1, 10)))").as("segs"))
     val ks = docs.select(col("doc_id"),
@@ -126,19 +137,54 @@ object Corpus {
       .groupBy("doc_id")
       .agg(collect_list(col("seg_id")).as("drop_ids"))
     docs.join(dropPos, Seq("doc_id"), "left")
-      .select(col("doc_id"), size(col("segs")).as("n_seg"), expr(
+      .select(col("doc_id"), col("lang"), size(col("segs")).as("n_seg"), expr(
         "filter(segs, (x, i) -> drop_ids IS NULL OR NOT array_contains(drop_ids, i))")
         .as("kept"))
-      .select(col("doc_id"), col("n_seg"),
-        size(col("kept")).as("n_kept"),
-        md5(concat_ws(" ", col("kept"))).as("clean_md5"))
-      .orderBy("doc_id")
+  }
+
+  /** q130: the composed training-mix pipeline — the training-data-side
+    * counterpart to q105's curation flagship, built ONLY from stages the
+    * library already ships: q123's corpus-wide segment excision (docs
+    * that lose every segment drop out), q129's exact-integer weighted
+    * bottom-k sampling over the CLEANED docs (same language weights,
+    * same 48-bit ticket contract — a doc's tickets depend only on
+    * doc_id, so sampling composes with any upstream rewrite), q89's
+    * deterministic md5 split, and a per-(lang, split) rollup of docs and
+    * cleaned characters. Every stage is exact-integer/digest arithmetic:
+    * the one corpus-sized text movement is the excision's own broadcast
+    * join-back, after which only (doc_id, lang, clean_chars) narrows
+    * through the sample and rollup. Bottom-400 plans as
+    * `TakeOrderedAndProject`; everything after it is 400 rows. */
+  def q130MixPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cleaned = cleanedDocs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        length(concat_ws(" ", col("kept"))).as("clean_chars"),
+        size(col("kept")).as("n_kept"))
+      .filter(col("n_kept") > 0)
+    val weights = broadcast(TrainingData.ticketWeights.toDF("lang", "w"))
+    val sampled = cleaned.join(weights, Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("clean_chars"),
+        explode(expr("sequence(1, w)")).as("k"))
+      .select(col("doc_id"), col("lang"), col("clean_chars"),
+        TrainingData.ticketExpr("k").as("ticket"))
+      .groupBy("doc_id", "lang", "clean_chars")
+      .agg(min(col("ticket")).as("min_ticket"))
+      .orderBy(col("min_ticket"), col("doc_id"))
+      .limit(400)
+    sampled
+      .select(col("lang"), col("clean_chars"),
+        TrainingData.md5Split(TrainingData.md5Bucket100).as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("clean_chars")).as("sum_chars"))
+      .orderBy("lang", "split")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_substring_dedup" -> q117SubstringDedup _,
     "q118_source_overlap" -> q118SourceOverlap _,
     "q123_segment_dedup" -> q123SegmentDedup _,
+    "q130_mix_pipeline" -> q130MixPipeline _,
   )
 
   /** The shared window CTE, verbatim in both oracles (DuckDB's
@@ -196,5 +242,54 @@ object Corpus {
         |                  string_agg(seg, ' ' ORDER BY seg_id) AS clean
         |           FROM kept GROUP BY 1) k USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q130_mix_pipeline" -> {
+      val wCase = TrainingData.ticketWeights
+        .map { case (l, w) => s"WHEN '$l' THEN $w" }.mkString(" ")
+      val bucket = "(('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100)"
+      s"""WITH words AS (
+        |  SELECT doc_id, t.w, t.i
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+        |                       generate_subscripts(string_split(text, ' '), 1) AS i) t
+        |),
+        |seg AS (
+        |  SELECT doc_id, (i - 1) // 10 AS seg_id,
+        |         string_agg(w, ' ' ORDER BY i) AS seg
+        |  FROM words GROUP BY 1, 2
+        |),
+        |dup AS (
+        |  SELECT md5(seg) AS k FROM seg GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+        |),
+        |kept AS (
+        |  SELECT s.doc_id, s.seg_id, s.seg
+        |  FROM seg s LEFT JOIN dup d ON md5(s.seg) = d.k
+        |  WHERE d.k IS NULL
+        |),
+        |clean AS (
+        |  SELECT s.doc_id, d.lang,
+        |         length(string_agg(s.seg, ' ' ORDER BY s.seg_id)) AS clean_chars
+        |  FROM kept s JOIN documents d USING (doc_id)
+        |  GROUP BY 1, 2
+        |),
+        |w AS (SELECT lang, CASE lang $wCase END AS w
+        |      FROM (SELECT DISTINCT lang FROM documents)
+        |      WHERE CASE lang $wCase END IS NOT NULL),
+        |tick AS (
+        |  SELECT c.doc_id, c.lang, c.clean_chars,
+        |         min(('0x' || substr(md5(c.doc_id::VARCHAR || ':' || k.k::VARCHAR), 1, 12))::BIGINT) AS min_ticket
+        |  FROM clean c JOIN w ON c.lang = w.lang,
+        |       LATERAL (SELECT unnest(generate_series(1, w.w)) AS k) k
+        |  GROUP BY 1, 2, 3
+        |),
+        |samp AS (SELECT * FROM tick ORDER BY min_ticket, doc_id LIMIT 400),
+        |sp AS (SELECT lang, clean_chars,
+        |              CASE WHEN $bucket < 80 THEN 'train'
+        |                   WHEN $bucket < 90 THEN 'val'
+        |                   ELSE 'test' END AS split
+        |       FROM samp)
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(clean_chars) AS BIGINT) AS sum_chars
+        |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
   )
 }

@@ -990,9 +990,18 @@ object TrainingData {
   }
 
   /** Integer ticket weights per language for [[q129WeightedSample]] —
-    * upsample low-resource languages into the mix. */
-  private val ticketWeights: Seq[(String, Int)] =
+    * upsample low-resource languages into the mix. Shared with q130's
+    * composed pipeline (Corpus.scala), which must sample by the SAME
+    * contract. */
+  private[ops] val ticketWeights: Seq[(String, Int)] =
     Seq(("en", 1), ("fr", 2), ("es", 2), ("zh", 3), ("de", 3))
+
+  /** The 48-bit integer ticket of [[q129WeightedSample]]: md5 of
+    * `doc_id:k` → first 12 hex chars → bigint. Exact-integer by design
+    * (see q129's scaladoc); `kName` names the ticket-index column. */
+  private[ops] def ticketExpr(kName: String): Column = expr(
+    "cast(conv(substring(md5(concat(cast(doc_id as string), ':', " +
+      s"cast($kName as string))), 1, 12), 16, 10) as bigint)")
 
   /** q129: weighted bottom-k sampling — draw a 200-doc training mix where
     * a document's selection odds scale with its language's weight. The
@@ -1017,9 +1026,7 @@ object TrainingData {
       .join(weights, Seq("lang"))
       .select(col("doc_id"), col("lang"),
         explode(expr("sequence(1, w)")).as("k"))
-      .select(col("doc_id"), col("lang"), expr(
-        "cast(conv(substring(md5(concat(cast(doc_id as string), ':', " +
-          "cast(k as string))), 1, 12), 16, 10) as bigint)").as("ticket"))
+      .select(col("doc_id"), col("lang"), ticketExpr("k").as("ticket"))
       .groupBy("doc_id", "lang")
       .agg(min(col("ticket")).as("min_ticket"))
       .orderBy(col("min_ticket"), col("doc_id"))

@@ -138,4 +138,46 @@ class CorpusSpec extends AnyFunSuite {
     assert(rate("zh") > rate("en") && rate("de") > rate("en"),
       s"weighting signal absent: zh=${rate("zh")} de=${rate("de")} en=${rate("en")}")
   }
+
+  test("q130 matches a brute-force excise→sample→split→rollup chain") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val weights = Map("en" -> 1, "fr" -> 2, "es" -> 2, "zh" -> 3, "de" -> 3)
+    val langOf = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    // stage 1: raw-string segment excision (as the q123 brute force)
+    val segsByDoc = docs.map { case (id, _, t) =>
+      id -> t.split(" ", -1).grouped(10).map(_.mkString(" ")).toVector
+    }
+    val docsPerSeg = segsByDoc
+      .flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupMap(_._1)(_._2).map { case (s, ids) => s -> ids.toSet }
+    val cleaned = segsByDoc.flatMap { case (id, ss) =>
+      val kept = ss.filter(s => docsPerSeg(s).size <= 1)
+      if (kept.isEmpty) None
+      else Some((id, langOf(id), kept.mkString(" ").length.toLong))
+    }
+    // stage 2: weighted bottom-400 by min ticket
+    val sampled = cleaned.map { case (id, lang, chars) =>
+      val key = (1 to weights(lang)).map(k =>
+        java.lang.Long.parseLong(md5hex(s"$id:$k").take(12), 16)).min
+      (id, lang, chars, key)
+    }.sortBy(r => (r._4, r._1)).take(400)
+    // stages 3+4: md5 split, per-(lang, split) rollup
+    val expected = sampled.map { case (id, lang, chars, _) =>
+      val b = Integer.parseInt(md5hex(id.toString).take(4), 16) % 100
+      val split = if (b < 80) "train" else if (b < 90) "val" else "test"
+      ((lang, split), (1L, chars))
+    }.groupMapReduce(_._1)(_._2)((a, b) => (a._1 + b._1, a._2 + b._2))
+      .toSeq.map { case ((l, s), (n, c)) => (l, s, n, c) }
+      .sortBy(r => (r._1, r._2))
+
+    val got = Corpus.q130MixPipeline(spark, Sf)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._1).distinct.size == 5 && got.map(_._3).sum == 400,
+      "sample did not fill 400 docs across all languages")
+  }
 }
