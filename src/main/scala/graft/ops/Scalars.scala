@@ -81,6 +81,25 @@ object Scalars {
           lit("k")).as("k_map"))
       .orderBy("event_id")
 
+  /** q131: Spark-4 `VariantType` JSON — `parse_json` decodes the string
+    * ONCE into the variant binary encoding, and every extraction
+    * (`variant_get` with a type argument, `try_variant_get` for paths
+    * that may not exist) walks the pre-parsed tree. q64 is the classic
+    * surface (each `get_json_object`/`from_json` re-parses the string);
+    * at 100 TB a wide-props event table pays the parse cost once per row
+    * here instead of once per extracted field — the reason Variant
+    * exists. A missing path under `try_variant_get` is null, never an
+    * error (the q05 tolerant-cast discipline). */
+  def q131VariantExtract(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(col("event_id"), expr("parse_json(props)").as("v"))
+      .select(
+        col("event_id"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k_long"),
+        expr("variant_get(v, '$.k', 'string')").as("k_str"),
+        expr("try_variant_get(v, '$.missing', 'bigint')").as("k_missing"))
+      .orderBy("event_id")
+
   /** q66: regex group extraction — the structured-field-from-text
     * surface (q84 counts matches, q91 replaces; this EXTRACTS). Both
     * engines return '' for a no-match, and the patterns stay inside the
@@ -106,6 +125,7 @@ object Scalars {
     "q63_array_funcs" -> q63ArrayFuncs _,
     "q64_json_funcs" -> q64JsonFuncs _,
     "q66_regex_extract" -> q66RegexExtract _,
+    "q131_variant_extract" -> q131VariantExtract _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -152,5 +172,11 @@ object Scalars {
         |       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
         |       regexp_extract(p_type, '([0-9]+)', 1) AS type_digits
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q131_variant_extract" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       CAST(NULL AS BIGINT) AS k_missing
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 }
