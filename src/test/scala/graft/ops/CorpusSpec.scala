@@ -180,4 +180,50 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.size == 5 && got.map(_._3).sum == 400,
       "sample did not fill 400 docs across all languages")
   }
+
+  test("q123 excision semantics on adversarial docs: empty text, " +
+    "multi-space tokens, partial segments, intra-doc dups kept") {
+    import spark.implicits._
+    val w10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val x10 = (1 to 10).map(i => s"x$i").mkString(" ")
+    val fixture = Seq(
+      (1L, ""),                            // empty → 1 empty segment
+      (2L, ""),                            // ...shared with doc 1 → both excised
+      (3L, w10),                           // exactly 10 unique words
+      (4L, s"$w10 tail"),                  // 11 words → partial second segment
+      (5L, s"$w10 other tail words here"), // shares doc 3/4's aligned segment
+      (6L, "a  b"),                        // double space → empty middle token
+      (7L, "solo trailing "),              // trailing space → empty last token
+      (8L, s"$x10 $x10"))                  // INTRA-doc dup only → both kept
+    val dir = java.nio.file.Files.createTempDirectory("graft-q123").toString
+    fixture.map { case (id, t) => (id, "en", t) }
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val segsByDoc = fixture.map { case (id, t) =>
+      id -> t.split(" ", -1).grouped(10).map(_.mkString(" ")).toVector
+    }
+    val docsPerSeg = segsByDoc
+      .flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupMap(_._1)(_._2).map { case (s, ids) => s -> ids.toSet }
+    val expected = segsByDoc.map { case (id, ss) =>
+      val kept = ss.filter(s => docsPerSeg(s).size <= 1)
+      id -> ((ss.size.toLong, kept.size.toLong, md5hex(kept.mkString(" "))))
+    }.toMap
+
+    val got = Corpus.q123SegmentDedup(spark, dir)
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (id, n, k, h) => id -> ((n, k, h)) }.toMap
+    assert(got == expected)
+    // pin the semantics the fixture was built to exercise
+    assert(got(1L)._2 == 0L && got(2L)._2 == 0L,
+      "shared empty segment must excise both empty docs")
+    assert(got(8L) == ((2L, 2L, md5hex(s"$x10 $x10"))),
+      "an INTRA-doc duplicate segment must be kept (countDistinct(doc)=1)")
+    assert(got(3L)._2 == 0L && got(4L)._1 == 2L && got(4L)._2 == 1L,
+      "doc 3's only segment and doc 4's first segment are cross-doc dups")
+  }
 }
