@@ -142,9 +142,37 @@ object NorthStar {
       .orderBy("from_type", "to_type")
   }
 
+  /** q132: OHLC resampling — the time-series downsample (telemetry /
+    * market-data shape): per (event_type, epoch-day), first value, max,
+    * min, last value, and count. `min_by`/`max_by` pick the endpoints in
+    * ONE aggregate pass — no window, no sort, no self-join back to the
+    * extremal row (the classic formulations all shuffle more). Ties are
+    * impossible by construction: the ordinal is the fixed-width
+    * zero-padded (µs, event_id) string, unique per event and
+    * lexicographically = numerically ordered, so `min_by`'s
+    * tie-arbitrariness (and the cross-engine divergence it would cause)
+    * never arises. Partial+final aggregation applies as with any
+    * hash agg — at 100 TB this is one shuffle of (type, day) cells. */
+  def q132EventOhlc(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events")
+      .select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        col("value"),
+        concat(lpad(expr("cast(ts div 1000 as string)"), 20, "0"),
+          lpad(col("event_id").cast("string"), 10, "0")).as("ord"))
+    e.groupBy("event_type", "day")
+      .agg(round(min_by(col("value"), col("ord")), 4).as("open"),
+        round(max(col("value")), 4).as("high"),
+        round(min(col("value")), 4).as("low"),
+        round(max_by(col("value"), col("ord")), 4).as("close"),
+        count(lit(1)).as("volume"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_dedup_exact" -> q70DedupExact _,
     "q120_event_transitions" -> q120EventTransitions _,
+    "q132_event_ohlc" -> q132EventOhlc _,
     "q71_dedup_keyed" -> q71DedupKeyed _,
     "q73_sim_cosine_topk" -> q73SimCosineTopk _,
     "q74_text_wordcount" -> q74TextWordcount _,
@@ -157,6 +185,19 @@ object NorthStar {
   val oracle: Map[String, String] = Map(
     "q70_dedup_exact" ->
       "SELECT count(DISTINCT sha256(text)) AS n_distinct_text FROM documents",
+    "q132_event_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, value,
+        |         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+        |         lpad(CAST(event_id AS VARCHAR), 10, '0') AS ord
+        |  FROM events)
+        |SELECT event_type, day,
+        |       round(arg_min(value, ord), 4) AS open,
+        |       round(max(value), 4) AS high,
+        |       round(min(value), 4) AS low,
+        |       round(arg_max(value, ord), 4) AS close,
+        |       CAST(count(*) AS BIGINT) AS volume
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q120_event_transitions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events),
         |n AS (SELECT event_type AS from_type,
