@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Corpus, Curation, Multimodal, NorthStar, ParseRoute, Relational, Scalars, SketchRollup, TrainingData}
+import graft.ops.{Corpus, Curation, Multimodal, NorthStar, ParseRoute, Relational, Scalars, SketchRollup, TpchShapes, TrainingData}
 import graft.sink.{BucketQueries, Layout, PartitionedQueries, ZOrderQueries}
 import graft.sources.rfc.RfcQueries
 
@@ -26,7 +26,7 @@ object SparkEntry {
     Curation.q105CurationPipeline(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ ParseRoute.queries ++ Scalars.queries ++
+    Relational.queries ++ TpchShapes.queries ++ ParseRoute.queries ++ Scalars.queries ++
       NorthStar.queries ++ TrainingData.queries ++ Curation.queries ++
       Corpus.queries ++
       Layout.queries ++ ZOrderQueries.queries ++ BucketQueries.queries ++
@@ -34,7 +34,7 @@ object SparkEntry {
       Multimodal.queries ++ RfcQueries.queries ++ SketchRollup.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ ParseRoute.oracle ++ Scalars.oracle ++
+    Relational.oracle ++ TpchShapes.oracle ++ ParseRoute.oracle ++ Scalars.oracle ++
       NorthStar.oracle ++ TrainingData.oracle ++ Curation.oracle ++
       Corpus.oracle ++
       ZOrderQueries.oracle ++ BucketQueries.oracle ++

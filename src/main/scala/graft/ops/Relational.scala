@@ -186,7 +186,7 @@ object Relational {
     * engines agree on bit-for-bit, and the revenue SUM is integer
     * arithmetic — immune to the float-summation-order divergence a
     * `sum(price * (1 - discount))` double would hit cross-engine. */
-  private val revenueC4 =
+  private[ops] val revenueC4 =
     expr("cast(round(l_extendedprice * 100) as bigint) * " +
       "(100 - cast(round(l_discount * 100) as bigint))")
 

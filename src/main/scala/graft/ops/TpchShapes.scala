@@ -1,0 +1,410 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The remaining TPC-H query shapes expressible on the slimmed testdata
+  * schema (SURVEY.md §2.3 q134–q142), completing the suite started by
+  * q30/q121/q122/q124–q128. Four shapes are faithful (Q6/Q7/Q10/Q14/Q15);
+  * the ones whose canonical predicates need absent columns
+  * (l_commitdate/l_receiptdate/l_shipmode/p_container, partsupp) are
+  * shape-preserving adaptations: the join/subquery/aggregate STRUCTURE —
+  * the thing the optimizer has to get right — is the original's, with the
+  * missing column's predicate replaced by an equivalent one on present
+  * columns (late = shipped >90 days after order date, delay classes for
+  * ship modes, brand/size DNF for brand/container).
+  *
+  * Shared disciplines (same as [[Relational]]):
+  *  - money is exact integer arithmetic: 2-decimal prices/discounts by
+  *    generator contract → `round(x*100)` bigint cents, sums exact and
+  *    order-independent cross-engine ([[Relational.revenueC4]]);
+  *  - every multi-row output ends in an ORDER BY making row order unique;
+  *  - constant dims (nation/region/supplier at these SFs) broadcast
+  *    explicitly, fact-fact joins stay shuffle equi-joins for AQE;
+  *  - correlated EXISTS/NOT-EXISTS re-express as left-semi/left-anti
+  *    joins (never a per-row re-executed subquery).
+  */
+object TpchShapes {
+
+  import Relational.revenueC4
+
+  /** q134: TPC-H Q4 shape (order priority checking) — EXISTS as a
+    * left-semi join with a non-equi residual: orders in a 3-month window
+    * having at least one lineitem shipped >90 days after the order date
+    * (the late-commit predicate adapted to the present columns), counted
+    * per priority. The semi join hashes on the orderkey equi-condition
+    * and evaluates the date residual inside the join — no distinct, no
+    * double-counting risk, and the 3-month filter pushes into the orders
+    * scan before the shuffle. */
+  def q134OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+      .filter(col("o_orderdate") >= expr("timestamp'1996-07-01'") &&
+        col("o_orderdate") < expr("timestamp'1996-10-01'"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = T(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("interval 90 days"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q135: TPC-H Q6 shape (forecast revenue change) — the pure
+    * scan-filter-aggregate: one year of shipments in a discount band
+    * under a quantity cap, summed to a single row. Every predicate is a
+    * plain column compare, so all three reach the parquet scan as
+    * `PushedFilters` (row groups outside the shipdate year never
+    * decompress); the aggregate is the degenerate partial+final with a
+    * 1-row exchange. Revenue here is price×discount (what WOULD have
+    * been earned), exact in c4 integer units. */
+  def q135RevenueForecast(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= expr("timestamp'1997-01-01'") &&
+        col("l_shipdate") < expr("timestamp'1998-01-01'") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint) * " +
+        "cast(round(l_discount * 100) as bigint)")).as("revenue_c4"),
+        count(lit(1)).as("n_items"))
+
+  /** q136: TPC-H Q7 shape (volume shipping) — the bidirectional
+    * nation-pair join: revenue flowing between NATION_1 and NATION_2 in
+    * either direction, by supplier nation × customer nation × ship year.
+    * Both nation lookups broadcast (25 rows, constant at any SF); the
+    * direction predicate is a symmetric OR over the two broadcast-joined
+    * name columns, evaluated after the equi-joins so every join stays a
+    * hash/sort-merge equi-join. The year() projection happens before the
+    * aggregate, so the shuffle carries (nation, nation, year) cells. */
+  def q136NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val names = Seq("NATION_1", "NATION_2")
+    val n = T(s, dir, "nation").filter(col("n_name").isin(names: _*))
+    val sup = T(s, dir, "supplier")
+      .join(broadcast(n.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    val cust = T(s, dir, "customer")
+      .join(broadcast(n.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+      .select("c_custkey", "cust_nation")
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= expr("timestamp'1996-01-01'") &&
+        col("l_shipdate") < expr("timestamp'1998-01-01'"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" &&
+          col("cust_nation") === "NATION_1"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(revenueC4).as("revenue_c4"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** q137: TPC-H Q10 shape (returned item reporting) — quarter of
+    * orders × returned lineitems (`l_returnflag = 'R'`), revenue per
+    * customer, top 20: both selective filters push into their scans
+    * BEFORE the fact-fact join, nation broadcasts onto the aggregated
+    * row (not the fact stream), and the top-20 plans as
+    * `TakeOrderedAndProject` with the custkey tiebreak making the cut
+    * deterministic (exact integer revenue — no float-ordering ties). */
+  def q137ReturnedTopCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+      .filter(col("o_orderdate") >= expr("timestamp'1996-10-01'") &&
+        col("o_orderdate") < expr("timestamp'1997-01-01'"))
+      .select("o_orderkey", "o_custkey")
+    val l = T(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val c = T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("acctbal_c2"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, dir, "nation").select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name", "acctbal_c2")
+      .agg(sum(revenueC4).as("revenue_c4"))
+      .orderBy(col("revenue_c4").desc, col("c_custkey"))
+      .limit(20)
+      .select("c_custkey", "c_name", "revenue_c4", "acctbal_c2", "n_name")
+  }
+
+  /** q138: TPC-H Q12 shape (shipping delay vs priority) — the
+    * CASE-sum-over-join: l_shipmode classes adapted (column absent) to
+    * shipping-delay classes on present columns, counting critical
+    * (1-URGENT/2-HIGH) vs other orders per class. The conditional counts
+    * are `sum(CASE …)` inside ONE aggregate pass — never one scan per
+    * class — and the year filter pushes into the lineitem scan side of
+    * the join. All-integer output. */
+  def q138DelayClass(s: SparkSession, dir: String): DataFrame = {
+    val l = T(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= expr("timestamp'1997-01-01'") &&
+        col("l_shipdate") < expr("timestamp'1998-01-01'"))
+      .select("l_orderkey", "l_shipdate")
+    val o = T(s, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_d", datediff(col("l_shipdate"), col("o_orderdate")))
+      .withColumn("delay_class",
+        when(col("delay_d") <= 30, "on_time")
+          .when(col("delay_d") <= 90, "late")
+          .otherwise("very_late"))
+      .groupBy("delay_class")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("delay_class")
+  }
+
+  /** q139: TPC-H Q14 shape (promotion effect) — the
+    * conditional-share aggregate: PROMO-typed parts' fraction of one
+    * month's revenue. Both the conditional numerator and the total come
+    * out of the SAME single aggregate pass (`sum(CASE)` + `sum`), the
+    * part join is a plain equi-join AQE may broadcast, and the share is
+    * one double division of exact c4 integers rounded to 4 — identical
+    * cross-engine. */
+  def q139PromoShare(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= expr("timestamp'1997-09-01'") &&
+        col("l_shipdate") < expr("timestamp'1997-10-01'"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(T(s, dir, "part").select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revenueC4).otherwise(0L))
+          .as("promo_c4"),
+        sum(revenueC4).as("total_c4"))
+      .select(col("promo_c4"), col("total_c4"),
+        round(lit(100.0) * col("promo_c4") / col("total_c4"), 4)
+          .as("promo_share_pct"))
+
+  /** q140: TPC-H Q15 shape (top supplier) — max-equality over an
+    * aggregate: per-supplier quarterly revenue, keep the supplier(s)
+    * hitting the global max. The max is a 1-row aggregate of the ALREADY
+    * aggregated (|suppliers|-row) table broadcast back — the named
+    * bounded crossJoin exception (q127's shape), never a global window
+    * over the fact table. Equality on exact c4 integers makes the
+    * all-ties semantics deterministic cross-engine (the double-revenue
+    * formulation could disagree on the last ulp and drop a tie). */
+  def q140TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = T(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= expr("timestamp'1997-01-01'") &&
+        col("l_shipdate") < expr("timestamp'1997-04-01'"))
+      .groupBy("l_suppkey")
+      .agg(sum(revenueC4).as("total_rev_c4"))
+    val mx = rev.agg(max(col("total_rev_c4")).as("max_rev_c4"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev_c4") === col("max_rev_c4"))
+      .join(broadcast(T(s, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_rev_c4")
+      .orderBy("s_suppkey")
+  }
+
+  /** q141: TPC-H Q19 shape (discounted revenue, DNF predicate) — the
+    * OR-of-ANDs join filter (brand/container/quantity adapted to
+    * brand/size/quantity): three conjunct groups mixing part-side and
+    * lineitem-side columns. Catalyst's convertible-filter extraction
+    * derives each side's DNF hull — the part-only
+    * `(brand∧size)∨(brand∧size)∨(brand∧size)` pushes into the part scan,
+    * the quantity hull into lineitem — so the join sees pre-filtered
+    * inputs and only the residual cross-side DNF evaluates post-join
+    * (TpchMoreSpec pins the part-side pushdown). */
+  def q141BrandSizeRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = T(s, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val p = T(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(16, 30) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(31, 50) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(revenueC4).as("revenue_c4"), count(lit(1)).as("n_items"))
+  }
+
+  /** q142: TPC-H Q21 shape (suppliers who kept orders waiting) — the
+    * EXISTS + NOT-EXISTS composite: late (shipped >90 days after order,
+    * the adapted late predicate) suppliers on finished multi-supplier
+    * orders where NO other supplier was also late — i.e. the single
+    * culprit. Built from one deduplicated (order, supplier) late set and
+    * one all-pairs set, both reused for the semi (another supplier
+    * exists) and anti (no other LATE supplier) joins — each a hash
+    * equi-join on orderkey with the `suppkey ≠` residual, never a
+    * correlated re-execution. The nation filter lands on the probe side
+    * FIRST, so the expensive semi/anti joins run on the 1/25th slice. */
+  def q142WaitingSuppliers(s: SparkSession, dir: String): DataFrame =
+    waitingSuppliers(s, dir, "NATION_7")
+
+  /** [[q142WaitingSuppliers]] with the nation as a parameter — the spec
+    * drives a nation that has culprits at sf0.001 (NATION_7's slice is
+    * empty at the smallest SF, which would make the assertion vacuous). */
+  private[ops] def waitingSuppliers(s: SparkSession, dir: String,
+                                    nation: String): DataFrame = {
+    val o = T(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val l = T(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("interval 90 days"))
+      .select("l_orderkey", "l_suppkey").distinct()
+    val pairs = l.select(col("l_orderkey").as("p_okey"),
+      col("l_suppkey").as("p_skey")).distinct()
+    val natSupp = T(s, dir, "supplier")
+      .join(broadcast(T(s, dir, "nation")
+        .filter(col("n_name") === nation).select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    val lateOther = late.select(col("l_orderkey").as("y_okey"),
+      col("l_suppkey").as("y_skey"))
+    late.join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(pairs, col("p_okey") === col("l_orderkey") &&
+        col("p_skey") =!= col("l_suppkey"), "left_semi")
+      .join(lateOther, col("y_okey") === col("l_orderkey") &&
+        col("y_skey") =!= col("l_suppkey"), "left_anti")
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_order_priority" -> q134OrderPriority _,
+    "q135_revenue_forecast" -> q135RevenueForecast _,
+    "q136_nation_volume" -> q136NationVolume _,
+    "q137_returned_top_customers" -> q137ReturnedTopCustomers _,
+    "q138_delay_class" -> q138DelayClass _,
+    "q139_promo_share" -> q139PromoShare _,
+    "q140_top_supplier" -> q140TopSupplier _,
+    "q141_brand_size_revenue" -> q141BrandSizeRevenue _,
+    "q142_waiting_suppliers" -> q142WaitingSuppliers _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q134_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q135_revenue_forecast" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_c4,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q136_nation_volume" ->
+      """SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+        |       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n2.n_name = 'NATION_1' AND n1.n_name = 'NATION_2') OR
+        |       (n2.n_name = 'NATION_2' AND n1.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q137_returned_top_customers" ->
+      """SELECT c.c_custkey, c.c_name,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4,
+        |       CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_c2,
+        |       n.n_name
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 4, 5
+        |ORDER BY revenue_c4 DESC, c_custkey LIMIT 20""".stripMargin,
+    "q138_delay_class" ->
+      """SELECT CASE WHEN d <= 30 THEN 'on_time' WHEN d <= 90 THEN 'late'
+        |            ELSE 'very_late' END AS delay_class,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM (SELECT date_diff('day', o.o_orderdate, l.l_shipdate) AS d,
+        |             o.o_orderpriority
+        |      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |        AND l.l_shipdate < TIMESTAMP '1998-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q139_promo_share" ->
+      """WITH a AS (
+        |  SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        |                  THEN CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |                       (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+        |                  ELSE 0 END) AS BIGINT) AS promo_c4,
+        |         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |                  (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS total_c4
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l.l_shipdate < TIMESTAMP '1997-10-01')
+        |SELECT promo_c4, total_c4,
+        |       round(100.0 * promo_c4 / total_c4, 4) AS promo_share_pct
+        |FROM a""".stripMargin,
+    "q140_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                  (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_rev_c4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, r.total_rev_c4
+        |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        |WHERE r.total_rev_c4 = (SELECT max(total_rev_c4) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "q141_brand_size_revenue" ->
+      """SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 16 AND 30
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 31 AND 50
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q142_waiting_suppliers" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+        |  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY),
+        |pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late t
+        |JOIN supplier s ON s.s_suppkey = t.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_7'
+        |WHERE EXISTS (SELECT 1 FROM pairs p
+        |              WHERE p.l_orderkey = t.l_orderkey
+        |                AND p.l_suppkey <> t.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late y
+        |                  WHERE y.l_orderkey = t.l_orderkey
+        |                    AND y.l_suppkey <> t.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin,
+  )
+}
