@@ -4,15 +4,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The remaining TPC-H query shapes expressible on the slimmed testdata
-  * schema (SURVEY.md §2.3 q134–q142), completing the suite started by
-  * q30/q121/q122/q124–q128. Four shapes are faithful (Q6/Q7/Q10/Q14/Q15);
+  * schema (SURVEY.md §2.3 q134–q147) — with these, every one of the 22
+  * TPC-H query STRUCTURES has a tested equivalent in the suite started by
+  * q30/q121/q122/q124–q128. Five shapes are faithful (Q6/Q7/Q10/Q14/Q15);
   * the ones whose canonical predicates need absent columns
   * (l_commitdate/l_receiptdate/l_shipmode/p_container, partsupp) are
   * shape-preserving adaptations: the join/subquery/aggregate STRUCTURE —
   * the thing the optimizer has to get right — is the original's, with the
   * missing column's predicate replaced by an equivalent one on present
   * columns (late = shipped >90 days after order date, delay classes for
-  * ship modes, brand/size DNF for brand/container).
+  * ship modes, brand/size DNF for brand/container). The five partsupp
+  * shapes (Q2/Q9/Q11/Q16/Q20 → q143–q147) derive the supplier-part
+  * catalog from lineitem itself: `distinct (l_partkey, l_suppkey)` is the
+  * relationship set, per-pair lineitem aggregates stand in for
+  * ps_supplycost (min observed price) and ps_availqty (shipped-quantity
+  * balance) — one partial-aggregatable shuffle each, exactly the plan the
+  * real partsupp join would have.
   *
   * Shared disciplines (same as [[Relational]]):
   *  - money is exact integer arithmetic: 2-decimal prices/discounts by
