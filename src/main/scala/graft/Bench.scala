@@ -66,6 +66,9 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    // Name any testdata schema drift up front (round 8's regression
+    // surfaced as 13 opaque per-query errors) — one line per mismatch.
+    SchemaProbe.check(spark, sfDir)
     // untimed warmup: session/codegen/parquet-footer setup otherwise
     // lands on whichever query sorts first
     SparkEntry.queries.get("q30_agg_q1").foreach { fn =>
@@ -84,7 +87,13 @@ object Bench {
         s"${unknown.toSeq.sorted.mkString(", ")}")
     }
     var failures = List.empty[String]
-    // (name, min, median, varianceFlagged)
+    // true median: even rep counts average the two middle samples
+    // (times(n/2) alone would be the UPPER middle — with reps=2
+    // simply the max, biasing the reported median high)
+    def medianOf(sorted: Seq[Double]): Double =
+      if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+      else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2
+    // (name, sorted rep samples — empty on failure, varianceFlagged)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -96,32 +105,28 @@ object Bench {
           }.sorted
           val flagged = reps > 1 && times.head > 0 &&
             times.last / times.head > 2.0
-          // true median: even rep counts average the two middle samples
-          // (times(n/2) alone would be the UPPER middle — with reps=2
-          // simply the max, biasing the reported median high)
-          val median =
-            if (times.length % 2 == 1) times(times.length / 2)
-            else (times(times.length / 2 - 1) + times(times.length / 2)) / 2
-          (name, times.head, median, flagged)
+          (name, times, flagged)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             failures ::= name
-            (name, -1.0, -1.0, false)
+            (name, Seq.empty[Double], false)
         }
       }
     // cross-round drift recheck: queries whose min landed >2× the
     // previous round's min re-run ONCE after the sweep (a later window);
-    // `queries` keeps the better min, drift_rechecked records all three
-    // numbers so the adjudication is in the artifact
+    // the recheck sample joins the rep samples, so BOTH the reported min
+    // and median heal (a drifted window biased every sample, not just
+    // the min); drift_rechecked records all three numbers so the
+    // adjudication is in the artifact
     val prevMins = sys.env.get("SPARK_GRAFT_PREV")
       .filter(p => Files.exists(Paths.get(p)))
       .map(p => parsePrevMins(Files.readString(Paths.get(p))))
       .getOrElse(Map.empty)
     val rechecked = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, Double, Double)]
-    val healed = results.map { case r @ (name, v, med, fl) =>
-      if (!needsRecheck(prevMins.get(name), v)) r
+    val healed = results.map { case r @ (name, times, fl) =>
+      if (times.isEmpty || !needsRecheck(prevMins.get(name), times.head)) r
       else {
         val re =
           try {
@@ -129,21 +134,23 @@ object Bench {
             SparkEntry.queries(name)(spark, sfDir)
               .write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
-          } catch { case _: Throwable => v } // keep the measured min
-        rechecked(name) = (prevMins(name), v, re)
-        (name, v.min(re), med, fl)
+          } catch { case _: Throwable => times.head } // keep measured min
+        rechecked(name) = (prevMins(name), times.head, re)
+        (name, (times :+ re).sorted, fl)
       }
     }
-    val qs = healed.map { case (k, v, _, _) => s""""$k":$v""" }
-      .mkString("{", ",", "}")
-    val med = healed.map { case (k, _, m, _) => s""""$k":$m""" }
-      .mkString("{", ",", "}")
-    val flagged = healed.collect { case (k, _, _, true) => "\"" + k + "\"" }
+    val qs = healed.map { case (k, ts, _) =>
+      s""""$k":${ts.headOption.getOrElse(-1.0)}"""
+    }.mkString("{", ",", "}")
+    val med = healed.map { case (k, ts, _) =>
+      s""""$k":${if (ts.isEmpty) -1.0 else medianOf(ts)}"""
+    }.mkString("{", ",", "}")
+    val flagged = healed.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val drift = rechecked.map { case (k, (p, f, re)) =>
       s""""$k":{"prev":$p,"first_min":$f,"recheck":$re}"""
     }.mkString("{", ",", "}")
-    val total = healed.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val total = healed.collect { case (_, ts, _) if ts.nonEmpty => ts.head }.sum
     val fails = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Both stdout lines derive from one headline template so they can't
     // drift apart. The full line can exceed a log-capture tail window
@@ -151,7 +158,7 @@ object Bench {
     // leading "value" field), so the map-free summary repeats LAST —
     // the total always survives truncation; full detail stays in the
     // first line and bench_out.json.
-    val n = healed.count { case (_, v, _, _) => v >= 0 }
+    val n = healed.count { case (_, ts, _) => ts.nonEmpty }
     def headline(detail: String) =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,$detail"variance_flagged":$flagged,"drift_rechecked":$drift,"failures":$fails,"sf":"$sfDir"}"""
     val line = headline(s""""queries":$qs,"queries_median":$med,""")

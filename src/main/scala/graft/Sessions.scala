@@ -9,9 +9,11 @@ import org.apache.spark.sql.SparkSession
   *    cluster deployment sizes this to ~2-3× total executor cores (or
   *    leaves it to AQE coalescing, which stays enabled here);
   *  - UTC session timezone (determinism contract, SURVEY.md §2.3);
-  *  - `nanosAsLong` — events.parquet is TIMESTAMP(NANOS), which the
-  *    vectorized reader otherwise rejects; see `graft.ops.T` for the
-  *    µs-quantization contract that follows;
+  *  - `nanosAsLong` — kept so a TIMESTAMP(NANOS) events.parquet (the
+  *    pre-round-8 testdata encoding, which the vectorized reader
+  *    otherwise rejects) loads as an ns `LongType`; `graft.ops.T.tus`
+  *    dispatches on the loaded physical type, so both the ns-long and
+  *    the current `timestamp[us]` encodings work unchanged;
   *  - AQE left at defaults: runtime coalescing and skew-join splitting
   *    are part of the 100 TB story, not something to disable locally.
   */

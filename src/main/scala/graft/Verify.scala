@@ -9,6 +9,9 @@ object Verify {
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Name any testdata schema drift up front (round 8's regression
+    // surfaced as 13 opaque per-query errors) — one line per mismatch.
+    SchemaProbe.check(spark, sfDir)
     // Dev-only: comma-separated query-name filter for fast single-query
     // iteration (mirrors Bench). The driver never sets it — unset = all.
     val only = sys.env.get("SPARK_GRAFT_ONLY")

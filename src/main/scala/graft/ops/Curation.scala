@@ -328,16 +328,15 @@ object Curation {
     * cadences.
     *
     * Day arithmetic stays in integer µs (`tus div 86_400_000_000`) —
-    * the precision both engines share (events.ts is ns on the Spark
-    * side, µs in DuckDB; see Tables.T) — and the last-per-day pick is
+    * the precision both engines share (see Tables.T's schema-dispatched
+    * event-time contract) — and the last-per-day pick is
     * totally ordered by (tus, event_id) desc. Per-user work is bounded
     * by calendar days, the spine explode is linear, and the fill
     * window partitions by user — no global window anywhere. */
   def q101GapFill(s: SparkSession, dir: String): DataFrame =
-    gapFillCore(T(s, dir, "events")
+    gapFillCore(T.events(s, dir)
       .filter(col("user_id") < 20)
-      .select(col("user_id"), expr("ts div 1000").as("tus"),
-        col("value"), col("event_id")))
+      .select(col("user_id"), col("tus"), col("value"), col("event_id")))
       .orderBy("user_id", "day")
 
   /** The q101 core on any `(user_id, tus, value, event_id)` frame —
@@ -466,9 +465,8 @@ object Curation {
   }
 
   def q103Funnel(s: SparkSession, dir: String): DataFrame =
-    funnelCore(T(s, dir, "events")
-      .select(col("user_id"), expr("ts div 1000").as("tus"),
-        col("event_type")))
+    funnelCore(T.events(s, dir)
+      .select(col("user_id"), col("tus"), col("event_type")))
 
   /** The q103 core on any `(user_id, tus, event_type)` frame —
     * separated so CurationProps can cross-check the chained min-agg
@@ -510,7 +508,7 @@ object Curation {
     * distinct users with ANY event that many days after activation.
     * Pre-activation activity is excluded by contract (retention measures
     * behavior AFTER entry). Days are µs-quantized epoch-days
-    * (`(ts div 1000) div 86400000000`) — the same integer event-time
+    * (`tus div 86400000000`) — the same integer event-time
     * arithmetic every declared query uses (Tables.scala contract), so
     * both engines bucket identically. North-star op (prov `ns`).
     *
@@ -521,9 +519,9 @@ object Curation {
     * cohort×offset rollup; no windows, no skew surface (per-user event
     * counts are ingest-bounded). */
   def q119RetentionCohort(s: SparkSession, dir: String): DataFrame = {
-    val ev = T(s, dir, "events")
+    val ev = T.events(s, dir)
       .select(col("user_id"),
-        expr("(ts div 1000) div 86400000000").as("day"), col("event_type"))
+        expr("tus div 86400000000").as("day"), col("event_type"))
     val cohorts = ev.filter(col("event_type") === "purchase")
       .groupBy("user_id").agg(min(col("day")).as("cohort_day"))
     ev.join(cohorts, "user_id")

@@ -26,8 +26,7 @@ object NorthStar {
   def q71DedupKeyed(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy(col("tus").desc, col("event_id").desc)
-    T(s, dir, "events")
-      .withColumn("tus", expr("ts div 1000"))
+    T.events(s, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("user_id", "event_type", "event_id")
@@ -86,8 +85,8 @@ object NorthStar {
     * computed on µs (1 h = 3.6e9 µs) — a pure projection + partial/final
     * hash agg, no window, scale-safe. */
   def q80EventTumbling(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "events")
-      .select(expr("((ts div 1000) div 3600000000) * 3600000000").as("ws_us"),
+    T.events(s, dir)
+      .select(expr("(tus div 3600000000) * 3600000000").as("ws_us"),
         col("event_type"), col("value"))
       .groupBy("ws_us", "event_type")
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_val"))
@@ -95,8 +94,8 @@ object NorthStar {
 
   /** q81: sessionization with 30-min inactivity gap (lag + cumulative sum). */
   def q81EventSessionize(s: SparkSession, dir: String): DataFrame =
-    sessionizeCore(T(s, dir, "events")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus")))
+    sessionizeCore(T.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("tus")))
       .orderBy("user_id", "session_id")
 
   /** The q81 core on any `(user_id, event_id, tus)` frame — separated so
@@ -132,9 +131,8 @@ object NorthStar {
     * output is |event_types|² rows, constant in corpus size. */
   def q120EventTransitions(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    T(s, dir, "events")
-      .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("tus"), col("event_type"))
+    T.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("tus"), col("event_type"))
       .withColumn("to_type", lead("event_type", 1).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
@@ -154,11 +152,11 @@ object NorthStar {
     * never arises. Partial+final aggregation applies as with any
     * hash agg — at 100 TB this is one shuffle of (type, day) cells. */
   def q132EventOhlc(s: SparkSession, dir: String): DataFrame = {
-    val e = T(s, dir, "events")
+    val e = T.events(s, dir)
       .select(col("event_type"),
-        expr("(ts div 1000) div 86400000000").as("day"),
+        expr("tus div 86400000000").as("day"),
         col("value"),
-        concat(lpad(expr("cast(ts div 1000 as string)"), 20, "0"),
+        concat(lpad(expr("cast(tus as string)"), 20, "0"),
           lpad(col("event_id").cast("string"), 10, "0")).as("ord"))
     e.groupBy("event_type", "day")
       .agg(round(min_by(col("value"), col("ord")), 4).as("open"),

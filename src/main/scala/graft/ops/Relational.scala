@@ -112,10 +112,10 @@ object Relational {
 
   /** q25: interval/theta join on events. Equi on user_id keeps it a
     * hash/SMJ join with a range residual (not a BNLJ) — crucial at scale.
-    * Boundary comparisons quantize ts (ns long) to µs — the precision the
+    * Boundary comparisons run on `tus` (µs epoch) — the precision the
     * oracle shares (see [[T]]'s event-time contract). 5 min = 3e8 µs. */
   def q25JoinInterval(s: SparkSession, dir: String): DataFrame = {
-    val e = T(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+    val e = T.events(s, dir)
     val e1 = e.filter(col("event_type") === "signup")
       .select(col("event_id").as("e1_id"), col("user_id").as("u1"), col("tus").as("ts1"))
     val e2 = e.select(col("event_id").as("e2_id"), col("user_id").as("u2"), col("tus").as("ts2"))
@@ -136,7 +136,7 @@ object Relational {
     * sort before purchases (inclusive as-of); same-µs signups resolve to
     * the larger event_id. */
   def q26JoinAsof(s: SparkSession, dir: String): DataFrame =
-    asofCore(T(s, dir, "events").withColumn("tus", expr("ts div 1000")))
+    asofCore(T.events(s, dir))
       .orderBy("event_id")
 
   /** The q26 as-of core on any `(event_id, user_id, tus, event_type)`
@@ -559,8 +559,7 @@ object Relational {
     * ts to µs so same-µs neighbors order identically on both engines. */
   def q42WinLagLead(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    T(s, dir, "events")
-      .withColumn("tus", expr("ts div 1000"))
+    T.events(s, dir)
       .withColumn("prev", lag("event_type", 1).over(w))
       .withColumn("next", lead("event_type", 1).over(w))
       .select("event_id", "prev", "next")
@@ -581,8 +580,7 @@ object Relational {
   def q44WinMovingAvg(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("tus", "event_id")
       .rowsBetween(-1, 1)
-    T(s, dir, "events")
-      .withColumn("tus", expr("ts div 1000"))
+    T.events(s, dir)
       .withColumn("mavg", round(avg("value").over(w), 4))
       .select("event_id", "mavg")
       .orderBy("event_id")

@@ -19,16 +19,17 @@ import org.apache.spark.sql.functions._
   * ClusteredWrite. */
 object SketchRollup {
 
-  /** ns-epoch `ts` → day bucket, µs-quantized FIRST (the portability
-    * contract both sketch families must share — one definition so HLL
-    * days and count-min days can never disagree). */
-  private val dayExpr = "(ts div 1000) div 86400000000"
+  /** `ts` → day bucket through [[T.withTus]]'s schema-dispatched µs
+    * epoch (the portability contract both sketch families must share —
+    * one definition so HLL days and count-min days can never
+    * disagree). */
+  private def withDay(events: DataFrame): DataFrame =
+    T.withTus(events).withColumn("day", expr("tus div 86400000000"))
 
   /** Per-day HLL sketches of distinct users — the persisted ingest-time
     * aggregate. One shuffle on day; sketch blobs are ~KB each. */
   def dailyUserSketches(events: DataFrame): DataFrame =
-    events
-      .withColumn("day", expr(dayExpr))
+    withDay(events)
       .groupBy("day")
       .agg(hll_sketch_agg(col("user_id")).as("sketch"),
         count(lit(1)).as("n_events"))
@@ -53,8 +54,7 @@ object SketchRollup {
   def dailyUserFreqSketches(events: DataFrame,
                             eps: Double = 0.001,
                             confidence: Double = 0.99): DataFrame =
-    events
-      .withColumn("day", expr(dayExpr))
+    withDay(events)
       .groupBy("day")
       .agg(expr(s"count_min_sketch(user_id, ${eps}d, ${confidence}d, 42)")
         .as("cms"),
@@ -92,8 +92,7 @@ object SketchRollup {
   def dailyValueHistograms(events: DataFrame, lo: Double, hi: Double,
                            buckets: Int = 256): DataFrame = {
     require(buckets > 0 && hi > lo, "need hi > lo and buckets > 0")
-    events
-      .withColumn("day", expr(dayExpr))
+    withDay(events)
       .withColumn("bucket",
         least(lit(buckets - 1), greatest(lit(0),
           floor((col("value") - lit(lo)) / lit((hi - lo) / buckets))

@@ -1,28 +1,52 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table loading for the driver testdata (TESTDATA.md).
   *
-  * `events.parquet` carries `timestamp[ns]` (TIMESTAMP(NANOS)) which Spark's
-  * parquet reader rejects by default; sessions must set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (done once in the
-  * Verify/Bench/test session builders — NOT per table load, which would be
-  * racy under concurrent queries) so `ts` arrives as a LongType ns epoch.
-  *
-  * Event-time contract: DuckDB reads TIMESTAMP(NANOS) truncated to µs,
-  * and the testdata carries genuine sub-µs precision (verified — raw ns
-  * values are not µs-aligned). Every declared query therefore quantizes
-  * `ts` to µs (`ts div 1000`) BEFORE any boundary comparison, window
-  * ordering, or bucketing — the precision both engines share exactly.
-  * Comparing raw ns on the Spark side would silently diverge whenever two
-  * events share a µs or a boundary falls inside one. `ts >= 0`
-  * (post-1970) is asserted by DataContractSpec; `div`-vs-floor-division
-  * divergence for negative epochs is therefore out of contract.
+  * Event-time contract: queries never touch `events.ts` directly — they
+  * go through [[T.events]]/[[T.withTus]], which appends `tus`, the
+  * integer µs epoch, dispatched on the PHYSICAL type the parquet reader
+  * produced. The driver has shipped two encodings across rounds
+  * (TIMESTAMP(NANOS), read as an ns `LongType` under
+  * `spark.sql.legacy.parquet.nanosAsLong=true`; and `timestamp[us]`
+  * TIMESTAMP_NTZ since round 8), and hard-coding either one turns a
+  * regeneration into 13 broken queries — round 8's entire regression.
+  * µs is the precision every encoding and the DuckDB oracle
+  * (`epoch_us(ts)`) share exactly, so all boundary comparisons, window
+  * orderings, and bucketings run on `tus`. `tus >= 0` (post-1970) is
+  * asserted by DataContractSpec; `div`-vs-floor-division divergence for
+  * negative epochs is therefore out of contract.
   */
 object T {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The µs event-time accessor, dispatched on the loaded physical type
+    * of `ts`. NTZ casts through TIMESTAMP before `unix_micros`: the
+    * session timezone is pinned to UTC (Sessions.scala), so the naive
+    * datetime is interpreted as UTC — the same value DuckDB's
+    * `epoch_us(ts)` yields on the naive column. An unrecognized type
+    * fails loudly with the observed type, not 13 opaque per-query
+    * errors (see also graft.SchemaProbe). */
+  def tus(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType         => expr("ts div 1000") // ns-long via nanosAsLong
+    case TimestampNTZType => expr("unix_micros(cast(ts as timestamp))")
+    case TimestampType    => expr("unix_micros(ts)")
+    case other => throw new IllegalStateException(
+      s"events.ts: expected ns-long|timestamp|timestamp_ntz, got $other — " +
+        "testdata physical type drifted; extend T.tus for the new encoding")
+  }
+
+  /** `df` with `tus` (µs epoch, BIGINT) appended. */
+  def withTus(df: DataFrame): DataFrame = df.withColumn("tus", tus(df))
+
+  /** The events table with the canonical `tus` column — the only way
+    * declared queries load it. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    withTus(apply(spark, sfDir, "events"))
 }
 
 /** Exact cross-engine arithmetic shared by the declared queries. */

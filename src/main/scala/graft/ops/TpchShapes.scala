@@ -283,6 +283,179 @@ object TpchShapes {
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
+  // ---- q143–q147: the partsupp shapes (TPC-H Q2/Q9/Q11/Q16/Q20) -------
+
+  /** The derived supplier-part catalog standing in for the absent
+    * partsupp table (header contract): `distinct (l_partkey,
+    * l_suppkey)` is the relationship set; `ps_supplycost_c2` = min
+    * observed line price in exact cents; `ps_availqty` = total shipped
+    * quantity (integral by generator contract). ONE partial-aggregatable
+    * shuffle on the pair key — exactly the plan a real partsupp join
+    * would have — and every downstream join on (partkey, suppkey) reuses
+    * that partitioning. */
+  private def derivedPartsupp(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .agg(min(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("ps_supplycost_c2"),
+        sum(expr("cast(round(l_quantity) as bigint)")).as("ps_availqty"))
+
+  /** q143: TPC-H Q2 shape (minimum cost supplier) — the correlated-min
+    * subquery, decorrelated: for STANDARD-type large parts, the
+    * EUROPE-region supplier(s) offering each part at its regional
+    * minimum cost. The per-part min is a separate aggregate of the
+    * ALREADY region-filtered candidate set joined back on (partkey,
+    * min-cost equality) — never a per-row re-executed subquery — and
+    * the region→nation→supplier dimension chain broadcasts (dims are
+    * thousands of rows at any SF; the pair catalog is the only fact).
+    * Cost equality on exact c2 integers keeps the all-ties semantics
+    * deterministic cross-engine. */
+  def q143MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val nat = T(s, dir, "nation")
+      .join(broadcast(T(s, dir, "region").filter(col("r_name") === "EUROPE")
+        .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = T(s, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        expr("cast(round(s_acctbal * 100) as bigint)").as("acctbal_c2"))
+    val p = T(s, dir, "part")
+      .filter(col("p_type") === "STANDARD" && col("p_size") >= 25)
+      .select("p_partkey")
+    val cand = derivedPartsupp(s, dir)
+      .join(p, col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = cand.groupBy(col("ps_partkey").as("mc_partkey"))
+      .agg(min("ps_supplycost_c2").as("min_cost_c2"))
+    cand.join(minCost, col("ps_partkey") === col("mc_partkey") &&
+        col("ps_supplycost_c2") === col("min_cost_c2"))
+      .select(col("acctbal_c2"), col("s_name"), col("n_name"),
+        col("ps_partkey"), col("ps_supplycost_c2"))
+      .orderBy(col("acctbal_c2").desc, col("n_name"), col("s_name"),
+        col("ps_partkey"))
+      .limit(100)
+  }
+
+  /** q144: TPC-H Q9 shape (product type profit measure) — the
+    * five-table star with a derived-cost term: per supplier nation ×
+    * order year, profit = revenue − supplycost×qty over bolt-named
+    * parts. The part filter pushes before the pair-key join; lineitem
+    * joins the pair catalog on (partkey, suppkey) — a shuffle join that
+    * AQE can co-locate with the catalog's own aggregation partitioning —
+    * while supplier/nation broadcast and orders joins on orderkey.
+    * Profit stays in exact c4 integers: cents(price)·(100−cents(disc))
+    * − cost_c2·qty·100. */
+  def q144NationProfit(s: SparkSession, dir: String): DataFrame = {
+    val p = T(s, dir, "part").filter(col("p_name").like("%bolt%"))
+      .select("p_partkey")
+    val sup = T(s, dir, "supplier")
+      .join(broadcast(T(s, dir, "nation").select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    T(s, dir, "lineitem")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(derivedPartsupp(s, dir),
+        col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(T(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(revenueC4 -
+        col("ps_supplycost_c2") * expr("cast(round(l_quantity) as bigint)") *
+          lit(100L)).as("profit_c4"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  /** q145: TPC-H Q11 shape (important stock identification) — aggregate
+    * + scalar-subquery threshold + HAVING: per-part catalog value
+    * (cost×availqty) over one nation's suppliers, keeping parts worth
+    * more than 2× the average part value. The threshold normalizes by
+    * the part count instead of Q11's SF-pinned constant fraction, so
+    * the predicate is scale-free (the driver verifies at a different SF
+    * than the spec runs); the 1-row total/count aggregate rides a
+    * broadcast crossJoin back onto the |parts|-bounded aggregate — the
+    * named bounded exception, never a window. The compare is exact
+    * integer cross-multiplication: value·n_parts > 2·total. */
+  def q145ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val natSupp = T(s, dir, "supplier")
+      .join(broadcast(T(s, dir, "nation").filter(col("n_name") === "NATION_4")
+        .select("n_nationkey")), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = derivedPartsupp(s, dir)
+      .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"))
+      .groupBy("ps_partkey")
+      .agg(sum(col("ps_supplycost_c2") * col("ps_availqty")).as("value_c2"))
+    val tot = perPart.agg(sum("value_c2").as("total_c2"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(tot))
+      .filter(col("value_c2") * col("n_parts") > lit(2L) * col("total_c2"))
+      .select("ps_partkey", "value_c2")
+      .orderBy(col("value_c2").desc, col("ps_partkey"))
+  }
+
+  /** q146: TPC-H Q16 shape (parts/supplier relationship) — NOT-IN
+    * exclusion + distinct-count rollup: how many distinct suppliers
+    * offer each surviving (brand, type, size) combination, excluding
+    * one brand, the PROMO type tier, and (the complaint-supplier
+    * exclusion adapted to present columns) every NATION_3 supplier.
+    * The exclusion is a broadcast left-anti join — never a per-row
+    * NOT IN re-execution — and the distinct count shuffles once on the
+    * (brand, type, size) grouping after the pair catalog's partial
+    * dedup. */
+  def q146SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val excl = T(s, dir, "supplier")
+      .join(broadcast(T(s, dir, "nation").filter(col("n_name") === "NATION_3")
+        .select("n_nationkey")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("x_suppkey"))
+    val p = T(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    derivedPartsupp(s, dir)
+      .join(p, col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("ps_suppkey") === col("x_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** q147: TPC-H Q20 shape (potential part promotion) — the
+    * doubly-nested subquery collapsed to aggregates + a semi join:
+    * NATION_2 suppliers with at least one widget-part pair whose 1997
+    * shipments exceed half its all-time quantity (Q20's
+    * availqty-vs-half-year-demand compare re-anchored so the derived
+    * availqty — which by construction bounds any year's shipments —
+    * yields a non-vacuous predicate). Both quantity aggregates share
+    * the (partkey, suppkey) shuffle key; the final supplier filter is a
+    * broadcast semi join carrying only distinct culprit suppkeys. The
+    * compare is exact: 2·qty_1997 > availqty in bigint. */
+  def q147PromotionSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val p = T(s, dir, "part").filter(col("p_name").like("%widget%"))
+      .select("p_partkey")
+    val qty97 = T(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= expr("timestamp'1997-01-01'") &&
+        col("l_shipdate") < expr("timestamp'1998-01-01'"))
+      .groupBy(col("l_partkey").as("y_partkey"),
+        col("l_suppkey").as("y_suppkey"))
+      .agg(sum(expr("cast(round(l_quantity) as bigint)")).as("qty_1997"))
+    val culprits = derivedPartsupp(s, dir)
+      .join(p, col("ps_partkey") === col("p_partkey"))
+      .join(qty97, col("ps_partkey") === col("y_partkey") &&
+        col("ps_suppkey") === col("y_suppkey"))
+      .filter(lit(2L) * col("qty_1997") > col("ps_availqty"))
+      .select("ps_suppkey")
+    T(s, dir, "supplier")
+      .join(broadcast(T(s, dir, "nation").filter(col("n_name") === "NATION_2")
+        .select("n_nationkey")), col("s_nationkey") === col("n_nationkey"))
+      .join(culprits, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_order_priority" -> q134OrderPriority _,
     "q135_revenue_forecast" -> q135RevenueForecast _,
@@ -293,7 +466,23 @@ object TpchShapes {
     "q140_top_supplier" -> q140TopSupplier _,
     "q141_brand_size_revenue" -> q141BrandSizeRevenue _,
     "q142_waiting_suppliers" -> q142WaitingSuppliers _,
+    "q143_min_cost_supplier" -> q143MinCostSupplier _,
+    "q144_nation_profit" -> q144NationProfit _,
+    "q145_important_stock" -> q145ImportantStock _,
+    "q146_supplier_cnt" -> q146SupplierCnt _,
+    "q147_promotion_suppliers" -> q147PromotionSuppliers _,
   )
+
+  /** The shared derived-partsupp CTE every q143–q147 oracle opens with
+    * (the SQL twin of [[derivedPartsupp]]). */
+  private val PsdCte =
+    """WITH psd AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS ps_supplycost_c2,
+      |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+      |           AS ps_availqty
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q134_order_priority" ->
@@ -413,5 +602,92 @@ object TpchShapes {
         |                  WHERE y.l_orderkey = t.l_orderkey
         |                    AND y.l_suppkey <> t.l_suppkey)
         |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin,
+    "q143_min_cost_supplier" -> (PsdCte +
+      """,
+        |cand AS (
+        |  SELECT CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_c2,
+        |         s.s_name, n.n_name, d.ps_partkey, d.ps_supplycost_c2
+        |  FROM psd d
+        |  JOIN part p ON p.p_partkey = d.ps_partkey
+        |    AND p.p_type = 'STANDARD' AND p.p_size >= 25
+        |  JOIN supplier s ON s.s_suppkey = d.ps_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |    AND r.r_name = 'EUROPE')
+        |SELECT acctbal_c2, s_name, n_name, ps_partkey, ps_supplycost_c2
+        |FROM cand c
+        |WHERE c.ps_supplycost_c2 = (SELECT min(ps_supplycost_c2) FROM cand m
+        |                            WHERE m.ps_partkey = c.ps_partkey)
+        |ORDER BY acctbal_c2 DESC, n_name, s_name, ps_partkey
+        |LIMIT 100""".stripMargin),
+    "q144_nation_profit" -> (PsdCte +
+      """
+        |SELECT n.n_name,
+        |       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(round(l.l_discount * 100) AS BIGINT)) -
+        |                d.ps_supplycost_c2 *
+        |                CAST(round(l.l_quantity) AS BIGINT) * 100)
+        |         AS BIGINT) AS profit_c4
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
+        |JOIN psd d ON d.ps_partkey = l.l_partkey
+        |          AND d.ps_suppkey = l.l_suppkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin),
+    "q145_important_stock" -> (PsdCte +
+      """,
+        |per_part AS (
+        |  SELECT d.ps_partkey,
+        |         CAST(sum(d.ps_supplycost_c2 * d.ps_availqty) AS BIGINT)
+        |           AS value_c2
+        |  FROM psd d
+        |  JOIN supplier s ON s.s_suppkey = d.ps_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |    AND n.n_name = 'NATION_4'
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(value_c2) AS BIGINT) AS total_c2,
+        |               CAST(count(*) AS BIGINT) AS n_parts FROM per_part)
+        |SELECT ps_partkey, value_c2
+        |FROM per_part, tot
+        |WHERE value_c2 * n_parts > 2 * total_c2
+        |ORDER BY value_c2 DESC, ps_partkey""".stripMargin),
+    "q146_supplier_cnt" -> (PsdCte +
+      """
+        |SELECT p.p_brand, p.p_type, p.p_size,
+        |       CAST(count(DISTINCT d.ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM psd d
+        |JOIN part p ON p.p_partkey = d.ps_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND d.ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier s
+        |    JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |    WHERE n.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+    "q147_promotion_suppliers" -> (PsdCte +
+      """
+        |SELECT s.s_suppkey, s.s_name
+        |FROM supplier s
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  AND n.n_name = 'NATION_2'
+        |WHERE s.s_suppkey IN (
+        |  SELECT d.ps_suppkey
+        |  FROM psd d
+        |  JOIN part p ON p.p_partkey = d.ps_partkey
+        |    AND p.p_name LIKE '%widget%'
+        |  JOIN (SELECT l_partkey AS y_partkey, l_suppkey AS y_suppkey,
+        |               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |                 AS qty_1997
+        |        FROM lineitem
+        |        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |          AND l_shipdate < TIMESTAMP '1998-01-01'
+        |        GROUP BY 1, 2) y
+        |    ON y.y_partkey = d.ps_partkey AND y.y_suppkey = d.ps_suppkey
+        |  WHERE 2 * y.qty_1997 > d.ps_availqty)
+        |ORDER BY s_name""".stripMargin),
   )
 }

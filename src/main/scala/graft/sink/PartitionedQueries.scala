@@ -49,6 +49,12 @@ object PartitionedQueries {
     * cents (2-decimal prices by generator contract). */
   def q133PartitionPrune(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(ensurePartitionedOrders(s, dir))
+      // the directory column's type comes from partition-value
+      // INFERENCE ("1997-03" → string today, but inference rules are a
+      // session config away from drifting); the explicit cast pins the
+      // comparisons to string semantics either way, and Catalyst still
+      // prunes partitions through it (cast-of-attribute ≥ literal)
+      .withColumn("o_month", col("o_month").cast("string"))
       .filter(col("o_month") >= "1997-03" && col("o_month") <= "1997-05")
       .groupBy("o_month", "o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),

@@ -66,10 +66,10 @@ class CorpusSpec extends AnyFunSuite {
 
   test("q119 matches a brute-force cohort matrix; cohorts span >1 day") {
     import spark.implicits._
-    val events = spark.read.parquet(s"$Sf/events.parquet")
-      .select("user_id", "ts", "event_type")
+    val events = T.events(spark, Sf)
+      .select("user_id", "tus", "event_type")
       .as[(Long, Long, String)].collect().toSeq
-    def day(ts: Long): Long = (ts / 1000L) / 86400000000L
+    def day(tus: Long): Long = tus / 86400000000L
     val cohort = events.filter(_._3 == "purchase")
       .groupMap(_._1)(e => day(e._2)).map { case (u, ds) => u -> ds.min }
     val expected = events.flatMap { case (u, ts, _) =>

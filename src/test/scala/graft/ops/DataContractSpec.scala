@@ -1,18 +1,23 @@
 package graft.ops
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
 
 /** Event-time data contract asserted by Tables.scala's doc:
-  *  - `ts >= 0` (post-1970) — keeps Spark `div` and DuckDB `//`
-  *    floor-division in agreement for the µs quantization;
-  *  - the raw ns values are NOT µs-aligned (the testdata has genuine
-  *    sub-µs precision), which is exactly why every declared query must
-  *    quantize to µs before boundary comparisons — this test documents
-  *    that the hazard is real, so nobody "simplifies" the quantization
-  *    away against data that happens to be aligned. */
+  *  - `events.ts` loads as one of the physical types [[T.tus]]
+  *    dispatches on (ns-long, TIMESTAMP, TIMESTAMP_NTZ) — the driver
+  *    has regenerated the testdata across encodings before (round 8:
+  *    TIMESTAMP(NANOS) → timestamp[us]), and an unrecognized encoding
+  *    must fail HERE with the observed type, not as 13 opaque
+  *    per-query errors;
+  *  - `tus >= 0` (post-1970) — keeps Spark `div` and DuckDB `//`
+  *    floor-division in agreement for day/window bucketing;
+  *  - `tus` magnitude is a plausible µs epoch — a unit slip in the
+  *    dispatch (ms or ns reaching queries as "µs") moves the value by
+  *    1000× and fails loudly here. */
 class DataContractSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
@@ -35,16 +40,16 @@ class DataContractSpec extends AnyFunSuite {
   }
 
   for (sf <- Seq("sf0.001", "sf0.01")) {
-    test(s"events.ts at $sf is non-negative (floor-div contract)") {
-      val bad = T(spark, s"/root/testdata/$sf", "events")
-        .filter(col("ts") < 0).count()
-      assert(bad == 0L)
-    }
-
-    test(s"events.ts at $sf has sub-µs precision (quantization is load-bearing)") {
-      val subUs = T(spark, s"/root/testdata/$sf", "events")
-        .filter(col("ts") % 1000 =!= 0).count()
-      assert(subUs > 0L)
+    test(s"events.ts at $sf loads as a dispatched physical type and " +
+      "tus is a non-negative, µs-magnitude epoch") {
+      val e = T.events(spark, s"/root/testdata/$sf") // throws on unknown type
+      val Row(lo: Long, hi: Long) =
+        e.agg(min(col("tus")), max(col("tus"))).collect()(0)
+      assert(lo >= 0L, s"pre-1970 tus $lo breaks the floor-div contract")
+      // 2001-09..2262-04 in µs — a ms-epoch is ~1e12, an ns-epoch ~1e18;
+      // either unit slip lands far outside this band.
+      assert(hi >= 1000000000000000L && hi < 9223372036854L * 1000000L,
+        s"max tus $hi is not µs magnitude — dispatch unit slip?")
     }
 
     test(s"documents.text at $sf is pure ASCII (q85's rolling-hash " +

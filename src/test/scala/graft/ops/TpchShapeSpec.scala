@@ -17,8 +17,8 @@ class TpchShapeSpec extends AnyFunSuite {
 
   test("q120 matches a brute-force per-user sorted-stream transition count") {
     import spark.implicits._
-    val ev = spark.read.parquet(s"$Sf/events.parquet")
-      .selectExpr("user_id", "event_id", "ts div 1000 as tus", "event_type")
+    val ev = T.events(spark, Sf)
+      .selectExpr("user_id", "event_id", "tus", "event_type")
       .as[(Long, Long, Long, String)].collect().toSeq
     val expected = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
       val sorted = es.sortBy(e => (e._3, e._2)).map(_._4)
