@@ -119,6 +119,20 @@ object BucketedTables {
     if (!fs.exists(wh) && fs.exists(bak))
       require(fs.rename(bak, wh), s"could not restore $bak to $wh")
     if (fs.exists(bak)) fs.delete(bak, true) // a completed swap's leftover
+    // orphan sweep: a compaction that crashed AFTER its staged rewrite
+    // committed but BEFORE the swap renames leaves a committed
+    // `<table>_stg_<uuid>` sibling holding a full copy of the table
+    // (and possibly its catalog entry). Single-compactor discipline
+    // means no live compactor owns one at entry — clear them all, or
+    // every such crash permanently leaks a table-sized directory.
+    val whParent = new org.apache.hadoop.fs.Path(whDir)
+    if (fs.exists(whParent))
+      fs.listStatus(whParent)
+        .filter(_.getPath.getName.startsWith(table + "_stg_"))
+        .foreach { st =>
+          s.sql(s"DROP TABLE IF EXISTS ${st.getPath.getName}")
+          fs.delete(st.getPath, true) // DROP of an external table keeps files
+        }
     require(fs.exists(wh) && complete(wh),
       s"compact($table): no committed table at $wh")
     s.catalog.refreshTable(table) // scan the current files, not a cache

@@ -34,6 +34,20 @@ import graft.ops.{Curation, TrainingData}
   * The admission policy here is admit-if-no-collision; a deployment
   * swaps `screened.count == 0` routing for its own review queue without
   * touching the banding or the index.
+  *
+  * **doc_id contract: immutable and unique across the stream's
+  * lifetime** (the usual ingest contract — ids come from an upstream
+  * keyed store or a content digest). The replay-stability exclusion
+  * above works BY doc_id: re-ingesting an id the index already holds is
+  * treated as a replay of that doc, so its bands are excluded from its
+  * own probe and the doc is never flagged — correct for a true replay
+  * (same text), silent under-screening if an id is REUSED for different
+  * text (the new text skips comparison against exactly one corpus doc:
+  * the old text under its id; collisions against every other indexed
+  * doc still flag normally). A deployment that cannot guarantee unique
+  * ids should derive `doc_id` from a content hash (q70's sha2 digest)
+  * upstream, which makes id-reuse-with-different-text impossible by
+  * construction. IngestDedupSpec pins both sides of this contract.
   */
 object IngestDedup {
 

@@ -84,6 +84,36 @@ class BucketCompactSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("a compaction that crashed between stage-commit and swap leaves " +
+    "no orphan staging table after the next compact()") {
+    val t = "compact_orphan_tbl"
+    BucketedTables.save(slice(0, 500), t, 4, "k")
+    try {
+      BucketedTables.append(slice(500, 800), t, 4, Seq("k"))
+      val before = spark.table(t).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // simulate the crash window: a fully COMMITTED staged rewrite
+      // (table-sized!) whose owner died before the swap renames — the
+      // live table is intact, the stage is debris
+      val orphan = s"${t}_stg_deadbeefdeadbeefdeadbeefdeadbeef"
+      fs.mkdirs(wh(orphan))
+      fs.createNewFile(new Path(wh(orphan), "_SUCCESS"))
+      fs.createNewFile(new Path(wh(orphan), "part-00000-fake_00000.parquet"))
+
+      BucketedTables.compact(spark, t, 4, Seq("k"))
+
+      assert(!fs.exists(wh(orphan)),
+        "orphaned committed staging dir must be swept on compact() entry")
+      val debris = fs.listStatus(wh(t).getParent).map(_.getPath.getName)
+        .filter(n => n.startsWith(s"${t}_stg_") || n == s"${t}_precompact")
+      assert(debris.isEmpty, s"compaction debris: ${debris.mkString(",")}")
+      assert(filesPerBucket(t).values.toSet == Set(1))
+      val after = spark.table(t).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(after == before, "orphan sweep touched live rows")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("a compaction that crashed between the swap renames is recovered " +
     "on the next compact() entry") {
     val t = "compact_crash_tbl"

@@ -141,6 +141,36 @@ class IngestDedupSpec extends AnyFunSuite {
       s"replayed intraBatch report drifted: ${replay.toSeq}")
   }
 
+  test("doc_id contract: re-ingesting an indexed id is treated as a " +
+    "replay (never self-flags), so id reuse with DIFFERENT text skips " +
+    "exactly that one doc — and still flags against every other") {
+    val idx = freshIndex(SparkTestBase.Sf0001 + "//./")
+    import spark.implicits._
+    // seed the index with two distinct admitted docs
+    val seed = Seq((50001L, sentence("vva")), (50002L, sentence("vvb")))
+      .toDF("doc_id", "text")
+    assert(IngestDedup.ingestBatch(spark, idx, seed).collect().isEmpty)
+
+    // replay side of the contract: same id + same text → not flagged
+    val sameText = Seq((50001L, sentence("vva"))).toDF("doc_id", "text")
+    assert(IngestDedup.ingestBatch(spark, idx, sameText).collect().isEmpty,
+      "a true replay must never flag against its own admitted bands")
+
+    // reuse side (the documented under-screening): 50001 reused for
+    // text near-identical to ITS OWN old text → the exclusion hides
+    // the one legitimate collision and the doc passes unflagged
+    val reusedOwn = Seq((50001L, sentence("vva"))).toDF("doc_id", "text")
+    assert(IngestDedup.ingestBatch(spark, idx, reusedOwn).collect().isEmpty)
+
+    // but reuse does NOT blind screening to the REST of the corpus:
+    // 50001 reused for text duplicating doc 50002 still flags
+    val reusedOther = Seq((50001L, sentence("vvb"))).toDF("doc_id", "text")
+    val flagged = IngestDedup.ingestBatch(spark, idx, reusedOther)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(flagged.toSeq == Seq((50001L, 50002L)),
+      s"id reuse must still screen against other docs: ${flagged.toSeq}")
+  }
+
   test("compactEvery: the stream compacts its own index back to one " +
     "file per bucket and screening keeps working across the swap") {
     val idx = freshIndex(SparkTestBase.Sf0001 + "/.///")
