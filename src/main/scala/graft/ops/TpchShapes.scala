@@ -380,7 +380,7 @@ object TpchShapes {
     * integer cross-multiplication: value·n_parts > 2·total. */
   def q145ImportantStock(s: SparkSession, dir: String): DataFrame = {
     val natSupp = T(s, dir, "supplier")
-      .join(broadcast(T(s, dir, "nation").filter(col("n_name") === "NATION_4")
+      .join(broadcast(T(s, dir, "nation").filter(col("n_name") === "NATION_15")
         .select("n_nationkey")), col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey")
     val perPart = derivedPartsupp(s, dir)
@@ -425,7 +425,7 @@ object TpchShapes {
 
   /** q147: TPC-H Q20 shape (potential part promotion) — the
     * doubly-nested subquery collapsed to aggregates + a semi join:
-    * NATION_2 suppliers with at least one widget-part pair whose 1997
+    * NATION_18 suppliers with at least one widget-part pair whose 1997
     * shipments exceed half its all-time quantity (Q20's
     * availqty-vs-half-year-demand compare re-anchored so the derived
     * availqty — which by construction bounds any year's shipments —
@@ -449,7 +449,7 @@ object TpchShapes {
       .filter(lit(2L) * col("qty_1997") > col("ps_availqty"))
       .select("ps_suppkey")
     T(s, dir, "supplier")
-      .join(broadcast(T(s, dir, "nation").filter(col("n_name") === "NATION_2")
+      .join(broadcast(T(s, dir, "nation").filter(col("n_name") === "NATION_18")
         .select("n_nationkey")), col("s_nationkey") === col("n_nationkey"))
       .join(culprits, col("s_suppkey") === col("ps_suppkey"), "left_semi")
       .select("s_suppkey", "s_name")
@@ -646,7 +646,7 @@ object TpchShapes {
         |  FROM psd d
         |  JOIN supplier s ON s.s_suppkey = d.ps_suppkey
         |  JOIN nation n ON n.n_nationkey = s.s_nationkey
-        |    AND n.n_name = 'NATION_4'
+        |    AND n.n_name = 'NATION_15'
         |  GROUP BY 1),
         |tot AS (SELECT CAST(sum(value_c2) AS BIGINT) AS total_c2,
         |               CAST(count(*) AS BIGINT) AS n_parts FROM per_part)
@@ -673,7 +673,7 @@ object TpchShapes {
         |SELECT s.s_suppkey, s.s_name
         |FROM supplier s
         |JOIN nation n ON n.n_nationkey = s.s_nationkey
-        |  AND n.n_name = 'NATION_2'
+        |  AND n.n_name = 'NATION_18'
         |WHERE s.s_suppkey IN (
         |  SELECT d.ps_suppkey
         |  FROM psd d
