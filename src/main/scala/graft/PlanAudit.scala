@@ -167,7 +167,21 @@ object PlanAudit {
         "is already partitioned by its aggregate), partial+final " +
         "`HashAggregate` pairs for the distinct and the matrix rollup, " +
         "and NO window operator anywhere — retention is pure keyed " +
-        "aggregation."))
+        "aggregation."),
+    "q143_min_cost_supplier" ->
+      ("**Look for:** the derived-partsupp catalog as ONE partial+final " +
+        "`HashAggregate` pair on (partkey, suppkey); the region→nation→" +
+        "supplier dim chain folded into `BroadcastHashJoin`s (no fact " +
+        "shuffle for dimensions); and the per-part min joined back as an " +
+        "equi-join on (partkey, cost) — the decorrelated Q2 subquery, " +
+        "never a per-row re-execution."),
+    "q144_nation_profit" ->
+      ("**Look for:** lineitem joining the pair catalog on (partkey, " +
+        "suppkey) — both sides hash-partitioned on the SAME key, so the " +
+        "catalog's aggregation exchange is the only extra shuffle — " +
+        "supplier/nation as `BroadcastHashJoin`s, the part filter pushed " +
+        "below the pair join, and one partial+final aggregate pair on " +
+        "(nation, year)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
