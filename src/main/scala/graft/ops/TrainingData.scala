@@ -939,6 +939,75 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** q148: batched brute-force top-k similarity — the RE-RANK stage
+    * every retrieval/RAG pipeline runs after candidate generation
+    * (q86/q93 are the candidate stages; this is the exact scoring of a
+    * bounded query batch against the full corpus). The 8-row query
+    * batch broadcasts (bounded crossJoin by construction, like q93's
+    * 16-row centroid table); the corpus-side dot products run through
+    * the codegen'd [[graft.functions.VecDot]] in ONE scan.
+    *
+    * The top-k itself is the scale-conscious two-stage shape: a batch
+    * of Q queries would make `Window.partitionBy(query_id)` funnel
+    * corpus/Q rows into each of Q tasks — so stage 1 takes top-k per
+    * (query, salt) cell over 16 deterministic salt cells
+    * (`vec_id % 16` — integer, cross-engine exact), leaving ≤ Q×16×k
+    * survivor rows, and stage 2 ranks the survivors per query. Any
+    * true top-k row is top-k within its own salt cell, so the
+    * composition is exact, and both windows are partitioned — no
+    * single-task exchange at any Q or corpus size. Ranking compares
+    * raw doubles (both engines compute dot/(√na·√nb) identically —
+    * the q73 precedent); output rounds to 4 for display only. */
+  def q148BatchTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val dot = graft.functions.VecDot.dot(col("embedding"), col("q_emb"))
+    val na = graft.functions.VecDot.normSq(col("embedding"))
+    val nb = graft.functions.VecDot.normSq(col("q_emb"))
+    val wCell = Window.partitionBy("query_id", "salt")
+      .orderBy(col("sim_raw").desc, col("vec_id"))
+    val wFinal = Window.partitionBy("query_id")
+      .orderBy(col("sim_raw").desc, col("vec_id"))
+    emb.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(qs))
+      .withColumn("sim_raw", dot / (sqrt(na) * sqrt(nb)))
+      .withColumn("salt", expr("cast(vec_id % 16 as int)"))
+      .withColumn("cell_rn", row_number().over(wCell))
+      .filter(col("cell_rn") <= 3) // ≤ queries × 16 × k survivors
+      .withColumn("rk", row_number().over(wFinal))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk"), col("vec_id"),
+        round(col("sim_raw"), 4).as("sim"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** q149: deterministic epoch reshuffle — the global training-order
+    * shuffle run before sharded export (breaks source/curriculum
+    * correlations; a new seed gives a new permutation, the same seed
+    * replays it exactly on any cluster — the q89 membership-stability
+    * contract applied to ORDER). Shuffle key = 48-bit integer from
+    * md5(seed:doc_id) (exact-integer, cross-engine — the q129 ticket
+    * discipline; no float RNG whose stream differs per engine). The
+    * global position comes from [[ScalableRank.withGlobalRowNumber]]'s
+    * two-pass range-partition rank — never a single-task global window
+    * — and shards are round-robin over the shuffled order
+    * (`pos % 8`), so every shard is a uniform sample of the
+    * permutation with sizes balanced to ±1 row. */
+  def q149EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val seed = 7
+    val keyed = T(s, dir, "documents")
+      .select(col("doc_id"))
+      .withColumn("skey", expr(
+        "cast(conv(substring(md5(concat('" + seed + ":', " +
+          "cast(doc_id as string))), 1, 12), 16, 10) as bigint)"))
+    ScalableRank.withGlobalRowNumber(keyed, "rn1", col("skey"), col("doc_id"))
+      .select(col("doc_id"), col("skey"),
+        (col("rn1") - 1).as("pos"),
+        expr("cast((rn1 - 1) % 8 as int)").as("shard"))
+      .orderBy("pos")
+  }
+
   /** q87: opaque-binary column plumbing — treat content as a binary blob
     * with typed metadata (byte length, magic-prefix hex). The decode
     * stage itself is [[Multimodal.decode]] (real JDK ImageIO codecs,
@@ -1207,9 +1276,40 @@ object TrainingData {
     "q112_chunk_split" -> q112ChunkSplit _,
     "q113_bm25_rank" -> q113Bm25Rank _,
     "q129_weighted_sample" -> q129WeightedSample _,
+    "q148_batch_topk" -> q148BatchTopk _,
+    "q149_epoch_shuffle" -> q149EpochShuffle _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q148_batch_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 8),
+        |p AS (SELECT c.vec_id, q.query_id,
+        |             unnest(c.embedding) AS a, unnest(q.qe) AS b
+        |      FROM embeddings c CROSS JOIN q WHERE c.vec_id >= 8),
+        |sums AS (SELECT query_id, vec_id,
+        |                sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dot,
+        |                sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
+        |                sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
+        |         FROM p GROUP BY 1, 2),
+        |r AS (SELECT query_id, vec_id,
+        |             dot / (sqrt(na) * sqrt(nb)) AS s,
+        |             row_number() OVER (PARTITION BY query_id
+        |               ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rk
+        |      FROM sums)
+        |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id,
+        |       round(s, 4) AS sim
+        |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "q149_epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |             ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 12))::BIGINT AS skey
+        |           FROM documents),
+        |r AS (SELECT doc_id, skey,
+        |             row_number() OVER (ORDER BY skey, doc_id) - 1 AS pos
+        |      FROM k)
+        |SELECT doc_id, skey, CAST(pos AS BIGINT) AS pos,
+        |       CAST(pos % 8 AS INTEGER) AS shard
+        |FROM r ORDER BY pos""".stripMargin,
     "q72_dedup_minhash" ->
       s"""WITH $minhashPairsCtes
          |SELECT da AS doc_a, db AS doc_b FROM pairs ORDER BY 1, 2""".stripMargin,
