@@ -947,17 +947,19 @@ object TrainingData {
     * 16-row centroid table); the corpus-side dot products run through
     * the codegen'd [[graft.functions.VecDot]] in ONE scan.
     *
-    * The top-k itself is the scale-conscious two-stage shape: a batch
-    * of Q queries would make `Window.partitionBy(query_id)` funnel
-    * corpus/Q rows into each of Q tasks — so stage 1 takes top-k per
-    * (query, salt) cell over 16 deterministic salt cells
-    * (`vec_id % 16` — integer, cross-engine exact), leaving ≤ Q×16×k
-    * survivor rows, and stage 2 ranks the survivors per query. Any
-    * true top-k row is top-k within its own salt cell, so the
-    * composition is exact, and both windows are partitioned — no
-    * single-task exchange at any Q or corpus size. Ranking compares
-    * raw doubles (both engines compute dot/(√na·√nb) identically —
-    * the q73 precedent); output rounds to 4 for display only. */
+    * The top-k is the plain per-query ranking window — deliberately:
+    * Spark ≥3.5 rewrites `row_number <= k` into `WindowGroupLimit`
+    * with a PARTIAL stage below the exchange, so every scan task
+    * pre-filters to its local top-k per query before shuffling. The
+    * exchange therefore carries ≤ tasks × Q × k rows — never corpus/Q
+    * rows into Q tasks, the hazard a hand-rolled salted two-stage
+    * top-k would exist to avoid (measured here: the salted variant
+    * adds a whole extra exchange for nothing; "let Catalyst optimize").
+    * BatchTopkSpec pins the Partial-below-exchange plan so a Spark
+    * upgrade or conf change that silently drops the rewrite fails
+    * loudly instead of degrading to the funnel. Ranking compares raw
+    * doubles (both engines compute dot/(√na·√nb) identically — the
+    * q73 precedent); output rounds to 4 for display only. */
   def q148BatchTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     val qs = emb.filter(col("vec_id") < 8)
@@ -965,17 +967,12 @@ object TrainingData {
     val dot = graft.functions.VecDot.dot(col("embedding"), col("q_emb"))
     val na = graft.functions.VecDot.normSq(col("embedding"))
     val nb = graft.functions.VecDot.normSq(col("q_emb"))
-    val wCell = Window.partitionBy("query_id", "salt")
-      .orderBy(col("sim_raw").desc, col("vec_id"))
-    val wFinal = Window.partitionBy("query_id")
+    val w = Window.partitionBy("query_id")
       .orderBy(col("sim_raw").desc, col("vec_id"))
     emb.filter(col("vec_id") >= 8)
       .crossJoin(broadcast(qs))
       .withColumn("sim_raw", dot / (sqrt(na) * sqrt(nb)))
-      .withColumn("salt", expr("cast(vec_id % 16 as int)"))
-      .withColumn("cell_rn", row_number().over(wCell))
-      .filter(col("cell_rn") <= 3) // ≤ queries × 16 × k survivors
-      .withColumn("rk", row_number().over(wFinal))
+      .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("query_id"), col("rk"), col("vec_id"),
         round(col("sim_raw"), 4).as("sim"))

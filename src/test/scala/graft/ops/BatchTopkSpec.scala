@@ -1,20 +1,18 @@
 package graft.ops
 
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
 
-/** q148 (two-stage batched top-k) and q149 (epoch reshuffle): the
+/** q148 (batched top-k re-rank) and q149 (epoch reshuffle): the
   * properties the oracle hash-match can't see.
   *
-  * q148's claim is that salted partial top-k composes EXACTLY: any
-  * global top-k row is top-k within its own salt cell, so pruning to
-  * per-cell top-k before the final rank loses nothing. The spec checks
-  * the two-stage result against the naive single-window formulation on
-  * sf0.001 — not against the oracle (which shares the window shape),
-  * but against a DIFFERENT Spark plan.
+  * q148 leans on Spark's `WindowGroupLimit` rewrite for its scale
+  * story (every scan task pre-filters to its local top-k per query
+  * BELOW the exchange, so partitionBy(query_id) never funnels the
+  * corpus into Q tasks) — the spec pins that Partial stage in the
+  * executed plan, and checks the result against a plain-Scala
+  * brute force (a different formulation than the oracle's window).
   *
   * q149's claims: a permutation (bijective positions), balanced
   * round-robin shards, determinism across runs, and key-order = the
@@ -23,29 +21,39 @@ class BatchTopkSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val Sf = SparkTestBase.Sf0001
 
-  test("q148 two-stage top-k equals the naive single-window top-k") {
+  test("q148 plans a Partial WindowGroupLimit below the exchange and " +
+    "matches a plain-Scala brute-force top-3") {
     import spark.implicits._
-    val emb = T(spark, Sf, "embeddings")
-    val qs = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val dot = graft.functions.VecDot.dot(col("embedding"), col("q_emb"))
-    val na = graft.functions.VecDot.normSq(col("embedding"))
-    val nb = graft.functions.VecDot.normSq(col("q_emb"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim_raw").desc, col("vec_id"))
-    val naive = emb.filter(col("vec_id") >= 8)
-      .crossJoin(broadcast(qs))
-      .withColumn("sim_raw", dot / (sqrt(na) * sqrt(nb)))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("query_id"), col("rk"), col("vec_id"),
-        round(col("sim_raw"), 4).as("sim"))
-      .orderBy("query_id", "rk")
-      .as[(Long, Int, Long, Double)].collect().toSeq
-    val staged = TrainingData.q148BatchTopk(spark, Sf)
-      .as[(Long, Int, Long, Double)].collect().toSeq
-    assert(staged == naive)
-    assert(staged.map(_._1).distinct.size == 8, "a query lost all hits")
+    val df = TrainingData.q148BatchTopk(spark, Sf)
+    val got = df.as[(Long, Int, Long, Double)].collect().toSeq
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") &&
+      plan.contains("row_number(), 3, Partial"),
+      s"the partial group-limit rewrite is the scale contract:\n$plan")
+
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble
+      }
+    val queries = emb.filter(_._1 < 8)
+    val corpus = emb.filter(_._1 >= 8)
+    val expected = queries.sortBy(_._1).toSeq.flatMap { case (qid, qv) =>
+      corpus.toSeq
+        .map { case (vid, cv) =>
+          (vid, dot(cv, qv) / (math.sqrt(dot(cv, cv)) * math.sqrt(dot(qv, qv))))
+        }
+        .sortBy { case (vid, s) => (-s, vid) }.take(3).zipWithIndex
+        .map { case ((vid, s), i) =>
+          // Spark round(_, 4) = HALF_UP on the decimal value — mirror it
+          (qid, i + 1, vid, BigDecimal(s)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }
+    assert(got == expected)
+    assert(got.map(_._1).distinct.size == 8, "a query lost all hits")
   }
 
   test("q149 is a deterministic permutation with balanced shards in " +
