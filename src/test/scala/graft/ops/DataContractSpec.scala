@@ -39,6 +39,36 @@ class DataContractSpec extends AnyFunSuite {
       s"orphan oracle entries: ${oracles -- queries}")
   }
 
+  test("T.tus yields the SAME µs epoch for the same instant under every " +
+    "dispatched encoding (ns-long, TIMESTAMP, TIMESTAMP_NTZ)") {
+    import spark.implicits._
+    // instants straddling a µs boundary: the ns encoding carries sub-µs
+    // residue that must truncate (div), not round
+    val micros = Seq(0L, 1L, 999999L, 1704067200123456L, 1704067200123457L)
+    val asNs = micros.map(us => us * 1000L + 789L) // sub-µs residue
+    val fromLong = T.withTus(asNs.toDF("ts"))
+      .select("tus").as[Long].collect().toSeq
+    val fromTs = T.withTus(
+      micros.toDF("us").selectExpr("timestamp_micros(us) as ts"))
+      .select("tus").as[Long].collect().toSeq
+    val fromNtz = T.withTus(
+      micros.toDF("us")
+        .selectExpr("cast(timestamp_micros(us) as timestamp_ntz) as ts"))
+      .select("tus").as[Long].collect().toSeq
+    assert(fromLong == micros, s"ns-long dispatch: $fromLong")
+    assert(fromTs == micros, s"timestamp dispatch: $fromTs")
+    assert(fromNtz == micros, s"timestamp_ntz dispatch: $fromNtz")
+  }
+
+  test("T.tus fails loudly (naming the type) on an undispatched encoding") {
+    import spark.implicits._
+    val e = intercept[IllegalStateException] {
+      T.withTus(Seq("2024-01-01").toDF("ts"))
+    }
+    assert(e.getMessage.contains("StringType"), e.getMessage)
+    assert(e.getMessage.contains("events.ts"), e.getMessage)
+  }
+
   for (sf <- Seq("sf0.001", "sf0.01")) {
     test(s"events.ts at $sf loads as a dispatched physical type and " +
       "tus is a non-negative, µs-magnitude epoch") {
