@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{SrpBucket, VecDot}
+import graft.functions.{Simhash64, SrpBucket, VecDot}
 import graft.ops.TrainingData
 
 /** `SparkSessionExtensions` entry point: registers the library's native
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.srpBucketDescriptor)
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
+    ext.injectFunction(GraftExtensions.simhash64Descriptor)
   }
 }
 
@@ -67,10 +68,28 @@ object GraftExtensions {
       VecDot(children.head, children(1))
     })
 
+  private[graft] val simhash64Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
+    (children: Seq[Expression]) => {
+      if (children.length != 1) {
+        throw new AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "`simhash64`",
+            "expectedNum" -> "1",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }
+      Simhash64(children.head)
+    })
+
   /** Same registration against an already-built session (tests, REPL). */
   def register(registry: FunctionRegistry): Unit = {
-    Seq(srpBucketDescriptor, vecDotDescriptor).foreach { case (id, info, builder) =>
-      registry.registerFunction(id, info, builder)
-    }
+    Seq(srpBucketDescriptor, vecDotDescriptor, simhash64Descriptor)
+      .foreach { case (id, info, builder) =>
+        registry.registerFunction(id, info, builder)
+      }
   }
 }

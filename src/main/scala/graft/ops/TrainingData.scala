@@ -183,34 +183,19 @@ object TrainingData {
   def q77DedupSimhash(s: SparkSession, dir: String): DataFrame =
     simhashes(s, dir).orderBy("doc_id")
 
-  private[ops] def simhashes(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents")
-    // per-occurrence md5 + bit extraction, NOT a distinct-token
-    // dictionary join: an A/B at sf0.1 measured the dictionary variant
-    // (md5 once per distinct token, broadcast join back) at parity for
-    // this query and 2.3× SLOWER for q85 — codegen'd md5 over short
-    // strings is cheaper than the extra scan + distinct + hash probe
-    val words = docs
+  private[ops] def simhashes(s: SparkSession, dir: String): DataFrame =
+    // ONE native-expression projection ([[graft.functions.Simhash64]]):
+    // no explode into per-token rows, no 64-conditional-sum aggregate,
+    // no join back — the fingerprint is a per-ROW computation and now
+    // costs zero exchanges (r9; the replaced SQL pipeline shuffled a
+    // token-count-sized explode per corpus scan). Bit-exact with the
+    // replaced pipeline and the unchanged DuckDB oracle — see the
+    // expression's equivalence note. (An earlier A/B also rejected a
+    // distinct-token dictionary join: md5-per-occurrence beat the extra
+    // scan + distinct + hash probe.)
+    T(s, dir, "documents")
       .select(col("doc_id"),
-        explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
-      .withColumn("h", md5(col("t")))
-      .select(col("doc_id") +: (0 until 4).map(j =>
-        expr(s"cast(conv(substring(h, ${j * 4 + 1}, 4), 16, 10) as int)")
-          .as(s"w$j")): _*)
-    val bitVotes = (0 until 64).map { i =>
-      val j = i / 16
-      val off = 15 - (i % 16)
-      sum(when(expr(s"(shiftright(w$j, $off) & 1) = 1"), 1).otherwise(-1))
-        .as(s"b$i")
-    }
-    val votes = words.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-    docs.select("doc_id") // keep token-less docs ('0'×64, as the oracle)
-      .join(votes, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        concat((0 until 64).map(i =>
-          when(col(s"b$i") > 0, lit("1")).otherwise(lit("0"))): _*)
-          .as("simhash"))
-  }
+        graft.functions.Simhash64.simhash(col("text")).as("simhash"))
 
   /** q88: SimHash near-duplicate pairs at hamming distance ≤ 3.
     * Banding the 64 bits into 4×16-bit chunks is EXACT for this
