@@ -900,29 +900,20 @@ object TrainingData {
     * shuffle on doc_id. Measured ~3× faster than the md5 variant at
     * sf0.1. Earlier A/B kept md5-per-position over a distinct-gram
     * dictionary join (2.3× slower); this drops the digest entirely. */
-  def q85DocFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val wLead = Window.partitionBy("doc_id").orderBy("pos")
-    val wMin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+  def q85DocFingerprint(s: SparkSession, dir: String): DataFrame =
+    // ONE native-expression projection ([[graft.functions.WinnowFp]]):
+    // the replaced SQL pipeline posexploded every CHARACTER into a row
+    // and ran two per-doc windows over the corpus-char-sized result —
+    // a 30M-row window sort at sf0.1 for a per-document linear scan
+    // (r9; WinnowFpSpec pins equality against that formulation, which
+    // stays alive in the spec as the reference). NULL fp = doc under 8
+    // chars (< 4 five-grams), the old length pre-filter.
     T(s, dir, "documents")
-      .filter(length(col("text")) >= 8) // ≥ 4 five-grams ⇒ ≥ 1 window
-      .select(col("doc_id"), (length(col("text")) - 4).as("m"),
-        posexplode(split(col("text"), "")))
-      .toDF("doc_id", "m", "pos", "ch")
-      .withColumn("a", ascii(col("ch")).cast("long"))
-      .withColumn("h",
-        col("a") * lit(4362470401L) + // 257^4
-          lead("a", 1).over(wLead) * lit(16974593L) + // 257^3
-          lead("a", 2).over(wLead) * lit(66049L) + // 257^2
-          lead("a", 3).over(wLead) * lit(257L) +
-          lead("a", 4).over(wLead))
-      .withColumn("minfp", min(col("h")).over(wMin))
-      // grams exist at pos 0..m-1 (0-based); full windows end at m-4
-      .filter(col("pos") <= col("m") - 4)
-      .groupBy("doc_id")
-      .agg(countDistinct(col("minfp")).as("n_fp"),
-        min(col("minfp")).as("min_fp"))
+      .select(col("doc_id"), graft.functions.WinnowFp.winnow(col("text")).as("fp"))
+      .filter(col("fp").isNotNull)
+      .select(col("doc_id"), col("fp.n_fp").as("n_fp"),
+        col("fp.min_fp").as("min_fp"))
       .orderBy("doc_id")
-  }
 
   /** q148: batched brute-force top-k similarity — the RE-RANK stage
     * every retrieval/RAG pipeline runs after candidate generation
