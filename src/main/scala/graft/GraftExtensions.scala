@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Simhash64, SrpBucket, VecDot}
+import graft.functions.{MinhashSig, Simhash64, SrpBucket, VecDot}
 import graft.ops.TrainingData
 
 /** `SparkSessionExtensions` entry point: registers the library's native
@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.srpBucketDescriptor)
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
     ext.injectFunction(GraftExtensions.simhash64Descriptor)
+    ext.injectFunction(GraftExtensions.minhashSigDescriptor)
   }
 }
 
@@ -85,9 +86,27 @@ object GraftExtensions {
       Simhash64(children.head)
     })
 
+  private[graft] val minhashSigDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+    (children: Seq[Expression]) => {
+      if (children.length != 1) {
+        throw new AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "`minhash_sig`",
+            "expectedNum" -> "1",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }
+      MinhashSig(children.head)
+    })
+
   /** Same registration against an already-built session (tests, REPL). */
   def register(registry: FunctionRegistry): Unit = {
-    Seq(srpBucketDescriptor, vecDotDescriptor, simhash64Descriptor)
+    Seq(srpBucketDescriptor, vecDotDescriptor, simhash64Descriptor,
+      minhashSigDescriptor)
       .foreach { case (id, info, builder) =>
         registry.registerFunction(id, info, builder)
       }

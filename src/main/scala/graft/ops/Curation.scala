@@ -620,8 +620,15 @@ object Curation {
                                          excludeDocs: Option[DataFrame] = None)
       : DataFrame = {
     val idx = excludeDocs.fold(s.table(idxTable)) { ids =>
+      // no .distinct() on the build side: anti-join semantics are
+      // duplicate-insensitive (the broadcast hashed relation is a key
+      // lookup), and the distinct would cost a whole shuffle per
+      // micro-batch now that band rows arrive as a pure projection
+      // (r9's MinhashSig) instead of pre-partitioned aggregate output.
+      // Duplicates only widen the bounded batch broadcast ~4× (one id
+      // per band row).
       s.table(idxTable).join(
-        broadcast(ids.select(col("doc_id").as("o_doc")).distinct()),
+        broadcast(ids.select(col("doc_id").as("o_doc"))),
         Seq("o_doc"), "left_anti")
     }
     batchBands.join(idx, Seq("band", "k1", "k2"))

@@ -91,48 +91,37 @@ object TrainingData {
   /** The (doc_id, band, k1, k2) LSH band rows every minhash consumer
     * shares: q72/q100 self-join them for candidate pairs, q104 joins
     * new-batch bands against corpus bands for incremental dedup. */
-  private[ops] def minhashBands(s: SparkSession, dir: String): DataFrame = {
-    // hash shingle rows with plain codegen'd md5 columns, minhash as
-    // 8 min-aggregates (partial+final, one shuffle on doc_id) — an
-    // HOF-lambda formulation evaluates interpreted and ran ~4× slower.
-    // The 8 md5s run once per DISTINCT shingle (dictionary pattern,
-    // see simhashes) and join back. No broadcast hint: locally AQE
-    // broadcasts the small dictionary on its own, and at vocabulary
-    // scale — where the dictionary exceeds executor memory — the same
-    // plan degrades to a shuffle join instead of a forced-broadcast OOM.
-    //
-    // Each hash is the md5's first 15 hex chars as a BIGINT (60 bits —
-    // conv() is exact there, and DuckDB computes the identical value as
-    // `('0x' || substring(md5(..),1,15))::BIGINT`): the signature
-    // shuffle carries 8 longs instead of 8×32-char strings (~4×
-    // narrower rows), min-aggregates compare words instead of strings,
-    // and band keys join on two longs. Minhash only needs a hash
-    // family both engines share — truncation changes which shingle
-    // wins a min, so the ORACLE applies the same truncation.
-    minhashBandsOf(shingleRows(s, dir))
-  }
+  private[ops] def minhashBands(s: SparkSession, dir: String): DataFrame =
+    minhashBandsOfDocs(T(s, dir, "documents"))
 
-  /** The minhash/banding stack over an arbitrary pre-shingled frame —
+  /** The minhash/banding stack over an arbitrary (doc_id, text) frame —
     * shared by the corpus queries and the streaming ingest path (which
     * bands one micro-batch at a time). Same hash family everywhere:
     * collisions between a batch's bands and the persisted index are
-    * only meaningful because BOTH sides band with this code. */
-  private[graft] def minhashBandsOf(sh: DataFrame): DataFrame = {
-    val dict = sh.select("sh").distinct()
-      .select(col("sh") +: (0 until 8).map(k =>
-        expr(s"cast(conv(substring(md5(concat('$k:', sh)), 1, 15), 16, 10) as bigint)")
-          .as(s"h$k")): _*)
-    val hashed = sh.join(dict, "sh")
-    val sig = hashed.groupBy("doc_id")
-      .agg(min(col("h0")).as("m0"),
-        (1 until 8).map(k => min(col(s"h$k")).as(s"m$k")): _*)
-    sig.select(col("doc_id"), explode(array((0 until 4).map(b =>
-      struct(lit(b).as("band"),
-        col(s"m${2 * b}").as("k1"), col(s"m${2 * b + 1}").as("k2"))): _*))
-      .as("bk"))
+    * only meaningful because BOTH sides band with this code.
+    *
+    * The 8-minima signature is ONE native-expression projection
+    * ([[graft.functions.MinhashSig]], r9) — the replaced pipeline
+    * shingle-exploded the corpus through a per-doc window, a
+    * corpus-wide distinct-shingle dictionary join on the shingle
+    * STRING, and an 8-min aggregate: three exchanges now spent zero
+    * (MinhashSigSpec pins equality against that formulation). Banding
+    * explodes only the four band structs per doc; each hash stays the
+    * md5's first 60 bits as a BIGINT, the family the DuckDB oracle
+    * mirrors as `('0x' || substring(md5(..),1,15))::BIGINT` —
+    * truncation changes which shingle wins a min, so BOTH engines
+    * apply the same truncation. */
+  private[graft] def minhashBandsOfDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.MinhashSig.sig(col("text")).as("m"))
+      .filter(col("m").isNotNull) // < 3 tokens ⇒ no shingle ⇒ no bands
+      .select(col("doc_id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          col("m")(2 * b).as("k1"), col("m")(2 * b + 1).as("k2"))): _*))
+        .as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.k1").as("k1"), col("bk.k2").as("k2"))
-  }
 
   /** The q72 candidate-pair set WITHOUT the presentation sort — q100's
     * connected components consume the unordered pairs, and the global

@@ -72,7 +72,7 @@ object IngestDedup {
     // checkpoint: the screen and the admission anti-join both consume
     // the bands; without it the shingle/minhash stack runs twice, and —
     // worse — the admission would race the screen's view of the index
-    val bands = TrainingData.minhashBandsOf(TrainingData.shingleRowsOf(docs))
+    val bands = TrainingData.minhashBandsOfDocs(docs)
       .localCheckpoint(true)
     val idxPairs = Curation.indexCollisionPairs(s, idxTable, bands,
       excludeDocs = Some(bands.select("doc_id")))
