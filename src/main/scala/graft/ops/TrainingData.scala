@@ -400,26 +400,18 @@ object TrainingData {
     *
     * The per-doc sets feed FOUR branches (both prefix join sides,
     * both verify join sides); localCheckpoint materializes the build
-    * once instead of per branch. The build itself is ONE shuffle: the
-    * lead-window shingling leaves data hash-partitioned by doc_id, the
-    * per-doc dedup is collect_set INSIDE the aggregate (not a separate
-    * distinct — that's a second full (doc, shingle) exchange), and the
-    * groupBy reuses the window's partitioning, so no further exchange. */
-  private[ops] def ngramDocsets(docs: DataFrame): DataFrame = {
-    val wSh = Window.partitionBy("doc_id").orderBy("pos")
+    * once instead of per branch. The build itself is now ZERO
+    * exchanges ([[graft.functions.NgramSet]], r9) — the replaced
+    * formulation word-exploded the corpus through a per-doc lead
+    * window and a collect_set aggregate (NgramSetSpec pins equality
+    * against it, incl. the xxhash64-seed-42 value identity). */
+  private[ops] def ngramDocsets(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .toDF("doc_id", "pos", "word")
-      .withColumn("w1", lead("word", 1).over(wSh))
-      .withColumn("w2", lead("word", 2).over(wSh))
-      .filter(col("w2").isNotNull)
       .select(col("doc_id"),
-        expr("xxhash64(concat_ws(' ', word, w1, w2))").as("hv"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("hv"))).as("hs"))
+        graft.functions.NgramSet.grams(col("text")).as("hs"))
+      .filter(col("hs").isNotNull) // < 3 tokens ⇒ no shingle ⇒ absent
       .withColumn("n", size(col("hs")))
       .localCheckpoint(true)
-  }
 
   /** q78 candidate pairs `(da, db)` via prefix collision + PPJoin length
     * filter (Jaccard ≥ t ⟹ min(n) ≥ t·max(n)) — both exact-preserving.
