@@ -962,6 +962,45 @@ object TrainingData {
       .orderBy("pos")
   }
 
+  /** q150: token-budget mixture cut — the budgeted companion to q149's
+    * epoch shuffle and q97's ratio rebalance: per language, take
+    * documents in deterministic shuffled order (48-bit md5 keys — the
+    * q129/q149 exact-integer discipline) until the language's TOKEN
+    * budget is spent (admit while the exclusive running token sum is
+    * under budget, so the budget-crossing doc is the last one in).
+    * This is how a training mix is actually specified — "B tokens per
+    * source/language" — rather than by document counts or ratios.
+    *
+    * The per-group exclusive prefix sum deliberately does NOT use
+    * `Window.partitionBy(lang)`: with a handful of languages over a
+    * 100 TB corpus each window partition IS the corpus slice in one
+    * task. Instead the scan runs GLOBALLY over the composite key
+    * (lang, skey, doc_id) through [[ScalableRank
+    * .withGlobalCumsumExclusive]]'s two-pass range-partition shape —
+    * languages occupy contiguous key runs, so each language's
+    * exclusive sum is the global one minus the language's first-row
+    * base (a |langs|-row broadcast join). MixBudgetSpec pins equality
+    * against the naive per-lang window formulation and the maximal-
+    * prefix property. Token count is q84's whitespace contract. */
+  def q150TokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    val budget = 4000L // tokens per language
+    val keyed = T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long")
+          .as("tok"),
+        expr("cast(conv(substring(md5(concat('mix:', " +
+          "cast(doc_id as string))), 1, 12), 16, 10) as bigint)").as("skey"))
+    val g = ScalableRank.withGlobalCumsumExclusive(keyed, col("tok"),
+      "gexcl", col("lang"), col("skey"), col("doc_id"))
+    val base = g.groupBy(col("lang").as("b_lang"))
+      .agg(min("gexcl").as("base")) // first row of the contiguous run
+    g.join(broadcast(base), col("lang") === col("b_lang"))
+      .withColumn("lang_excl", col("gexcl") - col("base"))
+      .filter(col("lang_excl") < budget)
+      .select("lang", "doc_id", "tok", "lang_excl")
+      .orderBy("lang", "lang_excl", "doc_id")
+  }
+
   /** q87: opaque-binary column plumbing — treat content as a binary blob
     * with typed metadata (byte length, magic-prefix hex). The decode
     * stage itself is [[Multimodal.decode]] (real JDK ImageIO codecs,
@@ -1232,6 +1271,7 @@ object TrainingData {
     "q129_weighted_sample" -> q129WeightedSample _,
     "q148_batch_topk" -> q148BatchTopk _,
     "q149_epoch_shuffle" -> q149EpochShuffle _,
+    "q150_token_budget_mix" -> q150TokenBudgetMix _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1254,6 +1294,20 @@ object TrainingData {
         |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id,
         |       round(s, 4) AS sim
         |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "q150_token_budget_mix" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tok,
+        |             ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 12))::BIGINT AS skey
+        |           FROM documents),
+        |c AS (SELECT lang, doc_id, tok,
+        |             COALESCE(CAST(sum(tok) OVER (PARTITION BY lang
+        |               ORDER BY skey, doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |               0) AS lang_excl
+        |      FROM t)
+        |SELECT lang, doc_id, tok, lang_excl FROM c
+        |WHERE lang_excl < 4000
+        |ORDER BY lang, lang_excl, doc_id""".stripMargin,
     "q149_epoch_shuffle" ->
       """WITH k AS (SELECT doc_id,
         |             ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 12))::BIGINT AS skey
