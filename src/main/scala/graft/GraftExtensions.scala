@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinhashSig, Simhash64, SrpBucket, VecDot}
+import graft.functions.{MinhashSig, NgramSet, Simhash64, SrpBucket, VecDot, WinnowFp}
 import graft.ops.TrainingData
 
 /** `SparkSessionExtensions` entry point: registers the library's native
@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
     ext.injectFunction(GraftExtensions.simhash64Descriptor)
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
+    ext.injectFunction(GraftExtensions.winnowFpDescriptor)
+    ext.injectFunction(GraftExtensions.ngramSetDescriptor)
   }
 }
 
@@ -103,10 +105,34 @@ object GraftExtensions {
       MinhashSig(children.head)
     })
 
+  private def unaryDescriptor(name: String, cls: Class[_],
+                              build: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
+    (children: Seq[Expression]) => {
+      if (children.length != 1) {
+        throw new AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> s"`$name`",
+            "expectedNum" -> "1",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }
+      build(children.head)
+    })
+
+  private[graft] val winnowFpDescriptor =
+    unaryDescriptor("winnow_fp", classOf[WinnowFp], WinnowFp(_))
+
+  private[graft] val ngramSetDescriptor =
+    unaryDescriptor("ngram_hash_set", classOf[NgramSet], NgramSet(_))
+
   /** Same registration against an already-built session (tests, REPL). */
   def register(registry: FunctionRegistry): Unit = {
     Seq(srpBucketDescriptor, vecDotDescriptor, simhash64Descriptor,
-      minhashSigDescriptor)
+      minhashSigDescriptor, winnowFpDescriptor, ngramSetDescriptor)
       .foreach { case (id, info, builder) =>
         registry.registerFunction(id, info, builder)
       }

@@ -82,4 +82,15 @@ class WinnowFpSpec extends AnyFunSuite {
       org.apache.spark.unsafe.types.UTF8String.fromString("abcdefghij"))
     assert((direct.getLong(0), direct.getLong(1)) == viaExpr)
   }
+
+  test("SQL registration: winnow_fp and ngram_hash_set work in spark.sql") {
+    graft.GraftExtensions.register(spark.sessionState.functionRegistry)
+    import spark.implicits._
+    val fp = spark.sql("SELECT winnow_fp('abcdefghij').n_fp AS n")
+      .as[Long].collect().head
+    assert(fp > 0)
+    val ng = spark.sql("SELECT size(ngram_hash_set('a b c d')) AS n")
+      .as[Int].collect().head
+    assert(ng == 2)
+  }
 }
