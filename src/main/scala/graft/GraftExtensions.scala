@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinhashSig, NgramSet, Simhash64, SrpBucket, VecDot, WinnowFp}
+import graft.functions.{BpeCount, BpeTokens, MinhashSig, NgramSet, Simhash64, SrpBucket, VecDot, WinnowFp}
 import graft.ops.TrainingData
 
 /** `SparkSessionExtensions` entry point: registers the library's native
@@ -30,6 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
     ext.injectFunction(GraftExtensions.winnowFpDescriptor)
     ext.injectFunction(GraftExtensions.ngramSetDescriptor)
+    ext.injectFunction(GraftExtensions.bpeCountDescriptor)
+    ext.injectFunction(GraftExtensions.bpeTokensDescriptor)
   }
 }
 
@@ -71,40 +73,6 @@ object GraftExtensions {
       VecDot(children.head, children(1))
     })
 
-  private[graft] val simhash64Descriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("simhash64"),
-    new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
-    (children: Seq[Expression]) => {
-      if (children.length != 1) {
-        throw new AnalysisException(
-          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-          messageParameters = Map(
-            "functionName" -> "`simhash64`",
-            "expectedNum" -> "1",
-            "actualNum" -> children.length.toString,
-            "docroot" -> "https://spark.apache.org/docs/latest"))
-      }
-      Simhash64(children.head)
-    })
-
-  private[graft] val minhashSigDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("minhash_sig"),
-    new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
-    (children: Seq[Expression]) => {
-      if (children.length != 1) {
-        throw new AnalysisException(
-          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-          messageParameters = Map(
-            "functionName" -> "`minhash_sig`",
-            "expectedNum" -> "1",
-            "actualNum" -> children.length.toString,
-            "docroot" -> "https://spark.apache.org/docs/latest"))
-      }
-      MinhashSig(children.head)
-    })
-
   private def unaryDescriptor(name: String, cls: Class[_],
                               build: Expression => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -123,16 +91,29 @@ object GraftExtensions {
       build(children.head)
     })
 
+  private[graft] val simhash64Descriptor =
+    unaryDescriptor("simhash64", classOf[Simhash64], Simhash64(_))
+
+  private[graft] val minhashSigDescriptor =
+    unaryDescriptor("minhash_sig", classOf[MinhashSig], MinhashSig(_))
+
   private[graft] val winnowFpDescriptor =
     unaryDescriptor("winnow_fp", classOf[WinnowFp], WinnowFp(_))
 
   private[graft] val ngramSetDescriptor =
     unaryDescriptor("ngram_hash_set", classOf[NgramSet], NgramSet(_))
 
+  private[graft] val bpeCountDescriptor =
+    unaryDescriptor("bpe_count", classOf[BpeCount], BpeCount(_))
+
+  private[graft] val bpeTokensDescriptor =
+    unaryDescriptor("bpe_tokens", classOf[BpeTokens], BpeTokens(_))
+
   /** Same registration against an already-built session (tests, REPL). */
   def register(registry: FunctionRegistry): Unit = {
     Seq(srpBucketDescriptor, vecDotDescriptor, simhash64Descriptor,
-      minhashSigDescriptor, winnowFpDescriptor, ngramSetDescriptor)
+      minhashSigDescriptor, winnowFpDescriptor, ngramSetDescriptor,
+      bpeCountDescriptor, bpeTokensDescriptor)
       .foreach { case (id, info, builder) =>
         registry.registerFunction(id, info, builder)
       }

@@ -855,15 +855,20 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
-  /** q84: token counting — whitespace tokens and a regex tokenizer
-    * (letter runs / digit runs / single other chars, a BPE-ish pre-split). */
+  /** q84: token counting under the library's three contracts —
+    * whitespace tokens, a regex tokenizer (letter runs / digit runs /
+    * single other chars, a BPE-ish pre-split), and the real subword
+    * count ([[graft.functions.Bpe]], greedy merged-vocab BPE — the
+    * unit training budgets are denominated in; its oracle twin is a
+    * recursive-CTE tokenizer generated from the same vocab). */
   def q84TokenCount(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .select(col("doc_id"),
         size(expr("filter(split(text, ' '), x -> x != '')")).cast("long")
           .as("ws_tokens"),
         size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
-          .cast("long").as("re_tokens"))
+          .cast("long").as("re_tokens"),
+        graft.functions.Bpe.count(col("text")).as("bpe_tokens"))
       .orderBy("doc_id")
 
   /** q85: winnowing document fingerprints — base-257 polynomial hash
@@ -982,21 +987,51 @@ object TrainingData {
     * base (a |langs|-row broadcast join). MixBudgetSpec pins equality
     * against the naive per-lang window formulation and the maximal-
     * prefix property. Token count is q84's whitespace contract. */
-  def q150TokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
-    val budget = 4000L // tokens per language
+  def q150TokenBudgetMix(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetMix(s, dir,
+      size(expr("filter(split(text, ' '), x -> x != '')")).cast("long"))
+
+  /** q151: the same budgeted mixture cut denominated in SUBWORD tokens
+    * ([[graft.functions.Bpe]]'s deterministic greedy-merge contract) —
+    * the unit real training budgets are specified in (whitespace
+    * counts run 1.2–2× low and skew any per-language budget). Same
+    * plan shape as q150: the tokenizer is ONE codegen'd projection in
+    * the scan stage; nothing downstream changes. The DuckDB oracle
+    * tokenizes with a recursive CTE generated from the same vocab
+    * constant ([[graft.functions.Bpe.countCteSql]]). */
+  def q151BpeBudgetMix(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetMix(s, dir, graft.functions.Bpe.count(col("text")))
+
+  /** Per-language token budgets — the mixture SPEC ("B tokens per
+    * language"), a broadcast table rather than one scalar so each
+    * language can be weighted independently (the r9 verdict's q150
+    * flag). Languages absent from the spec are excluded by the inner
+    * join: the spec IS the admission list. Values chosen to bind (cut
+    * at least one doc per language) at sf0.001 and sf0.01 under BOTH
+    * token contracts (subword counts run ~1.2× whitespace, so any
+    * budget under the whitespace total binds for both). */
+  private[ops] val LangBudgets: Seq[(String, Long)] = Seq(
+    "de" -> 2500L, "en" -> 6000L, "es" -> 3000L, "fr" -> 2000L,
+    "zh" -> 3500L)
+
+  /** Shared q150/q151 shape: deterministic shuffled order, global
+    * composite-key exclusive prefix scan, per-language base subtract
+    * and budget cut folded into ONE |langs|-row broadcast join. */
+  private def tokenBudgetMix(s: SparkSession, dir: String,
+                             tokCount: Column): DataFrame = {
+    import s.implicits._
     val keyed = T(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long")
-          .as("tok"),
+      .select(col("doc_id"), col("lang"), tokCount.as("tok"),
         expr("cast(conv(substring(md5(concat('mix:', " +
           "cast(doc_id as string))), 1, 12), 16, 10) as bigint)").as("skey"))
     val g = ScalableRank.withGlobalCumsumExclusive(keyed, col("tok"),
       "gexcl", col("lang"), col("skey"), col("doc_id"))
     val base = g.groupBy(col("lang").as("b_lang"))
       .agg(min("gexcl").as("base")) // first row of the contiguous run
+      .join(LangBudgets.toDF("b_lang", "budget"), "b_lang")
     g.join(broadcast(base), col("lang") === col("b_lang"))
       .withColumn("lang_excl", col("gexcl") - col("base"))
-      .filter(col("lang_excl") < budget)
+      .filter(col("lang_excl") < col("budget"))
       .select("lang", "doc_id", "tok", "lang_excl")
       .orderBy("lang", "lang_excl", "doc_id")
   }
@@ -1164,9 +1199,18 @@ object TrainingData {
     * frame sampling). Tail chunks shorter than the window are kept
     * (standard for training prep; packing them is q92's job). */
   def q112ChunkSplit(s: SparkSession, dir: String): DataFrame =
+    chunkSplit(s, dir, expr("filter(split(text, ' '), x -> x != '')"))
+
+  /** q112 generalized over the tokenizer: `tokens` is any
+    * `array<string>` token column — the whitespace contract for the
+    * published q112, or the subword ids via
+    * `transform(bpe_tokens(text), x -> cast(x as string))`
+    * (ChunkSplitSpec exercises the subword variant). Chunk geometry
+    * and fingerprinting are tokenizer-independent. */
+  private[ops] def chunkSplit(s: SparkSession, dir: String,
+                              tokens: Column): DataFrame =
     T(s, dir, "documents")
-      .select(col("doc_id"),
-        expr("filter(split(text, ' '), x -> x != '')").as("w"))
+      .select(col("doc_id"), tokens.as("w"))
       .withColumn("n", size(col("w")))
       .filter(col("n") > 0)
       .select(col("doc_id"), col("w"),
@@ -1233,12 +1277,20 @@ object TrainingData {
       .select(col("doc_id"), round(col("score"), 4).as("bm25"))
   }
 
-  def q92SequencePack(s: SparkSession, dir: String): DataFrame = {
+  def q92SequencePack(s: SparkSession, dir: String): DataFrame =
+    sequencePack(s, dir,
+      size(expr("filter(split(text, ' '), x -> x != '')")).cast("long"))
+
+  /** q92 generalized over the tokenizer: `tokCount` is any per-doc
+    * token-count column — whitespace for the published q92, or
+    * [[graft.functions.Bpe.count]] for subword-denominated packing
+    * (SequencePackBpeSpec exercises that variant; bin geometry is
+    * count-contract-independent). */
+  private[ops] def sequencePack(s: SparkSession, dir: String,
+                                tokCount: Column): DataFrame = {
     val budget = 2000L
     val docs = T(s, dir, "documents")
-      .select(col("doc_id"),
-        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long")
-          .as("tokens"))
+      .select(col("doc_id"), tokCount.as("tokens"))
     ScalableRank.withGlobalCumsumExclusive(
         docs, col("tokens"), "cumex", col("doc_id").asc)
       .withColumn("bin", expr(s"cumex div $budget"))
@@ -1272,7 +1324,13 @@ object TrainingData {
     "q148_batch_topk" -> q148BatchTopk _,
     "q149_epoch_shuffle" -> q149EpochShuffle _,
     "q150_token_budget_mix" -> q150TokenBudgetMix _,
+    "q151_bpe_budget_mix" -> q151BpeBudgetMix _,
   )
+
+  /** `('de', 2500),…` — [[LangBudgets]] as a DuckDB VALUES list so the
+    * oracles join the same mixture spec the Spark side broadcasts. */
+  private def budgetValuesSql: String =
+    LangBudgets.map { case (l, b) => s"('$l', $b)" }.mkString(",")
 
   val oracle: Map[String, String] = Map(
     "q148_batch_topk" ->
@@ -1295,19 +1353,35 @@ object TrainingData {
         |       round(s, 4) AS sim
         |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     "q150_token_budget_mix" ->
-      """WITH t AS (SELECT doc_id, lang,
+      s"""WITH t AS (SELECT doc_id, lang,
         |             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tok,
         |             ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 12))::BIGINT AS skey
         |           FROM documents),
+        |b(lang, budget) AS (VALUES $budgetValuesSql),
         |c AS (SELECT lang, doc_id, tok,
         |             COALESCE(CAST(sum(tok) OVER (PARTITION BY lang
         |               ORDER BY skey, doc_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
         |               0) AS lang_excl
         |      FROM t)
-        |SELECT lang, doc_id, tok, lang_excl FROM c
-        |WHERE lang_excl < 4000
-        |ORDER BY lang, lang_excl, doc_id""".stripMargin,
+        |SELECT c.lang, doc_id, tok, lang_excl FROM c JOIN b ON c.lang = b.lang
+        |WHERE lang_excl < budget
+        |ORDER BY c.lang, lang_excl, doc_id""".stripMargin,
+    "q151_bpe_budget_mix" ->
+      s"""WITH RECURSIVE ${graft.functions.Bpe.countCteSql},
+        |t AS (SELECT d.doc_id, d.lang, c.btok AS tok,
+        |             ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 12))::BIGINT AS skey
+        |      FROM documents d JOIN bpe_cnt c ON d.doc_id = c.doc_id),
+        |b(lang, budget) AS (VALUES $budgetValuesSql),
+        |c2 AS (SELECT lang, doc_id, tok,
+        |             COALESCE(CAST(sum(tok) OVER (PARTITION BY lang
+        |               ORDER BY skey, doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |               0) AS lang_excl
+        |       FROM t)
+        |SELECT c2.lang, doc_id, tok, lang_excl FROM c2 JOIN b ON c2.lang = b.lang
+        |WHERE lang_excl < budget
+        |ORDER BY c2.lang, lang_excl, doc_id""".stripMargin,
     "q149_epoch_shuffle" ->
       """WITH k AS (SELECT doc_id,
         |             ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 12))::BIGINT AS skey
@@ -1385,10 +1459,13 @@ object TrainingData {
         |             + 2500 * n) // (2 * 2500 * n) AS DOUBLE) / 10000.0 AS quality
         |FROM k ORDER BY doc_id""".stripMargin,
     "q84_token_count" ->
-      """SELECT doc_id,
+      s"""WITH RECURSIVE ${graft.functions.Bpe.countCteSql}
+        |SELECT d.doc_id,
         |       len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
-        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+        |       c.btok AS bpe_tokens
+        |FROM documents d JOIN bpe_cnt c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q85_doc_fingerprint" ->
       // base-257 5-gram polynomial, same constants as the Spark side
       """WITH g AS (SELECT doc_id,
