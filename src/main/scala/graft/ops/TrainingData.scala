@@ -642,10 +642,13 @@ object TrainingData {
   private[ops] val IvfIters = 3
   private val FixScale = 1048576.0 // 2^20 — exact exponent-shift factor
 
-  /** dataset dir → trained centroids (train once per JVM per dataset —
-    * the deployment shape: the quantizer is trained offline and
-    * broadcast, not re-fit per query). */
-  private val ivfCache =
+  /** dataset dir → trained centroids. Per-JVM FALLBACK for the
+    * self-contained q93: a new session retrains. The deployment path is
+    * q152's PERSISTED index ([[ensureIvfIndex]]) — centroids and cell
+    * assignments live in catalog tables, so a fresh session adopts them
+    * from disk and never retrains or re-assigns (IndexedAnnSpec pins
+    * that). private[ops] so the spec can evict and prove it. */
+  private[ops] val ivfCache =
     scala.collection.concurrent.TrieMap[String, Seq[IvfCent]]()
 
   /** Trains q93's coarse quantizer: [[IvfIters]] spherical-k-means
@@ -752,25 +755,34 @@ object TrainingData {
     * exists for is a BNLJ against an UNBOUNDED side). The assignment
     * pass's dot products — the 100 TB hot loop (corpus × 16 per scan) —
     * run through the native codegen'd [[graft.functions.VecDot]]. */
+  /** Ranked nearest-centroid assignment — the corpus × k dot-product
+    * pass shared by q93, the q152 index build, and admission. `e` must
+    * carry (vec_id, embedding, nrm); `cents` is the k-row centroid
+    * frame (broadcast — the named BNLJ exception). arn = 1 is the cell
+    * assignment; arn ≤ nprobe are a query's probed cells. */
+  private def assignRanked(e: DataFrame, cents: DataFrame,
+                           maxRank: Int): DataFrame = {
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cent_id"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        graft.functions.VecDot.dot(col("embedding"), col("ec"))
+          / (col("nrm") * col("ncn")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= maxRank)
+      .select("vec_id", "embedding", "nrm", "cent_id", "arn")
+  }
+
   def q93AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(T(s, dir, "embeddings"))
     val trained = ivfCache.getOrElseUpdate(dir,
       trainIvfCentroids(s, dir)._1)
     val cents = centroidFrame(s, trained)
-    val centDot = graft.functions.VecDot.dot(col("embedding"), col("ec"))
-    // nearest-centroid rank per vector: arn = 1 is the assignment, and
-    // for query vectors arn <= 4 are the probed cells
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cent_id"))
     // materialize the top-4 assignment slice once: `cells` (arn = 1) and
     // `qprobe` (arn <= 4) both branch off it, and without the checkpoint
     // the corpus × 16 dot-product pass + window shuffle would execute
     // once per branch
-    val assign = e.crossJoin(broadcast(cents))
-      .withColumn("csim", centDot / (col("nrm") * col("ncn")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") <= 4)
-      .select("vec_id", "embedding", "nrm", "cent_id", "arn")
+    val assign = assignRanked(e, cents, 4)
       .localCheckpoint(true)
     val cells = assign.filter(col("arn") === 1)
       .select(col("vec_id").as("c_id"), col("embedding").as("eb"),
@@ -788,6 +800,139 @@ object TrainingData {
       .select(col("q_id"), col("c_id"), round(col("sim_raw"), 4).as("sim"),
         col("rn"))
       .orderBy("q_id", "rn")
+  }
+
+  private val IvfCellBuckets = 8
+
+  /** The q152 centroid table's registration schema, declared statically
+    * so [[graft.sink.BucketedTables.ensureLazy]] can ADOPT an on-disk
+    * index without evaluating the build thunk — constructing the
+    * centroid frame runs driver-side k-means jobs, which is exactly
+    * what adoption exists to avoid. Must match what a PATH READ of the
+    * written files reports, by (name, dataType): the `Array[Float]`
+    * product encoder writes non-null elements, but Spark's parquet
+    * path read reports the element as nullable — so containsNull=true
+    * here, or every fresh session would "detect" drift and rebuild
+    * (IndexedAnnSpec's adopt test is the regression guard). */
+  private val ivfCentSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cent_id",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("ec",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = true)),
+    org.apache.spark.sql.types.StructField("ncn",
+      org.apache.spark.sql.types.DoubleType)))
+
+  /** Ensures (adopt-or-build) the PERSISTED IVF index q152 probes —
+    * the deployment shape the per-JVM [[ivfCache]] only approximates:
+    * a 100 TB corpus cannot re-train the quantizer and re-assign every
+    * vector per session.
+    *
+    * Two catalog tables, named by a digest of the dataset dir (like
+    * q107's band index, so scale factors never alias):
+    *  - `graft_ivf_cents_<digest>_b1`: the k trained centroids
+    *    (cent_id, ec, ncn) — built through [[ensureLazy]] so training
+    *    runs ONLY when no complete on-disk table exists;
+    *  - `graft_ivf_cells_<digest>_b8`: every corpus vector's cell
+    *    assignment (vec_id, embedding, nrm, cell), bucketed + sorted
+    *    on cell — the inverted file. Bucket-pruning applies to
+    *    cell-equality probes, and a non-broadcastable (large-batch)
+    *    probe joins it on cell with NO exchange on the index side.
+    *
+    * Crash/race safety (complete-adopt / staged-build + atomic rename /
+    * EXTERNAL registration) is the shared BucketedTables.ensure
+    * protocol. Cross-session: a fresh session adopts both tables from
+    * disk — no retraining, no corpus re-assignment pass (IndexedAnnSpec
+    * evicts the cache and pins it). */
+  /** The index tables' FULL catalog names for a dataset dir (the
+    * `_b<n>` suffix is BucketedTables.ensure's layout-versioning
+    * convention) — exposed so tests can reset on-disk state without
+    * triggering a build. */
+  private[ops] def ivfIndexNames(dir: String): (String, String) = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    (s"graft_ivf_cents_${digest}_b1",
+      s"graft_ivf_cells_${digest}_b$IvfCellBuckets")
+  }
+
+  private[ops] def ensureIvfIndex(s: SparkSession, dir: String)
+      : (String, String) = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val cents = graft.sink.BucketedTables.ensureLazy(
+      s, s"graft_ivf_cents_$digest", ivfCentSchema,
+      () => centroidFrame(s,
+        ivfCache.getOrElseUpdate(dir, trainIvfCentroids(s, dir)._1)),
+      1, Seq("cent_id"))
+    val cells = graft.sink.BucketedTables.ensure(
+      s, s"graft_ivf_cells_$digest",
+      assignRanked(withNorm(T(s, dir, "embeddings")), s.table(cents), 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("cent_id").as("cell")),
+      IvfCellBuckets, Seq("cell"))
+    assert((cents, cells) == ivfIndexNames(dir),
+      "ivfIndexNames drifted from the ensure layout")
+    (cents, cells)
+  }
+
+  /** Admission: assigns NEW vectors (vec_id, embedding) to their cells
+    * via the persisted centroids and appends them to the inverted file,
+    * preserving the bucket layout — the index grows by |batch| rows and
+    * the corpus is never re-assigned. Same cross-session cache contract
+    * as q107's admitToBandIndex: the append invalidates THIS session's
+    * cached relation; any other session that already resolved the table
+    * must `refreshTable` before its next read. */
+  def admitToIvfIndex(s: SparkSession, centsTable: String,
+                      cellsTable: String, newVecs: DataFrame): Unit =
+    graft.sink.BucketedTables.append(
+      assignRanked(withNorm(newVecs), s.table(centsTable), 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("cent_id").as("cell")),
+      cellsTable, IvfCellBuckets, Seq("cell"))
+
+  /** The probe half: `queries` (vec_id, embedding, nrm) fan out to
+    * their nprobe = 4 nearest cells via the persisted centroids, and
+    * exact-cosine rerank ONLY those cells' members to top-3 — q93's
+    * protocol, driven entirely by the index tables. The bounded query
+    * batch broadcasts (the right 100 TB plan: corpus-side parallelism
+    * stays at scan width); a non-broadcastable batch would SMJ on cell
+    * with the index side exchange-free (the bucket layout's other
+    * dividend). */
+  private[ops] def probeIvfIndex(s: SparkSession, centsTable: String,
+                                 cellsTable: String,
+                                 queries: DataFrame): DataFrame = {
+    val qp = assignRanked(queries, s.table(centsTable), 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("ea"),
+        col("nrm").as("nq"), col("cent_id").as("cell"))
+    val cells = s.table(cellsTable)
+      .select(col("vec_id").as("c_id"), col("embedding").as("eb"),
+        col("nrm").as("nc"), col("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim_raw").desc,
+      col("c_id"))
+    cells
+      .join(broadcast(qp),
+        cells("cell") === qp("cell") && col("c_id") =!= col("q_id"))
+      .withColumn("sim_raw", dotCol / (col("nq") * col("nc")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("c_id"), round(col("sim_raw"), 4).as("sim"),
+        col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** q152: q93's IVF ANN driven by the PERSISTED index — build once
+    * (adopt on every later session), probe forever. The probe's plan
+    * touches ONLY the two index tables: the embeddings parquet is
+    * never rescanned, the quantizer never retrained (IndexedAnnSpec
+    * pins both, plus admission visibility and bit-identity with q93 —
+    * same trained centroids via the parquet float round-trip, same
+    * deterministic assignment, so the same DuckDB oracle drives
+    * both). */
+  def q152IndexedAnn(s: SparkSession, dir: String): DataFrame = {
+    val (cents, cells) = ensureIvfIndex(s, dir)
+    probeIvfIndex(s, cents, cells,
+      s.table(cells).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"), col("nrm")))
   }
 
   /** Marker lexicon for q82 — stand-in per-language stopword lists drawn
@@ -1325,6 +1470,7 @@ object TrainingData {
     "q149_epoch_shuffle" -> q149EpochShuffle _,
     "q150_token_budget_mix" -> q150TokenBudgetMix _,
     "q151_bpe_budget_mix" -> q151BpeBudgetMix _,
+    "q152_indexed_ann" -> q152IndexedAnn _,
   )
 
   /** `('de', 2500),…` — [[LangBudgets]] as a DuckDB VALUES list so the
@@ -1496,53 +1642,11 @@ object TrainingData {
         |           FROM cand)
         |SELECT q_id, c_id, round(sim, 4) AS sim, CAST(rn AS INTEGER) AS rn
         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
-    "q93_ann_ivf" -> {
-      val dot = (a: String, b: String) =>
-        s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a) + 1)])"
-      // One unrolled spherical-Lloyd iteration (mirrors
-      // trainIvfCentroids exactly): assignment by argmax cosine with
-      // cent_id tie-break, update = per-dimension 2^-20 fixed-point
-      // INTEGER sums of unit-normalized members divided back and cast
-      // to FLOAT once, empty cells carrying the previous centroid.
-      def lloydIter(prev: String, t: Int): String =
-        s"""a$t AS (SELECT vec_id, cent_id,
-           |        row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn
-           |        FROM (SELECT e.vec_id, c.cent_id, ${dot("e.embedding", "c.ec")} / (e.nrm * c.ncn) AS csim
-           |              FROM e CROSS JOIN $prev c)),
-           |s$t AS (SELECT a.cent_id, d.i AS dim,
-           |        SUM(CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) / e.nrm * 1048576.0 + 0.5) AS BIGINT)) AS sfx,
-           |        count(*) AS n
-           |        FROM a$t a, e, range(1, 65) d(i)
-           |        WHERE a.vec_id = e.vec_id AND a.arn = 1 GROUP BY 1, 2),
-           |u$t AS (SELECT cent_id, ec,
-           |        sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in ec])) AS ncn
-           |        FROM (SELECT cent_id,
-           |              list(CAST(CAST(sfx AS DOUBLE) / (n * 1048576.0) AS FLOAT) ORDER BY dim) AS ec
-           |              FROM s$t GROUP BY cent_id)),
-           |c$t AS (SELECT p.cent_id, COALESCE(u.ec, p.ec) AS ec, COALESCE(u.ncn, p.ncn) AS ncn
-           |        FROM $prev p LEFT JOIN u$t u ON p.cent_id = u.cent_id),""".stripMargin
-      s"""WITH e AS (SELECT vec_id, embedding,
-        |           sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
-        |           FROM embeddings),
-        |c0 AS (SELECT vec_id AS cent_id, embedding AS ec, nrm AS ncn FROM e WHERE vec_id < 16),
-        |${lloydIter("c0", 1)}
-        |${lloydIter("c1", 2)}
-        |${lloydIter("c2", 3)}
-        |sim AS (SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
-        |        ${dot("e.embedding", "c.ec")} / (e.nrm * c.ncn) AS csim
-        |        FROM e CROSS JOIN c3 c),
-        |assign AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn FROM sim),
-        |cells AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM assign WHERE arn = 1),
-        |qprobe AS (SELECT vec_id AS q_id, embedding AS eq, nrm AS nq, cent_id AS cell
-        |           FROM assign WHERE arn <= 4 AND vec_id % 50 = 0),
-        |cand AS (SELECT q.q_id, c2.vec_id AS c_id,
-        |         ${dot("q.eq", "c2.embedding")} / (q.nq * c2.nrm) AS sim
-        |         FROM qprobe q JOIN cells c2 ON q.cell = c2.cell AND c2.vec_id <> q.q_id),
-        |ranked AS (SELECT q_id, c_id, sim,
-        |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM cand)
-        |SELECT q_id, c_id, round(sim, 4) AS sim, CAST(rn AS INTEGER) AS rn
-        |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
-    },
+    "q93_ann_ivf" -> ivfOracleSql,
+    // q152 probes the PERSISTED index but computes the identical
+    // result (same trained centroids via the parquet float round-trip,
+    // same deterministic assignment + probe), so q93's oracle drives it
+    "q152_indexed_ann" -> ivfOracleSql,
     "q113_bm25_rank" -> {
       val termScore = (i: Int) =>
         s"((n_docs - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
@@ -1661,4 +1765,55 @@ object TrainingData {
         |       CAST(sum(tokens) AS BIGINT) AS sum_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
   )
+
+  /** q93 / q152's shared DuckDB twin: trains the identical three
+    * spherical-Lloyd iterations on identical fixed-point integers,
+    * assigns, probes, reranks. */
+  private lazy val ivfOracleSql: String = {
+    val dot = (a: String, b: String) =>
+      s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a) + 1)])"
+    // One unrolled spherical-Lloyd iteration (mirrors
+    // trainIvfCentroids exactly): assignment by argmax cosine with
+    // cent_id tie-break, update = per-dimension 2^-20 fixed-point
+    // INTEGER sums of unit-normalized members divided back and cast
+    // to FLOAT once, empty cells carrying the previous centroid.
+    def lloydIter(prev: String, t: Int): String =
+      s"""a$t AS (SELECT vec_id, cent_id,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn
+         |        FROM (SELECT e.vec_id, c.cent_id, ${dot("e.embedding", "c.ec")} / (e.nrm * c.ncn) AS csim
+         |              FROM e CROSS JOIN $prev c)),
+         |s$t AS (SELECT a.cent_id, d.i AS dim,
+         |        SUM(CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) / e.nrm * 1048576.0 + 0.5) AS BIGINT)) AS sfx,
+         |        count(*) AS n
+         |        FROM a$t a, e, range(1, 65) d(i)
+         |        WHERE a.vec_id = e.vec_id AND a.arn = 1 GROUP BY 1, 2),
+         |u$t AS (SELECT cent_id, ec,
+         |        sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in ec])) AS ncn
+         |        FROM (SELECT cent_id,
+         |              list(CAST(CAST(sfx AS DOUBLE) / (n * 1048576.0) AS FLOAT) ORDER BY dim) AS ec
+         |              FROM s$t GROUP BY cent_id)),
+         |c$t AS (SELECT p.cent_id, COALESCE(u.ec, p.ec) AS ec, COALESCE(u.ncn, p.ncn) AS ncn
+         |        FROM $prev p LEFT JOIN u$t u ON p.cent_id = u.cent_id),""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding,
+      |           sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+      |           FROM embeddings),
+      |c0 AS (SELECT vec_id AS cent_id, embedding AS ec, nrm AS ncn FROM e WHERE vec_id < 16),
+      |${lloydIter("c0", 1)}
+      |${lloydIter("c1", 2)}
+      |${lloydIter("c2", 3)}
+      |sim AS (SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+      |        ${dot("e.embedding", "c.ec")} / (e.nrm * c.ncn) AS csim
+      |        FROM e CROSS JOIN c3 c),
+      |assign AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn FROM sim),
+      |cells AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM assign WHERE arn = 1),
+      |qprobe AS (SELECT vec_id AS q_id, embedding AS eq, nrm AS nq, cent_id AS cell
+      |           FROM assign WHERE arn <= 4 AND vec_id % 50 = 0),
+      |cand AS (SELECT q.q_id, c2.vec_id AS c_id,
+      |         ${dot("q.eq", "c2.embedding")} / (q.nq * c2.nrm) AS sim
+      |         FROM qprobe q JOIN cells c2 ON q.cell = c2.cell AND c2.vec_id <> q.q_id),
+      |ranked AS (SELECT q_id, c_id, sim,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM cand)
+      |SELECT q_id, c_id, round(sim, 4) AS sim, CAST(rn AS INTEGER) AS rn
+      |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+  }
 }

@@ -192,7 +192,23 @@ object BucketedTables {
     * engine version is cleared and rebuilt instead of adopted. */
   def ensure(s: org.apache.spark.sql.SparkSession, table: String,
              df: => DataFrame, numBuckets: Int,
-             keys: Seq[String]): String = synchronized {
+             keys: Seq[String]): String = {
+    lazy val frame = df
+    ensureLazy(s, table, frame.schema, () => frame, numBuckets, keys)
+  }
+
+  /** [[ensure]] with the registration schema supplied EXPLICITLY, so the
+    * build thunk is only evaluated when a build actually runs. The plain
+    * `ensure` evaluates `df` even on the adopt path (schema is needed
+    * for the footer check and the DDL) — harmless when constructing the
+    * frame is plan-only, wrong when construction itself runs jobs (the
+    * q152 IVF centroids train driver-side k-means: a fresh session
+    * adopting the on-disk index must NOT retrain). `schema` must match
+    * what `build()`'s save writes, by (name, dataType). */
+  def ensureLazy(s: org.apache.spark.sql.SparkSession, table: String,
+                 schema: org.apache.spark.sql.types.StructType,
+                 build: () => DataFrame, numBuckets: Int,
+                 keys: Seq[String]): String = synchronized {
     val full = s"${table}_b$numBuckets"
     if (!s.catalog.tableExists(full)) {
       val wh = new org.apache.hadoop.fs.Path(
@@ -200,11 +216,10 @@ object BucketedTables {
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
       def complete(p: org.apache.hadoop.fs.Path) =
         fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
-      val frame = df
       def schemaMatches: Boolean = {
         val disk = s.read.parquet(wh.toString).schema
         disk.map(f => (f.name, f.dataType)) ==
-          frame.schema.map(f => (f.name, f.dataType))
+          schema.map(f => (f.name, f.dataType))
       }
       // stale-version leftovers fail the footer-schema check and take
       // the rebuild path exactly like a crashed partial write
@@ -212,7 +227,7 @@ object BucketedTables {
         if (fs.exists(wh)) fs.delete(wh, true) // crashed partial write
         val stg = full + "_stg_" +
           java.util.UUID.randomUUID.toString.replace("-", "")
-        save(frame, stg, numBuckets, keys)
+        save(build(), stg, numBuckets, keys)
         val stgPath = new org.apache.hadoop.fs.Path(
           s.conf.get("spark.sql.warehouse.dir"), stg)
         if (!fs.rename(stgPath, wh)) {
@@ -243,7 +258,7 @@ object BucketedTables {
         s.sql(s"DROP TABLE IF EXISTS $stg")
       }
       s.sql(
-        s"""CREATE TABLE $full (${frame.schema.toDDL})
+        s"""CREATE TABLE $full (${schema.toDDL})
            |USING parquet
            |CLUSTERED BY (${keys.mkString(", ")})
            |SORTED BY (${keys.mkString(", ")})
