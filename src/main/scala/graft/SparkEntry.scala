@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.{Corpus, Curation, Multimodal, NorthStar, ParseRoute, Relational, Scalars, SketchRollup, TpchShapes, TrainingData}
-import graft.sink.{BucketQueries, Layout, PartitionedQueries, ZOrderQueries}
+import graft.sink.{BucketQueries, Layout, PartitionedQueries, ShardedExport, ZOrderQueries}
 import graft.sources.rfc.RfcQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3 (normative inventory).
@@ -30,7 +30,7 @@ object SparkEntry {
       NorthStar.queries ++ TrainingData.queries ++ Curation.queries ++
       Corpus.queries ++
       Layout.queries ++ ZOrderQueries.queries ++ BucketQueries.queries ++
-      PartitionedQueries.queries ++
+      PartitionedQueries.queries ++ ShardedExport.queries ++
       Multimodal.queries ++ RfcQueries.queries ++ SketchRollup.queries
 
   def oracleSql: Map[String, String] =
@@ -38,6 +38,6 @@ object SparkEntry {
       NorthStar.oracle ++ TrainingData.oracle ++ Curation.oracle ++
       Corpus.oracle ++
       ZOrderQueries.oracle ++ BucketQueries.oracle ++
-      PartitionedQueries.oracle ++ RfcQueries.oracle ++
+      PartitionedQueries.oracle ++ ShardedExport.oracle ++ RfcQueries.oracle ++
       SketchRollup.oracle
 }
