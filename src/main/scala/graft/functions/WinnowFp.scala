@@ -32,7 +32,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * corpus to codepoints < 257, under which the hash is exact and
   * fits a long (< 257⁵). Iteration here is by Unicode code point, so
   * the expression agrees with `split(text, '')`+`ascii()` for any BMP
-  * or supplementary input, not just the pinned ASCII. */
+  * input, not just the pinned ASCII. (NOT for supplementary
+  * characters: Spark's `ascii()` returns the first UTF-16 code UNIT —
+  * a surrogate half — where this iteration sees the whole code point;
+  * both are outside the pinned < 257 contract anyway.) */
 case class WinnowFp(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =

@@ -91,6 +91,16 @@ class DataContractSpec extends AnyFunSuite {
       assert(nonAscii == 0L)
     }
 
+    test(s"documents.text at $sf has no NULLs (Simhash64 deliberately " +
+      "yields NULL where the replaced SQL pipeline produced '0'*64 — a " +
+      "semantics change justified BY this no-NULL contract; a regenerated " +
+      "corpus with NULL texts would silently diverge q77/q88/q109 from " +
+      "the unchanged DuckDB oracle, so the contract fails loudly here)") {
+      val nulls = T(spark, s"/root/testdata/$sf", "documents")
+        .filter(col("text").isNull).count()
+      assert(nulls == 0L)
+    }
+
     test(s"embeddings at $sf contain no all-zero vector (q99's scale " +
       "would be 0: Spark's 0/0 → NaN codes cast to 0 vs DuckDB's NULL " +
       "division — a silent cross-engine divergence; a generator change " +
