@@ -34,7 +34,12 @@ import org.apache.spark.sql.functions.{col, regexp_extract}
   * Container demuxing is real for the one animated format the JDK reads
   * ([[gifFrameSample]]: per-frame GIF extraction via `ImageReader`);
   * [[frameSample]] keeps the fixed-size-frame model for raw frame
-  * streams — the every-k-th-frame contract is the same in both.
+  * streams — the every-k-th-frame contract is the same in both. Real
+  * VIDEO container demux (r10) is [[demuxAvi]]: a pure-JDK RIFF chunk
+  * walk over MJPEG-in-AVI — the one video container whose payload the
+  * JDK's own codecs decode — completing the image → animation → audio
+  * → video modality story ([[aviFrameSample]] / [[demuxAviRows]] /
+  * q154).
   */
 object Multimodal {
 
@@ -425,9 +430,220 @@ object Multimodal {
     d.crossJoin(r).crossJoin(g) // three 1-row frames — bounded
   }
 
+  // ---- video: MJPEG-in-AVI (RIFF) demux --------------------------------
+
+  /** A demuxed AVI: the main header's timing/geometry plus the movi
+    * frame payloads in stream order. */
+  final case class AviVideo(usPerFrame: Int, totalFrames: Int, width: Int,
+                            height: Int, frames: Vector[Array[Byte]])
+
+  /** Pure-JDK RIFF walk over an MJPEG AVI: verifies the RIFF/`AVI `
+    * signature, recurses into LIST chunks, reads the 56-byte `avih`
+    * main header, and collects `00dc`/`00db` frame payloads in order.
+    * Chunk sizes are little-endian u32 and bodies pad to even offsets
+    * (the RIFF rule — exercised by the fixture's odd-sized JPEG
+    * frames). Returns None for anything that is not a complete AVI
+    * (wrong signature, truncated chunk, no main header) — the same
+    * decode-failure routing contract as [[decodeImage]]/
+    * [[decodeAudio]]. Cites the public RIFF/AVI layout (MSDN
+    * 'AVI RIFF File Reference'); no reference-repo analogue (the
+    * reference has no media handling — SURVEY §2.2). */
+  def demuxAvi(bytes: Array[Byte]): Option[AviVideo] = {
+    if (bytes.length < 12) return None
+    def fourcc(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | (bytes(off + 1) & 0xffL) << 8 |
+        (bytes(off + 2) & 0xffL) << 16 | (bytes(off + 3) & 0xffL) << 24
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    val riffEnd = math.min(bytes.length.toLong, 8L + u32(4)).toInt
+    var avih: Option[(Int, Int, Int, Int)] = None
+    val frames = Vector.newBuilder[Array[Byte]]
+    var truncated = false
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end && !truncated) {
+        val id = fourcc(off)
+        val size = u32(off + 4).toInt
+        val body = off + 8
+        if (size < 0 || body + size > end) { truncated = true; return }
+        if (id == "LIST" && size >= 4) walk(body + 4, body + size)
+        else if (id == "avih" && size >= 56)
+          avih = Some((u32(body).toInt, u32(body + 16).toInt,
+            u32(body + 32).toInt, u32(body + 36).toInt))
+        else if (id == "00dc" || id == "00db")
+          frames += java.util.Arrays.copyOfRange(bytes, body, body + size)
+        off = body + size + (size & 1) // RIFF even-padding
+      }
+    }
+    walk(12, riffEnd)
+    if (truncated) None
+    else avih.map { case (us, tot, w, h) =>
+      AviVideo(us, tot, w, h, frames.result())
+    }
+  }
+
+  /** Builds a minimal well-formed MJPEG AVI (RIFF → hdrl(avih, strl) →
+    * movi(00dc…)) from pre-encoded JPEG frames — the fixture writer
+    * ([[demuxAvi]]'s inverse for the subset it reads; VideoSpec pins
+    * the byte-exact round trip, including odd-sized frame padding). */
+  private[ops] def buildAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+                            usPerFrame: Int): Array[Byte] = {
+    def le(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      cc(id) ++ le(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(kind) ++ body)
+    val avih = le(usPerFrame) ++ le(0) ++ le(0) ++ le(0) ++
+      le(frames.length) ++ le(0) ++ le(1) ++ le(0) ++ le(w) ++ le(h) ++
+      Array.fill(4)(le(0)).flatten
+    val strh = cc("vids") ++ cc("MJPG") ++ le(0) ++ le(0) ++ le(0) ++
+      le(1) ++ le(1000000 / math.max(1, usPerFrame)) ++ le(0) ++
+      le(frames.length) ++ le(0) ++ le(0) ++ le(0) ++ le(0) ++ le(0)
+    val strf = le(40) ++ le(w) ++ le(h) ++
+      Array[Byte](1, 0, 24, 0) ++ cc("MJPG") ++ le(w * h * 3) ++
+      le(0) ++ le(0) ++ le(0) ++ le(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le(body.length) ++ body
+  }
+
+  /** Per-blob container metadata, total over the corpus: non-AVI blobs
+    * keep their row with -1 sentinels (the q116 junk-routing
+    * contract), so corrupt uploads are queryable, not vanished. */
+  final case class VideoMetaRow(doc_id: Long, n_bytes: Int,
+                                us_per_frame: Int, total_frames: Int,
+                                n_frames: Int, width: Int, height: Int)
+
+  def demuxAviRows(ds: Dataset[MediaRow]): Dataset[VideoMetaRow] = {
+    implicit val enc: Encoder[VideoMetaRow] = Encoders.product[VideoMetaRow]
+    ds.mapPartitions(_.map { r =>
+      demuxAvi(r.bin) match {
+        case Some(v) => VideoMetaRow(r.doc_id, r.bin.length, v.usPerFrame,
+          v.totalFrames, v.frames.length, v.width, v.height)
+        case None => VideoMetaRow(r.doc_id, r.bin.length, -1, -1, -1, -1, -1)
+      }
+    })
+  }
+
+  /** One decoded sampled frame of a video blob. */
+  final case class VideoFrameRow(doc_id: Long, frame_idx: Int, width: Int,
+                                 height: Int, checksum: Long)
+
+  /** Every k-th frame of each AVI, demuxed and JPEG-decoded through
+    * [[decodeImage]] (pixel-content checksums — the q114 contract for
+    * moving pictures). Narrow mapPartitions: demux parallelizes per
+    * blob, output is bounded by sampled-frame count, and downstream
+    * per-frame rows partition like any other table. An undecodable
+    * frame payload keeps its row with -1 dims and a byte checksum. */
+  def aviFrameSample(ds: Dataset[MediaRow], every: Int)
+      : Dataset[VideoFrameRow] = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    implicit val enc: Encoder[VideoFrameRow] = Encoders.product[VideoFrameRow]
+    ds.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        demuxAvi(r.bin).toSeq.flatMap { v =>
+          v.frames.iterator.zipWithIndex.collect {
+            case (fb, i) if i % every == 0 =>
+              decodeImage(fb) match {
+                case Some((w, h, c)) => VideoFrameRow(r.doc_id, i, w, h, c)
+                case None =>
+                  VideoFrameRow(r.doc_id, i, -1, -1, byteChecksum(fb))
+              }
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic JPEG frame image for the video fixture (LCG pixels
+    * seeded by (video, frame) — shared with VideoSpec so expected
+    * checksums derive from the same generator). */
+  private[ops] def videoFrameImage(vid: Int, f: Int, w: Int,
+                                   h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var sd = (vid * 31 + f) * 2654435761L.toInt
+    for (y <- 0 until h; x <- 0 until w) {
+      sd = sd * 1103515245 + 12345
+      img.setRGB(x, y, sd & 0xFFFFFF)
+    }
+    img
+  }
+
+  private[ops] def jpegBytes(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Fixture geometry shared with VideoSpec. */
+  private[ops] val VideoFixture: Seq[(Int, Int, Int, Int, Int)] =
+    (0 until 4).map(i =>
+      (i, 16 + 8 * i, 12 + 4 * i, 4 + 2 * i, 33333 + 1000 * i))
+
+  /** Fixture dir for [[q154VideoPipeline]] (once per JVM): 4 MJPEG AVIs
+    * (id-derived dims/frame counts/rates, JDK-JPEG-encoded LCG frames;
+    * every frame payload forced ODD-sized so the RIFF padding path is
+    * always exercised — a trailing byte after JPEG EOI is ignored by
+    * the decoder) plus one junk blob under a `.avi` name. The video
+    * sibling of [[mediaFixtureDir]]/[[audioFixtureDir]]. */
+  private lazy val videoFixtureDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-video-")
+    VideoFixture.foreach { case (i, w, h, nFrames, us) =>
+      val frames = (0 until nFrames).map { f =>
+        val jb = jpegBytes(videoFrameImage(i, f, w, h))
+        if (jb.length % 2 == 0) jb :+ 0x00.toByte else jb
+      }
+      java.nio.file.Files.write(dir.resolve(s"vid_$i.avi"),
+        buildAvi(frames, w, h, us))
+    }
+    // decode-failure routing: not RIFF, despite the extension
+    java.nio.file.Files.write(dir.resolve("junk_99.avi"),
+      Array.fill[Byte](96)(0x33))
+    dir.toString
+  }
+
+  /** q154: the video chain as a driver-visible query — on-disk AVIs →
+    * `binaryFile` ingest → real RIFF demux (headers, frame counts,
+    * junk routing) → every-2nd-frame JPEG decode, summarized to one
+    * deterministic row. No DuckDB oracle BY DESIGN (no SQL engine
+    * demuxes AVI); the driver records the rows-only check, and
+    * per-stage exactness lives in VideoSpec. The `chk` column folds
+    * every sampled frame's pixel checksum, so any demux or decode
+    * regression flips the output row (q114's contract, for the video
+    * modality). `dir` is unused — the fixture is self-contained. */
+  def q154VideoPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val avis = readBlobs(s, videoFixtureDir, "*.avi")
+    val m = demuxAviRows(avis).agg(
+      count(lit(1)).as("n_blobs"),
+      sum(when(col("total_frames") >= 0, 1L).otherwise(0L)).as("n_videos"),
+      sum(col("n_bytes").cast("long")).as("total_bytes"),
+      sum(when(col("n_frames") > 0, col("n_frames").cast("long"))
+        .otherwise(0L)).as("sum_frames"),
+      sum(when(col("us_per_frame") > 0, col("us_per_frame").cast("long"))
+        .otherwise(0L)).as("sum_us"))
+    val f = aviFrameSample(avis, every = 2).agg(
+      count(lit(1)).as("sampled_frames"),
+      sum(col("width").cast("long")).as("sum_w"),
+      sum(col("height").cast("long")).as("sum_h"),
+      countDistinct(col("checksum")).as("n_distinct"),
+      sum(expr("checksum % 1000000007")).as("chk"))
+    m.crossJoin(f) // two 1-row frames — bounded
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_media_pipeline" -> q114MediaPipeline _,
     "q116_audio_pipeline" -> q116AudioPipeline _,
+    "q154_video_pipeline" -> q154VideoPipeline _,
   )
 
   /** Per-frame placement/disposal from the GIF image metadata tree. */

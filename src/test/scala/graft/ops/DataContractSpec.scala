@@ -30,7 +30,8 @@ class DataContractSpec extends AnyFunSuite {
       "q39_approx_percentile",   // HllBoundSpec
       "q114_media_pipeline",     // Multimodal*/GifFrameSpec/ImageProps
                                  // (no SQL engine decodes PNG/GIF)
-      "q116_audio_pipeline")     // AudioSpec (no SQL engine decodes WAV)
+      "q116_audio_pipeline",     // AudioSpec (no SQL engine decodes WAV)
+      "q154_video_pipeline")     // VideoSpec (no SQL engine demuxes AVI)
     val queries = graft.SparkEntry.queries.keySet
     val oracles = graft.SparkEntry.oracleSql.keySet
     assert((queries -- oracles -- noOracle).isEmpty,

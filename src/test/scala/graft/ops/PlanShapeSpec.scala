@@ -106,7 +106,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q116_audio_pipeline", "q127_idle_customers",
       "q145_important_stock", // 1-row total/count broadcast (q127 shape)
       "q148_batch_topk",      // 8-row query batch broadcast (q93 class)
-      "q152_indexed_ann")     // 16-row persisted centroid table (q93 class)
+      "q152_indexed_ann",     // 16-row persisted centroid table (q93 class)
+      "q154_video_pipeline")  // two 1-row summary frames (q114 class)
     for ((name, fn) <- graft.SparkEntry.queries if !oneRowCross(name)) {
       val plan = fn(spark, SparkTestBase.Sf0001)
         .queryExecution.executedPlan.toString
