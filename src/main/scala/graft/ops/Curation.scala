@@ -42,6 +42,59 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q155: n-gram novelty (OOV-rate) quality gate — the exact-integer
+    * cousin of the CCNet-style LM-perplexity filter: score each
+    * training document by the fraction of its word bigrams (with
+    * multiplicity) never seen in a reference slice of the corpus
+    * (`doc_id % 10 == 0`, the stand-in for CCNet's trusted
+    * Wikipedia-LM training slice). A mostly-novel bigram stream is
+    * gibberish / boilerplate / wrong-language text in exactly the way a
+    * high KenLM perplexity is, but counting unseen bigrams keeps the
+    * whole compare path in integers (no log/exp — the q83 discipline),
+    * so the DuckDB oracle hash-matches bit-exactly.
+    *
+    * Scale shape: exchanges carry md5 digests, never bigram text (the
+    * q117 hash-first discipline), and the per-(doc, bigram)
+    * pre-aggregate collapses repeats BEFORE the reference join — a
+    * million-fold boilerplate bigram is one row per doc. The reference
+    * side distinct-collapses to one row per bigram and the join keys on
+    * the digest, hash-partitioned with NO broadcast assumption: unlike
+    * q95's eval set (benchmarks are small by nature) the reference here
+    * is a corpus fraction, so at 100 TB both sides shuffle once on the
+    * digest and the join is a plain shuffled hash join. Documents with
+    * fewer than two words carry no bigram and drop out, so the r4
+    * denominator is never zero. */
+  def q155OovNovelty(s: SparkSession, dir: String): DataFrame =
+    oovNovelty(T(s, dir, "documents"))
+
+  /** [[q155OovNovelty]] over an arbitrary (doc_id, text) frame —
+    * OovNoveltySpec drives hand-computable fixtures through it. */
+  private[ops] def oovNovelty(docs: DataFrame): DataFrame = {
+    val wLead = Window.partitionBy("doc_id").orderBy("pos")
+    val counts = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "word")
+      .filter(col("word") =!= "")
+      .withColumn("w1", lead("word", 1).over(wLead))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", col("word"), col("w1"))).as("bgh"))
+      .groupBy("doc_id", "bgh")
+      .agg(count(lit(1)).as("c"))
+    val ref = counts.filter(col("doc_id") % 10 === 0)
+      .select("bgh").distinct().withColumn("hit", lit(1))
+    counts.filter(col("doc_id") % 10 =!= 0)
+      .join(ref, Seq("bgh"), "left")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        sum(when(col("hit").isNull, col("c")).otherwise(lit(0L)))
+          .as("n_oov"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        r4("n_oov", "n_bigrams").as("oov_ratio"))
+      .withColumn("novel", col("oov_ratio") > 0.5)
+      .orderBy("doc_id")
+  }
+
   /** q96: repetition quality signals (Gopher-style) — per document, the
     * top-word mass ratio and the duplicate-bigram ratio, plus the
     * repetition flag at the 0.2 threshold. Highly repetitious text is
@@ -740,6 +793,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_decontaminate" -> q95Decontaminate _,
+    "q155_oov_novelty" -> q155OovNovelty _,
     "q96_repetition_signals" -> q96RepetitionSignals _,
     "q97_source_rebalance" -> q97SourceRebalance _,
     "q98_scd2_merge" -> q98Scd2Merge _,
@@ -801,6 +855,21 @@ object Curation {
         |FROM shl t JOIN ev ON t.s = ev.s
         |WHERE t.doc_id % 97 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q155_oov_novelty" ->
+      """WITH words AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |bg0 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg FROM words WHERE len(w) >= 2),
+        |cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg0 GROUP BY 1, 2),
+        |ref AS (SELECT DISTINCT bg FROM cnt WHERE doc_id % 10 = 0),
+        |sc AS (SELECT t.doc_id,
+        |         CAST(sum(t.c) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(CASE WHEN r.bg IS NULL THEN t.c ELSE 0 END) AS BIGINT) AS n_oov
+        |       FROM cnt t LEFT JOIN ref r ON t.bg = r.bg
+        |       WHERE t.doc_id % 10 <> 0 GROUP BY 1),
+        |sr AS (SELECT doc_id, n_bigrams, n_oov,
+        |         CAST((2 * n_oov * 10000 + n_bigrams) // (2 * n_bigrams) AS DOUBLE) / 10000.0 AS oov_ratio
+        |       FROM sc)
+        |SELECT doc_id, n_bigrams, n_oov, oov_ratio, oov_ratio > 0.5 AS novel
+        |FROM sr ORDER BY doc_id""".stripMargin,
     "q96_repetition_signals" ->
       """WITH words AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
         |tok AS (SELECT doc_id, unnest(w) AS word FROM words WHERE len(w) > 0),
