@@ -761,7 +761,8 @@ object TrainingData {
     * frame (broadcast — the named BNLJ exception). arn = 1 is the cell
     * assignment; arn ≤ nprobe are a query's probed cells. */
   private def assignRanked(e: DataFrame, cents: DataFrame,
-                           maxRank: Int): DataFrame = {
+                           maxRank: Int,
+                           extra: Seq[String] = Nil): DataFrame = {
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cent_id"))
     e.crossJoin(broadcast(cents))
@@ -770,7 +771,98 @@ object TrainingData {
           / (col("nrm") * col("ncn")))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") <= maxRank)
-      .select("vec_id", "embedding", "nrm", "cent_id", "arn")
+      .select((Seq("vec_id", "embedding", "nrm", "cent_id", "arn") ++ extra)
+        .map(col): _*)
+  }
+
+  /** The trained-quantizer ranked assignment over the corpus WITH the
+    * vectors' labels carried through — the shared entry for q156
+    * (semantic dedup, arn = 1 cells) and q157 (hard-negative mining,
+    * arn ≤ nprobe probe slice); specs brute-force against it. */
+  private[ops] def ivfAssign(s: SparkSession, dir: String,
+                             maxRank: Int): DataFrame = {
+    val e = withNorm(T(s, dir, "embeddings"))
+    val trained = ivfCache.getOrElseUpdate(dir,
+      trainIvfCentroids(s, dir)._1)
+    assignRanked(e, centroidFrame(s, trained), maxRank, Seq("label"))
+  }
+
+  /** Cosine floor for q156's within-cell semantic-duplicate drop. The
+    * testdata's synthetic embeddings are near-orthogonal (observed
+    * within-cell cosine tops out ≈ 0.51/0.60 at sf0.01/sf0.1), so the
+    * demonstrative floor sits at the top of that distribution; a real
+    * deployment of SemDeDup-style pruning sets ~0.95+ — the PLAN is
+    * threshold-independent. */
+  private val SemTau = 0.40
+
+  /** q156: semantic deduplication (SemDeDup-shaped) — near-duplicate
+    * MEANING, not near-duplicate text: drop a vector when a
+    * smaller-id vector in the SAME trained-quantizer cell has cosine
+    * ≥ [[SemTau]]; report each dropped vector with its smallest-id
+    * keeper. MinHash/SimHash (q72/q77) cannot see paraphrases; this
+    * operator is the embedding-space member of the dedup family.
+    *
+    * Scale shape: candidate pairs are generated WITHIN k-means cells
+    * only — the same blocking-by-geometry argument SemDeDup makes:
+    * semantically close vectors share a cell, so the pair space is
+    * Σ|cell|² instead of N². Cell size is the K knob (K scales with
+    * the corpus — at 100 TB the quantizer is trained with
+    * K ≈ N / target_cell_size, and the persisted q152 index supplies
+    * the cells without retraining); a skew-degenerate cell would get
+    * the q79 SRP-bit sub-split, not needed at this K. The per-pair
+    * work runs through the codegen'd [[graft.functions.VecDot]]. */
+  def q156SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val cells = ivfAssign(s, dir, 1)
+    val a = cells.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("cent_id").as("cell"))
+    val b = cells.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("cent_id").as("cellb"))
+    val w = Window.partitionBy("b_id").orderBy("a_id")
+    a.join(b, col("cell") === col("cellb") && col("a_id") < col("b_id"))
+      .withColumn("sim_raw", dotCol / (col("na") * col("nb")))
+      .filter(col("sim_raw") >= SemTau)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("b_id").as("dropped_id"), col("a_id").as("keeper_id"),
+        round(col("sim_raw"), 4).as("sim"))
+      .orderBy("dropped_id")
+  }
+
+  /** q157: hard-negative mining for contrastive training — for each
+    * query vector (`vec_id % 50 == 0`, q86/q93's query set), the top-3
+    * most-similar vectors whose `label` DIFFERS from the query's: the
+    * near-miss negatives an embedding model learns the most from
+    * (easy negatives are a wasted batch slot). Same IVF protocol as
+    * q93 — probe the nprobe = 4 nearest cells, exact-rerank only their
+    * members — with the label-mismatch predicate applied before the
+    * rank, so the top-3 are the hardest NEGATIVES, not the hardest
+    * neighbors filtered afterwards (which could return < 3 negatives
+    * when the true neighbors share the query's label).
+    *
+    * Scale shape: identical to q93 (bounded query batch broadcasts,
+    * corpus side stays at scan width, candidates ≈ corpus·nprobe/K);
+    * the label predicate only narrows the reranked set. */
+  def q157HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val assign = ivfAssign(s, dir, 4).localCheckpoint(true)
+    val cells = assign.filter(col("arn") === 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("eb"),
+        col("nrm").as("nc"), col("cent_id").as("cell"),
+        col("label").as("neg_label"))
+    val qprobe = assign.filter(col("arn") <= 4 && col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("ea"),
+        col("nrm").as("nq"), col("cent_id").as("qcell"),
+        col("label").as("ql"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim_raw").desc,
+      col("c_id"))
+    cells
+      .join(broadcast(qprobe),
+        col("cell") === col("qcell") && col("neg_label") =!= col("ql"))
+      .withColumn("sim_raw", dotCol / (col("nq") * col("nc")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("c_id"), col("neg_label"),
+        round(col("sim_raw"), 4).as("sim"), col("rn"))
+      .orderBy("q_id", "rn")
   }
 
   def q93AnnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -1461,6 +1553,8 @@ object TrainingData {
     "q91_text_clean" -> q91TextClean _,
     "q92_sequence_pack" -> q92SequencePack _,
     "q93_ann_ivf" -> q93AnnIvf _,
+    "q156_semantic_dedup" -> q156SemanticDedup _,
+    "q157_hard_negatives" -> q157HardNegatives _,
     "q94_stratified_sample" -> q94StratifiedSample _,
     "q109_simhash_clusters" -> q109SimhashClusters _,
     "q112_chunk_split" -> q112ChunkSplit _,
@@ -1643,6 +1737,8 @@ object TrainingData {
         |SELECT q_id, c_id, round(sim, 4) AS sim, CAST(rn AS INTEGER) AS rn
         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
     "q93_ann_ivf" -> ivfOracleSql,
+    "q156_semantic_dedup" -> semDedupOracleSql,
+    "q157_hard_negatives" -> hardNegOracleSql,
     // q152 probes the PERSISTED index but computes the identical
     // result (same trained centroids via the parquet float round-trip,
     // same deterministic assignment + probe), so q93's oracle drives it
@@ -1766,12 +1862,18 @@ object TrainingData {
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
-  /** q93 / q152's shared DuckDB twin: trains the identical three
-    * spherical-Lloyd iterations on identical fixed-point integers,
-    * assigns, probes, reranks. */
-  private lazy val ivfOracleSql: String = {
-    val dot = (a: String, b: String) =>
-      s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a) + 1)])"
+  /** DuckDB list-dot-product fragment shared by every IVF oracle. */
+  private def oDot(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a) + 1)])"
+
+  /** The shared DuckDB IVF prefix — trains the identical three
+    * spherical-Lloyd iterations on identical fixed-point integers and
+    * assigns every vector (`assign` CTE, label carried through;
+    * `cells` = arn 1). q93/q152's probe, q156's within-cell pairs, and
+    * q157's hard negatives are tails over it, so the ground-truth
+    * quantizer can never drift between them. */
+  private lazy val ivfPrefixCtes: String = {
+    val dot = (a: String, b: String) => oDot(a, b)
     // One unrolled spherical-Lloyd iteration (mirrors
     // trainIvfCentroids exactly): assignment by argmax cosine with
     // cent_id tie-break, update = per-dimension 2^-20 fixed-point
@@ -1794,26 +1896,59 @@ object TrainingData {
          |              FROM s$t GROUP BY cent_id)),
          |c$t AS (SELECT p.cent_id, COALESCE(u.ec, p.ec) AS ec, COALESCE(u.ncn, p.ncn) AS ncn
          |        FROM $prev p LEFT JOIN u$t u ON p.cent_id = u.cent_id),""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding,
+    s"""WITH e AS (SELECT vec_id, embedding, label,
       |           sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
       |           FROM embeddings),
       |c0 AS (SELECT vec_id AS cent_id, embedding AS ec, nrm AS ncn FROM e WHERE vec_id < 16),
       |${lloydIter("c0", 1)}
       |${lloydIter("c1", 2)}
       |${lloydIter("c2", 3)}
-      |sim AS (SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+      |sim AS (SELECT e.vec_id, e.embedding, e.nrm, e.label, c.cent_id,
       |        ${dot("e.embedding", "c.ec")} / (e.nrm * c.ncn) AS csim
       |        FROM e CROSS JOIN c3 c),
       |assign AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn FROM sim),
-      |cells AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM assign WHERE arn = 1),
+      |cells AS (SELECT vec_id, embedding, nrm, label, cent_id AS cell FROM assign WHERE arn = 1)"""
+      .stripMargin
+  }
+
+  /** q93 / q152's DuckDB twin: the shared prefix's quantizer, then
+    * probe + exact rerank. */
+  private lazy val ivfOracleSql: String =
+    s"""$ivfPrefixCtes,
       |qprobe AS (SELECT vec_id AS q_id, embedding AS eq, nrm AS nq, cent_id AS cell
       |           FROM assign WHERE arn <= 4 AND vec_id % 50 = 0),
       |cand AS (SELECT q.q_id, c2.vec_id AS c_id,
-      |         ${dot("q.eq", "c2.embedding")} / (q.nq * c2.nrm) AS sim
+      |         ${oDot("q.eq", "c2.embedding")} / (q.nq * c2.nrm) AS sim
       |         FROM qprobe q JOIN cells c2 ON q.cell = c2.cell AND c2.vec_id <> q.q_id),
       |ranked AS (SELECT q_id, c_id, sim,
       |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM cand)
       |SELECT q_id, c_id, round(sim, 4) AS sim, CAST(rn AS INTEGER) AS rn
       |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
-  }
+
+  /** q156's DuckDB twin: within-cell smaller-id pairs at the SemTau
+    * floor, keeper = smallest qualifying id. */
+  private lazy val semDedupOracleSql: String =
+    s"""$ivfPrefixCtes,
+      |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |      ${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+      |      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      |f AS (SELECT a_id, b_id, sim,
+      |      row_number() OVER (PARTITION BY b_id ORDER BY a_id) AS rn
+      |      FROM p WHERE sim >= 0.40)
+      |SELECT b_id AS dropped_id, a_id AS keeper_id, round(sim, 4) AS sim
+      |FROM f WHERE rn = 1 ORDER BY dropped_id""".stripMargin
+
+  /** q157's DuckDB twin: the probe tail with the label-mismatch
+    * predicate applied before the rank. */
+  private lazy val hardNegOracleSql: String =
+    s"""$ivfPrefixCtes,
+      |qprobe AS (SELECT vec_id AS q_id, embedding AS eq, nrm AS nq, cent_id AS cell, label AS ql
+      |           FROM assign WHERE arn <= 4 AND vec_id % 50 = 0),
+      |cand AS (SELECT q.q_id, c2.vec_id AS c_id, c2.label AS neg_label,
+      |         ${oDot("q.eq", "c2.embedding")} / (q.nq * c2.nrm) AS sim
+      |         FROM qprobe q JOIN cells c2 ON q.cell = c2.cell AND c2.label <> q.ql),
+      |ranked AS (SELECT q_id, c_id, neg_label, sim,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM cand)
+      |SELECT q_id, c_id, neg_label, round(sim, 4) AS sim, CAST(rn AS INTEGER) AS rn
+      |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
 }

@@ -99,7 +99,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("no query plans a cartesian product or nested-loop join " +
     "(except deliberate bounded broadcast crossJoins: 1-row in " +
     "q73/q90/q97/q113/q115/q127/q145, the 16-row centroid table in " +
-    "q93/q152, the 8-row query batch in q148)") {
+    "q93/q152/q156/q157, the 8-row query batch in q148)") {
     val oneRowCross = Set("q06_sink_layout", "q73_sim_cosine_topk",
       "q90_tfidf_top_terms", "q93_ann_ivf", "q97_source_rebalance",
       "q113_bm25_rank", "q114_media_pipeline", "q115_histogram_rollup",
@@ -107,7 +107,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q145_important_stock", // 1-row total/count broadcast (q127 shape)
       "q148_batch_topk",      // 8-row query batch broadcast (q93 class)
       "q152_indexed_ann",     // 16-row persisted centroid table (q93 class)
-      "q154_video_pipeline")  // two 1-row summary frames (q114 class)
+      "q154_video_pipeline",  // two 1-row summary frames (q114 class)
+      "q156_semantic_dedup",  // 16-row centroid assignment (q93 class)
+      "q157_hard_negatives")  // 16-row centroid assignment (q93 class)
     for ((name, fn) <- graft.SparkEntry.queries if !oneRowCross(name)) {
       val plan = fn(spark, SparkTestBase.Sf0001)
         .queryExecution.executedPlan.toString
