@@ -1518,6 +1518,16 @@ object TrainingData {
     sequencePack(s, dir,
       size(expr("filter(split(text, ' '), x -> x != '')")).cast("long"))
 
+  /** q158: q92's sequence packing denominated in SUBWORD tokens — the
+    * unit a context window is actually filled in. Same bin geometry
+    * (greedy doc-order packing via the exclusive global prefix sum),
+    * with the codegen'd [[graft.functions.Bpe]] count as the length:
+    * one projection in the scan stage, zero extra exchanges, so the
+    * q92 plan audit carries over unchanged. The oracle tokenizes with
+    * the recursive CTE generated from the same vocab constant. */
+  def q158BpePack(s: SparkSession, dir: String): DataFrame =
+    sequencePack(s, dir, graft.functions.Bpe.count(col("text")))
+
   /** q92 generalized over the tokenizer: `tokCount` is any per-doc
     * token-count column — whitespace for the published q92, or
     * [[graft.functions.Bpe.count]] for subword-denominated packing
@@ -1552,6 +1562,7 @@ object TrainingData {
     "q90_tfidf_top_terms" -> q90TfidfTopTerms _,
     "q91_text_clean" -> q91TextClean _,
     "q92_sequence_pack" -> q92SequencePack _,
+    "q158_bpe_pack" -> q158BpePack _,
     "q93_ann_ivf" -> q93AnnIvf _,
     "q156_semantic_dedup" -> q156SemanticDedup _,
     "q157_hard_negatives" -> q157HardNegatives _,
@@ -1859,6 +1870,15 @@ object TrainingData {
         |      FROM d)
         |SELECT CAST(cumex // 2000 AS BIGINT) AS bin, count(*) AS n_docs,
         |       CAST(sum(tokens) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q158_bpe_pack" ->
+      s"""WITH RECURSIVE ${graft.functions.Bpe.countCteSql},
+        |c AS (SELECT doc_id, btok,
+        |      coalesce(sum(btok) OVER (ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumex
+        |      FROM bpe_cnt)
+        |SELECT CAST(cumex // 2000 AS BIGINT) AS bin, count(*) AS n_docs,
+        |       CAST(sum(btok) AS BIGINT) AS sum_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
