@@ -1528,6 +1528,36 @@ object TrainingData {
   def q158BpePack(s: SparkSession, dir: String): DataFrame =
     sequencePack(s, dir, graft.functions.Bpe.count(col("text")))
 
+  /** q159: the pack MANIFEST — what a training loader actually
+    * consumes (q92/q158 emit only per-bin stats): one row per packed
+    * document with its bin, slot (position within the bin), starting
+    * token offset inside the bin's window, and length. The q153
+    * relationship replayed for packing: q158 proves the geometry,
+    * q159 materializes the artifact.
+    *
+    * Same two-pass exclusive prefix sum (no single-task window); the
+    * slot window partitions by `bin` — bins hold a handful of docs by
+    * construction (budget / typical doc length), so the window is the
+    * benign many-small-groups shape, never a corpus slice. A document
+    * whose tokens cross the bin boundary starts at `tok_offset` and
+    * runs over into the next window — the standard packed-sequence
+    * overflow the loader's attention mask handles. */
+  def q159PackManifest(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2000L
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Bpe.count(col("text")).as("tokens"))
+    val wSlot = Window.partitionBy("bin").orderBy("doc_id")
+    ScalableRank.withGlobalCumsumExclusive(
+        docs, col("tokens"), "cumex", col("doc_id").asc)
+      .withColumn("bin", expr(s"cumex div $budget"))
+      .withColumn("tok_offset", col("cumex") - col("bin") * budget)
+      .withColumn("slot", row_number().over(wSlot))
+      .select(col("bin"), col("slot"), col("doc_id"), col("tok_offset"),
+        col("tokens"))
+      .orderBy("bin", "slot")
+  }
+
   /** q92 generalized over the tokenizer: `tokCount` is any per-doc
     * token-count column — whitespace for the published q92, or
     * [[graft.functions.Bpe.count]] for subword-denominated packing
@@ -1563,6 +1593,7 @@ object TrainingData {
     "q91_text_clean" -> q91TextClean _,
     "q92_sequence_pack" -> q92SequencePack _,
     "q158_bpe_pack" -> q158BpePack _,
+    "q159_pack_manifest" -> q159PackManifest _,
     "q93_ann_ivf" -> q93AnnIvf _,
     "q156_semantic_dedup" -> q156SemanticDedup _,
     "q157_hard_negatives" -> q157HardNegatives _,
@@ -1880,6 +1911,19 @@ object TrainingData {
         |SELECT CAST(cumex // 2000 AS BIGINT) AS bin, count(*) AS n_docs,
         |       CAST(sum(btok) AS BIGINT) AS sum_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q159_pack_manifest" ->
+      s"""WITH RECURSIVE ${graft.functions.Bpe.countCteSql},
+        |c AS (SELECT doc_id, btok,
+        |      coalesce(sum(btok) OVER (ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumex
+        |      FROM bpe_cnt),
+        |b AS (SELECT doc_id, btok, cumex // 2000 AS bin,
+        |      cumex - (cumex // 2000) * 2000 AS tok_offset FROM c)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |       CAST(row_number() OVER (PARTITION BY bin ORDER BY doc_id) AS INTEGER) AS slot,
+        |       doc_id, CAST(tok_offset AS BIGINT) AS tok_offset,
+        |       CAST(btok AS BIGINT) AS tokens
+        |FROM b ORDER BY bin, slot""".stripMargin,
   )
 
   /** DuckDB list-dot-product fragment shared by every IVF oracle. */

@@ -32,6 +32,31 @@ class SequencePackBpeSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q159 manifest is consistent: per-bin rollup equals q158, slots " +
+    "are contiguous in doc order, and offsets chain by token length " +
+    "within a bin") {
+    val man = TrainingData.q159PackManifest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val rollup = man.groupBy(_._1).map { case (b, xs) =>
+      b -> ((xs.length.toLong, xs.map(_._5).sum))
+    }
+    val bins = TrainingData.q158BpePack(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rollup == bins)
+    man.groupBy(_._1).foreach { case (b, xs) =>
+      val s = xs.sortBy(_._2)
+      assert(s.map(_._2).toSeq == (1 to s.length).toSeq, s"bin $b slots")
+      assert(s.map(_._3).toSeq == s.map(_._3).sorted.toSeq, s"bin $b order")
+      s.sliding(2).foreach {
+        case Array(a, c) =>
+          assert(c._4 == a._4 + a._5, s"bin $b offset chain")
+        case _ =>
+      }
+      assert(s.head._4 < 2000, s"bin $b head offset")
+    }
+  }
+
   test("the subword denomination is real: q158's packing differs from " +
     "q92's whitespace packing on the same corpus") {
     val ws = TrainingData.q92SequencePack(spark, dir).collect().map(_.toSeq)
