@@ -638,6 +638,16 @@ object TrainingData {
   /** One coarse-quantizer centroid (see [[trainIvfCentroids]]). */
   private[ops] final case class IvfCent(cent_id: Int, ec: Array[Float])
 
+  /** A training run's outputs: the centroids, the per-iteration
+    * objective J = Σ(1 − cos) as a double (diagnostic — float-sum
+    * order-dependent, never compared cross-engine), and the same
+    * objective with each TERM quantized to 2⁻²⁰ fixed-point BIGINTs
+    * and summed as integers — associative, hence bit-identical across
+    * engines; q160 exposes this one. */
+  private[ops] final case class IvfTrained(cents: Seq[IvfCent],
+                                           objs: Seq[Double],
+                                           objsFx: Seq[Long])
+
   private val IvfK = 16
   private[ops] val IvfIters = 3
   private val FixScale = 1048576.0 // 2^20 — exact exponent-shift factor
@@ -649,7 +659,7 @@ object TrainingData {
     * from disk and never retrains or re-assigns (IndexedAnnSpec pins
     * that). private[ops] so the spec can evict and prove it. */
   private[ops] val ivfCache =
-    scala.collection.concurrent.TrieMap[String, Seq[IvfCent]]()
+    scala.collection.concurrent.TrieMap[String, IvfTrained]()
 
   /** Trains q93's coarse quantizer: [[IvfIters]] spherical-k-means
     * (Lloyd) iterations from the deterministic seed (the vec_id < 16
@@ -682,7 +692,7 @@ object TrainingData {
     * hot — the protocol is unchanged. Returns the centroids and the
     * per-iteration objective trace. */
   private[ops] def trainIvfCentroids(s: SparkSession, dir: String)
-      : (Seq[IvfCent], Seq[Double]) = {
+      : IvfTrained = {
     val e = withNorm(T(s, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"), col("nrm"))
       .localCheckpoint(true) // reused by IvfIters assignment passes
@@ -692,6 +702,7 @@ object TrainingData {
       .map(r => IvfCent(r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_.cent_id).toSeq
     val objs = Seq.newBuilder[Double]
+    val objsFx = Seq.newBuilder[Long]
     for (_ <- 1 to IvfIters) {
       val cdf = centroidFrame(s, cents)
       val wAssign = Window.partitionBy("vec_id")
@@ -704,7 +715,13 @@ object TrainingData {
         .filter(col("arn") === 1)
         .select("vec_id", "embedding", "nrm", "cent_id", "csim")
         .localCheckpoint(true) // objective + update branch off one pass
-      objs += assigned.agg(sum(lit(1.0) - col("csim"))).head.getDouble(0)
+      val or = assigned.agg(
+          sum(lit(1.0) - col("csim")).as("od"),
+          sum(floor((lit(1.0) - col("csim")) * lit(FixScale) + lit(0.5))
+            .cast("long")).as("ofx"))
+        .head
+      objs += or.getDouble(0)
+      objsFx += or.getLong(1)
       val updated = assigned
         .select(col("cent_id"), col("nrm"), posexplode(col("embedding")))
         .withColumn("fx",
@@ -722,7 +739,7 @@ object TrainingData {
       cents = cents.map(c =>
         IvfCent(c.cent_id, updated.getOrElse(c.cent_id, c.ec)))
     }
-    (cents, objs.result())
+    IvfTrained(cents, objs.result(), objsFx.result())
   }
 
   /** Lifts driver-side centroids into the (cent_id, ec, ncn) frame the
@@ -783,7 +800,7 @@ object TrainingData {
                              maxRank: Int): DataFrame = {
     val e = withNorm(T(s, dir, "embeddings"))
     val trained = ivfCache.getOrElseUpdate(dir,
-      trainIvfCentroids(s, dir)._1)
+      trainIvfCentroids(s, dir)).cents
     assignRanked(e, centroidFrame(s, trained), maxRank, Seq("label"))
   }
 
@@ -868,7 +885,7 @@ object TrainingData {
   def q93AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(T(s, dir, "embeddings"))
     val trained = ivfCache.getOrElseUpdate(dir,
-      trainIvfCentroids(s, dir)._1)
+      trainIvfCentroids(s, dir)).cents
     val cents = centroidFrame(s, trained)
     // materialize the top-4 assignment slice once: `cells` (arn = 1) and
     // `qprobe` (arn <= 4) both branch off it, and without the checkpoint
@@ -954,7 +971,7 @@ object TrainingData {
     val cents = graft.sink.BucketedTables.ensureLazy(
       s, s"graft_ivf_cents_$digest", ivfCentSchema,
       () => centroidFrame(s,
-        ivfCache.getOrElseUpdate(dir, trainIvfCentroids(s, dir)._1)),
+        ivfCache.getOrElseUpdate(dir, trainIvfCentroids(s, dir)).cents),
       1, Seq("cent_id"))
     val cells = graft.sink.BucketedTables.ensure(
       s, s"graft_ivf_cells_$digest",
@@ -1528,6 +1545,28 @@ object TrainingData {
   def q158BpePack(s: SparkSession, dir: String): DataFrame =
     sequencePack(s, dir, graft.functions.Bpe.count(col("text")))
 
+  /** q160: the quantizer's training-convergence trace AS DATA — one
+    * row per Lloyd iteration with the clustering objective
+    * J = Σ(1 − cos(v, c_assigned)) in 2⁻²⁰ fixed-point units
+    * (per-TERM quantization then an integer sum, so the value is
+    * associative and bit-identical across engines — a double sum of
+    * 1 − csim would hash-differ on aggregation order). The monitoring
+    * query every training job needs: a non-decreasing trace means the
+    * quantizer (and everything downstream: q93/q152 probes, q156
+    * cells) stopped improving.
+    *
+    * Scale: the trace rides the same training pass q93 already runs
+    * (one corpus × k VecDot scan per iteration, k×dim integer update
+    * table + TWO scalars to the driver); the result is IvfIters rows. */
+  def q160KmeansTrace(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val trained = ivfCache.getOrElseUpdate(dir, trainIvfCentroids(s, dir))
+    trained.objsFx.zipWithIndex
+      .map { case (o, i) => ((i + 1).toLong, o) }
+      .toDF("iter", "obj_fx")
+      .orderBy("iter")
+  }
+
   /** q159: the pack MANIFEST — what a training loader actually
     * consumes (q92/q158 emit only per-bin stats): one row per packed
     * document with its bin, slot (position within the bin), starting
@@ -1594,6 +1633,7 @@ object TrainingData {
     "q92_sequence_pack" -> q92SequencePack _,
     "q158_bpe_pack" -> q158BpePack _,
     "q159_pack_manifest" -> q159PackManifest _,
+    "q160_kmeans_trace" -> q160KmeansTrace _,
     "q93_ann_ivf" -> q93AnnIvf _,
     "q156_semantic_dedup" -> q156SemanticDedup _,
     "q157_hard_negatives" -> q157HardNegatives _,
@@ -1911,6 +1951,7 @@ object TrainingData {
         |SELECT CAST(cumex // 2000 AS BIGINT) AS bin, count(*) AS n_docs,
         |       CAST(sum(btok) AS BIGINT) AS sum_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q160_kmeans_trace" -> kmeansTraceOracleSql,
     "q159_pack_manifest" ->
       s"""WITH RECURSIVE ${graft.functions.Bpe.countCteSql},
         |c AS (SELECT doc_id, btok,
@@ -1936,43 +1977,68 @@ object TrainingData {
     * `cells` = arn 1). q93/q152's probe, q156's within-cell pairs, and
     * q157's hard negatives are tails over it, so the ground-truth
     * quantizer can never drift between them. */
-  private lazy val ivfPrefixCtes: String = {
-    val dot = (a: String, b: String) => oDot(a, b)
-    // One unrolled spherical-Lloyd iteration (mirrors
-    // trainIvfCentroids exactly): assignment by argmax cosine with
-    // cent_id tie-break, update = per-dimension 2^-20 fixed-point
-    // INTEGER sums of unit-normalized members divided back and cast
-    // to FLOAT once, empty cells carrying the previous centroid.
-    def lloydIter(prev: String, t: Int): String =
-      s"""a$t AS (SELECT vec_id, cent_id,
-         |        row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn
-         |        FROM (SELECT e.vec_id, c.cent_id, ${dot("e.embedding", "c.ec")} / (e.nrm * c.ncn) AS csim
-         |              FROM e CROSS JOIN $prev c)),
-         |s$t AS (SELECT a.cent_id, d.i AS dim,
-         |        SUM(CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) / e.nrm * 1048576.0 + 0.5) AS BIGINT)) AS sfx,
-         |        count(*) AS n
-         |        FROM a$t a, e, range(1, 65) d(i)
-         |        WHERE a.vec_id = e.vec_id AND a.arn = 1 GROUP BY 1, 2),
-         |u$t AS (SELECT cent_id, ec,
-         |        sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in ec])) AS ncn
-         |        FROM (SELECT cent_id,
-         |              list(CAST(CAST(sfx AS DOUBLE) / (n * 1048576.0) AS FLOAT) ORDER BY dim) AS ec
-         |              FROM s$t GROUP BY cent_id)),
-         |c$t AS (SELECT p.cent_id, COALESCE(u.ec, p.ec) AS ec, COALESCE(u.ncn, p.ncn) AS ncn
-         |        FROM $prev p LEFT JOIN u$t u ON p.cent_id = u.cent_id),""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding, label,
+  // One unrolled spherical-Lloyd iteration (mirrors trainIvfCentroids
+  // exactly): assignment by argmax cosine with cent_id tie-break,
+  // update = per-dimension 2^-20 fixed-point INTEGER sums of
+  // unit-normalized members divided back and cast to FLOAT once,
+  // empty cells carrying the previous centroid.
+  private def lloydIterSql(prev: String, t: Int): String =
+    s"""a$t AS (SELECT vec_id, cent_id,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn
+       |        FROM (SELECT e.vec_id, c.cent_id, ${oDot("e.embedding", "c.ec")} / (e.nrm * c.ncn) AS csim
+       |              FROM e CROSS JOIN $prev c)),
+       |s$t AS (SELECT a.cent_id, d.i AS dim,
+       |        SUM(CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) / e.nrm * 1048576.0 + 0.5) AS BIGINT)) AS sfx,
+       |        count(*) AS n
+       |        FROM a$t a, e, range(1, 65) d(i)
+       |        WHERE a.vec_id = e.vec_id AND a.arn = 1 GROUP BY 1, 2),
+       |u$t AS (SELECT cent_id, ec,
+       |        sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in ec])) AS ncn
+       |        FROM (SELECT cent_id,
+       |              list(CAST(CAST(sfx AS DOUBLE) / (n * 1048576.0) AS FLOAT) ORDER BY dim) AS ec
+       |              FROM s$t GROUP BY cent_id)),
+       |c$t AS (SELECT p.cent_id, COALESCE(u.ec, p.ec) AS ec, COALESCE(u.ncn, p.ncn) AS ncn
+       |        FROM $prev p LEFT JOIN u$t u ON p.cent_id = u.cent_id),""".stripMargin
+
+  /** The shared `e` + seed CTE opening every IVF oracle. */
+  private lazy val ivfBaseCtes: String =
+    """WITH e AS (SELECT vec_id, embedding, label,
       |           sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
       |           FROM embeddings),
-      |c0 AS (SELECT vec_id AS cent_id, embedding AS ec, nrm AS ncn FROM e WHERE vec_id < 16),
-      |${lloydIter("c0", 1)}
-      |${lloydIter("c1", 2)}
-      |${lloydIter("c2", 3)}
+      |c0 AS (SELECT vec_id AS cent_id, embedding AS ec, nrm AS ncn FROM e WHERE vec_id < 16)"""
+      .stripMargin
+
+  private lazy val ivfPrefixCtes: String =
+    s"""$ivfBaseCtes,
+      |${lloydIterSql("c0", 1)}
+      |${lloydIterSql("c1", 2)}
+      |${lloydIterSql("c2", 3)}
       |sim AS (SELECT e.vec_id, e.embedding, e.nrm, e.label, c.cent_id,
-      |        ${dot("e.embedding", "c.ec")} / (e.nrm * c.ncn) AS csim
+      |        ${oDot("e.embedding", "c.ec")} / (e.nrm * c.ncn) AS csim
       |        FROM e CROSS JOIN c3 c),
       |assign AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn FROM sim),
       |cells AS (SELECT vec_id, embedding, nrm, label, cent_id AS cell FROM assign WHERE arn = 1)"""
       .stripMargin
+
+  /** q160's DuckDB twin: the per-iteration objective against each
+    * iteration's PRE-update centroids (c0, c1, c2 — exactly what the
+    * Spark training loop measures), each term quantized to 2⁻²⁰
+    * fixed-point BIGINTs and integer-summed. */
+  private lazy val kmeansTraceOracleSql: String = {
+    def objCte(prevC: String, t: Int): String =
+      s"""ov$t AS (SELECT CAST($t AS BIGINT) AS iter,
+         |        SUM(CAST(floor((1.0 - mc) * 1048576.0 + 0.5) AS BIGINT)) AS obj_fx
+         |        FROM (SELECT vec_id, max(csim) AS mc
+         |              FROM (SELECT e.vec_id, ${oDot("e.embedding", "c.ec")} / (e.nrm * c.ncn) AS csim
+         |                    FROM e CROSS JOIN $prevC c) GROUP BY vec_id))""".stripMargin
+    s"""$ivfBaseCtes,
+      |${lloydIterSql("c0", 1)}
+      |${lloydIterSql("c1", 2)}
+      |${objCte("c0", 1)},
+      |${objCte("c1", 2)},
+      |${objCte("c2", 3)}
+      |SELECT iter, obj_fx FROM (SELECT * FROM ov1 UNION ALL SELECT * FROM ov2 UNION ALL SELECT * FROM ov3)
+      |ORDER BY iter""".stripMargin
   }
 
   /** q93 / q152's DuckDB twin: the shared prefix's quantizer, then

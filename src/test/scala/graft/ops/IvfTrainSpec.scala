@@ -15,8 +15,9 @@ class IvfTrainSpec extends AnyFunSuite {
 
   test("Lloyd objective is non-increasing per iteration and training " +
     "moves the centroids off the seed") {
-    val (cents, objs) = TrainingData.trainIvfCentroids(spark,
+    val trained = TrainingData.trainIvfCentroids(spark,
       SparkTestBase.Sf0001)
+    val (cents, objs) = (trained.cents, trained.objs)
     assert(objs.length == TrainingData.IvfIters)
     objs.sliding(2).foreach {
       case Seq(a, b) =>
@@ -27,6 +28,15 @@ class IvfTrainSpec extends AnyFunSuite {
     }
     assert(objs.last < objs.head,
       s"three iterations improved nothing: $objs — training is a no-op")
+    // the q160 integer trace tells the same story: per-term 2^-20
+    // quantization bounds step wobble at half a unit per vector
+    val fx = trained.objsFx
+    assert(fx.length == TrainingData.IvfIters)
+    fx.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 512, s"fx objective increased: $fx")
+      case _ =>
+    }
+    assert(fx.last < fx.head, s"fx trace improved nothing: $fx")
 
     val seed = graft.ops.T(spark, SparkTestBase.Sf0001, "embeddings")
       .filter(org.apache.spark.sql.functions.col("vec_id") < 16)
@@ -39,8 +49,8 @@ class IvfTrainSpec extends AnyFunSuite {
 
   test("training is deterministic: two runs produce bit-identical " +
     "centroids") {
-    val a = TrainingData.trainIvfCentroids(spark, SparkTestBase.Sf0001)._1
-    val b = TrainingData.trainIvfCentroids(spark, SparkTestBase.Sf0001)._1
+    val a = TrainingData.trainIvfCentroids(spark, SparkTestBase.Sf0001).cents
+    val b = TrainingData.trainIvfCentroids(spark, SparkTestBase.Sf0001).cents
     a.sortBy(_.cent_id).zip(b.sortBy(_.cent_id)).foreach {
       case (x, y) =>
         assert(x.cent_id == y.cent_id)
