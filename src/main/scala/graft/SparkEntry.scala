@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.{Corpus, Curation, Multimodal, NorthStar, ParseRoute, Relational, Scalars, SketchRollup, TpchShapes, TrainingData}
 import graft.sink.{BucketQueries, Layout, PartitionedQueries, ShardedExport, ZOrderQueries}
+import graft.sources.JsonlIngest
 import graft.sources.rfc.RfcQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3 (normative inventory).
@@ -31,7 +32,8 @@ object SparkEntry {
       Corpus.queries ++
       Layout.queries ++ ZOrderQueries.queries ++ BucketQueries.queries ++
       PartitionedQueries.queries ++ ShardedExport.queries ++
-      Multimodal.queries ++ RfcQueries.queries ++ SketchRollup.queries
+      Multimodal.queries ++ RfcQueries.queries ++ SketchRollup.queries ++
+      JsonlIngest.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TpchShapes.oracle ++ ParseRoute.oracle ++ Scalars.oracle ++
@@ -39,5 +41,5 @@ object SparkEntry {
       Corpus.oracle ++
       ZOrderQueries.oracle ++ BucketQueries.oracle ++
       PartitionedQueries.oracle ++ ShardedExport.oracle ++ RfcQueries.oracle ++
-      SketchRollup.oracle
+      SketchRollup.oracle ++ JsonlIngest.oracle
 }
