@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Corpus, Curation, Multimodal, NorthStar, ParseRoute, Relational, Scalars, SketchRollup, TpchShapes, TrainingData}
+import graft.ops.{BpeTrain, Corpus, Curation, Multimodal, NorthStar, ParseRoute, Relational, Scalars, SketchRollup, TpchShapes, TrainingData}
 import graft.sink.{BucketQueries, Layout, PartitionedQueries, ShardedExport, ZOrderQueries}
 import graft.sources.JsonlIngest
 import graft.sources.rfc.RfcQueries
@@ -33,7 +33,7 @@ object SparkEntry {
       Layout.queries ++ ZOrderQueries.queries ++ BucketQueries.queries ++
       PartitionedQueries.queries ++ ShardedExport.queries ++
       Multimodal.queries ++ RfcQueries.queries ++ SketchRollup.queries ++
-      JsonlIngest.queries
+      JsonlIngest.queries ++ BpeTrain.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TpchShapes.oracle ++ ParseRoute.oracle ++ Scalars.oracle ++
