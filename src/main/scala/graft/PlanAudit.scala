@@ -181,7 +181,48 @@ object PlanAudit {
         "catalog's aggregation exchange is the only extra shuffle — " +
         "supplier/nation as `BroadcastHashJoin`s, the part filter pushed " +
         "below the pair join, and one partial+final aggregate pair on " +
-        "(nation, year)."))
+        "(nation, year)."),
+    "q37_percentile" ->
+      ("**Look for:** NO `ObjectHashAggregate`/`SortAggregate` buffering " +
+        "a whole group's values (the r9 perf-weak plan this rework " +
+        "removed): the exact percentile runs as the two-pass composite " +
+        "rank — range repartition on (group, value), per-partition " +
+        "counts, broadcast position pick — keeping ≤2 rows per quantile " +
+        "per group after the row-pick filter."),
+    "q155_oov_novelty" ->
+      ("**Look for:** BOTH join sides branching off the checkpointed " +
+        "per-(doc, bigram) digest counts (the explode+window+aggregate " +
+        "pass runs ONCE — repeats collapse before any join), exchanges " +
+        "carrying 32-hex md5 digests — never bigram text — and no " +
+        "FORCED broadcast: AQE broadcasts the small reference side at " +
+        "this SF; at corpus scale the same plan degrades to a shuffled " +
+        "equi-join on the digest (the reference is a corpus fraction, " +
+        "unlike q95's benchmark set)."),
+    "q156_semantic_dedup" ->
+      ("**Look for:** both pair sides branching off the CHECKPOINTED " +
+        "cell assignment (`Scan ExistingRDD` — the corpus × 16 centroid " +
+        "pass runs once; the 16-row broadcast inside it is the named " +
+        "bounded BNLJ exception, q93's class), the within-cell pair " +
+        "join as an equi-join ON THE CELL id (never an all-pairs " +
+        "cartesian), and the keeper selection's rn=1 pushed down as " +
+        "`WindowGroupLimit` partial group-limits below its exchange."),
+    "q157_hard_negatives" ->
+      ("**Look for:** the bounded query batch as the BROADCAST side of " +
+        "the cell join (the corpus/cells side stays at scan width with " +
+        "no exchange for the join), the label-mismatch predicate inside " +
+        "the join condition — narrowing candidates BEFORE the rank — " +
+        "and `WindowGroupLimit` partials for the per-query top-3."),
+    "q159_pack_manifest" ->
+      ("**Look for:** the q92/q158 two-pass prefix-scan shape (range " +
+        "repartition, per-partition running sums, no single-task " +
+        "window) with the slot `Window` partitioned BY BIN — thousands " +
+        "of small groups, the benign window shape — and `bpe_count` as " +
+        "one codegen'd projection in the scan stage."),
+    "q161_jsonl_ingest" ->
+      ("**Look for:** the json `FileScan` with `ReadSchema` equal to " +
+        "the DECLARED schema (no inference pass anywhere in the plan) " +
+        "and one partial+final `HashAggregate` pair over the routing " +
+        "keys — byte-range parallel text scan, single small shuffle."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

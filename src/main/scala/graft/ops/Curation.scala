@@ -81,6 +81,10 @@ object Curation {
         md5(concat_ws(" ", col("word"), col("w1"))).as("bgh"))
       .groupBy("doc_id", "bgh")
       .agg(count(lit(1)).as("c"))
+      // both join sides branch off the digest counts: materialize the
+      // explode+window+aggregate pass once (the q93 assignment-slice
+      // discipline), or the corpus-sized bigram pipeline runs twice
+      .localCheckpoint(true)
     val ref = counts.filter(col("doc_id") % 10 === 0)
       .select("bgh").distinct().withColumn("hit", lit(1))
     counts.filter(col("doc_id") % 10 =!= 0)

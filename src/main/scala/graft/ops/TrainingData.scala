@@ -829,7 +829,9 @@ object TrainingData {
     * the q79 SRP-bit sub-split, not needed at this K. The per-pair
     * work runs through the codegen'd [[graft.functions.VecDot]]. */
   def q156SemanticDedup(s: SparkSession, dir: String): DataFrame = {
-    val cells = ivfAssign(s, dir, 1)
+    // both pair sides branch off the assignment: materialize the
+    // corpus × k dot-product pass once (q93's checkpoint discipline)
+    val cells = ivfAssign(s, dir, 1).localCheckpoint(true)
     val a = cells.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
       col("nrm").as("na"), col("cent_id").as("cell"))
     val b = cells.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
