@@ -178,8 +178,51 @@ object SketchRollup {
       .orderBy("bucket")
   }
 
+  /** Misra–Gries counter budget for q163 — must exceed the heaviness
+    * denominator (50): MG with k counters underestimates any count by
+    * at most N/(k+1), so every item with true count > N/(k+1) survives
+    * the sketch; k = 64 > 50 makes the candidate set a guaranteed
+    * SUPERSET of the ≥ N/50 heavy hitters. */
+  private[ops] val MgK = 64
+  private[ops] val HeavyDenom = 50
+
+  /** q163: exact heavy hitters by the two-pass sketch-then-verify
+    * pattern — words holding ≥ 1/50 of all corpus tokens, WITHOUT a
+    * full-vocabulary shuffle. Pass 1 aggregates a [[MisraGries]]
+    * sketch (mergeable, counter-bounded — the frequency-family sibling
+    * of the HLL rollups above) plus the token total in ONE corpus
+    * scan; pass 2 recounts ONLY the ≤ k candidate words exactly (a
+    * broadcast semi-filter — the shuffle carries candidate matches,
+    * never the vocabulary) and keeps those crossing the exact
+    * threshold.
+    *
+    * Determinism despite a partitioning-dependent sketch: the
+    * candidate SET varies with merge order, but it is always a
+    * superset of the true heavies (the MG guarantee), and the exact
+    * recount + threshold filter prunes everything else — so the OUTPUT
+    * is the exact heavy-hitter set, bit-stable, and the plain-SQL
+    * oracle (GROUP BY + HAVING against the total) must match it
+    * row-for-row. MgSpec pins the superset guarantee on adversarial
+    * streams and merge-order invariance of the final result. */
+  def q163HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = T(s, dir, "documents")
+      .select(explode(expr("filter(split(text, ' '), x -> x != '')"))
+        .as("word"))
+    val mg = udaf(new MisraGries(MgK),
+      org.apache.spark.sql.Encoders.STRING)
+    val cands = toks
+      .agg(mg(col("word")).as("cands"), count(lit(1)).as("n"))
+      .select(explode(col("cands")).as("word"), col("n"))
+    toks.join(broadcast(cands), "word")
+      .groupBy("word", "n").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * HeavyDenom >= col("n"))
+      .select(col("word"), col("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_histogram_rollup" -> q115HistogramRollup _,
+    "q163_heavy_hitters" -> q163HeavyHitters _,
   )
 
   /** The oracle mirrors the two-level structure (per-day histograms,
@@ -211,5 +254,13 @@ object SketchRollup {
         |       CAST(cum_cnt >= 0.99e0 * total
         |            AND cum_cnt - cnt < 0.99e0 * total AS INT) AS is_p99
         |FROM c ORDER BY bucket""".stripMargin,
+    // plain GROUP BY + HAVING — the sketch must reproduce the exact
+    // answer, which is precisely the two-pass pattern's claim
+    "q163_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+        |c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1)
+        |SELECT word, cnt FROM c, tot WHERE cnt * $HeavyDenom >= n
+        |ORDER BY cnt DESC, word""".stripMargin,
   )
 }
