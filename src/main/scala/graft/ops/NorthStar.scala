@@ -167,8 +167,50 @@ object NorthStar {
       .orderBy("event_type", "day")
   }
 
+  /** q164: session-sequence training examples — the behavioral
+    * next-event-prediction dataset a sequence model trains on: per
+    * (user, 30-min-gap session) with ≥ 3 events, the event-type
+    * sequence in strict event-time order splits into a PREFIX (the
+    * model input, fingerprinted — exchanges and compares carry the md5,
+    * never the sequence text, the q117 discipline) and the final event
+    * as the LABEL. The q92/q159 packing story applied to events: q81
+    * proves the sessionization, q164 materializes the training
+    * example.
+    *
+    * Scale shape: the session window partitions by user_id (per-user
+    * streams are ingest-bounded), and the sequence assembly is one
+    * ObjectHashAggregate whose buffer is a single session's events —
+    * bounded by the 30-minute gap semantics, never a corpus slice;
+    * ordering inside the buffer is the deterministic (tus, event_id)
+    * sort applied AFTER collection, so aggregation order can't perturb
+    * the fingerprint. */
+  def q164SessionExamples(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("tus"),
+        col("event_type"))
+      .withColumn("prev", lag("tus", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("is_new").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("""transform(
+                  array_sort(collect_list(struct(tus, event_id, event_type))),
+                  x -> x.event_type)""").as("seq"))
+      .filter(col("n_events") >= 3)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        md5(concat_ws(" ", expr("slice(seq, 1, size(seq) - 1)")))
+          .as("prefix_md5"),
+        expr("element_at(seq, -1)").as("label"))
+      .orderBy("user_id", "session_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_dedup_exact" -> q70DedupExact _,
+    "q164_session_examples" -> q164SessionExamples _,
     "q120_event_transitions" -> q120EventTransitions _,
     "q132_event_ohlc" -> q132EventOhlc _,
     "q71_dedup_keyed" -> q71DedupKeyed _,
@@ -235,6 +277,20 @@ object NorthStar {
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
         |       event_type, count(*) AS cnt, round(sum(value), 4) AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q164_session_examples" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events),
+        |l AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM x),
+        |n AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+        |g AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |      FROM n),
+        |a AS (SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |             list(event_type ORDER BY tus, event_id) AS seq
+        |      FROM g GROUP BY 1, 2)
+        |SELECT user_id, session_id, n_events,
+        |       md5(array_to_string(seq[1:len(seq)-1], ' ')) AS prefix_md5,
+        |       seq[-1] AS label
+        |FROM a WHERE n_events >= 3 ORDER BY user_id, session_id""".stripMargin,
     "q81_event_sessionize" ->
       """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
         |l AS (SELECT user_id, event_id, tus,

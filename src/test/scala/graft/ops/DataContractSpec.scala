@@ -31,7 +31,11 @@ class DataContractSpec extends AnyFunSuite {
       "q114_media_pipeline",     // Multimodal*/GifFrameSpec/ImageProps
                                  // (no SQL engine decodes PNG/GIF)
       "q116_audio_pipeline",     // AudioSpec (no SQL engine decodes WAV)
-      "q154_video_pipeline")     // VideoSpec (no SQL engine demuxes AVI)
+      "q154_video_pipeline",     // VideoSpec (no SQL engine demuxes AVI)
+      "q162_bpe_train")          // BpeTrainSpec (per-iteration symbol
+                                 // rewriting needs per-position recursion
+                                 // SQL can't express; reference-trainer
+                                 // equality pinned instead)
     val queries = graft.SparkEntry.queries.keySet
     val oracles = graft.SparkEntry.oracleSql.keySet
     assert((queries -- oracles -- noOracle).isEmpty,
