@@ -1258,6 +1258,47 @@ object TrainingData {
   def q151BpeBudgetMix(s: SparkSession, dir: String): DataFrame =
     tokenBudgetMix(s, dir, graft.functions.Bpe.count(col("text")))
 
+  /** q165: the THIRD composed flagship — the subword-era LLM corpus
+    * pipeline, built only from shipped stages: q83's exact-rational
+    * quality gate (≥ 0.6) → q105's hash-first exact dedup (md5 digest
+    * window, first doc wins) → q151's per-language SUBWORD budget
+    * admission (deterministic shuffled order, composite-key global
+    * prefix scan, broadcast budget spec) → per-language corpus stats
+    * incl. the context-window count at the q158 packing budget. Where
+    * q105 curates and q130 mixes by document COUNT, q165 is the
+    * pipeline a training run actually starts from: admission and
+    * packing both denominated in the tokenizer's units.
+    *
+    * Scale: inherits each stage's audited shape — the gate is a pure
+    * projection, the dedup exchange carries digests, the admission
+    * scan is the two-pass composite-key cumsum (never a per-lang
+    * single-task window), and the budget spec is a |langs|-row
+    * broadcast. One corpus-sized text movement (the dedup), like
+    * q105. */
+  def q165SubwordCorpus(s: SparkSession, dir: String): DataFrame = {
+    import Exact.r4
+    val wDigest = Window.partitionBy("digest").orderBy("doc_id")
+    val gated = T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .withColumn("quality", r4(
+        """10 * least(size(ws), 100) * size(ws)
+          | + 750 * size(array_distinct(ws))
+          | + 750 * (size(ws) - size(filter(ws, x -> x in ('the', 'a'))))"""
+          .stripMargin, "2500 * size(ws)"))
+      .filter(col("quality") >= 0.6)
+      .withColumn("digest", md5(col("text")))
+      .withColumn("rn", row_number().over(wDigest))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "text")
+    budgetMixFrom(s, gated, graft.functions.Bpe.count(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_btok"))
+      .withColumn("n_bins", expr("(sum_btok + 1999) div 2000"))
+      .orderBy("lang")
+  }
+
   /** Per-language token budgets — the mixture SPEC ("B tokens per
     * language"), a broadcast table rather than one scalar so each
     * language can be weighted independently (the r9 verdict's q150
@@ -1274,9 +1315,15 @@ object TrainingData {
     * composite-key exclusive prefix scan, per-language base subtract
     * and budget cut folded into ONE |langs|-row broadcast join. */
   private def tokenBudgetMix(s: SparkSession, dir: String,
-                             tokCount: Column): DataFrame = {
+                             tokCount: Column): DataFrame =
+    budgetMixFrom(s, T(s, dir, "documents"), tokCount)
+
+  /** The q150/q151 admission core over an arbitrary (doc_id, lang,
+    * text) frame — q165 feeds it the gated+deduped corpus. */
+  private[ops] def budgetMixFrom(s: SparkSession, docs: DataFrame,
+                                 tokCount: Column): DataFrame = {
     import s.implicits._
-    val keyed = T(s, dir, "documents")
+    val keyed = docs
       .select(col("doc_id"), col("lang"), tokCount.as("tok"),
         expr("cast(conv(substring(md5(concat('mix:', " +
           "cast(doc_id as string))), 1, 12), 16, 10) as bigint)").as("skey"))
@@ -1648,6 +1695,7 @@ object TrainingData {
     "q149_epoch_shuffle" -> q149EpochShuffle _,
     "q150_token_budget_mix" -> q150TokenBudgetMix _,
     "q151_bpe_budget_mix" -> q151BpeBudgetMix _,
+    "q165_subword_corpus" -> q165SubwordCorpus _,
     "q152_indexed_ann" -> q152IndexedAnn _,
   )
 
@@ -1706,6 +1754,28 @@ object TrainingData {
         |SELECT c2.lang, doc_id, tok, lang_excl FROM c2 JOIN b ON c2.lang = b.lang
         |WHERE lang_excl < budget
         |ORDER BY c2.lang, lang_excl, doc_id""".stripMargin,
+    "q165_subword_corpus" ->
+      s"""WITH RECURSIVE ${graft.functions.Bpe.countCteSql},
+        |w0 AS (SELECT doc_id, lang, text, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+        |sc AS (SELECT doc_id, lang, text, len(ws) AS n, len(list_distinct(ws)) AS k,
+        |       len(list_filter(ws, x -> x IN ('the', 'a'))) AS st FROM w0 WHERE len(ws) > 0),
+        |ql AS (SELECT doc_id, lang, text,
+        |       CAST((2 * (10 * least(n, 100) * n + 750 * k + 750 * (n - st)) * 10000
+        |             + 2500 * n) // (2 * 2500 * n) AS DOUBLE) / 10000.0 AS quality FROM sc),
+        |dd AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |       FROM ql WHERE quality >= 0.6),
+        |t AS (SELECT d.doc_id, d.lang, c.btok AS tok,
+        |             ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 12))::BIGINT AS skey
+        |      FROM dd d JOIN bpe_cnt c ON d.doc_id = c.doc_id WHERE d.rn = 1),
+        |b(lang, budget) AS (VALUES $budgetValuesSql),
+        |c2 AS (SELECT lang, doc_id, tok,
+        |             COALESCE(CAST(sum(tok) OVER (PARTITION BY lang ORDER BY skey, doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS lang_excl
+        |       FROM t),
+        |adm AS (SELECT c2.lang, doc_id, tok FROM c2 JOIN b ON c2.lang = b.lang WHERE lang_excl < budget)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_btok,
+        |       CAST((sum(tok) + 1999) // 2000 AS BIGINT) AS n_bins
+        |FROM adm GROUP BY lang ORDER BY lang""".stripMargin,
     "q149_epoch_shuffle" ->
       """WITH k AS (SELECT doc_id,
         |             ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 12))::BIGINT AS skey
