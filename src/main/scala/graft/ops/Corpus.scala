@@ -180,11 +180,71 @@ object Corpus {
       .orderBy("lang", "split")
   }
 
+  /** q166: the dataset DATA CARD — the one-row datasheet a corpus
+    * release ships with (counts, token totals in both denominations,
+    * language/source breadth, exact-duplicate mass, the largest
+    * document): the profiling query every pipeline runs before and
+    * after curation. Every metric is an exact integer (counts and
+    * sums — the q83 no-floats-in-compare discipline), and everything
+    * computes in ONE partial+final aggregate pass over a single scan —
+    * the two distinct-counts rewrite to the standard expand+two-phase
+    * aggregation, still one scan of the corpus. */
+  def q166DataCard(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long")
+          .as("ws"),
+        graft.functions.Bpe.count(col("text")).as("btok"),
+        md5(col("text")).as("digest"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum("ws").as("ws_tokens"),
+        sum("btok").as("bpe_tokens"),
+        (count(lit(1)) - countDistinct(col("digest"))).as("n_exact_dups"),
+        max("btok").as("max_doc_btok"))
+
+  /** q167: snapshot diff — dataset-versioning reconciliation between
+    * corpus snapshot A (the documents table) and snapshot B (a
+    * deterministic in-query evolution of it: every 13th doc deleted,
+    * every 17th doc's text amended, every 29th doc re-added under a
+    * shifted id): a FULL OUTER join on doc_id comparing content
+    * digests classifies every id as added / removed / changed /
+    * unchanged — the audit a pipeline runs between dataset releases
+    * (SCD2's q98 tracks row history; q167 reconciles whole corpus
+    * versions). The join carries (doc_id, digest) only — never text —
+    * and the report is one partial+final aggregate. */
+  def q167SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val a = T(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("dig_a"))
+    val base = T(s, dir, "documents")
+    val b = base.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("dig_b"))
+      .unionAll(base.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          md5(col("text")).as("dig_b")))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("dig_a").isNull, lit("added"))
+          .when(col("dig_b").isNull, lit("removed"))
+          .when(col("dig_a") =!= col("dig_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_substring_dedup" -> q117SubstringDedup _,
     "q118_source_overlap" -> q118SourceOverlap _,
     "q123_segment_dedup" -> q123SegmentDedup _,
     "q130_mix_pipeline" -> q130MixPipeline _,
+    "q166_data_card" -> q166DataCard _,
+    "q167_snapshot_diff" -> q167SnapshotDiff _,
   )
 
   /** The shared window CTE, verbatim in both oracles (DuckDB's
@@ -197,6 +257,37 @@ object Corpus {
       |  WHERE length(text) >= 50)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q166_data_card" ->
+      s"""WITH RECURSIVE ${graft.functions.Bpe.countCteSql},
+        |w AS (SELECT d.doc_id, d.lang, d.source,
+        |        len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS ws,
+        |        c.btok, md5(d.text) AS digest
+        |      FROM documents d JOIN bpe_cnt c ON d.doc_id = c.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |       CAST(sum(btok) AS BIGINT) AS bpe_tokens,
+        |       CAST(count(*) - count(DISTINCT digest) AS BIGINT) AS n_exact_dups,
+        |       CAST(max(btok) AS BIGINT) AS max_doc_btok
+        |FROM w""".stripMargin,
+    "q167_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS dig_a FROM documents),
+        |b AS (SELECT doc_id,
+        |             md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END) AS dig_b
+        |      FROM documents WHERE doc_id % 13 <> 0
+        |      UNION ALL
+        |      SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id % 29 = 0),
+        |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |        CASE WHEN a.dig_a IS NULL THEN 'added'
+        |             WHEN b.dig_b IS NULL THEN 'removed'
+        |             WHEN a.dig_a <> b.dig_b THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(doc_id) AS BIGINT) AS min_id,
+        |       CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
     "q117_substring_dedup" ->
       s"""WITH $windowsCte,
         |dup AS (SELECT k FROM w GROUP BY k HAVING count(DISTINCT doc_id) > 1)
