@@ -149,6 +149,85 @@ object EventStreams {
       }
   }
 
+  /** A finished training example emitted by [[sessionExamples]] once a
+    * session with ≥ 3 events closes — q164's schema minus the batch
+    * session ordinal (a stream has no global session numbering). */
+  final case class SessionExample(user_id: Long, n_events: Long,
+                                  prefix_md5: String, label: String)
+
+  /** Open-session state for [[sessionExamples]]: last event time plus
+    * the event-type sequence in event-time order. */
+  private[streaming] final case class OpenSeq(user_id: Long, end_ms: Long,
+                                              types: Seq[String])
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Emits a closing session as a training example iff it clears the
+    * q164 size gate (object-level so the streaming closure captures
+    * only the module, never the enclosing method frame). */
+  private def emitExample(s: OpenSeq): List[SessionExample] =
+    if (s.types.length >= 3)
+      List(SessionExample(s.user_id, s.types.length.toLong,
+        md5hex(s.types.init.mkString(" ")), s.types.last))
+    else Nil
+
+  /** The streaming twin of q164: session-sequence training examples
+    * materialize CONTINUOUSLY as sessions close (in-batch gap or
+    * event-time timeout), instead of in a nightly batch pass — the
+    * [[closedSessions]] state machine carrying the event-type sequence
+    * instead of counts. Sessions under 3 events close silently (q164's
+    * gate); state is one open session per active user, evicted on
+    * close — the same watermark-bounded footprint. In-batch disorder
+    * is sorted on (event time, event_id) — q164's tie-break — before
+    * folding into state. */
+  def sessionExamples(events: Dataset[SEvent]): Dataset[SessionExample] = {
+    implicit val outEnc: Encoder[SessionExample] =
+      Encoders.product[SessionExample]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val stEnc: Encoder[OpenSeq] = Encoders.product[OpenSeq]
+    val gapMs = 30L * 60 * 1000
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[SEvent], state: GroupState[OpenSeq]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            emitExample(s).iterator
+          } else {
+            val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var out = List.empty[SessionExample]
+            var cur = state.getOption
+            for (e <- evs) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end_ms <= gapMs =>
+                  cur = Some(OpenSeq(uid, math.max(s.end_ms, t),
+                    s.types :+ e.event_type))
+                case Some(s) => // gap exceeded inside the batch
+                  out = out ::: emitExample(s)
+                  cur = Some(OpenSeq(uid, t, Seq(e.event_type)))
+                case None =>
+                  cur = Some(OpenSeq(uid, t, Seq(e.event_type)))
+              }
+            }
+            val open = cur.get
+            if (open.end_ms + gapMs <= state.getCurrentWatermarkMs()) {
+              out = out ::: emitExample(open)
+              state.remove()
+            } else {
+              state.update(open)
+              state.setTimeoutTimestamp(open.end_ms + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup — the streaming twin of q70/q71: keep the
     * first occurrence per `event_id`. `dropDuplicatesWithinWatermark`
     * bounds the dedup state by the watermark (a plain dropDuplicates

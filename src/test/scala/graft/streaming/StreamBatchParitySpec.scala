@@ -218,4 +218,50 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(want.exists(_(2) != null),
       "fixture has no attributed purchase — degenerate")
   }
+
+  test("sessionExamples: streaming training examples equal the q164 " +
+    "brute-force on the same rows, across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[SEvent]
+    val q = EventStreams.sessionExamples(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("parity_examples")
+      .outputMode("append").start()
+    val got =
+      try {
+        fixture.grouped(20).foreach { chunk =>
+          in.addData(chunk); q.processAllAvailable()
+        }
+        in.addData(sentinel(1000, 600)); q.processAllAvailable()
+        in.addData(sentinel(1001, 605)); q.processAllAvailable()
+        spark.table("parity_examples").filter("user_id <> 999")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getString(3))).toSet
+      } finally q.stop()
+    // independent reference: q164's split-on-gap scan over the fixture
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = fixture.groupBy(_.user_id).flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+      val sessions = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[SEvent]]
+      var prev = Long.MinValue
+      for (e <- sorted) {
+        if (sessions.isEmpty || e.ts.getTime - prev > 30L * 60 * 1000)
+          sessions += scala.collection.mutable.ArrayBuffer(e)
+        else sessions.last += e
+        prev = e.ts.getTime
+      }
+      sessions.collect {
+        case ses if ses.length >= 3 =>
+          val types = ses.map(_.event_type)
+          (uid, ses.length.toLong, md5hex(types.init.mkString(" ")),
+            types.last)
+      }
+    }.toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture has no 3+-event session — degenerate")
+  }
 }
