@@ -99,6 +99,30 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q168: compression-ratio quality signal — the holistic cousin of
+    * q96's counted repetition ratios: DEFLATE the text at a fixed
+    * level and compare compressed to raw bytes. Repetitive
+    * boilerplate compresses far below natural text, catching
+    * repetition structures no fixed n-gram counter anticipates; the
+    * flag fires under 0.45 (the bottom ~quarter of this corpus's
+    * near-incompressible synthetic distribution — real web text
+    * spreads much wider). The kernel is the codegen'd
+    * [[graft.functions.DeflateLen]] (one per-row scalar pass, scan
+    * parallel, like md5); the ratio rounds through r4's exact
+    * integers. NO DuckDB oracle BY DESIGN — no SQL engine exposes a
+    * deflate length — CompressSignalSpec recomputes every row through
+    * `java.util.zip` independently and pins the flag classes
+    * non-degenerate. */
+  def q168CompressSignal(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        length(expr("encode(text, 'utf-8')")).cast("long").as("n_bytes"),
+        graft.functions.DeflateLen.len(col("text")).as("deflate_bytes"))
+      .select(col("doc_id"), col("n_bytes"), col("deflate_bytes"),
+        r4("deflate_bytes", "n_bytes").as("compress_ratio"))
+      .withColumn("repetitive", col("compress_ratio") < 0.45)
+      .orderBy("doc_id")
+
   /** q96: repetition quality signals (Gopher-style) — per document, the
     * top-word mass ratio and the duplicate-bigram ratio, plus the
     * repetition flag at the 0.2 threshold. Highly repetitious text is
@@ -798,6 +822,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_decontaminate" -> q95Decontaminate _,
     "q155_oov_novelty" -> q155OovNovelty _,
+    "q168_compress_signal" -> q168CompressSignal _,
     "q96_repetition_signals" -> q96RepetitionSignals _,
     "q97_source_rebalance" -> q97SourceRebalance _,
     "q98_scd2_merge" -> q98Scd2Merge _,
