@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeCount, BpeTokens, MinhashSig, NgramSet, Simhash64, SrpBucket, VecDot, WinnowFp}
+import graft.functions.{BpeCount, BpeTokens, DeflateLen, MinhashSig, NgramSet, Simhash64, SrpBucket, VecDot, WinnowFp}
 import graft.ops.TrainingData
 
 /** `SparkSessionExtensions` entry point: registers the library's native
@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.ngramSetDescriptor)
     ext.injectFunction(GraftExtensions.bpeCountDescriptor)
     ext.injectFunction(GraftExtensions.bpeTokensDescriptor)
+    ext.injectFunction(GraftExtensions.deflateLenDescriptor)
   }
 }
 
@@ -109,11 +110,14 @@ object GraftExtensions {
   private[graft] val bpeTokensDescriptor =
     unaryDescriptor("bpe_tokens", classOf[BpeTokens], BpeTokens(_))
 
+  private[graft] val deflateLenDescriptor =
+    unaryDescriptor("deflate_len", classOf[DeflateLen], DeflateLen(_))
+
   /** Same registration against an already-built session (tests, REPL). */
   def register(registry: FunctionRegistry): Unit = {
     Seq(srpBucketDescriptor, vecDotDescriptor, simhash64Descriptor,
       minhashSigDescriptor, winnowFpDescriptor, ngramSetDescriptor,
-      bpeCountDescriptor, bpeTokensDescriptor)
+      bpeCountDescriptor, bpeTokensDescriptor, deflateLenDescriptor)
       .foreach { case (id, info, builder) =>
         registry.registerFunction(id, info, builder)
       }
