@@ -222,7 +222,27 @@ object PlanAudit {
       ("**Look for:** the json `FileScan` with `ReadSchema` equal to " +
         "the DECLARED schema (no inference pass anywhere in the plan) " +
         "and one partial+final `HashAggregate` pair over the routing " +
-        "keys — byte-range parallel text scan, single small shuffle."))
+        "keys — byte-range parallel text scan, single small shuffle."),
+    "q163_heavy_hitters" ->
+      ("**Look for:** the two-pass sketch-then-verify shape: the " +
+        "Misra-Gries `ObjectHashAggregate` (partial per partition, one " +
+        "merged row) feeding a `Generate` of ≤ k candidates that comes " +
+        "back as the BROADCAST side of the recount join — the corpus " +
+        "re-scan never shuffles its vocabulary, only candidate matches " +
+        "reach the final aggregate."),
+    "q164_session_examples" ->
+      ("**Look for:** the session window partitioned BY USER (never " +
+        "global), the sequence assembly as ONE ObjectHashAggregate pair " +
+        "on (user, session) whose collect buffer is a single session, " +
+        "and the prefix fingerprint computed as an md5 projection ABOVE " +
+        "the aggregate — exchanges carry types and digests, bounded per " +
+        "session."),
+    "q166_data_card" ->
+      ("**Look for:** ONE scan of documents under an `Expand` (the two " +
+        "distinct-aggregate rewrite) into a partial+final aggregate " +
+        "pair ending in a single row — the whole datasheet costs one " +
+        "corpus pass, with `bpe_count`/`md5` as codegen'd projections " +
+        "in the scan stage."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
