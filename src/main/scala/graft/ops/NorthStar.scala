@@ -92,6 +92,32 @@ object NorthStar {
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_val"))
       .orderBy("ws_us", "event_type")
 
+  /** q169: HOPPING (sliding) window aggregation — 1-hour windows every
+    * 15 minutes, the overlapping-window shape q80's tumbling buckets
+    * can't express (each event lands in exactly len/slide = 4 windows;
+    * a trend dashboard or rate alarm reads the 1-h total refreshed
+    * every 15 min). Semantically identical to Spark's own
+    * `window($"ts", "1 hour", "15 minutes")` — HoppingWindowSpec pins
+    * that equality — but computed on the canonical µs integers:
+    * explode each event over the 4 slide offsets (exactly the
+    * expansion `TimeWindow` lowers to) so both engines bucket with the
+    * same exact integer arithmetic (1 h = 3.6e9 µs, 15 min = 9e8 µs).
+    *
+    * Scale shape: a 4-row `explode(sequence)` projection (output-bound,
+    * ×len/slide — the inherent cost of hopping semantics, same as
+    * Spark's native expansion) into the standard partial+final hash
+    * agg; no window function, one shuffle of (window, type) cells. */
+  def q169EventHopping(s: SparkSession, dir: String): DataFrame =
+    T.events(s, dir)
+      .select(col("tus"), col("event_type"), col("value"))
+      .withColumn("k", explode(expr("sequence(0, 3)")))
+      .select(
+        expr("((tus div 900000000) - k) * 900000000").as("ws_us"),
+        col("event_type"), col("value"))
+      .groupBy("ws_us", "event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_val"))
+      .orderBy("ws_us", "event_type")
+
   /** q81: sessionization with 30-min inactivity gap (lag + cumulative sum). */
   def q81EventSessionize(s: SparkSession, dir: String): DataFrame =
     sessionizeCore(T.events(s, dir)
@@ -220,6 +246,7 @@ object NorthStar {
     "q76_udaf_weighted_avg" -> q76UdafWeightedAvg _,
     "q80_event_tumbling" -> q80EventTumbling _,
     "q81_event_sessionize" -> q81EventSessionize _,
+    "q169_event_hopping" -> q169EventHopping _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -277,6 +304,11 @@ object NorthStar {
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
         |       event_type, count(*) AS cnt, round(sum(value), 4) AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q169_event_hopping" ->
+      """SELECT ((epoch_us(ts) // 900000000) - h.k) * 900000000 AS ws_us,
+        |       event_type, count(*) AS cnt, round(sum(value), 4) AS sum_val
+        |FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) h
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q164_session_examples" ->
       """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events),
         |l AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM x),
