@@ -1127,6 +1127,71 @@ object TrainingData {
         graft.functions.Bpe.count(col("text")).as("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** q170: tokenizer fertility — the per-language tokenizer diagnostic
+    * every multilingual corpus ships with its vocab: fertility =
+    * subword tokens per whitespace word (how much the tokenizer
+    * inflates each language — the number that exposes a vocab trained
+    * on one language fragmenting another), and chars per subword token
+    * (compression; bytes for this ASCII corpus). The q84 contracts
+    * supply both denominations ([[graft.functions.Bpe]] subwords,
+    * whitespace words); ratios round through [[Exact.r4]]'s integer
+    * half-up so the DuckDB oracle hash-matches bit-exactly.
+    *
+    * Scale shape: one corpus scan — the codegen'd `bpe_count` and the
+    * whitespace/char counts are projections in the scan stage — into a
+    * partial+final hash agg on `lang` (|langs| cells); the ratios are
+    * post-aggregation arithmetic on the |langs|-row result. */
+  def q170TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    import Exact.r4
+    T(s, dir, "documents")
+      .select(col("lang"),
+        graft.functions.Bpe.count(col("text")).as("btok"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long")
+          .as("wtok"),
+        length(col("text")).cast("long").as("nch"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("btok").as("bpe_tokens"),
+        sum("wtok").as("ws_tokens"),
+        sum("nch").as("chars"))
+      .select(col("lang"), col("n_docs"), col("bpe_tokens"),
+        col("ws_tokens"), col("chars"),
+        r4("bpe_tokens", "ws_tokens").as("fertility"),
+        r4("chars", "bpe_tokens").as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  /** q171: curriculum ordering — the deterministic training schedule a
+    * curriculum-learning run consumes: highest-quality decile first,
+    * uniformly shuffled WITHIN each decile (quality ordering between
+    * buckets, no ordering bias inside one). Bucket = q83's exact
+    * quality in basis points `div` 1000 (deciles; the bp value is
+    * integral by r4 construction, recovered exactly via
+    * `round(quality·10⁴)` — a truncating cast could land one under on
+    * the inexact double); within-bucket order is the 48-bit md5 ticket
+    * (q129/q149 exact-integer discipline, seed "cur"); position is the
+    * global row number.
+    *
+    * Scale shape: the q150 composite-key discipline — ONE global
+    * two-pass rank over (bucket desc, ticket, doc_id) via
+    * [[ScalableRank]], never `Window.partitionBy(bucket)` (11 buckets
+    * ⇒ each window partition would be a corpus slice in one task) and
+    * never a single-task global window. */
+  def q171CurriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val scored = q83QualityScore(s, dir)
+      .select(col("doc_id"),
+        expr("cast(round(quality * 10000) as bigint)").as("qbp"))
+      .withColumn("bucket", expr("qbp div 1000"))
+      .withColumn("skey", expr(
+        "cast(conv(substring(md5(concat('cur:', " +
+          "cast(doc_id as string))), 1, 12), 16, 10) as bigint)"))
+      .withColumn("negb", -col("bucket"))
+    ScalableRank.withGlobalRowNumber(scored, "pos",
+        col("negb"), col("skey"), col("doc_id"))
+      .select(col("doc_id"), col("bucket"), col("pos"))
+      .orderBy("pos")
+  }
+
   /** q85: winnowing document fingerprints — base-257 polynomial hash
     * over char 5-grams (a TRUE rolling-hash family: for this pure-ASCII
     * corpus the base exceeds the alphabet, so the hash is injective —
@@ -1673,6 +1738,8 @@ object TrainingData {
     "q82_lang_id" -> q82LangId _,
     "q83_quality_score" -> q83QualityScore _,
     "q84_token_count" -> q84TokenCount _,
+    "q170_tokenizer_fertility" -> q170TokenizerFertility _,
+    "q171_curriculum_order" -> q171CurriculumOrder _,
     "q85_doc_fingerprint" -> q85DocFingerprint _,
     "q86_ann_lsh" -> q86AnnLsh _,
     "q87_binary_meta" -> q87BinaryMeta _,
@@ -1860,6 +1927,36 @@ object TrainingData {
         |       c.btok AS bpe_tokens
         |FROM documents d JOIN bpe_cnt c ON d.doc_id = c.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q171_curriculum_order" ->
+      """WITH w AS (SELECT doc_id,
+        |           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n,
+        |           len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS uniq,
+        |           len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS stop
+        |      FROM documents),
+        |k AS (SELECT doc_id,
+        |             (2 * (10 * least(n, 100) * n + 750 * uniq + 750 * (n - stop)) * 10000
+        |              + 2500 * n) // (2 * 2500 * n) AS qbp
+        |      FROM w WHERE n > 0),
+        |b AS (SELECT doc_id, qbp // 1000 AS bucket,
+        |             ('0x' || substr(md5('cur:' || doc_id::VARCHAR), 1, 12))::BIGINT AS skey
+        |      FROM k)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |       row_number() OVER (ORDER BY bucket DESC, skey, doc_id) AS pos
+        |FROM b ORDER BY pos""".stripMargin,
+    "q170_tokenizer_fertility" ->
+      s"""WITH RECURSIVE ${graft.functions.Bpe.countCteSql},
+        |w AS (SELECT d.lang, c.btok,
+        |             len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS wtok,
+        |             len(d.text) AS nch
+        |      FROM documents d JOIN bpe_cnt c ON d.doc_id = c.doc_id),
+        |a AS (SELECT lang, count(*) AS n_docs, sum(btok) AS bpe_tokens,
+        |             sum(wtok) AS ws_tokens, sum(nch) AS chars
+        |      FROM w GROUP BY lang)
+        |SELECT lang, n_docs, CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+        |       CAST(ws_tokens AS BIGINT) AS ws_tokens, CAST(chars AS BIGINT) AS chars,
+        |       CAST((2 * bpe_tokens * 10000 + ws_tokens) // (2 * ws_tokens) AS DOUBLE) / 10000.0 AS fertility,
+        |       CAST((2 * chars * 10000 + bpe_tokens) // (2 * bpe_tokens) AS DOUBLE) / 10000.0 AS chars_per_token
+        |FROM a ORDER BY lang""".stripMargin,
     "q85_doc_fingerprint" ->
       // base-257 5-gram polynomial, same constants as the Spark side
       """WITH g AS (SELECT doc_id,
