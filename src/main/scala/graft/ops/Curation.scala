@@ -123,6 +123,73 @@ object Curation {
       .withColumn("repetitive", col("compress_ratio") < 0.45)
       .orderBy("doc_id")
 
+  /** q172: importance-weighted data selection (DSIR-shaped — Xie et
+    * al., "Data Selection via Importance Resampling"): score each raw
+    * document by how target-like its hashed n-gram feature profile is,
+    * and admit the top-k. Features are word bigrams hashed into 256
+    * buckets (DSIR's hashed-ngram feature space); the target is the
+    * trusted corpus slice (`doc_id % 10 = 0`, q155's reference
+    * convention). Where DSIR scores log(p_target/p_raw), this keeps
+    * the compare path exact-integer (the q83/q155 discipline): each
+    * bucket carries the 2²⁰-scaled posterior odds
+    * `Q(b) = ⌊2²⁰·T·S_r / (T·S_r + R·S_t)⌋` — the probability the
+    * bucket's occurrence came from the target under equal priors, a
+    * monotone transform of the likelihood ratio computed entirely from
+    * the four counts in arbitrary-precision integers — and a document
+    * scores the c-weighted sum of its buckets' odds. No logs, no
+    * doubles, so the DuckDB oracle (HUGEINT arithmetic) matches
+    * bit-exactly at any magnitude.
+    *
+    * Scale shape: the per-(doc, bucket) pre-aggregate collapses
+    * repeats before anything else (exchanges carry one int bucket id,
+    * never bigram text); the bucket profile is ≤256 rows BY
+    * CONSTRUCTION (the feature-hash width, constant in corpus size) —
+    * the one bounded collect, recomputed in exact BigInt on the
+    * driver and broadcast back; the admission is a top-k
+    * (TakeOrdered), never a global sort. The digest-count pass is
+    * materialized once (localCheckpoint) because both the bucket
+    * profile and the scoring branch read it. */
+  def q172ImportanceSelect(s: SparkSession, dir: String): DataFrame = {
+    val wLead = Window.partitionBy("doc_id").orderBy("pos")
+    val buckets = T(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "word")
+      .filter(col("word") =!= "")
+      .withColumn("w1", lead("word", 1).over(wLead))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(concat_ws(' ', word, w1)), 1, 2), " +
+          "16, 10) as int)").as("b"))
+      .groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val perBucket = buckets
+      .groupBy("b")
+      .agg(sum(when(col("doc_id") % 10 === 0, col("c")).otherwise(0L))
+          .as("t"),
+        sum(when(col("doc_id") % 10 =!= 0, col("c")).otherwise(0L)).as("r"))
+      .collect()
+    val st = perBucket.map(_.getLong(1)).sum
+    val sr = perBucket.map(_.getLong(2)).sum
+    val qRows = perBucket.map { row =>
+      val t = BigInt(row.getLong(1))
+      val r = BigInt(row.getLong(2))
+      val den = t * sr + r * st
+      val q = if (den == 0) 0L
+      else (((BigInt(1) << 20) * t * sr) / den).toLong
+      (row.getInt(0), q)
+    }.toSeq
+    val spark = s
+    import spark.implicits._
+    val qDf = broadcast(qRows.toDF("b", "q"))
+    buckets.filter(col("doc_id") % 10 =!= 0)
+      .join(qDf, "b")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("q")).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(100)
+  }
+
   /** q96: repetition quality signals (Gopher-style) — per document, the
     * top-word mass ratio and the duplicate-bigram ratio, plus the
     * repetition flag at the 0.2 threshold. Highly repetitious text is
@@ -823,6 +890,7 @@ object Curation {
     "q95_decontaminate" -> q95Decontaminate _,
     "q155_oov_novelty" -> q155OovNovelty _,
     "q168_compress_signal" -> q168CompressSignal _,
+    "q172_importance_select" -> q172ImportanceSelect _,
     "q96_repetition_signals" -> q96RepetitionSignals _,
     "q97_source_rebalance" -> q97SourceRebalance _,
     "q98_scd2_merge" -> q98Scd2Merge _,
@@ -884,6 +952,23 @@ object Curation {
         |FROM shl t JOIN ev ON t.s = ev.s
         |WHERE t.doc_id % 97 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q172_importance_select" ->
+      """WITH words AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |bg0 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg FROM words WHERE len(w) >= 2),
+        |bk AS (SELECT doc_id, ('0x' || substr(md5(bg), 1, 2))::BIGINT AS b FROM bg0),
+        |cnt AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+        |pb AS (SELECT b,
+        |              CAST(sum(CASE WHEN doc_id % 10 = 0 THEN c ELSE 0 END) AS HUGEINT) AS t,
+        |              CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN c ELSE 0 END) AS HUGEINT) AS r
+        |       FROM cnt GROUP BY 1),
+        |tot AS (SELECT sum(t) AS st, sum(r) AS sr FROM pb),
+        |q AS (SELECT b, CASE WHEN t * sr + r * st = 0 THEN CAST(0 AS HUGEINT)
+        |                     ELSE (CAST(1048576 AS HUGEINT) * t * sr) // (t * sr + r * st)
+        |                END AS q
+        |      FROM pb, tot),
+        |sc AS (SELECT c.doc_id, CAST(sum(c.c * q.q) AS BIGINT) AS score
+        |       FROM cnt c JOIN q ON c.b = q.b WHERE c.doc_id % 10 <> 0 GROUP BY 1)
+        |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
     "q155_oov_novelty" ->
       """WITH words AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
         |bg0 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg FROM words WHERE len(w) >= 2),
