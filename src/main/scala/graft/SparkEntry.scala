@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.{BpeTrain, Corpus, Curation, Multimodal, NorthStar, ParseRoute, Relational, Scalars, SketchRollup, TpchShapes, TrainingData}
-import graft.sink.{BucketQueries, Layout, PartitionedQueries, ShardedExport, ZOrderQueries}
+import graft.sink.{BucketQueries, Layout, OrcQueries, PartitionedQueries, ShardedExport, ZOrderQueries}
 import graft.sources.JsonlIngest
 import graft.sources.rfc.RfcQueries
 
@@ -32,6 +32,7 @@ object SparkEntry {
       Corpus.queries ++
       Layout.queries ++ ZOrderQueries.queries ++ BucketQueries.queries ++
       PartitionedQueries.queries ++ ShardedExport.queries ++
+      OrcQueries.queries ++
       Multimodal.queries ++ RfcQueries.queries ++ SketchRollup.queries ++
       JsonlIngest.queries ++ BpeTrain.queries
 
@@ -40,6 +41,7 @@ object SparkEntry {
       NorthStar.oracle ++ TrainingData.oracle ++ Curation.oracle ++
       Corpus.oracle ++
       ZOrderQueries.oracle ++ BucketQueries.oracle ++
-      PartitionedQueries.oracle ++ ShardedExport.oracle ++ RfcQueries.oracle ++
+      PartitionedQueries.oracle ++ ShardedExport.oracle ++
+      OrcQueries.oracle ++ RfcQueries.oracle ++
       SketchRollup.oracle ++ JsonlIngest.oracle
 }

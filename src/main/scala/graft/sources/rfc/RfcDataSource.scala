@@ -9,9 +9,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -93,12 +94,14 @@ class RfcTable(tableSchema: StructType, opts: RfcOptions)
 
 class RfcScanBuilder(fullSchema: StructType, opts: RfcOptions)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters with SupportsPushDownLimit {
+  with SupportsPushDownFilters with SupportsPushDownLimit
+  with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var fragments: Seq[String] = Nil
   private var limit: Option[Int] = None
+  private var countStarCols: Int = 0
 
   /** Output schema pruning always applies; the server-side FIELDS
     * projection additionally applies only in DROPMALFORMED mode. In
@@ -124,8 +127,36 @@ class RfcScanBuilder(fullSchema: StructType, opts: RfcOptions)
 
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
+  /** COUNT(*) pushdown — answered from the server's row count without
+    * fetching a single page (the backend's `tableRowCount`, or the
+    * reference's short-page loop counting un-parsed WA rows when the
+    * server can't estimate). ONLY sound in PERMISSIVE mode: there every
+    * WA row — malformed included — becomes exactly one output row, so
+    * the server's raw count IS the query's count. In DROPMALFORMED the
+    * reader may drop rows the server counted, and in FAILFAST the scan
+    * is obligated to RAISE on a malformed row a count-only path would
+    * never inspect — both would silently change semantics, so neither
+    * pushes. Spark only offers the aggregate when every filter pushed
+    * (PERMISSIVE pushes none, so any filtered count stays Spark-side
+    * — also correct). */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canPushCount(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!canPushCount(agg)) return false
+    countStarCols = agg.aggregateExpressions.length
+    true
+  }
+
+  private def canPushCount(agg: Aggregation): Boolean =
+    opts.permissive && limit.isEmpty && fragments.isEmpty &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+
   override def build(): Scan =
-    new RfcScan(required, opts, fragments, limit)
+    if (countStarCols > 0) new RfcCountScan(opts, countStarCols)
+    else new RfcScan(required, opts, fragments, limit)
 
   /** Only values whose toString matches the backend's cell text format
     * may push: strings and plain numerics. Dates/timestamps/binary
@@ -175,6 +206,56 @@ class RfcScanBuilder(fullSchema: StructType, opts: RfcOptions)
 
 final case class RfcInputPartition(rowSkips: Long, rowCount: Long)
   extends InputPartition
+
+/** The completely-pushed COUNT(*) scan: one partition, one row, no page
+  * fetch when the backend can count server-side. */
+class RfcCountScan(opts: RfcOptions, nCols: Int) extends Scan with Batch {
+  private val schema = StructType(
+    (0 until nCols).map(i => StructField(s"count_star_$i", LongType,
+      nullable = false)))
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"sap-rfc table=${opts.table} PushedAggregates=[COUNT(*)]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RfcInputPartition(0, 0))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RfcCountReaderFactory(opts, nCols)
+}
+
+class RfcCountReaderFactory(opts: RfcOptions, nCols: Int)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (done) return false
+        val backend = opts.newBackend
+        val n = backend.tableRowCount(opts.table, Nil).getOrElse {
+          // server can't estimate: the reference's sequential short-page
+          // termination loop, counting WA rows WITHOUT parsing them
+          var total = 0L
+          var skip = 0L
+          var go = true
+          while (go) {
+            val page = backend.call(opts.table, opts.delimiter, skip,
+              opts.pageSize, Nil, Nil)
+            total += page.rows.size
+            skip += page.rows.size
+            go = page.rows.size == opts.pageSize
+          }
+          total
+        }
+        row = new GenericInternalRow(
+          Array.fill[Any](nCols)(n).asInstanceOf[Array[Any]])
+        done = true
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+}
 
 class RfcScan(prunedSchema: StructType, opts: RfcOptions,
               fragments: Seq[String], limit: Option[Int])
