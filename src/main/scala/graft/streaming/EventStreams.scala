@@ -43,6 +43,23 @@ object EventStreams {
       .select(col("window.start").as("ws"), col("event_type"),
         col("cnt"), col("sum_val"))
 
+  /** 1-hour windows sliding every 15 minutes: the streaming twin of
+    * q169 (hopping windows) — the dashboard/alarm shape that reads the
+    * rolling 1-h total refreshed every 15 min. Append mode: a window
+    * emits once the watermark passes its end; each event contributes to
+    * len/slide = 4 overlapping windows (Spark's own TimeWindow
+    * expansion — the same explode q169 writes out on µs integers).
+    * State is bounded by the watermark exactly as tumbling: 4× the
+    * window cells of [[tumblingCounts]], still (windows × types), never
+    * per-event. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_val"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("cnt"), col("sum_val"))
+
   /** 30-minute-gap session windows per user: the streaming twin of q81,
     * via the built-in `session_window` instead of lag+cumsum (which need
     * an unbounded history — exactly what streaming state avoids). */

@@ -73,6 +73,47 @@ class StreamBatchParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding (hopping) counts: streaming equals batch equals the " +
+    "q169 integer-offset formulation on the same rows") {
+    import spark.implicits._
+    val got = streamed("parity_sliding", EventStreams.slidingCounts)
+      .selectExpr("cast(ws as string)", "event_type", "cnt", "sum_val")
+      .collect().map(_.toSeq).toSet
+    // the sentinels sit 600+ minutes past the last fixture event — far
+    // beyond the 1 h window length — so they share no window with the
+    // fixture; their watermark (sentinel ts − 2 h) closes EVERY fixture
+    // window while their own windows stay open. Expected = the batch
+    // evaluation over the fixture alone, exactly.
+    val all = fixture :+ sentinel(1000, 600) :+ sentinel(1001, 605)
+    val want = EventStreams.slidingCounts(fixture.toDF())
+      .selectExpr("cast(ws as string)", "event_type", "cnt", "sum_val")
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"stream/batch divergence: ${(got diff want).take(3)} / ${(want diff got).take(3)}")
+
+    // independent cross-check of the window arithmetic itself: the q169
+    // µs-integer explode over the same rows must reproduce the batch
+    // evaluation of Spark's window() exactly
+    val batchAll = EventStreams.slidingCounts(all.toDF())
+      .selectExpr("cast(ws as string)", "event_type", "cnt", "sum_val")
+      .collect().map(_.toSeq).toSet
+    val f = org.apache.spark.sql.functions
+    val q169Style = all.toDF()
+      .selectExpr("cast(ts as long) * 1000000 as tus", "event_type",
+        "value")
+      .withColumn("k", f.explode(f.expr("sequence(0, 3)")))
+      .selectExpr("((tus div 900000000) - k) * 900000000 as ws_us",
+        "event_type", "value")
+      .groupBy("ws_us", "event_type")
+      .agg(f.count(f.lit(1)).as("cnt"),
+        f.round(f.sum("value"), 4).as("sum_val"))
+      .selectExpr("cast(timestamp_micros(ws_us) as string)", "event_type",
+        "cnt", "sum_val")
+      .collect().map(_.toSeq).toSet
+    assert(q169Style == batchAll)
+  }
+
   test("session_window counts: streaming equals batch on the same rows") {
     import spark.implicits._
     val got = streamed("parity_sessions", EventStreams.sessionCounts)
