@@ -514,6 +514,48 @@ object Relational {
     picked.groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The q175 profile columns — one list drives BOTH the Spark
+    * aggregation and the generated DuckDB oracle, so the two can never
+    * profile different columns. */
+  private[ops] val StatsCols = Seq("l_orderkey", "l_linenumber",
+    "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate")
+
+  /** q175: per-column table statistics — the ANALYZE-style profile a
+    * cost-based optimizer (and every data-quality dashboard) consumes:
+    * for each column, row count, null count, EXACT distinct count, and
+    * min/max (stringified so heterogeneous column types share one
+    * report schema; all-midnight timestamps and integral doubles
+    * stringify identically in both engines).
+    *
+    * Shape: ONE wide aggregate over a single scan — the multi-column
+    * `count(distinct)` set plans as Spark's standard Expand (one
+    * branch per distinct column + one for the plain aggregates, the
+    * q166 rewrite at 6 columns), partial+final so each branch's
+    * distinct set shrinks map-side — then a 1-row→|cols| `stack`
+    * unpivot, which is driver-trivial. At 100 TB the ×7 Expand is the
+    * price of EXACT ndv in one pass; the documented cheap alternative
+    * is q36's HLL sketch per column (same plan minus the Expand), the
+    * q37/q39 exact-vs-sketch pairing applied to stats collection. */
+  def q175ColumnStats(s: SparkSession, dir: String): DataFrame = {
+    val aggs = StatsCols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val wide = T(s, dir, "lineitem")
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stacked = StatsCols.map(c =>
+      s"'$c', ${c}__nn, ${c}__ndv, ${c}__min, ${c}__max").mkString(", ")
+    wide.selectExpr("n_rows",
+        s"stack(${StatsCols.size}, $stacked) " +
+          "as (column_name, n_notnull, ndv, min_str, max_str)")
+      .select(col("column_name"), col("n_rows"),
+        (col("n_rows") - col("n_notnull")).as("n_nulls"), col("ndv"),
+        col("min_str"), col("max_str"))
+      .orderBy("column_name")
+  }
+
   /** q37: exact interpolated percentiles (continuous-quantile
     * semantics, identical interpolation on both engines), computed by
     * [[exactGroupedQuantiles]]'s two-pass rank + row-pick — no
@@ -840,6 +882,7 @@ object Relational {
     "q33_agg_cube" -> q33AggCube _,
     "q34_agg_grouping_sets" -> q34AggGroupingSets _,
     "q35_agg_stats" -> q35AggStats _,
+    "q175_column_stats" -> q175ColumnStats _,
     "q36_agg_approx_distinct" -> q36AggApproxDistinct _,
     "q37_percentile" -> q37Percentile _,
     "q38_string_agg" -> q38StringAgg _,
@@ -1049,6 +1092,19 @@ object Relational {
         |       round(var_samp(l_discount), 6) AS var_disc,
         |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q175_column_stats" -> {
+      // generated from the SAME StatsCols list the Spark side profiles
+      val branches = StatsCols.map(c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |count($c) AS nn, count(DISTINCT $c) AS ndv,
+           |CAST(min($c) AS VARCHAR) AS min_str,
+           |CAST(max($c) AS VARCHAR) AS max_str FROM lineitem"""
+          .stripMargin.replace("\n", " "))
+      s"""WITH s AS (${branches.mkString(" UNION ALL ")})
+         |SELECT column_name, n_rows, n_rows - nn AS n_nulls, ndv,
+         |       min_str, max_str
+         |FROM s ORDER BY column_name""".stripMargin
+    },
     "q37_percentile" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.5), 4) AS p50,
