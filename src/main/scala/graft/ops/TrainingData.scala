@@ -160,6 +160,47 @@ object TrainingData {
        |          FROM b a JOIN b b2 ON a.band = b2.band AND a.k1 = b2.k1 AND a.k2 = b2.k2 AND a.doc_id < b2.doc_id)"""
       .stripMargin
 
+  /** q176: LSH banding-tuning histogram — the S-curve diagnostic an
+    * engineer runs before committing a bands×rows shape: exact word
+    * 3-gram Jaccard for every q72 CANDIDATE pair, bucketed into
+    * similarity deciles. A healthy banding shows candidates massed in
+    * the high deciles (precision) — mass in the low deciles means the
+    * bands are too permissive, and (cross-checked against q78's exact
+    * pairs) missing high-jaccard mass means they're too strict. Runs
+    * entirely on shipped machinery: q72's band self-join generates the
+    * candidates (never all-pairs), the exact-Jaccard tail is the q78
+    * formulation, and the decile is the exact-integer basis-point
+    * division (q83 discipline — `((2·i·10⁴ + u) div 2u) div 1000`).
+    *
+    * Scale shape: candidate-bounded throughout — the intersection join
+    * expands each pair into its doc_a shingle digests (md5, the q117
+    * hash-first discipline: exchanges never carry shingle text) and
+    * semi-matches doc_b's; the histogram is an 11-cell partial+final
+    * agg. Cost ∝ candidates × shingles-per-doc, not corpus². */
+  def q176BandTuning(s: SparkSession, dir: String): DataFrame = {
+    val shd = shingleRows(s, dir)
+      .select(col("doc_id"), md5(col("sh")).as("shd"))
+      .distinct()
+      .localCheckpoint(true) // sizes + both pair sides read it
+    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = minhashPairs(s, dir)
+      .join(shd.select(col("doc_id").as("doc_a"), col("shd")), "doc_a")
+      .join(shd.select(col("doc_id").as("doc_b"), col("shd")),
+        Seq("doc_b", "shd"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        "doc_b")
+      .select(expr("((2 * i * 10000 + (na + nb - i)) div " +
+        "(2 * (na + nb - i))) div 1000").as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("decile")
+  }
+
   /** q77: 64-bit SimHash fingerprint per document — token md5s, signed
     * bit-vote per position, sign → bit.
     *
@@ -1740,6 +1781,7 @@ object TrainingData {
     "q84_token_count" -> q84TokenCount _,
     "q170_tokenizer_fertility" -> q170TokenizerFertility _,
     "q171_curriculum_order" -> q171CurriculumOrder _,
+    "q176_band_tuning" -> q176BandTuning _,
     "q85_doc_fingerprint" -> q85DocFingerprint _,
     "q86_ann_lsh" -> q86AnnLsh _,
     "q87_binary_meta" -> q87BinaryMeta _,
@@ -1927,6 +1969,17 @@ object TrainingData {
         |       c.btok AS bpe_tokens
         |FROM documents d JOIN bpe_cnt c ON d.doc_id = c.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q176_band_tuning" ->
+      s"""WITH $minhashPairsCtes,
+        |j AS (SELECT p.da, p.db,
+        |             len(list_intersect(a.ss, b2.ss)) AS i,
+        |             len(a.ss) + len(b2.ss) - len(list_intersect(a.ss, b2.ss)) AS u
+        |      FROM pairs p
+        |      JOIN shl a ON a.doc_id = p.da
+        |      JOIN shl b2 ON b2.doc_id = p.db),
+        |d AS (SELECT ((2 * i * 10000 + u) // (2 * u)) // 1000 AS decile FROM j)
+        |SELECT decile, count(*) AS n_pairs FROM d GROUP BY 1 ORDER BY 1"""
+        .stripMargin,
     "q171_curriculum_order" ->
       """WITH w AS (SELECT doc_id,
         |           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n,
