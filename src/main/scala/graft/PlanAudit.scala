@@ -242,7 +242,30 @@ object PlanAudit {
         "distinct-aggregate rewrite) into a partial+final aggregate " +
         "pair ending in a single row — the whole datasheet costs one " +
         "corpus pass, with `bpe_count`/`md5` as codegen'd projections " +
-        "in the scan stage."))
+        "in the scan stage."),
+    "q169_event_hopping" ->
+      ("**Look for:** a 4-row `Generate explode(sequence(0, 3))` " +
+        "projection (the hopping expansion — the same lowering Spark's " +
+        "own TimeWindow performs) feeding a partial+final " +
+        "`HashAggregate` pair; NO window function, one exchange of " +
+        "(window, type) cells."),
+    "q172_importance_select" ->
+      ("**Look for:** the per-(doc, bucket) partial+final aggregate " +
+        "BEFORE any join (repeats collapse map-side; exchanges carry " +
+        "an int bucket id, never bigram text), the 256-row broadcast " +
+        "odds table on the scoring join, and `TakeOrderedAndProject` " +
+        "for the top-100 — no global sort."),
+    "q175_column_stats" ->
+      ("**Look for:** ONE parquet scan under an `Expand` (the " +
+        "multi-column distinct rewrite: one branch per profiled " +
+        "column), partial+final `HashAggregate` into a single row, " +
+        "then the `stack` unpivot as a trivial `Generate` — exact ndv " +
+        "for six columns in one pass, no join of per-column passes."),
+    "q176_band_tuning" ->
+      ("**Look for:** the band self-join generating candidates (equi " +
+        "on (band, k1, k2) — never a cartesian), md5 digests on every " +
+        "exchange, and the final 11-cell decile aggregate — cost is " +
+        "candidate-bounded, corpus² never appears."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
