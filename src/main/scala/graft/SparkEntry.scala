@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.{BpeTrain, Corpus, Curation, Multimodal, NorthStar, ParseRoute, Relational, Scalars, SketchRollup, TpchShapes, TrainingData}
-import graft.sink.{BucketQueries, Layout, OrcQueries, PartitionedQueries, ShardedExport, ZOrderQueries}
+import graft.sink.{BucketQueries, Layout, OrcQueries, PartitionedQueries, SchemaEvolution, ShardedExport, ZOrderQueries}
 import graft.sources.JsonlIngest
 import graft.sources.rfc.RfcQueries
 
@@ -32,7 +32,7 @@ object SparkEntry {
       Corpus.queries ++
       Layout.queries ++ ZOrderQueries.queries ++ BucketQueries.queries ++
       PartitionedQueries.queries ++ ShardedExport.queries ++
-      OrcQueries.queries ++
+      OrcQueries.queries ++ SchemaEvolution.queries ++
       Multimodal.queries ++ RfcQueries.queries ++ SketchRollup.queries ++
       JsonlIngest.queries ++ BpeTrain.queries
 
@@ -42,6 +42,6 @@ object SparkEntry {
       Corpus.oracle ++
       ZOrderQueries.oracle ++ BucketQueries.oracle ++
       PartitionedQueries.oracle ++ ShardedExport.oracle ++
-      OrcQueries.oracle ++ RfcQueries.oracle ++
+      OrcQueries.oracle ++ SchemaEvolution.oracle ++ RfcQueries.oracle ++
       SketchRollup.oracle ++ JsonlIngest.oracle
 }
