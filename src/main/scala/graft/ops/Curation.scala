@@ -190,6 +190,41 @@ object Curation {
       .limit(100)
   }
 
+  /** q178: quality-argmax representative selection — the "keep the
+    * BEST, not the first" dedup policy: q105's curation flagship keeps
+    * the smallest doc_id per near-dup cluster (deterministic but
+    * quality-blind); real pipelines keep the highest-quality member —
+    * the policy choice that decides what 100 TB of near-duplicate web
+    * text actually contributes. Clusters are q100's connected
+    * components over the q72 MinHash edges; quality is q83's exact
+    * basis points; the keeper is the (quality desc, doc_id) window
+    * head per cluster — the per-cluster window is safe HERE because
+    * banding bounds cluster size (the q109 escape hatch exists when it
+    * can't). `differs` flags clusters where the quality argmax is NOT
+    * the min-id keeper — the mass q105's policy would have thrown
+    * away wrongly under a quality lens. */
+  def q178BestOfCluster(s: SparkSession, dir: String): DataFrame = {
+    val members = connectedComponents(
+      TrainingData.minhashPairs(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+    val quality = TrainingData.q83QualityScore(s, dir)
+      .select(col("doc_id"),
+        expr("cast(round(quality * 10000) as bigint)").as("qbp"))
+    val w = Window.partitionBy("root")
+      .orderBy(col("qbp").desc, col("node"))
+    members.join(quality, col("node") === col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("root")
+      .agg(max(when(col("rn") === 1, col("node"))).as("keeper"),
+        max(when(col("rn") === 1, col("qbp"))).as("keeper_qbp"),
+        count(lit(1)).as("n_docs"),
+        min(col("node")).as("min_id"))
+      .select(col("root").as("cluster_root"), col("keeper"),
+        col("keeper_qbp"), col("n_docs"),
+        (col("keeper") =!= col("min_id")).as("differs"))
+      .orderBy("cluster_root")
+  }
+
   /** q96: repetition quality signals (Gopher-style) — per document, the
     * top-word mass ratio and the duplicate-bigram ratio, plus the
     * repetition flag at the 0.2 threshold. Highly repetitious text is
@@ -891,6 +926,7 @@ object Curation {
     "q155_oov_novelty" -> q155OovNovelty _,
     "q168_compress_signal" -> q168CompressSignal _,
     "q172_importance_select" -> q172ImportanceSelect _,
+    "q178_best_of_cluster" -> q178BestOfCluster _,
     "q96_repetition_signals" -> q96RepetitionSignals _,
     "q97_source_rebalance" -> q97SourceRebalance _,
     "q98_scd2_merge" -> q98Scd2Merge _,
@@ -952,6 +988,28 @@ object Curation {
         |FROM shl t JOIN ev ON t.s = ev.s
         |WHERE t.doc_id % 97 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q178_best_of_cluster" ->
+      s"""WITH ${TrainingData.minhashPairsCtes},
+        |$ccCtes,
+        |wq AS (SELECT doc_id,
+        |            len(list_filter(string_split(text, ' '), x -> x <> '')) AS n,
+        |            len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS uniq,
+        |            len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS stop
+        |       FROM documents),
+        |qv AS (SELECT doc_id,
+        |              (2 * (10 * least(n, 100) * n + 750 * uniq + 750 * (n - stop)) * 10000
+        |               + 2500 * n) // (2 * 2500 * n) AS qbp
+        |       FROM wq WHERE n > 0),
+        |m AS (SELECT r.root, r.node, q.qbp,
+        |             row_number() OVER (PARTITION BY r.root
+        |               ORDER BY q.qbp DESC, r.node) AS rn
+        |      FROM rec r JOIN qv q ON q.doc_id = r.node)
+        |SELECT root AS cluster_root,
+        |       max(CASE WHEN rn = 1 THEN node END) AS keeper,
+        |       CAST(max(CASE WHEN rn = 1 THEN qbp END) AS BIGINT) AS keeper_qbp,
+        |       count(*) AS n_docs,
+        |       max(CASE WHEN rn = 1 THEN node END) <> min(node) AS differs
+        |FROM m GROUP BY root ORDER BY cluster_root""".stripMargin,
     "q172_importance_select" ->
       """WITH words AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
         |bg0 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg FROM words WHERE len(w) >= 2),
