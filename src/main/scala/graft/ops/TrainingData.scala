@@ -177,7 +177,20 @@ object TrainingData {
     * hash-first discipline: exchanges never carry shingle text) and
     * semi-matches doc_b's; the histogram is an 11-cell partial+final
     * agg. Cost ∝ candidates × shingles-per-doc, not corpus². */
-  def q176BandTuning(s: SparkSession, dir: String): DataFrame = {
+  def q176BandTuning(s: SparkSession, dir: String): DataFrame =
+    candidateOverlaps(s, dir)
+      .select(expr("((2 * i * 10000 + (na + nb - i)) div " +
+        "(2 * (na + nb - i))) div 1000").as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("decile")
+
+  /** The exact-overlap frame behind q176/q179: every q72 candidate
+    * pair with its shingle-set intersection and both set sizes —
+    * `(doc_a, doc_b, i, na, nb)`. Candidate-bounded (band join, never
+    * all-pairs); md5 digests on every exchange. */
+  private[ops] def candidateOverlaps(s: SparkSession,
+                                     dir: String): DataFrame = {
     val shd = shingleRows(s, dir)
       .select(col("doc_id"), md5(col("sh")).as("shd"))
       .distinct()
@@ -194,12 +207,25 @@ object TrainingData {
         "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
         "doc_b")
-      .select(expr("((2 * i * 10000 + (na + nb - i)) div " +
-        "(2 * (na + nb - i))) div 1000").as("decile"))
-      .groupBy("decile")
-      .agg(count(lit(1)).as("n_pairs"))
-      .orderBy("decile")
   }
+
+  /** q179: CONTAINMENT near-dup — Broder's asymmetric companion to
+    * Jaccard: `C = |A∩B| / min(|A|,|B|)` is ~1 when the smaller
+    * document's shingles sit INSIDE the larger one (a quoted article,
+    * a boilerplate-wrapped repost) even when Jaccard is tiny because
+    * the big doc dilutes the union — the duplication mode a
+    * symmetric threshold misses entirely. Same candidate generation
+    * as q72/q176 (banding — containment ≥ the Jaccard the bands
+    * target, so candidates are a superset of the high-containment
+    * pairs at these set sizes); exact integer basis points (r4 shape)
+    * for the ratio, flag at 0.9. */
+  def q179Containment(s: SparkSession, dir: String): DataFrame =
+    candidateOverlaps(s, dir)
+      .select(col("doc_a"), col("doc_b"), col("i"),
+        least(col("na"), col("nb")).as("small"),
+        Exact.r4("i", "least(na, nb)").as("containment"))
+      .withColumn("contained", col("containment") >= 0.9)
+      .orderBy("doc_a", "doc_b")
 
   /** q77: 64-bit SimHash fingerprint per document — token md5s, signed
     * bit-vote per position, sign → bit.
@@ -1782,6 +1808,7 @@ object TrainingData {
     "q170_tokenizer_fertility" -> q170TokenizerFertility _,
     "q171_curriculum_order" -> q171CurriculumOrder _,
     "q176_band_tuning" -> q176BandTuning _,
+    "q179_containment" -> q179Containment _,
     "q85_doc_fingerprint" -> q85DocFingerprint _,
     "q86_ann_lsh" -> q86AnnLsh _,
     "q87_binary_meta" -> q87BinaryMeta _,
@@ -1969,6 +1996,18 @@ object TrainingData {
         |       c.btok AS bpe_tokens
         |FROM documents d JOIN bpe_cnt c ON d.doc_id = c.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q179_containment" ->
+      s"""WITH $minhashPairsCtes,
+        |j AS (SELECT p.da AS doc_a, p.db AS doc_b,
+        |             len(list_intersect(a.ss, b2.ss)) AS i,
+        |             len(a.ss) AS na, len(b2.ss) AS nb
+        |      FROM pairs p
+        |      JOIN shl a ON a.doc_id = p.da
+        |      JOIN shl b2 ON b2.doc_id = p.db)
+        |SELECT doc_a, doc_b, i, least(na, nb) AS small,
+        |       CAST((2 * i * 10000 + least(na, nb)) // (2 * least(na, nb)) AS DOUBLE) / 10000.0 AS containment,
+        |       ((2 * i * 10000 + least(na, nb)) // (2 * least(na, nb))) >= 9000 AS contained
+        |FROM j ORDER BY doc_a, doc_b""".stripMargin,
     "q176_band_tuning" ->
       s"""WITH $minhashPairsCtes,
         |j AS (SELECT p.da, p.db,
