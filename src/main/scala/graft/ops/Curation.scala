@@ -203,7 +203,25 @@ object Curation {
     * can't). `differs` flags clusters where the quality argmax is NOT
     * the min-id keeper — the mass q105's policy would have thrown
     * away wrongly under a quality lens. */
-  def q178BestOfCluster(s: SparkSession, dir: String): DataFrame = {
+  def q178BestOfCluster(s: SparkSession, dir: String): DataFrame =
+    memberKeepers(s, dir)
+      .groupBy("root")
+      .agg(max("keeper").as("keeper"),
+        max(when(col("node") === col("keeper"), col("qbp")))
+          .as("keeper_qbp"),
+        count(lit(1)).as("n_docs"),
+        min(col("node")).as("min_id"))
+      .select(col("root").as("cluster_root"), col("keeper"),
+        col("keeper_qbp"), col("n_docs"),
+        (col("keeper") =!= col("min_id")).as("differs"))
+      .orderBy("cluster_root")
+
+  /** Member-level cluster/keeper frame behind q178 and the q181
+    * flagship: every near-dup cluster member with its root, its q83
+    * quality basis points, and the cluster's quality-argmax KEEPER —
+    * `(root, node, qbp, keeper)`. The per-cluster window is
+    * banding-bounded (the q178 scaladoc's argument). */
+  private[ops] def memberKeepers(s: SparkSession, dir: String): DataFrame = {
     val members = connectedComponents(
       TrainingData.minhashPairs(s, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b")))
@@ -212,17 +230,49 @@ object Curation {
         expr("cast(round(quality * 10000) as bigint)").as("qbp"))
     val w = Window.partitionBy("root")
       .orderBy(col("qbp").desc, col("node"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     members.join(quality, col("node") === col("doc_id"))
-      .withColumn("rn", row_number().over(w))
-      .groupBy("root")
-      .agg(max(when(col("rn") === 1, col("node"))).as("keeper"),
-        max(when(col("rn") === 1, col("qbp"))).as("keeper_qbp"),
-        count(lit(1)).as("n_docs"),
-        min(col("node")).as("min_id"))
-      .select(col("root").as("cluster_root"), col("keeper"),
-        col("keeper_qbp"), col("n_docs"),
-        (col("keeper") =!= col("min_id")).as("differs"))
-      .orderBy("cluster_root")
+      .withColumn("keeper", first("node").over(w))
+      .select("root", "node", "qbp", "keeper")
+  }
+
+  /** q181: the data-SELECTION flagship — the fourth composed pipeline
+    * (q105 curates, q130 mixes, q165 budgets; q181 SELECTS): the
+    * end-to-end shape of a targeted-data run, built only from shipped
+    * stages. (1) q172's importance selection admits the 100 most
+    * target-like raw documents (hashed-bigram posterior odds, exact
+    * integers); (2) q178's keeper policy deduplicates the selection —
+    * a selected doc that is a near-dup cluster member survives only if
+    * it IS the cluster's quality-argmax representative (the corpus has
+    * one canonical copy; the selection admits only canon); (3) the
+    * survivors are curriculum-ordered (q171's quality-decile-desc +
+    * md5-ticket schedule). Output: the ordered training schedule with
+    * each doc's decile and importance score.
+    *
+    * Scale: stages 1–2 inherit their audited shapes; stage 3's window
+    * runs over ≤ 100 rows BY CONSTRUCTION (the q172 top-k) — a
+    * bounded single-task window, not a corpus slice (q171's
+    * ScalableRank remains the unbounded-input form). */
+  def q181SelectionPipeline(s: SparkSession, dir: String): DataFrame = {
+    val selected = q172ImportanceSelect(s, dir)
+    val keepers = memberKeepers(s, dir).select("node", "keeper")
+    val survivors = selected
+      .join(keepers, selected("doc_id") === keepers("node"), "left")
+      .filter(col("keeper").isNull || col("keeper") === col("doc_id"))
+      .select("doc_id", "score")
+    val buckets = TrainingData.q83QualityScore(s, dir)
+      .select(col("doc_id"),
+        expr("cast(round(quality * 10000) as bigint) div 1000")
+          .as("bucket"))
+    survivors.join(buckets, "doc_id")
+      .withColumn("skey", expr(
+        "cast(conv(substring(md5(concat('cur:', " +
+          "cast(doc_id as string))), 1, 12), 16, 10) as bigint)"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("bucket").desc, col("skey"), col("doc_id")))
+        .cast("long"))
+      .select("pos", "doc_id", "bucket", "score")
+      .orderBy("pos")
   }
 
   /** q96: repetition quality signals (Gopher-style) — per document, the
@@ -927,6 +977,7 @@ object Curation {
     "q168_compress_signal" -> q168CompressSignal _,
     "q172_importance_select" -> q172ImportanceSelect _,
     "q178_best_of_cluster" -> q178BestOfCluster _,
+    "q181_selection_pipeline" -> q181SelectionPipeline _,
     "q96_repetition_signals" -> q96RepetitionSignals _,
     "q97_source_rebalance" -> q97SourceRebalance _,
     "q98_scd2_merge" -> q98Scd2Merge _,
@@ -988,6 +1039,48 @@ object Curation {
         |FROM shl t JOIN ev ON t.s = ev.s
         |WHERE t.doc_id % 97 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q181_selection_pipeline" ->
+      s"""WITH ${TrainingData.minhashPairsCtes},
+        |$ccCtes,
+        |wq AS (SELECT doc_id,
+        |            len(list_filter(string_split(text, ' '), x -> x <> '')) AS n,
+        |            len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS uniq,
+        |            len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS stop
+        |       FROM documents),
+        |qv AS (SELECT doc_id,
+        |              (2 * (10 * least(n, 100) * n + 750 * uniq + 750 * (n - stop)) * 10000
+        |               + 2500 * n) // (2 * 2500 * n) AS qbp
+        |       FROM wq WHERE n > 0),
+        |mk AS (SELECT r.node,
+        |              first_value(r.node) OVER (PARTITION BY r.root
+        |                ORDER BY q.qbp DESC, r.node) AS keeper
+        |       FROM rec r JOIN qv q ON q.doc_id = r.node),
+        |ibg AS (SELECT w2.doc_id, unnest([w2.w[i] || ' ' || w2.w[i+1] for i in range(1, len(w2.w))]) AS bg
+        |        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents) w2
+        |        WHERE len(w2.w) >= 2),
+        |ibk AS (SELECT doc_id, ('0x' || substr(md5(bg), 1, 2))::BIGINT AS bkt FROM ibg),
+        |icnt AS (SELECT doc_id, bkt, count(*) AS c FROM ibk GROUP BY 1, 2),
+        |ipb AS (SELECT bkt,
+        |               CAST(sum(CASE WHEN doc_id % 10 = 0 THEN c ELSE 0 END) AS HUGEINT) AS t,
+        |               CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN c ELSE 0 END) AS HUGEINT) AS r
+        |        FROM icnt GROUP BY 1),
+        |itot AS (SELECT sum(t) AS st, sum(r) AS sr FROM ipb),
+        |iq AS (SELECT bkt, CASE WHEN t * sr + r * st = 0 THEN CAST(0 AS HUGEINT)
+        |                        ELSE (CAST(1048576 AS HUGEINT) * t * sr) // (t * sr + r * st)
+        |                   END AS q
+        |       FROM ipb, itot),
+        |isc AS (SELECT c.doc_id, CAST(sum(c.c * iq.q) AS BIGINT) AS score
+        |        FROM icnt c JOIN iq ON c.bkt = iq.bkt WHERE c.doc_id % 10 <> 0 GROUP BY 1),
+        |sel AS (SELECT doc_id, score FROM isc ORDER BY score DESC, doc_id LIMIT 100),
+        |surv AS (SELECT s.doc_id, s.score
+        |         FROM sel s LEFT JOIN mk ON mk.node = s.doc_id
+        |         WHERE mk.node IS NULL OR mk.keeper = s.doc_id),
+        |cur AS (SELECT v.doc_id, v.score, q2.qbp // 1000 AS bucket,
+        |               ('0x' || substr(md5('cur:' || v.doc_id::VARCHAR), 1, 12))::BIGINT AS skey
+        |        FROM surv v JOIN qv q2 ON q2.doc_id = v.doc_id)
+        |SELECT row_number() OVER (ORDER BY bucket DESC, skey, doc_id) AS pos,
+        |       doc_id, CAST(bucket AS BIGINT) AS bucket, score
+        |FROM cur ORDER BY pos""".stripMargin,
     "q178_best_of_cluster" ->
       s"""WITH ${TrainingData.minhashPairsCtes},
         |$ccCtes,

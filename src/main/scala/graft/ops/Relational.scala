@@ -556,6 +556,30 @@ object Relational {
       .orderBy("column_name")
   }
 
+  /** q180: join-key skew histogram — the find-your-skew-before-it-
+    * finds-you diagnostic run before any big join: per-key row counts
+    * for the join key (customer key over orders here), bucketed by
+    * bit length (`length(bin(c)) − 1` = ⌊log₂ c⌋ in EXACT integer
+    * arithmetic — both engines share the `bin` function, no floating
+    * log at bucket boundaries). The histogram's tail IS the sizing
+    * input for the library's skew machinery: a key in bucket b holds
+    * 2^b–2^(b+1) rows, so the salting fan-out (SkewJoin) or the AQE
+    * skew-split threshold reads straight off the top bucket — the
+    * RUNBOOK's skew knobs get their numbers here.
+    *
+    * Scale shape: the per-key count is one partial+final hash agg (the
+    * shuffle this diagnostic exists to protect would be on the same
+    * key — same width); the histogram collapses to ≤64 cells. */
+  def q180KeySkew(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("c"))
+      .select(expr("length(bin(c)) - 1").as("bucket"), col("c"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+        max("c").as("max_rows"))
+      .orderBy("bucket")
+
   /** q37: exact interpolated percentiles (continuous-quantile
     * semantics, identical interpolation on both engines), computed by
     * [[exactGroupedQuantiles]]'s two-pass rank + row-pick — no
@@ -883,6 +907,7 @@ object Relational {
     "q34_agg_grouping_sets" -> q34AggGroupingSets _,
     "q35_agg_stats" -> q35AggStats _,
     "q175_column_stats" -> q175ColumnStats _,
+    "q180_key_skew" -> q180KeySkew _,
     "q36_agg_approx_distinct" -> q36AggApproxDistinct _,
     "q37_percentile" -> q37Percentile _,
     "q38_string_agg" -> q38StringAgg _,
@@ -1092,6 +1117,12 @@ object Relational {
         |       round(var_samp(l_discount), 6) AS var_disc,
         |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q180_key_skew" ->
+      """WITH k AS (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1),
+        |b AS (SELECT length(bin(c)) - 1 AS bucket, c FROM k)
+        |SELECT bucket, count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+        |       max(c) AS max_rows
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q175_column_stats" -> {
       // generated from the SAME StatsCols list the Spark side profiles
       val branches = StatsCols.map(c =>
