@@ -256,11 +256,12 @@ object PlanAudit {
         "odds table on the scoring join, and `TakeOrderedAndProject` " +
         "for the top-100 — no global sort."),
     "q175_column_stats" ->
-      ("**Look for:** ONE parquet scan under an `Expand` (the " +
-        "multi-column distinct rewrite: one branch per profiled " +
-        "column), partial+final `HashAggregate` into a single row, " +
-        "then the `stack` unpivot as a trivial `Generate` — exact ndv " +
-        "for six columns in one pass, no join of per-column passes."),
+      ("**Look for:** SIX independent single-column scans (each " +
+        "`ReadSchema` exactly one field — columnar, so total bytes " +
+        "equal one wide scan), each under its own partial+final " +
+        "distinct aggregate, unioned — and NO `Expand`: the wide " +
+        "multi-distinct rewrite multiplies every row ×6 through one " +
+        "hash aggregate and measured 8× slower at sf0.1."),
     "q176_band_tuning" ->
       ("**Look for:** the band self-join generating candidates (equi " +
         "on (band, k1, k2) — never a cartesian), md5 digests on every " +

@@ -527,32 +527,30 @@ object Relational {
     * report schema; all-midnight timestamps and integral doubles
     * stringify identically in both engines).
     *
-    * Shape: ONE wide aggregate over a single scan — the multi-column
-    * `count(distinct)` set plans as Spark's standard Expand (one
-    * branch per distinct column + one for the plain aggregates, the
-    * q166 rewrite at 6 columns), partial+final so each branch's
-    * distinct set shrinks map-side — then a 1-row→|cols| `stack`
-    * unpivot, which is driver-trivial. At 100 TB the ×7 Expand is the
-    * price of EXACT ndv in one pass; the documented cheap alternative
-    * is q36's HLL sketch per column (same plan minus the Expand), the
-    * q37/q39 exact-vs-sketch pairing applied to stats collection. */
+    * Shape: one NARROW aggregate per column, unioned — deliberately
+    * NOT the single wide multi-`count(distinct)` aggregate, whose
+    * Expand rewrite multiplies every row ×|cols| through one hash
+    * aggregate (measured 8× slower at sf0.1: 6.7 s vs 0.9 s). The
+    * union reads the SAME total bytes (parquet is columnar — each
+    * scan decodes exactly its one profiled column, pinned by
+    * ColumnStatsSpec's per-scan ReadSchema check), each distinct
+    * shuffle carries one narrow column with map-side partial dedup,
+    * and the |cols| jobs schedule independently — at 100 TB that is
+    * strictly less shuffled data than the Expand and embarrassingly
+    * parallel. The cheap alternative for wide sweeps remains q36's
+    * HLL per column — the q37/q39 exact-vs-sketch pairing applied to
+    * stats collection. */
   def q175ColumnStats(s: SparkSession, dir: String): DataFrame = {
-    val aggs = StatsCols.flatMap { c =>
-      Seq(count(col(c)).as(s"${c}__nn"),
-        countDistinct(col(c)).as(s"${c}__ndv"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
-    }
-    val wide = T(s, dir, "lineitem")
-      .agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stacked = StatsCols.map(c =>
-      s"'$c', ${c}__nn, ${c}__ndv, ${c}__min, ${c}__max").mkString(", ")
-    wide.selectExpr("n_rows",
-        s"stack(${StatsCols.size}, $stacked) " +
-          "as (column_name, n_notnull, ndv, min_str, max_str)")
-      .select(col("column_name"), col("n_rows"),
-        (col("n_rows") - col("n_notnull")).as("n_nulls"), col("ndv"),
-        col("min_str"), col("max_str"))
+    val l = T(s, dir, "lineitem")
+    StatsCols.map { c =>
+      l.agg(count(lit(1)).as("n_rows"), count(col(c)).as("nn"),
+          countDistinct(col(c)).as("ndv"),
+          min(col(c)).cast("string").as("mn"),
+          max(col(c)).cast("string").as("mx"))
+        .select(lit(c).as("column_name"), col("n_rows"),
+          (col("n_rows") - col("nn")).as("n_nulls"), col("ndv"),
+          col("mn").as("min_str"), col("mx").as("max_str"))
+    }.reduce(_ union _)
       .orderBy("column_name")
   }
 

@@ -48,12 +48,22 @@ class ColumnStatsSpec extends AnyFunSuite {
       v => v.toString)
   }
 
-  test("one scan, one Expand — not a pass per column") {
+  test("one narrow scan per column, no Expand — each scan decodes " +
+    "exactly its profiled column") {
     val df = Relational.q175ColumnStats(spark, SparkTestBase.Sf0001)
     val plan = df.queryExecution.executedPlan.toString
-    val scans = "FileScan|BatchScan".r.findAllIn(plan).size
-    assert(scans == 1, plan)
-    assert(plan.contains("Expand"), plan)
+    // the union formulation: |cols| independent single-column passes
+    // (same total bytes as one wide scan — parquet is columnar), no
+    // Expand row multiplication, no join
+    assert(!plan.contains("Expand"), plan)
     assert(!plan.contains("Join"), plan)
+    val readSchemas = plan.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.size == 6, plan)
+    // every scan's schema is exactly one column wide
+    readSchemas.foreach { rs =>
+      val inner = rs.substring(rs.indexOf("struct<"))
+      assert(!inner.contains(","), rs)
+    }
   }
 }
