@@ -126,6 +126,63 @@ object SketchRollup {
     }
   }
 
+  // ---- KLL quantile sketches (unbounded domain) ------------------------
+
+  /** Per-day KLL quantile sketches of `value` — the UNBOUNDED-domain
+    * member of the quantile family: [[dailyValueHistograms]] needs a
+    * declared [lo, hi] and merges exactly; KLL (Apache DataSketches,
+    * on Spark's own classpath) needs NO domain declaration and bounds
+    * normalized RANK error (~1.65% at k=200, the library's published
+    * single-sketch bound) — the right tool when the metric's range is
+    * unknown or drifts (latencies, token counts on a new corpus).
+    *
+    * Shape: the classic two-level sketch build — each input partition
+    * streams into one sketch PER DAY it contains (bounded: days ×
+    * sketch-KB per task, the map-side combine), then the tiny
+    * (partitions × days) blob frame merges per day. Raw values cross
+    * the wire once, already sketched; the day merge moves only KB
+    * blobs. KLL merge preserves the rank-error bound (Agarwal et al.,
+    * "Mergeable Summaries" — same family as the HLL/CMS/MG members). */
+  def dailyValueKll(events: DataFrame, k: Int = 200): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val spark = events.sparkSession
+    import spark.implicits._
+    val partial = withDay(events)
+      .select(col("day"), col("value"))
+      .as[(Long, Double)]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.Map[Long, KllDoublesSketch]()
+        it.foreach { case (d, v) =>
+          m.getOrElseUpdate(d, KllDoublesSketch.newHeapInstance(k))
+            .update(v)
+        }
+        m.iterator.map { case (d, sk) => (d, sk.toByteArray) }
+      }
+    partial
+      .groupByKey(_._1)
+      .mapGroups { (day, blobs) =>
+        val merged = blobs.map(b =>
+          KllDoublesSketch.heapify(Memory.wrap(b._2))).reduce { (a, b) =>
+          a.merge(b); a
+        }
+        (day, merged.toByteArray, merged.getN)
+      }
+      .toDF("day", "kll", "n")
+  }
+
+  /** Merges the per-day KLL blobs (days × KB — never raw events) and
+    * answers quantile queries from the union. */
+  def mergedKllQuantiles(daily: DataFrame, qs: Seq[Double]): Seq[Double] = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val blobs = daily.select("kll").collect().map(_.getAs[Array[Byte]](0))
+    require(blobs.nonEmpty, "no sketches to merge")
+    val merged = blobs.map(b => KllDoublesSketch.heapify(Memory.wrap(b)))
+      .reduce { (a, b) => a.merge(b); a }
+    qs.map(merged.getQuantile)
+  }
+
   // ---- q115: the driver-visible, oracle-checked rollup ----------------
 
   /** The declared histogram domain for `events.value` (observed range is
