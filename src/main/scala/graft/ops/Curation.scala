@@ -249,10 +249,12 @@ object Curation {
     * md5-ticket schedule). Output: the ordered training schedule with
     * each doc's decile and importance score.
     *
-    * Scale: stages 1–2 inherit their audited shapes; stage 3's window
-    * runs over ≤ 100 rows BY CONSTRUCTION (the q172 top-k) — a
-    * bounded single-task window, not a corpus slice (q171's
-    * ScalableRank remains the unbounded-input form). */
+    * Scale: stages 1–2 inherit their audited shapes; stage 3 is
+    * ≤ 100 rows BY CONSTRUCTION (the q172 top-k) and still runs
+    * through q171's two-pass [[ScalableRank]] — trivial at this size,
+    * but it keeps the library's no-single-task-window invariant
+    * ABSOLUTE (PlanShapeSpec sweeps every declared query; an
+    * exemption list is how invariants rot). */
   def q181SelectionPipeline(s: SparkSession, dir: String): DataFrame = {
     val selected = q172ImportanceSelect(s, dir)
     val keepers = memberKeepers(s, dir).select("node", "keeper")
@@ -264,13 +266,13 @@ object Curation {
       .select(col("doc_id"),
         expr("cast(round(quality * 10000) as bigint) div 1000")
           .as("bucket"))
-    survivors.join(buckets, "doc_id")
+    val keyed = survivors.join(buckets, "doc_id")
       .withColumn("skey", expr(
         "cast(conv(substring(md5(concat('cur:', " +
           "cast(doc_id as string))), 1, 12), 16, 10) as bigint)"))
-      .withColumn("pos", row_number().over(
-        Window.orderBy(col("bucket").desc, col("skey"), col("doc_id")))
-        .cast("long"))
+      .withColumn("negb", -col("bucket"))
+    ScalableRank.withGlobalRowNumber(keyed, "pos",
+        col("negb"), col("skey"), col("doc_id"))
       .select("pos", "doc_id", "bucket", "score")
       .orderBy("pos")
   }

@@ -1,0 +1,85 @@
+package graft.sink
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.ops.T
+
+/** Targeted delete: pruning binds (most files untouched — and
+  * untouched means BYTE-identical, the compliance claim), the keys are
+  * gone, every other row survives, and the no-actual-hit bounding-box
+  * case rewrites nothing. */
+class TargetedDeleteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def md5(p: java.nio.file.Path): String =
+    MessageDigest.getInstance("MD5").digest(Files.readAllBytes(p))
+      .map("%02x".format(_)).mkString
+
+  private def fileHashes(dir: String): Map[String, String] = {
+    val d = Paths.get(dir)
+    Files.list(d).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => p.getFileName.toString -> md5(p)).toMap
+  }
+
+  private def freshTable(): String = {
+    val out = Files.createTempDirectory("graft-tdel-").toString
+    ClusteredWrite.parquet(
+      T(spark, SparkTestBase.Sf0001, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      out, 8, col("o_custkey"))
+    out
+  }
+
+  test("delete removes exactly the key's rows; pruning leaves other " +
+    "files byte-identical") {
+    val out = freshTable()
+    val before = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val custs = before.map(_._2).toSeq.sorted
+    val victim = custs(custs.size / 2)
+    val hashesBefore = fileHashes(out)
+
+    val rep = TargetedDelete.deleteKeys(spark, out, "o_custkey",
+      Seq(victim))
+    assert(rep.rowsDeleted == before.count(_._2 == victim).toLong)
+    assert(rep.filesRewritten >= 1)
+    assert(rep.filesAffected < rep.filesTotal,
+      "footer pruning must exclude most files")
+
+    val after = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before.filterNot(_._2 == victim))
+
+    val hashesAfter = fileHashes(out)
+    val unchanged = hashesAfter.count { case (n, h) =>
+      hashesBefore.get(n).contains(h)
+    }
+    assert(unchanged == rep.filesTotal - rep.filesRewritten)
+  }
+
+  test("a bounding-box match with no actual rows rewrites nothing") {
+    // write the table WITHOUT one mid-range custkey: the footer ranges
+    // of its neighbors' file(s) still bound the ghost (min/max is a
+    // bounding box, not a membership proof), but no row matches
+    val out = Files.createTempDirectory("graft-tdel-").toString
+    val ghost = 75L
+    ClusteredWrite.parquet(
+      T(spark, SparkTestBase.Sf0001, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_custkey") =!= ghost),
+      out, 8, col("o_custkey"))
+    val hashesBefore = fileHashes(out)
+    val rep = TargetedDelete.deleteKeys(spark, out, "o_custkey",
+      Seq(ghost))
+    assert(rep.rowsDeleted == 0 && rep.filesRewritten == 0)
+    assert(fileHashes(out) == hashesBefore)
+  }
+}
