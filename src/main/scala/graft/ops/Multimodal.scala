@@ -404,6 +404,128 @@ object Multimodal {
     * ImageProps. The `chk` column folds every blob's pixel checksum, so
     * any decode regression flips the output row. `dir` is unused — the
     * media fixture is self-contained, generated once per JVM. */
+  /** 64-bit difference hash (dHash) — the classic perceptual image
+    * fingerprint: decode, reduce to a 9×8 luma grid, one bit per
+    * horizontal gradient (right cell brighter than left). Re-encoded,
+    * brightness-scaled, or rescaled copies of the same picture keep
+    * (almost) the same gradients, so near-duplicate IMAGES land within
+    * a few Hamming bits — the visual member of the dedup family
+    * (MinHash sees text, SimHash sees tokens, dHash sees pixels).
+    *
+    * Exactness discipline: NO floating point and NO Graphics2D resize
+    * in the hash path — the 9×8 reduction is an area partition
+    * (pixel x lands in cell ⌊x·9/w⌋) accumulating integer luma sums
+    * (299r+587g+114b, the Rec.601 weights scaled ×1000), and the
+    * gradient compare is cross-multiplied (`sumR·cntL > sumL·cntR`) so
+    * unequal cell sizes never need a division. Deterministic on every
+    * JVM/platform; long arithmetic is exact for images up to ~20k×20k
+    * (sum·cnt < 2⁶³). Undecodable or sub-9×8 blobs return None. */
+  def dhash64(bytes: Array[Byte]): Option[Long] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null || img.getWidth < 9 || img.getHeight < 8) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val cx = (x.toLong * 9 / w).toInt
+        val rgb = img.getRGB(x, y)
+        sums(cy)(cx) += 299L * ((rgb >> 16) & 0xFF) +
+          587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+        cnts(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var i = 0
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (sums(cy)(cx + 1) * cnts(cy)(cx) >
+            sums(cy)(cx) * cnts(cy)(cx + 1)) bits |= (1L << i)
+        i += 1
+        cx += 1
+      }
+      cy += 1
+    }
+    Some(bits)
+  }
+
+  /** Near-dup fixture: 6 base "pictures" (smooth two-frequency sine
+    * luma fields — scale-invariant structure, so a rescale preserves
+    * the gradient pattern) each in three renditions: the original
+    * (id b·10), a linear brightness remap (b·10+1 — order-preserving,
+    * so the dHash is IDENTICAL), and a half-size rescale (b·10+2 —
+    * same field sampled coarser, a few boundary bits may flip). */
+  private[ops] lazy val neardupFixtureDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash-")
+    def field(fx: Int, fy: Int)(u: Double, v: Double): Int =
+      (127.5 * (1 + math.sin(2 * math.Pi * (fx * u + fy * v)))).toInt
+        .min(255)
+    def write(id: Int, w: Int, h: Int, g: (Double, Double) => Int,
+              remap: Int => Int): Unit = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = remap(g(x.toDouble / (w - 1), y.toDouble / (h - 1)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      java.nio.file.Files.write(dir.resolve(s"pic_$id.png"), bos.toByteArray)
+    }
+    val freqs = Seq((1, 0), (0, 1), (2, 1), (1, 2), (3, 2), (2, 3))
+    freqs.zipWithIndex.foreach { case ((fx, fy), b) =>
+      val g = field(fx, fy) _
+      write(b * 10, 64, 48, g, identity)
+      write(b * 10 + 1, 64, 48, g, v => v / 2 + 64) // linear remap
+      write(b * 10 + 2, 32, 24, g, identity)        // half-size rescale
+    }
+    dir.toString
+  }
+
+  /** q182: perceptual image near-duplicate pairs — dHash each blob
+    * (narrow mapPartitions, like [[decode]]), then the q88 banded-
+    * Hamming shape on the 64-bit fingerprints: 8 bands × 8 bits, so
+    * any pair within 7 bits shares an identical band by pigeonhole
+    * (candidates are equi-join-generated, never all-pairs), exact
+    * `bit_count(xor)` distance on candidates only, threshold 10. NO
+    * ORACLE BY DESIGN (no SQL engine decodes PNG); ImageNeardupSpec
+    * hand-pins the dHash bit definition, the rendition distances, and
+    * the banding recall guarantee against brute force. */
+  def q182ImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    implicit val enc: Encoder[(Long, Long)] =
+      Encoders.product[(Long, Long)]
+    val hashed = readBlobs(s, neardupFixtureDir, "*.png")
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.flatMap(r => dhash64(r.bin).map(hs => (r.doc_id, hs)))
+      }
+      .toDF("doc_id", "h")
+      .localCheckpoint(true) // both sides of the band self-join
+    val bands = hashed.select(col("doc_id"), col("h"),
+      explode(expr(
+        "transform(sequence(0, 7), b -> " +
+          "struct(b as band, shiftright(h, b * 8) & 255 as k))"))
+        .as("bk"))
+      .select(col("doc_id"), col("h"), col("bk.band").as("band"),
+        col("bk.k").as("k"))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.h ^ b.h)").as("dist"))
+      .distinct()
+      .filter(col("dist") <= 10)
+      .orderBy("doc_a", "doc_b")
+  }
+
   def q114MediaPipeline(s: SparkSession, dir: String): DataFrame = {
     val pngs = readBlobs(s, mediaFixtureDir, "*.png")
     val decoded = decode(pngs)
@@ -644,6 +766,7 @@ object Multimodal {
     "q114_media_pipeline" -> q114MediaPipeline _,
     "q116_audio_pipeline" -> q116AudioPipeline _,
     "q154_video_pipeline" -> q154VideoPipeline _,
+    "q182_image_neardup" -> q182ImageNeardup _,
   )
 
   /** Per-frame placement/disposal from the GIF image metadata tree. */

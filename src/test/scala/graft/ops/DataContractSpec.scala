@@ -36,8 +36,10 @@ class DataContractSpec extends AnyFunSuite {
                                  // rewriting needs per-position recursion
                                  // SQL can't express; reference-trainer
                                  // equality pinned instead)
-      "q168_compress_signal")    // CompressSignalSpec (no SQL engine
+      "q168_compress_signal",    // CompressSignalSpec (no SQL engine
                                  // exposes a deflate length)
+      "q182_image_neardup")      // ImageNeardupSpec (no SQL engine
+                                 // decodes PNG)
     val queries = graft.SparkEntry.queries.keySet
     val oracles = graft.SparkEntry.oracleSql.keySet
     assert((queries -- oracles -- noOracle).isEmpty,
