@@ -25,18 +25,30 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * scan width. */
 object DeflateLen {
 
+  // one native Deflater per task thread, reset() between rows — the
+  // standard hot-path pattern: constructing/ending a Deflater is a
+  // native malloc/free pair that would otherwise run per ROW and
+  // dominate small documents
+  private val localDeflater =
+    new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue(): java.util.zip.Deflater =
+        new java.util.zip.Deflater(6, false)
+    }
+  private val localBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+
   /** Compressed length of `t`'s bytes, level 6, zlib-wrapped. */
   def deflatedLen(t: UTF8String): Long = {
     val bytes = t.getBytes
-    val d = new java.util.zip.Deflater(6, false)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](math.max(64, bytes.length / 2))
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = localDeflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = localBuf.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 
   def len(text: Column): Column =

@@ -49,8 +49,12 @@ object BpeTrain {
     * overlapping re-merges are impossible — exactly the non-overlap
     * scan semantics. */
   private def applyMerge(symsCol: String, a: String, b: String) = {
-    val qa = a.replace("'", "\\'")
-    val qb = b.replace("'", "\\'")
+    // backslashes FIRST, then quotes: a learned symbol containing `\`
+    // (inside the pinned <257 codepoint contract) would otherwise
+    // escape the literal's closing quote and break the parse
+    def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val qa = q(a)
+    val qb = q(b)
     expr(
       s"""aggregate($symsCol, CAST(array() AS array<string>),
          |  (acc, x) -> CASE

@@ -221,13 +221,25 @@ object Curation {
     * quality basis points, and the cluster's quality-argmax KEEPER —
     * `(root, node, qbp, keeper)`. The per-cluster window is
     * banding-bounded (the q178 scaladoc's argument). */
-  private[ops] def memberKeepers(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def memberKeepers(s: SparkSession, dir: String): DataFrame =
+    memberKeepersOver(s, dir, qualityBp(s, dir))
+
+  /** `(doc_id, qbp)` — q83's quality in exact basis points. */
+  private def qualityBp(s: SparkSession, dir: String): DataFrame =
+    TrainingData.q83QualityScore(s, dir)
+      .select(col("doc_id"),
+        expr("cast(round(quality * 10000) as bigint)").as("qbp"))
+
+  /** [[memberKeepers]] over a caller-supplied quality frame — q181
+    * materializes the quality scan ONCE and threads it into both the
+    * keeper window and its own curriculum buckets (the q155/q172
+    * shared-pass discipline: a composed pipeline must not recompute a
+    * corpus-sized projection per consumer). */
+  private def memberKeepersOver(s: SparkSession, dir: String,
+                                quality: DataFrame): DataFrame = {
     val members = connectedComponents(
       TrainingData.minhashPairs(s, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b")))
-    val quality = TrainingData.q83QualityScore(s, dir)
-      .select(col("doc_id"),
-        expr("cast(round(quality * 10000) as bigint)").as("qbp"))
     val w = Window.partitionBy("root")
       .orderBy(col("qbp").desc, col("node"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -257,15 +269,17 @@ object Curation {
     * exemption list is how invariants rot). */
   def q181SelectionPipeline(s: SparkSession, dir: String): DataFrame = {
     val selected = q172ImportanceSelect(s, dir)
-    val keepers = memberKeepers(s, dir).select("node", "keeper")
+    // the quality projection is corpus-sized and feeds BOTH the keeper
+    // window and the curriculum buckets: materialize it once
+    val quality = qualityBp(s, dir).localCheckpoint(true)
+    val keepers = memberKeepersOver(s, dir, quality)
+      .select("node", "keeper")
     val survivors = selected
       .join(keepers, selected("doc_id") === keepers("node"), "left")
       .filter(col("keeper").isNull || col("keeper") === col("doc_id"))
       .select("doc_id", "score")
-    val buckets = TrainingData.q83QualityScore(s, dir)
-      .select(col("doc_id"),
-        expr("cast(round(quality * 10000) as bigint) div 1000")
-          .as("bucket"))
+    val buckets = quality
+      .select(col("doc_id"), expr("qbp div 1000").as("bucket"))
     val keyed = survivors.join(buckets, "doc_id")
       .withColumn("skey", expr(
         "cast(conv(substring(md5(concat('cur:', " +

@@ -484,7 +484,12 @@ object Relational {
                                     value: String,
                                     qs: Seq[(String, Double)]): DataFrame = {
     val ranked = ScalableRank.withGlobalRowNumber(
-      df.select(col(group), col(value).cast("double").as("_v")),
+      // NULLs excluded BEFORE ranking: Spark's percentile() (the
+      // bit-equality reference) skips them, while a rank over the raw
+      // column would seat NULLs at the front of every group and shift
+      // each target position — wrong quantiles for any nullable input
+      df.select(col(group), col(value).cast("double").as("_v"))
+        .filter(col("_v").isNotNull),
       "_grn", col(group), col("_v"))
     var stats = ranked.groupBy(col(group).as("_g"))
       .agg(min("_grn").as("_base"), count(lit(1)).as("_n"))

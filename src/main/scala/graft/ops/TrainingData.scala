@@ -1639,7 +1639,7 @@ object TrainingData {
   /** q112 generalized over the tokenizer: `tokens` is any
     * `array<string>` token column — the whitespace contract for the
     * published q112, or the subword ids via
-    * `transform(bpe_tokens(text), x -> cast(x as string))`
+    * `transform(Bpe.tokens(col("text")), _.cast("string"))`
     * (ChunkSplitSpec exercises the subword variant). Chunk geometry
     * and fingerprinting are tokenizer-independent. */
   private[ops] def chunkSplit(s: SparkSession, dir: String,

@@ -34,13 +34,21 @@ object TargetedDelete {
                                 filesRewritten: Int, rowsDeleted: Long)
 
   /** Deletes all rows with `keyCol` ∈ `keys` from the parquet table at
-    * `path` (INT64 key column). */
+    * `path` (INT64 key column). Crash-safe: the original file is moved
+    * to a `.bak` name BEFORE the rewrite swaps in (never
+    * delete-then-rename — a crash between those would lose every
+    * surviving row of the file), every rename result is CHECKED, and
+    * [[recover]] runs first so a previous crash's half-swap heals
+    * before new work starts. Re-running after any crash point
+    * converges: the delete is idempotent. */
   def deleteKeys(spark: SparkSession, path: String, keyCol: String,
                  keys: Seq[Long]): DeleteReport = {
     require(keys.nonEmpty, "no keys to delete")
     val conf = spark.sessionState.newHadoopConf()
-    val fs = new Path(path).getFileSystem(conf)
-    val files = fs.listStatus(new Path(path))
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    recover(fs, dir)
+    val files = fs.listStatus(dir)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)
     val affected = files.filter { f =>
@@ -64,8 +72,16 @@ object TargetedDelete {
           .map(_.getPath)
           .find(_.getName.endsWith(".parquet"))
           .getOrElse(sys.error(s"staged rewrite produced no file: $staged"))
-        fs.delete(f, false)
-        fs.rename(part, f)
+        val backup = new Path(f.getParent, s".${f.getName}.bak")
+        require(fs.rename(f, backup),
+          s"targeted delete: could not back up $f")
+        if (!fs.rename(part, f)) {
+          // roll the original back before failing: the table must
+          // never be left without the file
+          fs.rename(backup, f)
+          sys.error(s"targeted delete: swap failed for $f (restored)")
+        }
+        fs.delete(backup, false)
         fs.delete(staged, true)
         rewritten += 1
         deleted += hits
@@ -73,6 +89,26 @@ object TargetedDelete {
     }
     DeleteReport(files.length, affected.length, rewritten, deleted)
   }
+
+  /** Heals the artifacts of a crash at any point of a previous run:
+    * a `.bak` whose original is MISSING means the crash hit between
+    * the two renames — the backup (the complete pre-delete file)
+    * moves back, and the lost delete simply re-runs; a `.bak` whose
+    * original EXISTS is a completed swap's stale backup; any `.staged`
+    * directory is a discarded rewrite. */
+  private def recover(fs: FileSystem, dir: Path): Unit =
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(".") && name.endsWith(".bak")) {
+        val orig = new Path(dir, name.drop(1).dropRight(4))
+        if (!fs.exists(orig))
+          require(fs.rename(st.getPath, orig),
+            s"targeted delete: could not restore $orig from backup")
+        else fs.delete(st.getPath, false)
+      } else if (name.startsWith(".") && name.endsWith(".staged")) {
+        fs.delete(st.getPath, true)
+      }
+    }
 
   /** The (min, max) footer statistics of an INT64 column across all row
     * groups of one parquet file; None when any row group lacks stats. */

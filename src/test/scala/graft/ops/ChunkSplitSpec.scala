@@ -43,4 +43,34 @@ class ChunkSplitSpec extends AnyFunSuite {
     // produce a 64-token window followed by another chunk
     assert(tokens.values.exists(_ > 64), "fixture too short — vacuous")
   }
+
+  test("the subword-tokenizer variant keeps the same geometry contract " +
+    "over bpe token counts, and genuinely differs from whitespace") {
+    val chunks = TrainingData.chunkSplit(spark, SparkTestBase.Sf0001,
+        transform(graft.functions.Bpe.tokens(col("text")),
+          x => x.cast("string")))
+      .collect().groupBy(_.getLong(0))
+    val tokens = T(spark, SparkTestBase.Sf0001, "documents")
+      .select(col("doc_id"),
+        graft.functions.Bpe.count(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.nonEmpty)
+    tokens.foreach { case (doc, n) =>
+      val cs = chunks.getOrElse(doc, Array.empty).sortBy(_.getLong(1))
+      val expected = ((n + 47) / 48).toInt
+      assert(cs.length == expected,
+        s"doc $doc: $n bpe tokens -> ${cs.length} chunks, want $expected")
+      cs.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getLong(2) == math.min(64L, n - i * 48L), s"doc $doc/$i")
+      }
+    }
+    // subword counts exceed whitespace counts (fertility ≥ 1 with the
+    // space-prefixed vocab), so at least one doc must chunk differently
+    val ws = TrainingData.q112ChunkSplit(spark, SparkTestBase.Sf0001)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sub = chunks.view.mapValues(_.length.toLong).toMap
+    assert(sub.exists { case (d, c) => ws.get(d).exists(_ != c) },
+      "subword chunking never differed from whitespace — vacuous variant")
+  }
 }

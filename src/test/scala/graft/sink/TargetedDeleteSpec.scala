@@ -65,6 +65,37 @@ class TargetedDeleteSpec extends AnyFunSuite {
     assert(unchanged == rep.filesTotal - rep.filesRewritten)
   }
 
+  test("crash between the two swap renames heals: the backup restores " +
+    "and a re-run completes the delete") {
+    val out = freshTable()
+    val before = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val custs = before.map(_._2).toSeq.sorted
+    val victim = custs(custs.size / 3)
+
+    // simulate the worst crash point: a file was moved to .bak and the
+    // staged part never swapped in — the table has a hole
+    val dir = Paths.get(out)
+    val someFile = Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.head
+    val bak = dir.resolve("." + someFile.getFileName.toString + ".bak")
+    Files.move(someFile, bak)
+    val staged = dir.resolve(
+      "." + someFile.getFileName.toString + ".staged")
+    Files.createDirectory(staged)
+    Files.write(staged.resolve("junk"), Array[Byte](1, 2, 3))
+
+    val rep = TargetedDelete.deleteKeys(spark, out, "o_custkey",
+      Seq(victim))
+    // recovery restored the backup BEFORE the delete ran, so the final
+    // state is exactly "victim gone, everything else intact"
+    val after = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before.filterNot(_._2 == victim))
+    assert(rep.rowsDeleted == before.count(_._2 == victim).toLong)
+    assert(!Files.exists(bak) && !Files.exists(staged))
+  }
+
   test("a bounding-box match with no actual rows rewrites nothing") {
     // write the table WITHOUT one mid-range custkey: the footer ranges
     // of its neighbors' file(s) still bound the ghost (min/max is a
