@@ -266,7 +266,32 @@ object PlanAudit {
       ("**Look for:** the band self-join generating candidates (equi " +
         "on (band, k1, k2) — never a cartesian), md5 digests on every " +
         "exchange, and the final 11-cell decile aggregate — cost is " +
-        "candidate-bounded, corpus² never appears."))
+        "candidate-bounded, corpus² never appears."),
+    "q173_orc_roundtrip" ->
+      ("**Look for:** the ORC scan carrying the returnflag/quantity " +
+        "predicates in `PushedFilters` and a `ReadSchema` of exactly " +
+        "the four referenced columns — pushdown and pruning survive " +
+        "the format change from parquet."),
+    "q178_best_of_cluster" ->
+      ("**Look for:** the iterative connected-components prefix (its " +
+        "per-round shape is q100's, lineage truncated by " +
+        "localCheckpoint), the quality join, and ONE window " +
+        "PARTITIONED by cluster root (banding bounds cluster size — " +
+        "never an unpartitioned window) picking the argmax keeper."),
+    "q181_selection_pipeline" ->
+      ("**Look for:** the composed shape inheriting each stage's " +
+        "audit — the 256-row broadcast odds table and " +
+        "`TakeOrderedAndProject` from q172, the root-partitioned " +
+        "keeper window from q178, and the two-pass ScalableRank (no " +
+        "single-task window even at 100 survivors) from q171; ONE " +
+        "materialization of the quality projection feeds both " +
+        "consumers."),
+    "q182_image_neardup" ->
+      ("**Look for:** the narrow mapPartitions dHash stage (no " +
+        "exchange before hashing), the 8-way band explode feeding an " +
+        "equi self-join on (band, k) — candidates by pigeonhole, " +
+        "never an image cross product — and `bit_count(xor)` " +
+        "evaluated on candidates only."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
