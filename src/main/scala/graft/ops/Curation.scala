@@ -372,6 +372,43 @@ object Curation {
     scd2Core(T(s, dir, "orders"))
       .orderBy("custkey", "valid_from", "chg_orderkey")
 
+  /** q183: CDC log COMPACTION — the latest-snapshot materialization
+    * every change-data-capture consumer runs (q98's SCD2 keeps the
+    * HISTORY; q183 collapses the log to "now"): per key, the
+    * highest-sequence operation wins, and a DELETE tombstone winning
+    * means the key is GONE from the snapshot — the semantics q71's
+    * plain latest-wins dedup cannot express. The log is a
+    * deterministic in-query derivation from orders (every key an
+    * INSERT; every 5th also an UPDATE at +10; every 7th also a
+    * DELETE), so the DuckDB oracle can verify SEMANTICALLY — it
+    * recomputes the expected snapshot straight from the base table,
+    * never mirroring the log mechanics, which makes it a genuinely
+    * independent check of the compaction.
+    *
+    * Scale shape: one `max_by(struct, seq)` partial+final aggregate on
+    * the key — NO per-key window, no sort; the tombstone filter is a
+    * post-aggregate projection. At 100 TB this is the standard
+    * log-to-snapshot job: one shuffle of (key, latest-op) cells. */
+  def q183CdcCompact(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice"))
+      .select(col("k"), explode(expr(
+        """filter(array(
+          |  named_struct('seq', 0, 'op', 'I', 'price', o_totalprice),
+          |  named_struct('seq', 1, 'op', 'U', 'price', o_totalprice + 10.0d),
+          |  named_struct('seq', 2, 'op', 'D', 'price', cast(null as double))),
+          |  x -> x.seq = 0 OR (x.seq = 1 AND k % 5 = 0)
+          |               OR (x.seq = 2 AND k % 7 = 0))""".stripMargin))
+        .as("e"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_ops"),
+        max_by(col("e.op"), col("e.seq")).as("_op"),
+        max_by(col("e.price"), col("e.seq")).as("_price"))
+      .filter(col("_op") =!= "D")
+      .select(col("k").as("o_orderkey"), col("n_ops"),
+        expr("cast(round(_price * 100) as bigint)").as("price_c2"))
+      .orderBy("o_orderkey")
+
   /** The q98 core on any `(o_custkey, o_orderstatus, o_orderdate,
     * o_orderkey)` frame — separated so CurationProps can cross-check the
     * lag/lead formulation against an independent run-compression scan
@@ -994,6 +1031,7 @@ object Curation {
     "q172_importance_select" -> q172ImportanceSelect _,
     "q178_best_of_cluster" -> q178BestOfCluster _,
     "q181_selection_pipeline" -> q181SelectionPipeline _,
+    "q183_cdc_compact" -> q183CdcCompact _,
     "q96_repetition_signals" -> q96RepetitionSignals _,
     "q97_source_rebalance" -> q97SourceRebalance _,
     "q98_scd2_merge" -> q98Scd2Merge _,
@@ -1055,6 +1093,16 @@ object Curation {
         |FROM shl t JOIN ev ON t.s = ev.s
         |WHERE t.doc_id % 97 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q183_cdc_compact" ->
+      // SEMANTIC oracle: the expected snapshot recomputed from the base
+      // table, never mirroring the log/compaction mechanics
+      """SELECT o_orderkey,
+        |       CAST(1 + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END
+        |              + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_ops,
+        |       CAST(round((o_totalprice
+        |              + CASE WHEN o_orderkey % 5 = 0 THEN 10 ELSE 0 END) * 100) AS BIGINT) AS price_c2
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
     "q181_selection_pipeline" ->
       s"""WITH ${TrainingData.minhashPairsCtes},
         |$ccCtes,
