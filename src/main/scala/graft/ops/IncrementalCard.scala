@@ -82,6 +82,22 @@ object IncrementalCard {
     true
   }
 
+  /** Streaming maintenance — the card stays current as an unbounded
+    * ingest runs: every micro-batch appends through the same
+    * replay-gated protocol, Structured Streaming's `foreachBatch`
+    * batch id serving as the batch id, so a crash-replayed
+    * micro-batch hits the recorded-batches gate and the card stays
+    * EXACTLY-ONCE under restarts (the IngestDedup deployment shape
+    * applied to view maintenance). */
+  def maintain(st: State, batches: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        append(b.sparkSession, st, id, b)
+        ()
+      }
+      .start()
+
   /** The current data card — aggregates the persisted partials and the
     * digest table only; the ingested batches are never rescanned. */
   def card(spark: SparkSession, st: State): DataFrame = {

@@ -1658,6 +1658,25 @@ object TrainingData {
         md5(concat_ws(" ", col("cw"))).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** q184: sequence-length histogram — the context-window-sizing query
+    * a training run starts from: per power-of-two band of SUBWORD
+    * length (the q151/q158 denomination), document count, token mass,
+    * and the band extremes. The answer to "what context length does
+    * this corpus actually need, and how much mass truncates at 2^k" —
+    * q180's bit-length bucketing applied to documents instead of join
+    * keys (exact integers via `length(bin(n)) − 1` = ⌊log₂n⌋, no
+    * floating log at band boundaries). One scan (the codegen'd
+    * `bpe_count` projection) into a ≤64-cell partial+final agg. */
+  def q184SeqLenHist(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(graft.functions.Bpe.count(col("text")).as("n"))
+      .filter(col("n") > 0)
+      .select(expr("length(bin(n)) - 1").as("bucket"), col("n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_tokens"),
+        min("n").as("min_tokens"), max("n").as("max_tokens"))
+      .orderBy("bucket")
+
   /** q113 query terms — drawn from the synthetic vocabulary so every SF
     * has matches (a real deployment parameterizes these). */
   private val Bm25Terms = Seq("data", "join", "stream")
@@ -1809,6 +1828,7 @@ object TrainingData {
     "q171_curriculum_order" -> q171CurriculumOrder _,
     "q176_band_tuning" -> q176BandTuning _,
     "q179_containment" -> q179Containment _,
+    "q184_seq_len_hist" -> q184SeqLenHist _,
     "q85_doc_fingerprint" -> q85DocFingerprint _,
     "q86_ann_lsh" -> q86AnnLsh _,
     "q87_binary_meta" -> q87BinaryMeta _,
@@ -1996,6 +2016,14 @@ object TrainingData {
         |       c.btok AS bpe_tokens
         |FROM documents d JOIN bpe_cnt c ON d.doc_id = c.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q184_seq_len_hist" ->
+      s"""WITH RECURSIVE ${graft.functions.Bpe.countCteSql},
+        |b AS (SELECT length(bin(btok)) - 1 AS bucket, btok
+        |      FROM bpe_cnt WHERE btok > 0)
+        |SELECT bucket, count(*) AS n_docs,
+        |       CAST(sum(btok) AS BIGINT) AS sum_tokens,
+        |       min(btok) AS min_tokens, max(btok) AS max_tokens
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q179_containment" ->
       s"""WITH $minhashPairsCtes,
         |j AS (SELECT p.da AS doc_a, p.db AS doc_b,

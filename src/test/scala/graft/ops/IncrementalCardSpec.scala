@@ -51,4 +51,27 @@ class IncrementalCardSpec extends AnyFunSuite {
     assert(files.nonEmpty)
     assert(files.forall(_.contains(st.root)), files.mkString("\n"))
   }
+
+  test("streaming maintenance: micro-batches keep the card current " +
+    "through the same replay-gated protocol") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val st = IncrementalCard.init(
+      Files.createTempDirectory("graft-inccard-s-").toString)
+    val rows = T(spark, SparkTestBase.Sf0001, "documents")
+      .select("lang", "source", "text")
+      .as[(String, String, String)].collect().toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, String)]
+    val q = IncrementalCard.maintain(st,
+      in.toDF().toDF("lang", "source", "text"))
+    try {
+      rows.grouped((rows.size + 1) / 2).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = IncrementalCard.card(spark, st).collect()(0).toSeq
+    assert(got == direct(2)) // every doc fed → equals the full table
+  }
 }
