@@ -1677,6 +1677,53 @@ object TrainingData {
         min("n").as("min_tokens"), max("n").as("max_tokens"))
       .orderBy("bucket")
 
+  /** The persisted INVERTED TEXT INDEX — the retrieval member of the
+    * library's persisted-index family (q107's LSH bands, q152's IVF
+    * cells, and now postings): a `(term, doc_id, tf)` catalog table
+    * bucketed+sorted on `term`, built ONCE per corpus via the q107
+    * `BucketedTables.ensure` protocol (crash-safe adopt-or-build,
+    * cross-session). A term lookup then bucket-prunes to the term's
+    * bucket — at 100 TB a probe touches one bucket's files, never the
+    * posting table, and never the corpus. */
+  private[ops] def ensurePostingsIndex(s: SparkSession,
+                                       dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    graft.sink.BucketedTables.ensure(s, s"graft_postings_$digest",
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> x != '')"))
+            .as("term"))
+        .groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf")),
+      8, Seq("term"))
+  }
+
+  /** q185: term lookup through the persisted inverted index — for each
+    * query term, the top-5 documents by term frequency (doc_id
+    * tiebreak). The plan touches ONLY the index table: the IN-list on
+    * the bucket column prunes to the probed terms' buckets
+    * (`SelectedBucketsCount`, pinned by IndexedPostingsSpec) and the
+    * per-term top-k window runs EXCHANGE-FREE — the bucket layout
+    * already co-locates each term, so the window's required hash
+    * distribution is satisfied by the scan itself (strictly better
+    * than q148's WindowGroupLimit story, which exists to shrink a
+    * shuffle this plan never performs; the only exchange is the
+    * presentation sort). The DuckDB oracle recomputes from the RAW
+    * corpus, so a hash match proves the index is a faithful
+    * materialization, not just self-consistent. */
+  def q185IndexedPostings(s: SparkSession, dir: String): DataFrame = {
+    val idx = ensurePostingsIndex(s, dir)
+    val w = Window.partitionBy("term")
+      .orderBy(col("tf").desc, col("doc_id"))
+    s.table(idx)
+      .filter(col("term").isInCollection(Bm25Terms))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("term"), col("rk"), col("doc_id"), col("tf"))
+      .orderBy("term", "rk")
+  }
+
   /** q113 query terms — drawn from the synthetic vocabulary so every SF
     * has matches (a real deployment parameterizes these). */
   private val Bm25Terms = Seq("data", "join", "stream")
@@ -1829,6 +1876,7 @@ object TrainingData {
     "q176_band_tuning" -> q176BandTuning _,
     "q179_containment" -> q179Containment _,
     "q184_seq_len_hist" -> q184SeqLenHist _,
+    "q185_indexed_postings" -> q185IndexedPostings _,
     "q85_doc_fingerprint" -> q85DocFingerprint _,
     "q86_ann_lsh" -> q86AnnLsh _,
     "q87_binary_meta" -> q87BinaryMeta _,
@@ -2016,6 +2064,23 @@ object TrainingData {
         |       c.btok AS bpe_tokens
         |FROM documents d JOIN bpe_cnt c ON d.doc_id = c.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q185_indexed_postings" -> {
+      // SEMANTIC oracle: recomputed from the RAW corpus — a hash match
+      // proves the persisted index is a faithful materialization
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id,
+        |             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |      FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+        |       WHERE term IN ($terms) GROUP BY 1, 2),
+        |r AS (SELECT term, doc_id, tf,
+        |             row_number() OVER (PARTITION BY term
+        |               ORDER BY tf DESC, doc_id) AS rk
+        |      FROM tf)
+        |SELECT term, CAST(rk AS INTEGER) AS rk, doc_id,
+        |       CAST(tf AS BIGINT) AS tf
+        |FROM r WHERE rk <= 5 ORDER BY term, rk""".stripMargin
+    },
     "q184_seq_len_hist" ->
       s"""WITH RECURSIVE ${graft.functions.Bpe.countCteSql},
         |b AS (SELECT length(bin(btok)) - 1 AS bucket, btok
