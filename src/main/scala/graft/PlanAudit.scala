@@ -291,7 +291,19 @@ object PlanAudit {
         "exchange before hashing), the 8-way band explode feeding an " +
         "equi self-join on (band, k) — candidates by pigeonhole, " +
         "never an image cross product — and `bit_count(xor)` " +
-        "evaluated on candidates only."))
+        "evaluated on candidates only."),
+    "q183_cdc_compact" ->
+      ("**Look for:** ONE partial+final `HashAggregate` pair on the " +
+        "key carrying the `max_by` latest-op state — NO per-key " +
+        "window, no sort below the aggregate; the tombstone filter " +
+        "is a post-aggregate projection."),
+    "q185_indexed_postings" ->
+      ("**Look for:** a single `FileSourceScan` of the " +
+        "`graft_postings_*` bucketed table with `SelectedBucketsCount` " +
+        "strictly below the total (the IN-list prunes to the probed " +
+        "terms' buckets) and the per-term `Window` running with NO " +
+        "exchange beneath it — bucketing already co-locates each " +
+        "term; the sole Exchange is the presentation sort."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
