@@ -11,9 +11,10 @@ import graft.sources.rfc.RfcQueries
   *
   * `queries` maps each declared operator id to a function
   * `(spark, sfDir) => DataFrame`; `oracleSql` carries the DuckDB twin for
-  * every oracle-checked op. The two no-oracle ops are ScalaTest-verified:
-  * q36 by `HllBoundSpec` (estimate within 5% of exact), q06 by
-  * `LayoutSpec` (the four sink-layout quirks).
+  * every oracle-checked op. The remaining no-oracle ops are each
+  * ScalaTest-verified against independent evidence — DataContractSpec
+  * holds the closed, per-suite-annotated list (sketches with
+  * engine-specific internals and binary codecs no SQL engine provides).
   */
 object SparkEntry {
 
@@ -43,5 +44,5 @@ object SparkEntry {
       ZOrderQueries.oracle ++ BucketQueries.oracle ++
       PartitionedQueries.oracle ++ ShardedExport.oracle ++
       OrcQueries.oracle ++ SchemaEvolution.oracle ++ RfcQueries.oracle ++
-      SketchRollup.oracle ++ JsonlIngest.oracle
+      SketchRollup.oracle ++ JsonlIngest.oracle ++ BpeTrain.oracle
 }

@@ -24,12 +24,24 @@ import org.apache.spark.sql.functions._
   * distributedly over the word table; `localCheckpoint` truncates the
   * per-iteration lineage exactly like the q100/q106 fixpoint loops.
   *
-  * No DuckDB oracle BY DESIGN: one training iteration rewrites symbol
-  * sequences under the learned merge (stateful greedy scan), which no
-  * SQL engine expresses without a per-position recursive CTE per
-  * iteration; BpeTrainSpec pins the whole merge table against an
-  * independent driver-side reference trainer plus hand-computed
-  * fixtures (the q114/q116/q154 evidence pattern).
+  * DuckDB oracle (r11 — q162 moved OFF the no-oracle list): the
+  * stateful greedy scan has a data-parallel equivalent that plain SQL
+  * CAN express. Greedy left-to-right non-overlapping (a, b) merging
+  * consumes, within every maximal RUN of consecutive pair positions,
+  * exactly the odd-ranked ones — and runs longer than one position
+  * exist only when a = b (position j and j+1 both matching forces
+  * syms[j+1] = b = a), so for a ≠ b every occurrence merges and for
+  * a = b alternate ones do. The oracle computes pair positions per
+  * word, groups consecutive runs (j − row_number), keeps odd ranks,
+  * and rebuilds each word with a list comprehension — no recursion,
+  * no per-position CTE. Equivalence to the fold: after a merge the
+  * accumulator's last element is `ab`, which can never equal `a`
+  * (b non-empty), and a literal multi-char symbol `ab` in the input
+  * is not a pair position in either formulation. Every w/b CTE is
+  * MATERIALIZED — DuckDB inlines CTEs by default, and each iteration
+  * references its predecessor several times (inlining made the chain
+  * exponential). BpeTrainSpec additionally pins the trainer against an
+  * independent driver-side reference plus hand fixtures.
   */
 object BpeTrain {
 
@@ -113,4 +125,46 @@ object BpeTrain {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_bpe_train" -> q162BpeTrain _)
+
+  /** One DuckDB training iteration (see the object doc's equivalence
+    * argument): pair-frequency argmax (b$i), greedy-taken positions via
+    * run-parity (e$i/t$i), rebuild (w$i). */
+  private def oracleIter(i: Int): String = {
+    val prev = s"w${i - 1}"
+    s"""p$i AS (SELECT l, r, SUM(n) AS freq FROM (
+       |   SELECT unnest([{'l': syms[j], 'r': syms[j+1]} for j in range(1, len(syms))], recursive := true), n
+       |   FROM $prev WHERE len(syms) >= 2) GROUP BY 1, 2),
+       |b$i AS MATERIALIZED (SELECT l, r, freq FROM p$i ORDER BY freq DESC, l, r LIMIT 1),
+       |e$i AS (SELECT w.wid, j,
+       |        j - row_number() OVER (PARTITION BY w.wid ORDER BY j) AS grp
+       |        FROM $prev w CROSS JOIN b$i b,
+       |             unnest([j for j in range(1, len(w.syms)) if w.syms[j] = b.l AND w.syms[j+1] = b.r]) t(j)),
+       |t$i AS (SELECT wid, list(j ORDER BY j) AS tk FROM
+       |        (SELECT wid, j, row_number() OVER (PARTITION BY wid, grp ORDER BY j) AS rr FROM e$i)
+       |        WHERE rr % 2 = 1 GROUP BY wid),
+       |w$i AS MATERIALIZED (SELECT w.wid, w.n,
+       |        CASE WHEN t.tk IS NULL THEN w.syms ELSE
+       |          list_filter([CASE WHEN list_contains(t.tk, j) THEN b.l || b.r
+       |                            WHEN list_contains(t.tk, j - 1) THEN NULL
+       |                            ELSE w.syms[j] END for j in range(1, len(w.syms) + 1)],
+       |                      x -> x IS NOT NULL) END AS syms
+       |        FROM $prev w CROSS JOIN b$i b LEFT JOIN t$i t ON w.wid = t.wid)"""
+      .stripMargin
+  }
+
+  private[ops] def mergeOracleSql(merges: Int): String = {
+    val blocks = (1 to merges).map(oracleIter).mkString(",\n")
+    val finals = (1 to merges).map(i =>
+      s"""SELECT CAST($i AS INTEGER) AS rank, l AS "left", r AS "right", CAST(freq AS BIGINT) AS freq FROM b$i""")
+      .mkString(" UNION ALL ")
+    s"""WITH
+       |wc AS (SELECT word, count(*) AS n FROM (
+       |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents) GROUP BY word),
+       |w0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY word) AS wid, string_split(word, '') AS syms, n FROM wc),
+       |$blocks
+       |SELECT * FROM ($finals) ORDER BY rank""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q162_bpe_train" -> mergeOracleSql(Merges))
 }

@@ -13,27 +13,41 @@ import org.apache.spark.sql.functions._
   * aggregates once — per-(lang, source) counts/sums/maxes (mergeable
   * by plain addition/max, the SketchRollup argument applied to the
   * card) plus its NEW content digests (admitted through an anti-join
-  * against the persisted digest table, the q107 band-index pattern
+  * against the committed digest table, the q107 band-index pattern
   * applied to exact-dedup mass) — and the card itself aggregates ONLY
   * the partials: batch-sized work per append, partials-sized work per
   * read, the raw corpus never rescanned.
   *
-  * Replay safety: every append names its batch id; a batch already in
-  * the recorded-batches table is a NO-OP (partials would double-count
-  * on a blind re-append — the failure mode checkpoint-restart ingest
-  * actually hits). The digest admission is idempotent by construction
-  * (anti-join), but the partials need the gate.
+  * Crash/replay discipline (reworked r11 after ADVICE r10 found two
+  * holes in the original "record the batch id last" protocol):
+  *
+  *  1. Partial and digest rows are PARTITIONED BY batch_id and written
+  *     with dynamic partition OVERWRITE — a replayed batch replaces
+  *     exactly its own partition, so a crash between the data writes
+  *     and the batch-id record can never double rows (append mode
+  *     would have duplicated the partials on replay).
+  *  2. The batch id is recorded LAST, and [[card]] semi-joins both
+  *     partials and digests against the recorded-batches table — rows
+  *     from a batch that died mid-append are invisible until its
+  *     replay commits, so the card never reads a torn write.
+  *  3. Digest admission anti-joins against COMMITTED digests only, and
+  *     the card counts `countDistinct(digest)`: if batch X crashed
+  *     uncommitted and batch Y (sharing a digest) committed first,
+  *     X's replay re-admits the digest — both copies are committed,
+  *     and the distinct count (not the row count) keeps the dedup
+  *     mass exact.
   *
   * Library component (no DuckDB oracle — the point is the refresh
   * PROTOCOL, pinned by IncrementalCardSpec: card-equals-direct after
-  * every append, replay no-op, and the card plan reading only the
-  * state directory). */
+  * every append, replay no-op, torn-write invisibility, crash-replay
+  * convergence, and the card plan reading only the state directory). */
 object IncrementalCard {
 
   final case class State(root: String) {
     def partials: String = s"$root/partials"
     def digests: String = s"$root/digests"
     def batches: String = s"$root/batches"
+    def checkpoint: String = s"$root/checkpoint"
   }
 
   def init(workdir: String): State = {
@@ -45,13 +59,23 @@ object IncrementalCard {
   private def exists(p: String): Boolean =
     Files.exists(Paths.get(p, "_SUCCESS"))
 
+  /** The recorded-batches frame, or an empty one when nothing has ever
+    * committed. */
+  private def committed(spark: SparkSession, st: State): DataFrame =
+    if (exists(st.batches)) spark.read.parquet(st.batches)
+    else {
+      import spark.implicits._
+      Seq.empty[Long].toDF("batch_id")
+    }
+
   /** Appends one ingest batch (`(lang, source, text)` rows at least)
     * to the maintained state. Returns false (no-op) when `batchId` was
-    * already recorded. */
+    * already recorded. Idempotent under replay of a crashed append:
+    * the batch_id-partitioned dynamic overwrite replaces any torn
+    * partition from the failed attempt. */
   def append(spark: SparkSession, st: State, batchId: Long,
              batch: DataFrame): Boolean = {
-    if (exists(st.batches) &&
-        spark.read.parquet(st.batches)
+    if (committed(spark, st)
           .filter(col("batch_id") === batchId).limit(1).count() > 0)
       return false
 
@@ -66,16 +90,28 @@ object IncrementalCard {
       .agg(count(lit(1)).as("n_docs"), sum("ws").as("ws_tokens"),
         sum("btok").as("bpe_tokens"), max("btok").as("max_btok"))
       .withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(st.partials)
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(st.partials)
 
     val newDigests = prepared.select("digest").distinct()
     val admitted =
       if (exists(st.digests))
-        newDigests.join(spark.read.parquet(st.digests),
+        // COMMITTED digests only: an uncommitted batch's digests must
+        // not suppress admission (they may never commit)
+        newDigests.join(
+          spark.read.parquet(st.digests)
+            .join(broadcast(committed(spark, st)), Seq("batch_id"),
+              "left_semi"),
           Seq("digest"), "left_anti")
       else newDigests
-    admitted.write.mode("append").parquet(st.digests)
+    admitted.withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(st.digests)
 
+    // recorded LAST: this is the commit point — everything above is
+    // invisible to card() until this row lands, and re-runnable
     import spark.implicits._
     Seq(batchId).toDF("batch_id")
       .write.mode("append").parquet(st.batches)
@@ -88,10 +124,15 @@ object IncrementalCard {
     * batch id serving as the batch id, so a crash-replayed
     * micro-batch hits the recorded-batches gate and the card stays
     * EXACTLY-ONCE under restarts (the IngestDedup deployment shape
-    * applied to view maintenance). */
-  def maintain(st: State, batches: DataFrame)
+    * applied to view maintenance). The checkpoint lives in the state
+    * dir by default (r11 — ADVICE r10: without a durable
+    * checkpointLocation a restarted query restarts batch ids at 0, and
+    * the replay gate would silently DROP every new micro-batch). */
+  def maintain(st: State, batches: DataFrame,
+               checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     batches.writeStream
+      .option("checkpointLocation", checkpointDir.getOrElse(st.checkpoint))
       .foreachBatch { (b: DataFrame, id: Long) =>
         append(b.sparkSession, st, id, b)
         ()
@@ -99,10 +140,16 @@ object IncrementalCard {
       .start()
 
   /** The current data card — aggregates the persisted partials and the
-    * digest table only; the ingested batches are never rescanned. */
+    * digest table only (each semi-joined to the COMMITTED batch ids,
+    * so a torn append is invisible); the ingested batches are never
+    * rescanned. */
   def card(spark: SparkSession, st: State): DataFrame = {
+    val ok = broadcast(committed(spark, st))
     val p = spark.read.parquet(st.partials)
-    val nDistinct = spark.read.parquet(st.digests).count()
+      .join(ok, Seq("batch_id"), "left_semi")
+    val nDistinct = spark.read.parquet(st.digests)
+      .join(ok, Seq("batch_id"), "left_semi")
+      .agg(countDistinct(col("digest"))).head.getLong(0)
     p.agg(
       sum("n_docs").as("n_docs"),
       countDistinct(col("lang")).as("n_langs"),

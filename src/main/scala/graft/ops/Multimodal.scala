@@ -488,31 +488,31 @@ object Multimodal {
     dir.toString
   }
 
-  /** q182: perceptual image near-duplicate pairs — dHash each blob
-    * (narrow mapPartitions, like [[decode]]), then the q88 banded-
-    * Hamming shape on the 64-bit fingerprints: 8 bands × 8 bits, so
-    * any pair within 7 bits shares an identical band by pigeonhole
-    * (candidates are equi-join-generated, never all-pairs), exact
-    * `bit_count(xor)` distance on candidates only, threshold 10. NO
-    * ORACLE BY DESIGN (no SQL engine decodes PNG); ImageNeardupSpec
-    * hand-pins the dHash bit definition, the rendition distances, and
-    * the banding recall guarantee against brute force. */
-  def q182ImageNeardup(s: SparkSession, dir: String): DataFrame = {
+  /** q182's Hamming threshold and the banding that makes it EXACT: 11
+    * bands over the 64 fingerprint bits (9 bands of 6 bits + 2 of 5),
+    * so a pair within [[NeardupMaxHamming]] = 10 differing bits touches
+    * at most 10 bands and MUST share one untouched band verbatim —
+    * pigeonhole, no recall gap. (r11: the previous 8×8-bit banding only
+    * guaranteed distance ≤ 7 while the filter kept ≤ 10; pairs at 8–10
+    * were found only on accidental collisions.) */
+  private[ops] val NeardupMaxHamming = 10
+  private val NeardupBandExpr =
+    "transform(sequence(0, 10), b -> struct(b as band, " +
+      "shiftright(h, CASE WHEN b < 9 THEN b * 6 ELSE 54 + (b - 9) * 5 END)" +
+      " & CASE WHEN b < 9 THEN 63 ELSE 31 END as k))"
+
+  /** Banded-Hamming near-dup pairs over a (doc_id, h) 64-bit
+    * fingerprint frame: explode each hash into its 11 bands, self-join
+    * on (band, key) — candidates are equi-join-generated, never
+    * all-pairs — then exact `bit_count(xor)` on candidates only,
+    * keeping distance ≤ [[NeardupMaxHamming]]. Complete by the band
+    * pigeonhole above; ImageNeardupSpec proves banded == brute force on
+    * synthetic hashes at distances 8–10 (the previous banding's silent
+    * recall hole). */
+  private[ops] def bandedHammingPairs(hashed: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    implicit val enc: Encoder[(Long, Long)] =
-      Encoders.product[(Long, Long)]
-    val hashed = readBlobs(s, neardupFixtureDir, "*.png")
-      .mapPartitions { rows =>
-        ImageIO.setUseCache(false)
-        rows.flatMap(r => dhash64(r.bin).map(hs => (r.doc_id, hs)))
-      }
-      .toDF("doc_id", "h")
-      .localCheckpoint(true) // both sides of the band self-join
     val bands = hashed.select(col("doc_id"), col("h"),
-      explode(expr(
-        "transform(sequence(0, 7), b -> " +
-          "struct(b as band, shiftright(h, b * 8) & 255 as k))"))
-        .as("bk"))
+      explode(expr(NeardupBandExpr)).as("bk"))
       .select(col("doc_id"), col("h"), col("bk.band").as("band"),
         col("bk.k").as("k"))
     bands.alias("a")
@@ -522,8 +522,27 @@ object Multimodal {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.h ^ b.h)").as("dist"))
       .distinct()
-      .filter(col("dist") <= 10)
-      .orderBy("doc_a", "doc_b")
+      .filter(col("dist") <= NeardupMaxHamming)
+  }
+
+  /** q182: perceptual image near-duplicate pairs — dHash each blob
+    * (narrow mapPartitions, like [[decode]]), then
+    * [[bandedHammingPairs]] on the 64-bit fingerprints (11-band
+    * pigeonhole, exact for the shipped threshold 10). NO ORACLE BY
+    * DESIGN (no SQL engine decodes PNG); ImageNeardupSpec hand-pins
+    * the dHash bit definition, the rendition distances, and the
+    * banding recall guarantee against brute force. */
+  def q182ImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    implicit val enc: Encoder[(Long, Long)] =
+      Encoders.product[(Long, Long)]
+    val hashed = readBlobs(s, neardupFixtureDir, "*.png")
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.flatMap(r => dhash64(r.bin).map(hs => (r.doc_id, hs)))
+      }
+      .toDF("doc_id", "h")
+      .localCheckpoint(true) // both sides of the band self-join
+    bandedHammingPairs(hashed).orderBy("doc_a", "doc_b")
   }
 
   def q114MediaPipeline(s: SparkSession, dir: String): DataFrame = {

@@ -467,57 +467,86 @@ object Relational {
     * perf-weak flag).
     *
     * Shape: the q150 composite-key discipline applied to ranking —
-    * ONE global two-pass rank over (group, value) through
-    * [[ScalableRank.withGlobalRowNumber]] (groups occupy contiguous
-    * runs; within-group rank = global rank − the group's first-row
-    * base), a |groups|-row broadcast carrying base, count, and each
-    * quantile's target positions, then a row-pick filter that keeps ≤
-    * 2×|quantiles| rows per group and a tiny final aggregate that
-    * interpolates with Spark `percentile`'s own weighted formula
-    * `(hi−pos)·v_lo + (pos−lo)·v_hi` (PercentileScaleSpec pins
-    * bit-equality against the replaced agg at sf0.001; the unchanged
-    * q37 oracle pins it against DuckDB's quantile_cont at sf0.01).
+    * ALL requested value columns unpivot into (group, value-column,
+    * value) rows (`stack` — one scan of the source however many
+    * columns are profiled), then ONE global two-pass rank over the
+    * composite (group, vcol, value) key through
+    * [[ScalableRank.withGlobalRowNumber]] ((group, vcol) cells occupy
+    * contiguous runs; within-cell rank = global rank − the cell's
+    * first-row base). A |groups|·|vcols|·|quantiles|-row broadcast —
+    * the per-cell base/count crossed with each vcol's quantile specs —
+    * carries every target position, a row-pick filter keeps ≤2 rows
+    * per (cell, quantile), and a tiny final aggregate interpolates
+    * with Spark `percentile`'s own weighted formula
+    * `(hi−pos)·v_lo + (pos−lo)·v_hi`, pivoting the quantile names back
+    * to columns (explicit name list → static plan). r10 ran one full
+    * rank PER COLUMN plus a join of the per-column results; the
+    * composite key folds that into a single pass (PercentileScaleSpec
+    * pins bit-equality against the replaced `percentile()` agg at
+    * sf0.001 AND that only one rank pass remains; the unchanged q37
+    * oracle pins it against DuckDB's quantile_cont at sf0.01).
     * Ties: row_number splits equal values arbitrarily, but any rank in
     * a tie run carries the same value, so the pick is deterministic in
-    * VALUE. */
+    * VALUE. Groups whose column is entirely NULL keep their group row
+    * with NULL quantiles via the final left join from the distinct
+    * group keys — `percentile()` semantics (ADVICE r10). */
   private def exactGroupedQuantiles(df: DataFrame, group: String,
-                                    value: String,
-                                    qs: Seq[(String, Double)]): DataFrame = {
-    val ranked = ScalableRank.withGlobalRowNumber(
+      specs: Seq[(String, Seq[(String, Double)])]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val stackArgs = specs.map { case (vcol, _) =>
+      s"'$vcol', cast(`$vcol` as double)"
+    }.mkString(", ")
+    val unpivoted = df
+      .select(col(group), expr(
+        s"stack(${specs.size}, $stackArgs) as (_vc, _v)"))
       // NULLs excluded BEFORE ranking: Spark's percentile() (the
       // bit-equality reference) skips them, while a rank over the raw
-      // column would seat NULLs at the front of every group and shift
+      // column would seat NULLs at the front of every cell and shift
       // each target position — wrong quantiles for any nullable input
-      df.select(col(group), col(value).cast("double").as("_v"))
-        .filter(col("_v").isNotNull),
-      "_grn", col(group), col("_v"))
-    var stats = ranked.groupBy(col(group).as("_g"))
+      .filter(col("_v").isNotNull)
+    val ranked = ScalableRank.withGlobalRowNumber(
+      unpivoted, "_grn", col(group), col("_vc"), col("_v"))
+    val targets = specs
+      .flatMap { case (vcol, qs) => qs.map { case (n, q) => (vcol, n, q) } }
+      .toDF("_tvc", "_qname", "_q")
+    val stats = ranked.groupBy(col(group).as("_g"), col("_vc").as("_svc"))
       .agg(min("_grn").as("_base"), count(lit(1)).as("_n"))
-    for (((_, q), i) <- qs.zipWithIndex) {
-      stats = stats
-        .withColumn(s"_px$i", lit(q) * (col("_n") - 1).cast("double"))
-        .withColumn(s"_lo$i", floor(col(s"_px$i")).cast("long"))
-        .withColumn(s"_hi$i", ceil(col(s"_px$i")).cast("long"))
-    }
-    val picked = ranked.join(broadcast(stats), col(group) === col("_g"))
-      .withColumn("_wrn", col("_grn") - col("_base")) // 0-based in-group
-      .filter(qs.indices
-        .map(i => col("_wrn") === col(s"_lo$i") || col("_wrn") === col(s"_hi$i"))
-        .reduce(_ || _))
-    val aggs = qs.zipWithIndex.map { case ((name, _), i) =>
-      val vLo = max(when(col("_wrn") === col(s"_lo$i"), col("_v")))
-      val vHi = max(when(col("_wrn") === col(s"_hi$i"), col("_v")))
-      val px = max(col(s"_px$i"))
-      val lo = max(col(s"_lo$i"))
-      val hi = max(col(s"_hi$i"))
+      .join(targets, col("_svc") === col("_tvc"))
+      .withColumn("_px", col("_q") * (col("_n") - 1).cast("double"))
+      .withColumn("_lo", floor(col("_px")).cast("long"))
+      .withColumn("_hi", ceil(col("_px")).cast("long"))
+    val picked = ranked.join(broadcast(stats),
+        col(group) === col("_g") && col("_vc") === col("_svc"))
+      .withColumn("_wrn", col("_grn") - col("_base")) // 0-based in-cell
+      .filter(col("_wrn") === col("_lo") || col("_wrn") === col("_hi"))
+    val qnames = specs.flatMap(_._2.map(_._1))
+    val quantiles = picked.groupBy(col(group), col("_qname"))
+      .agg(
+        max(when(col("_wrn") === col("_lo"), col("_v"))).as("_vlo"),
+        max(when(col("_wrn") === col("_hi"), col("_v"))).as("_vhi"),
+        max(col("_px")).as("_mpx"), max(col("_lo")).as("_mlo"),
+        max(col("_hi")).as("_mhi"))
       // Spark Percentile's exact interpolation, incl. the integral-
       // position special case (hi == lo → the value itself)
-      round(when(lo === hi, vLo)
-        .otherwise((hi.cast("double") - px) * vLo
-          + (px - lo.cast("double")) * vHi), 4).as(name)
-    }
-    picked.groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
+      .withColumn("_qv", round(
+        when(col("_mlo") === col("_mhi"), col("_vlo"))
+          .otherwise((col("_mhi").cast("double") - col("_mpx")) * col("_vlo")
+            + (col("_mpx") - col("_mlo").cast("double")) * col("_vhi")), 4))
+      .groupBy(col(group))
+      .pivot("_qname", qnames)
+      .agg(first(col("_qv")))
+    // all-NULL cells produced no ranked rows; re-seat their groups with
+    // NULL quantile columns (percentile() keeps the group)
+    df.select(col(group)).distinct()
+      .join(quantiles, Seq(group), "left")
   }
+
+  /** Test seam for [[exactGroupedQuantiles]] (PercentileScaleSpec pins
+    * the all-NULL-group contract on a crafted frame). */
+  private[ops] def testGroupedQuantiles(df: DataFrame, group: String,
+      specs: Seq[(String, Seq[(String, Double)])]): DataFrame =
+    exactGroupedQuantiles(df, group, specs)
 
   /** The q175 profile columns — one list drives BOTH the Spark
     * aggregation and the generated DuckDB oracle, so the two can never
@@ -586,18 +615,16 @@ object Relational {
   /** q37: exact interpolated percentiles (continuous-quantile
     * semantics, identical interpolation on both engines), computed by
     * [[exactGroupedQuantiles]]'s two-pass rank + row-pick — no
-    * aggregation buffer ever holds a group's values. One rank pass per
-    * ranked COLUMN (quantity, price), joined on the 3-row group key.
-    * q39's sketch remains the single-pass alternative when two scans
-    * are too dear. */
-  def q37Percentile(s: SparkSession, dir: String): DataFrame = {
-    val li = T(s, dir, "lineitem")
-    exactGroupedQuantiles(li, "l_returnflag", "l_quantity",
-        Seq(("p50", 0.5), ("p90", 0.9)))
-      .join(exactGroupedQuantiles(li, "l_returnflag", "l_extendedprice",
-        Seq(("price_p25", 0.25))), "l_returnflag")
+    * aggregation buffer ever holds a group's values. Both ranked
+    * columns (quantity, price) ride ONE composite-key rank pass (r11 —
+    * previously one pass per column plus a join). q39's sketch remains
+    * the single-pass-over-raw-rows alternative when even one sort is
+    * too dear. */
+  def q37Percentile(s: SparkSession, dir: String): DataFrame =
+    exactGroupedQuantiles(T(s, dir, "lineitem"), "l_returnflag",
+        Seq(("l_quantity", Seq(("p50", 0.5), ("p90", 0.9))),
+          ("l_extendedprice", Seq(("price_p25", 0.25)))))
       .orderBy("l_returnflag")
-  }
 
   /** q38: string aggregation (LISTAGG) — sorted distinct statuses
     * joined per group; sort before join makes the result order-

@@ -30,6 +30,13 @@ import org.apache.spark.storage.StorageLevel
   */
 object ScalableRank {
 
+  /** Test hook: count of two-pass rank/cumsum executions in this JVM.
+    * The passes localCheckpoint eagerly, so a finished plan shows only
+    * an ExistingRDD scan — a spec cannot count passes from plan text.
+    * PercentileScaleSpec pins that q37 consumes exactly ONE pass for
+    * all its value columns (the r10 shape ran one per column). */
+  private[ops] val passes = new java.util.concurrent.atomic.AtomicLong
+
   /** Adds `rnCol` = exact global row_number over `sortExprs`. */
   def withGlobalRowNumber(df: DataFrame, rnCol: String,
                           sortExprs: Column*): DataFrame =
@@ -64,6 +71,7 @@ object ScalableRank {
   def withGlobalCumsumExclusive(df: DataFrame, valueCol: Column,
                                 outCol: String,
                                 sortExprs: Column*): DataFrame = {
+    passes.incrementAndGet()
     val spark = df.sparkSession
     import spark.implicits._
     val parts = df.repartitionByRange(sortExprs: _*)
@@ -92,6 +100,7 @@ object ScalableRank {
 
   private def withRankAndTotal(df: DataFrame, rnCol: String,
                                sortExprs: Column*): (DataFrame, Long) = {
+    passes.incrementAndGet()
     val spark = df.sparkSession
     import spark.implicits._
     val parts = df.repartitionByRange(sortExprs: _*)

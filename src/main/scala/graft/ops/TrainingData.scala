@@ -188,7 +188,13 @@ object TrainingData {
   /** The exact-overlap frame behind q176/q179: every q72 candidate
     * pair with its shingle-set intersection and both set sizes —
     * `(doc_a, doc_b, i, na, nb)`. Candidate-bounded (band join, never
-    * all-pairs); md5 digests on every exchange. */
+    * all-pairs); md5 digests on every exchange. A candidate pair whose
+    * shingle sets are DISJOINT keeps its row with i = 0 via the left
+    * join (the inner intersection join alone would drop it, diverging
+    * from the DuckDB oracles, which keep such pairs as decile-0 rows —
+    * reachable only through a 120-bit band collision across disjoint
+    * sets, but the contract should not depend on that improbability;
+    * ADVICE r10). */
   private[ops] def candidateOverlaps(s: SparkSession,
                                      dir: String): DataFrame = {
     val shd = shingleRows(s, dir)
@@ -196,13 +202,17 @@ object TrainingData {
       .distinct()
       .localCheckpoint(true) // sizes + both pair sides read it
     val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = minhashPairs(s, dir)
+    val pairs = minhashPairs(s, dir)
+      .localCheckpoint(true) // candidate set + zero-overlap re-seat
+    val inter = pairs
       .join(shd.select(col("doc_id").as("doc_a"), col("shd")), "doc_a")
       .join(shd.select(col("doc_id").as("doc_b"), col("shd")),
         Seq("doc_b", "shd"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("i"))
-    inter
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("i", coalesce(col("i"), lit(0L)))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
         "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
@@ -707,10 +717,14 @@ object TrainingData {
 
   /** A training run's outputs: the centroids, the per-iteration
     * objective J = Σ(1 − cos) as a double (diagnostic — float-sum
-    * order-dependent, never compared cross-engine), and the same
-    * objective with each TERM quantized to 2⁻²⁰ fixed-point BIGINTs
-    * and summed as integers — associative, hence bit-identical across
-    * engines; q160 exposes this one. */
+    * order-dependent, never compared cross-engine), and an integer
+    * objective Σᵥ(2²⁰ − Σ_d ⌊(v_d/‖v‖)(c_d/‖c‖)·2²⁰ + ½⌋) quantized
+    * per DIMENSION-PRODUCT — each floor input is two correctly-rounded
+    * divides + one multiply + an exact exponent shift, so it is
+    * bit-deterministic cross-engine, and all sums after it are integer
+    * (associative); q160 exposes this one. (r11: quantizing 1 − csim
+    * per term was NOT enough — the floor then sat after the
+    * non-associative 64-term double dot sum.) */
   private[ops] final case class IvfTrained(cents: Seq[IvfCent],
                                            objs: Seq[Double],
                                            objsFx: Seq[Long])
@@ -780,15 +794,28 @@ object TrainingData {
             / (col("nrm") * col("ncn")))
         .withColumn("arn", row_number().over(wAssign))
         .filter(col("arn") === 1)
-        .select("vec_id", "embedding", "nrm", "cent_id", "csim")
+        .select("vec_id", "embedding", "nrm", "cent_id", "csim", "ec", "ncn")
         .localCheckpoint(true) // objective + update branch off one pass
-      val or = assigned.agg(
-          sum(lit(1.0) - col("csim")).as("od"),
-          sum(floor((lit(1.0) - col("csim")) * lit(FixScale) + lit(0.5))
-            .cast("long")).as("ofx"))
-        .head
-      objs += or.getDouble(0)
-      objsFx += or.getLong(1)
+      objs += assigned.agg(sum(lit(1.0) - col("csim")).as("od"))
+        .head.getDouble(0)
+      // Integer objective: per-DIMENSION product quantization. Each term
+      // is floor((v_d/‖v‖)·(c_d/‖c‖)·2²⁰ + ½) — two correctly-rounded
+      // divides and one multiply before the exact ×2²⁰ shift, so the
+      // floor input is bit-deterministic across engines — and everything
+      // after is an integer sum (associative). Quantizing 1 − csim
+      // directly would put the floor AFTER the non-associative 64-term
+      // double dot sum, whose last ulp depends on summation order (the
+      // r10 hash mismatch). Σ_vec(2²⁰ − Σ_d term_d) folds into one agg
+      // via the pos==0 indicator.
+      objsFx += assigned
+        .select(col("nrm"), col("ncn"),
+          posexplode(arrays_zip(col("embedding"), col("ec"))))
+        .agg(sum(
+          when(col("pos") === 0, lit(FixScale.toLong)).otherwise(lit(0L))
+            - floor((col("col.embedding").cast("double") / col("nrm"))
+                * (col("col.ec").cast("double") / col("ncn"))
+                * lit(FixScale) + lit(0.5)).cast("long")).as("ofx"))
+        .head.getLong(0)
       val updated = assigned
         .select(col("cent_id"), col("nrm"), posexplode(col("embedding")))
         .withColumn("fx",
@@ -2376,15 +2403,23 @@ object TrainingData {
 
   /** q160's DuckDB twin: the per-iteration objective against each
     * iteration's PRE-update centroids (c0, c1, c2 — exactly what the
-    * Spark training loop measures), each term quantized to 2⁻²⁰
-    * fixed-point BIGINTs and integer-summed. */
+    * Spark training loop measures), quantized per DIMENSION-PRODUCT:
+    * ⌊(v_d/‖v‖)·(c_d/‖c‖)·2²⁰ + ½⌋ is bit-deterministic (the parens
+    * force the same IEEE op tree Spark evaluates — a/b * c/d without
+    * them would left-associate into a different rounding sequence),
+    * and all sums after the floor are integer. The assignment argmax
+    * intentionally stays the double csim (same as q93's `assign`). */
   private lazy val kmeansTraceOracleSql: String = {
     def objCte(prevC: String, t: Int): String =
-      s"""ov$t AS (SELECT CAST($t AS BIGINT) AS iter,
-         |        SUM(CAST(floor((1.0 - mc) * 1048576.0 + 0.5) AS BIGINT)) AS obj_fx
-         |        FROM (SELECT vec_id, max(csim) AS mc
-         |              FROM (SELECT e.vec_id, ${oDot("e.embedding", "c.ec")} / (e.nrm * c.ncn) AS csim
-         |                    FROM e CROSS JOIN $prevC c) GROUP BY vec_id))""".stripMargin
+      s"""oa$t AS (SELECT vec_id, cent_id FROM
+         |        (SELECT e.vec_id, c.cent_id,
+         |                row_number() OVER (PARTITION BY e.vec_id ORDER BY ${oDot("e.embedding", "c.ec")} / (e.nrm * c.ncn) DESC, c.cent_id) AS arn
+         |         FROM e CROSS JOIN $prevC c) WHERE arn = 1),
+         |ov$t AS (SELECT CAST($t AS BIGINT) AS iter,
+         |        SUM(CASE WHEN d.i = 1 THEN CAST(1048576 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         |          - CAST(floor((CAST(e.embedding[d.i] AS DOUBLE) / e.nrm) * (CAST(c.ec[d.i] AS DOUBLE) / c.ncn) * 1048576.0 + 0.5) AS BIGINT)) AS obj_fx
+         |        FROM oa$t a JOIN e ON a.vec_id = e.vec_id
+         |             JOIN $prevC c ON a.cent_id = c.cent_id, range(1, 65) d(i))""".stripMargin
     s"""$ivfBaseCtes,
       |${lloydIterSql("c0", 1)}
       |${lloydIterSql("c1", 2)}

@@ -28,6 +28,13 @@ final case class RfcPage(outTable: String, fields: Seq[RfcField],
 
 trait RfcBackend extends Serializable {
 
+  /** Connection hand-off (the reference's `Connection(**secret)`,
+    * `pyrfc_read_table.py:110-117`). Called exactly once per backend
+    * instance, before any [[call]]/[[tableRowCount]]. Default no-op:
+    * the mock backend needs no credentials, and a test that omits the
+    * connection options keeps working unchanged. */
+  def open(connection: Option[RfcConnection]): Unit = ()
+
   /** One paginated read call (reference `:71`). `rowCount = 0` is a
     * metadata-only call (schema discovery — FIELDS still returned). */
   def call(queryTable: String, delimiter: String, rowSkips: Long,
@@ -51,6 +58,11 @@ trait RfcBackend extends Serializable {
   * (fixture scenario 5). */
 class MockRfcBackend extends RfcBackend {
   import MockRfcBackend._
+
+  /** Records the handed-off connection so specs can assert the
+    * credential plumbing end-to-end (option- and provider-based). */
+  override def open(connection: Option[RfcConnection]): Unit =
+    connection.foreach(recordOpen)
 
   override def call(queryTable: String, delimiter: String, rowSkips: Long,
                     rowCount: Int, fields: Seq[String],
@@ -164,9 +176,17 @@ object MockRfcBackend {
 
   private val tables = TrieMap.empty[String, MockTable]
   private val callLog = new ArrayBuffer[Call]
+  private val openLog = new ArrayBuffer[RfcConnection]
 
   def register(name: String, table: MockTable): Unit = tables.put(name, table)
-  def clear(): Unit = { tables.clear(); callLog.synchronized(callLog.clear()) }
+  def clear(): Unit = {
+    tables.clear()
+    callLog.synchronized(callLog.clear())
+    openLog.synchronized(openLog.clear())
+  }
   def calls: Seq[Call] = callLog.synchronized(callLog.toList)
+  def opens: Seq[RfcConnection] = openLog.synchronized(openLog.toList)
   private def record(c: Call): Unit = callLog.synchronized(callLog += c)
+  private def recordOpen(c: RfcConnection): Unit =
+    openLog.synchronized(openLog += c)
 }

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -76,11 +77,72 @@ final case class RfcOptions(map: Map[String, String]) {
   def permissive: Boolean = mode == "PERMISSIVE"
   val backendClass: String =
     get("backend").getOrElse(classOf[MockRfcBackend].getName)
-  def newBackend: RfcBackend = Class.forName(backendClass)
-    .getDeclaredConstructor().newInstance().asInstanceOf[RfcBackend]
+
+  /** R10 credential surface (reference `pyrfc_read_table.py:91-117`,
+    * option keys `README.md:164-168`): the five connection settings
+    * arrive either as direct options (`ashost`/`sysnr`/`client`/
+    * `user`/`passwd`) or resolved through a pluggable
+    * [[RfcSecretsProvider]] (`secretsProvider` = class name,
+    * `secretId` = what to resolve — the reference's Secrets Manager
+    * lookup without the vendor SDK). A direct option overrides the
+    * same key from the secret (per-job user override over a shared
+    * secret). All five absent → `None` (the mock backend needs no
+    * credentials); a PARTIAL set is an error naming the MISSING keys —
+    * never echoing any provided value. */
+  val connection: Option[RfcConnection] = {
+    val fromSecret: Map[String, String] =
+      (get("secretsProvider"), get("secretId")) match {
+        case (Some(cls), Some(id)) =>
+          Class.forName(cls).getDeclaredConstructor().newInstance()
+            .asInstanceOf[RfcSecretsProvider].resolve(id)
+            .map { case (k, v) => k.toLowerCase -> v }
+        case (Some(_), None) => throw new IllegalArgumentException(
+          "sap-rfc: secretsProvider requires secretId")
+        case (None, Some(_)) => throw new IllegalArgumentException(
+          "sap-rfc: secretId requires secretsProvider")
+        case _ => Map.empty
+      }
+    def key(k: String): Option[String] = get(k).orElse(fromSecret.get(k))
+    val resolved = RfcOptions.ConnKeys.map(k => k -> key(k))
+    if (resolved.forall(_._2.isEmpty)) None
+    else {
+      val missing = resolved.collect { case (k, None) => k }
+      require(missing.isEmpty,
+        s"sap-rfc: incomplete connection settings — missing " +
+          s"${missing.mkString(", ")} (provide all of " +
+          s"${RfcOptions.ConnKeys.mkString("/")} via options or a secret)")
+      val m = resolved.collect { case (k, Some(v)) => k -> v }.toMap
+      Some(RfcConnection(m("ashost"), m("sysnr"), m("client"),
+        m("user"), m("passwd")))
+    }
+  }
+
+  def newBackend: RfcBackend = {
+    val b = Class.forName(backendClass)
+      .getDeclaredConstructor().newInstance().asInstanceOf[RfcBackend]
+    b.open(connection)
+    b
+  }
+
+  /** The raw option map holds `passwd` — redact it (and any secret the
+    * provider resolved stays off this object entirely), so a logged or
+    * plan-printed RfcOptions can never leak the credential. */
+  override def toString: String = {
+    val shown = map.map { case (k, v) =>
+      if (RfcOptions.Sensitive.contains(k.toLowerCase)) k -> "*****"
+      else k -> v
+    }
+    s"RfcOptions($shown)"
+  }
 }
 
-object RfcOptions { val CorruptCol = "_corrupt_record" }
+object RfcOptions {
+  val CorruptCol = "_corrupt_record"
+  /** The reference secret's key set (`README.md:164-168`). */
+  val ConnKeys: Seq[String] = Seq("ashost", "sysnr", "client", "user",
+    "passwd")
+  private[rfc] val Sensitive = Set("passwd")
+}
 
 class RfcTable(tableSchema: StructType, opts: RfcOptions)
   extends Table with SupportsRead {
@@ -207,6 +269,38 @@ class RfcScanBuilder(fullSchema: StructType, opts: RfcOptions)
 final case class RfcInputPartition(rowSkips: Long, rowCount: Long)
   extends InputPartition
 
+/** R12 — observable per-page telemetry. The reference prints per-page
+  * result/data/err/total counts as it loops
+  * (`pyrfc_read_table.py:119-122,151-153`), which its operators watch in
+  * CloudWatch; the DSv2 equivalent is `CustomMetric`s on the scan, which
+  * Spark aggregates from every task's `currentMetricsValues()` into the
+  * SQL UI / listener bus — a long extraction shows live page progress
+  * instead of an opaque running stage. Sum-aggregated task metrics;
+  * names are the join key between [[RfcScan.supportedCustomMetrics]]
+  * and [[RfcPartitionReader.currentMetricsValues]]. */
+private object RfcMetrics {
+  val PagesName = "rfcPagesFetched"
+  val RowsName = "rfcWaRowsRead"
+  val ErrName = "rfcErrRows"
+  final class Pages extends CustomSumMetric {
+    override def name(): String = PagesName
+    override def description(): String = "RFC pages fetched"
+  }
+  final class Rows extends CustomSumMetric {
+    override def name(): String = RowsName
+    override def description(): String = "RFC WA rows read"
+  }
+  final class Errs extends CustomSumMetric {
+    override def name(): String = ErrName
+    override def description(): String = "RFC malformed WA rows"
+  }
+  def all: Array[CustomMetric] = Array(new Pages, new Rows, new Errs)
+  final case class Task(metricName: String, v: Long) extends CustomTaskMetric {
+    override def name(): String = metricName
+    override def value(): Long = v
+  }
+}
+
 /** The completely-pushed COUNT(*) scan: one partition, one row, no page
   * fetch when the backend can count server-side. */
 class RfcCountScan(opts: RfcOptions, nCols: Int) extends Scan with Batch {
@@ -288,6 +382,9 @@ class RfcScan(prunedSchema: StructType, opts: RfcOptions,
     }
   }
 
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    RfcMetrics.all
+
   override def createReaderFactory(): PartitionReaderFactory =
     new RfcReaderFactory(prunedSchema, opts, fragments)
 }
@@ -328,6 +425,15 @@ class RfcPartitionReader(schema: StructType, opts: RfcOptions,
   private var remaining = rowCount
   private var exhausted = false
   private var current: InternalRow = _
+  // R12 telemetry (see [[RfcMetrics]]) — polled by Spark during the task
+  private var pagesFetched = 0L
+  private var rowsRead = 0L
+  private var errRows = 0L
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    RfcMetrics.Task(RfcMetrics.PagesName, pagesFetched),
+    RfcMetrics.Task(RfcMetrics.RowsName, rowsRead),
+    RfcMetrics.Task(RfcMetrics.ErrName, errRows))
 
   private def fetchPage(): Boolean = {
     if (exhausted) return false
@@ -337,6 +443,8 @@ class RfcPartitionReader(schema: StructType, opts: RfcOptions,
     if (ask == 0) { exhausted = true; return false }
     val page = backend.call(opts.table, opts.delimiter, nextSkip, ask,
       projected, fragments)
+    pagesFetched += 1
+    rowsRead += page.rows.size
     if (colMap == null) {
       pageFields = page.fields
       colMap = schema.fields.map { sf =>
@@ -376,6 +484,7 @@ class RfcPartitionReader(schema: StructType, opts: RfcOptions,
   private def parse(wa: String): Option[InternalRow] = {
     val parts = wa.strip().split(delimRe, -1)
     if (parts.length != pageFields.size) {
+      errRows += 1
       opts.mode match {
         case "FAILFAST" => throw new IllegalStateException(
           s"sap-rfc: malformed WA row (arity ${parts.length} != " +

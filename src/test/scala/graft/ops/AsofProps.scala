@@ -4,6 +4,17 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 
 import graft.SparkTestBase
 
+/** The generated-history row for [[AsofProps]] / CodegenGuardSpec.
+  * TOP-LEVEL deliberately (r11): as a member case class of the
+  * `AsofProps` object, the Dataset encoder's generated code referenced
+  * `AsofProps$Ev.event_id()` in a way Janino could not compile, so
+  * EVERY suite run logged a CodeGenerator error and silently fell back
+  * to interpreted projection — noise that buried real codegen
+  * regressions (and un-codegen'd the very path the property
+  * exercises). */
+private[ops] case class Ev(event_id: Long, user_id: Long, tus: Long,
+                           typ: String)
+
 /** Independent cross-check for the q26 as-of join: the DuckDB oracle
   * runs the SAME union+window formulation, so a misconception shared by
   * both engines (tie discipline, inclusive bound, missing-signup
@@ -18,8 +29,6 @@ object AsofProps extends Properties("AsofJoin") {
     p.withMinSuccessfulTests(10)
 
   private lazy val spark = SparkTestBase.spark
-
-  private case class Ev(event_id: Long, user_id: Long, tus: Long, typ: String)
 
   // few users + tiny time domain → many equal-µs collisions, the case
   // the tie discipline exists for

@@ -32,10 +32,6 @@ class DataContractSpec extends AnyFunSuite {
                                  // (no SQL engine decodes PNG/GIF)
       "q116_audio_pipeline",     // AudioSpec (no SQL engine decodes WAV)
       "q154_video_pipeline",     // VideoSpec (no SQL engine demuxes AVI)
-      "q162_bpe_train",          // BpeTrainSpec (per-iteration symbol
-                                 // rewriting needs per-position recursion
-                                 // SQL can't express; reference-trainer
-                                 // equality pinned instead)
       "q168_compress_signal",    // CompressSignalSpec (no SQL engine
                                  // exposes a deflate length)
       "q182_image_neardup")      // ImageNeardupSpec (no SQL engine

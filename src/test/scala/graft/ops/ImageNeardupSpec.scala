@@ -66,7 +66,7 @@ class ImageNeardupSpec extends AnyFunSuite {
   }
 
   test("q182: every rendition pair found, no cross-picture pair, and " +
-    "banding recalls everything brute force finds within 7 bits") {
+    "banding recalls everything brute force finds at the full threshold") {
     val got = Multimodal.q182ImageNeardup(spark, SparkTestBase.Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(got.nonEmpty)
@@ -80,17 +80,52 @@ class ImageNeardupSpec extends AnyFunSuite {
       assert(found.contains((b * 10L, b * 10L + 2)), s"base $b rescale")
       assert(found.contains((b * 10L + 1, b * 10L + 2)), s"base $b pair")
     }
-    // brute-force recall: any pair within 7 bits shares an 8-bit band
-    // (pigeonhole) and must be in the output
-    val hashes = (0 until 6).flatMap(b => Seq(b * 10, b * 10 + 1, b * 10 + 2))
+    // brute-force recall at the FULL shipped threshold: any pair within
+    // NeardupMaxHamming bits shares one of the 11 bands (pigeonhole)
+    // and must be in the output — r10's 8×8 banding only guaranteed ≤7
+    for (a <- hashes.keys; b <- hashes.keys if a < b) {
+      val d = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      if (d <= Multimodal.NeardupMaxHamming)
+        assert(found.contains((a, b)), s"missed ($a,$b) d=$d")
+    }
+  }
+
+  private lazy val hashes: Map[Long, Long] =
+    (0 until 6).flatMap(b => Seq(b * 10, b * 10 + 1, b * 10 + 2))
       .map { id =>
         val p = java.nio.file.Paths.get(
           Multimodal.neardupFixtureDir, s"pic_$id.png")
         id.toLong -> Multimodal.dhash64(java.nio.file.Files.readAllBytes(p)).get
       }.toMap
-    for (a <- hashes.keys; b <- hashes.keys if a < b) {
-      val d = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
-      if (d <= 7) assert(found.contains((a, b)), s"missed ($a,$b) d=$d")
+
+  test("banding is pigeonhole-exact at the shipped threshold: adversarial " +
+    "hashes at distances 8, 9, 10 are all recalled; 11 is excluded") {
+    import spark.implicits._
+    // Base hash 0, then flip the LOWEST d bits — the worst case for the
+    // band layout, since low bits pack densely into the 6-bit bands
+    // (d=10 touches exactly ceil(10/6)=2 of the first bands; the
+    // guarantee must come from the OTHER 9 bands matching).
+    def flipLow(d: Int): Long = (1L << d) - 1
+    // And flip d bits SPREAD one per band (touches min(d,11) distinct
+    // bands — the case that defeated the 8-band layout at d in 8..10).
+    val bandStarts = (0 until 9).map(_ * 6L) ++ Seq(54L, 59L)
+    def flipSpread(d: Int): Long =
+      bandStarts.take(d).map(s => 1L << s.toInt).reduce(_ | _)
+    val rows = Seq(
+      0L -> 0L,
+      1L -> flipLow(8), 2L -> flipLow(9), 3L -> flipLow(10),
+      4L -> flipSpread(8), 5L -> flipSpread(9), 6L -> flipSpread(10),
+      7L -> flipSpread(11) // beyond threshold — must NOT pair with 0
+    )
+    val got = Multimodal.bandedHammingPairs(rows.toDF("doc_id", "h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val withBase = got.filter(_._1 == 0L).map(p => (p._2, p._3)).toMap
+    (1L to 6L).foreach { id =>
+      assert(withBase.contains(id), s"banding missed doc $id vs base " +
+        s"(d=${java.lang.Long.bitCount(rows.toMap.apply(id))})")
     }
+    assert(!withBase.contains(7L), "distance-11 pair must be filtered")
+    // distances reported are the exact bit_count of the xor
+    assert(withBase(3L) == 10 && withBase(6L) == 10)
   }
 }

@@ -47,6 +47,44 @@ class IvfTrainSpec extends AnyFunSuite {
     assert(moved > 0, "no centroid moved from its seed vector")
   }
 
+  test("iteration-1 integer objective matches an independent driver-side " +
+    "per-dimension-product derivation (the q160 cross-engine contract)") {
+    // Recompute objsFx(0) from raw floats with plain Scala doubles:
+    // nrm = left-to-right self-dot (VecDot's order), assignment = argmax
+    // cosine with cent_id tie-break, term_d = floor((v_d/nrm)*(c_d/ncn)
+    // *2^20 + 0.5). If the SQL expression tree ever drifts from this
+    // sequence (e.g. re-associated multiply), the floor inputs change
+    // and this pins it.
+    val rows = graft.ops.T(spark, SparkTestBase.Sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var j = 0
+      while (j < a.length) { acc += a(j).toDouble * b(j).toDouble; j += 1 }
+      acc
+    }
+    val nrm = rows.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val seeds = rows.filter(_._1 < 16).sortBy(_._1)
+    var expected = 0L
+    for ((vid, v) <- rows) {
+      val (cid, cv) = seeds.minBy { case (cid, cv) =>
+        (-dot(v, cv) / (nrm(vid) * nrm(cid)), cid)
+      }
+      var sumTerm = 0L
+      var d = 0
+      while (d < v.length) {
+        sumTerm += math.floor((v(d).toDouble / nrm(vid)) *
+          (cv(d).toDouble / nrm(cid)) * 1048576.0 + 0.5).toLong
+        d += 1
+      }
+      expected += 1048576L - sumTerm
+    }
+    val trained = TrainingData.trainIvfCentroids(spark, SparkTestBase.Sf0001)
+    assert(trained.objsFx.head == expected,
+      s"fx objective diverged from the pinned derivation: " +
+        s"${trained.objsFx.head} vs $expected")
+  }
+
   test("training is deterministic: two runs produce bit-identical " +
     "centroids") {
     val a = TrainingData.trainIvfCentroids(spark, SparkTestBase.Sf0001).cents

@@ -37,4 +37,26 @@ class PercentileScaleSpec extends AnyFunSuite {
     assert(!plan.contains("ObjectHashAggregate"),
       "a buffer-backed aggregate reappeared in q37's plan")
   }
+
+  test("all value columns ride ONE composite rank pass (r11: previously " +
+    "one full two-pass rank per column plus a join)") {
+    val before = ScalableRank.passes.get()
+    // building the frame runs the eager rank passes; no action needed
+    Relational.q37Percentile(spark, SparkTestBase.Sf0001)
+    val used = ScalableRank.passes.get() - before
+    assert(used == 1, s"q37 consumed $used ScalableRank passes, want 1")
+  }
+
+  test("an all-NULL group keeps its row with NULL quantiles " +
+    "(percentile() group-cardinality semantics, ADVICE r10)") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("b", None))
+      .toDF("g", "v")
+    val got = Relational.testGroupedQuantiles(df, "g",
+        Seq(("v", Seq(("p50", 0.5)))))
+      .orderBy("g").collect()
+    assert(got.length == 2, "the all-NULL group was dropped")
+    assert(got(0).getString(0) == "a" && got(0).getDouble(1) == 2.0)
+    assert(got(1).getString(0) == "b" && got(1).isNullAt(1))
+  }
 }

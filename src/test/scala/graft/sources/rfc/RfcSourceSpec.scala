@@ -217,4 +217,69 @@ class RfcSourceSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(df.schema.fieldNames.toSeq == zfields.map(_.fieldName))
     assert(df.count() == 0)
   }
+
+  // ---- R10 credential surface (reference pyrfc_read_table.py:91-117) ----
+
+  private val conn = Map("ashost" -> "sap.example.internal",
+    "sysnr" -> "00", "client" -> "100", "user" -> "RFC_USER",
+    "passwd" -> "s3cret-Hunter2")
+
+  test("12a: option-based connection settings reach the backend; passwd " +
+    "never appears in plan, describe, or options toString") {
+    MockRfcBackend.register("ZSALES", MockTable(zfields, (1 to 3).map(zrow)))
+    val df = read(conn.toSeq: _*)
+    assert(df.count() == 3)
+    val opens = MockRfcBackend.opens
+    assert(opens.nonEmpty, "backend never received a connection")
+    assert(opens.forall(_ == RfcConnection("sap.example.internal", "00",
+      "100", "RFC_USER", "s3cret-Hunter2")))
+    // leak sweep: the credential must be invisible in every user-facing
+    // rendering — plan text, formatted explain, connection toString
+    val plans = Seq(
+      df.queryExecution.executedPlan.toString,
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+      df.queryExecution.logical.toString)
+    plans.foreach(p => assert(!p.contains("s3cret-Hunter2"),
+      "passwd leaked into plan output"))
+    assert(!opens.head.toString.contains("s3cret-Hunter2"))
+    assert(opens.head.toString.contains("*****"))
+    assert(!RfcOptions(conn + ("table" -> "ZSALES")).toString
+      .contains("s3cret-Hunter2"))
+  }
+
+  test("12b: provider-resolved secret connects; a direct option " +
+    "overrides the same key from the secret") {
+    MockRfcSecretsProvider.clear()
+    MockRfcSecretsProvider.register("sap/prod", conn)
+    MockRfcBackend.register("ZSALES", MockTable(zfields, (1 to 2).map(zrow)))
+    val df = read(
+      "secretsProvider" -> classOf[MockRfcSecretsProvider].getName,
+      "secretId" -> "sap/prod",
+      "user" -> "OVERRIDE_USER") // per-job override of the shared secret
+    assert(df.count() == 2)
+    val opens = MockRfcBackend.opens
+    assert(opens.nonEmpty)
+    assert(opens.forall(c => c.user == "OVERRIDE_USER" &&
+      c.passwd == "s3cret-Hunter2" && c.ashost == "sap.example.internal"))
+  }
+
+  test("12c: a partial credential set fails naming the MISSING keys " +
+    "and echoing no values; provider/secretId require each other") {
+    MockRfcBackend.register("ZSALES", MockTable(zfields, Nil))
+    val e = intercept[IllegalArgumentException] {
+      read("ashost" -> "h", "user" -> "u", "passwd" -> "pw-leak-canary")
+        .collect()
+    }
+    assert(e.getMessage.contains("sysnr") && e.getMessage.contains("client"))
+    assert(!e.getMessage.contains("pw-leak-canary"),
+      "error message echoed a credential value")
+    intercept[IllegalArgumentException] {
+      read("secretsProvider" -> classOf[MockRfcSecretsProvider].getName)
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      read("secretId" -> "sap/prod2").collect()
+    }
+  }
 }
