@@ -303,7 +303,14 @@ object PlanAudit {
         "strictly below the total (the IN-list prunes to the probed " +
         "terms' buckets) and the per-term `Window` running with NO " +
         "exchange beneath it — bucketing already co-locates each " +
-        "term; the sole Exchange is the presentation sort."))
+        "term; the sole Exchange is the presentation sort."),
+    "q186_temperature_mix" ->
+      ("**Look for:** NO `Window` partitioned by source anywhere (the " +
+        "textbook skewed key) — the per-source rank arrives as the " +
+        "composite ScalableRank's checkpointed scan joined to TWO " +
+        "small broadcasts (per-source base, driver-computed Hamilton " +
+        "alloc table); the apportionment itself never appears in the " +
+        "plan because it is |sources|-bounded driver work."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1592,6 +1592,71 @@ object TrainingData {
       .limit(200)
   }
 
+  /** q186: temperature-flattened source mix — the α-sampling plan every
+    * multilingual/multi-source LLM corpus build runs (XLM-R's
+    * p_s ∝ n_s^α with α = 1/2 here): a sampling budget B = ⌊total/2⌋
+    * is apportioned across sources proportionally to √n_s, which
+    * up-weights small sources relative to raw counts without letting
+    * any source dominate, then exactly alloc_s documents are drawn per
+    * source by deterministic md5 ticket.
+    *
+    * Exactness discipline: √n is the ONE permitted non-rational — IEEE
+    * requires sqrt correctly rounded, so `floor(√n · 2²⁰)` is
+    * bit-identical across engines (no pow/ln, the q129 anti-E-S
+    * argument). The apportionment is integer Hamilton
+    * (largest-remainder): alloc⁰_s = ⌊B·w_s/W⌋, the B − Σ alloc⁰
+    * leftover seats go to the largest remainders (tie → source asc) —
+    * computed DRIVER-SIDE in BigInt over the |sources|-row count table
+    * (bounded by construction, the q172 collect argument; BigInt kills
+    * the B·w overflow a 10⁹-doc corpus would hit in long math). Σ alloc
+    * = B exactly; a flattening overshoot (alloc_s > n_s for a tiny
+    * source) truncates at n_s and is reported by the spec, not hidden.
+    *
+    * Selection is the q37/q150 composite-key discipline: ONE
+    * [[ScalableRank]] pass over (source, ticket, doc_id) — never a
+    * window partitioned by source, the textbook skewed key — with the
+    * per-source first-row base broadcast back; rank − base < alloc
+    * keeps exactly the alloc_s lowest tickets per source.
+    * TemperatureMixSpec pins Σ alloc = B, per-source counts =
+    * min(alloc, n), the flattening inequality, and rerun determinism. */
+  def q186TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val budget = total / 2
+    val wfx = counts.map { case (src, n) =>
+      src -> BigInt(math.floor(math.sqrt(n.toDouble) * 1048576.0).toLong)
+    }
+    val wSum = wfx.map(_._2).sum
+    val base = wfx.map { case (src, w) =>
+      val a0 = (BigInt(budget) * w) / wSum
+      val rem = BigInt(budget) * w - a0 * wSum
+      (src, a0, rem)
+    }
+    val leftover = (BigInt(budget) - base.map(_._2).sum).toLong
+    val bonus = base.sortBy { case (src, _, rem) => (-rem, src) }
+      .take(leftover.toInt).map(_._1).toSet
+    val alloc = base.map { case (src, a0, _) =>
+      (src, a0.toLong + (if (bonus(src)) 1L else 0L))
+    }
+    val allocDf = broadcast(alloc.toSeq.toDF("source", "alloc"))
+    val tickets = docs.select(col("doc_id"), col("source"),
+      expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
+        "':mix')), 1, 12), 16, 10) as bigint)").as("ticket"))
+    val ranked = ScalableRank.withGlobalRowNumber(tickets, "_grn",
+      col("source"), col("ticket"), col("doc_id"))
+    val bases = ranked.groupBy(col("source").as("_s"))
+      .agg(min("_grn").as("_base"))
+    ranked.join(broadcast(bases), col("source") === col("_s"))
+      .withColumn("r", col("_grn") - col("_base") + 1)
+      .join(allocDf, "source")
+      .filter(col("r") <= col("alloc"))
+      .select(col("source"), col("doc_id"), col("r"), col("alloc"))
+      .orderBy("source", "r")
+  }
+
   /** q90: TF-IDF top terms per document (doc_id < 20): term frequency
     * agg, document-frequency agg, idf = ln(N/df), top-3 per doc. The
     * document-frequency table is vocabulary-sized → broadcast here; at
@@ -1904,6 +1969,7 @@ object TrainingData {
     "q179_containment" -> q179Containment _,
     "q184_seq_len_hist" -> q184SeqLenHist _,
     "q185_indexed_postings" -> q185IndexedPostings _,
+    "q186_temperature_mix" -> q186TemperatureMix _,
     "q85_doc_fingerprint" -> q85DocFingerprint _,
     "q86_ann_lsh" -> q86AnnLsh _,
     "q87_binary_meta" -> q87BinaryMeta _,
@@ -2108,6 +2174,30 @@ object TrainingData {
         |       CAST(tf AS BIGINT) AS tf
         |FROM r WHERE rk <= 5 ORDER BY term, rk""".stripMargin
     },
+    "q186_temperature_mix" ->
+      // the same integer Hamilton apportionment, SQL-side: √n is IEEE
+      // correctly-rounded in both engines, ×2²⁰ an exact shift, and
+      // everything after the floor is BIGINT arithmetic
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS wfx FROM c),
+        |g AS (SELECT SUM(wfx) AS wsum, SUM(n) // 2 AS b FROM w),
+        |a0 AS (SELECT w.source, w.n, w.wfx, g.b,
+        |        g.b * w.wfx // g.wsum AS alloc0,
+        |        g.b * w.wfx - (g.b * w.wfx // g.wsum) * g.wsum AS rem
+        |        FROM w, g),
+        |al AS (SELECT source, alloc0 + CASE WHEN
+        |          row_number() OVER (ORDER BY rem DESC, source)
+        |            <= b - (SELECT SUM(alloc0) FROM a0)
+        |        THEN 1 ELSE 0 END AS alloc
+        |        FROM a0),
+        |t AS (SELECT doc_id, source,
+        |       ('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 12))::BIGINT AS ticket
+        |       FROM documents),
+        |r AS (SELECT t.source, t.doc_id, a.alloc,
+        |       row_number() OVER (PARTITION BY t.source ORDER BY t.ticket, t.doc_id) AS r
+        |       FROM t JOIN al a ON t.source = a.source)
+        |SELECT source, doc_id, CAST(r AS BIGINT) AS r, CAST(alloc AS BIGINT) AS alloc
+        |FROM r WHERE r <= alloc ORDER BY source, r""".stripMargin,
     "q184_seq_len_hist" ->
       s"""WITH RECURSIVE ${graft.functions.Bpe.countCteSql},
         |b AS (SELECT length(bin(btok)) - 1 AS bucket, btok
