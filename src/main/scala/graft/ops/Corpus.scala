@@ -238,8 +238,63 @@ object Corpus {
       .orderBy("status")
   }
 
+  /** q188: token-distribution DRIFT between two corpus snapshots — the
+    * data-drift monitor a production pipeline runs when a crawl
+    * increment lands: total-variation distance between the old
+    * snapshot's and the new snapshot's word distributions, plus the
+    * top-10 movers. TVD = Σ_w |cA_w·NB − cB_w·NA| / (2·NA·NB) — chosen
+    * over KL precisely because it needs NO logarithm: with the cross-
+    * multiplied form every compared quantity is an exact integer (the
+    * q83/q172 no-transcendentals discipline), reported in half-up
+    * basis points via the r4 formula. The old snapshot is the
+    * deterministic in-query derivation `doc_id % 7 != 0` (the q183
+    * pattern: the oracle recomputes the same split semantically).
+    *
+    * Scale shape: one corpus token scan, two vocabulary-sized
+    * partial+final aggs sharing it (old counts under a filter, new
+    * counts unfiltered — computed in ONE groupBy via conditional sum),
+    * a 1-row totals broadcast (named bounded crossJoin), and the
+    * top-10 movers plan as TakeOrdered — no global sort, no window.
+    * Counts cast to decimal(38,0) BEFORE the cross-multiply: c·N is
+    * fine in long at test scale but overflows at a 10¹²-token corpus;
+    * decimal keeps the arithmetic exact at any scale (DuckDB twin uses
+    * HUGEINT). */
+  def q188TokenDrift(s: SparkSession, dir: String): DataFrame = {
+    val counts = T(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(sum(when(col("doc_id") % 7 =!= 0, 1L).otherwise(0L)).as("ca"),
+        count(lit(1)).as("cb"))
+    val totals = counts.agg(
+      sum("ca").cast("decimal(38,0)").as("na"),
+      sum("cb").cast("decimal(38,0)").as("nb"))
+    val deltas = counts.crossJoin(broadcast(totals)) // 1-row totals
+      .withColumn("d",
+        abs(col("ca").cast("decimal(38,0)") * col("nb")
+          - col("cb").cast("decimal(38,0)") * col("na")))
+    val tvdBp = deltas
+      .agg(sum(col("d")).as("num"), max(col("na") * col("nb")).as("nn"))
+      // r4 half-up with den = 2·NA·NB: (2·num·10⁴ + den) div (2·den)
+      .select(expr("cast((2 * num * 10000 + 2 * nn) div (4 * nn) as long)")
+        .as("tvd_bp"))
+    deltas
+      .select(col("word"), col("ca").as("c_old"), col("cb").as("c_new"),
+        // per-word |share_old − share_new| in bp: r4(d, NA·NB)
+        expr("cast((2 * d * 10000 + na * nb) div (2 * na * nb) as long)")
+          .as("dshare_bp"),
+        col("d"))
+      .orderBy(col("d").desc, col("word"))
+      .limit(10)
+      .crossJoin(broadcast(tvdBp)) // 1-row global TVD rides every row
+      .select(col("word"), col("c_old"), col("c_new"), col("dshare_bp"),
+        col("tvd_bp"))
+      .orderBy(col("dshare_bp").desc, col("word"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_substring_dedup" -> q117SubstringDedup _,
+    "q188_token_drift" -> q188TokenDrift _,
     "q118_source_overlap" -> q118SourceOverlap _,
     "q123_segment_dedup" -> q123SegmentDedup _,
     "q130_mix_pipeline" -> q130MixPipeline _,
@@ -257,6 +312,23 @@ object Corpus {
       |  WHERE length(text) >= 50)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q188_token_drift" ->
+      // HUGEINT mirrors Spark's decimal(38,0): the cross-multiplied
+      // integers stay exact, `//` matches Spark's integral `div`
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents),
+        |c AS (SELECT word,
+        |      SUM(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS ca,
+        |      count(*) AS cb FROM tok GROUP BY 1),
+        |g AS (SELECT CAST(SUM(ca) AS HUGEINT) AS na, CAST(SUM(cb) AS HUGEINT) AS nb FROM c),
+        |d AS (SELECT word, ca, cb, abs(CAST(ca AS HUGEINT) * g.nb - CAST(cb AS HUGEINT) * g.na) AS d,
+        |      g.na AS na, g.nb AS nb FROM c, g),
+        |t AS (SELECT CAST((2 * SUM(d) * 10000 + 2 * (max(na) * max(nb))) // (4 * (max(na) * max(nb))) AS BIGINT) AS tvd_bp FROM d),
+        |m AS (SELECT word, ca AS c_old, cb AS c_new,
+        |      CAST((2 * d * 10000 + na * nb) // (2 * na * nb) AS BIGINT) AS dshare_bp
+        |      FROM d ORDER BY d DESC, word LIMIT 10)
+        |SELECT m.word, CAST(m.c_old AS BIGINT) AS c_old, CAST(m.c_new AS BIGINT) AS c_new,
+        |       m.dshare_bp, t.tvd_bp
+        |FROM m, t ORDER BY dshare_bp DESC, word""".stripMargin,
     "q166_data_card" ->
       s"""WITH RECURSIVE ${graft.functions.Bpe.countCteSql},
         |w AS (SELECT d.doc_id, d.lang, d.source,

@@ -42,6 +42,36 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q187: contamination ATTRIBUTION — q95 flags which training docs
+    * share eval-set n-grams; the audit that follows asks WHICH
+    * benchmark document leaked and how badly. One row per contaminated
+    * training doc naming its strongest eval match: the eval doc
+    * sharing the most distinct word 3-grams (tie → lowest eval_doc) —
+    * the evidence table a decontamination reviewer signs off on,
+    * and the input to per-benchmark leak dashboards.
+    *
+    * Scale shape: the broadcast side is (shingle, eval_doc) —
+    * benchmark-sized like q95's shingle set; per-(train, eval) counts
+    * are a partial+final agg, and the per-doc argmax is a struct-max
+    * AGGREGATE (max over (n, −eval_doc) pairs — one more partial+final
+    * agg), not a window, so no per-doc sort and deterministic ties by
+    * construction. */
+  def q187ContamAttribution(s: SparkSession, dir: String): DataFrame = {
+    val sh = TrainingData.shingleRows(s, dir).distinct()
+    val evalSh = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("sh"), col("doc_id").as("eval_doc"))
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalSh), "sh")
+      .groupBy("doc_id", "eval_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("n_shared"), (-col("eval_doc")).as("neg")))
+        .as("m"))
+      .select(col("doc_id"), (-col("m.neg")).as("eval_doc"),
+        col("m.n_shared").as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** q155: n-gram novelty (OOV-rate) quality gate — the exact-integer
     * cousin of the CCNet-style LM-perplexity filter: score each
     * training document by the fraction of its word bigrams (with
@@ -1026,6 +1056,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_decontaminate" -> q95Decontaminate _,
+    "q187_contam_attribution" -> q187ContamAttribution _,
     "q155_oov_novelty" -> q155OovNovelty _,
     "q168_compress_signal" -> q168CompressSignal _,
     "q172_importance_select" -> q172ImportanceSelect _,
@@ -1093,6 +1124,21 @@ object Curation {
         |FROM shl t JOIN ev ON t.s = ev.s
         |WHERE t.doc_id % 97 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q187_contam_attribution" ->
+      // same shingle CTEs as q95; the argmax is a window rn=1 here vs
+      // Spark's struct-max aggregate — identical deterministic result
+      // (highest n_shared, then lowest eval_doc)
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS s
+        |        FROM words WHERE len(w) >= 3),
+        |ev AS (SELECT DISTINCT doc_id AS eval_doc, s FROM shl WHERE doc_id % 97 = 0),
+        |pairs AS (SELECT t.doc_id, ev.eval_doc, count(*) AS n_shared
+        |          FROM shl t JOIN ev ON t.s = ev.s
+        |          WHERE t.doc_id % 97 <> 0 GROUP BY 1, 2),
+        |r AS (SELECT doc_id, eval_doc, n_shared,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY n_shared DESC, eval_doc) AS rn
+        |      FROM pairs)
+        |SELECT doc_id, eval_doc, n_shared FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q183_cdc_compact" ->
       // SEMANTIC oracle: the expected snapshot recomputed from the base
       // table, never mirroring the log/compaction mechanics

@@ -109,7 +109,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q152_indexed_ann",     // 16-row persisted centroid table (q93 class)
       "q154_video_pipeline",  // two 1-row summary frames (q114 class)
       "q156_semantic_dedup",  // 16-row centroid assignment (q93 class)
-      "q157_hard_negatives")  // 16-row centroid assignment (q93 class)
+      "q157_hard_negatives",  // 16-row centroid assignment (q93 class)
+      "q188_token_drift")     // two 1-row broadcasts: totals + tvd_bp
+                              // (q127 class)
     for ((name, fn) <- graft.SparkEntry.queries if !oneRowCross(name)) {
       val plan = fn(spark, SparkTestBase.Sf0001)
         .queryExecution.executedPlan.toString
