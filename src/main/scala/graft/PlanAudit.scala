@@ -310,7 +310,20 @@ object PlanAudit {
         "composite ScalableRank's checkpointed scan joined to TWO " +
         "small broadcasts (per-source base, driver-computed Hamilton " +
         "alloc table); the apportionment itself never appears in the " +
-        "plan because it is |sources|-bounded driver work."))
+        "plan because it is |sources|-bounded driver work."),
+    "q188_token_drift" ->
+      ("**Look for:** ONE token explode feeding ONE vocabulary " +
+        "HashAggregate computing BOTH snapshots' counts (conditional " +
+        "sum — not two scans), the 1-row totals as a bounded broadcast " +
+        "crossJoin, and `TakeOrderedAndProject` for the movers — no " +
+        "global sort, no window; all drift arithmetic in decimal(38,0)."),
+    "q190_skew_salted_join" ->
+      ("**Look for:** the big side carrying a `pmod(xxhash64(...))` " +
+        "salt PROJECTION (no exchange added by salting itself), the " +
+        "dimension's 8-way `explode(sequence(...))` replication, and " +
+        "the join keyed on (suppkey, _salt) — at this SF the replicated " +
+        "dimension broadcasts; at scale the same plan shuffle-joins " +
+        "with the hot key spread over 8 tasks."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -180,6 +180,37 @@ object Relational {
       .orderBy("custkey", "orderkey")
   }
 
+  /** q190: the SALTED skew join as a GRADED query — [[SkewJoin]] has
+    * been a spec-verified component since r3; this puts its exactness
+    * contract in the oracle-checked surface: lineitem ⋈ supplier on
+    * the supplier key, salted 8 ways (every big-side row carries a
+    * deterministic xxhash64 salt, the dimension replicates once per
+    * salt, the join key becomes (key, salt)), then a per-nation
+    * aggregate. The DuckDB oracle is the PLAIN join — a hash match
+    * proves salting is pure plumbing: same multiset of matches,
+    * duplicates included, no row lost to a salt mismatch.
+    *
+    * Scale: this is the shape for a hot key in a broadcast-INELIGIBLE
+    * join (dimension above the broadcast threshold, one supplier
+    * holding a crawl's worth of lineitems): the hot key's rows land on
+    * r tasks instead of one. At sf0.01 Spark broadcasts the replicated
+    * dimension anyway — harmless; production sizing is the RUNBOOK's
+    * skew-knob row, and the salt-distribution property is pinned by
+    * SkewJoinSpec. */
+  def q190SkewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val supp = T(s, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    SkewJoin.saltedInnerJoin(li, supp, "suppkey", 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("cast(l_quantity as bigint)")).as("sum_qty"),
+        sum(revenueC4).as("revenue_c4"))
+      .orderBy("s_nationkey")
+  }
+
   /** Exact revenue in hundredths-of-cents: prices/discounts are 2-decimal
     * by generator contract (float error < 1e-8, far under the round
     * threshold), so `round(x*100)` recovers the exact integer both
@@ -923,6 +954,7 @@ object Relational {
     "q25_join_interval" -> q25JoinInterval _,
     "q26_join_asof" -> q26JoinAsof _,
     "q27_join_full" -> q27JoinFull _,
+    "q190_skew_salted_join" -> q190SkewSaltedJoin _,
     "q121_shipping_priority" -> q121ShippingPriority _,
     "q122_local_supplier_volume" -> q122LocalSupplierVolume _,
     "q124_small_qty_revenue" -> q124SmallQtyRevenue _,
@@ -1030,6 +1062,14 @@ object Relational {
         |            WHEN o.o_orderkey IS NULL THEN 'cust_only' ELSE 'both' END AS side
         |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
         |ORDER BY custkey, orderkey""".stripMargin,
+    "q190_skew_salted_join" ->
+      // the PLAIN join: equality proves the salt plumbing is invisible
+      """SELECT s.s_nationkey, count(*) AS n_items,
+        |       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q121_shipping_priority" ->
       """SELECT l.l_orderkey,
         |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
