@@ -275,13 +275,17 @@ object Corpus {
           - col("cb").cast("decimal(38,0)") * col("na")))
     val tvdBp = deltas
       .agg(sum(col("d")).as("num"), max(col("na") * col("nb")).as("nn"))
-      // r4 half-up with den = 2·NA·NB: (2·num·10⁴ + den) div (2·den)
-      .select(expr("cast((2 * num * 10000 + 2 * nn) div (4 * nn) as long)")
+      // r4 half-up with den = 2·NA·NB: (2·num·10⁴ + den) div (2·den).
+      // An empty snapshot (nn = 0) is DEFINED as total drift, not NULL
+      // (r11 review; DriftMonitor shares the contract)
+      .select(expr("cast(CASE WHEN nn = 0 THEN 10000 ELSE " +
+        "(2 * num * 10000 + 2 * nn) div (4 * nn) END as long)")
         .as("tvd_bp"))
     deltas
       .select(col("word"), col("ca").as("c_old"), col("cb").as("c_new"),
         // per-word |share_old − share_new| in bp: r4(d, NA·NB)
-        expr("cast((2 * d * 10000 + na * nb) div (2 * na * nb) as long)")
+        expr("cast(CASE WHEN na * nb = 0 THEN 10000 ELSE " +
+          "(2 * d * 10000 + na * nb) div (2 * na * nb) END as long)")
           .as("dshare_bp"),
         col("d"))
       .orderBy(col("d").desc, col("word"))
@@ -322,9 +326,9 @@ object Corpus {
         |g AS (SELECT CAST(SUM(ca) AS HUGEINT) AS na, CAST(SUM(cb) AS HUGEINT) AS nb FROM c),
         |d AS (SELECT word, ca, cb, abs(CAST(ca AS HUGEINT) * g.nb - CAST(cb AS HUGEINT) * g.na) AS d,
         |      g.na AS na, g.nb AS nb FROM c, g),
-        |t AS (SELECT CAST((2 * SUM(d) * 10000 + 2 * (max(na) * max(nb))) // (4 * (max(na) * max(nb))) AS BIGINT) AS tvd_bp FROM d),
+        |t AS (SELECT CAST(CASE WHEN max(na) * max(nb) = 0 THEN 10000 ELSE (2 * SUM(d) * 10000 + 2 * (max(na) * max(nb))) // (4 * (max(na) * max(nb))) END AS BIGINT) AS tvd_bp FROM d),
         |m AS (SELECT word, ca AS c_old, cb AS c_new,
-        |      CAST((2 * d * 10000 + na * nb) // (2 * na * nb) AS BIGINT) AS dshare_bp
+        |      CAST(CASE WHEN na * nb = 0 THEN 10000 ELSE (2 * d * 10000 + na * nb) // (2 * na * nb) END AS BIGINT) AS dshare_bp
         |      FROM d ORDER BY d DESC, word LIMIT 10)
         |SELECT m.word, CAST(m.c_old AS BIGINT) AS c_old, CAST(m.c_new AS BIGINT) AS c_new,
         |       m.dshare_bp, t.tvd_bp

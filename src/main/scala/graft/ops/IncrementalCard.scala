@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   * the partials: batch-sized work per append, partials-sized work per
   * read, the raw corpus never rescanned.
   *
-  * Crash/replay discipline (reworked r11 after ADVICE r10 found two
-  * holes in the original "record the batch id last" protocol):
+  * Crash/replay discipline — the [[BatchCommitLog]] protocol
+  * (extracted r11; DriftMonitor shares it), adopted after ADVICE r10
+  * found two holes in the original "record the batch id last" form:
   *
   *  1. Partial and digest rows are PARTITIONED BY batch_id and written
   *     with dynamic partition OVERWRITE — a replayed batch replaces
@@ -56,17 +57,10 @@ object IncrementalCard {
     s
   }
 
-  private def exists(p: String): Boolean =
-    Files.exists(Paths.get(p, "_SUCCESS"))
-
-  /** The recorded-batches frame, or an empty one when nothing has ever
-    * committed. */
-  private def committed(spark: SparkSession, st: State): DataFrame =
-    if (exists(st.batches)) spark.read.parquet(st.batches)
-    else {
-      import spark.implicits._
-      Seq.empty[Long].toDF("batch_id")
-    }
+  private val PartialsDdl =
+    "lang STRING, source STRING, n_docs BIGINT, ws_tokens BIGINT, " +
+      "bpe_tokens BIGINT, max_btok BIGINT, batch_id BIGINT"
+  private val DigestsDdl = "digest STRING, batch_id BIGINT"
 
   /** Appends one ingest batch (`(lang, source, text)` rows at least)
     * to the maintained state. Returns false (no-op) when `batchId` was
@@ -75,8 +69,7 @@ object IncrementalCard {
     * partition from the failed attempt. */
   def append(spark: SparkSession, st: State, batchId: Long,
              batch: DataFrame): Boolean = {
-    if (committed(spark, st)
-          .filter(col("batch_id") === batchId).limit(1).count() > 0)
+    if (BatchCommitLog.isCommitted(spark, st.batches, batchId))
       return false
 
     val prepared = batch.select(col("lang"), col("source"),
@@ -86,35 +79,23 @@ object IncrementalCard {
         md5(col("text")).as("digest"))
       .localCheckpoint(true) // partials + digest admission both read it
 
-    prepared.groupBy("lang", "source")
-      .agg(count(lit(1)).as("n_docs"), sum("ws").as("ws_tokens"),
-        sum("btok").as("bpe_tokens"), max("btok").as("max_btok"))
-      .withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(st.partials)
+    BatchCommitLog.writePartitioned(
+      prepared.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("ws").as("ws_tokens"),
+          sum("btok").as("bpe_tokens"), max("btok").as("max_btok")),
+      batchId, st.partials)
 
-    val newDigests = prepared.select("digest").distinct()
-    val admitted =
-      if (exists(st.digests))
-        // COMMITTED digests only: an uncommitted batch's digests must
-        // not suppress admission (they may never commit)
-        newDigests.join(
-          spark.read.parquet(st.digests)
-            .join(broadcast(committed(spark, st)), Seq("batch_id"),
-              "left_semi"),
-          Seq("digest"), "left_anti")
-      else newDigests
-    admitted.withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(st.digests)
+    // COMMITTED digests only: an uncommitted batch's digests must not
+    // suppress admission (they may never commit)
+    val admitted = prepared.select("digest").distinct()
+      .join(BatchCommitLog.readCommitted(spark, st.digests, st.batches,
+          DigestsDdl).select("digest"),
+        Seq("digest"), "left_anti")
+    BatchCommitLog.writePartitioned(admitted, batchId, st.digests)
 
-    // recorded LAST: this is the commit point — everything above is
-    // invisible to card() until this row lands, and re-runnable
-    import spark.implicits._
-    Seq(batchId).toDF("batch_id")
-      .write.mode("append").parquet(st.batches)
+    // the commit point — everything above is invisible to card()
+    // until this row lands, and re-runnable
+    BatchCommitLog.record(spark, st.batches, batchId)
     true
   }
 
@@ -144,11 +125,10 @@ object IncrementalCard {
     * so a torn append is invisible); the ingested batches are never
     * rescanned. */
   def card(spark: SparkSession, st: State): DataFrame = {
-    val ok = broadcast(committed(spark, st))
-    val p = spark.read.parquet(st.partials)
-      .join(ok, Seq("batch_id"), "left_semi")
-    val nDistinct = spark.read.parquet(st.digests)
-      .join(ok, Seq("batch_id"), "left_semi")
+    val p = BatchCommitLog.readCommitted(spark, st.partials, st.batches,
+      PartialsDdl)
+    val nDistinct = BatchCommitLog.readCommitted(spark, st.digests,
+        st.batches, DigestsDdl)
       .agg(countDistinct(col("digest"))).head.getLong(0)
     p.agg(
       sum("n_docs").as("n_docs"),

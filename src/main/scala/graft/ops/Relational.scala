@@ -547,8 +547,12 @@ object Relational {
       .withColumn("_px", col("_q") * (col("_n") - 1).cast("double"))
       .withColumn("_lo", floor(col("_px")).cast("long"))
       .withColumn("_hi", ceil(col("_px")).cast("long"))
+    // null-SAFE group equality throughout: a NULL group key holding
+    // real values is a legitimate percentile() group (r11 review — a
+    // plain === here silently dropped its ranked rows and re-seated it
+    // as all-NULL)
     val picked = ranked.join(broadcast(stats),
-        col(group) === col("_g") && col("_vc") === col("_svc"))
+        col(group) <=> col("_g") && col("_vc") === col("_svc"))
       .withColumn("_wrn", col("_grn") - col("_base")) // 0-based in-cell
       .filter(col("_wrn") === col("_lo") || col("_wrn") === col("_hi"))
     val qnames = specs.flatMap(_._2.map(_._1))
@@ -568,9 +572,13 @@ object Relational {
       .pivot("_qname", qnames)
       .agg(first(col("_qv")))
     // all-NULL cells produced no ranked rows; re-seat their groups with
-    // NULL quantile columns (percentile() keeps the group)
-    df.select(col(group)).distinct()
-      .join(quantiles, Seq(group), "left")
+    // NULL quantile columns (percentile() keeps the group). The join is
+    // null-safe so a NULL group key re-seats onto its own computed row
+    // instead of a spurious all-NULL one.
+    df.select(col(group)).distinct().alias("_keys")
+      .join(quantiles.alias("_q"),
+        col(s"_keys.$group") <=> col(s"_q.$group"), "left")
+      .select(col(s"_keys.$group") +: qnames.map(n => col(s"_q.$n")): _*)
   }
 
   /** Test seam for [[exactGroupedQuantiles]] (PercentileScaleSpec pins

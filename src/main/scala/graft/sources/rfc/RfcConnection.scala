@@ -32,15 +32,19 @@ trait RfcSecretsProvider {
 }
 
 /** Deterministic in-process provider for tests (same process-wide
-  * registry pattern as [[MockRfcBackend]]). */
+  * registry pattern as [[MockRfcBackend]]); counts resolutions so the
+  * spec can pin the one-lookup-per-read memoization contract. */
 class MockRfcSecretsProvider extends RfcSecretsProvider {
-  override def resolve(secretId: String): Map[String, String] =
+  override def resolve(secretId: String): Map[String, String] = {
+    MockRfcSecretsProvider.resolves.incrementAndGet()
     MockRfcSecretsProvider.secrets.getOrElse(secretId,
       sys.error(s"mock secrets: no such secret $secretId"))
+  }
 }
 
 object MockRfcSecretsProvider {
   private val secrets = TrieMap.empty[String, Map[String, String]]
+  private[rfc] val resolves = new java.util.concurrent.atomic.AtomicLong
   def register(id: String, value: Map[String, String]): Unit =
     secrets.put(id, value)
   def clear(): Unit = secrets.clear()

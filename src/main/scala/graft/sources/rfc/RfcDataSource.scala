@@ -88,14 +88,19 @@ final case class RfcOptions(map: Map[String, String]) {
     * same key from the secret (per-job user override over a shared
     * secret). All five absent → `None` (the mock backend needs no
     * credentials); a PARTIAL set is an error naming the MISSING keys —
-    * never echoing any provided value. */
-  val connection: Option[RfcConnection] = {
+    * never echoing any provided value. LAZY, with provider resolution
+    * MEMOIZED process-wide per (provider class, secretId): one
+    * `load()` constructs RfcOptions in both `inferSchema` and
+    * `getTable`, and an eager val cost two vault round trips (and two
+    * audit-log entries) per read (r11 review). Rotation:
+    * [[RfcOptions.clearSecretsCache]] — a session is one extraction
+    * job in the reference's model, so per-job caching is the
+    * reference's own behavior (it resolves the secret once at start). */
+  lazy val connection: Option[RfcConnection] = {
     val fromSecret: Map[String, String] =
       (get("secretsProvider"), get("secretId")) match {
         case (Some(cls), Some(id)) =>
-          Class.forName(cls).getDeclaredConstructor().newInstance()
-            .asInstanceOf[RfcSecretsProvider].resolve(id)
-            .map { case (k, v) => k.toLowerCase -> v }
+          RfcOptions.resolveCached(cls, id)
         case (Some(_), None) => throw new IllegalArgumentException(
           "sap-rfc: secretsProvider requires secretId")
         case (None, Some(_)) => throw new IllegalArgumentException(
@@ -142,6 +147,19 @@ object RfcOptions {
   val ConnKeys: Seq[String] = Seq("ashost", "sysnr", "client", "user",
     "passwd")
   private[rfc] val Sensitive = Set("passwd")
+
+  private val secretCache =
+    scala.collection.concurrent.TrieMap[(String, String), Map[String, String]]()
+
+  private[rfc] def resolveCached(providerClass: String,
+                                 secretId: String): Map[String, String] =
+    secretCache.getOrElseUpdate((providerClass, secretId),
+      Class.forName(providerClass).getDeclaredConstructor().newInstance()
+        .asInstanceOf[RfcSecretsProvider].resolve(secretId)
+        .map { case (k, v) => k.toLowerCase -> v })
+
+  /** Drops memoized secret values (credential rotation mid-process). */
+  def clearSecretsCache(): Unit = secretCache.clear()
 }
 
 class RfcTable(tableSchema: StructType, opts: RfcOptions)

@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ops.BatchCommitLog
+
 /** Streaming token-distribution drift monitor — q188's exact-integer
   * TVD maintained continuously over an unbounded ingest: the
   * distribution-shift alarm a production corpus pipeline keeps on the
@@ -20,14 +22,19 @@ import org.apache.spark.sql.functions._
   * half-up basis points — the cross-multiplied form is exact integers
   * (decimal(38,0)), no logarithm, the q188 discipline verbatim, so
   * the monitor's number is bit-stable across engines and replays.
+  * Degenerate snapshots are DEFINED, not NULL (r11 review): both
+  * sides empty → 0 bp; exactly one side empty → 10 000 bp (total
+  * drift) — a dashboard polling before the first batch lands reads a
+  * number, never a crash or a null.
   *
-  * Crash/replay: the IncrementalCard r11 protocol — partials
-  * partitioned by batch_id with dynamic-overwrite (a replayed batch
-  * replaces exactly its own partition), the batch id recorded LAST,
-  * and [[drift]] reading only COMMITTED partials, so a torn append is
-  * invisible and replay converges. DriftMonitorSpec pins
-  * drift-equals-q188 on the same snapshot split, zero drift on the
-  * reference itself, and replay idempotence. */
+  * Crash/replay: the shared [[BatchCommitLog]] protocol
+  * (batch_id-partitioned dynamic-overwrite partials, batch id
+  * recorded last, committed-only reads — one implementation, shared
+  * with IncrementalCard, so a protocol fix can never land in one
+  * maintainer and miss the other). DriftMonitorSpec pins
+  * drift-equals-q188 on the same snapshot split, zero self-drift,
+  * replay no-op, the pre-first-batch poll, and the foreachBatch
+  * end-to-end path. */
 object DriftMonitor {
 
   final case class State(root: String) {
@@ -36,6 +43,8 @@ object DriftMonitor {
     def batches: String = s"$root/batches"
     def checkpoint: String = s"$root/checkpoint"
   }
+
+  private val PartialsDdl = "word STRING, c BIGINT, batch_id BIGINT"
 
   private def wordCounts(docs: DataFrame, countCol: String): DataFrame =
     docs.select(explode(split(col("text"), " ")).as("word"))
@@ -52,31 +61,15 @@ object DriftMonitor {
     st
   }
 
-  private def exists(p: String): Boolean =
-    Files.exists(Paths.get(p, "_SUCCESS"))
-
-  private def committed(spark: SparkSession, st: State): DataFrame =
-    if (exists(st.batches)) spark.read.parquet(st.batches)
-    else {
-      import spark.implicits._
-      Seq.empty[Long].toDF("batch_id")
-    }
-
   /** One micro-batch append — replay-gated and partition-idempotent
-    * (the IncrementalCard r11 protocol). */
+    * ([[BatchCommitLog]]). */
   def append(spark: SparkSession, st: State, batchId: Long,
              batch: DataFrame): Boolean = {
-    if (committed(spark, st)
-          .filter(col("batch_id") === batchId).limit(1).count() > 0)
+    if (BatchCommitLog.isCommitted(spark, st.batches, batchId))
       return false
-    wordCounts(batch, "c")
-      .withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(st.partials)
-    import spark.implicits._
-    Seq(batchId).toDF("batch_id")
-      .write.mode("append").parquet(st.batches)
+    BatchCommitLog.writePartitioned(wordCounts(batch, "c"), batchId,
+      st.partials)
+    BatchCommitLog.record(spark, st.batches, batchId)
     true
   }
 
@@ -94,28 +87,41 @@ object DriftMonitor {
 
   /** The current drift against the reference: one row —
     * (tvd_bp, n_ref_tokens, n_seen_tokens, n_batches). Reads only the
-    * state directory; the streamed batches are never rescanned. */
+    * state directory; the streamed batches are never rescanned. Total
+    * before the first commit: the seen side reads as empty, not
+    * PATH_NOT_FOUND. */
   def drift(spark: SparkSession, st: State): DataFrame = {
-    val ok = broadcast(committed(spark, st))
-    val seen = spark.read.parquet(st.partials)
-      .join(ok, Seq("batch_id"), "left_semi")
+    val seen = BatchCommitLog.readCommitted(spark, st.partials,
+        st.batches, PartialsDdl)
       .groupBy("word").agg(sum("c").as("c"))
-    val joined = spark.read.parquet(st.reference)
+    // explicit schema: an all-empty-text reference writes no parquet
+    // footers, and inference would fail where an empty frame is meant
+    val joined = spark.read.schema("word STRING, cref BIGINT")
+      .parquet(st.reference)
       .join(seen, Seq("word"), "full_outer")
       .select(coalesce(col("cref"), lit(0L)).as("cref"),
         coalesce(col("c"), lit(0L)).as("c"))
     val totals = joined.agg(
-      sum("cref").cast("decimal(38,0)").as("na"),
-      sum("c").cast("decimal(38,0)").as("nb"))
+      coalesce(sum("cref"), lit(0L)).cast("decimal(38,0)").as("na"),
+      coalesce(sum("c"), lit(0L)).cast("decimal(38,0)").as("nb"))
+    val nBatches = BatchCommitLog.committed(spark, st.batches)
+      .agg(count(lit(1)).as("n_batches"))
     joined.crossJoin(broadcast(totals)) // 1-row totals (q188 class)
       .select(abs(col("cref").cast("decimal(38,0)") * col("nb")
         - col("c").cast("decimal(38,0)") * col("na")).as("d"),
         col("na"), col("nb"))
-      .agg(sum("d").as("num"), max("na").as("na"), max("nb").as("nb"))
-      .crossJoin(broadcast(ok.agg(count(lit(1)).as("n_batches"))))
+      .agg(coalesce(sum("d"), lit(0L).cast("decimal(38,0)")).as("num"),
+        coalesce(max("na"), lit(0L).cast("decimal(38,0)")).as("na"),
+        coalesce(max("nb"), lit(0L).cast("decimal(38,0)")).as("nb"))
+      .crossJoin(broadcast(nBatches))
       .select(
-        expr("cast((2 * num * 10000 + 2 * (na * nb)) div (4 * (na * nb)) as long)")
-          .as("tvd_bp"),
+        // degenerate snapshots are defined: both empty → 0, one empty
+        // → 10000 (total drift); otherwise the exact r4 half-up form
+        expr("""cast(CASE
+          |  WHEN na = 0 AND nb = 0 THEN 0
+          |  WHEN na = 0 OR nb = 0 THEN 10000
+          |  ELSE (2 * num * 10000 + 2 * (na * nb)) div (4 * (na * nb))
+          |END as long)""".stripMargin).as("tvd_bp"),
         col("na").cast("long").as("n_ref_tokens"),
         col("nb").cast("long").as("n_seen_tokens"),
         col("n_batches"))

@@ -47,6 +47,22 @@ class PercentileScaleSpec extends AnyFunSuite {
     assert(used == 1, s"q37 consumed $used ScalableRank passes, want 1")
   }
 
+  test("a NULL group KEY holding real values gets its computed " +
+    "quantile, not a spurious all-NULL row (null-safe joins, r11 " +
+    "review)") {
+    import spark.implicits._
+    val df = Seq((Option("a"), 1.0), (Option("a"), 3.0),
+      (Option.empty[String], 5.0), (Option.empty[String], 9.0))
+      .toDF("g", "v")
+    val got = Relational.testGroupedQuantiles(df, "g",
+        Seq(("v", Seq(("p50", 0.5)))))
+      .orderBy(asc_nulls_first("g")).collect()
+    assert(got.length == 2)
+    assert(got(0).isNullAt(0) && got(0).getDouble(1) == 7.0,
+      s"NULL-keyed group lost its values: ${got.toSeq}")
+    assert(got(1).getString(0) == "a" && got(1).getDouble(1) == 2.0)
+  }
+
   test("an all-NULL group keeps its row with NULL quantiles " +
     "(percentile() group-cardinality semantics, ADVICE r10)") {
     import spark.implicits._

@@ -249,10 +249,13 @@ class RfcSourceSpec extends AnyFunSuite with BeforeAndAfterEach {
   }
 
   test("12b: provider-resolved secret connects; a direct option " +
-    "overrides the same key from the secret") {
+    "overrides the same key from the secret; ONE vault lookup per " +
+    "read (memoized — inferSchema + getTable must not double it)") {
     MockRfcSecretsProvider.clear()
+    RfcOptions.clearSecretsCache()
     MockRfcSecretsProvider.register("sap/prod", conn)
     MockRfcBackend.register("ZSALES", MockTable(zfields, (1 to 2).map(zrow)))
+    val before = MockRfcSecretsProvider.resolves.get()
     val df = read(
       "secretsProvider" -> classOf[MockRfcSecretsProvider].getName,
       "secretId" -> "sap/prod",
@@ -262,6 +265,8 @@ class RfcSourceSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(opens.nonEmpty)
     assert(opens.forall(c => c.user == "OVERRIDE_USER" &&
       c.passwd == "s3cret-Hunter2" && c.ashost == "sap.example.internal"))
+    assert(MockRfcSecretsProvider.resolves.get() - before == 1,
+      "the secret was resolved more than once for one read")
   }
 
   test("12c: a partial credential set fails naming the MISSING keys " +

@@ -38,6 +38,17 @@ class DriftMonitorSpec extends AnyFunSuite {
     assert(got.getLong(3) == 2L, "committed batch count")
   }
 
+  test("polling before the first batch commits reports DEFINED total " +
+    "drift (10000 bp), not PATH_NOT_FOUND or NULL (r11 review)") {
+    val st = DriftMonitor.init(spark,
+      Files.createTempDirectory("graft-drift-pre-").toString,
+      docs.filter(col("doc_id") % 7 =!= 0))
+    val got = DriftMonitor.drift(spark, st).collect()(0)
+    assert(got.getLong(0) == 10000L,
+      s"empty seen side must read as total drift, got ${got.getLong(0)}")
+    assert(got.getLong(2) == 0L && got.getLong(3) == 0L)
+  }
+
   test("streaming exactly the reference drifts 0 bp") {
     val ref = docs.filter(col("doc_id") % 7 =!= 0)
     val st = DriftMonitor.init(spark,
