@@ -1619,6 +1619,29 @@ object TrainingData {
     * keeps exactly the alloc_s lowest tickets per source.
     * TemperatureMixSpec pins Σ alloc = B, per-source counts =
     * min(alloc, n), the flattening inequality, and rerun determinism. */
+  /** Exact integer Hamilton (largest-remainder) apportionment of
+    * `budget` seats across keyed BigInt weights: alloc⁰_k = ⌊B·w_k/W⌋,
+    * the B − Σ alloc⁰ leftover seats to the largest remainders (tie →
+    * key asc). Satisfies the QUOTA RULE — every allocation is the
+    * floor or ceiling of its exact share B·w_k/W — and Σ alloc = B
+    * exactly (HamiltonProps pins both on arbitrary weight vectors).
+    * Driver-side BigInt: B·w overflows long at a 10⁹-doc corpus. */
+  private[ops] def hamiltonApportion(budget: Long,
+      weights: Seq[(String, BigInt)]): Seq[(String, Long)] = {
+    val wSum = weights.map(_._2).sum
+    require(wSum > 0, "hamilton: total weight must be positive")
+    val base = weights.map { case (k, w) =>
+      val a0 = (BigInt(budget) * w) / wSum
+      (k, a0, BigInt(budget) * w - a0 * wSum)
+    }
+    val leftover = (BigInt(budget) - base.map(_._2).sum).toLong
+    val bonus = base.sortBy { case (k, _, rem) => (-rem, k) }
+      .take(leftover.toInt).map(_._1).toSet
+    base.map { case (k, a0, _) =>
+      (k, a0.toLong + (if (bonus(k)) 1L else 0L))
+    }
+  }
+
   def q186TemperatureMix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = T(s, dir, "documents")
@@ -1626,22 +1649,10 @@ object TrainingData {
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     val total = counts.map(_._2).sum
     val budget = total / 2
-    val wfx = counts.map { case (src, n) =>
+    val alloc = hamiltonApportion(budget, counts.map { case (src, n) =>
       src -> BigInt(math.floor(math.sqrt(n.toDouble) * 1048576.0).toLong)
-    }
-    val wSum = wfx.map(_._2).sum
-    val base = wfx.map { case (src, w) =>
-      val a0 = (BigInt(budget) * w) / wSum
-      val rem = BigInt(budget) * w - a0 * wSum
-      (src, a0, rem)
-    }
-    val leftover = (BigInt(budget) - base.map(_._2).sum).toLong
-    val bonus = base.sortBy { case (src, _, rem) => (-rem, src) }
-      .take(leftover.toInt).map(_._1).toSet
-    val alloc = base.map { case (src, a0, _) =>
-      (src, a0.toLong + (if (bonus(src)) 1L else 0L))
-    }
-    val allocDf = broadcast(alloc.toSeq.toDF("source", "alloc"))
+    })
+    val allocDf = broadcast(alloc.toDF("source", "alloc"))
     val tickets = docs.select(col("doc_id"), col("source"),
       expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
         "':mix')), 1, 12), 16, 10) as bigint)").as("ticket"))
