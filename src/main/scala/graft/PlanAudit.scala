@@ -311,6 +311,13 @@ object PlanAudit {
         "small broadcasts (per-source base, driver-computed Hamilton " +
         "alloc table); the apportionment itself never appears in the " +
         "plan because it is |sources|-bounded driver work."),
+    "q187_contam_attribution" ->
+      ("**Look for:** the eval shingle side as a `BroadcastHashJoin` " +
+        "build (benchmark-sized, q95's argument) and the per-doc " +
+        "argmax as a partial+final `HashAggregate` pair over the " +
+        "struct-max — NO `Window` partitioned by doc_id anywhere; " +
+        "deterministic ties ride the (n, −eval_doc) struct ordering, " +
+        "not sort order."),
     "q188_token_drift" ->
       ("**Look for:** ONE token explode feeding ONE vocabulary " +
         "HashAggregate computing BOTH snapshots' counts (conditional " +
