@@ -106,6 +106,15 @@ class DataContractSpec extends AnyFunSuite {
       assert(nulls == 0L)
     }
 
+    test(s"documents.source and .lang at $sf are never NULL (q97's " +
+      "rebalance counts, q150/q151's budget specs, and q186's " +
+      "driver-side Hamilton sort all key on them — a NULL source would " +
+      "NPE the apportionment sort rather than fail loudly here)") {
+      val nulls = T(spark, s"/root/testdata/$sf", "documents")
+        .filter(col("source").isNull || col("lang").isNull).count()
+      assert(nulls == 0L)
+    }
+
     test(s"embeddings at $sf contain no all-zero vector (q99's scale " +
       "would be 0: Spark's 0/0 → NaN codes cast to 0 vs DuckDB's NULL " +
       "division — a silent cross-engine divergence; a generator change " +
