@@ -108,14 +108,29 @@ object Multimodal {
     acc
   }
 
+  /** `ImageIO.read` under the library's TOTALITY contract: the JRE's
+    * readers mostly return null for unrecognized bytes, but some —
+    * WBMP notably, whose "magic" is just a 0x00 0x00 prefix — claim
+    * the stream and then THROW (`EOFException`) when the payload is
+    * truncated. Found by ImageProps' random-bytes property (r11, seed
+    * cRKODXY4…): without this catch, ONE corrupt 4-byte blob shaped
+    * like a WBMP header kills the whole 100 TB decode stage instead of
+    * routing to the corrupt-blob row. IO and image-format errors are
+    * data, not crashes. */
+  private def readImageTotal(bytes: Array[Byte])
+      : Option[java.awt.image.BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch {
+      case _: java.io.IOException => None
+      case _: javax.imageio.IIOException => None
+    }
+
   /** Real image decode via the JDK's ImageIO (PNG/BMP/GIF/JPEG readers
     * ship with the JRE). Returns (width, height, pixel checksum), or
     * None when the bytes are not a decodable image. */
-  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
-    if (img == null) None
-    else Some((img.getWidth, img.getHeight, pixelChecksum(img)))
-  }
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    readImageTotal(bytes)
+      .map(img => (img.getWidth, img.getHeight, pixelChecksum(img)))
 
   /** Partition-wise decode: real ImageIO decode per row, iterator-in/
     * iterator-out so per-partition setup (here: disabling ImageIO's
@@ -147,9 +162,10 @@ object Multimodal {
     * image. */
   def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
     require(w > 0 && h > 0, "target dimensions must be > 0")
-    val src = ImageIO.read(new ByteArrayInputStream(bytes))
-    if (src == null) None
+    val srcOpt = readImageTotal(bytes)
+    if (srcOpt.isEmpty) None
     else {
+      val src = srcOpt.get
       val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
       val g = dst.createGraphics()
       try {
@@ -421,7 +437,7 @@ object Multimodal {
     * JVM/platform; long arithmetic is exact for images up to ~20k×20k
     * (sum·cnt < 2⁶³). Undecodable or sub-9×8 blobs return None. */
   def dhash64(bytes: Array[Byte]): Option[Long] = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val img = readImageTotal(bytes).orNull
     if (img == null || img.getWidth < 9 || img.getHeight < 8) return None
     val (w, h) = (img.getWidth, img.getHeight)
     val sums = Array.ofDim[Long](8, 9)

@@ -47,6 +47,15 @@ class ImageNeardupSpec extends AnyFunSuite {
     assert(Multimodal.dhash64(png(4, 4, (_, _) => 7)).isEmpty)
   }
 
+  test("a truncated WBMP-prefixed blob decodes to None in EVERY image " +
+    "entry point — the JRE's WBMP reader claims a 0x00 0x00 prefix and " +
+    "then throws EOFException (ImageProps seed cRKODXY4…, r11)") {
+    val wbmpish = Array[Byte](0, 0, 1, 1)
+    assert(Multimodal.dhash64(wbmpish).isEmpty)
+    assert(Multimodal.decodeImage(wbmpish).isEmpty)
+    assert(Multimodal.resizeImage(wbmpish, 8, 8).isEmpty)
+  }
+
   test("renditions: linear remap identical, rescale near, cross far") {
     def field(u: Double, v: Double): Int =
       (127.5 * (1 + math.sin(2 * math.Pi * (2 * u + v)))).toInt.min(255)
