@@ -68,16 +68,21 @@ object BatchCommitLog {
     * when an append wrote only empty partitions — the path may be
     * missing or hold no parquet footers, and a reader polling at that
     * moment must see an empty frame, not PATH_NOT_FOUND (r11 review).
-    * The DDL must include `batch_id BIGINT` (the partition column). */
+    * The DDL must include `batch_id BIGINT` (the partition column).
+    * A caller reading SEVERAL data tables against the same commit log
+    * should read [[committed]] once and pass it as `committedDf` —
+    * otherwise every call re-lists the batches directory (r11 review:
+    * drift() was listing it three times per poll). */
   def readCommitted(spark: SparkSession, dataDir: String,
-                    batchesDir: String, schemaDdl: String): DataFrame = {
+                    batchesDir: String, schemaDdl: String,
+                    committedDf: Option[DataFrame] = None): DataFrame = {
     val data =
       if (Files.exists(Paths.get(dataDir)))
         spark.read.schema(schemaDdl).parquet(dataDir)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
-    data.join(broadcast(committed(spark, batchesDir)),
+    data.join(broadcast(committedDf.getOrElse(committed(spark, batchesDir))),
       Seq("batch_id"), "left_semi")
   }
 }

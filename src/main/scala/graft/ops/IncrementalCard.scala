@@ -125,10 +125,11 @@ object IncrementalCard {
     * so a torn append is invisible); the ingested batches are never
     * rescanned. */
   def card(spark: SparkSession, st: State): DataFrame = {
+    val ok = BatchCommitLog.committed(spark, st.batches) // listed once
     val p = BatchCommitLog.readCommitted(spark, st.partials, st.batches,
-      PartialsDdl)
+      PartialsDdl, Some(ok))
     val nDistinct = BatchCommitLog.readCommitted(spark, st.digests,
-        st.batches, DigestsDdl)
+        st.batches, DigestsDdl, Some(ok))
       .agg(countDistinct(col("digest"))).head.getLong(0)
     p.agg(
       sum("n_docs").as("n_docs"),

@@ -121,8 +121,11 @@ object Multimodal {
       : Option[java.awt.image.BufferedImage] =
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
     catch {
-      case _: java.io.IOException => None
-      case _: javax.imageio.IIOException => None
+      // NonFatal, not just IOException: the JDK's plugin readers are
+      // known to throw unchecked exceptions (IndexOutOfBounds,
+      // NegativeArraySize, IllegalArgument) on adversarial headers
+      // with a valid magic — all of them are corrupt-blob data here
+      case scala.util.control.NonFatal(_) => None
     }
 
   /** Real image decode via the JDK's ImageIO (PNG/BMP/GIF/JPEG readers
@@ -223,7 +226,12 @@ object Multimodal {
           true, false)
         val pcm = AudioSystem.getAudioInputStream(norm, in)
         val data = pcm.readAllBytes()
-        Some((f.getSampleRate.toInt, f.getChannels,
+        // a fmt chunk may legally PARSE while declaring 0 channels or
+        // a 0 rate — frameSize 0 would divide by zero below, and a
+        // 0 rate would do the same in decodeAudioRows' duration (r11
+        // review); both are corrupt-blob data, not crashes
+        if (norm.getFrameSize <= 0 || f.getSampleRate <= 0) None
+        else Some((f.getSampleRate.toInt, f.getChannels,
           (data.length / norm.getFrameSize).toLong, byteChecksum(data)))
       } finally in.close()
     } catch {
@@ -622,7 +630,13 @@ object Multimodal {
         val id = fourcc(off)
         val size = u32(off + 4).toInt
         val body = off + 8
-        if (size < 0 || body + size > end) { truncated = true; return }
+        // LONG arithmetic: a crafted size near Int.MaxValue wraps
+        // `body + size` negative and would sail past the Int guard
+        // into copyOfRange (r11 review — the totality property's
+        // random bytes can't reach this 4-byte window)
+        if (size < 0 || body.toLong + size.toLong > end) {
+          truncated = true; return
+        }
         if (id == "LIST" && size >= 4) walk(body + 4, body + size)
         else if (id == "avih" && size >= 56)
           avih = Some((u32(body).toInt, u32(body + 16).toInt,

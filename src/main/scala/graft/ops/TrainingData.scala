@@ -1592,6 +1592,36 @@ object TrainingData {
       .limit(200)
   }
 
+  /** Exact integer Hamilton (largest-remainder) apportionment of
+    * `budget` seats across keyed BigInt weights: alloc⁰_k = ⌊B·w_k/W⌋,
+    * the B − Σ alloc⁰ leftover seats to the largest remainders (tie →
+    * key asc). Satisfies the QUOTA RULE — every allocation is the
+    * floor or ceiling of its exact share B·w_k/W — and Σ alloc = B
+    * exactly (HamiltonProps pins both on arbitrary weight vectors).
+    * Driver-side BigInt: B·w overflows long at a 10⁹-doc corpus.
+    * Degenerate inputs are total: budget 0 (e.g. an empty corpus)
+    * allocates 0 everywhere without touching W, so an empty weight
+    * list stays an empty result (the pre-r11 inline behavior); only a
+    * POSITIVE budget over zero total weight — genuinely
+    * unapportionable — is a caller error. */
+  private[ops] def hamiltonApportion(budget: Long,
+      weights: Seq[(String, BigInt)]): Seq[(String, Long)] = {
+    if (budget == 0) return weights.map { case (k, _) => (k, 0L) }
+    val wSum = weights.map(_._2).sum
+    require(wSum > 0,
+      "hamilton: positive budget needs positive total weight")
+    val base = weights.map { case (k, w) =>
+      val a0 = (BigInt(budget) * w) / wSum
+      (k, a0, BigInt(budget) * w - a0 * wSum)
+    }
+    val leftover = (BigInt(budget) - base.map(_._2).sum).toLong
+    val bonus = base.sortBy { case (k, _, rem) => (-rem, k) }
+      .take(leftover.toInt).map(_._1).toSet
+    base.map { case (k, a0, _) =>
+      (k, a0.toLong + (if (bonus(k)) 1L else 0L))
+    }
+  }
+
   /** q186: temperature-flattened source mix — the α-sampling plan every
     * multilingual/multi-source LLM corpus build runs (XLM-R's
     * p_s ∝ n_s^α with α = 1/2 here): a sampling budget B = ⌊total/2⌋
@@ -1603,9 +1633,7 @@ object TrainingData {
     * Exactness discipline: √n is the ONE permitted non-rational — IEEE
     * requires sqrt correctly rounded, so `floor(√n · 2²⁰)` is
     * bit-identical across engines (no pow/ln, the q129 anti-E-S
-    * argument). The apportionment is integer Hamilton
-    * (largest-remainder): alloc⁰_s = ⌊B·w_s/W⌋, the B − Σ alloc⁰
-    * leftover seats go to the largest remainders (tie → source asc) —
+    * argument). The apportionment is [[hamiltonApportion]] —
     * computed DRIVER-SIDE in BigInt over the |sources|-row count table
     * (bounded by construction, the q172 collect argument; BigInt kills
     * the B·w overflow a 10⁹-doc corpus would hit in long math). Σ alloc
@@ -1619,29 +1647,6 @@ object TrainingData {
     * keeps exactly the alloc_s lowest tickets per source.
     * TemperatureMixSpec pins Σ alloc = B, per-source counts =
     * min(alloc, n), the flattening inequality, and rerun determinism. */
-  /** Exact integer Hamilton (largest-remainder) apportionment of
-    * `budget` seats across keyed BigInt weights: alloc⁰_k = ⌊B·w_k/W⌋,
-    * the B − Σ alloc⁰ leftover seats to the largest remainders (tie →
-    * key asc). Satisfies the QUOTA RULE — every allocation is the
-    * floor or ceiling of its exact share B·w_k/W — and Σ alloc = B
-    * exactly (HamiltonProps pins both on arbitrary weight vectors).
-    * Driver-side BigInt: B·w overflows long at a 10⁹-doc corpus. */
-  private[ops] def hamiltonApportion(budget: Long,
-      weights: Seq[(String, BigInt)]): Seq[(String, Long)] = {
-    val wSum = weights.map(_._2).sum
-    require(wSum > 0, "hamilton: total weight must be positive")
-    val base = weights.map { case (k, w) =>
-      val a0 = (BigInt(budget) * w) / wSum
-      (k, a0, BigInt(budget) * w - a0 * wSum)
-    }
-    val leftover = (BigInt(budget) - base.map(_._2).sum).toLong
-    val bonus = base.sortBy { case (k, _, rem) => (-rem, k) }
-      .take(leftover.toInt).map(_._1).toSet
-    base.map { case (k, a0, _) =>
-      (k, a0.toLong + (if (bonus(k)) 1L else 0L))
-    }
-  }
-
   def q186TemperatureMix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = T(s, dir, "documents")

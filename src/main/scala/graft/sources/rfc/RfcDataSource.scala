@@ -331,8 +331,15 @@ class RfcCountScan(opts: RfcOptions, nCols: Int) extends Scan with Batch {
     s"sap-rfc table=${opts.table} PushedAggregates=[COUNT(*)]"
   override def planInputPartitions(): Array[InputPartition] =
     Array(RfcInputPartition(0, 0))
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // force the lazy credential resolution ON THE DRIVER before the
+    // options object ships: this scan never calls newBackend
+    // driver-side, and an unforced lazy val would first resolve inside
+    // the executor JVM — where the vault may not be reachable and the
+    // per-JVM memo cache is empty (r11 review)
+    opts.connection
     new RfcCountReaderFactory(opts, nCols)
+  }
 }
 
 class RfcCountReaderFactory(opts: RfcOptions, nCols: Int)
@@ -403,8 +410,10 @@ class RfcScan(prunedSchema: StructType, opts: RfcOptions,
   override def supportedCustomMetrics(): Array[CustomMetric] =
     RfcMetrics.all
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    opts.connection // resolve credentials on the DRIVER (see RfcCountScan)
     new RfcReaderFactory(prunedSchema, opts, fragments)
+  }
 }
 
 class RfcReaderFactory(schema: StructType, opts: RfcOptions,

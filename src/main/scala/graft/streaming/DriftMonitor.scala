@@ -91,8 +91,9 @@ object DriftMonitor {
     * before the first commit: the seen side reads as empty, not
     * PATH_NOT_FOUND. */
   def drift(spark: SparkSession, st: State): DataFrame = {
+    val ok = BatchCommitLog.committed(spark, st.batches) // listed once
     val seen = BatchCommitLog.readCommitted(spark, st.partials,
-        st.batches, PartialsDdl)
+        st.batches, PartialsDdl, Some(ok))
       .groupBy("word").agg(sum("c").as("c"))
     // explicit schema: an all-empty-text reference writes no parquet
     // footers, and inference would fail where an empty frame is meant
@@ -104,8 +105,7 @@ object DriftMonitor {
     val totals = joined.agg(
       coalesce(sum("cref"), lit(0L)).cast("decimal(38,0)").as("na"),
       coalesce(sum("c"), lit(0L)).cast("decimal(38,0)").as("nb"))
-    val nBatches = BatchCommitLog.committed(spark, st.batches)
-      .agg(count(lit(1)).as("n_batches"))
+    val nBatches = ok.agg(count(lit(1)).as("n_batches"))
     joined.crossJoin(broadcast(totals)) // 1-row totals (q188 class)
       .select(abs(col("cref").cast("decimal(38,0)") * col("nb")
         - col("c").cast("decimal(38,0)") * col("na")).as("d"),

@@ -52,4 +52,15 @@ object MediaTotalityProps extends Properties("MediaTotality") {
   property("demuxAvi never throws (raw / lying RIFF-AVI header)") =
     total(Multimodal.demuxAvi)(raw) &&
       total(Multimodal.demuxAvi)(prefixed(riffAvi))
+
+  property("demuxAvi survives the Int-overflow chunk size (crafted " +
+    "blob — `body + size` wraps negative past an Int-only bound check; " +
+    "random generation cannot hit this 4-byte window)") = Prop.secure {
+    val blob = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, 127) ++ "AVI ".getBytes("US-ASCII") ++
+      "00dc".getBytes("US-ASCII") ++
+      Array[Byte](-16, -1, -1, 127) ++ // size = 2147483632
+      Array[Byte](1, 2, 3, 4)
+    Multimodal.demuxAvi(blob).isEmpty // truncated, not thrown
+  }
 }
