@@ -872,7 +872,7 @@ object Multimodal {
               try reader.getNumImages(true)
               catch { case _: Exception => 0 } // not a GIF: drop the blob
             if (n == 0) Vector.empty
-            else {
+            else try {
               // logical screen from the stream metadata; a frame can be
               // a small patch of it
               val (sw, sh) = {
@@ -926,6 +926,12 @@ object Multimodal {
                 }
               }
               out.result()
+            } catch {
+              // a blob can pass getNumImages and still be truncated
+              // MID-FRAME: reader.read(i) / metadata access then throws
+              // (the r11 WBMP totality class) — that is a corrupt blob
+              // to drop, not a stage-killing crash
+              case scala.util.control.NonFatal(_) => Vector.empty
             }
           } finally {
             // dispose() does NOT close the reader's input stream — an

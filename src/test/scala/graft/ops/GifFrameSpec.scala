@@ -44,6 +44,27 @@ class GifFrameSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  test("a truncated GIF never kills the stage: at every truncation " +
+    "point the demux either salvages the decodable PREFIX frames or " +
+    "drops the blob — and every emitted frame is a valid PNG (the r11 " +
+    "WBMP totality class; reader.read(i) can throw past the " +
+    "getNumImages guard on deeper corruption)") {
+    val gif = animatedGif(12, 8, colors.map(solid(12, 8, _)))
+    val rows = (8 until gif.length by 7).zipWithIndex.map {
+      case (len, i) => MediaRow(100L + i, java.util.Arrays.copyOf(gif, len))
+    }
+    // collect() itself is the no-throw assertion across all truncations
+    val out = Multimodal.gifFrameSample(rows.toDS(), every = 1).collect()
+    out.foreach { f =>
+      assert(Multimodal.decodeImage(f.frame).isDefined,
+        s"doc ${f.doc_id} emitted an undecodable frame ${f.frame_idx}")
+    }
+    // the intact original still demuxes fully (the guard drops nothing)
+    val full = Multimodal.gifFrameSample(
+      Seq(MediaRow(1L, gif)).toDS(), every = 1).collect()
+    assert(full.length == colors.length)
+  }
+
   test("every k-th GIF frame demuxes to a PNG with exact pixels; " +
     "non-GIF blobs are dropped") {
     val gif = animatedGif(12, 8, colors.map(solid(12, 8, _)))
