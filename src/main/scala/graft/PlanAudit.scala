@@ -314,10 +314,12 @@ object PlanAudit {
     "q187_contam_attribution" ->
       ("**Look for:** the eval shingle side as a `BroadcastHashJoin` " +
         "build (benchmark-sized, q95's argument) and the per-doc " +
-        "argmax as a partial+final `HashAggregate` pair over the " +
-        "struct-max — NO `Window` partitioned by doc_id anywhere; " +
-        "deterministic ties ride the (n, −eval_doc) struct ordering, " +
-        "not sort order."),
+        "argmax as a partial+final `SortAggregate` pair over the " +
+        "struct-max (Spark cannot hash-aggregate a struct max — the " +
+        "sort is the agg's grouping sort, bounded per doc) — NO " +
+        "Window computes the ARGMAX; the only doc_id-partitioned " +
+        "Windows are shingleRows' bounded lead() pair, shared with " +
+        "every shingle consumer."),
     "q188_token_drift" ->
       ("**Look for:** ONE token explode feeding ONE vocabulary " +
         "HashAggregate computing BOTH snapshots' counts (conditional " +

@@ -69,7 +69,10 @@ object IncrementalCard {
     * partition from the failed attempt. */
   def append(spark: SparkSession, st: State, batchId: Long,
              batch: DataFrame): Boolean = {
-    if (BatchCommitLog.isCommitted(spark, st.batches, batchId))
+    // one commit-log listing per append: the replay gate and the digest
+    // admission share it (the BatchCommitLog multi-read discipline)
+    val ok = BatchCommitLog.committed(spark, st.batches)
+    if (ok.filter(col("batch_id") === batchId).limit(1).count() > 0)
       return false
 
     val prepared = batch.select(col("lang"), col("source"),
@@ -89,7 +92,7 @@ object IncrementalCard {
     // suppress admission (they may never commit)
     val admitted = prepared.select("digest").distinct()
       .join(BatchCommitLog.readCommitted(spark, st.digests, st.batches,
-          DigestsDdl).select("digest"),
+          DigestsDdl, Some(ok)).select("digest"),
         Seq("digest"), "left_anti")
     BatchCommitLog.writePartitioned(admitted, batchId, st.digests)
 

@@ -165,10 +165,7 @@ object Multimodal {
     * image. */
   def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
     require(w > 0 && h > 0, "target dimensions must be > 0")
-    val srcOpt = readImageTotal(bytes)
-    if (srcOpt.isEmpty) None
-    else {
-      val src = srcOpt.get
+    readImageTotal(bytes).map { src =>
       val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
       val g = dst.createGraphics()
       try {
@@ -178,7 +175,7 @@ object Multimodal {
       } finally g.dispose()
       val bos = new ByteArrayOutputStream()
       ImageIO.write(dst, "png", bos)
-      Some(bos.toByteArray)
+      bos.toByteArray
     }
   }
 
@@ -227,16 +224,22 @@ object Multimodal {
         val pcm = AudioSystem.getAudioInputStream(norm, in)
         val data = pcm.readAllBytes()
         // a fmt chunk may legally PARSE while declaring 0 channels or
-        // a 0 rate — frameSize 0 would divide by zero below, and a
-        // 0 rate would do the same in decodeAudioRows' duration (r11
-        // review); both are corrupt-blob data, not crashes
-        if (norm.getFrameSize <= 0 || f.getSampleRate <= 0) None
+        // a degenerate rate — frameSize 0 would divide by zero below,
+        // and a 0 rate would do the same in decodeAudioRows' duration.
+        // The rate guard tests the TRUNCATED int the callers divide by:
+        // an AIFF 80-bit-float rate in (0,1) — or NaN, for which every
+        // `<= 0` comparison is false — passes a float-typed guard and
+        // still truncates to 0 (r11 review, twice)
+        if (norm.getFrameSize <= 0 || f.getSampleRate.toInt <= 0) None
         else Some((f.getSampleRate.toInt, f.getChannels,
           (data.length / norm.getFrameSize).toLong, byteChecksum(data)))
       } finally in.close()
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException |
-           _: java.io.IOException | _: IllegalArgumentException => None
+      // NonFatal, matching readImageTotal: the JDK audio readers throw
+      // unchecked exceptions on adversarial headers BEFORE our guards
+      // run (e.g. / by zero computing frameLength inside
+      // getAudioInputStream — the JDK-8246260 class)
+      case scala.util.control.NonFatal(_) => None
     }
 
   /** Partition-wise audio decode — same iterator shape as [[decode]].
@@ -285,16 +288,20 @@ object Multimodal {
         val target = new AudioFormat(targetRate.toFloat, 16, f.getChannels,
           true, false)
         val data = AudioSystem.getAudioInputStream(target, in).readAllBytes()
-        val frames = (data.length / target.getFrameSize).toLong
-        val bos = new ByteArrayOutputStream()
-        AudioSystem.write(
-          new AudioInputStream(new ByteArrayInputStream(data), target, frames),
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        Some((bos.toByteArray, frames))
+        if (target.getFrameSize <= 0) None
+        else {
+          val frames = (data.length / target.getFrameSize).toLong
+          val bos = new ByteArrayOutputStream()
+          AudioSystem.write(
+            new AudioInputStream(new ByteArrayInputStream(data), target,
+              frames),
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Some((bos.toByteArray, frames))
+        }
       } finally in.close()
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException |
-           _: java.io.IOException | _: IllegalArgumentException => None
+      // NonFatal — see decodeAudio
+      case scala.util.control.NonFatal(_) => None
     }
   }
 
@@ -624,7 +631,13 @@ object Multimodal {
     var avih: Option[(Int, Int, Int, Int)] = None
     val frames = Vector.newBuilder[Array[Byte]]
     var truncated = false
-    def walk(start: Int, end: Int): Unit = {
+    // depth-capped: real AVIs nest LISTs 2-3 deep (RIFF→hdrl/movi→strl/
+    // rec), but a crafted blob of thousands of nested LISTs passes every
+    // size guard and would StackOverflowError the non-tail recursion —
+    // a FATAL error no NonFatal catch can absorb (r11 review; the
+    // totality property's generators cannot construct nested LISTs)
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 16) { truncated = true; return }
       var off = start
       while (off + 8 <= end && !truncated) {
         val id = fourcc(off)
@@ -637,7 +650,7 @@ object Multimodal {
         if (size < 0 || body.toLong + size.toLong > end) {
           truncated = true; return
         }
-        if (id == "LIST" && size >= 4) walk(body + 4, body + size)
+        if (id == "LIST" && size >= 4) walk(body + 4, body + size, depth + 1)
         else if (id == "avih" && size >= 56)
           avih = Some((u32(body).toInt, u32(body + 16).toInt,
             u32(body + 32).toInt, u32(body + 36).toInt))
@@ -646,7 +659,7 @@ object Multimodal {
         off = body + size + (size & 1) // RIFF even-padding
       }
     }
-    walk(12, riffEnd)
+    walk(12, riffEnd, 0)
     if (truncated) None
     else avih.map { case (us, tot, w, h) =>
       AviVideo(us, tot, w, h, frames.result())

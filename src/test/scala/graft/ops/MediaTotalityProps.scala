@@ -63,4 +63,26 @@ object MediaTotalityProps extends Properties("MediaTotality") {
       Array[Byte](1, 2, 3, 4)
     Multimodal.demuxAvi(blob).isEmpty // truncated, not thrown
   }
+
+  property("demuxAvi survives deeply nested LIST chunks (crafted blob " +
+    "— unbounded recursion would StackOverflowError, a FATAL error no " +
+    "NonFatal catch absorbs; random generation cannot nest LISTs)") =
+    Prop.secure {
+      val depth = 10000
+      val innerSize = 8 // one terminal 0-byte chunk + padding room
+      // build inside-out: each level wraps the previous in LIST(size)
+      val sizes = Iterator.iterate(innerSize)(_ + 12).take(depth).toSeq
+      val buf = java.nio.ByteBuffer
+        .allocate(12 + sizes.last + 12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII"))
+      buf.putInt(sizes.last + 12 + 4)
+      buf.put("AVI ".getBytes("US-ASCII"))
+      sizes.reverse.foreach { sz =>
+        buf.put("LIST".getBytes("US-ASCII"))
+        buf.putInt(sz)
+        buf.put("recx".getBytes("US-ASCII")) // list type (4 of sz)
+      }
+      Multimodal.demuxAvi(buf.array()).isEmpty // depth-capped, not thrown
+    }
 }
