@@ -72,6 +72,48 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q191: the quality-filter AUDIT table — filter EXPLAINABILITY, the
+    * companion every rule-based curation stack (Gopher, Dolma,
+    * NeMo-Curator) ships: q83 emits one opaque score; when a document
+    * is dropped, the reviewer asks WHICH rule fired. One row per
+    * (doc, rule) with the rule's measured value and its verdict, for
+    * four Gopher-family rules: minimum word count, distinct-word
+    * ratio, stopword presence (too few stopwords = unnatural text),
+    * and mean word length (too long = code/URLs/gibberish).
+    *
+    * Exactness: every VERDICT is a pure integer cross-multiplication
+    * (2·d ≥ n, 50·st ≥ n, 10·chars ≤ 48·n — no division at the
+    * decision point, so no rounding can flip a verdict cross-engine);
+    * the reported values use the r4 half-up basis points. Total word
+    * characters come from `length(concat_ws(ws))` — codegen'd, not an
+    * interpreted HOF fold.
+    *
+    * Scale: ONE map-only projection per document (no shuffle but the
+    * presentation sort); the tall shape is a 4-way `stack`, so the
+    * audit of a 100 TB corpus is exactly one corpus scan. Thresholds
+    * chosen to produce genuine pass/fail mixes on the testdata
+    * (394/219/442/466 of 500 at sf0.01) so the oracle exercises both
+    * branches of every rule. */
+  def q191QualityAudit(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n"),
+        expr("cast(size(array_distinct(ws)) as bigint)").as("d"),
+        expr("cast(size(filter(ws, x -> x in ('the', 'a'))) as bigint)")
+          .as("st"),
+        length(concat_ws("", col("ws"))).cast("long").as("chars"))
+      .select(col("doc_id"), expr(
+        """stack(4,
+          |  'min_words',     n,                                n >= 30,
+          |  'uniq_ratio_bp', (2*d*10000 + n) div (2*n),        2*d >= n,
+          |  'stop_ratio_bp', (2*st*10000 + n) div (2*n),       50*st >= n,
+          |  'word_len_bp',   (2*chars*10000 + n) div (2*n),    10*chars <= 48*n
+          |) as (rule, value, passed)""".stripMargin))
+      .orderBy("doc_id", "rule")
+
   /** q155: n-gram novelty (OOV-rate) quality gate — the exact-integer
     * cousin of the CCNet-style LM-perplexity filter: score each
     * training document by the fraction of its word bigrams (with
@@ -1057,6 +1099,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_decontaminate" -> q95Decontaminate _,
     "q187_contam_attribution" -> q187ContamAttribution _,
+    "q191_quality_audit" -> q191QualityAudit _,
     "q155_oov_novelty" -> q155OovNovelty _,
     "q168_compress_signal" -> q168CompressSignal _,
     "q172_importance_select" -> q172ImportanceSelect _,
@@ -1124,6 +1167,21 @@ object Curation {
         |FROM shl t JOIN ev ON t.s = ev.s
         |WHERE t.doc_id % 97 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q191_quality_audit" ->
+      // verdicts are integer cross-multiplications in BOTH engines —
+      // no division at any decision point
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+        |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+        |      CAST(len(list_distinct(ws)) AS BIGINT) AS d,
+        |      CAST(len(list_filter(ws, x -> x IN ('the', 'a'))) AS BIGINT) AS st,
+        |      CAST(length(array_to_string(ws, '')) AS BIGINT) AS chars
+        |      FROM w WHERE len(ws) > 0)
+        |SELECT doc_id, rule, value, passed FROM (
+        |  SELECT doc_id, 'min_words' AS rule, n AS value, n >= 30 AS passed FROM m
+        |  UNION ALL SELECT doc_id, 'uniq_ratio_bp', (2*d*10000 + n) // (2*n), 2*d >= n FROM m
+        |  UNION ALL SELECT doc_id, 'stop_ratio_bp', (2*st*10000 + n) // (2*n), 50*st >= n FROM m
+        |  UNION ALL SELECT doc_id, 'word_len_bp', (2*chars*10000 + n) // (2*n), 10*chars <= 48*n FROM m)
+        |ORDER BY doc_id, rule""".stripMargin,
     "q187_contam_attribution" ->
       // same shingle CTEs as q95; the argmax is a window rn=1 here vs
       // Spark's struct-max aggregate — identical deterministic result
