@@ -574,6 +574,23 @@ object TrainingData {
 
   private def dotCol = graft.functions.VecDot.dot(col("ea"), col("eb"))
 
+  /** The IVF family's norm: sqrt of the INTEGER squared norm of the
+    * 2¹⁶-quantized vector ([[graft.functions.FixDot]]). The integer
+    * sum is associative — no engine's reduction order can perturb it —
+    * and the long→double conversion plus sqrt are single
+    * correctly-rounded IEEE ops, so `nrm` is bit-identical in any
+    * oracle engine (unlike [[withNorm]], whose 64-term double fold
+    * assumes the oracle sums in the same order). */
+  private def withFixNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm",
+      sqrt(graft.functions.FixDot.normSq(col("embedding")).cast("double")))
+
+  /** Deterministic rerank cosine for the IVF family: integer fixed-
+    * point dot (exact, order-independent) over the two fix-norms —
+    * every double op a fixed chain of individually-rounded steps. */
+  private def fxSimCol(a: Column, b: Column, na: Column, nb: Column): Column =
+    graft.functions.FixDot.dot(a, b).cast("double") / (na * nb)
+
   /** q79: embedding near-duplicate search, blocked by `label` — the
     * block join bounds candidates (never a corpus cross product); exact
     * top-1 cosine neighbor per query vector (vec_id < 40).
@@ -718,13 +735,17 @@ object TrainingData {
   /** A training run's outputs: the centroids, the per-iteration
     * objective J = Σ(1 − cos) as a double (diagnostic — float-sum
     * order-dependent, never compared cross-engine), and an integer
-    * objective Σᵥ(2²⁰ − Σ_d ⌊(v_d/‖v‖)(c_d/‖c‖)·2²⁰ + ½⌋) quantized
-    * per DIMENSION-PRODUCT — each floor input is two correctly-rounded
-    * divides + one multiply + an exact exponent shift, so it is
-    * bit-deterministic cross-engine, and all sums after it are integer
-    * (associative); q160 exposes this one. (r11: quantizing 1 − csim
-    * per term was NOT enough — the floor then sat after the
-    * non-associative 64-term double dot sum.) */
+    * objective Σᵥ(2²⁰ − ⌊cos_fx(v, c_assigned)·2²⁰ + ½⌋) where the
+    * cosine's numerator is the INTEGER fixed-point dot
+    * ([[graft.functions.FixDot]]) and its denominators the integer-
+    * norm sqrts; q160 exposes this one. r10/r11 lesson: quantizing
+    * around a DOUBLE dot (whether after the sum, r10, or per
+    * dimension-product over double norms, r11) still leaves a 64-term
+    * double reduction — `list_sum` — in the oracle whose summation
+    * order is an engine implementation detail; the only closed form is
+    * integer sums everywhere, with doubles confined to fixed chains of
+    * single correctly-rounded ops (cast, one divide, exact shift,
+    * floor). */
   private[ops] final case class IvfTrained(cents: Seq[IvfCent],
                                            objs: Seq[Double],
                                            objsFx: Seq[Long])
@@ -732,6 +753,19 @@ object TrainingData {
   private val IvfK = 16
   private[ops] val IvfIters = 3
   private val FixScale = 1048576.0 // 2^20 — exact exponent-shift factor
+  // 2^30 — the assignment argmax's fixed-point cosine scale. Coarser
+  // than the double cosine, but both engines floor the IDENTICAL double
+  // (integer dot / integer-norm sqrts), so the BIGINT keys — and hence
+  // the argmax — cannot diverge, which is what matters.
+  private val AssignScale = 1073741824.0
+
+  /** ⌊x·2¹⁶ + ½⌋ / 2¹⁶ as an exact FLOAT — the quantized-float vector
+    * representation every IVF centroid (and seed) carries, chosen so
+    * [[graft.functions.FixDot]]'s inline re-quantization recovers the
+    * integer exactly (a 17-bit integer / 2¹⁶ is exact in float). */
+  private def quantF(x: Float): Float =
+    (math.floor(x.toDouble * FixDot.Scale + 0.5) / FixDot.Scale).toFloat
+  private def FixDot = graft.functions.FixDot
 
   /** dataset dir → trained centroids. Per-JVM FALLBACK for the
     * self-contained q93: a new session retrains. The deployment path is
@@ -752,17 +786,26 @@ object TrainingData {
     * normalized mean optimizes it given assignments (IvfTrainSpec pins
     * the monotonicity and that training actually moves the seed).
     *
-    * Cross-engine determinism is exact, not approximate: each member's
-    * per-dimension contribution is quantized to a 2⁻²⁰ fixed-point
-    * BIGINT — `floor(x/‖v‖ · 2²⁰ + ½)`, where the division is IEEE
-    * correctly-rounded and the ×2²⁰ an exact exponent shift — and
-    * summed as INTEGERS, which are associative, so Spark's partial-
-    * aggregation order cannot perturb the result the way a double sum
-    * would. The mean divides back in one correctly-rounded double op
-    * and casts to float once (round-half-even in both engines). The
-    * DuckDB oracle unrolls the identical three iterations on the
+    * Cross-engine determinism is exact, not approximate, and (r12) it
+    * no longer assumes ANYTHING about an oracle engine's summation
+    * order: every reduction in the pipeline is over INTEGERS.
+    *  - Vectors enter through [[graft.functions.FixDot]]: dot products
+    *    and squared norms are integer sums of per-element 2¹⁶
+    *    fixed-point quanta (each quantum a fixed chain of exact /
+    *    singly-rounded IEEE ops — no reduction).
+    *  - The assignment argmax ranks on `csim_fx` =
+    *    ⌊dot/(‖v‖·‖c‖)·2³⁰ + ½⌋ as a BIGINT — dot is an exact integer,
+    *    the norms are sqrts of exact integers, so both engines floor
+    *    the identical double and the argmax cannot flip.
+    *  - The update sums per-dimension 2²⁰ fixed-point unit components
+    *    of the 2¹⁶-quantized members as integers, divides back in one
+    *    correctly-rounded op, and re-quantizes the centroid to the
+    *    2¹⁶ grid ([[quantF]]'s representation), so the next iteration's
+    *    inputs are again exact integers.
+    * The DuckDB oracle unrolls the identical three iterations on the
     * identical integers, so the trained centroids — and every
-    * downstream assignment — are bit-identical across engines.
+    * downstream assignment — are bit-identical across engines
+    * regardless of either engine's reduction strategy.
     *
     * Driver traffic per iteration: the k×dim fixed-point update table
     * (16×64 rows) plus one objective scalar — bounded by construction
@@ -774,52 +817,57 @@ object TrainingData {
     * per-iteration objective trace. */
   private[ops] def trainIvfCentroids(s: SparkSession, dir: String)
       : IvfTrained = {
-    val e = withNorm(T(s, dir, "embeddings"))
+    val e = withFixNorm(T(s, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"), col("nrm"))
       .localCheckpoint(true) // reused by IvfIters assignment passes
+    // seed = the vec_id < 16 corpus vectors, re-quantized to the 2^16
+    // grid so iteration 1's dot products see the same integers the
+    // oracle's c0 CTE builds
     var cents: Seq[IvfCent] = e.filter(col("vec_id") < IvfK)
       .select(col("vec_id").cast("int"), col("embedding"))
       .collect() // k rows — bounded by the model constant
-      .map(r => IvfCent(r.getInt(0), r.getSeq[Float](1).toArray))
+      .map(r => IvfCent(r.getInt(0), r.getSeq[Float](1).map(quantF).toArray))
       .sortBy(_.cent_id).toSeq
     val objs = Seq.newBuilder[Double]
     val objsFx = Seq.newBuilder[Long]
     for (_ <- 1 to IvfIters) {
       val cdf = centroidFrame(s, cents)
       val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("csim").desc, col("cent_id"))
+        .orderBy(col("csim_fx").desc, col("cent_id"))
       val assigned = e.crossJoin(broadcast(cdf))
-        .withColumn("csim",
-          graft.functions.VecDot.dot(col("embedding"), col("ec"))
-            / (col("nrm") * col("ncn")))
+        .withColumn("dotl", FixDot.dot(col("embedding"), col("ec")))
+        .withColumn("csim_fx",
+          floor(col("dotl").cast("double") / (col("nrm") * col("ncn"))
+            * lit(AssignScale) + lit(0.5)))
         .withColumn("arn", row_number().over(wAssign))
         .filter(col("arn") === 1)
-        .select("vec_id", "embedding", "nrm", "cent_id", "csim", "ec", "ncn")
+        .select("vec_id", "embedding", "nrm", "cent_id", "dotl", "ncn")
         .localCheckpoint(true) // objective + update branch off one pass
-      objs += assigned.agg(sum(lit(1.0) - col("csim")).as("od"))
+      // double diagnostic (order-dependent sum — never oracle-compared)
+      objs += assigned.agg(sum(lit(1.0)
+          - col("dotl").cast("double") / (col("nrm") * col("ncn"))).as("od"))
         .head.getDouble(0)
-      // Integer objective: per-DIMENSION product quantization. Each term
-      // is floor((v_d/‖v‖)·(c_d/‖c‖)·2²⁰ + ½) — two correctly-rounded
-      // divides and one multiply before the exact ×2²⁰ shift, so the
-      // floor input is bit-deterministic across engines — and everything
-      // after is an integer sum (associative). Quantizing 1 − csim
-      // directly would put the floor AFTER the non-associative 64-term
-      // double dot sum, whose last ulp depends on summation order (the
-      // r10 hash mismatch). Σ_vec(2²⁰ − Σ_d term_d) folds into one agg
-      // via the pos==0 indicator.
+      // Integer objective: 2²⁰ − ⌊cos·2²⁰ + ½⌋ per vector, where cos's
+      // numerator is the exact INTEGER dot — the floor input is one
+      // long→double cast, one multiply, one divide, one exact shift and
+      // one exact +½, all individually correctly rounded, so both
+      // engines floor the identical double; the outer sum is integer.
       objsFx += assigned
-        .select(col("nrm"), col("ncn"),
-          posexplode(arrays_zip(col("embedding"), col("ec"))))
-        .agg(sum(
-          when(col("pos") === 0, lit(FixScale.toLong)).otherwise(lit(0L))
-            - floor((col("col.embedding").cast("double") / col("nrm"))
-                * (col("col.ec").cast("double") / col("ncn"))
-                * lit(FixScale) + lit(0.5)).cast("long")).as("ofx"))
+        .agg(sum(lit(FixScale.toLong)
+          - floor(col("dotl").cast("double") / (col("nrm") * col("ncn"))
+              * lit(FixScale) + lit(0.5)).cast("long")).as("ofx"))
         .head.getLong(0)
+      // Update: integer sums of 2²⁰ fixed-point unit components of the
+      // 2¹⁶-quantized members (q = ⌊x·2¹⁶+½⌋ exact; q/‖v‖ one rounded
+      // divide; ×2²⁰ exact; +½ exact; floor exact), divided back in one
+      // rounded op and re-quantized to the 2¹⁶ grid: ⌊sfx/(n·16)+½⌋/2¹⁶
+      // (sfx/(n·2²⁰)·2¹⁶ = sfx/(n·16)).
       val updated = assigned
         .select(col("cent_id"), col("nrm"), posexplode(col("embedding")))
+        .withColumn("q", floor(col("col").cast("double")
+          * lit(FixDot.Scale) + lit(0.5)))
         .withColumn("fx",
-          floor(col("col").cast("double") / col("nrm") * lit(FixScale)
+          floor(col("q").cast("double") / col("nrm") * lit(FixScale)
             + lit(0.5)).cast("long"))
         .groupBy("cent_id", "pos")
         .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
@@ -827,7 +875,8 @@ object TrainingData {
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>
           cid -> rows.map(r => (r.getInt(1),
-              (r.getLong(2).toDouble / (r.getLong(3) * FixScale)).toFloat))
+              (math.floor(r.getLong(2).toDouble / (r.getLong(3) * 16.0) + 0.5)
+                / FixDot.Scale).toFloat))
             .sortBy(_._1).map(_._2).toArray
         }
       cents = cents.map(c =>
@@ -841,7 +890,8 @@ object TrainingData {
   private def centroidFrame(s: SparkSession, cents: Seq[IvfCent]): DataFrame = {
     import s.implicits._
     cents.toDF("cent_id", "ec")
-      .withColumn("ncn", sqrt(graft.functions.VecDot.normSq(col("ec"))))
+      .withColumn("ncn",
+        sqrt(graft.functions.FixDot.normSq(col("ec")).cast("double")))
   }
 
   /** q93: many-query ANN via an IVF (inverted-file) coarse quantizer —
@@ -875,11 +925,11 @@ object TrainingData {
                            maxRank: Int,
                            extra: Seq[String] = Nil): DataFrame = {
     val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cent_id"))
+      .orderBy(col("csim_fx").desc, col("cent_id"))
     e.crossJoin(broadcast(cents))
-      .withColumn("csim",
-        graft.functions.VecDot.dot(col("embedding"), col("ec"))
-          / (col("nrm") * col("ncn")))
+      .withColumn("csim_fx",
+        floor(FixDot.dot(col("embedding"), col("ec")).cast("double")
+          / (col("nrm") * col("ncn")) * lit(AssignScale) + lit(0.5)))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") <= maxRank)
       .select((Seq("vec_id", "embedding", "nrm", "cent_id", "arn") ++ extra)
@@ -892,7 +942,7 @@ object TrainingData {
     * arn ≤ nprobe probe slice); specs brute-force against it. */
   private[ops] def ivfAssign(s: SparkSession, dir: String,
                              maxRank: Int): DataFrame = {
-    val e = withNorm(T(s, dir, "embeddings"))
+    val e = withFixNorm(T(s, dir, "embeddings"))
     val trained = ivfCache.getOrElseUpdate(dir,
       trainIvfCentroids(s, dir)).cents
     assignRanked(e, centroidFrame(s, trained), maxRank, Seq("label"))
@@ -932,7 +982,8 @@ object TrainingData {
       col("nrm").as("nb"), col("cent_id").as("cellb"))
     val w = Window.partitionBy("b_id").orderBy("a_id")
     a.join(b, col("cell") === col("cellb") && col("a_id") < col("b_id"))
-      .withColumn("sim_raw", dotCol / (col("na") * col("nb")))
+      .withColumn("sim_raw",
+        fxSimCol(col("ea"), col("eb"), col("na"), col("nb")))
       .filter(col("sim_raw") >= SemTau)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -970,7 +1021,8 @@ object TrainingData {
     cells
       .join(broadcast(qprobe),
         col("cell") === col("qcell") && col("neg_label") =!= col("ql"))
-      .withColumn("sim_raw", dotCol / (col("nq") * col("nc")))
+      .withColumn("sim_raw",
+        fxSimCol(col("ea"), col("eb"), col("nq"), col("nc")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("c_id"), col("neg_label"),
@@ -979,7 +1031,7 @@ object TrainingData {
   }
 
   def q93AnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(T(s, dir, "embeddings"))
+    val e = withFixNorm(T(s, dir, "embeddings"))
     val trained = ivfCache.getOrElseUpdate(dir,
       trainIvfCentroids(s, dir)).cents
     val cents = centroidFrame(s, trained)
@@ -999,7 +1051,8 @@ object TrainingData {
     cells
       .join(broadcast(qprobe),
         cells("cell") === qprobe("cell") && col("c_id") =!= col("q_id"))
-      .withColumn("sim_raw", dotCol / (col("nq") * col("nc")))
+      .withColumn("sim_raw",
+        fxSimCol(col("ea"), col("eb"), col("nq"), col("nc")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("c_id"), round(col("sim_raw"), 4).as("sim"),
@@ -1035,10 +1088,10 @@ object TrainingData {
     *
     * Two catalog tables, named by a digest of the dataset dir (like
     * q107's band index, so scale factors never alias):
-    *  - `graft_ivf_cents_<digest>_b1`: the k trained centroids
+    *  - `graft_ivf2_cents_<digest>_b1`: the k trained centroids
     *    (cent_id, ec, ncn) — built through [[ensureLazy]] so training
     *    runs ONLY when no complete on-disk table exists;
-    *  - `graft_ivf_cells_<digest>_b8`: every corpus vector's cell
+    *  - `graft_ivf2_cells_<digest>_b8`: every corpus vector's cell
     *    assignment (vec_id, embedding, nrm, cell), bucketed + sorted
     *    on cell — the inverted file. Bucket-pruning applies to
     *    cell-equality probes, and a non-broadcastable (large-batch)
@@ -1056,8 +1109,12 @@ object TrainingData {
   private[ops] def ivfIndexNames(dir: String): (String, String) = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    (s"graft_ivf_cents_${digest}_b1",
-      s"graft_ivf_cells_${digest}_b$IvfCellBuckets")
+    // `ivf2` = the r12 fixed-point layout (FixDot norms/assignment): an
+    // index persisted by the r11 double-fold pipeline carries nrm values
+    // an ulp away, so it must never be adopted — versioning the NAME is
+    // the BucketedTables way to retire a layout.
+    (s"graft_ivf2_cents_${digest}_b1",
+      s"graft_ivf2_cells_${digest}_b$IvfCellBuckets")
   }
 
   private[ops] def ensureIvfIndex(s: SparkSession, dir: String)
@@ -1065,13 +1122,13 @@ object TrainingData {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val cents = graft.sink.BucketedTables.ensureLazy(
-      s, s"graft_ivf_cents_$digest", ivfCentSchema,
+      s, s"graft_ivf2_cents_$digest", ivfCentSchema,
       () => centroidFrame(s,
         ivfCache.getOrElseUpdate(dir, trainIvfCentroids(s, dir)).cents),
       1, Seq("cent_id"))
     val cells = graft.sink.BucketedTables.ensure(
-      s, s"graft_ivf_cells_$digest",
-      assignRanked(withNorm(T(s, dir, "embeddings")), s.table(cents), 1)
+      s, s"graft_ivf2_cells_$digest",
+      assignRanked(withFixNorm(T(s, dir, "embeddings")), s.table(cents), 1)
         .select(col("vec_id"), col("embedding"), col("nrm"),
           col("cent_id").as("cell")),
       IvfCellBuckets, Seq("cell"))
@@ -1090,7 +1147,7 @@ object TrainingData {
   def admitToIvfIndex(s: SparkSession, centsTable: String,
                       cellsTable: String, newVecs: DataFrame): Unit =
     graft.sink.BucketedTables.append(
-      assignRanked(withNorm(newVecs), s.table(centsTable), 1)
+      assignRanked(withFixNorm(newVecs), s.table(centsTable), 1)
         .select(col("vec_id"), col("embedding"), col("nrm"),
           col("cent_id").as("cell")),
       cellsTable, IvfCellBuckets, Seq("cell"))
@@ -1117,7 +1174,8 @@ object TrainingData {
     cells
       .join(broadcast(qp),
         cells("cell") === qp("cell") && col("c_id") =!= col("q_id"))
-      .withColumn("sim_raw", dotCol / (col("nq") * col("nc")))
+      .withColumn("sim_raw",
+        fxSimCol(col("ea"), col("eb"), col("nq"), col("nc")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("c_id"), round(col("sim_raw"), 4).as("sim"),
@@ -1902,13 +1960,16 @@ object TrainingData {
 
   /** q160: the quantizer's training-convergence trace AS DATA — one
     * row per Lloyd iteration with the clustering objective
-    * J = Σ(1 − cos(v, c_assigned)) in 2⁻²⁰ fixed-point units
-    * (per-TERM quantization then an integer sum, so the value is
-    * associative and bit-identical across engines — a double sum of
-    * 1 − csim would hash-differ on aggregation order). The monitoring
-    * query every training job needs: a non-decreasing trace means the
-    * quantizer (and everything downstream: q93/q152 probes, q156
-    * cells) stopped improving.
+    * J = Σ(1 − cos(v, c_assigned)) in 2⁻²⁰ fixed-point units. r12:
+    * every reduction feeding the value is an INTEGER sum (the
+    * [[graft.functions.FixDot]] dot, the objective Σᵥ) and every
+    * double a fixed chain of singly-rounded scalar ops, so the trace
+    * is bit-identical across engines by construction — independent of
+    * any engine's summation strategy (the r10/r11 variants still
+    * floored around an order-dependent double `list_sum`). The
+    * monitoring query every training job needs: a non-decreasing
+    * trace means the quantizer (and everything downstream: q93/q152
+    * probes, q156 cells) stopped improving.
     *
     * Scale: the trace rides the same training pass q93 already runs
     * (one corpus × k VecDot scan per iteration, k×dim integer update
@@ -2454,9 +2515,26 @@ object TrainingData {
         |FROM b ORDER BY bin, slot""".stripMargin,
   )
 
-  /** DuckDB list-dot-product fragment shared by every IVF oracle. */
-  private def oDot(a: String, b: String): String =
-    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a) + 1)])"
+  /** DuckDB fixed-point fragments shared by every IVF oracle — the
+    * [[graft.functions.FixDot]] twins. The list_sum here runs over
+    * INTEGERS, so unlike the double-list form it is order-independent:
+    * whatever summation strategy a DuckDB version picks (sequential,
+    * pairwise, SIMD), the result is the same integer — the r10/r11
+    * q160 driver-vs-local divergence cannot recur. */
+  private def oQ(x: String): String =
+    s"CAST(floor(CAST($x AS DOUBLE) * 65536.0 + 0.5) AS BIGINT)"
+  private def oFxDot(a: String, b: String): String =
+    s"CAST(list_sum([${oQ(s"$a[i]")} * ${oQ(s"$b[i]")} for i in range(1, len($a) + 1)]) AS BIGINT)"
+  private def oFxNorm(a: String): String =
+    s"sqrt(CAST(${oFxDot(a, a)} AS DOUBLE))"
+  /** Deterministic rerank cosine: exact integer dot over integer-norm
+    * sqrts — one cast, one multiply, one divide, each singly rounded. */
+  private def oFxSim(a: String, b: String, na: String, nb: String): String =
+    s"CAST(${oFxDot(a, b)} AS DOUBLE) / ($na * $nb)"
+  /** The assignment argmax key: ⌊cos·2³⁰ + ½⌋ as BIGINT (mirrors
+    * assignRanked's `csim_fx`). */
+  private def oCsimFx(a: String, b: String, na: String, nb: String): String =
+    s"CAST(floor(CAST(${oFxDot(a, b)} AS DOUBLE) / ($na * $nb) * 1073741824.0 + 0.5) AS BIGINT)"
 
   /** The shared DuckDB IVF prefix — trains the identical three
     * spherical-Lloyd iterations on identical fixed-point integers and
@@ -2465,34 +2543,38 @@ object TrainingData {
     * q157's hard negatives are tails over it, so the ground-truth
     * quantizer can never drift between them. */
   // One unrolled spherical-Lloyd iteration (mirrors trainIvfCentroids
-  // exactly): assignment by argmax cosine with cent_id tie-break,
-  // update = per-dimension 2^-20 fixed-point INTEGER sums of
-  // unit-normalized members divided back and cast to FLOAT once,
-  // empty cells carrying the previous centroid.
+  // exactly): assignment by argmax fixed-point cosine (csim_fx BIGINT)
+  // with cent_id tie-break; update = per-dimension 2^-20 fixed-point
+  // INTEGER sums of the 2^-16-quantized members' unit components,
+  // divided back in one rounded op and re-quantized to the 2^16 grid
+  // as FLOAT; empty cells carrying the previous centroid.
   private def lloydIterSql(prev: String, t: Int): String =
     s"""a$t AS (SELECT vec_id, cent_id,
-       |        row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn
-       |        FROM (SELECT e.vec_id, c.cent_id, ${oDot("e.embedding", "c.ec")} / (e.nrm * c.ncn) AS csim
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY csim_fx DESC, cent_id) AS arn
+       |        FROM (SELECT e.vec_id, c.cent_id, ${oCsimFx("e.embedding", "c.ec", "e.nrm", "c.ncn")} AS csim_fx
        |              FROM e CROSS JOIN $prev c)),
        |s$t AS (SELECT a.cent_id, d.i AS dim,
-       |        SUM(CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) / e.nrm * 1048576.0 + 0.5) AS BIGINT)) AS sfx,
+       |        SUM(CAST(floor(CAST(${oQ("e.embedding[d.i]")} AS DOUBLE) / e.nrm * 1048576.0 + 0.5) AS BIGINT)) AS sfx,
        |        count(*) AS n
        |        FROM a$t a, e, range(1, 65) d(i)
        |        WHERE a.vec_id = e.vec_id AND a.arn = 1 GROUP BY 1, 2),
-       |u$t AS (SELECT cent_id, ec,
-       |        sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in ec])) AS ncn
+       |u$t AS (SELECT cent_id, ec, ${oFxNorm("ec")} AS ncn
        |        FROM (SELECT cent_id,
-       |              list(CAST(CAST(sfx AS DOUBLE) / (n * 1048576.0) AS FLOAT) ORDER BY dim) AS ec
+       |              list(CAST(floor(CAST(sfx AS DOUBLE) / (n * 16.0) + 0.5) / 65536.0 AS FLOAT) ORDER BY dim) AS ec
        |              FROM s$t GROUP BY cent_id)),
        |c$t AS (SELECT p.cent_id, COALESCE(u.ec, p.ec) AS ec, COALESCE(u.ncn, p.ncn) AS ncn
        |        FROM $prev p LEFT JOIN u$t u ON p.cent_id = u.cent_id),""".stripMargin
 
-  /** The shared `e` + seed CTE opening every IVF oracle. */
+  /** The shared `e` + seed CTE opening every IVF oracle: integer-norm
+    * `nrm` and the seed centroids re-quantized to the 2¹⁶ float grid
+    * (trainIvfCentroids' [[quantF]]). */
   private lazy val ivfBaseCtes: String =
-    """WITH e AS (SELECT vec_id, embedding, label,
-      |           sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+    s"""WITH e AS (SELECT vec_id, embedding, label, ${oFxNorm("embedding")} AS nrm
       |           FROM embeddings),
-      |c0 AS (SELECT vec_id AS cent_id, embedding AS ec, nrm AS ncn FROM e WHERE vec_id < 16)"""
+      |c0 AS (SELECT cent_id, ec, ${oFxNorm("ec")} AS ncn FROM
+      |       (SELECT vec_id AS cent_id,
+      |               [CAST(floor(CAST(x AS DOUBLE) * 65536.0 + 0.5) / 65536.0 AS FLOAT) for x in embedding] AS ec
+      |        FROM embeddings WHERE vec_id < 16))"""
       .stripMargin
 
   private lazy val ivfPrefixCtes: String =
@@ -2501,31 +2583,31 @@ object TrainingData {
       |${lloydIterSql("c1", 2)}
       |${lloydIterSql("c2", 3)}
       |sim AS (SELECT e.vec_id, e.embedding, e.nrm, e.label, c.cent_id,
-      |        ${oDot("e.embedding", "c.ec")} / (e.nrm * c.ncn) AS csim
+      |        ${oCsimFx("e.embedding", "c.ec", "e.nrm", "c.ncn")} AS csim_fx
       |        FROM e CROSS JOIN c3 c),
-      |assign AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn FROM sim),
+      |assign AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim_fx DESC, cent_id) AS arn FROM sim),
       |cells AS (SELECT vec_id, embedding, nrm, label, cent_id AS cell FROM assign WHERE arn = 1)"""
       .stripMargin
 
   /** q160's DuckDB twin: the per-iteration objective against each
     * iteration's PRE-update centroids (c0, c1, c2 — exactly what the
-    * Spark training loop measures), quantized per DIMENSION-PRODUCT:
-    * ⌊(v_d/‖v‖)·(c_d/‖c‖)·2²⁰ + ½⌋ is bit-deterministic (the parens
-    * force the same IEEE op tree Spark evaluates — a/b * c/d without
-    * them would left-associate into a different rounding sequence),
-    * and all sums after the floor are integer. The assignment argmax
-    * intentionally stays the double csim (same as q93's `assign`). */
+    * Spark training loop measures). Every reduction is an INTEGER sum
+    * (the fixed-point dot inside [[oCsimFx]]/[[oFxDot]] and the outer
+    * Σᵥ), and every double is a fixed chain of singly-rounded ops, so
+    * the three BIGINTs cannot depend on either engine's summation
+    * order — the property the r10 (floor after a double dot) and r11
+    * (double norms under a per-dimension floor) variants lacked. */
   private lazy val kmeansTraceOracleSql: String = {
     def objCte(prevC: String, t: Int): String =
       s"""oa$t AS (SELECT vec_id, cent_id FROM
          |        (SELECT e.vec_id, c.cent_id,
-         |                row_number() OVER (PARTITION BY e.vec_id ORDER BY ${oDot("e.embedding", "c.ec")} / (e.nrm * c.ncn) DESC, c.cent_id) AS arn
+         |                row_number() OVER (PARTITION BY e.vec_id ORDER BY ${oCsimFx("e.embedding", "c.ec", "e.nrm", "c.ncn")} DESC, c.cent_id) AS arn
          |         FROM e CROSS JOIN $prevC c) WHERE arn = 1),
          |ov$t AS (SELECT CAST($t AS BIGINT) AS iter,
-         |        SUM(CASE WHEN d.i = 1 THEN CAST(1048576 AS BIGINT) ELSE CAST(0 AS BIGINT) END
-         |          - CAST(floor((CAST(e.embedding[d.i] AS DOUBLE) / e.nrm) * (CAST(c.ec[d.i] AS DOUBLE) / c.ncn) * 1048576.0 + 0.5) AS BIGINT)) AS obj_fx
+         |        SUM(CAST(1048576 AS BIGINT)
+         |          - CAST(floor(CAST(${oFxDot("e.embedding", "c.ec")} AS DOUBLE) / (e.nrm * c.ncn) * 1048576.0 + 0.5) AS BIGINT)) AS obj_fx
          |        FROM oa$t a JOIN e ON a.vec_id = e.vec_id
-         |             JOIN $prevC c ON a.cent_id = c.cent_id, range(1, 65) d(i))""".stripMargin
+         |             JOIN $prevC c ON a.cent_id = c.cent_id)""".stripMargin
     s"""$ivfBaseCtes,
       |${lloydIterSql("c0", 1)}
       |${lloydIterSql("c1", 2)}
@@ -2543,7 +2625,7 @@ object TrainingData {
       |qprobe AS (SELECT vec_id AS q_id, embedding AS eq, nrm AS nq, cent_id AS cell
       |           FROM assign WHERE arn <= 4 AND vec_id % 50 = 0),
       |cand AS (SELECT q.q_id, c2.vec_id AS c_id,
-      |         ${oDot("q.eq", "c2.embedding")} / (q.nq * c2.nrm) AS sim
+      |         ${oFxSim("q.eq", "c2.embedding", "q.nq", "c2.nrm")} AS sim
       |         FROM qprobe q JOIN cells c2 ON q.cell = c2.cell AND c2.vec_id <> q.q_id),
       |ranked AS (SELECT q_id, c_id, sim,
       |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM cand)
@@ -2555,7 +2637,7 @@ object TrainingData {
   private lazy val semDedupOracleSql: String =
     s"""$ivfPrefixCtes,
       |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-      |      ${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+      |      ${oFxSim("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS sim
       |      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id),
       |f AS (SELECT a_id, b_id, sim,
       |      row_number() OVER (PARTITION BY b_id ORDER BY a_id) AS rn
@@ -2570,7 +2652,7 @@ object TrainingData {
       |qprobe AS (SELECT vec_id AS q_id, embedding AS eq, nrm AS nq, cent_id AS cell, label AS ql
       |           FROM assign WHERE arn <= 4 AND vec_id % 50 = 0),
       |cand AS (SELECT q.q_id, c2.vec_id AS c_id, c2.label AS neg_label,
-      |         ${oDot("q.eq", "c2.embedding")} / (q.nq * c2.nrm) AS sim
+      |         ${oFxSim("q.eq", "c2.embedding", "q.nq", "c2.nrm")} AS sim
       |         FROM qprobe q JOIN cells c2 ON q.cell = c2.cell AND c2.label <> q.ql),
       |ranked AS (SELECT q_id, c_id, neg_label, sim,
       |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM cand)

@@ -48,36 +48,40 @@ class IvfTrainSpec extends AnyFunSuite {
   }
 
   test("iteration-1 integer objective matches an independent driver-side " +
-    "per-dimension-product derivation (the q160 cross-engine contract)") {
-    // Recompute objsFx(0) from raw floats with plain Scala doubles:
-    // nrm = left-to-right self-dot (VecDot's order), assignment = argmax
-    // cosine with cent_id tie-break, term_d = floor((v_d/nrm)*(c_d/ncn)
-    // *2^20 + 0.5). If the SQL expression tree ever drifts from this
-    // sequence (e.g. re-associated multiply), the floor inputs change
-    // and this pins it.
+    "fixed-point derivation (the q160 cross-engine contract)") {
+    // Recompute objsFx(0) from raw floats with plain Scala arithmetic
+    // speaking the r12 fixed-point metric: q_d = floor(x·2^16 + 0.5) as
+    // LONG, dot and normsq as INTEGER sums (so this derivation — like
+    // any oracle engine — is free to sum in any order), nrm the sqrt of
+    // the exact integer, assignment by the BIGINT argmax key
+    // csim_fx = floor(dot/(nrm_v·nrm_c)·2^30 + 0.5) with cent_id
+    // tie-break, objective term 2^20 − floor(dot/(nrm_v·nrm_c)·2^20 +
+    // 0.5). If the SQL expression tree ever drifts from this sequence,
+    // the floor inputs change and this pins it.
     val rows = graft.ops.T(spark, SparkTestBase.Sf0001, "embeddings")
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    def dot(a: Array[Float], b: Array[Float]): Double = {
-      var acc = 0.0; var j = 0
-      while (j < a.length) { acc += a(j).toDouble * b(j).toDouble; j += 1 }
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 65536.0 + 0.5).toLong)
+    def idot(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var j = 0
+      while (j < a.length) { acc += a(j) * b(j); j += 1 }
       acc
     }
-    val nrm = rows.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
-    val seeds = rows.filter(_._1 < 16).sortBy(_._1)
+    val qs = rows.map { case (id, v) => id -> quant(v) }.toMap
+    val nrm = qs.map { case (id, q) => id -> math.sqrt(idot(q, q).toDouble) }
+    // seed centroids are the quantized-float grid points whose FixDot
+    // re-quantization recovers exactly these integer vectors
+    val seeds = rows.filter(_._1 < 16).map(r => (r._1, qs(r._1))).sortBy(_._1)
     var expected = 0L
-    for ((vid, v) <- rows) {
-      val (cid, cv) = seeds.minBy { case (cid, cv) =>
-        (-dot(v, cv) / (nrm(vid) * nrm(cid)), cid)
+    for ((vid, _) <- rows) {
+      val qv = qs(vid)
+      val (cid, cq) = seeds.minBy { case (cid, cq) =>
+        (-math.floor(idot(qv, cq).toDouble / (nrm(vid) * nrm(cid))
+          * 1073741824.0 + 0.5).toLong, cid)
       }
-      var sumTerm = 0L
-      var d = 0
-      while (d < v.length) {
-        sumTerm += math.floor((v(d).toDouble / nrm(vid)) *
-          (cv(d).toDouble / nrm(cid)) * 1048576.0 + 0.5).toLong
-        d += 1
-      }
-      expected += 1048576L - sumTerm
+      expected += 1048576L - math.floor(idot(qv, cq).toDouble /
+        (nrm(vid) * nrm(cid)) * 1048576.0 + 0.5).toLong
     }
     val trained = TrainingData.trainIvfCentroids(spark, SparkTestBase.Sf0001)
     assert(trained.objsFx.head == expected,

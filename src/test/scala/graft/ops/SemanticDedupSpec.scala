@@ -13,10 +13,17 @@ class SemanticDedupSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def dot(a: Array[Float], b: Array[Float]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
+  /** The IVF family's r12 rerank cosine numerator: the 2¹⁶ fixed-point
+    * integer dot (FixDot's arithmetic), NOT a double fold — the specs'
+    * brute force must speak the same metric as the op. */
+  private def fxdot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0L; var i = 0
+    while (i < a.length) {
+      s += math.floor(a(i).toDouble * 65536.0 + 0.5).toLong *
+        math.floor(b(i).toDouble * 65536.0 + 0.5).toLong
+      i += 1
+    }
+    s.toDouble
   }
 
   /** (vec_id, embedding, nrm, cell, label) rows of the arn=1 slice. */
@@ -30,7 +37,7 @@ class SemanticDedupSpec extends AnyFunSuite {
     val byCell = cellRows.groupBy(_._4)
     val expect = scala.collection.mutable.Map.empty[Long, (Long, Double)]
     for ((_, vs) <- byCell; a <- vs; b <- vs if a._1 < b._1) {
-      val sim = dot(a._2, b._2) / (a._3 * b._3)
+      val sim = fxdot(a._2, b._2) / (a._3 * b._3)
       if (sim >= 0.40) {
         val cur = expect.get(b._1)
         if (cur.isEmpty || a._1 < cur.get._1) expect(b._1) = (a._1, sim)
@@ -63,7 +70,7 @@ class SemanticDedupSpec extends AnyFunSuite {
           val cands = cells
             .filter(c => probed.contains(c._4) && c._6 != ql)
             .map(c => (c._1, c._6,
-              dot(rows.head._2, c._2) / (rows.head._3 * c._3)))
+              fxdot(rows.head._2, c._2) / (rows.head._3 * c._3)))
             .sortBy(c => (-c._3, c._1)).take(3)
           cands.zipWithIndex.map { case ((cid, lbl, sim), i) =>
             (qid, i + 1) -> ((cid, lbl, sim))
