@@ -85,4 +85,29 @@ object BatchCommitLog {
     data.join(broadcast(committedDf.getOrElse(committed(spark, batchesDir))),
       Seq("batch_id"), "left_semi")
   }
+
+  /** Bounds the commit log for long-lived streams: [[record]] appends
+    * one small parquet file per batch forever, so the log's file count
+    * — and with it every poll's listing cost and the broadcast build —
+    * grows without bound on an unbounded-ingest maintainer. Rewrites
+    * the current id set as ONE parquet file appended into the same
+    * directory, then deletes the pre-compaction files. Crash-safe at
+    * every point in the sequence: the consolidated file lands via a
+    * normal append BEFORE any delete, and a crash mid-delete merely
+    * leaves duplicate ids, which every reader already tolerates
+    * ([[committed]] is consumed as a set — semi-join membership and a
+    * `limit(1)` existence probe). A concurrent [[record]] is likewise
+    * safe: a file created after the pre-listing is never deleted.
+    * Maintainers call this on their own cadence (e.g. every N
+    * batches); DriftMonitor documents it as its retention step. */
+  def compact(spark: SparkSession, batchesDir: String): Unit = {
+    if (!exists(batchesDir)) return
+    import scala.jdk.CollectionConverters._
+    val pre = Files.list(Paths.get(batchesDir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toList
+    if (pre.size <= 1) return
+    committed(spark, batchesDir).distinct()
+      .coalesce(1).write.mode("append").parquet(batchesDir)
+    pre.foreach(Files.deleteIfExists(_))
+  }
 }

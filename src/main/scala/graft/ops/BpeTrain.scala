@@ -114,8 +114,10 @@ object BpeTrain {
   }
 
   /** q162: the learned merge table over `documents` — the vocabulary
-    * a subword tokenizer would ship. Rows-only (no oracle by design,
-    * see object doc). */
+    * a subword tokenizer would ship. Oracle-checked (r11): the DuckDB
+    * twin in [[oracle]] replays the identical greedy training via the
+    * run-parity data-parallel equivalence (materialized per-iteration
+    * CTEs — see the object doc). */
   def q162BpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     trainMerges(s, dir, Merges)

@@ -523,6 +523,14 @@ object Relational {
     * group keys — `percentile()` semantics (ADVICE r10). */
   private def exactGroupedQuantiles(df: DataFrame, group: String,
       specs: Seq[(String, Seq[(String, Double)])]): DataFrame = {
+    // the final pivot keys on quantile NAME alone, so a name shared by
+    // two value columns (both asking for "p50") would silently collapse
+    // into one column via first() — fail loudly instead (r11 advice)
+    val allNames = specs.flatMap(_._2.map(_._1))
+    require(allNames.distinct.size == allNames.size,
+      s"quantile output names must be globally unique across value " +
+        s"columns, got duplicates: " +
+        allNames.diff(allNames.distinct).distinct.mkString(", "))
     val s = df.sparkSession
     import s.implicits._
     val stackArgs = specs.map { case (vcol, _) =>

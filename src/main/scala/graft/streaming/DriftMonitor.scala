@@ -31,7 +31,11 @@ import graft.ops.BatchCommitLog
   * (batch_id-partitioned dynamic-overwrite partials, batch id
   * recorded last, committed-only reads — one implementation, shared
   * with IncrementalCard, so a protocol fix can never land in one
-  * maintainer and miss the other). DriftMonitorSpec pins
+  * maintainer and miss the other). Retention: on an unbounded stream
+  * the commit log accretes one small file per batch, so a long-lived
+  * deployment calls [[BatchCommitLog.compact]] on its own cadence
+  * (e.g. every few hundred batches) to keep the listing/broadcast
+  * bounded — crash-safe, see that method. DriftMonitorSpec pins
   * drift-equals-q188 on the same snapshot split, zero self-drift,
   * replay no-op, the pre-first-batch poll, and the foreachBatch
   * end-to-end path. */

@@ -2,6 +2,8 @@ package graft.ops
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -71,5 +73,33 @@ class BatchCommitLogSpec extends AnyFunSuite {
     BatchCommitLog.record(spark, batches, 0L)
     assert(BatchCommitLog.readCommitted(spark, data, batches, Ddl)
       .count() == 0)
+  }
+
+  test("compact collapses the per-batch files to one, preserves the id " +
+    "set, and later records stay readable") {
+    import spark.implicits._
+    val (data, batches) = dirs()
+    (0L to 9L).foreach { b =>
+      BatchCommitLog.writePartitioned(
+        Seq(("k", b)).toDF("k", "v"), b, data)
+      BatchCommitLog.record(spark, batches, b)
+    }
+    def parquetFiles(): Long = Files
+      .list(java.nio.file.Paths.get(batches)).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet")).toLong
+    assert(parquetFiles() == 10)
+    BatchCommitLog.compact(spark, batches)
+    assert(parquetFiles() == 1, "compaction must leave one parquet file")
+    assert(BatchCommitLog.committed(spark, batches)
+      .as[Long].collect().sorted.toSeq == (0L to 9L))
+    // the log keeps working after compaction
+    BatchCommitLog.writePartitioned(Seq(("k", 10L)).toDF("k", "v"), 10L, data)
+    BatchCommitLog.record(spark, batches, 10L)
+    assert(BatchCommitLog.readCommitted(spark, data, batches, Ddl)
+      .count() == 11)
+    assert(BatchCommitLog.isCommitted(spark, batches, 10L))
+    // compacting twice is a no-op shape, not an error
+    BatchCommitLog.compact(spark, batches)
+    assert(BatchCommitLog.committed(spark, batches).count() == 11)
   }
 }
