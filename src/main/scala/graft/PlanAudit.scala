@@ -272,6 +272,13 @@ object PlanAudit {
         "predicates in `PushedFilters` and a `ReadSchema` of exactly " +
         "the four referenced columns — pushdown and pruning survive " +
         "the format change from parquet."),
+    "q192_avro_roundtrip" ->
+      ("**Look for:** the `graft-avro` BatchScan with a ReadSchema of " +
+        "exactly the four referenced fields (pruning rides an Avro " +
+        "READER schema — unreferenced fields never decode) and the " +
+        "priority filter evaluated ABOVE the scan: row-major " +
+        "containers carry no statistics, so there is deliberately no " +
+        "PushedFilters line — the documented cost of the format."),
     "q178_best_of_cluster" ->
       ("**Look for:** the iterative connected-components prefix (its " +
         "per-round shape is q100's, lineage truncated by " +

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.{BpeTrain, Corpus, Curation, Multimodal, NorthStar, ParseRoute, Relational, Scalars, SketchRollup, TpchShapes, TrainingData}
-import graft.sink.{BucketQueries, CsvQueries, Layout, OrcQueries, PartitionedQueries, SchemaEvolution, ShardedExport, ZOrderQueries}
+import graft.sink.{AvroQueries, BucketQueries, CsvQueries, Layout, OrcQueries, PartitionedQueries, SchemaEvolution, ShardedExport, ZOrderQueries}
 import graft.sources.JsonlIngest
 import graft.sources.rfc.RfcQueries
 
@@ -33,7 +33,8 @@ object SparkEntry {
       Corpus.queries ++
       Layout.queries ++ ZOrderQueries.queries ++ BucketQueries.queries ++
       PartitionedQueries.queries ++ ShardedExport.queries ++
-      OrcQueries.queries ++ CsvQueries.queries ++ SchemaEvolution.queries ++
+      OrcQueries.queries ++ CsvQueries.queries ++ AvroQueries.queries ++
+      SchemaEvolution.queries ++
       Multimodal.queries ++ RfcQueries.queries ++ SketchRollup.queries ++
       JsonlIngest.queries ++ BpeTrain.queries
 
@@ -43,7 +44,8 @@ object SparkEntry {
       Corpus.oracle ++
       ZOrderQueries.oracle ++ BucketQueries.oracle ++
       PartitionedQueries.oracle ++ ShardedExport.oracle ++
-      OrcQueries.oracle ++ CsvQueries.oracle ++ SchemaEvolution.oracle ++
+      OrcQueries.oracle ++ CsvQueries.oracle ++ AvroQueries.oracle ++
+      SchemaEvolution.oracle ++
       RfcQueries.oracle ++
       SketchRollup.oracle ++ JsonlIngest.oracle ++ BpeTrain.oracle
 }

@@ -1,0 +1,366 @@
+package graft.sources.avro
+
+import java.util
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.util.Utf8
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-avro` DataSource V2 source AND sink — the Avro leg of the
+  * storage-format matrix (parquet/ORC/CSV/JSONL are q01/q173/q189/q161).
+  * The Spark distribution in this environment ships the Avro LIBRARY
+  * (avro-1.12) but not the `spark-avro` datasource module, so the
+  * connector is built directly on the library through the same DSv2
+  * surface as the `sap-rfc` source.
+  *
+  * Layout and scale model (the classic Avro-on-a-data-lake baseline):
+  *  - a dataset is a directory of `part-*.avro` object-container files;
+  *  - the WRITE side emits one container file per task (append), so
+  *    write parallelism is the upstream partitioning, exactly like the
+  *    built-in file sinks; commit drops a `_SUCCESS` marker, task abort
+  *    deletes its own file — the standard job-commit contract;
+  *  - the READ side plans one [[InputPartition]] per container file —
+  *    at 100 TB you size container files like parquet row-group files
+  *    (the writer's upstream `repartition` is the knob), which keeps
+  *    file-granularity scheduling balanced without block-level splits;
+  *  - COLUMN PRUNING pushes down as an Avro READER schema holding only
+  *    the referenced fields: Avro's schema resolution skips unreferenced
+  *    fields at decode time, so a 2-column projection of a 20-column
+  *    record never materializes the other 18 (row-major bytes are still
+  *    read — the documented cost of the format vs parquet; no filter
+  *    pushdown for the same reason: container files carry no column
+  *    statistics).
+  *
+  * Type mapping (both directions, nullable as `union(null, T)`):
+  * long↔long, int↔int, double↔double, float↔float, boolean↔boolean,
+  * string↔string, binary↔bytes, timestamp↔long/timestamp-micros,
+  * timestamp_ntz↔long/local-timestamp-micros, date↔int/date. Logical
+  * types ride as raw long/int on both paths — Spark's internal
+  * micros/days encodings are exactly Avro's, so no conversion layer
+  * (and no engine-dependent rounding) exists.
+  *
+  * Hadoop FS API throughout (not java.io), so the same code addresses
+  * HDFS/S3A on a real cluster; tasks read the default `Configuration`
+  * (core-site.xml on the executor classpath) rather than shipping the
+  * driver's, which keeps every plan object trivially serializable. */
+class AvroTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-avro"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = AvroDataSource.pathOf(options)
+    val files = AvroDataSource.listAvroFiles(path)
+    require(files.nonEmpty, s"graft-avro: no *.avro files under $path")
+    val conf = new Configuration()
+    val fs = files.head.getFileSystem(conf)
+    val in = fs.open(files.head)
+    try {
+      val stream = new DataFileStream[GenericRecord](
+        in, new GenericDatumReader[GenericRecord]())
+      try AvroConv.toSpark(stream.getSchema)
+      finally stream.close()
+    } finally in.close()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    AvroTable(properties.asScala.getOrElse("path",
+      sys.error("graft-avro requires a path")), schema)
+}
+
+private[avro] object AvroDataSource {
+  def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-avro requires a path")
+    p
+  }
+
+  def listAvroFiles(path: String): Seq[Path] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+      .map(_.getPath)
+      .sortBy(_.getName) // deterministic partition order
+  }
+}
+
+/** Spark ↔ Avro schema/value conversion (see provider doc for the
+  * mapping table). */
+private[avro] object AvroConv {
+  def toAvro(st: StructType): Schema = {
+    val fields = st.fields.map { f =>
+      val base = f.dataType match {
+        case LongType => Schema.create(Schema.Type.LONG)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case DoubleType => Schema.create(Schema.Type.DOUBLE)
+        case FloatType => Schema.create(Schema.Type.FLOAT)
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case StringType => Schema.create(Schema.Type.STRING)
+        case BinaryType => Schema.create(Schema.Type.BYTES)
+        case TimestampType =>
+          LogicalTypes.timestampMicros()
+            .addToSchema(Schema.create(Schema.Type.LONG))
+        case TimestampNTZType =>
+          LogicalTypes.localTimestampMicros()
+            .addToSchema(Schema.create(Schema.Type.LONG))
+        case DateType =>
+          LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+        case other =>
+          sys.error(s"graft-avro: unsupported write type $other (${f.name})")
+      }
+      new Schema.Field(f.name,
+        Schema.createUnion(Schema.create(Schema.Type.NULL), base),
+        null, Schema.Field.NULL_DEFAULT_VALUE)
+    }
+    Schema.createRecord("graft_row", null, "graft.avro", false,
+      fields.toList.asJava)
+  }
+
+  def toSpark(s: Schema): StructType = {
+    require(s.getType == Schema.Type.RECORD,
+      s"graft-avro: top-level schema must be a record, got ${s.getType}")
+    StructType(s.getFields.asScala.toSeq.map { f =>
+      val (tpe, nullable) = unwrap(f.schema())
+      StructField(f.name(), tpe, nullable)
+    })
+  }
+
+  private def unwrap(s: Schema): (DataType, Boolean) = s.getType match {
+    case Schema.Type.UNION =>
+      val branches = s.getTypes.asScala
+      val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1,
+        s"graft-avro: only union(null, T) is supported, got $s")
+      (unwrap(nonNull.head)._1, branches.size > nonNull.size)
+    case Schema.Type.LONG =>
+      (s.getLogicalType match {
+        case _: LogicalTypes.TimestampMicros => TimestampType
+        case _: LogicalTypes.LocalTimestampMicros => TimestampNTZType
+        case _ => LongType
+      }, false)
+    case Schema.Type.INT =>
+      (s.getLogicalType match {
+        case _: LogicalTypes.Date => DateType
+        case _ => IntegerType
+      }, false)
+    case Schema.Type.DOUBLE => (DoubleType, false)
+    case Schema.Type.FLOAT => (FloatType, false)
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.STRING => (StringType, false)
+    case Schema.Type.BYTES => (BinaryType, false)
+    case other => sys.error(s"graft-avro: unsupported read type $other")
+  }
+
+  /** Avro record value → Catalyst value for one field. */
+  def toCatalyst(v: Any, dt: DataType): Any = v match {
+    case null => null
+    case u: Utf8 => UTF8String.fromBytes(u.getBytes, 0, u.getByteLength)
+    case s: String => UTF8String.fromString(s)
+    case b: java.nio.ByteBuffer =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case other => other // long/int/double/float/boolean ride as-is
+  }
+
+  /** Catalyst value → Avro record value for one field. */
+  def toAvroValue(row: InternalRow, i: Int, dt: DataType): Any =
+    if (row.isNullAt(i)) null
+    else dt match {
+      case LongType | TimestampType | TimestampNTZType => row.getLong(i)
+      case IntegerType | DateType => row.getInt(i)
+      case DoubleType => row.getDouble(i)
+      case FloatType => row.getFloat(i)
+      case BooleanType => row.getBoolean(i)
+      case StringType =>
+        val u = row.getUTF8String(i); new Utf8(u.getBytes)
+      case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
+      case other => sys.error(s"graft-avro: unsupported write type $other")
+    }
+}
+
+case class AvroTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft-avro:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroScanBuilder(path, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AvroWriteBuilder(path, info.schema())
+}
+
+class AvroScanBuilder(path: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(r: StructType): Unit =
+    // empty projection (count(*)-style) still needs ≥1 field to drive
+    // record iteration; keep the first
+    required = if (r.fields.isEmpty) StructType(full.fields.take(1)) else r
+  override def build(): Scan = AvroScan(path, required)
+}
+
+case class AvroScan(path: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-avro $path ReadSchema: ${required.catalogString}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    AvroDataSource.listAvroFiles(path)
+      .map(p => AvroFilePartition(p.toString): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    AvroReaderFactory(required)
+}
+
+case class AvroFilePartition(file: String) extends InputPartition
+
+case class AvroReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new AvroPartitionReader(p.asInstanceOf[AvroFilePartition].file, required)
+}
+
+/** Streams one container file; the pruned READER schema makes Avro's
+  * resolver skip every unreferenced field at decode time. */
+class AvroPartitionReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val in = {
+    val p = new Path(file)
+    p.getFileSystem(new Configuration()).open(p)
+  }
+  private val stream = new DataFileStream[GenericRecord](
+    in, new GenericDatumReader[GenericRecord](null, AvroConv.toAvro(required)))
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (!stream.hasNext) false
+    else {
+      val rec = stream.next()
+      val vals = new Array[Any](required.length)
+      var i = 0
+      while (i < required.length) {
+        vals(i) = AvroConv.toCatalyst(rec.get(i), required(i).dataType)
+        i += 1
+      }
+      current = new GenericInternalRow(vals)
+      true
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = { stream.close(); in.close() }
+}
+
+class AvroWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = AvroBatchWrite(path, schema, doTruncate)
+  }
+}
+
+case class AvroCommit(file: String) extends WriterCommitMessage
+
+case class AvroBatchWrite(path: String, schema: StructType,
+                          truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = AvroWriterFactory(path, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    if (truncate) {
+      // overwrite semantics: the new files are already in place under
+      // unique names — drop every pre-existing container file that is
+      // NOT part of this commit
+      val keep = messages.map(_.asInstanceOf[AvroCommit].file).toSet
+      AvroDataSource.listAvroFiles(path)
+        .filterNot(p => keep.contains(p.getName))
+        .foreach(p => fs.delete(p, false))
+    }
+    fs.create(new Path(dir, "_SUCCESS"), true).close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    messages.filter(_ != null).foreach { m =>
+      fs.delete(new Path(dir, m.asInstanceOf[AvroCommit].file), false)
+    }
+  }
+}
+
+case class AvroWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new AvroDataWriter(path, schema, partitionId, taskId)
+}
+
+/** One container file per task (deflate-compressed — the codec in Avro
+  * core, no optional native lib). The unique name makes speculative /
+  * retried tasks collision-free; only the committed attempt's file
+  * survives job commit. */
+class AvroDataWriter(path: String, schema: StructType, partitionId: Int,
+                     taskId: Long) extends DataWriter[InternalRow] {
+  private val avroSchema = AvroConv.toAvro(schema)
+  private val fileName =
+    f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.avro"
+  private val out = {
+    val p = new Path(new Path(path), fileName)
+    p.getFileSystem(new Configuration()).create(p, true)
+  }
+  private val writer = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](avroSchema))
+    w.setCodec(CodecFactory.deflateCodec(6))
+    w.create(avroSchema, out)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val rec = new GenericData.Record(avroSchema)
+    var i = 0
+    while (i < schema.length) {
+      rec.put(i, AvroConv.toAvroValue(row, i, schema(i).dataType))
+      i += 1
+    }
+    writer.append(rec)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    AvroCommit(fileName)
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Throwable => () }
+    val p = new Path(new Path(path), fileName)
+    p.getFileSystem(new Configuration()).delete(p, false)
+  }
+
+  override def close(): Unit = ()
+}
