@@ -234,9 +234,55 @@ object NorthStar {
       .orderBy("user_id", "session_id")
   }
 
+  /** The streaming session-example OUTPUT contract as a batch
+    * formulation over any `(user_id, event_id, tus, event_type)` frame
+    * — exactly what [[graft.streaming.EventStreams.sessionExamples]]
+    * emits once every session has closed (a stream has no global
+    * session ordinal, so unlike q164 the ordinal is dropped). Factored
+    * so THREE independent derivations meet on it: the streaming state
+    * machine (StreamBatchParitySpec's micro-batch replay), this batch
+    * plan, and q193's DuckDB oracle — the cross-engine check the
+    * self-parity spec alone could not give the state machine. */
+  private[graft] def sessionExamplesBatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("tus"),
+        col("event_type"))
+      .withColumn("prev", lag("tus", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("is_new").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("""transform(
+                  array_sort(collect_list(struct(tus, event_id, event_type))),
+                  x -> x.event_type)""").as("seq"))
+      .filter(col("n_events") >= 3)
+      .select(col("user_id"), col("n_events"),
+        md5(concat_ws(" ", expr("slice(seq, 1, size(seq) - 1)")))
+          .as("prefix_md5"),
+        expr("element_at(seq, -1)").as("label"))
+      .orderBy("user_id", "n_events", "prefix_md5", "label")
+  }
+
+  /** q193: the STREAMING operator's output, graded — q164 checks the
+    * sessionization with its batch ordinal; q193 checks the exact
+    * schema the continuous [[graft.streaming.EventStreams
+    * .sessionExamples]] state machine materializes (what a downstream
+    * trainer actually consumes from the stream), against a DuckDB
+    * oracle. Same scale shape as q164 (per-user windows, bounded
+    * session buffers); rows can legitimately repeat (same user, same
+    * sequence in two sessions), so the ORDER BY spans all four
+    * columns. */
+  def q193SessionExamplesBatch(s: SparkSession, dir: String): DataFrame =
+    sessionExamplesBatch(T.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_dedup_exact" -> q70DedupExact _,
     "q164_session_examples" -> q164SessionExamples _,
+    "q193_session_examples_batch" -> q193SessionExamplesBatch _,
     "q120_event_transitions" -> q120EventTransitions _,
     "q132_event_ohlc" -> q132EventOhlc _,
     "q71_dedup_keyed" -> q71DedupKeyed _,
@@ -323,6 +369,21 @@ object NorthStar {
         |       md5(array_to_string(seq[1:len(seq)-1], ' ')) AS prefix_md5,
         |       seq[-1] AS label
         |FROM a WHERE n_events >= 3 ORDER BY user_id, session_id""".stripMargin,
+    "q193_session_examples_batch" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events),
+        |l AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM x),
+        |n AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+        |g AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |      FROM n),
+        |a AS (SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |             list(event_type ORDER BY tus, event_id) AS seq
+        |      FROM g GROUP BY 1, 2)
+        |SELECT user_id, n_events,
+        |       md5(array_to_string(seq[1:len(seq)-1], ' ')) AS prefix_md5,
+        |       seq[-1] AS label
+        |FROM a WHERE n_events >= 3
+        |ORDER BY user_id, n_events, prefix_md5, label""".stripMargin,
     "q81_event_sessionize" ->
       """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
         |l AS (SELECT user_id, event_id, tus,

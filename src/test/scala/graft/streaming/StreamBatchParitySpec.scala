@@ -304,5 +304,15 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }.toSet
     assert(got == want)
     assert(want.nonEmpty, "fixture has no 3+-event session — degenerate")
+    // three-way closure: the q193 batch formulation (the graded,
+    // DuckDB-oracled plan) on the same rows must ALSO match the stream
+    val q193 = graft.ops.NorthStar.sessionExamplesBatch(
+        fixture.toDF().withColumn("tus",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts"))))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(q193 == want, "q193 batch formulation drifted from the stream")
   }
 }
