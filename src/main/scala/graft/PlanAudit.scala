@@ -272,6 +272,14 @@ object PlanAudit {
         "predicates in `PushedFilters` and a `ReadSchema` of exactly " +
         "the four referenced columns — pushdown and pruning survive " +
         "the format change from parquet."),
+    "q194_pq_adc" ->
+      ("**Look for:** ONE scan of embeddings computing the 8-code " +
+        "array through the codegen'd pq_codes projection (codebook " +
+        "inlined — no join on the corpus side), the 8-row query batch " +
+        "as a BroadcastNestedLoopJoin build side (the named bounded " +
+        "exception, q148's class), and the integer ADC aggregate + " +
+        "per-query rank — the candidate floats are never re-read " +
+        "after encoding, which is the whole PQ story."),
     "q192_avro_roundtrip" ->
       ("**Look for:** the `graft-avro` BatchScan with a ReadSchema of " +
         "exactly the four referenced fields (pruning rides an Avro " +

@@ -1198,6 +1198,99 @@ object TrainingData {
         .select(col("vec_id"), col("embedding"), col("nrm")))
   }
 
+  // ---- q194: product quantization + asymmetric distance (ADC) ----
+
+  private val PqM = 8         // subspaces (64 dims / 8)
+  private[ops] val PqSub = 8  // dims per subspace
+  private val PqK = 16        // codebook entries per subspace
+  private[ops] val PqQueryBatch = 8L // fixed probe batch: vec_id < 8
+
+  /** dataset dir → [m][k][d] PQ codebook of 2¹⁶-quantized seed
+    * subvectors (the vec_id < [[PqK]] corpus vectors split into
+    * [[PqM]] subspaces — the same deterministic seeding protocol as
+    * the IVF quantizer; a production index k-means-trains each
+    * subspace codebook with q160's integer-exact discipline, which
+    * changes the VALUES but not one line of the probe shape). */
+  private val pqCbCache =
+    scala.collection.concurrent.TrieMap[String, Array[Array[Array[Long]]]]()
+
+  private def pqCodebook(s: SparkSession, dir: String)
+      : Array[Array[Array[Long]]] =
+    pqCbCache.getOrElseUpdate(dir, {
+      val seeds = T(s, dir, "embeddings").filter(col("vec_id") < PqK)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect() // k rows — bounded by the model constant
+        .sortBy(_.getInt(0))
+        .map(_.getSeq[Float](1).toArray)
+      Array.tabulate(PqM)(m => Array.tabulate(PqK)(k =>
+        Array.tabulate(PqSub)(d =>
+          math.floor(seeds(k)(m * PqSub + d).toDouble * 65536.0 + 0.5)
+            .toLong)))
+    })
+
+  /** q194: PQ-ADC probe — the missing rung between per-value int8
+    * compression (q99) and cell-pruned IVF (q93/q152) that real
+    * 100 TB vector stores stand on (IVFPQ): each corpus vector is
+    * stored as [[PqM]] 4-bit codes (64 float dims → 8 codes, 64×
+    * smaller), and a query scores a candidate WITHOUT touching its
+    * floats — asymmetric distance = Σ_m table_q[m][code_m], where
+    * table_q holds the query's exact squared-L2 to every codebook
+    * entry.
+    *
+    * Scale shape: encoding is ONE scan through the codegen'd
+    * [[graft.functions.PqCodes]] (codebook is a model constant riding
+    * the expression — no join); the probe broadcasts the
+    * [[PqQueryBatch]]-row query batch WITH its precomputed ADC tables
+    * (batch × M × K longs, driver-bounded by model constants — the
+    * q160 bounded-collect argument) against the codes scan. The
+    * candidate side never re-reads embeddings — that is PQ's entire
+    * point: at 100 TB the codes table is ~1.6% of the float corpus
+    * and the scan is table lookups. Compose with q152's cells for
+    * IVFPQ (probe only the nprobe cells' codes).
+    *
+    * Determinism: codes, tables and ADC sums are ALL integers in the
+    * 2¹⁶ fixed-point grid (squared-L2 needs no sqrt) — the r12 IVF
+    * discipline with not a single double anywhere, so the oracle
+    * match is exact by construction. */
+  def q194PqAdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cb = pqCodebook(s, dir)
+    val coded = T(s, dir, "embeddings")
+      .select(col("vec_id").as("c_id"),
+        graft.functions.PqCodes.codes(col("embedding"), cb).as("codes"))
+    val qRows = T(s, dir, "embeddings")
+      .filter(col("vec_id") < PqQueryBatch)
+      .select(col("vec_id"), col("embedding"))
+      .collect() // batch rows — bounded by the model constant
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        val tabs: Seq[Seq[Long]] = (0 until PqM).map { m =>
+          (0 until PqK).map { k =>
+            var d = 0L; var j = 0
+            while (j < PqSub) {
+              val q = math.floor(v(m * PqSub + j).toDouble * 65536.0 + 0.5)
+                .toLong
+              val diff = q - cb(m)(k)(j)
+              d += diff * diff
+              j += 1
+            }
+            d
+          }
+        }
+        (r.getLong(0), tabs)
+      }.toSeq
+    val qdf = qRows.toDF("q_id", "tabs")
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
+    coded.join(broadcast(qdf), col("c_id") =!= col("q_id"))
+      .withColumn("adc", expr(
+        "aggregate(zip_with(tabs, codes, (t, c) -> element_at(t, c + 1))," +
+          " 0L, (a, x) -> a + x)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("c_id"), col("adc"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
   /** Marker lexicon for q82 — stand-in per-language stopword lists drawn
     * from the synthetic vocabulary (a real deployment broadcasts real
     * lexicons; the shape — broadcast dictionary join + per-doc argmax —
@@ -2071,6 +2164,7 @@ object TrainingData {
     "q151_bpe_budget_mix" -> q151BpeBudgetMix _,
     "q165_subword_corpus" -> q165SubwordCorpus _,
     "q152_indexed_ann" -> q152IndexedAnn _,
+    "q194_pq_adc" -> q194PqAdc _,
   )
 
   /** `('de', 2500),…` — [[LangBudgets]] as a DuckDB VALUES list so the
@@ -2373,6 +2467,7 @@ object TrainingData {
     // result (same trained centroids via the parquet float round-trip,
     // same deterministic assignment + probe), so q93's oracle drives it
     "q152_indexed_ann" -> ivfOracleSql,
+    "q194_pq_adc" -> pqAdcOracleSql,
     "q113_bm25_rank" -> {
       val termScore = (i: Int) =>
         s"((n_docs - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
@@ -2631,6 +2726,32 @@ object TrainingData {
       |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM cand)
       |SELECT q_id, c_id, round(sim, 4) AS sim, CAST(rn AS INTEGER) AS rn
       |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+
+  /** q194's DuckDB twin: the identical integer PQ pipeline in SQL —
+    * quantize once, codebook = seed subvectors, codes by squared-L2
+    * argmin (ties → lowest k), ADC = Σ_m the query's distance-table
+    * entry at the candidate's code. Every value is an integer in the
+    * 2¹⁶ grid, so the hash match is exact by construction. */
+  private lazy val pqAdcOracleSql: String =
+    """WITH e AS (SELECT vec_id,
+      |           [CAST(floor(CAST(x AS DOUBLE) * 65536.0 + 0.5) AS BIGINT) for x in embedding] AS q
+      |           FROM embeddings),
+      |cb AS (SELECT vec_id AS k, q FROM e WHERE vec_id < 16),
+      |dist AS (SELECT v.vec_id, m.m, c.k,
+      |         CAST(list_sum([(v.q[m.m*8+d] - c.q[m.m*8+d]) * (v.q[m.m*8+d] - c.q[m.m*8+d]) for d in range(1, 9)]) AS BIGINT) AS d2
+      |         FROM e v, range(0, 8) m(m), cb c),
+      |codes AS (SELECT vec_id, m, k AS code FROM
+      |          (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM dist)
+      |          WHERE rn = 1),
+      |qt AS (SELECT vec_id AS q_id, m, k, d2 FROM dist WHERE vec_id < 8),
+      |adc AS (SELECT q.q_id, c.vec_id AS c_id, CAST(SUM(q.d2) AS BIGINT) AS adc
+      |        FROM codes c JOIN qt q ON c.m = q.m AND c.code = q.k
+      |        WHERE c.vec_id <> q.q_id
+      |        GROUP BY 1, 2),
+      |r AS (SELECT q_id, c_id, adc,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rn FROM adc)
+      |SELECT q_id, c_id, adc, CAST(rn AS INTEGER) AS rn
+      |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
 
   /** q156's DuckDB twin: within-cell smaller-id pairs at the SemTau
     * floor, keeper = smallest qualifying id. */

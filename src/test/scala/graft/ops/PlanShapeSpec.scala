@@ -99,7 +99,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("no query plans a cartesian product or nested-loop join " +
     "(except deliberate bounded broadcast crossJoins: 1-row in " +
     "q73/q90/q97/q113/q115/q127/q145, the 16-row centroid table in " +
-    "q93/q152/q156/q157, the 8-row query batch in q148)") {
+    "q93/q152/q156/q157, the 8-row query batch in q148/q194)") {
     val oneRowCross = Set("q06_sink_layout", "q73_sim_cosine_topk",
       "q90_tfidf_top_terms", "q93_ann_ivf", "q97_source_rebalance",
       "q113_bm25_rank", "q114_media_pipeline", "q115_histogram_rollup",
@@ -110,8 +110,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "q154_video_pipeline",  // two 1-row summary frames (q114 class)
       "q156_semantic_dedup",  // 16-row centroid assignment (q93 class)
       "q157_hard_negatives",  // 16-row centroid assignment (q93 class)
-      "q188_token_drift")     // two 1-row broadcasts: totals + tvd_bp
+      "q188_token_drift",     // two 1-row broadcasts: totals + tvd_bp
                               // (q127 class)
+      "q194_pq_adc")          // 8-row query batch broadcast (q148
+                              // class): PQ's ADC is by definition a
+                              // full-codes-scan per bounded query batch
     for ((name, fn) <- graft.SparkEntry.queries if !oneRowCross(name)) {
       val plan = fn(spark, SparkTestBase.Sf0001)
         .queryExecution.executedPlan.toString
