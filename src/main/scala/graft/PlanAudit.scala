@@ -280,6 +280,14 @@ object PlanAudit {
         "exception, q148's class), and the integer ADC aggregate + " +
         "per-query rank — the candidate floats are never re-read " +
         "after encoding, which is the whole PQ story."),
+    "q195_ivfpq" ->
+      ("**Look for:** three bucketed index-table scans and NOTHING " +
+        "else (centroids, inverted file, codes — the embeddings " +
+        "parquet never appears), the 16-row centroid BNLJ ranking the " +
+        "query batch's cells (the named bounded exception), and the " +
+        "codes join as a broadcast EQUI hash join on cell with the " +
+        "pq_adc integer kernel projected above it — cell pruning and " +
+        "code compression compose, floats are never re-read."),
     "q192_avro_roundtrip" ->
       ("**Look for:** the `graft-avro` BatchScan with a ReadSchema of " +
         "exactly the four referenced fields (pruning rides an Avro " +

@@ -1291,6 +1291,81 @@ object TrainingData {
       .orderBy("q_id", "rn")
   }
 
+  /** The q195 codes table's registration schema (static, so ADOPTING
+    * the on-disk table never evaluates the build thunk — the
+    * ivfCentSchema lesson: the parquet path read reports array
+    * elements nullable, so containsNull=true here or every fresh
+    * session would "detect" drift and rebuild). */
+  private val ivfCodesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("codes",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = true))))
+
+  /** The q195 codes table's full catalog name for a dataset dir. */
+  private[ops] def ivfCodesName(dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"graft_ivf2_codes_${digest}_b$IvfCellBuckets"
+  }
+
+  /** q195: IVFPQ — the composition q152 (cell pruning) × q194 (code
+    * compression) that IS the standard 100 TB vector-store
+    * architecture (FAISS's IVFPQ, SCaNN's tree-AH): the inverted file
+    * prunes the corpus to nprobe/K, and within the probed cells the
+    * candidates are scored from their 8-code PQ representation — the
+    * member floats are never re-read after indexing.
+    *
+    * Index: a THIRD persisted table next to q152's two —
+    * `graft_ivf2_codes_*`, (vec_id, cell, codes), bucketed+sorted on
+    * cell like the inverted file, built from the cells table in ONE
+    * [[graft.functions.PqCodes]] scan and adopted across sessions via
+    * the same BucketedTables protocol. Probe: queries rank their
+    * nprobe = 4 cells via the persisted centroids (assignRanked),
+    * broadcast WITH their float vectors, and each (query, candidate)
+    * scores through the codegen'd [[graft.functions.PqAdc]] — an
+    * O(64)-integer kernel reading the query's floats and the
+    * candidate's CODES only. Candidates ≈ corpus·(nprobe/K)·(codes
+    * bytes / float bytes · 1/64) — both prunings compose.
+    *
+    * Determinism: assignment rides the r12 integer csim_fx; codes,
+    * ADC sums and ranks are exact integers in the 2¹⁶ grid — no
+    * double anywhere after the scan. */
+  def q195IvfPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val (cents, cells) = ensureIvfIndex(s, dir)
+    val cb = pqCodebook(s, dir)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val codesTable = graft.sink.BucketedTables.ensureLazy(
+      s, s"graft_ivf2_codes_$digest", ivfCodesSchema,
+      () => s.table(cells).select(col("vec_id"), col("cell"),
+        graft.functions.PqCodes.codes(col("embedding"), cb).as("codes")),
+      IvfCellBuckets, Seq("cell"))
+    assert(codesTable == ivfCodesName(dir),
+      "ivfCodesName drifted from the ensure layout")
+    val qp = assignRanked(
+        s.table(cells).filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id"), col("embedding"), col("nrm")),
+        s.table(cents), 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("cent_id").as("qcell"))
+    val codes = s.table(codesTable)
+      .select(col("vec_id").as("c_id"), col("cell"), col("codes"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
+    codes
+      .join(broadcast(qp),
+        col("cell") === col("qcell") && col("c_id") =!= col("q_id"))
+      .withColumn("adc",
+        graft.functions.PqAdc.adc(col("qe"), col("codes"), cb))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("c_id"), col("adc"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
   /** Marker lexicon for q82 — stand-in per-language stopword lists drawn
     * from the synthetic vocabulary (a real deployment broadcasts real
     * lexicons; the shape — broadcast dictionary join + per-doc argmax —
@@ -2165,6 +2240,7 @@ object TrainingData {
     "q165_subword_corpus" -> q165SubwordCorpus _,
     "q152_indexed_ann" -> q152IndexedAnn _,
     "q194_pq_adc" -> q194PqAdc _,
+    "q195_ivfpq" -> q195IvfPqAdc _,
   )
 
   /** `('de', 2500),…` — [[LangBudgets]] as a DuckDB VALUES list so the
@@ -2468,6 +2544,7 @@ object TrainingData {
     // same deterministic assignment + probe), so q93's oracle drives it
     "q152_indexed_ann" -> ivfOracleSql,
     "q194_pq_adc" -> pqAdcOracleSql,
+    "q195_ivfpq" -> ivfPqOracleSql,
     "q113_bm25_rank" -> {
       val termScore = (i: Int) =>
         s"((n_docs - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
@@ -2752,6 +2829,34 @@ object TrainingData {
       |      row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rn FROM adc)
       |SELECT q_id, c_id, adc, CAST(rn AS INTEGER) AS rn
       |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+
+  /** q195's DuckDB twin: the shared Lloyd prefix's cells + the q194
+    * integer PQ pipeline, composed — candidates are cell-mates of the
+    * probed cells, scored by integer ADC. */
+  private lazy val ivfPqOracleSql: String =
+    s"""$ivfPrefixCtes,
+      |eq AS (SELECT vec_id,
+      |       [CAST(floor(CAST(x AS DOUBLE) * 65536.0 + 0.5) AS BIGINT) for x in embedding] AS qv
+      |       FROM embeddings),
+      |pcb AS (SELECT vec_id AS k, qv FROM eq WHERE vec_id < 16),
+      |pdist AS (SELECT v.vec_id, m.m, c.k,
+      |          CAST(list_sum([(v.qv[m.m*8+d] - c.qv[m.m*8+d]) * (v.qv[m.m*8+d] - c.qv[m.m*8+d]) for d in range(1, 9)]) AS BIGINT) AS d2
+      |          FROM eq v, range(0, 8) m(m), pcb c),
+      |pcodes AS (SELECT vec_id, m, k AS code FROM
+      |           (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM pdist)
+      |           WHERE rn = 1),
+      |qprobe AS (SELECT vec_id AS q_id, cent_id AS cell FROM assign
+      |           WHERE arn <= 4 AND vec_id % 50 = 0),
+      |cand AS (SELECT q.q_id, c.vec_id AS c_id
+      |         FROM qprobe q JOIN cells c ON q.cell = c.cell AND c.vec_id <> q.q_id),
+      |padc AS (SELECT ca.q_id, ca.c_id, CAST(SUM(d.d2) AS BIGINT) AS adc
+      |         FROM cand ca JOIN pcodes pc ON pc.vec_id = ca.c_id
+      |              JOIN pdist d ON d.vec_id = ca.q_id AND d.m = pc.m AND d.k = pc.code
+      |         GROUP BY 1, 2),
+      |pr AS (SELECT q_id, c_id, adc,
+      |       row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rn FROM padc)
+      |SELECT q_id, c_id, adc, CAST(rn AS INTEGER) AS rn
+      |FROM pr WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
 
   /** q156's DuckDB twin: within-cell smaller-id pairs at the SemTau
     * floor, keeper = smallest qualifying id. */

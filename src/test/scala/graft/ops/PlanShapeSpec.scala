@@ -112,9 +112,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "q157_hard_negatives",  // 16-row centroid assignment (q93 class)
       "q188_token_drift",     // two 1-row broadcasts: totals + tvd_bp
                               // (q127 class)
-      "q194_pq_adc")          // 8-row query batch broadcast (q148
+      "q194_pq_adc",          // 8-row query batch broadcast (q148
                               // class): PQ's ADC is by definition a
                               // full-codes-scan per bounded query batch
+      "q195_ivfpq")           // 16-row persisted centroid table in the
+                              // probe's assignRanked (q152 class); the
+                              // codes join itself is an equi hash join
     for ((name, fn) <- graft.SparkEntry.queries if !oneRowCross(name)) {
       val plan = fn(spark, SparkTestBase.Sf0001)
         .queryExecution.executedPlan.toString
