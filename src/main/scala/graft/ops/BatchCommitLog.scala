@@ -98,8 +98,19 @@ object BatchCommitLog {
     * ([[committed]] is consumed as a set — semi-join membership and a
     * `limit(1)` existence probe). A concurrent [[record]] is likewise
     * safe: a file created after the pre-listing is never deleted.
-    * Maintainers call this on their own cadence (e.g. every N
-    * batches); DriftMonitor documents it as its retention step. */
+    *
+    * Concurrent READER contract (r12 review): a reader in ANOTHER
+    * session whose scan planned its file listing just before the
+    * delete can hit FileNotFoundException when the job executes —
+    * durability is never at risk (the consolidated file holds every
+    * id), but that one read fails and must be retried (its next
+    * listing is consistent). So: run compaction from the maintainer
+    * that owns the log, on its own cadence (e.g. every N batches,
+    * ideally between polls); external dashboards polling the same log
+    * should treat a missing-file failure as a retryable read, the
+    * same contract as any file table compacted in place without a
+    * transaction log. Reads in THIS session after compact() returns
+    * are always consistent. */
   def compact(spark: SparkSession, batchesDir: String): Unit = {
     if (!exists(batchesDir)) return
     import scala.jdk.CollectionConverters._

@@ -1102,13 +1102,20 @@ object TrainingData {
     * protocol. Cross-session: a fresh session adopts both tables from
     * disk — no retraining, no corpus re-assignment pass (IndexedAnnSpec
     * evicts the cache and pins it). */
+  /** 4-byte hex digest of the dataset dir — the shared suffix that
+    * keys every persisted index table to its dataset (so scale
+    * factors never alias). One definition (r12 review: the inline
+    * copy count had reached four). */
+  private def dirDigest(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
   /** The index tables' FULL catalog names for a dataset dir (the
     * `_b<n>` suffix is BucketedTables.ensure's layout-versioning
     * convention) — exposed so tests can reset on-disk state without
     * triggering a build. */
   private[ops] def ivfIndexNames(dir: String): (String, String) = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val digest = dirDigest(dir)
     // `ivf2` = the r12 fixed-point layout (FixDot norms/assignment): an
     // index persisted by the r11 double-fold pipeline carries nrm values
     // an ulp away, so it must never be adopted — versioning the NAME is
@@ -1119,8 +1126,7 @@ object TrainingData {
 
   private[ops] def ensureIvfIndex(s: SparkSession, dir: String)
       : (String, String) = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val digest = dirDigest(dir)
     val cents = graft.sink.BucketedTables.ensureLazy(
       s, s"graft_ivf2_cents_$digest", ivfCentSchema,
       () => centroidFrame(s,
@@ -1306,11 +1312,8 @@ object TrainingData {
         org.apache.spark.sql.types.IntegerType, containsNull = true))))
 
   /** The q195 codes table's full catalog name for a dataset dir. */
-  private[ops] def ivfCodesName(dir: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"graft_ivf2_codes_${digest}_b$IvfCellBuckets"
-  }
+  private[ops] def ivfCodesName(dir: String): String =
+    s"graft_ivf2_codes_${dirDigest(dir)}_b$IvfCellBuckets"
 
   /** q195: IVFPQ — the composition q152 (cell pruning) × q194 (code
     * compression) that IS the standard 100 TB vector-store
@@ -1337,10 +1340,8 @@ object TrainingData {
   def q195IvfPqAdc(s: SparkSession, dir: String): DataFrame = {
     val (cents, cells) = ensureIvfIndex(s, dir)
     val cb = pqCodebook(s, dir)
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val codesTable = graft.sink.BucketedTables.ensureLazy(
-      s, s"graft_ivf2_codes_$digest", ivfCodesSchema,
+      s, s"graft_ivf2_codes_${dirDigest(dir)}", ivfCodesSchema,
       () => s.table(cells).select(col("vec_id"), col("cell"),
         graft.functions.PqCodes.codes(col("embedding"), cb).as("codes")),
       IvfCellBuckets, Seq("cell"))
@@ -2021,8 +2022,7 @@ object TrainingData {
     * posting table, and never the corpus. */
   private[ops] def ensurePostingsIndex(s: SparkSession,
                                        dir: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val digest = dirDigest(dir)
     graft.sink.BucketedTables.ensure(s, s"graft_postings_$digest",
       T(s, dir, "documents")
         .select(col("doc_id"),

@@ -1,12 +1,7 @@
 package graft.sink
 
-import java.nio.file.Files
-
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
 
 import graft.ops.T
 
@@ -32,34 +27,16 @@ import graft.ops.T
   * re-typed a row. Money sums in exact integer cents. */
 object AvroQueries {
 
-  private final class Written(s: SparkSession, dir: String) {
-    lazy val value: String = {
-      val out = Files.createTempDirectory("graft-avro-").toString
-      tempDirs.add(out)
+  /** Write-once + scratch cleanup ride [[ScratchExport]]. */
+  private[graft] def ensureAvroOrders(s: SparkSession, dir: String): String =
+    ScratchExport.once(s"avro:$dir") {
+      val out = ScratchExport.scratchDir("graft-avro-")
       T(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
         .write.format("graft-avro").mode("overwrite").save(out)
       out
     }
-  }
-  private val written = TrieMap[String, Written]()
-
-  private val tempDirs =
-    new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  sys.addShutdownHook {
-    import scala.jdk.CollectionConverters._
-    tempDirs.iterator().asScala.foreach { d =>
-      import java.nio.file.{Files => F, Paths}
-      val p = Paths.get(d)
-      if (F.exists(p))
-        F.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => F.deleteIfExists(q))
-    }
-  }
-
-  private[graft] def ensureAvroOrders(s: SparkSession, dir: String): String =
-    written.getOrElseUpdate(dir, new Written(s, dir)).value
 
   /** q192: selective aggregate over the Avro copy — urgent-priority
     * orders per status with exact-cents money and the latest order

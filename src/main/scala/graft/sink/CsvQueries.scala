@@ -1,9 +1,5 @@
 package graft.sink
 
-import java.nio.file.Files
-
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -34,15 +30,17 @@ import graft.ops.T
   * still applies: unreferenced fields are never converted. */
 object CsvQueries {
 
-  /** Per-dataset once-only holder: TrieMap.getOrElseUpdate installs
-    * exactly one holder per key (a losing racer's holder is discarded
-    * unevaluated), and the `lazy val` serializes the write per DATASET
-    * only — two different datasets write concurrently, where the r11
-    * shape held one global lock across the whole Spark CSV job. */
-  private final class Written(s: SparkSession, dir: String) {
-    lazy val value: (String, StructType) = {
-      val out = Files.createTempDirectory("graft-csv-").toString
-      tempDirs.add(out)
+  /** The explicit read schema is DERIVED from the source frame at
+    * write time, never hard-coded: the driver's testdata has already
+    * regenerated `o_orderdate` across physical encodings (TIMESTAMP →
+    * TIMESTAMP_NTZ at round 8 — the `T.events` dispatch exists for
+    * exactly this), and a hard-coded TimestampType would silently
+    * re-type every value the moment the parquet side is NTZ.
+    * Write-once + scratch cleanup ride [[ScratchExport]]. */
+  private[graft] def ensureCsvOrders(s: SparkSession,
+                                     dir: String): (String, StructType) =
+    ScratchExport.once(s"csv:$dir") {
+      val out = ScratchExport.scratchDir("graft-csv-")
       val src = T(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
@@ -52,33 +50,6 @@ object CsvQueries {
       src.write.mode("overwrite").option("header", "true").csv(out)
       (out, src.schema)
     }
-  }
-  private val written = TrieMap[String, Written]()
-
-  /** Scratch CSV trees this JVM created — deleted on exit (the r11
-    * shape leaked one graft-csv-* tree per (JVM, dataset)). */
-  private val tempDirs =
-    new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  sys.addShutdownHook {
-    import scala.jdk.CollectionConverters._
-    tempDirs.iterator().asScala.foreach { d =>
-      import java.nio.file.{Files => F, Paths}
-      val p = Paths.get(d)
-      if (F.exists(p))
-        F.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => F.deleteIfExists(q))
-    }
-  }
-
-  /** The explicit read schema is DERIVED from the source frame at
-    * write time, never hard-coded: the driver's testdata has already
-    * regenerated `o_orderdate` across physical encodings (TIMESTAMP →
-    * TIMESTAMP_NTZ at round 8 — the `T.events` dispatch exists for
-    * exactly this), and a hard-coded TimestampType would silently
-    * re-type every value the moment the parquet side is NTZ. */
-  private[graft] def ensureCsvOrders(s: SparkSession,
-                                     dir: String): (String, StructType) =
-    written.getOrElseUpdate(dir, new Written(s, dir)).value
 
   /** q189: selective aggregate over the CSV copy — money in exact
     * integer cents (2-decimal prices by generator contract), so the

@@ -1,0 +1,47 @@
+package graft.sink
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.concurrent.TrieMap
+
+/** Shared once-per-(JVM, key) scratch-export machinery for the format
+  * round-trip queries (q173 ORC, q189 CSV, q192 Avro): per-key lazy
+  * memoization — [[TrieMap.getOrElseUpdate]] installs exactly one
+  * holder per key (a losing racer's holder is discarded unevaluated)
+  * and the `lazy val` serializes the build per KEY only, so two
+  * different datasets export concurrently — plus shutdown-hook
+  * deletion of every scratch tree this JVM created. Extracted r12
+  * after CsvQueries and AvroQueries carried line-for-line copies (the
+  * BatchCommitLog lesson: duplicated protocol code means the next fix
+  * lands once and silently misses the twin). */
+private[graft] object ScratchExport {
+
+  private final class Holder[T](build: () => T) { lazy val value: T = build() }
+  private val holders = TrieMap[String, Holder[_]]()
+
+  /** Runs `build` at most once per `key` per JVM (lazily, on first
+    * demand) and memoizes its result. */
+  def once[T](key: String)(build: => T): T =
+    holders.getOrElseUpdate(key, new Holder(() => build))
+      .asInstanceOf[Holder[T]].value
+
+  /** Creates a fresh scratch directory registered for recursive
+    * deletion at JVM exit. */
+  def scratchDir(prefix: String): String = {
+    val out = Files.createTempDirectory(prefix).toString
+    tempDirs.add(out)
+    out
+  }
+
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  sys.addShutdownHook {
+    import scala.jdk.CollectionConverters._
+    tempDirs.iterator().asScala.foreach { d =>
+      val p = Paths.get(d)
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Files.deleteIfExists(q))
+    }
+  }
+}

@@ -33,8 +33,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - a dataset is a directory of `part-*.avro` object-container files;
   *  - the WRITE side emits one container file per task (append), so
   *    write parallelism is the upstream partitioning, exactly like the
-  *    built-in file sinks; commit drops a `_SUCCESS` marker, task abort
-  *    deletes its own file — the standard job-commit contract;
+  *    built-in file sinks; tasks STAGE under `.…inprogress` names and
+  *    publish by atomic rename at task commit (see [[AvroDataWriter]]
+  *    — torn files and hard-crash orphans are never reader-visible),
+  *    and job commit drops a `_SUCCESS` marker;
   *  - the READ side plans one [[InputPartition]] per container file —
   *    at 100 TB you size container files like parquet row-group files
   *    (the writer's upstream `repartition` is the knob), which keeps
@@ -294,13 +296,19 @@ case class AvroBatchWrite(path: String, schema: StructType,
     val dir = new Path(path)
     val fs = dir.getFileSystem(new Configuration())
     if (truncate) {
-      // overwrite semantics: the new files are already in place under
+      // overwrite semantics: the new files are already published under
       // unique names — drop every pre-existing container file that is
-      // NOT part of this commit
+      // NOT part of this commit, plus any stale .inprogress staging
+      // orphans from hard-crashed attempts (safe here: truncate
+      // replaces the dataset, so no concurrent writer's in-flight
+      // staging files are legitimate)
       val keep = messages.map(_.asInstanceOf[AvroCommit].file).toSet
       AvroDataSource.listAvroFiles(path)
         .filterNot(p => keep.contains(p.getName))
         .foreach(p => fs.delete(p, false))
+      if (fs.exists(dir)) fs.listStatus(dir)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".inprogress"))
+        .foreach(s => fs.delete(s.getPath, false))
     }
     fs.create(new Path(dir, "_SUCCESS"), true).close()
   }
@@ -322,18 +330,27 @@ case class AvroWriterFactory(path: String, schema: StructType)
 }
 
 /** One container file per task (deflate-compressed — the codec in Avro
-  * core, no optional native lib). The unique name makes speculative /
-  * retried tasks collision-free; only the committed attempt's file
-  * survives job commit. */
+  * core, no optional native lib). Task output is STAGED under a
+  * `.…avro.inprogress` name — invisible to readers, which list only
+  * `*.avro` — and renamed to its final name at TASK COMMIT (atomic on
+  * HDFS and local FS), so:
+  *  - a concurrent reader never sees a truncated container;
+  *  - a hard-crashed attempt (whose abort() can never run) leaves only
+  *    an invisible `.inprogress` orphan, never committed data — the
+  *    retry's file is the only one a reader can observe. Stale
+  *    `.inprogress` files are garbage, swept by the next truncate
+  *    commit (an append job cannot sweep them without racing a
+  *    concurrent writer's in-flight files).
+  * The unique name additionally makes speculative / retried attempts
+  * collision-free. */
 class AvroDataWriter(path: String, schema: StructType, partitionId: Int,
                      taskId: Long) extends DataWriter[InternalRow] {
   private val avroSchema = AvroConv.toAvro(schema)
   private val fileName =
     f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.avro"
-  private val out = {
-    val p = new Path(new Path(path), fileName)
-    p.getFileSystem(new Configuration()).create(p, true)
-  }
+  private val stagedName = s".$fileName.inprogress"
+  private val fs = new Path(path).getFileSystem(new Configuration())
+  private val out = fs.create(new Path(new Path(path), stagedName), true)
   private val writer = {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](avroSchema))
@@ -353,13 +370,15 @@ class AvroDataWriter(path: String, schema: StructType, partitionId: Int,
 
   override def commit(): WriterCommitMessage = {
     writer.close()
+    val dir = new Path(path)
+    if (!fs.rename(new Path(dir, stagedName), new Path(dir, fileName)))
+      sys.error(s"graft-avro: failed to publish $stagedName -> $fileName")
     AvroCommit(fileName)
   }
 
   override def abort(): Unit = {
     try writer.close() catch { case _: Throwable => () }
-    val p = new Path(new Path(path), fileName)
-    p.getFileSystem(new Configuration()).delete(p, false)
+    fs.delete(new Path(new Path(path), stagedName), false)
   }
 
   override def close(): Unit = ()
