@@ -35,18 +35,24 @@ object NorthStar {
 
   /** q73: brute-force cosine top-k vs a single reference vector.
     * One-row broadcast crossJoin — no shuffle of the big side; dot and
-    * norms run through the codegen'd [[graft.functions.VecDot]], whose
-    * left-assoc double accumulation matches the oracle bit-for-bit
-    * (identical to the HOF folds it replaced). */
+    * norms run through the codegen'd [[graft.functions.FixDot]]
+    * (r12): INTEGER sums over the 2¹⁶-quantized grid, so the value —
+    * and the rank — cannot depend on any engine's reduction order
+    * (the q160 lesson, applied to the whole similarity stack; the
+    * VecDot double fold this replaced assumed the oracle summed in
+    * the same order). */
   def q73SimCosineTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     val ref = emb.filter(col("vec_id") === 0).select(col("embedding").as("ref_emb"))
-    val dot = graft.functions.VecDot.dot(col("embedding"), col("ref_emb"))
-    val normA = graft.functions.VecDot.normSq(col("embedding"))
-    val normB = graft.functions.VecDot.normSq(col("ref_emb"))
+    val dot = graft.functions.FixDot.dot(col("embedding"), col("ref_emb"))
+      .cast("double")
+    val normA = sqrt(graft.functions.FixDot.normSq(col("embedding"))
+      .cast("double"))
+    val normB = sqrt(graft.functions.FixDot.normSq(col("ref_emb"))
+      .cast("double"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(ref))
-      .withColumn("sim_raw", dot / (sqrt(normA) * sqrt(normB)))
+      .withColumn("sim_raw", dot / (normA * normB))
       .orderBy(col("sim_raw").desc, col("vec_id"))
       .limit(10)
       .select(col("vec_id"), round(col("sim_raw"), 4).as("sim"))
@@ -326,16 +332,17 @@ object NorthStar {
         |      FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "q73_sim_cosine_topk" ->
-      """WITH r AS (SELECT embedding AS re FROM embeddings WHERE vec_id = 0),
-        |p AS (SELECT e.vec_id, unnest(e.embedding) AS a, unnest(r.re) AS b
-        |      FROM embeddings e CROSS JOIN r WHERE e.vec_id <> 0),
-        |sums AS (SELECT vec_id,
-        |                sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dot,
-        |                sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
-        |                sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
-        |         FROM p GROUP BY vec_id)
-        |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS sim
-        |FROM sums ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
+      // FixDot twin: integer dot / integer-norm sqrts — the list_sum
+      // runs over BIGINTs, so the oracle engine's reduction order
+      // cannot move a bit (the old per-element sum() aggregate could)
+      s"""WITH r AS (SELECT embedding AS re FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT e.vec_id,
+        |      CAST(${TrainingData.oFxDot("e.embedding", "r.re")} AS DOUBLE) AS dot,
+        |      ${TrainingData.oFxNorm("e.embedding")} AS na,
+        |      ${TrainingData.oFxNorm("r.re")} AS nb
+        |      FROM embeddings e CROSS JOIN r WHERE e.vec_id <> 0)
+        |SELECT vec_id, round(dot / (na * nb), 4) AS sim
+        |FROM s ORDER BY dot / (na * nb) DESC, vec_id LIMIT 10""".stripMargin,
     "q74_text_wordcount" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)

@@ -565,14 +565,11 @@ object TrainingData {
       .orderBy("da", "db")
   }
 
-  // norms and dot products run through the native codegen'd
-  // graft.functions.VecDot (bit-identical left-assoc accumulation to
-  // the HOF aggregate/zip_with chains it replaced — see its scaladoc;
-  // the HOF lambdas evaluate interpreted, a closure call per element)
-  private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm", sqrt(graft.functions.VecDot.normSq(col("embedding"))))
-
-  private def dotCol = graft.functions.VecDot.dot(col("ea"), col("eb"))
+  // r12: every similarity query in this file rides the FixDot integer
+  // grid ([[withFixNorm]]/[[fxSimCol]] below); the double-fold VecDot
+  // norm is gone from this file — it assumed the oracle engine summed
+  // 64 doubles in the same order, the assumption the q160 driver
+  // mismatches falsified.
 
   /** The IVF family's norm: sqrt of the INTEGER squared norm of the
     * 2¹⁶-quantized vector ([[graft.functions.FixDot]]). The integer
@@ -618,7 +615,7 @@ object TrainingData {
     * is data-driven per label, never a global conf. */
   private[ops] def subBlocked(emb: DataFrame, maxBlock: Int): DataFrame = {
     val counts = emb.groupBy("label").agg(count(lit(1)).as("block_n"))
-    withNorm(emb)
+    withFixNorm(emb)
       .withColumn("bucket",
         graft.functions.SrpBucket.bucket(col("embedding"), lshPlanes))
       .join(broadcast(counts), "label")
@@ -641,7 +638,8 @@ object TrainingData {
     val w = Window.partitionBy("va").orderBy(col("sim_raw").desc, col("vb"))
     a.join(b, col("la") === col("lb") && col("ka") === col("kb") &&
         col("va") =!= col("vb"))
-      .withColumn("sim_raw", dotCol / (col("na") * col("nb")))
+      .withColumn("sim_raw",
+        fxSimCol(col("ea"), col("eb"), col("na"), col("nb")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("va"), col("vb"), round(col("sim_raw"), 4).as("sim"))
@@ -709,7 +707,7 @@ object TrainingData {
     * covers ≈ 94% of pairs. Tune K up (wider buckets space) and radius
     * with it; the plan shape is unchanged. */
   def q86AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val b = withNorm(T(s, dir, "embeddings"))
+    val b = withFixNorm(T(s, dir, "embeddings"))
       .withColumn("bucket", graft.functions.SrpBucket.bucket(col("embedding"), lshPlanes))
     val qs = b.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("ea"),
@@ -721,7 +719,8 @@ object TrainingData {
     b.select(col("vec_id").as("c_id"), col("embedding").as("eb"),
         col("nrm").as("nc"), col("bucket"))
       .join(broadcast(qs), col("bucket") === col("pb") && col("c_id") =!= col("q_id"))
-      .withColumn("sim_raw", dotCol / (col("nq") * col("nc")))
+      .withColumn("sim_raw",
+        fxSimCol(col("ea"), col("eb"), col("nq"), col("nc")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("c_id"), round(col("sim_raw"), 4).as("sim"),
@@ -1561,21 +1560,25 @@ object TrainingData {
     * adds a whole extra exchange for nothing; "let Catalyst optimize").
     * BatchTopkSpec pins the Partial-below-exchange plan so a Spark
     * upgrade or conf change that silently drops the rewrite fails
-    * loudly instead of degrading to the funnel. Ranking compares raw
-    * doubles (both engines compute dot/(√na·√nb) identically — the
-    * q73 precedent); output rounds to 4 for display only. */
+    * loudly instead of degrading to the funnel. Ranking rides the r12
+    * FixDot integer grid (integer dot / integer-norm sqrts — both
+    * engines floor identical values, no reduction-order exposure);
+    * output rounds to 4 for display only. */
   def q148BatchTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     val qs = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val dot = graft.functions.VecDot.dot(col("embedding"), col("q_emb"))
-    val na = graft.functions.VecDot.normSq(col("embedding"))
-    val nb = graft.functions.VecDot.normSq(col("q_emb"))
+    val dot = graft.functions.FixDot.dot(col("embedding"), col("q_emb"))
+      .cast("double")
+    val na = sqrt(graft.functions.FixDot.normSq(col("embedding"))
+      .cast("double"))
+    val nb = sqrt(graft.functions.FixDot.normSq(col("q_emb"))
+      .cast("double"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim_raw").desc, col("vec_id"))
     emb.filter(col("vec_id") >= 8)
       .crossJoin(broadcast(qs))
-      .withColumn("sim_raw", dot / (sqrt(na) * sqrt(nb)))
+      .withColumn("sim_raw", dot / (na * nb))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("query_id"), col("rk"), col("vec_id"),
@@ -2250,20 +2253,19 @@ object TrainingData {
 
   val oracle: Map[String, String] = Map(
     "q148_batch_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      // FixDot twin — integer dot / integer-norm sqrts (no
+      // reduction-order exposure; the old per-element sum() had it)
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
         |           FROM embeddings WHERE vec_id < 8),
-        |p AS (SELECT c.vec_id, q.query_id,
-        |             unnest(c.embedding) AS a, unnest(q.qe) AS b
-        |      FROM embeddings c CROSS JOIN q WHERE c.vec_id >= 8),
-        |sums AS (SELECT query_id, vec_id,
-        |                sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dot,
-        |                sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
-        |                sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
-        |         FROM p GROUP BY 1, 2),
+        |sums AS (SELECT q.query_id, c.vec_id,
+        |         CAST(${oFxDot("c.embedding", "q.qe")} AS DOUBLE) AS dot,
+        |         ${oFxNorm("c.embedding")} AS na,
+        |         ${oFxNorm("q.qe")} AS nb
+        |         FROM embeddings c CROSS JOIN q WHERE c.vec_id >= 8),
         |r AS (SELECT query_id, vec_id,
-        |             dot / (sqrt(na) * sqrt(nb)) AS s,
+        |             dot / (na * nb) AS s,
         |             row_number() OVER (PARTITION BY query_id
-        |               ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rk
+        |               ORDER BY dot / (na * nb) DESC, vec_id) AS rk
         |      FROM sums)
         |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id,
         |       round(s, 4) AS sim
@@ -2362,11 +2364,12 @@ object TrainingData {
         |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
         |WHERE 2 * i >= sa.n + sb.n - i ORDER BY 1, 2""".stripMargin,
     "q79_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, label, embedding,
-        |           sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+      // FixDot twin (see q73) — integer dot over integer-norm sqrts
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+        |           ${oFxNorm("embedding")} AS nrm
         |           FROM embeddings),
         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
-        |      list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, len(a.embedding) + 1)]) / (a.nrm * b.nrm) AS sim
+        |      ${oFxSim("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS sim
         |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
         |      WHERE a.vec_id < 40),
         |r AS (SELECT va, vb, sim, row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb) AS rn FROM p)
@@ -2523,13 +2526,13 @@ object TrainingData {
       // same seeded sign matrix the Spark side uses (see lshBucketSql)
       s"""WITH b AS (SELECT vec_id, embedding,
         |           ${lshBucketSql(j => s"embedding[$j]", c => s"($c)::INT")} AS bucket,
-        |           sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+        |           ${oFxNorm("embedding")} AS nrm
         |           FROM embeddings),
         |qs AS (SELECT q.*, xor(q.bucket, m.mask) AS pb
         |       FROM (SELECT * FROM b WHERE vec_id % 50 = 0) q
         |       CROSS JOIN (SELECT unnest([${lshMasks.mkString(", ")}]) AS mask) m),
         |cand AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-        |         list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in range(1, len(q.embedding) + 1)]) / (q.nrm * c.nrm) AS sim
+        |         ${oFxSim("q.embedding", "c.embedding", "q.nrm", "c.nrm")} AS sim
         |         FROM qs q JOIN b c ON q.pb = c.bucket AND q.vec_id <> c.vec_id),
         |ranked AS (SELECT q_id, c_id, sim,
         |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn
@@ -2693,15 +2696,15 @@ object TrainingData {
     * whatever summation strategy a DuckDB version picks (sequential,
     * pairwise, SIMD), the result is the same integer — the r10/r11
     * q160 driver-vs-local divergence cannot recur. */
-  private def oQ(x: String): String =
+  private[ops] def oQ(x: String): String =
     s"CAST(floor(CAST($x AS DOUBLE) * 65536.0 + 0.5) AS BIGINT)"
-  private def oFxDot(a: String, b: String): String =
+  private[ops] def oFxDot(a: String, b: String): String =
     s"CAST(list_sum([${oQ(s"$a[i]")} * ${oQ(s"$b[i]")} for i in range(1, len($a) + 1)]) AS BIGINT)"
-  private def oFxNorm(a: String): String =
+  private[ops] def oFxNorm(a: String): String =
     s"sqrt(CAST(${oFxDot(a, a)} AS DOUBLE))"
   /** Deterministic rerank cosine: exact integer dot over integer-norm
     * sqrts — one cast, one multiply, one divide, each singly rounded. */
-  private def oFxSim(a: String, b: String, na: String, nb: String): String =
+  private[ops] def oFxSim(a: String, b: String, na: String, nb: String): String =
     s"CAST(${oFxDot(a, b)} AS DOUBLE) / ($na * $nb)"
   /** The assignment argmax key: ⌊cos·2³⁰ + ½⌋ as BIGINT (mirrors
     * assignRanked's `csim_fx`). */

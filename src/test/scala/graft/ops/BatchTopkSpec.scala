@@ -34,16 +34,20 @@ class BatchTopkSpec extends AnyFunSuite {
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
       .selectExpr("vec_id", "embedding")
       .as[(Long, Array[Float])].collect()
-    def dot(a: Array[Float], b: Array[Float]): Double =
-      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
-        acc + x.toDouble * y.toDouble
-      }
+    // the r12 FixDot metric: integer dots on the 2^16 quantized grid
+    def q(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 65536.0 + 0.5).toLong)
+    def idot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
     val queries = emb.filter(_._1 < 8)
     val corpus = emb.filter(_._1 >= 8)
-    val expected = queries.sortBy(_._1).toSeq.flatMap { case (qid, qv) =>
+    val expected = queries.sortBy(_._1).toSeq.flatMap { case (qid, qv0) =>
+      val qv = q(qv0)
       corpus.toSeq
-        .map { case (vid, cv) =>
-          (vid, dot(cv, qv) / (math.sqrt(dot(cv, cv)) * math.sqrt(dot(qv, qv))))
+        .map { case (vid, cv0) =>
+          val cv = q(cv0)
+          (vid, idot(cv, qv).toDouble /
+            (math.sqrt(idot(cv, cv).toDouble) * math.sqrt(idot(qv, qv).toDouble)))
         }
         .sortBy { case (vid, s) => (-s, vid) }.take(3).zipWithIndex
         .map { case ((vid, s), i) =>

@@ -49,7 +49,7 @@ class EmbedBlockCapSpec extends AnyFunSuite {
     assert(sub.filter(col("subkey") =!= 0).count() == 0L)
     // plain label blocking (the pre-r5 shape, also the oracle's)
     val e = emb.withColumn("nrm",
-      sqrt(graft.functions.VecDot.normSq(col("embedding"))))
+      sqrt(graft.functions.FixDot.normSq(col("embedding")).cast("double")))
     val a = e.filter(col("vec_id") < 40)
       .select(col("vec_id").as("va"), col("label").as("la"),
         col("embedding").as("ea"), col("nrm").as("na"))
@@ -59,7 +59,7 @@ class EmbedBlockCapSpec extends AnyFunSuite {
       .partitionBy("va").orderBy(col("sim_raw").desc, col("vb"))
     val plain = a.join(b, col("la") === col("lb") && col("va") =!= col("vb"))
       .withColumn("sim_raw",
-        graft.functions.VecDot.dot(col("ea"), col("eb"))
+        graft.functions.FixDot.dot(col("ea"), col("eb")).cast("double")
           / (col("na") * col("nb")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
