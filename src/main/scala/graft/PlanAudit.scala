@@ -280,6 +280,12 @@ object PlanAudit {
         "exception, q148's class), and the integer ADC aggregate + " +
         "per-query rank — the candidate floats are never re-read " +
         "after encoding, which is the whole PQ story."),
+    "q196_pagerank" ->
+      ("**Look for:** three repeated join→aggregate rounds ALL reading " +
+        "the edge checkpoint (lineage truncated per iteration — the " +
+        "plan would otherwise triple per round), contribution " +
+        "aggregates as partial+final hash aggregates on dst, and the " +
+        "final `TakeOrderedAndProject` top-20 — never a global sort."),
     "q195_ivfpq" ->
       ("**Look for:** three bucketed index-table scans and NOTHING " +
         "else (centroids, inverted file, codes — the embeddings " +

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics — the Pregel-on-DataFrames shape
+  * (iterate: join ranks to edges on src → aggregate contributions on
+  * dst → recompute ranks; truncate lineage per round), the same
+  * per-round discipline as q100's star-contraction connected
+  * components but with VALUE propagation instead of label collapse.
+  *
+  * Determinism: ranks live on a 2⁻²⁰ fixed-point BIGINT grid and every
+  * per-edge contribution is an INTEGER floor-division
+  * `(pr·85) div (outdeg·100)` — integer sums are associative, so no
+  * engine's (or Spark's own partial-aggregation) reduction order can
+  * move a bit, and the DuckDB oracle unrolls the identical iterations
+  * on identical integers (the q160/FixDot discipline applied to graph
+  * propagation). */
+object Graph {
+
+  private val PrScale = 1048576L            // 2^20 — rank fixed point
+  private val PrBase = 157286L              // ⌊0.15 · 2^20⌋ damping base
+  private[ops] val PrIters = 3
+
+  /** The supplier↔customer trade graph: one undirected edge per
+    * DISTINCT (supplier, customer) pair that traded (lineitem ⋈
+    * orders), as two directed rows. Node ids pack kind into the low
+    * bit (supplier = 2k, customer = 2k+1) so the graph stays integer
+    * end-to-end. */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("s"),
+        (col("o_custkey") * 2 + 1).as("c"))
+      .distinct()
+    pairs.select(col("s").as("src"), col("c").as("dst"))
+      .union(pairs.select(col("c").as("src"), col("s").as("dst")))
+  }
+
+  /** q196: PageRank over the trade graph — "which suppliers/customers
+    * sit at the center of the trade network": [[PrIters]] damped
+    * iterations (d = 0.85) from a uniform start, top-20 nodes by
+    * final rank.
+    *
+    * Scale shape: per iteration, ONE equi-join of the (node, pr,
+    * outdeg) table to the edge list on src and ONE shuffle-aggregate
+    * of contributions on dst — the canonical distributed PageRank;
+    * lineage is truncated per round (localCheckpoint) so the plan
+    * never grows with the iteration count, and the rank table stays
+    * node-sized (≪ edges). At 100 TB you pre-partition edges and
+    * ranks on the join key so iterations reuse one exchange (the
+    * bucketed-index argument), and AQE handles hub-node skew on the
+    * dst aggregate. The symmetric bipartite construction means every
+    * node has outdeg ≥ 1 — no dangling-mass redistribution term.
+    *
+    * Semantics note: ranks are the fixed-point INTEGER iteration
+    * defined above — deliberately, so the trace is engine-exact; the
+    * per-step floor loses < 1 mass unit per edge vs real-valued
+    * PageRank, which cannot reorder a top-20 separated by thousands
+    * of units (and determinism, not the 21st decimal, is what a
+    * regression gate needs). */
+  def q196PageRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(s, dir).localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var pr = nodes.withColumn("pr", lit(PrScale))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          expr("(pr * 85) div (outdeg * 100)").as("ctr"))
+        .groupBy("node").agg(sum("ctr").as("ctr"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(PrBase) + coalesce(col("ctr"), lit(0L))).as("pr"))
+        .localCheckpoint(true) // plan must not grow with iterations
+    }
+    pr.select(col("node").as("node_id"),
+        when(col("node") % 2 === 0, lit("s")).otherwise(lit("c"))
+          .as("kind"),
+        col("pr").as("pr_fx"))
+      .orderBy(col("pr_fx").desc, col("node_id"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_pagerank" -> q196PageRank _,
+  )
+
+  /** One unrolled integer PageRank iteration (mirrors the Spark loop
+    * exactly: per-edge floor-divided contribution, integer sum,
+    * damping base re-added; missing inbound mass → base only). */
+  private def prIterSql(prev: String, t: Int): String =
+    s"""ctr$t AS (SELECT e.dst AS node,
+       |          SUM((p.pr * 85) // (d.outdeg * 100)) AS ctr
+       |          FROM edges e JOIN $prev p ON e.src = p.node
+       |               JOIN deg d ON e.src = d.src
+       |          GROUP BY 1),
+       |p$t AS (SELECT n.node,
+       |        CAST(157286 + COALESCE(c.ctr, 0) AS BIGINT) AS pr
+       |        FROM n LEFT JOIN ctr$t c ON n.node = c.node),""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q196_pagerank" ->
+      s"""WITH le AS (SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT s AS src, c AS dst FROM le
+        |          UNION ALL SELECT c AS src, s AS dst FROM le),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |n AS (SELECT DISTINCT src AS node FROM edges),
+        |p0 AS (SELECT node, CAST(1048576 AS BIGINT) AS pr FROM n),
+        |${prIterSql("p0", 1)}
+        |${prIterSql("p1", 2)}
+        |${prIterSql("p2", 3)}
+        |sel AS (SELECT node AS node_id,
+        |        CASE WHEN node % 2 = 0 THEN 's' ELSE 'c' END AS kind,
+        |        pr AS pr_fx
+        |        FROM p3)
+        |SELECT node_id, kind, pr_fx FROM sel
+        |ORDER BY pr_fx DESC, node_id LIMIT 20""".stripMargin,
+  )
+}
