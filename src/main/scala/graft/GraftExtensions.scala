@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.srpBucketDescriptor)
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
+    ext.injectFunction(GraftExtensions.fixDotDescriptor)
     ext.injectFunction(GraftExtensions.simhash64Descriptor)
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
     ext.injectFunction(GraftExtensions.winnowFpDescriptor)
@@ -74,6 +75,27 @@ object GraftExtensions {
       VecDot(children.head, children(1))
     })
 
+  /** `fix_dot(a, b)` — the r12 determinism kernel as SQL: 2¹⁶
+    * fixed-point INTEGER dot of two float vectors (order-invariant —
+    * see [[graft.functions.FixDot]]); `fix_dot(v, v)` is the integer
+    * squared norm. */
+  private[graft] val fixDotDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("fix_dot"),
+    new ExpressionInfo(classOf[graft.functions.FixDot].getName, "fix_dot"),
+    (children: Seq[Expression]) => {
+      if (children.length != 2) {
+        throw new AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "`fix_dot`",
+            "expectedNum" -> "2",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }
+      graft.functions.FixDot(children.head, children(1))
+    })
+
   private def unaryDescriptor(name: String, cls: Class[_],
                               build: Expression => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -115,7 +137,8 @@ object GraftExtensions {
 
   /** Same registration against an already-built session (tests, REPL). */
   def register(registry: FunctionRegistry): Unit = {
-    Seq(srpBucketDescriptor, vecDotDescriptor, simhash64Descriptor,
+    Seq(srpBucketDescriptor, vecDotDescriptor, fixDotDescriptor,
+      simhash64Descriptor,
       minhashSigDescriptor, winnowFpDescriptor, ngramSetDescriptor,
       bpeCountDescriptor, bpeTokensDescriptor, deflateLenDescriptor)
       .foreach { case (id, info, builder) =>

@@ -810,8 +810,8 @@ object TrainingData {
     * (16×64 rows) plus one objective scalar — bounded by construction
     * (k and dim are model constants), the same argument as
     * SketchRollup's per-day blobs. At 100 TB the assignment pass is
-    * the standard corpus×k dot-product scan through the codegen'd
-    * [[graft.functions.VecDot]]; train on a sample if even that is too
+    * the standard corpus×k integer dot-product scan through the
+    * codegen'd [[graft.functions.FixDot]]; train on a sample if even that is too
     * hot — the protocol is unchanged. Returns the centroids and the
     * per-iteration objective trace. */
   private[ops] def trainIvfCentroids(s: SparkSession, dir: String)
@@ -914,7 +914,7 @@ object TrainingData {
     * exception next to q73/q90's 1-row crossJoins; the trap the rule
     * exists for is a BNLJ against an UNBOUNDED side). The assignment
     * pass's dot products — the 100 TB hot loop (corpus × 16 per scan) —
-    * run through the native codegen'd [[graft.functions.VecDot]]. */
+    * run through the native codegen'd [[graft.functions.FixDot]]. */
   /** Ranked nearest-centroid assignment — the corpus × k dot-product
     * pass shared by q93, the q152 index build, and admission. `e` must
     * carry (vec_id, embedding, nrm); `cents` is the k-row centroid
@@ -970,7 +970,7 @@ object TrainingData {
     * K ≈ N / target_cell_size, and the persisted q152 index supplies
     * the cells without retraining); a skew-degenerate cell would get
     * the q79 SRP-bit sub-split, not needed at this K. The per-pair
-    * work runs through the codegen'd [[graft.functions.VecDot]]. */
+    * work runs through the codegen'd [[graft.functions.FixDot]]. */
   def q156SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     // both pair sides branch off the assignment: materialize the
     // corpus × k dot-product pass once (q93's checkpoint discipline)
@@ -1548,7 +1548,7 @@ object TrainingData {
     * bounded query batch against the full corpus). The 8-row query
     * batch broadcasts (bounded crossJoin by construction, like q93's
     * 16-row centroid table); the corpus-side dot products run through
-    * the codegen'd [[graft.functions.VecDot]] in ONE scan.
+    * the codegen'd [[graft.functions.FixDot]] in ONE scan.
     *
     * The top-k is the plain per-query ranking window — deliberately:
     * Spark ≥3.5 rewrites `row_number <= k` into `WindowGroupLimit`
@@ -2143,7 +2143,7 @@ object TrainingData {
     * probes, q156 cells) stopped improving.
     *
     * Scale: the trace rides the same training pass q93 already runs
-    * (one corpus × k VecDot scan per iteration, k×dim integer update
+    * (one corpus × k FixDot scan per iteration, k×dim integer update
     * table + TWO scalars to the driver); the result is IvfIters rows. */
   def q160KmeansTrace(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

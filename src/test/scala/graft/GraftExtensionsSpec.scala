@@ -27,6 +27,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql.distinct.size > 1) // not degenerate
   }
 
+  test("fix_dot registers and matches the Column API from SQL, " +
+    "including the self-dot integer norm") {
+    GraftExtensions.register(ColumnBridge.registry(spark))
+    import spark.implicits._
+    val rnd = new scala.util.Random(12)
+    Seq.fill(20)((Array.fill(64)(rnd.nextGaussian().toFloat / 8),
+        Array.fill(64)(rnd.nextGaussian().toFloat / 8)))
+      .toDF("a", "b").createOrReplaceTempView("ext_fix_vecs")
+    val viaSql = spark.sql(
+        "SELECT fix_dot(a, b) AS d, fix_dot(a, a) AS n FROM ext_fix_vecs")
+      .as[(Long, Long)].collect().toSeq
+    val viaColumn = spark.table("ext_fix_vecs")
+      .select(graft.functions.FixDot.dot(col("a"), col("b")).as("d"),
+        graft.functions.FixDot.normSq(col("a")).as("n"))
+      .as[(Long, Long)].collect().toSeq
+    assert(viaSql == viaColumn)
+    assert(viaSql.forall(_._2 >= 0L))
+    assert(viaSql.map(_._1).distinct.size > 1) // not degenerate
+  }
+
   test("srp_bucket arity raises Spark's standard WRONG_NUM_ARGS analysis error") {
     GraftExtensions.register(ColumnBridge.registry(spark))
     val e = intercept[org.apache.spark.sql.AnalysisException] {

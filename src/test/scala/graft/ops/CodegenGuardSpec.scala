@@ -54,4 +54,27 @@ class CodegenGuardSpec extends AnyFunSuite {
       assert(!r.isNullAt(1))
     }
   }
+
+  test("the r12 fixed-point kernels compile under CODEGEN_ONLY and " +
+    "match their interpreted eval (FixDot/PqCodes/PqAdc)") {
+    withCodegenOnly {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      // 2-subspace × 2-code × 2-dim toy codebook in the 2^16 grid
+      val cb: Array[Array[Array[Long]]] = Array(
+        Array(Array(65536L, 0L), Array(0L, 65536L)),
+        Array(Array(32768L, 32768L), Array(-65536L, 0L)))
+      val df = Seq(Array(1f, 0f, 0.5f, 0.5f)).toDF("v")
+      val r = df.select(col("v"),
+        graft.functions.FixDot.dot(col("v"), col("v")).as("n"),
+        graft.functions.PqCodes.codes(col("v"), cb).as("codes"))
+        .withColumn("adc",
+          graft.functions.PqAdc.adc(col("v"), col("codes"), cb))
+        .head
+      // normsq = 65536^2 + 0 + 32768^2·2
+      assert(r.getLong(1) == 65536L * 65536L + 2L * 32768L * 32768L)
+      assert(r.getSeq[Int](2) == Seq(0, 0)) // both subvectors hit entry 0
+      assert(r.getLong(3) == 0L) // the vector IS its reconstruction
+    }
+  }
 }
