@@ -1285,7 +1285,12 @@ object TrainingData {
         (r.getLong(0), tabs)
       }.toSeq
     val qdf = qRows.toDF("q_id", "tabs")
-    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
+    // asc_nulls_last: a malformed embedding yields NULL codes/ADC (the
+    // PqCodes/PqAdc totality contract) and must sink to the bottom in
+    // BOTH engines (DuckDB defaults NULLS LAST; Spark asc defaults
+    // nulls FIRST, which would seat the broken row at rn=1)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adc").asc_nulls_last, col("c_id"))
     coded.join(broadcast(qdf), col("c_id") =!= col("q_id"))
       .withColumn("adc", expr(
         "aggregate(zip_with(tabs, codes, (t, c) -> element_at(t, c + 1))," +
@@ -1354,7 +1359,12 @@ object TrainingData {
         col("cent_id").as("qcell"))
     val codes = s.table(codesTable)
       .select(col("vec_id").as("c_id"), col("cell"), col("codes"))
-    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
+    // asc_nulls_last: a malformed embedding yields NULL codes/ADC (the
+    // PqCodes/PqAdc totality contract) and must sink to the bottom in
+    // BOTH engines (DuckDB defaults NULLS LAST; Spark asc defaults
+    // nulls FIRST, which would seat the broken row at rn=1)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adc").asc_nulls_last, col("c_id"))
     codes
       .join(broadcast(qp),
         col("cell") === col("qcell") && col("c_id") =!= col("q_id"))

@@ -1,9 +1,5 @@
 package graft.sink
 
-import java.nio.file.Files
-
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -28,22 +24,19 @@ import graft.ops.T
   * in exact integer cents (2-decimal prices by generator contract). */
 object OrcQueries {
 
-  /** dataset dir → ORC lineitem location (write-once per JVM, same
-    * protocol as PartitionedQueries/ZOrderQueries). */
-  private val written = TrieMap[String, String]()
-
+  /** dataset dir → ORC lineitem location — write-once + scratch
+    * cleanup ride [[ScratchExport]] (r12: migrated off the global-lock
+    * TrieMap copy alongside CSV/Avro). */
   private[graft] def ensureOrcLineitem(s: SparkSession,
                                        dir: String): String =
-    written.synchronized {
-      written.getOrElseUpdate(dir, {
-        val out = Files.createTempDirectory("graft-orc-").toString
-        T(s, dir, "lineitem")
-          .select("l_orderkey", "l_linenumber", "l_quantity",
-            "l_extendedprice", "l_returnflag", "l_linestatus",
-            "l_shipdate")
-          .write.mode("overwrite").option("compression", "zlib").orc(out)
-        out
-      })
+    ScratchExport.once(s"orc:$dir") {
+      val out = ScratchExport.scratchDir("graft-orc-")
+      T(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_linestatus",
+          "l_shipdate")
+        .write.mode("overwrite").option("compression", "zlib").orc(out)
+      out
     }
 
   /** q173: selective aggregate over the ORC copy — high-quantity

@@ -17,13 +17,15 @@ import graft.SparkTestBase
 class CodegenGuardSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
-  private def withCodegenOnly[A](body: => A): A = {
+  private def withFactoryMode[A](mode: String)(body: => A): A = {
     val key = "spark.sql.codegen.factoryMode"
     val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "CODEGEN_ONLY")
+    spark.conf.set(key, mode)
     try body
     finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
+  private def withCodegenOnly[A](body: => A): A =
+    withFactoryMode("CODEGEN_ONLY")(body)
 
   test("the AsofProps encoder path compiles under CODEGEN_ONLY " +
     "(no silent interpreted fallback)") {
@@ -56,25 +58,43 @@ class CodegenGuardSpec extends AnyFunSuite {
   }
 
   test("the r12 fixed-point kernels compile under CODEGEN_ONLY and " +
-    "match their interpreted eval (FixDot/PqCodes/PqAdc)") {
-    withCodegenOnly {
-      import org.apache.spark.sql.functions._
-      import spark.implicits._
-      // 2-subspace × 2-code × 2-dim toy codebook in the 2^16 grid
-      val cb: Array[Array[Array[Long]]] = Array(
-        Array(Array(65536L, 0L), Array(0L, 65536L)),
-        Array(Array(32768L, 32768L), Array(-65536L, 0L)))
-      val df = Seq(Array(1f, 0f, 0.5f, 0.5f)).toDF("v")
-      val r = df.select(col("v"),
-        graft.functions.FixDot.dot(col("v"), col("v")).as("n"),
-        graft.functions.PqCodes.codes(col("v"), cb).as("codes"))
+    "their interpreted eval (NO_CODEGEN) returns identical rows — " +
+    "FixDot/PqCodes/PqAdc") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 2-subspace × 2-code × 2-dim toy codebook in the 2^16 grid, plus
+    // degenerate inputs so BOTH paths exercise the NULL branches
+    val cb: Array[Array[Array[Long]]] = Array(
+      Array(Array(65536L, 0L), Array(0L, 65536L)),
+      Array(Array(32768L, 32768L), Array(-65536L, 0L)))
+    def run(): Seq[Seq[Any]] =
+      Seq(Some(Array(1f, 0f, 0.5f, 0.5f)), Some(Array(1f, 0f, 0.5f)),
+          None)
+        .toDF("v0")
+        .select(col("v0").cast("array<float>").as("v"))
+        .select(col("v"),
+          graft.functions.FixDot.dot(col("v"), col("v")).as("n"),
+          graft.functions.PqCodes.codes(col("v"), cb).as("codes"))
         .withColumn("adc",
           graft.functions.PqAdc.adc(col("v"), col("codes"), cb))
-        .head
-      // normsq = 65536^2 + 0 + 32768^2·2
-      assert(r.getLong(1) == 65536L * 65536L + 2L * 32768L * 32768L)
-      assert(r.getSeq[Int](2) == Seq(0, 0)) // both subvectors hit entry 0
-      assert(r.getLong(3) == 0L) // the vector IS its reconstruction
-    }
+        .collect().toSeq
+        .map(r => (1 until 4).map(i =>
+          if (r.isNullAt(i)) null else r.get(i) match {
+            case s: scala.collection.Seq[_] => s.toList
+            case x => x
+          }))
+    val gen = withCodegenOnly(run())
+    val interp = withFactoryMode("NO_CODEGEN")(run())
+    assert(gen == interp,
+      s"codegen vs interpreted divergence:\n$gen\n$interp")
+    // and the well-formed row's values are the hand-computed ones
+    // (normsq = 65536^2 + 2·32768^2; both subvectors hit entry 0;
+    // the vector IS its own reconstruction)
+    assert(gen.head == Seq(65536L * 65536L + 2L * 32768L * 32768L,
+      List(0, 0), 0L))
+    // the short vector still self-dots (lengths agree) but codes/ADC
+    // are NULL, never a prefix; the null vector is NULL throughout
+    assert(gen(1) == Seq(65536L * 65536L + 32768L * 32768L, null, null))
+    assert(gen(2) == Seq(null, null, null))
   }
 }
