@@ -49,6 +49,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    pushdown for the same reason: container files carry no column
   *    statistics).
   *
+  * Schema evolution on read: every written field is `union(null, T)`
+  * with a null default, so a directory holding files from BEFORE a
+  * column was added still reads — Avro's schema resolution fills the
+  * missing field with null per file (AvroSourceSpec pins it). The
+  * table schema is whatever the first-sorted container declares;
+  * standardize on writing the current (widest) layout.
+  *
   * Type mapping (both directions, nullable as `union(null, T)`):
   * long↔long, int↔int, double↔double, float↔float, boolean↔boolean,
   * string↔string, binary↔bytes, timestamp↔long/timestamp-micros,

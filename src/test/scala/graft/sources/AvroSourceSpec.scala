@@ -105,6 +105,27 @@ class AvroSourceSpec extends AnyFunSuite {
       .as[Long].collect().sorted.toSeq == Seq(10L, 11L))
   }
 
+  test("schema evolution on read: files written BEFORE a column was " +
+    "added resolve it to NULL via the union-null default") {
+    import spark.implicits._
+    val out = tmp()
+    // old-layout file (v only) — named so it sorts AFTER the wide file,
+    // proving resolution (not inference order) supplies the null
+    Seq((1L, "zz")).toDF("v", "tag").drop("tag").coalesce(1)
+      .write.format("graft-avro").mode("append").save(out)
+    val narrow = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    assert(narrow.renameTo(new java.io.File(out, "part-zz-old.avro")))
+    // new-layout file (v + added) — sorts first, so inferSchema sees it
+    Seq((2L, "new")).toDF("v", "added").coalesce(1)
+      .write.format("graft-avro").mode("append").save(out)
+    val back = spark.read.format("graft-avro").load(out)
+      .orderBy("v").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(back == Seq((1L, None), (2L, Some("new"))),
+      s"old files must resolve the added column to NULL: $back")
+  }
+
   test("an empty-projection count(*) still counts every row") {
     val out = tmp()
     graft.ops.T(spark, dir, "orders").write.format("graft-avro")
