@@ -1341,8 +1341,10 @@ object TrainingData {
     * Determinism: assignment rides the r12 integer csim_fx; codes,
     * ADC sums and ranks are exact integers in the 2¹⁶ grid — no
     * double anywhere after the scan. */
-  def q195IvfPqAdc(s: SparkSession, dir: String): DataFrame = {
-    val (cents, cells) = ensureIvfIndex(s, dir)
+  /** Ensures (adopt-or-build) the q195 codes table over an already-
+    * ensured inverted file — shared by the probe and admission. */
+  private def ensureIvfPqCodes(s: SparkSession, dir: String,
+                               cells: String): String = {
     val cb = pqCodebook(s, dir)
     val codesTable = graft.sink.BucketedTables.ensureLazy(
       s, s"graft_ivf2_codes_${dirDigest(dir)}", ivfCodesSchema,
@@ -1351,6 +1353,13 @@ object TrainingData {
       IvfCellBuckets, Seq("cell"))
     assert(codesTable == ivfCodesName(dir),
       "ivfCodesName drifted from the ensure layout")
+    codesTable
+  }
+
+  def q195IvfPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val (cents, cells) = ensureIvfIndex(s, dir)
+    val cb = pqCodebook(s, dir)
+    val codesTable = ensureIvfPqCodes(s, dir, cells)
     val qp = assignRanked(
         s.table(cells).filter(col("vec_id") % 50 === 0)
           .select(col("vec_id"), col("embedding"), col("nrm")),
@@ -1374,6 +1383,31 @@ object TrainingData {
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("c_id"), col("adc"), col("rn"))
       .orderBy("q_id", "rn")
+  }
+
+  /** IVFPQ admission — the q195 counterpart of [[admitToIvfIndex]]:
+    * NEW vectors are assigned to cells via the persisted centroids,
+    * PQ-ENCODED via the same codebook, and appended bucket-preserving
+    * to BOTH the inverted file and the codes table, so the composed
+    * index grows by |batch| rows with the corpus never re-assigned or
+    * re-encoded. Same cross-session cache contract as
+    * admitToBandIndex/admitToIvfIndex: other sessions `refreshTable`
+    * before their next read. */
+  def admitToIvfPqIndex(s: SparkSession, dir: String,
+                        newVecs: DataFrame): Unit = {
+    val (cents, cells) = ensureIvfIndex(s, dir)
+    val codesTable = ensureIvfPqCodes(s, dir, cells)
+    val cb = pqCodebook(s, dir)
+    val assigned = assignRanked(withFixNorm(newVecs), s.table(cents), 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id").as("cell"))
+      .localCheckpoint(true) // both appends branch off one assignment
+    graft.sink.BucketedTables.append(assigned, cells, IvfCellBuckets,
+      Seq("cell"))
+    graft.sink.BucketedTables.append(
+      assigned.select(col("vec_id"), col("cell"),
+        graft.functions.PqCodes.codes(col("embedding"), cb).as("codes")),
+      codesTable, IvfCellBuckets, Seq("cell"))
   }
 
   /** Marker lexicon for q82 — stand-in per-language stopword lists drawn

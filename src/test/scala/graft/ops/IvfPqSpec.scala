@@ -57,6 +57,51 @@ class IvfPqSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("IVFPQ admission: an admitted duplicate is ADC-distance-0 from " +
+    "its original and lands in both index tables") {
+    val alias = dir + "/.." + "/" + dir.split('/').last + "/" // own digest
+    // pristine per-run state for all three tables
+    TrainingData.ivfCache.remove(alias)
+    val (cents0, cells0) = TrainingData.ivfIndexNames(alias)
+    Seq(cents0, cells0, TrainingData.ivfCodesName(alias)).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(wh, true)
+    }
+    TrainingData.q195IvfPqAdc(spark, alias).collect() // build the triple
+    val codesTable = TrainingData.ivfCodesName(alias)
+    val (_, cellsTable) = TrainingData.ivfIndexNames(alias)
+    val beforeCells = spark.table(cellsTable).count()
+    val beforeCodes = spark.table(codesTable).count()
+    assert(beforeCells == beforeCodes)
+
+    import org.apache.spark.sql.functions.col
+    val newVecs = T(spark, alias, "embeddings")
+      .filter(col("vec_id") % 97 === 3)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    val n = newVecs.count()
+    assert(n > 0)
+    TrainingData.admitToIvfPqIndex(spark, alias, newVecs)
+    assert(spark.table(cellsTable).count() == beforeCells + n)
+    assert(spark.table(codesTable).count() == beforeCodes + n)
+    // an admitted copy carries its original's codes exactly (same
+    // quantization, same codebook), so its ADC to the original's
+    // reconstruction is the original's own — spot-check code equality
+    val orig = spark.table(codesTable)
+      .filter(col("vec_id") % 97 === 3 && col("vec_id") < 2000000L)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val admitted = spark.table(codesTable)
+      .filter(col("vec_id") >= 2000000L)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => (r.getLong(0) - 2000000L) -> r.getSeq[Int](1)).toMap
+    assert(admitted.nonEmpty && admitted.forall { case (id, c) =>
+      orig.get(id).contains(c)
+    }, "admitted codes diverged from the originals'")
+  }
+
   test("the q195 probe plan reads only the three index tables") {
     TrainingData.q195IvfPqAdc(spark, dir).collect() // ensure built
     spark.conf.set("spark.sql.adaptive.enabled", "false")
