@@ -500,6 +500,37 @@ object Curation {
         col("o_orderkey").as("chg_orderkey"))
   }
 
+  /** q197: POINT-IN-TIME lookup against the q98 SCD2 dimension — the
+    * consuming half of the warehouse story (q98 materializes history,
+    * q183 materializes "now"; nothing yet answered "which version was
+    * true WHEN this fact happened", the join every type-2 dimension
+    * exists for). Each order resolves the customer-status version
+    * valid at its own `o_orderdate`:
+    * `valid_from <= ts AND (valid_to IS NULL OR ts < valid_to)` —
+    * half-open intervals, so a fact ON a change date lands in the NEW
+    * version, and same-day flips (empty [d, d) intervals) can never
+    * double-match; every fact matches exactly one version by
+    * construction (intervals partition [first_change, ∞) per key).
+    *
+    * Scale shape: equi-join on custkey with the interval predicate as
+    * a residual (q25's range-join class — never a cartesian); the
+    * dimension side is change-compressed (≪ facts) so it broadcasts;
+    * at 100 TB with a large dimension the same plan SMJs on custkey
+    * with the residual applied per-row. One output row per fact. */
+  def q197Scd2Pit(s: SparkSession, dir: String): DataFrame = {
+    val facts = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val dim = scd2Core(T(s, dir, "orders"))
+    facts.join(broadcast(dim),
+        col("o_custkey") === col("custkey") &&
+          col("o_orderdate") >= col("valid_from") &&
+          (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+      .select(col("o_orderkey"), col("custkey"),
+        col("status").as("status_at"), col("is_current"),
+        col("chg_orderkey").as("version_key"))
+      .orderBy("o_orderkey")
+  }
+
   /** q99: int8 embedding quantization — symmetric per-vector scaling
     * (scale = max |x|, code = ⌊x·127/scale + 0.5⌋), reporting per-label
     * vector counts, an exact integer code checksum, and the mean
@@ -1109,6 +1140,7 @@ object Curation {
     "q96_repetition_signals" -> q96RepetitionSignals _,
     "q97_source_rebalance" -> q97SourceRebalance _,
     "q98_scd2_merge" -> q98Scd2Merge _,
+    "q197_scd2_pit" -> q197Scd2Pit _,
     "q99_embed_quantize" -> q99EmbedQuantize _,
     "q100_dup_clusters" -> q100DupClusters _,
     "q101_gap_fill" -> q101GapFill _,
@@ -1341,6 +1373,25 @@ object Curation {
         |FROM chg
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY custkey, valid_from, chg_orderkey""".stripMargin,
+    "q197_scd2_pit" ->
+      """WITH h AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |                  lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |           FROM orders),
+        |chg AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+        |        FROM h WHERE prev IS NULL OR o_orderstatus <> prev),
+        |dim AS (SELECT o_custkey AS custkey, o_orderstatus AS status,
+        |               o_orderdate AS valid_from,
+        |               lead(o_orderdate) OVER w AS valid_to,
+        |               (lead(o_orderdate) OVER w IS NULL) AS is_current,
+        |               o_orderkey AS version_key
+        |        FROM chg
+        |        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |SELECT o.o_orderkey, d.custkey, d.status AS status_at,
+        |       d.is_current, d.version_key
+        |FROM orders o JOIN dim d ON o.o_custkey = d.custkey
+        |  AND o.o_orderdate >= d.valid_from
+        |  AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+        |ORDER BY o_orderkey""".stripMargin,
     "q99_embed_quantize" ->
       """WITH q AS (
         |  SELECT vec_id, label,

@@ -59,4 +59,44 @@ class CdcCompactSpec extends AnyFunSuite {
     val b = snap.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+  test("q197 point-in-time lookup: every fact resolves EXACTLY one " +
+    "version, and the resolved status is the fact's own status at its " +
+    "date") {
+    import org.apache.spark.sql.functions.col
+    val dirr = SparkTestBase.Sf0001
+    val facts = T(spark, dirr, "orders").count()
+    val pit = Curation.q197Scd2Pit(spark, dirr).collect()
+    assert(pit.length.toLong == facts,
+      "PIT join must be exactly-one per fact (intervals partition time)")
+    assert(pit.map(_.getLong(0)).distinct.length == pit.length)
+    // brute-force semantic check: the version valid at an order's date
+    // is the status of the LAST change at-or-before it (ties broken by
+    // change orderkey — same-day flips resolve to the day's last)
+    val orders = T(spark, dirr, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        org.apache.spark.sql.functions.unix_micros(
+        col("o_orderdate").cast("timestamp")).as("tus"),
+        col("o_orderstatus"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val changes = orders.groupBy(_._2).map { case (ck, os) =>
+      val sorted = os.sortBy(o => (o._3, o._1))
+      val chg = sorted.foldLeft(List.empty[(Long, Long, String)]) {
+        case (acc, (ok, _, ts, st)) =>
+          if (acc.headOption.forall(_._3 != st)) (ok, ts, st) :: acc else acc
+      }.reverse
+      ck -> chg
+    }
+    val byKey = pit.map(r => r.getLong(0) ->
+      (r.getString(2), r.getLong(4))).toMap
+    orders.foreach { case (ok, ck, ts, _) =>
+      val valid = changes(ck).filter(c => c._2 <= ts)
+      val expect = valid.last // last change at-or-before the fact
+      val (gotStatus, gotVer) = byKey(ok)
+      assert(gotStatus == expect._3 && gotVer == expect._1,
+        s"order $ok resolved ($gotStatus, $gotVer), want " +
+          s"(${expect._3}, ${expect._1})")
+    }
+  }
+
 }
