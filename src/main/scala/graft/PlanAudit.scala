@@ -280,6 +280,12 @@ object PlanAudit {
         "exception, q148's class), and the integer ADC aggregate + " +
         "per-query rank — the candidate floats are never re-read " +
         "after encoding, which is the whole PQ story."),
+    "q197_scd2_pit" ->
+      ("**Look for:** ONE exchange feeding the shared lag+lead SCD2 " +
+        "window pair (q98's reused sort), then a broadcast hash join " +
+        "of facts to the change-compressed dimension on custkey with " +
+        "the interval predicate as a post-join residual FILTER — " +
+        "q25's range-join class, never a cartesian."),
     "q196_pagerank" ->
       ("**Look for:** three repeated join→aggregate rounds ALL reading " +
         "the edge checkpoint (lineage truncated per iteration — the " +
