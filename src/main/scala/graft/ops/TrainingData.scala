@@ -1150,12 +1150,17 @@ object TrainingData {
     * cached relation; any other session that already resolved the table
     * must `refreshTable` before its next read. */
   def admitToIvfIndex(s: SparkSession, centsTable: String,
-                      cellsTable: String, newVecs: DataFrame): Unit =
+                      cellsTable: String, newVecs: DataFrame): Unit = {
     graft.sink.BucketedTables.append(
       assignRanked(withFixNorm(newVecs), s.table(centsTable), 1)
         .select(col("vec_id"), col("embedding"), col("nrm"),
           col("cent_id").as("cell")),
       cellsTable, IvfCellBuckets, Seq("cell"))
+    // if a q195 codes table exists over this inverted file, keep it in
+    // lockstep — otherwise this admission path would silently desync
+    // the composed IVFPQ index (r12 review)
+    syncIvfPqCodes(s, cellsTable)
+  }
 
   /** The probe half: `queries` (vec_id, embedding, nrm) fan out to
     * their nprobe = 4 nearest cells via the persisted centroids, and
@@ -1219,19 +1224,32 @@ object TrainingData {
   private val pqCbCache =
     scala.collection.concurrent.TrieMap[String, Array[Array[Array[Long]]]]()
 
+  private def pqCodebookOf(seedFrame: DataFrame): Array[Array[Array[Long]]] = {
+    val seeds = seedFrame.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect() // k rows — bounded by the model constant
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Float](1).toArray)
+    require(seeds.length == PqK, s"PQ codebook needs $PqK seed vectors")
+    Array.tabulate(PqM)(m => Array.tabulate(PqK)(k =>
+      Array.tabulate(PqSub)(d =>
+        math.floor(seeds(k)(m * PqSub + d).toDouble * 65536.0 + 0.5)
+          .toLong)))
+  }
+
   private def pqCodebook(s: SparkSession, dir: String)
       : Array[Array[Array[Long]]] =
-    pqCbCache.getOrElseUpdate(dir, {
-      val seeds = T(s, dir, "embeddings").filter(col("vec_id") < PqK)
-        .select(col("vec_id").cast("int"), col("embedding"))
-        .collect() // k rows — bounded by the model constant
-        .sortBy(_.getInt(0))
-        .map(_.getSeq[Float](1).toArray)
-      Array.tabulate(PqM)(m => Array.tabulate(PqK)(k =>
-        Array.tabulate(PqSub)(d =>
-          math.floor(seeds(k)(m * PqSub + d).toDouble * 65536.0 + 0.5)
-            .toLong)))
-    })
+    pqCbCache.getOrElseUpdate(dir, pqCodebookOf(T(s, dir, "embeddings")))
+
+  /** The codebook re-derived from the INVERTED FILE's own rows: the
+    * seed vectors (vec_id < PqK) ride the cells table with their exact
+    * float embeddings, so a consumer that only holds the table names
+    * (the admission paths) reconstructs the identical integer codebook
+    * without touching the source parquet. */
+  private def pqCodebookFromCells(s: SparkSession, cellsTable: String)
+      : Array[Array[Array[Long]]] =
+    pqCbCache.getOrElseUpdate(s"cells:$cellsTable",
+      pqCodebookOf(s.table(cellsTable)))
 
   /** q194: PQ-ADC probe — the missing rung between per-value int8
     * compression (q99) and cell-pruned IVF (q93/q152) that real
@@ -1396,18 +1414,41 @@ object TrainingData {
   def admitToIvfPqIndex(s: SparkSession, dir: String,
                         newVecs: DataFrame): Unit = {
     val (cents, cells) = ensureIvfIndex(s, dir)
-    val codesTable = ensureIvfPqCodes(s, dir, cells)
-    val cb = pqCodebook(s, dir)
+    ensureIvfPqCodes(s, dir, cells)
     val assigned = assignRanked(withFixNorm(newVecs), s.table(cents), 1)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cent_id").as("cell"))
-      .localCheckpoint(true) // both appends branch off one assignment
     graft.sink.BucketedTables.append(assigned, cells, IvfCellBuckets,
       Seq("cell"))
-    graft.sink.BucketedTables.append(
-      assigned.select(col("vec_id"), col("cell"),
-        graft.functions.PqCodes.codes(col("embedding"), cb).as("codes")),
-      codesTable, IvfCellBuckets, Seq("cell"))
+    // the codes rows derive from the cells append via the SYNC rather
+    // than a second direct write: the two appends cannot be atomic, so
+    // a crash between them must self-heal — sync encodes exactly the
+    // cells rows with no codes row, which is both this batch and any
+    // prior partial failure's remainder (r12 review)
+    syncIvfPqCodes(s, cells)
+  }
+
+  /** Heals/extends the codes table after ANY cells append: encodes
+    * every inverted-file row that has no codes row (left-anti on the
+    * shared bucket layout — exchange-free) and appends the gap.
+    * Idempotent, safe on any cadence; both admission paths end with it
+    * so the cells and codes tables can never silently diverge — the
+    * q195 probe's candidate source is the codes table, so a missed
+    * row would otherwise be permanent recall loss with no error. */
+  private[ops] def syncIvfPqCodes(s: SparkSession, cellsTable: String): Unit = {
+    val codesTable =
+      cellsTable.replace("graft_ivf2_cells_", "graft_ivf2_codes_")
+    if (codesTable != cellsTable && s.catalog.tableExists(codesTable)) {
+      val cb = pqCodebookFromCells(s, cellsTable)
+      val missing = s.table(cellsTable)
+        .join(s.table(codesTable).select("vec_id"), Seq("vec_id"),
+          "left_anti")
+        .select(col("vec_id"), col("cell"),
+          graft.functions.PqCodes.codes(col("embedding"), cb).as("codes"))
+      if (!missing.isEmpty)
+        graft.sink.BucketedTables.append(missing, codesTable,
+          IvfCellBuckets, Seq("cell"))
+    }
   }
 
   /** Marker lexicon for q82 — stand-in per-language stopword lists drawn

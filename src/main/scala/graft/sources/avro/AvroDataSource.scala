@@ -49,12 +49,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    pushdown for the same reason: container files carry no column
   *    statistics).
   *
-  * Schema evolution on read: every written field is `union(null, T)`
-  * with a null default, so a directory holding files from BEFORE a
-  * column was added still reads — Avro's schema resolution fills the
-  * missing field with null per file (AvroSourceSpec pins it). The
-  * table schema is whatever the first-sorted container declares;
-  * standardize on writing the current (widest) layout.
+  * Schema evolution on read: the table schema is the MERGE of every
+  * container's header schema (fields united by name, same-type
+  * required), and every written field is `union(null, T)` with a null
+  * default, so a directory holding files from BEFORE a column was
+  * added reads the full current layout — Avro's per-file schema
+  * resolution fills the missing field with null (AvroSourceSpec pins
+  * both append orders).
   *
   * Type mapping (both directions, nullable as `union(null, T)`):
   * long↔long, int↔int, double↔double, float↔float, boolean↔boolean,
@@ -72,19 +73,41 @@ class AvroTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-avro"
   override def supportsExternalMetadata(): Boolean = true
 
+  /** Merges the header schemas of EVERY container in the directory
+    * (fields united by name, first-seen order, same-type required):
+    * without the merge, the table schema would be whichever file
+    * happened to sort first, and the natural append order — old
+    * narrow files first — would silently drop a later-added column
+    * (r12 review). Header reads are cheap (bytes per file) and ride
+    * the listing the scan needs anyway; per-file resolution then
+    * fills fields missing from old files with null via the
+    * union-null defaults. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = AvroDataSource.pathOf(options)
     val files = AvroDataSource.listAvroFiles(path)
     require(files.nonEmpty, s"graft-avro: no *.avro files under $path")
     val conf = new Configuration()
-    val fs = files.head.getFileSystem(conf)
-    val in = fs.open(files.head)
-    try {
-      val stream = new DataFileStream[GenericRecord](
-        in, new GenericDatumReader[GenericRecord]())
-      try AvroConv.toSpark(stream.getSchema)
-      finally stream.close()
-    } finally in.close()
+    val perFile = files.map { f =>
+      val in = f.getFileSystem(conf).open(f)
+      try {
+        val stream = new DataFileStream[GenericRecord](
+          in, new GenericDatumReader[GenericRecord]())
+        try AvroConv.toSpark(stream.getSchema)
+        finally stream.close()
+      } finally in.close()
+    }
+    perFile.reduceLeft { (acc, next) =>
+      val known = acc.fields.map(f => f.name -> f.dataType).toMap
+      next.fields.foreach { f =>
+        known.get(f.name).foreach { t =>
+          require(t == f.dataType,
+            s"graft-avro: field ${f.name} has conflicting types across " +
+              s"containers ($t vs ${f.dataType}) — rewrite before reading")
+        }
+      }
+      StructType(acc.fields ++ next.fields.filterNot(f =>
+        known.contains(f.name)))
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.scalacheck.{Gen, Prop, Properties}
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
@@ -21,9 +21,6 @@ object FixedPointProps extends Properties("FixedPoint") {
   private val comp: Gen[Float] = Gen.chooseNum(-1.0f, 1.0f)
   private def vec(n: Int): Gen[Array[Float]] =
     Gen.containerOfN[Array, Float](n, comp)
-
-  private def arr(v: Array[Float]): ArrayData =
-    new GenericArrayData(v.map(_.asInstanceOf[Any]))
 
   private def lit(v: Array[Float]): Literal =
     Literal.create(v, ArrayType(FloatType, containsNull = false))
@@ -44,7 +41,7 @@ object FixedPointProps extends Properties("FixedPoint") {
 
   // 4 subspaces × 4 dims × 8 codes over 16-dim vectors
   private val cbGen: Gen[Array[Array[Array[Long]]]] =
-    Gen.containerOfN[Array, Array[Float]](4 * 8, vec(4).map(identity))
+    Gen.containerOfN[Array, Array[Float]](4 * 8, vec(4))
       .map { entries =>
         Array.tabulate(4)(m => Array.tabulate(8)(k =>
           entries(m * 8 + k).map(q)))

@@ -100,6 +100,23 @@ class IvfPqSpec extends AnyFunSuite {
     assert(admitted.nonEmpty && admitted.forall { case (id, c) =>
       orig.get(id).contains(c)
     }, "admitted codes diverged from the originals'")
+
+    // the OTHER admission path (cells-only admitToIvfIndex) must keep
+    // the codes table in lockstep via the sync — a cells append with
+    // no codes rows would be permanent q195 recall loss
+    val (centsT, _) = TrainingData.ivfIndexNames(alias)
+    val more = T(spark, alias, "embeddings")
+      .filter(col("vec_id") % 97 === 5)
+      .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+    val m = more.count()
+    assert(m > 0)
+    TrainingData.admitToIvfIndex(spark, centsT, cellsTable, more)
+    assert(spark.table(cellsTable).count() == beforeCells + n + m)
+    assert(spark.table(codesTable).count() == beforeCodes + n + m,
+      "cells-only admission desynced the codes table")
+    // and the sync is idempotent: running it again appends nothing
+    TrainingData.syncIvfPqCodes(spark, cellsTable)
+    assert(spark.table(codesTable).count() == beforeCodes + n + m)
   }
 
   test("the q195 probe plan reads only the three index tables") {

@@ -106,24 +106,45 @@ class AvroSourceSpec extends AnyFunSuite {
   }
 
   test("schema evolution on read: files written BEFORE a column was " +
-    "added resolve it to NULL via the union-null default") {
+    "added resolve it to NULL, in EITHER sort order (merged headers, " +
+    "not first-file inference)") {
+    import spark.implicits._
+    def build(renameOldTo: Option[String]): Seq[(Long, Option[Any])] = {
+      val out = tmp()
+      // old-layout file (v only) written first — the NATURAL append
+      // order, where the narrow file sorts first
+      Seq((1L, "zz")).toDF("v", "tag").drop("tag").coalesce(1)
+        .write.format("graft-avro").mode("append").save(out)
+      renameOldTo.foreach { n =>
+        val narrow = new java.io.File(out).listFiles()
+          .filter(_.getName.endsWith(".avro")).head
+        assert(narrow.renameTo(new java.io.File(out, n)))
+      }
+      // new-layout file (v + added)
+      Seq((2L, "new")).toDF("v", "added").coalesce(1)
+        .write.format("graft-avro").mode("append").save(out)
+      spark.read.format("graft-avro").load(out)
+        .select("v", "added").orderBy("v").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    }
+    val want = Seq((1L, None), (2L, Some("new")))
+    assert(build(None) == want, "natural order (narrow sorts first)")
+    assert(build(Some("part-zz-old.avro")) == want,
+      "forced order (wide sorts first)")
+  }
+
+  test("conflicting types for one column across containers fail " +
+    "loudly, never silently re-type") {
     import spark.implicits._
     val out = tmp()
-    // old-layout file (v only) — named so it sorts AFTER the wide file,
-    // proving resolution (not inference order) supplies the null
-    Seq((1L, "zz")).toDF("v", "tag").drop("tag").coalesce(1)
+    Seq(1L).toDF("v").coalesce(1)
       .write.format("graft-avro").mode("append").save(out)
-    val narrow = new java.io.File(out).listFiles()
-      .filter(_.getName.endsWith(".avro")).head
-    assert(narrow.renameTo(new java.io.File(out, "part-zz-old.avro")))
-    // new-layout file (v + added) — sorts first, so inferSchema sees it
-    Seq((2L, "new")).toDF("v", "added").coalesce(1)
+    Seq("s").toDF("v").coalesce(1)
       .write.format("graft-avro").mode("append").save(out)
-    val back = spark.read.format("graft-avro").load(out)
-      .orderBy("v").collect()
-      .map(r => (r.getLong(0), Option(r.get(1)))).toSeq
-    assert(back == Seq((1L, None), (2L, Some("new"))),
-      s"old files must resolve the added column to NULL: $back")
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-avro").load(out).collect()
+    }
+    assert(e.getMessage.contains("conflicting types"))
   }
 
   test("an empty-projection count(*) still counts every row") {
