@@ -280,6 +280,27 @@ object PlanAudit {
         "exception, q148's class), and the integer ADC aggregate + " +
         "per-query rank — the candidate floats are never re-read " +
         "after encoding, which is the whole PQ story."),
+    "q198_bloom_prune" ->
+      ("**Look for:** the xxhash64 bloom-probe `Filter` sitting DIRECTLY " +
+        "above the lineitem scan — below every join and below any " +
+        "exchange the join strategy would need — with the 2048-word " +
+        "bit array riding the plan as one array<bigint> literal. The " +
+        "probe is codegen'd element_at+shift+mask; at the SMJ scale " +
+        "regime it is what shrinks the fact-side shuffle."),
+    "q199_concurrency_peak" ->
+      ("**Look for:** TWO window levels, neither day-wide: the running " +
+        "sum partitioned by (day, hour-bucket) and the carry combine " +
+        "partitioned by day over at most 24 bucket rows — the " +
+        "hierarchical sweep that keeps every sort partition-bounded; " +
+        "plus the session core's single user-partitioned window pair " +
+        "reusing one exchange (q81's shape)."),
+    "q200_copurchase" ->
+      ("**Look for:** ONE exchange hash-partitioning the deduped items " +
+        "on orderkey with the self-join's second side as a " +
+        "`ReusedExchange` (under AQE a reused shuffle query stage), the " +
+        "pair filter p1<p2 inside the join condition, and " +
+        "`TakeOrderedAndProject` for the top-25 — the quadratic step is " +
+        "partition-local and basket-bounded."),
     "q197_scd2_pit" ->
       ("**Look for:** ONE exchange feeding the shared lag+lead SCD2 " +
         "window pair (q98's reused sort), then a broadcast hash join " +

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{BpeTrain, Corpus, Curation, Graph, Multimodal, NorthStar, ParseRoute, Relational, Scalars, SketchRollup, TpchShapes, TrainingData}
+import graft.ops.{Affinity, BpeTrain, Corpus, Curation, Graph, Multimodal, NorthStar, ParseRoute, Relational, RuntimeFilter, Scalars, SketchRollup, TpchShapes, TrainingData}
 import graft.sink.{AvroQueries, BucketQueries, CsvQueries, Layout, OrcQueries, PartitionedQueries, SchemaEvolution, ShardedExport, ZOrderQueries}
 import graft.sources.JsonlIngest
 import graft.sources.rfc.RfcQueries
@@ -30,7 +30,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TpchShapes.queries ++ ParseRoute.queries ++ Scalars.queries ++
       NorthStar.queries ++ TrainingData.queries ++ Curation.queries ++
-      Corpus.queries ++
+      Corpus.queries ++ RuntimeFilter.queries ++ Affinity.queries ++
       Layout.queries ++ ZOrderQueries.queries ++ BucketQueries.queries ++
       PartitionedQueries.queries ++ ShardedExport.queries ++
       OrcQueries.queries ++ CsvQueries.queries ++ AvroQueries.queries ++
@@ -41,7 +41,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TpchShapes.oracle ++ ParseRoute.oracle ++ Scalars.oracle ++
       NorthStar.oracle ++ TrainingData.oracle ++ Curation.oracle ++
-      Corpus.oracle ++
+      Corpus.oracle ++ RuntimeFilter.oracle ++ Affinity.oracle ++
       ZOrderQueries.oracle ++ BucketQueries.oracle ++
       PartitionedQueries.oracle ++ ShardedExport.oracle ++
       OrcQueries.oracle ++ CsvQueries.oracle ++ AvroQueries.oracle ++

@@ -285,8 +285,67 @@ object NorthStar {
   def q193SessionExamplesBatch(s: SparkSession, dir: String): DataFrame =
     sessionExamplesBatch(T.events(s, dir))
 
+  /** q199: peak concurrent sessions per day — the interval-overlap
+    * aggregate ("how many sessions were live at the busiest instant of
+    * each day"), the capacity-planning question raw per-bucket counts
+    * (q80) cannot answer because a session contributes to every instant
+    * it SPANS, not just its event times. Sessions come from the same
+    * lag+cumsum core as q81 (30-min gap, closed intervals
+    * [min_us, max_us]); each is clipped to the day(s) it touches, then
+    * swept: +1 at its clipped start, −1 at its clipped end, ordered by
+    * (t, delta DESC) so a session starting at the very µs another ends
+    * counts both as concurrent (closed-interval tie rule, identical in
+    * the oracle), and the peak is the max of the running sum.
+    *
+    * Scale shape — hierarchical sweep: a single per-day sweep window is
+    * the classic scale trap (one day of a 100 TB stream is one task), so
+    * the running sum is DECOMPOSED: per (day, hour) windows compute each
+    * bucket's delta-sum and max-prefix over at most 1/24th of a day,
+    * then a 24-row-per-day window turns bucket sums into carry-ins and
+    * the day peak is max(carry + bucket max-prefix) — exact (max-prefix
+    * decomposes associatively over integer buckets; ties between equal
+    * (t, delta) rows cannot move any prefix value), and the widest
+    * window anywhere is one HOUR of deltas. At 100 TB you pick the
+    * refinement level to match volume (hour → minute) without touching
+    * the combine; the DuckDB oracle runs the single-level formulation,
+    * so the decomposition itself is what correctness checks. */
+  def q199ConcurrencyPeak(s: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val HourUs = 3600000000L
+    val sess = sessionizeCore(T.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("tus")))
+      .select("min_us", "max_us")
+    val spans = sess
+      .withColumn("day",
+        explode(expr(s"sequence(min_us div $DayUs, max_us div $DayUs)")))
+      .select(col("day"),
+        greatest(col("min_us"), col("day") * DayUs).as("gs"),
+        least(col("max_us"), (col("day") + 1) * DayUs - 1).as("ge"))
+    val deltas = spans.select(col("day"), col("gs").as("t"), lit(1L).as("delta"))
+      .unionAll(spans.select(col("day"), col("ge").as("t"), lit(-1L).as("delta")))
+      .withColumn("hb", expr(s"(t - day * $DayUs) div $HourUs"))
+    val wRun = Window.partitionBy("day", "hb").orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val buckets = deltas
+      .withColumn("running", sum("delta").over(wRun))
+      .groupBy("day", "hb")
+      .agg(sum("delta").as("bsum"), max("running").as("bmax"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("bstarts"))
+    val wCarry = Window.partitionBy("day").orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    buckets
+      .withColumn("carry", coalesce(sum("bsum").over(wCarry), lit(0L)))
+      .groupBy("day")
+      .agg(max(col("carry") + col("bmax")).as("peak_cc"),
+        sum("bstarts").as("n_sessions"))
+      .select((col("day") * DayUs).as("day_us"), col("peak_cc"),
+        col("n_sessions"))
+      .orderBy("day_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_dedup_exact" -> q70DedupExact _,
+    "q199_concurrency_peak" -> q199ConcurrencyPeak _,
     "q164_session_examples" -> q164SessionExamples _,
     "q193_session_examples_batch" -> q193SessionExamplesBatch _,
     "q120_event_transitions" -> q120EventTransitions _,
@@ -304,6 +363,41 @@ object NorthStar {
   val oracle: Map[String, String] = Map(
     "q70_dedup_exact" ->
       "SELECT count(DISTINCT sha256(text)) AS n_distinct_text FROM documents",
+    // q199's oracle is the SINGLE-LEVEL sweep (one window per day) —
+    // deliberately a different formulation than the engine's
+    // hour-decomposed one, so the hierarchical decomposition itself is
+    // what the cross-engine check verifies.
+    "q199_concurrency_peak" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |l AS (SELECT user_id, event_id, tus,
+        |             lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+        |      FROM x),
+        |n AS (SELECT user_id, event_id, tus,
+        |             CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM l),
+        |g AS (SELECT user_id, tus,
+        |             sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM n),
+        |sess AS (SELECT min(tus) AS min_us, max(tus) AS max_us
+        |         FROM g GROUP BY user_id, session_id),
+        |spans AS (SELECT unnest(generate_series(min_us // 86400000000,
+        |                                        max_us // 86400000000)) AS day,
+        |                 min_us, max_us
+        |          FROM sess),
+        |clip AS (SELECT day, greatest(min_us, day * 86400000000) AS gs,
+        |                least(max_us, (day + 1) * 86400000000 - 1) AS ge
+        |         FROM spans),
+        |d AS (SELECT day, gs AS t, 1 AS delta FROM clip
+        |      UNION ALL SELECT day, ge, -1 FROM clip),
+        |r AS (SELECT day, delta,
+        |             sum(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |      FROM d)
+        |SELECT day * 86400000000 AS day_us,
+        |       CAST(max(running) AS BIGINT) AS peak_cc,
+        |       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q132_event_ohlc" ->
       """WITH e AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, value,
