@@ -280,6 +280,20 @@ object PlanAudit {
         "exception, q148's class), and the integer ADC aggregate + " +
         "per-query rank — the candidate floats are never re-read " +
         "after encoding, which is the whole PQ story."),
+    "q201_dpp_join" ->
+      ("**Look for:** `dynamicpruningexpression` inside the fact " +
+        "scan's PartitionFilters — the broadcast dimension's month set " +
+        "binding to the partition column at run time (planning-time " +
+        "elimination is impossible here; the months are the OUTPUT of " +
+        "the dim filter). DppSpec additionally pins the runtime " +
+        "numPartitions to exactly the dimension's month count."),
+    "q202_volume_anomaly" ->
+      ("**Look for:** ONE corpus-sized stage — the (type, day) " +
+        "partial+final count aggregate — with every window above it " +
+        "partitioned by event_type over the CALENDAR-bounded counts " +
+        "table, and the tiny median/MAD frames joining back via " +
+        "broadcast; all comparisons integer (no doubles anywhere " +
+        "after the scan)."),
     "q198_bloom_prune" ->
       ("**Look for:** the xxhash64 bloom-probe `Filter` sitting DIRECTLY " +
         "above the lineitem scan — below every join and below any " +

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level substring overlap — the exact-substring complement to the
@@ -296,8 +297,52 @@ object Corpus {
       .orderBy(col("dshare_bp").desc, col("word"))
   }
 
+  /** q202: robust daily-volume anomaly detection — the ingest guard a
+    * production pipeline runs BEFORE training on a day's data ("did a
+    * source silently double, halve, or vanish?"): per event type, flag
+    * days whose count deviates from the type's median daily count by
+    * more than 2.5× the median absolute deviation. Median/MAD instead
+    * of mean/stddev because the statistic must not be dragged by the
+    * very anomalies it hunts; and both are the LOWER median (value at
+    * row ⌈n/2⌉ under (value, day) order) so every quantity — median,
+    * MAD, the 2.5× test via cross-multiplication (2·dev > 5·max(mad,1))
+    * — is an exact integer in both engines, no interpolation, no
+    * doubles (the q191 cross-multiplication discipline; max(mad,1)
+    * keeps a zero MAD from flagging every nonzero deviation).
+    *
+    * Scale shape: the only corpus-sized stage is the (type, day)
+    * count — scan-shaped partial+final agg. Everything after runs on
+    * the counts table, which is CALENDAR-bounded (types × days — a
+    * decade of a 100 TB stream is ~3650 rows/type), so the per-type
+    * rank windows are bounded by policy, not data; the median/MAD
+    * frames broadcast back onto the counts. */
+  def q202VolumeAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(col(valueCol), col("day"))
+      val wc = Window.partitionBy("event_type")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(out))
+    }
+
+    val c = T.events(s, dir)
+      .select(col("event_type"), expr(s"tus div $DayUs").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+    val d = c.join(lowerMedian(c, "cnt", "med"), "event_type")
+      .withColumn("dev", abs(col("cnt") - col("med")))
+    d.join(lowerMedian(d, "dev", "mad"), "event_type")
+      .filter(lit(2) * col("dev") > lit(5) * greatest(col("mad"), lit(1L)))
+      .select(col("event_type"), (col("day") * DayUs).as("day_us"),
+        col("cnt"), col("med"), col("mad"))
+      .orderBy("event_type", "day_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_substring_dedup" -> q117SubstringDedup _,
+    "q202_volume_anomaly" -> q202VolumeAnomaly _,
     "q188_token_drift" -> q188TokenDrift _,
     "q118_source_overlap" -> q118SourceOverlap _,
     "q123_segment_dedup" -> q123SegmentDedup _,
@@ -316,6 +361,26 @@ object Corpus {
       |  WHERE length(text) >= 50)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q202: the SAME lower-median formulation (row ⌈n/2⌉ under
+    // (value, day) order) — integer-exact in both engines;
+    // VolumeAnomalySpec supplies the independent brute force
+    "q202_volume_anomaly" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |                 CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cnt, day) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS n FROM c),
+        |med AS (SELECT event_type, cnt AS med FROM r WHERE rn = (n + 1) // 2),
+        |d AS (SELECT c.event_type, c.day, c.cnt, m.med, abs(c.cnt - m.med) AS dev
+        |      FROM c JOIN med m USING (event_type)),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev, day) AS rn,
+        |              count(*) OVER (PARTITION BY event_type) AS n FROM d),
+        |mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, d.day * 86400000000 AS day_us, d.cnt, d.med,
+        |       mad.mad AS mad
+        |FROM d JOIN mad USING (event_type)
+        |WHERE 2 * d.dev > 5 * greatest(mad.mad, 1)
+        |ORDER BY 1, 2""".stripMargin,
     "q188_token_drift" ->
       // HUGEINT mirrors Spark's decimal(38,0): the cross-multiplied
       // integers stay exact, `//` matches Spark's integral `div`

@@ -62,8 +62,41 @@ object PartitionedQueries {
           .as("sum_price_c2"))
       .orderBy("o_month", "o_orderpriority")
 
+  /** q201: DYNAMIC partition pruning — the runtime counterpart of q133
+    * (and the partition-axis sibling of q198's bloom filter): the
+    * month set to keep is not a literal in the query, it is the OUTPUT
+    * of a dimension-side filter (months in which any Q1-1997 shipment
+    * was returned), so planning-time directory elimination is
+    * impossible. Spark's DPP closes the gap: the broadcast dim's key
+    * set becomes a `dynamicpruningexpression` on the fact scan's
+    * PARTITION column, so out-of-set month directories are dropped at
+    * runtime before their files are listed — the fact side reads
+    * selected/total partitions exactly as if the months had been
+    * literals (DppSpec pins the plan marker and the parity).
+    *
+    * This is THE 100 TB star-schema shape: a years-deep
+    * date-partitioned fact joined to a filtered dimension on the
+    * partition key. The aggregate is exact integer cents. */
+  def q201DppJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = s.read.parquet(ensurePartitionedOrders(s, dir))
+      .withColumn("o_month", col("o_month").cast("string"))
+    val dim = T(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R" &&
+        col("l_shipdate") >= expr("timestamp'1997-01-01'") &&
+        col("l_shipdate") < expr("timestamp'1997-04-01'"))
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+      .distinct()
+    fact.join(broadcast(dim), col("o_month") === col("m"))
+      .groupBy("o_month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+          .as("sum_price_c2"))
+      .orderBy("o_month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_partition_prune" -> q133PartitionPrune _,
+    "q201_dpp_join" -> q201DppJoin _,
   )
 
   /** The oracle reads the RAW orders and derives the month — equality
@@ -76,5 +109,18 @@ object PartitionedQueries {
         |FROM orders
         |WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1997-03' AND '1997-05'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the oracle reads the RAW tables — equality proves the runtime
+    // pruning dropped exactly the out-of-set months and nothing else
+    "q201_dpp_join" ->
+      """WITH m AS (SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS m
+        |           FROM lineitem
+        |           WHERE l_returnflag = 'R'
+        |             AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |             AND l_shipdate < TIMESTAMP '1997-04-01')
+        |SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c2
+        |FROM orders JOIN m ON strftime(o_orderdate, '%Y-%m') = m.m
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
