@@ -280,6 +280,19 @@ object PlanAudit {
         "exception, q148's class), and the integer ADC aggregate + " +
         "per-query rank — the candidate floats are never re-read " +
         "after encoding, which is the whole PQ story."),
+    "q203_mv_refresh" ->
+      ("**Look for:** exactly TWO leaf scans — the months-sized stored " +
+        "MV parquet and ONE orders scan filtered to the delta batch — " +
+        "feeding a union + final hash aggregate; the ~80% base facts " +
+        "appear nowhere in the refresh plan, which is the entire " +
+        "incremental-maintenance claim."),
+    "q204_attribution" ->
+      ("**Look for:** ONE exchange on user_id feeding the single " +
+        "ignore-nulls carry window (frame [unbounded, -1]), the " +
+        "purchase filter ABOVE the window (the carry must see " +
+        "non-purchase rows, so it cannot push below), and a few-row " +
+        "final hash aggregate — the shuffle carries 4 narrow columns, " +
+        "never props/payloads."),
     "q201_dpp_join" ->
       ("**Look for:** `dynamicpruningexpression` inside the fact " +
         "scan's PartitionFilters — the broadcast dimension's month set " +

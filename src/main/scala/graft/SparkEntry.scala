@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.{Affinity, BpeTrain, Corpus, Curation, Graph, Multimodal, NorthStar, ParseRoute, Relational, RuntimeFilter, Scalars, SketchRollup, TpchShapes, TrainingData}
-import graft.sink.{AvroQueries, BucketQueries, CsvQueries, Layout, OrcQueries, PartitionedQueries, SchemaEvolution, ShardedExport, ZOrderQueries}
+import graft.sink.{AvroQueries, BucketQueries, CsvQueries, Layout, MvRefresh, OrcQueries, PartitionedQueries, SchemaEvolution, ShardedExport, ZOrderQueries}
 import graft.sources.JsonlIngest
 import graft.sources.rfc.RfcQueries
 
@@ -32,7 +32,7 @@ object SparkEntry {
       NorthStar.queries ++ TrainingData.queries ++ Curation.queries ++
       Corpus.queries ++ RuntimeFilter.queries ++ Affinity.queries ++
       Layout.queries ++ ZOrderQueries.queries ++ BucketQueries.queries ++
-      PartitionedQueries.queries ++ ShardedExport.queries ++
+      PartitionedQueries.queries ++ ShardedExport.queries ++ MvRefresh.queries ++
       OrcQueries.queries ++ CsvQueries.queries ++ AvroQueries.queries ++
       SchemaEvolution.queries ++
       Multimodal.queries ++ RfcQueries.queries ++ SketchRollup.queries ++
@@ -43,7 +43,7 @@ object SparkEntry {
       NorthStar.oracle ++ TrainingData.oracle ++ Curation.oracle ++
       Corpus.oracle ++ RuntimeFilter.oracle ++ Affinity.oracle ++
       ZOrderQueries.oracle ++ BucketQueries.oracle ++
-      PartitionedQueries.oracle ++ ShardedExport.oracle ++
+      PartitionedQueries.oracle ++ ShardedExport.oracle ++ MvRefresh.oracle ++
       OrcQueries.oracle ++ CsvQueries.oracle ++ AvroQueries.oracle ++
       SchemaEvolution.oracle ++
       RfcQueries.oracle ++

@@ -343,9 +343,52 @@ object NorthStar {
       .orderBy("day_us")
   }
 
+  /** q204: last-touch attribution — for every purchase, which event the
+    * user did LAST before it (within a 7-day lookback): the
+    * marketing/causal complement to q103's ordained funnel and q120's
+    * global transition matrix, and the one event query whose carry
+    * needs an IGNORE-NULLS frame: the attributed event is the last
+    * NON-purchase row strictly before the current row, which lag()
+    * cannot express when purchases cluster (lag(1) would see the
+    * previous purchase).
+    *
+    * Mechanics: one per-user window ordered by the (tus, event_id)
+    * unique-tiebreak contract, frame [unbounded, -1], carrying
+    * `last(when(type <> 'purchase', struct(tus, type)), ignoreNulls)`
+    * — both fields of the SAME carried event, so the lookback test and
+    * the attributed type can never disagree. Purchases whose carried
+    * event is absent or older than 7 days attribute to '(none)'. The
+    * aggregate is a tiny (attr_type) count.
+    *
+    * Scale shape: q81's user-partitioned window class (bounded by
+    * per-user history; hot users are the knob — cap the lookback WINDOW
+    * in rows or days upstream if one user's stream outgrows a task);
+    * the shuffle carries (user, tus, id, type) — 4 narrow columns —
+    * and one exchange feeds both the window and nothing else; the
+    * final count is the degenerate few-row aggregate. */
+  def q204Attribution(s: SparkSession, dir: String): DataFrame = {
+    val LookbackUs = 604800000000L // 7 days in µs
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    T.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("tus"), col("event_type"))
+      .withColumn("carry",
+        last(when(col("event_type") =!= "purchase",
+          struct(col("tus").as("t"), col("event_type").as("ty"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(
+        when(col("carry.t") >= col("tus") - LookbackUs, col("carry.ty")),
+        lit("(none)")).as("attr_type"))
+      .groupBy("attr_type")
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy("attr_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_dedup_exact" -> q70DedupExact _,
     "q199_concurrency_peak" -> q199ConcurrencyPeak _,
+    "q204_attribution" -> q204Attribution _,
     "q164_session_examples" -> q164SessionExamples _,
     "q193_session_examples_batch" -> q193SessionExamplesBatch _,
     "q120_event_transitions" -> q120EventTransitions _,
@@ -363,6 +406,24 @@ object NorthStar {
   val oracle: Map[String, String] = Map(
     "q70_dedup_exact" ->
       "SELECT count(DISTINCT sha256(text)) AS n_distinct_text FROM documents",
+    // q204: DuckDB's IGNORE NULLS carries the same last-non-purchase
+    // event; two last_value calls over the identical frame pick the
+    // same row, so type and timestamp stay consistent
+    "q204_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events),
+        |l AS (SELECT *,
+        |        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS carry_ty,
+        |        last_value(CASE WHEN event_type <> 'purchase' THEN tus END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS carry_t
+        |      FROM e)
+        |SELECT coalesce(CASE WHEN carry_t >= tus - 604800000000 THEN carry_ty END,
+        |                '(none)') AS attr_type,
+        |       CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM l WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q199's oracle is the SINGLE-LEVEL sweep (one window per day) —
     // deliberately a different formulation than the engine's
     // hour-decomposed one, so the hierarchical decomposition itself is

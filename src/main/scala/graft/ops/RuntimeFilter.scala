@@ -42,20 +42,21 @@ object RuntimeFilter {
   private def hashPos(key: Column, i: Int): Column =
     pmod(xxhash64(key, lit(i)), lit(BloomBits.toLong))
 
-  /** Build: the distinct bit positions set by `keys(keyCol)`, as a
-    * packed word array. The collect is bounded by m (≤ 2¹⁷ positions =
-    * one int each), a model constant — NOT by the key count; at 100 TB
-    * the build side aggregates to at most m distinct positions before
-    * anything reaches the driver. */
+  /** Build: a distributed bitmap-OR — each key's k positions become
+    * (word, mask) pairs, partial `bit_or` aggregates pack them
+    * map-side, and the driver receives at most m/64 non-empty WORDS
+    * (2048 longs here), a model constant — never key-bound. This is
+    * the build that survives raising m: the driver cost is words, the
+    * shuffle is one bit_or cell per (partition × word). */
   private[ops] def buildBloom(keys: DataFrame, keyCol: String): Array[Long] = {
     val posCols = (0 until BloomHashes).map(i => hashPos(col(keyCol), i))
     val words = new Array[Long](BloomBits / 64)
-    keys.select(explode(array(posCols: _*)).as("pos")).distinct()
+    keys.select(explode(array(posCols: _*)).as("pos"))
+      .groupBy(shiftright(col("pos"), 6).as("w"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        col("pos").bitwiseAND(lit(63L)).cast("int"))).as("mask"))
       .collect()
-      .foreach { r =>
-        val p = r.getLong(0)
-        words((p >> 6).toInt) |= 1L << (p & 63)
-      }
+      .foreach(r => words(r.getLong(0).toInt) |= r.getLong(1))
     words
   }
 
