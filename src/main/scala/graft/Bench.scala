@@ -17,7 +17,7 @@ import java.nio.file.{Files, Paths}
   * r10 flag compared max/min, but the reported metric is the min and a
   * single slow rep says nothing about its reliability) is named
   * in `variance_flagged` AND re-run once after the sweep (r10), with
-  * `variance_rechecked` recording {first_min, first_max, recheck} — so a
+  * `variance_rechecked` recording {first_min, second_min, recheck} — so a
   * judge can adjudicate a noisy window from the artifact alone instead
   * of re-measuring. BASELINE.md documents the schema.
   *
@@ -163,8 +163,9 @@ object Bench {
           } catch { case _: Throwable => None }
         if (driftHit)
           rechecked(name) = (prevMins(name), times.head, re.getOrElse(-1.0))
-        if (fl)
-          varRechecked(name) = (times.head, times.last, re.getOrElse(-1.0))
+        if (fl) // record the flag-DEFINING sample (r12: the second-
+          // smallest, not the max — the artifact must show what fired)
+          varRechecked(name) = (times.head, times(1), re.getOrElse(-1.0))
         re.fold(r)(t => (name, (times :+ t).sorted, fl))
       }
     }
@@ -179,8 +180,8 @@ object Bench {
     val drift = rechecked.map { case (k, (p, f, re)) =>
       s""""$k":{"prev":$p,"first_min":$f,"recheck":$re}"""
     }.mkString("{", ",", "}")
-    val varDrift = varRechecked.map { case (k, (mn, mx, re)) =>
-      s""""$k":{"first_min":$mn,"first_max":$mx,"recheck":$re}"""
+    val varDrift = varRechecked.map { case (k, (mn, m2, re)) =>
+      s""""$k":{"first_min":$mn,"second_min":$m2,"recheck":$re}"""
     }.mkString("{", ",", "}")
     val total = healed.collect { case (_, ts, _) if ts.nonEmpty => ts.head }.sum
     val fails = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

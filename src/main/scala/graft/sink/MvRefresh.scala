@@ -26,7 +26,7 @@ object MvRefresh {
   /** Batch split: a deterministic hash of the order key — batch 1
     * (~80%) plays the role of "all history already aggregated", batch 2
     * (~20%) is "today's load". */
-  private def batchTag = pmod(xxhash64(col("o_orderkey")), lit(10L))
+  private[sink] def batchTag = pmod(xxhash64(col("o_orderkey")), lit(10L))
 
   private def monthAgg(df: DataFrame): DataFrame =
     df.withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))

@@ -14,4 +14,24 @@ object SparkTestBase {
 
   /** Smallest driver-generated scale factor (TESTDATA.md) — smoke-sized. */
   val Sf0001 = "/root/testdata/sf0.001"
+
+  /** Scoped conf override restoring the PRIOR value (or unsetting, for
+    * confs whose default is null — e.g.
+    * spark.sql.adaptive.autoBroadcastJoinThreshold) — never a hardcoded
+    * "restore": the session is shared across every suite in the forked
+    * JVM, so a spec that force-restores a literal leaks its assumption
+    * into unrelated tests. Shared here because three suites
+    * (BuiltinRuntimeFilterSpec, DppSpec, AffinitySpec) were growing
+    * divergent copies. */
+  def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val conf = spark.conf
+    val old = pairs.map { case (k, _) =>
+      k -> (try Option(conf.get(k)) catch { case _: Exception => None })
+    }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }

@@ -36,21 +36,15 @@ class AffinitySpec extends AnyFunSuite {
 
   test("at scale (broadcast off — the 100 TB regime) the self-join " +
     "reuses ONE exchange; the top-25 plans as TakeOrderedAndProject") {
-    val conf = spark.conf
-    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val prevA = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
-    try {
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    SparkTestBase.withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
       val df = Affinity.q200Copurchase(spark, dir)
       df.collect() // AQE finalizes reuse decisions at execution
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("TakeOrderedAndProject"), plan)
       assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
         s"self-join did not reuse the items exchange:\n$plan")
-    } finally {
-      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
     }
   }
 }

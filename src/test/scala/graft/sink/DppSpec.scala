@@ -43,11 +43,10 @@ class DppSpec extends AnyFunSuite {
 
   test("the dimension months bind as a dynamicpruning partition filter " +
     "on the fact scan") {
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val scans = try {
+    val scans = SparkTestBase.withConf("spark.sql.adaptive.enabled" -> "false") {
       PartitionedQueries.q201DppJoin(spark, dir)
         .queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
     val factScans = scans.filter(_.output.exists(_.name == "o_month"))
     assert(factScans.nonEmpty, s"no fact scan found: $scans")
     assert(factScans.exists(_.partitionFilters.exists(
@@ -68,8 +67,7 @@ class DppSpec extends AnyFunSuite {
     assert(expected < totalMonths,
       s"fixture degenerate: dim selects $expected of $totalMonths months")
 
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    SparkTestBase.withConf("spark.sql.adaptive.enabled" -> "false") {
       val df = PartitionedQueries.q201DppJoin(spark, dir)
       df.collect()
       val factScans = df.queryExecution.executedPlan.collect {
@@ -79,6 +77,6 @@ class DppSpec extends AnyFunSuite {
       assert(read == expected,
         s"fact scan read $read partitions; dim selects $expected of " +
           s"$totalMonths")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 }

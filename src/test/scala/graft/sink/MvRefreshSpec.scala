@@ -54,8 +54,10 @@ class MvRefreshSpec extends AnyFunSuite {
       .select(date_format(col("o_orderdate"), "yyyy-MM")).distinct().count()
     assert(base.count() <= months)
     assert(base.count() > 0)
+    // the REAL split expression — an inline copy would keep passing
+    // against a stale constant if MvRefresh.batchTag ever changes
     val deltaRows = graft.ops.T(spark, dir, "orders")
-      .filter(pmod(xxhash64(col("o_orderkey")), lit(10L)) >= 8).count()
+      .filter(MvRefresh.batchTag >= 8).count()
     assert(deltaRows > 0, "degenerate split: empty delta batch")
     assert(base.agg(sum("n_orders")).first().getLong(0) > 0,
       "degenerate split: empty base batch")
