@@ -301,12 +301,14 @@ object PlanAudit {
         "the dim filter). DppSpec additionally pins the runtime " +
         "numPartitions to exactly the dimension's month count."),
     "q202_volume_anomaly" ->
-      ("**Look for:** ONE corpus-sized stage — the (type, day) " +
-        "partial+final count aggregate — with every window above it " +
-        "partitioned by event_type over the CALENDAR-bounded counts " +
-        "table, and the tiny median/MAD frames joining back via " +
-        "broadcast; all comparisons integer (no doubles anywhere " +
-        "after the scan)."),
+      ("**Look for:** ONE corpus-sized stage — a single events scan " +
+        "feeding the (type, day) partial+final count aggregate, " +
+        "appearing exactly once in the plan (the medians broadcast " +
+        "within their windows via max(when(rn = ⌈n/2⌉, v)), so there " +
+        "is no filter+join-back and no second scan subtree) — with " +
+        "every window above it partitioned by event_type over the " +
+        "CALENDAR-bounded counts table; all comparisons integer (no " +
+        "doubles anywhere after the scan)."),
     "q198_bloom_prune" ->
       ("**Look for:** the xxhash64 bloom-probe `Filter` sitting DIRECTLY " +
         "above the lineitem scan — below every join and below any " +

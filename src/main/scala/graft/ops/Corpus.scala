@@ -311,29 +311,35 @@ object Corpus {
     * keeps a zero MAD from flagging every nonzero deviation).
     *
     * Scale shape: the only corpus-sized stage is the (type, day)
-    * count — scan-shaped partial+final agg. Everything after runs on
-    * the counts table, which is CALENDAR-bounded (types × days — a
-    * decade of a 100 TB stream is ~3650 rows/type), so the per-type
-    * rank windows are bounded by policy, not data; the median/MAD
-    * frames broadcast back onto the counts. */
+    * count — scan-shaped partial+final agg — and that is STATICALLY
+    * true of the plan, not an AQE reuse accident: the median is
+    * broadcast within the per-type window (`max(when(rn = ⌈n/2⌉,
+    * cnt))` over the whole partition) instead of filter + join-back,
+    * so the counts subtree appears ONCE. Everything after runs on the
+    * counts table, which is CALENDAR-bounded (types × days — a decade
+    * of a 100 TB stream is ~3650 rows/type), so the per-type windows
+    * are bounded by policy, not data; the three windows share one
+    * event_type exchange (the MAD pass only re-sorts). */
   def q202VolumeAnomaly(s: SparkSession, dir: String): DataFrame = {
     val DayUs = 86400000000L
 
-    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+    val wAll = Window.partitionBy("event_type")
+    def withLowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
       val w = Window.partitionBy("event_type").orderBy(col(valueCol), col("day"))
-      val wc = Window.partitionBy("event_type")
       df.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wc))
-        .filter(col("rn") === expr("(n + 1) div 2"))
-        .select(col("event_type"), col(valueCol).as(out))
+        .withColumn(out,
+          max(when(col("rn") === expr("(n + 1) div 2"), col(valueCol)))
+            .over(wAll))
+        .drop("rn")
     }
 
     val c = T.events(s, dir)
       .select(col("event_type"), expr(s"tus div $DayUs").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
-    val d = c.join(lowerMedian(c, "cnt", "med"), "event_type")
+      .withColumn("n", count(lit(1)).over(wAll))
+    val d = withLowerMedian(c, "cnt", "med")
       .withColumn("dev", abs(col("cnt") - col("med")))
-    d.join(lowerMedian(d, "dev", "mad"), "event_type")
+    withLowerMedian(d, "dev", "mad")
       .filter(lit(2) * col("dev") > lit(5) * greatest(col("mad"), lit(1L)))
       .select(col("event_type"), (col("day") * DayUs).as("day_us"),
         col("cnt"), col("med"), col("mad"))

@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -37,7 +35,7 @@ class BuiltinRuntimeFilterSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
 
   test("dynamic partition pruning: dim filter prunes fact partitions") {
-    val dir = Files.createTempDirectory("dpp-").toString
+    val dir = graft.sink.ScratchExport.scratchDir("dpp-")
     import spark.implicits._
     (0 until 20).flatMap(d => (0 until 500).map(i => (d, i.toLong)))
       .toDF("day", "v")
@@ -63,7 +61,7 @@ class BuiltinRuntimeFilterSpec extends AnyFunSuite {
   }
 
   test("runtime bloom filter: dim keys row-filter the fact scan side") {
-    val dir = Files.createTempDirectory("bloom-").toString
+    val dir = graft.sink.ScratchExport.scratchDir("bloom-")
     import spark.implicits._
     (0 until 4096 * 50).map(i => (i.toLong % 4096, i.toLong))
       .toDF("k", "payload")

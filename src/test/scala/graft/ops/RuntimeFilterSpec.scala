@@ -46,15 +46,19 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(matching.count() > 0, "degenerate fixture: no matching rows")
   }
 
-  test("real pruning: the probe rejects the overwhelming majority of " +
-    "non-matching fact rows (4 keys of 100 set; FP rate ~0 at k=4, m=2^17)") {
+  test("real pruning: the probe admits at most the exact matches plus a " +
+    "2% FP allowance (theoretical FP ~0 at k=4, m=2^17, |keys| ≤ 10)") {
     val fact = T(spark, dir, "lineitem").select("l_suppkey")
     val total = fact.count()
     val passed =
       fact.filter(RuntimeFilter.mightContain(bits, col("l_suppkey"))).count()
     val exact = fact.filter(col("l_suppkey").isin(dimKeys.toSeq: _*)).count()
     assert(passed >= exact, s"false negatives: passed=$passed exact=$exact")
-    assert(passed <= total / 5,
+    // Bound derived from the MEASURED match count, not a fixed fraction
+    // of the table: dimKeys is seed-dependent (largest nation at this
+    // SF), so a regenerated fixture may legitimately match more rows —
+    // what must stay tiny is the bloom's EXCESS over exact.
+    assert(passed <= exact + total / 50,
       s"bloom admits too much: passed=$passed of $total (exact=$exact)")
   }
 

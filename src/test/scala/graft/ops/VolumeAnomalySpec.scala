@@ -52,4 +52,15 @@ class VolumeAnomalySpec extends AnyFunSuite {
       assert(2 * math.abs(cnt - med) > 5 * math.max(mad, 1L), s"$t $cnt")
     }
   }
+
+  test("single corpus-sized stage: the events scan appears exactly once " +
+    "in the physical plan (medians broadcast in-window, no join-back)") {
+    // string-count, not collect: AdaptiveSparkPlanExec hides its inner
+    // plan from TreeNode.collect before execution
+    val plan = Corpus.q202VolumeAnomaly(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in q202 plan:\n$plan")
+  }
 }
