@@ -16,6 +16,13 @@ import org.apache.spark.sql.execution.FormattedMode
 object PlanAudit {
 
   private val picks: Seq[(String, String)] = Seq(
+    "q205_html_extract" ->
+      ("**Look for:** ONE FileScan feeding a single Project containing " +
+        "the whole render → drop-containers → strip-tags → decode → " +
+        "collapse chain as nested codegen'd RegExpReplace/StringReplace " +
+        "calls, inside one WholeStageCodegen span; no exchange anywhere " +
+        "(the final sort is presentation-only) — extracting a 100 TB " +
+        "crawl is exactly one pass."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

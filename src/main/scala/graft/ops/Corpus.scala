@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -346,8 +346,83 @@ object Corpus {
       .orderBy("event_type", "day_us")
   }
 
+  /** The boilerplate containers whose CONTENT is dropped (not just the
+    * tags): the trafilatura/jusText short list — code, styling, and
+    * site chrome. `<title>` text is deliberately KEPT (most extractors
+    * index it). */
+  private val DropTags = Seq("script", "style", "nav", "footer")
+
+  /** Regex-extractor core shared by the query and its spec: drop
+    * boilerplate containers, strip remaining tags to spaces, decode the
+    * five core entities (`&amp;` LAST, so `&amp;lt;` round-trips to the
+    * literal `&lt;` and double-encoding inverts cleanly), collapse
+    * `[ \t\n\r]+` runs, trim.
+    *
+    * CONTRACT (the documented stub boundary, q114's discipline):
+    * attribute values must not contain a literal `>` and markup must be
+    * well-formed enough that each drop-container closes — the regex
+    * tier is the 100 TB fast path (one codegen'd projection, no parse
+    * tree); pages that fail it route to a real parser behind
+    * `mapInPandas`, exactly like the media decode stubs. */
+  private[ops] def htmlClean(html: Column): Column = {
+    val dropped = DropTags.foldLeft(html) { (c, t) =>
+      regexp_replace(c, s"(?is)<$t[^>]*>.*?</$t>", " ")
+    }
+    val untagged = regexp_replace(dropped, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&").foldLeft(untagged) {
+      case (c, (e, ch)) => replace(c, lit(e), lit(ch))
+    }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+  }
+
+  /** q205: HTML boilerplate extraction — the first stage of every
+    * web-crawl training pipeline (CommonCrawl WARC → text): drop
+    * script/style/nav/footer CONTENT, strip remaining markup, decode
+    * entities, normalize whitespace. The fixture corpus is RENDERED
+    * deterministically from each document's own fields — title and h1
+    * from `source` (the h1 carries a constant entity-rich suffix so
+    * every decode branch is exercised on every row), body from
+    * entity-ENCODED `text` (so the encode→extract round trip is
+    * provable: clean must contain the original text verbatim,
+    * whitespace-collapsed — HtmlExtractSpec asserts it per doc), plus
+    * script/style/nav/footer blocks that must vanish entirely.
+    *
+    * Scale shape: ONE map-only projection over the scan — extracting a
+    * 100 TB crawl is exactly one pass, no exchange anywhere (the sort
+    * is presentation-only); every regex is codegen'd
+    * `RegExpReplace`. Cross-engine: Java regex and RE2 agree on every
+    * construct used ((?is) inline flags, non-greedy spans, explicit
+    * `[ \t\n\r]` classes — never `\s`, whose membership differs between
+    * engines), and entity decode is literal-pattern replacement. */
+  def q205HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val enc = expr(
+      "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')")
+    val html = concat(
+      lit("<html><head><title>"), col("source"),
+      lit("</title><style>p{margin:0}</style>" +
+        "<script type=\"text/javascript\">if (1 < 2) { x(\"&amp;\"); }" +
+        "</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a></nav>" +
+        "<h1>"),
+      col("source"),
+      lit(" &amp; &quot;Co.&#39;s&quot; &lt;guide&gt;</h1><p>"), enc,
+      lit("</p><footer>Copyright &quot;2026&quot; &amp; Co.</footer>" +
+        "</body></html>"))
+    T(s, dir, "documents")
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        expr("cast(size(regexp_extract_all(html, '<[^>]*>', 0)) as bigint)")
+          .as("n_tags"),
+        htmlClean(col("html")).as("clean"))
+      .select(col("doc_id"), col("n_tags"),
+        length(col("clean")).cast("long").as("clean_len"), col("clean"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_substring_dedup" -> q117SubstringDedup _,
+    "q205_html_extract" -> q205HtmlExtract _,
     "q202_volume_anomaly" -> q202VolumeAnomaly _,
     "q188_token_drift" -> q188TokenDrift _,
     "q118_source_overlap" -> q118SourceOverlap _,
@@ -367,6 +442,36 @@ object Corpus {
       |  WHERE length(text) >= 50)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q205: the identical render → drop-containers → strip-tags →
+    // decode-entities → collapse pipeline; every regex construct is in
+    // the Java∩RE2 common subset and entity decode is literal replace()
+    "q205_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>' || source || '</title><style>p{margin:0}</style>' ||
+        |    '<script type="text/javascript">if (1 < 2) { x("&amp;"); }</script></head><body>' ||
+        |    '<nav><a href="/">Home</a> | <a href="/about">About</a></nav><h1>' || source ||
+        |    ' &amp; &quot;Co.&#39;s&quot; &lt;guide&gt;</h1><p>' ||
+        |    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+        |    '</p><footer>Copyright &quot;2026&quot; &amp; Co.</footer></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?is)<nav[^>]*>.*?</nav>', ' ', 'g'),
+        |    '(?is)<footer[^>]*>.*?</footer>', ' ', 'g') AS x
+        |  FROM h),
+        |s2 AS (SELECT doc_id, n_tags, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s1),
+        |s3 AS (SELECT doc_id, n_tags,
+        |  replace(replace(replace(replace(replace(x,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS x
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, n_tags,
+        |  trim(regexp_replace(x, '[ \t\n\r]+', ' ', 'g')) AS clean FROM s3)
+        |SELECT doc_id, n_tags, CAST(length(clean) AS BIGINT) AS clean_len, clean
+        |FROM s4 ORDER BY doc_id""".stripMargin,
     // q202: the SAME lower-median formulation (row ⌈n/2⌉ under
     // (value, day) order) — integer-exact in both engines;
     // VolumeAnomalySpec supplies the independent brute force

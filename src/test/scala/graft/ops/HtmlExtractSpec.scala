@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** q205 (HTML boilerplate extraction) beyond the DuckDB oracle (which
+  * runs the identical regex pipeline): the spec proves the EXTRACTION
+  * SEMANTICS independently — the expected clean text is reconstructed
+  * driver-side from the raw document fields with plain string code (no
+  * regex), so a pipeline that mangled content while agreeing with its
+  * own oracle twin would fail here. Plus adversarial unit cases on the
+  * shared `htmlClean` core for the behaviors the corpus render cannot
+  * exercise. */
+class HtmlExtractSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.Sf0001
+
+  /** Independent whitespace collapse — char-by-char, no regex. */
+  private def collapse(s: String): String = {
+    val sb = new StringBuilder
+    var inWs = false
+    s.foreach { c =>
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') inWs = true
+      else { if (inWs && sb.nonEmpty) sb += ' '; inWs = false; sb += c }
+    }
+    sb.toString
+  }
+
+  test("q205 clean text equals the driver-side reconstruction: title + " +
+    "decoded h1 + round-tripped body; nav/script/style/footer gone") {
+    val raw = T(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val got = Corpus.q205HtmlExtract(spark, dir).collect()
+    assert(got.length == raw.size)
+    got.foreach { r =>
+      val (source, text) = raw(r.getLong(0))
+      val expected = collapse(
+        s"""$source $source & "Co.'s" <guide> $text""")
+      assert(r.getString(3) == expected,
+        s"doc ${r.getLong(0)}:\n got=${r.getString(3)}\n exp=$expected")
+      assert(r.getLong(2) == expected.length.toLong)
+      // render emits 24 fixed tags per doc (independent hand count of
+      // the template; body text is entity-encoded so it adds none)
+      assert(r.getLong(1) == 24L, s"n_tags=${r.getLong(1)}")
+    }
+  }
+
+  test("htmlClean unit cases: double-encoded entities round-trip, " +
+    "multiline drop-containers vanish, attributes strip with the tag") {
+    import spark.implicits._
+    val cases = Seq(
+      // &amp;lt; must decode to the LITERAL &lt; (amp decodes last)
+      ("<p>&amp;lt; &amp;amp;</p>", "&lt; &amp;"),
+      ("<script>\nvar a = 1;\nif (a < 2) {}\n</script>ok", "ok"),
+      ("<SCRIPT>x</SCRIPT>tail", "tail"), // (?i) on the container tag
+      ("<nav class=\"top\" data-x='1'>menu</nav>kept", "kept"),
+      ("<a href=\"/x\" title=\"t\">link</a>", "link"),
+      ("a\t\tb\r\nc   d", "a b c d"),
+      ("<footer>f1</footer>mid<footer>f2</footer>", "mid") // non-greedy
+    )
+    val got = cases.map(_._1).toDF("html")
+      .select(Corpus.htmlClean(col("html"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e) }
+  }
+}
