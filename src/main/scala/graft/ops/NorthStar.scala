@@ -172,6 +172,48 @@ object NorthStar {
       .orderBy("from_type", "to_type")
   }
 
+  /** q206: time-weighted average value per user — the step-function
+    * integral (TWAP / metrics-billing shape) the row-weighted mean gets
+    * WRONG whenever sampling is irregular: a value held for an hour must
+    * weigh 3600× one held a second, so each event's value carries until
+    * the user's next event and the mean weights by held duration.
+    *
+    * Exactness (the r12 FixDot discipline applied to time weighting):
+    * each value quantizes ONCE to the 2¹⁶ grid (⌊v·2¹⁶+½⌋ — a fixed
+    * chain of singly-rounded scalar ops, exact cross-engine), each
+    * segment contributes the INTEGER product vfx·dur_µs accumulated in
+    * decimal(38,0) (associative — no reduction-order exposure; a
+    * per-user Σ dur·vfx can exceed BIGINT at real spans), and the final
+    * division is one half-up integer step on the fx grid, so `twap` =
+    * twap_fx/2¹⁶ is the identical double in any engine.
+    *
+    * Scale shape: ONE per-user window (lead — per-user streams are
+    * ingest-bounded, no skew surface) and one partial+final aggregate on
+    * user_id; output is user-count-sized. The half-up division is
+    * half-up only for non-negative numerators (both engines truncate
+    * toward zero, so a negative Σ would silently round half-DOWN);
+    * DataContractSpec pins `events.value ≥ 0` so the direction never
+    * varies. */
+  def q206Twap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    T.events(s, dir)
+      .select(col("user_id"), col("tus"), col("event_id"),
+        expr("cast(floor(cast(value as double) * 65536.0 + 0.5) as bigint)")
+          .as("vfx"))
+      .withColumn("dur", lead("tus", 1).over(w) - col("tus"))
+      .filter(col("dur").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum("dur").as("active_us"),
+        sum(col("vfx").cast("decimal(38,0)") * col("dur")).as("num"))
+      .filter(col("active_us") > 0)
+      .select(col("user_id"), col("n_segments"), col("active_us"),
+        expr("cast((2 * num + active_us) div (2 * active_us) as bigint)")
+          .as("twap_fx"))
+      .withColumn("twap", col("twap_fx").cast("double") / 65536.0d)
+      .orderBy("user_id")
+  }
+
   /** q132: OHLC resampling — the time-series downsample (telemetry /
     * market-data shape): per (event_type, epoch-day), first value, max,
     * min, last value, and count. `min_by`/`max_by` pick the endpoints in
@@ -393,6 +435,7 @@ object NorthStar {
     "q193_session_examples_batch" -> q193SessionExamplesBatch _,
     "q120_event_transitions" -> q120EventTransitions _,
     "q132_event_ohlc" -> q132EventOhlc _,
+    "q206_twap" -> q206Twap _,
     "q71_dedup_keyed" -> q71DedupKeyed _,
     "q73_sim_cosine_topk" -> q73SimCosineTopk _,
     "q74_text_wordcount" -> q74TextWordcount _,
@@ -404,6 +447,24 @@ object NorthStar {
   )
 
   val oracle: Map[String, String] = Map(
+    // q206: identical fx quantize → lead-segment → integer-weighted sum;
+    // HUGEINT accumulates the vfx·dur products (decimal(38,0) on the
+    // Spark side), half-up integer division on the fx grid
+    "q206_twap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |             CAST(floor(CAST(value AS DOUBLE) * 65536.0 + 0.5) AS BIGINT) AS vfx
+        |           FROM events),
+        |seg AS (SELECT user_id, vfx,
+        |          lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS dur
+        |        FROM e),
+        |a AS (SELECT user_id, count(*) AS n_segments,
+        |        sum(dur) AS active_us,
+        |        sum(CAST(vfx AS HUGEINT) * dur) AS num
+        |      FROM seg WHERE dur IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_segments, CAST(active_us AS BIGINT) AS active_us,
+        |  CAST((2 * num + active_us) // (2 * active_us) AS BIGINT) AS twap_fx,
+        |  CAST(CAST((2 * num + active_us) // (2 * active_us) AS BIGINT) AS DOUBLE) / 65536.0 AS twap
+        |FROM a WHERE active_us > 0 ORDER BY user_id""".stripMargin,
     "q70_dedup_exact" ->
       "SELECT count(DISTINCT sha256(text)) AS n_distinct_text FROM documents",
     // q204: DuckDB's IGNORE NULLS carries the same last-non-purchase

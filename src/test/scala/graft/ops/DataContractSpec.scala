@@ -85,6 +85,13 @@ class DataContractSpec extends AnyFunSuite {
       // either unit slip lands far outside this band.
       assert(hi >= 1000000000000000L && hi < 9223372036854L * 1000000L,
         s"max tus $hi is not µs magnitude — dispatch unit slip?")
+      // q206's (2n+d) div (2d) is HALF-UP only for non-negative n
+      // (both engines truncate toward zero, so a negative numerator
+      // silently flips the rounding to half-down); the fixture keeps
+      // values non-negative so the formula's direction never varies
+      val Row(vlo: Double) = e.agg(min(col("value"))).collect()(0)
+      assert(vlo >= 0.0, s"negative events.value $vlo breaks q206's " +
+        "non-negative half-up division contract")
     }
 
     test(s"documents.text at $sf is pure ASCII (q85's rolling-hash " +
