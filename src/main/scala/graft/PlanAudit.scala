@@ -23,6 +23,13 @@ object PlanAudit {
         "calls, inside one WholeStageCodegen span; no exchange anywhere " +
         "(the final sort is presentation-only) — extracting a 100 TB " +
         "crawl is exactly one pass."),
+    "q207_integrity_audit" ->
+      ("**Look for:** the lineitem FK/rule sweep as ONE scan feeding a " +
+        "chain of left joins (distinct-projected parent key sets — " +
+        "part/supplier broadcast, orders-sized parents shuffle) into a " +
+        "single aggregate of violation flags; separate small subtrees " +
+        "for uniqueness (partial+final groupBy) and the integer-cents " +
+        "reconciliation; the union is 11 constant rows."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

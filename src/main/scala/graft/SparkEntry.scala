@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Affinity, BpeTrain, Corpus, Curation, Graph, Multimodal, NorthStar, ParseRoute, Relational, RuntimeFilter, Scalars, SketchRollup, TpchShapes, TrainingData}
+import graft.ops.{Affinity, Audit, BpeTrain, Corpus, Curation, Graph, Multimodal, NorthStar, ParseRoute, Relational, RuntimeFilter, Scalars, SketchRollup, TpchShapes, TrainingData}
 import graft.sink.{AvroQueries, BucketQueries, CsvQueries, Layout, MvRefresh, OrcQueries, PartitionedQueries, SchemaEvolution, ShardedExport, ZOrderQueries}
 import graft.sources.JsonlIngest
 import graft.sources.rfc.RfcQueries
@@ -36,7 +36,7 @@ object SparkEntry {
       OrcQueries.queries ++ CsvQueries.queries ++ AvroQueries.queries ++
       SchemaEvolution.queries ++
       Multimodal.queries ++ RfcQueries.queries ++ SketchRollup.queries ++
-      JsonlIngest.queries ++ BpeTrain.queries ++ Graph.queries
+      JsonlIngest.queries ++ BpeTrain.queries ++ Graph.queries ++ Audit.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TpchShapes.oracle ++ ParseRoute.oracle ++ Scalars.oracle ++
@@ -47,5 +47,6 @@ object SparkEntry {
       OrcQueries.oracle ++ CsvQueries.oracle ++ AvroQueries.oracle ++
       SchemaEvolution.oracle ++
       RfcQueries.oracle ++
-      SketchRollup.oracle ++ JsonlIngest.oracle ++ BpeTrain.oracle ++ Graph.oracle
+      SketchRollup.oracle ++ JsonlIngest.oracle ++ BpeTrain.oracle ++ Graph.oracle ++
+      Audit.oracle
 }

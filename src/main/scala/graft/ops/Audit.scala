@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse data-quality auditing — the dbt-test / Deequ surface: a
+  * declared constraint set (foreign keys, uniqueness, accepted-range
+  * rules, cross-table reconciliation, coverage) evaluated in bulk, one
+  * result row per constraint. The complement to q191's per-document
+  * quality audit: q191 explains why a DOCUMENT was dropped, q207
+  * certifies whether a TABLE is fit to join — the gate every warehouse
+  * load (and every training-data refresh joining behavioral tables)
+  * runs before publishing a snapshot.
+  */
+object Audit {
+
+  /** 2-dp currency/ratio columns to exact integer hundredths:
+    * ⌊x·100+½⌋ — one multiply and one floor on a double, the same
+    * singly-rounded chain in both engines (the FixDot discipline at
+    * scale 10²). */
+  private def c2(column: String) =
+    expr(s"cast(floor(cast($column as double) * 100.0 + 0.5) as bigint)")
+
+  /** q207: bulk integrity audit over the warehouse schema — 11 declared
+    * constraints, one row each: `(check, kind, n_checked, n_bad, ok)`.
+    *
+    * The fixture exercises BOTH verdicts genuinely (the q191 bar): the
+    * five FK checks and the range rule pass; lineitem's
+    * (orderkey, linenumber) uniqueness, the ship-after-order rule, the
+    * totalprice reconciliation, and order→lineitem coverage all fail
+    * with real counts — the synthetic generator random-assigns
+    * linenumbers and never reconciles order totals, exactly the defects
+    * a load gate exists to catch.
+    *
+    * Shapes (each is the canonical audit plan for its kind):
+    *  - FK + rule checks batch per CHILD table: ONE lineitem scan feeds
+    *    a chain of three left joins against distinct-projected parent
+    *    KEY sets (key-only shuffles; small parents broadcast, the
+    *    orders-sized one SMJs at 100 TB) and a single aggregate counts
+    *    every null-parent flag and rule violation in one pass — one
+    *    audit sweep per child table, never one scan per constraint.
+    *  - Uniqueness: groupBy(key) → count>1, partial+final.
+    *  - Reconciliation: integer-cents line charges (ep·(100−d)·(100+t)
+    *    at scale 10⁶, associative BIGINT sums — no double ever crosses
+    *    an aggregate) grouped per order, outer-joined to orders,
+    *    mismatch = |total·10⁴ − Σ| > 10⁴ (±1 cent) or no lines at all.
+    *
+    * Output is constraint-count-sized (11 rows). */
+  def q207IntegrityAudit(s: SparkSession, dir: String): DataFrame = {
+    def agg1(df: DataFrame, check: String, kind: String, bad: org.apache.spark.sql.Column): DataFrame =
+      df.agg(count(lit(1)).as("n_checked"),
+          coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as("n_bad"))
+        .select(lit(check).as("check"), lit(kind).as("kind"),
+          col("n_checked"), col("n_bad"))
+
+    val li = T(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+    val ordKeys = T(s, dir, "orders")
+      .select(col("o_orderkey").as("p_ok"), col("o_orderdate").as("p_odate"))
+    val partKeys = T(s, dir, "part").select(col("p_partkey").as("p_pk")).distinct()
+    val suppKeys = T(s, dir, "supplier").select(col("s_suppkey").as("p_sk")).distinct()
+
+    // one lineitem sweep: three FK checks + the range rule + the
+    // temporal rule, all counted in a single aggregate
+    val liJoined = li
+      .join(ordKeys, col("l_orderkey") === col("p_ok"), "left")
+      .join(partKeys, col("l_partkey") === col("p_pk"), "left")
+      .join(suppKeys, col("l_suppkey") === col("p_sk"), "left")
+    val liAgg = liJoined.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("p_ok").isNull, 1L).otherwise(0L)).as("bad_fk_ord"),
+      sum(when(col("p_pk").isNull, 1L).otherwise(0L)).as("bad_fk_part"),
+      sum(when(col("p_sk").isNull, 1L).otherwise(0L)).as("bad_fk_supp"),
+      sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L)
+        .otherwise(0L)).as("bad_disc"),
+      sum(when(col("p_ok").isNotNull && col("l_shipdate") < col("p_odate"), 1L)
+        .otherwise(0L)).as("bad_ship"))
+    def liRow(check: String, kind: String, badCol: String): DataFrame =
+      liAgg.select(lit(check).as("check"), lit(kind).as("kind"),
+        col("n").as("n_checked"), col(badCol).as("n_bad"))
+
+    val ordCust = agg1(
+      T(s, dir, "orders").select("o_custkey")
+        .join(T(s, dir, "customer").select(col("c_custkey").as("p_ck")).distinct(),
+          col("o_custkey") === col("p_ck"), "left"),
+      "fk_orders_custkey", "fk", col("p_ck").isNull)
+
+    val evCust = agg1(
+      T(s, dir, "events").select("user_id")
+        .join(T(s, dir, "customer").select(col("c_custkey").as("p_ck")).distinct(),
+          col("user_id") === col("p_ck"), "left"),
+      "fk_events_userid", "fk", col("p_ck").isNull)
+
+    def unique(df: DataFrame, check: String, keys: Seq[String]): DataFrame =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("kn"))
+        .agg(coalesce(sum(col("kn")), lit(0L)).as("n_checked"),
+          coalesce(sum(when(col("kn") > 1, col("kn")).otherwise(0L)), lit(0L))
+            .as("n_bad"))
+        .select(lit(check).as("check"), lit("unique").as("kind"),
+          col("n_checked"), col("n_bad"))
+
+    val uOrd = unique(T(s, dir, "orders").select("o_orderkey"),
+      "unique_orders_orderkey", Seq("o_orderkey"))
+    val uLi = unique(li.select("l_orderkey", "l_linenumber"),
+      "unique_lineitem_line", Seq("l_orderkey", "l_linenumber"))
+
+    // reconciliation: Σ over each order's lines of
+    // cents(ep)·(100−cents(disc))·(100+cents(tax)) — dollars at scale
+    // 10⁶ — vs cents(o_totalprice)·10⁴, within ±1 cent (10⁴)
+    val charges = li
+      .select(col("l_orderkey"),
+        (c2("l_extendedprice") * (lit(100L) - c2("l_discount"))
+          * (lit(100L) + c2("l_tax"))).as("charge_u"))
+      .groupBy("l_orderkey").agg(sum("charge_u").as("sum_u"))
+    val ordRecon = T(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      .join(charges, col("o_orderkey") === col("l_orderkey"), "left")
+    val recon = agg1(ordRecon, "reconcile_totalprice", "reconcile",
+      col("sum_u").isNull ||
+        abs(c2("o_totalprice") * lit(10000L) - col("sum_u")) > lit(10000L))
+    val coverage = agg1(ordRecon, "coverage_orders_lineitem", "coverage",
+      col("sum_u").isNull)
+
+    Seq(
+      liRow("fk_lineitem_orderkey", "fk", "bad_fk_ord"),
+      liRow("fk_lineitem_partkey", "fk", "bad_fk_part"),
+      liRow("fk_lineitem_suppkey", "fk", "bad_fk_supp"),
+      liRow("rule_discount_range", "rule", "bad_disc"),
+      liRow("rule_ship_after_order", "rule", "bad_ship"),
+      ordCust, evCust, uOrd, uLi, recon, coverage)
+      .reduce(_ unionByName _)
+      .withColumn("ok", col("n_bad") === 0L)
+      .orderBy("check")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_integrity_audit" -> q207IntegrityAudit _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    // q207: the same 11 constraints; integer-cents reconciliation via
+    // the identical floor(x*100+0.5) chain
+    "q207_integrity_audit" ->
+      """WITH li AS (
+        |  SELECT l.*, o.o_orderkey AS p_ok, o.o_orderdate AS p_odate,
+        |         p.p_partkey AS p_pk, s.s_suppkey AS p_sk
+        |  FROM lineitem l
+        |  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |  LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |liagg AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN p_ok IS NULL THEN 1 ELSE 0 END) AS bad_fk_ord,
+        |  sum(CASE WHEN p_pk IS NULL THEN 1 ELSE 0 END) AS bad_fk_part,
+        |  sum(CASE WHEN p_sk IS NULL THEN 1 ELSE 0 END) AS bad_fk_supp,
+        |  sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS bad_disc,
+        |  sum(CASE WHEN p_ok IS NOT NULL AND l_shipdate < p_odate THEN 1 ELSE 0 END) AS bad_ship
+        |  FROM li),
+        |charges AS (
+        |  SELECT l_orderkey,
+        |         sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+        |             * (100 - CAST(floor(CAST(l_discount AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+        |             * (100 + CAST(floor(CAST(l_tax AS DOUBLE) * 100.0 + 0.5) AS BIGINT))) AS sum_u
+        |  FROM lineitem GROUP BY 1),
+        |ordrecon AS (
+        |  SELECT o.o_orderkey, o.o_totalprice, c.sum_u
+        |  FROM orders o LEFT JOIN charges c ON o.o_orderkey = c.l_orderkey),
+        |rows AS (
+        |  SELECT 'fk_lineitem_orderkey' AS "check", 'fk' AS kind, n AS n_checked, bad_fk_ord AS n_bad FROM liagg
+        |  UNION ALL SELECT 'fk_lineitem_partkey', 'fk', n, bad_fk_part FROM liagg
+        |  UNION ALL SELECT 'fk_lineitem_suppkey', 'fk', n, bad_fk_supp FROM liagg
+        |  UNION ALL SELECT 'rule_discount_range', 'rule', n, bad_disc FROM liagg
+        |  UNION ALL SELECT 'rule_ship_after_order', 'rule', n, bad_ship FROM liagg
+        |  UNION ALL SELECT 'fk_orders_custkey', 'fk', count(*),
+        |    sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  UNION ALL SELECT 'fk_events_userid', 'fk', count(*),
+        |    sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |  UNION ALL SELECT 'unique_orders_orderkey', 'unique', sum(kn),
+        |    sum(CASE WHEN kn > 1 THEN kn ELSE 0 END)
+        |    FROM (SELECT count(*) AS kn FROM orders GROUP BY o_orderkey)
+        |  UNION ALL SELECT 'unique_lineitem_line', 'unique', sum(kn),
+        |    sum(CASE WHEN kn > 1 THEN kn ELSE 0 END)
+        |    FROM (SELECT count(*) AS kn FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL SELECT 'reconcile_totalprice', 'reconcile', count(*),
+        |    sum(CASE WHEN sum_u IS NULL OR
+        |        abs(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT) * 10000
+        |            - sum_u) > 10000 THEN 1 ELSE 0 END)
+        |    FROM ordrecon
+        |  UNION ALL SELECT 'coverage_orders_lineitem', 'coverage', count(*),
+        |    sum(CASE WHEN sum_u IS NULL THEN 1 ELSE 0 END)
+        |    FROM ordrecon)
+        |SELECT "check", kind, CAST(n_checked AS BIGINT) AS n_checked,
+        |       CAST(n_bad AS BIGINT) AS n_bad, n_bad = 0 AS ok
+        |FROM rows ORDER BY "check"""".stripMargin,
+  )
+}
