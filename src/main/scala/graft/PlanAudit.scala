@@ -30,6 +30,12 @@ object PlanAudit {
         "single aggregate of violation flags; separate small subtrees " +
         "for uniqueness (partial+final groupBy) and the integer-cents " +
         "reconciliation; the union is 11 constant rows."),
+    "q208_winsorize" ->
+      ("**Look for:** NO per-source Window — the rank subtree is " +
+        "ScalableRank's localCheckpointed ExistingRDD; thresholds come " +
+        "back as a BroadcastHashJoin onto the documents scan, the clip " +
+        "is a map-side greatest/least projection, and the final " +
+        "aggregate is partial+final on source."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

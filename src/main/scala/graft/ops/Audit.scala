@@ -133,11 +133,76 @@ object Audit {
       .orderBy("check")
   }
 
+  /** q208: per-source winsorization — the robust-stats feature prep
+    * (outlier clipping) every tabular/feature pipeline runs before
+    * training on heavy-tailed measures: clip each document's `n_chars`
+    * to its source's [p05, p95] band and report per-source raw vs
+    * winsorized totals and clip counts.
+    *
+    * Exactness: the thresholds are LOWER quantiles — the ACTUAL value
+    * at 1-based sorted position ⌈q·n⌉ (q202's lower-median discipline
+    * generalized), never an interpolated double — so thresholds,
+    * clipped values, and all sums are exact integers in both engines.
+    *
+    * Scale shape: q37's machinery, not a per-source window — `source`
+    * is a LOW-cardinality key, so a `Window.partitionBy(source)` rank
+    * would put each source's whole corpus slice in ONE task; instead
+    * ranks come from a ScalableRank two-pass global row number over
+    * (source, n_chars), in-cell positions via the broadcast per-source
+    * (base, n) table, and the thresholds broadcast back onto the scan
+    * for a map-side clip + partial/final aggregate. */
+  def q208Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("source"), col("n_chars"))
+    val ranked = ScalableRank.withGlobalRowNumber(
+      docs, "_grn", col("source"), col("n_chars"))
+    val stats = ranked.groupBy(col("source").as("_g"))
+      .agg(min("_grn").as("_base"), count(lit(1)).as("_n"))
+      // 1-based lower-quantile positions: ⌈n/20⌉ and ⌈19n/20⌉
+      .withColumn("_plo", expr("(_n + 19) div 20"))
+      .withColumn("_phi", expr("(19 * _n + 19) div 20"))
+    val thresholds = ranked
+      .join(broadcast(stats), col("source") === col("_g"))
+      .withColumn("_rn", col("_grn") - col("_base") + 1)
+      .filter(col("_rn") === col("_plo") || col("_rn") === col("_phi"))
+      .groupBy(col("source").as("_ts"))
+      .agg(max(when(col("_rn") === col("_plo"), col("n_chars"))).as("p05"),
+        max(when(col("_rn") === col("_phi"), col("n_chars"))).as("p95"))
+    docs.join(broadcast(thresholds), col("source") === col("_ts"))
+      .withColumn("w", greatest(col("p05"), least(col("p95"), col("n_chars"))))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        max("p05").as("p05"), max("p95").as("p95"),
+        sum(when(col("n_chars") < col("p05"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("n_chars") > col("p95"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum("n_chars").as("sum_raw"), sum("w").as("sum_winsorized"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_integrity_audit" -> q207IntegrityAudit _,
+    "q208_winsorize" -> q208Winsorize _,
   )
 
   val oracle: Map[String, String] = Map(
+    // q208: identical lower-quantile positions (value at row ⌈q·n⌉ per
+    // source) — integer thresholds, integer clip, integer sums
+    "q208_winsorize" ->
+      """WITH r AS (SELECT source, n_chars,
+        |             row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |             count(*) OVER (PARTITION BY source) AS n
+        |           FROM documents),
+        |t AS (SELECT source,
+        |        max(CASE WHEN rn = (n + 19) // 20 THEN n_chars END) AS p05,
+        |        max(CASE WHEN rn = (19 * n + 19) // 20 THEN n_chars END) AS p95
+        |      FROM r GROUP BY 1)
+        |SELECT d.source, count(*) AS n,
+        |  max(t.p05) AS p05, max(t.p95) AS p95,
+        |  CAST(sum(CASE WHEN d.n_chars < t.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(sum(CASE WHEN d.n_chars > t.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_raw,
+        |  CAST(sum(greatest(t.p05, least(t.p95, d.n_chars))) AS BIGINT) AS sum_winsorized
+        |FROM documents d JOIN t USING (source)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // q207: the same 11 constraints; integer-cents reconciliation via
     // the identical floor(x*100+0.5) chain
     "q207_integrity_audit" ->
