@@ -36,6 +36,12 @@ object PlanAudit {
         "back as a BroadcastHashJoin onto the documents scan, the clip " +
         "is a map-side greatest/least projection, and the final " +
         "aggregate is partial+final on source."),
+    "q209_rank_fusion" ->
+      ("**Look for:** NO parquet scan and NO window — the two " +
+        "retriever lists enter as 50-row LocalRelations (ranks were " +
+        "attached at the bounded TakeOrdered collect), the fusion is a " +
+        "tiny full outer SortMergeJoin, and the top-20 is " +
+        "TakeOrderedAndProject over integer RRF sums."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

@@ -2173,7 +2173,10 @@ object TrainingData {
     * exact-sum / exact-count is deterministic. Top-20 by (score desc,
     * doc_id) plans as TakeOrderedAndProject — no global window, no full
     * sort. */
-  def q113Bm25Rank(s: SparkSession, dir: String): DataFrame = {
+  /** The scored frame shared by q113 (top-20 presentation) and q209
+    * (rank-list fusion): (doc_id, score) with the q113 scaladoc's
+    * exactness contract. */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val base = T(s, dir, "documents")
       .select(col("doc_id"),
         expr("filter(split(text, ' '), x -> x != '')").as("w"))
@@ -2195,9 +2198,73 @@ object TrainingData {
     withTf.crossJoin(broadcast(stats))
       .withColumn("score",
         expr(Bm25Terms.indices.map(termScore).mkString(" + ")))
+  }
+
+  def q113Bm25Rank(s: SparkSession, dir: String): DataFrame =
+    bm25Scored(s, dir)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
       .select(col("doc_id"), round(col("score"), 4).as("bm25"))
+
+  /** q209 fusion constants: the query string both retrievers answer,
+    * the per-list depth, and the RRF weights. The RRF contribution is
+    * the INTEGER ⌊10⁷/(60+rank)⌋ — standard reciprocal-rank fusion
+    * (k = 60, Cormack et al.) lifted onto an exact integer grid so
+    * fused scores and their ordering are engine-independent (the FixDot
+    * discipline applied to score fusion). */
+  private val FusionQuery = "data join stream"
+  private val FusionTopK = 50
+  private[ops] def fusionQueryGrams: Seq[String] =
+    FusionQuery.sliding(3).toSeq.distinct
+
+  /** q209: hybrid-retrieval rank fusion — the RAG-stack shape that
+    * combines a lexical retriever and a second, differently-biased
+    * signal without comparable score scales: each retriever contributes
+    * only its RANKS (BM25 top-50 from [[bm25Scored]]; character-3-gram
+    * Jaccard-to-query top-50 — q78's set-similarity machinery pointed
+    * at a query instead of doc pairs), and a document's fused score is
+    * the sum of integer reciprocal-rank contributions from the lists
+    * that retrieved it.
+    *
+    * Rank assignment deliberately avoids a window: each list is a
+    * TakeOrderedAndProject top-K with a MODEL-CONSTANT K=50, collected
+    * and re-seeded as a local relation with ranks attached (the q186
+    * bounded-collect pattern — 50 rows, never key- or corpus-bound), so
+    * no global window exists anywhere (PlanShapeSpec's invariant). The
+    * fusion itself is a 50×50-row full outer join + integer arithmetic
+    * + top-20. At 100 TB only the two TakeOrdered scans touch the
+    * corpus; fusion cost is O(K).
+    *
+    * Jaccard ordering is cross-engine safe: sim = i/(dn+qn−i) is ONE
+    * correctly-rounded division of exact integers — identical doubles,
+    * identical order, doc_id tiebreak. */
+  def q209RankFusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def topRanks(df: DataFrame, ord: Seq[Column], rankName: String): DataFrame = {
+      val top = df.orderBy(ord: _*).limit(FusionTopK)
+        .select(col("doc_id")).collect().map(_.getLong(0))
+      top.toSeq.zipWithIndex.map { case (d, i) => (d, (i + 1).toLong) }
+        .toDF("doc_id", rankName)
+    }
+    val bm = topRanks(bm25Scored(s, dir),
+      Seq(col("score").desc, col("doc_id")), "bm25_rank")
+    val qg = fusionQueryGrams
+    val jacScored = T(s, dir, "documents")
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(1, length(text) - 2), " +
+          "i -> substring(text, i, 3)))").as("g"))
+      .withColumn("i", size(array_intersect(col("g"), typedLit(qg))))
+      .withColumn("sim", col("i").cast("double") /
+        (size(col("g")) + lit(qg.size) - col("i")).cast("double"))
+    val jac = topRanks(jacScored,
+      Seq(col("sim").desc, col("doc_id")), "jac_rank")
+    bm.join(jac, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr("10000000L div (60 + bm25_rank)"), lit(0L)) +
+          coalesce(expr("10000000L div (60 + jac_rank)"), lit(0L)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
   }
 
   def q92SequencePack(s: SparkSession, dir: String): DataFrame =
@@ -2320,6 +2387,7 @@ object TrainingData {
     "q109_simhash_clusters" -> q109SimhashClusters _,
     "q112_chunk_split" -> q112ChunkSplit _,
     "q113_bm25_rank" -> q113Bm25Rank _,
+    "q209_rank_fusion" -> q209RankFusion _,
     "q129_weighted_sample" -> q129WeightedSample _,
     "q148_batch_topk" -> q148BatchTopk _,
     "q149_epoch_shuffle" -> q149EpochShuffle _,
@@ -2337,6 +2405,44 @@ object TrainingData {
     LangBudgets.map { case (l, b) => s"('$l', $b)" }.mkString(",")
 
   val oracle: Map[String, String] = Map(
+    // q209: the q113 score CTEs verbatim + 3-gram Jaccard ranks +
+    // integer RRF; the qg literal list is generated from the SAME
+    // Scala constant the Spark side broadcasts
+    "q209_rank_fusion" -> {
+      val termScore = (i: Int) =>
+        s"((n_docs - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+      val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(", ")
+      val dfCols = Bm25Terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+        .mkString(", ")
+      val qgList = fusionQueryGrams.map(g => s"'$g'").mkString("[", ", ", "]")
+      val qn = fusionQueryGrams.size
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |d AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfCols FROM w),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM d),
+        |sc AS (SELECT doc_id, ${Bm25Terms.indices.map(termScore).mkString(" + ")} AS score FROM d, st),
+        |bmr AS (SELECT doc_id, r FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM sc) WHERE r <= 50),
+        |g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS gm
+        |      FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i) t
+        |      WHERE length(text) >= 3),
+        |gn AS (SELECT doc_id, count(*) AS dn FROM g GROUP BY 1),
+        |qg AS (SELECT unnest($qgList) AS gm),
+        |qi AS (SELECT g.doc_id, count(*) AS i FROM g JOIN qg USING (gm) GROUP BY 1),
+        |js AS (SELECT gn.doc_id, COALESCE(qi.i, 0) AS i, gn.dn FROM gn LEFT JOIN qi USING (doc_id)),
+        |jr AS (SELECT doc_id, r FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    ORDER BY CAST(i AS DOUBLE) / CAST(dn + $qn - i AS DOUBLE) DESC, doc_id) AS r
+        |  FROM js) WHERE r <= 50),
+        |f AS (SELECT COALESCE(b.doc_id, j.doc_id) AS doc_id,
+        |        b.r AS bm25_rank, j.r AS jac_rank,
+        |        COALESCE(10000000 // (60 + b.r), 0) + COALESCE(10000000 // (60 + j.r), 0) AS rrf
+        |      FROM bmr b FULL OUTER JOIN jr j ON b.doc_id = j.doc_id)
+        |SELECT doc_id, bm25_rank, jac_rank, CAST(rrf AS BIGINT) AS rrf
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+    },
     "q148_batch_topk" ->
       // FixDot twin — integer dot / integer-norm sqrts (no
       // reduction-order exposure; the old per-element sum() had it)
