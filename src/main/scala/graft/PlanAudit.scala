@@ -42,6 +42,12 @@ object PlanAudit {
         "attached at the bounded TakeOrdered collect), the fusion is a " +
         "tiny full outer SortMergeJoin, and the top-20 is " +
         "TakeOrderedAndProject over integer RRF sums."),
+    "q210_compact_scan" ->
+      ("**Look for:** an ordinary partial+final aggregate whose scan " +
+        "reads the COMPACTED directory (a handful of files, not the " +
+        "48-fragment fixture) — the compaction itself already ran as a " +
+        "shuffle-free coalesce write; the query plan's value is that " +
+        "it is indistinguishable from scanning a well-laid-out table."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +
