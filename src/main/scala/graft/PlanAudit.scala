@@ -48,6 +48,13 @@ object PlanAudit {
         "48-fragment fixture) — the compaction itself already ran as a " +
         "shuffle-free coalesce write; the query plan's value is that " +
         "it is indistinguishable from scanning a well-laid-out table."),
+    "q212_nearest_event" ->
+      ("**Look for:** ONE Union of the two scans feeding exactly TWO " +
+        "Window nodes (forward and reversed sort, both partitioned by " +
+        "u — never a join between orders and events), then the tag " +
+        "filter and the per-order pick projection; the union shuffles " +
+        "once on u and both windows reuse that partitioning (the " +
+        "second pays only a re-sort)."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

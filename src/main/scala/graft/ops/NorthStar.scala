@@ -427,7 +427,102 @@ object NorthStar {
       .orderBy("attr_type")
   }
 
+  /** q211: inter-event-gap histogram in power-of-2 buckets — the
+    * HdrHistogram/latency-telemetry shape: per-user consecutive-event
+    * gaps, bucketed by ⌊log₂(gap_µs)⌋. The log is EXACT integer
+    * arithmetic in both engines: ⌊log₂ n⌋ = length(bin(n)) − 1 (bit
+    * length of the binary rendering — no floating log, no libm ulp
+    * hazard; zero gaps get their own bucket −1). Buckets are
+    * policy-bounded (≤ 64 rows ever), so the aggregate output is
+    * constant-sized at any corpus scale; the only corpus-sized stages
+    * are the per-user lead window (q81's ingest-bounded class) and one
+    * partial+final aggregate on the bucket id. Per-bucket min/max gaps
+    * ride along as the range sanity the histogram consumer reads. */
+  def q211GapHistogram(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    T.events(s, dir)
+      .select(col("user_id"), col("tus"), col("event_id"))
+      .withColumn("gap", lead("tus", 1).over(w) - col("tus"))
+      .filter(col("gap").isNotNull)
+      .withColumn("b", when(col("gap") === 0L, lit(-1L))
+        .otherwise((length(expr("bin(gap)")) - 1).cast("long")))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_gaps"),
+        min("gap").as("min_gap"), max("gap").as("max_gap"))
+      .withColumn("lo_us", when(col("b") < 0L, lit(0L))
+        .otherwise(expr("shiftleft(1L, cast(b as int))")))
+      .select(col("b"), col("lo_us"), col("n_gaps"),
+        col("min_gap"), col("max_gap"))
+      .orderBy("b")
+  }
+
+  /** q212: nearest-event temporal alignment — for every order, the
+    * event of the SAME user closest in time to the order date (the
+    * sensor-fusion / feature-lookup join: "attach the nearest reading
+    * to each observation"). q26's as-of join answers "latest at or
+    * before"; nearest needs BOTH directions and a distance compare, and
+    * the scale-safe formulation is NOT a per-user quadratic join but
+    * q204's carry applied twice to the time-merged union: events and
+    * orders interleave in one per-user stream sorted (t, tag, id) with
+    * events first at equal t, a forward pass carries the last event at
+    * or before each order, a backward pass (reversed sort) carries the
+    * first event at or after, and each order picks the nearer (ties →
+    * the earlier event; equal-t events collapse to the carry's
+    * deterministic pick; users with no events → '(none)').
+    *
+    * All distances are exact µs BIGINTs (order dates cast to timestamp
+    * at UTC midnight — the same instant DuckDB's CAST yields under the
+    * pinned UTC session). Scale: two per-user window passes over the
+    * union (ingest-bounded), no join wider than the union itself;
+    * output is orders-sized. */
+  def q212NearestEvent(s: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(s, dir)
+      .select(col("user_id").as("u"), col("tus").as("t"), lit(0).as("tag"),
+        col("event_id").as("id"), col("event_type"),
+        lit(null).cast("long").as("o_orderkey"))
+    val ords = T(s, dir, "orders")
+      .select(col("o_custkey").as("u"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("t"),
+        lit(1).as("tag"), lit(null).cast("long").as("id"),
+        lit(null).cast("string").as("event_type"), col("o_orderkey"))
+    val uni = ev.unionByName(ords)
+    val evStruct = when(col("tag") === 0,
+      struct(col("t").as("et"), col("id").as("eid"),
+        col("event_type").as("ety")))
+    // NULL-free total sort key: Spark seats NULLs first on asc,
+    // DuckDB's default differs — coalescing onto the orderkey removes
+    // the divergence surface entirely
+    val sid = coalesce(col("id"), col("o_orderkey"))
+    val wFwd = Window.partitionBy("u")
+      .orderBy(col("t"), col("tag"), sid)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wBwd = Window.partitionBy("u")
+      .orderBy(col("t").desc, col("tag").desc, sid.desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    uni
+      .withColumn("prev", last(evStruct, ignoreNulls = true).over(wFwd))
+      .withColumn("next", last(evStruct, ignoreNulls = true).over(wBwd))
+      .filter(col("tag") === 1)
+      .withColumn("dp", col("t") - col("prev.et"))
+      .withColumn("dn", col("next.et") - col("t"))
+      .select(col("o_orderkey"), col("u").as("user_id"),
+        when(col("prev").isNotNull &&
+            (col("next").isNull || col("dp") <= col("dn")), col("prev.eid"))
+          .otherwise(col("next.eid")).as("near_event_id"),
+        coalesce(
+          when(col("prev").isNotNull &&
+              (col("next").isNull || col("dp") <= col("dn")), col("prev.ety"))
+            .otherwise(col("next.ety")),
+          lit("(none)")).as("near_type"),
+        when(col("prev").isNotNull &&
+            (col("next").isNull || col("dp") <= col("dn")), col("dp"))
+          .otherwise(col("dn")).as("dist_us"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_gap_histogram" -> q211GapHistogram _,
+    "q212_nearest_event" -> q212NearestEvent _,
     "q70_dedup_exact" -> q70DedupExact _,
     "q199_concurrency_peak" -> q199ConcurrencyPeak _,
     "q204_attribution" -> q204Attribution _,
@@ -447,6 +542,56 @@ object NorthStar {
   )
 
   val oracle: Map[String, String] = Map(
+    // q211: identical integer log2 via bit length of bin(); zero gaps
+    // in bucket -1
+    "q211_gap_histogram" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |g AS (SELECT lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS gap
+        |      FROM e),
+        |b AS (SELECT gap, CASE WHEN gap = 0 THEN -1 ELSE length(bin(gap)) - 1 END AS b
+        |      FROM g WHERE gap IS NOT NULL)
+        |SELECT CAST(b AS BIGINT) AS b,
+        |       CAST(CASE WHEN b < 0 THEN 0 ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END AS BIGINT) AS lo_us,
+        |       count(*) AS n_gaps,
+        |       CAST(min(gap) AS BIGINT) AS min_gap,
+        |       CAST(max(gap) AS BIGINT) AS max_gap
+        |FROM b GROUP BY b ORDER BY b""".stripMargin,
+    // q212: the same two-direction carry over the time-merged union;
+    // three scalar last_value IGNORE NULLS per direction over the
+    // IDENTICAL frame pick the same event row (q204's consistency
+    // argument); the sort key coalesces onto the orderkey so no NULL
+    // ordering divergence exists
+    "q212_nearest_event" ->
+      """WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS t, 0 AS tag,
+        |              event_id AS id, event_type,
+        |              CAST(NULL AS BIGINT) AS o_orderkey
+        |            FROM events),
+        |os AS (SELECT o_custkey AS u, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS t,
+        |              1 AS tag, CAST(NULL AS BIGINT) AS id,
+        |              CAST(NULL AS VARCHAR) AS event_type, o_orderkey
+        |       FROM orders),
+        |uni AS (SELECT *, coalesce(id, o_orderkey) AS sid FROM ev
+        |        UNION ALL SELECT *, coalesce(id, o_orderkey) AS sid FROM os),
+        |c AS (SELECT *,
+        |  last_value(CASE WHEN tag = 0 THEN t END IGNORE NULLS) OVER fwd AS pt,
+        |  last_value(CASE WHEN tag = 0 THEN id END IGNORE NULLS) OVER fwd AS pid,
+        |  last_value(CASE WHEN tag = 0 THEN event_type END IGNORE NULLS) OVER fwd AS pty,
+        |  last_value(CASE WHEN tag = 0 THEN t END IGNORE NULLS) OVER bwd AS nt,
+        |  last_value(CASE WHEN tag = 0 THEN id END IGNORE NULLS) OVER bwd AS nid,
+        |  last_value(CASE WHEN tag = 0 THEN event_type END IGNORE NULLS) OVER bwd AS nty
+        |  FROM uni
+        |  WINDOW fwd AS (PARTITION BY u ORDER BY t, tag, sid
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         bwd AS (PARTITION BY u ORDER BY t DESC, tag DESC, sid DESC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT o_orderkey, u AS user_id,
+        |  CASE WHEN pt IS NOT NULL AND (nt IS NULL OR t - pt <= nt - t)
+        |       THEN pid ELSE nid END AS near_event_id,
+        |  coalesce(CASE WHEN pt IS NOT NULL AND (nt IS NULL OR t - pt <= nt - t)
+        |                THEN pty ELSE nty END, '(none)') AS near_type,
+        |  CASE WHEN pt IS NOT NULL AND (nt IS NULL OR t - pt <= nt - t)
+        |       THEN t - pt ELSE nt - t END AS dist_us
+        |FROM c WHERE tag = 1 ORDER BY o_orderkey""".stripMargin,
     // q206: identical fx quantize → lead-segment → integer-weighted sum;
     // HUGEINT accumulates the vfx·dur products (decimal(38,0) on the
     // Spark side), half-up integer division on the fx grid
