@@ -55,6 +55,13 @@ object PlanAudit {
         "filter and the per-order pick projection; the union shuffles " +
         "once on u and both windows reuse that partitioning (the " +
         "second pays only a re-sort)."),
+    "q213_ann_recall" ->
+      ("**Look for:** TWO candidate subtrees over the same persisted " +
+        "cells table — the exact side's bounded 8-row batch broadcast " +
+        "against the full table, and the probe side's cell-equijoin " +
+        "after the 16-row centroid fan-out — meeting in a LeftSemi " +
+        "hash join on (q_id, c_id) and an 8-row aggregate; the " +
+        "embeddings parquet itself is never rescanned."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

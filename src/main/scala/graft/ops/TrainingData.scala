@@ -1208,6 +1208,53 @@ object TrainingData {
         .select(col("vec_id"), col("embedding"), col("nrm")))
   }
 
+  /** q213: ANN recall diagnostic — the index-quality measurement every
+    * production vector store runs continuously: recall@3 of the
+    * PERSISTED IVF probe (q152's index, q148's fixed 8-query batch)
+    * against the exact integer-cosine top-3 over the full corpus. An
+    * index whose recall sags (after admissions drift the cells away
+    * from the trained centroids, or a codebook retrain) is rebuilt —
+    * this query is the gate that notices.
+    *
+    * Exactness: both sides rank by the SAME fxSim (integer FixDot dot /
+    * integer-norm sqrts) with the same (sim desc, c_id) tiebreak, so
+    * the intersection count is deterministic in any engine; recall
+    * rides Exact.r4(n_hit, 3).
+    *
+    * Scale: the exact side is O(corpus × batch) BY DESIGN — recall is
+    * always measured on a BOUNDED sampled query batch (8 here, the
+    * q148/q194 class; never corpus-sized), so the crossJoin broadcast
+    * is 8 rows and the per-query windows are batch-bounded. The approx
+    * side reuses the probe's own cell-pruned plan. */
+  def q213AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val (cents, cellsT) = ensureIvfIndex(s, dir)
+    val cells = s.table(cellsT)
+    val batch = cells.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val approx = probeIvfIndex(s, cents, cellsT, batch)
+      .select(col("q_id"), col("c_id"))
+    val qs = batch.select(col("vec_id").as("q_id"),
+      col("embedding").as("ea"), col("nrm").as("nq"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim_raw").desc, col("c_id"))
+    val exact = cells
+      .select(col("vec_id").as("c_id"), col("embedding").as("eb"),
+        col("nrm").as("nc"))
+      .crossJoin(broadcast(qs))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim_raw", fxSimCol(col("ea"), col("eb"),
+        col("nq"), col("nc")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("q_id", "c_id")
+    val hits = approx.join(exact, Seq("q_id", "c_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("h"))
+    qs.select("q_id").join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hit"))
+      .withColumn("recall", Exact.r4("n_hit", "3"))
+      .orderBy("q_id")
+  }
+
   // ---- q194: product quantization + asymmetric distance (ADC) ----
 
   private val PqM = 8         // subspaces (64 dims / 8)
@@ -2395,6 +2442,7 @@ object TrainingData {
     "q151_bpe_budget_mix" -> q151BpeBudgetMix _,
     "q165_subword_corpus" -> q165SubwordCorpus _,
     "q152_indexed_ann" -> q152IndexedAnn _,
+    "q213_ann_recall" -> q213AnnRecall _,
     "q194_pq_adc" -> q194PqAdc _,
     "q195_ivfpq" -> q195IvfPqAdc _,
   )
@@ -2737,6 +2785,7 @@ object TrainingData {
     // result (same trained centroids via the parquet float round-trip,
     // same deterministic assignment + probe), so q93's oracle drives it
     "q152_indexed_ann" -> ivfOracleSql,
+    "q213_ann_recall" -> recallOracleSql,
     "q194_pq_adc" -> pqAdcOracleSql,
     "q195_ivfpq" -> ivfPqOracleSql,
     "q113_bm25_rank" -> {
@@ -2901,6 +2950,31 @@ object TrainingData {
     * assignRanked's `csim_fx`). */
   private def oCsimFx(a: String, b: String, na: String, nb: String): String =
     s"CAST(floor(CAST(${oFxDot(a, b)} AS DOUBLE) / ($na * $nb) * 1073741824.0 + 0.5) AS BIGINT)"
+
+  /** q213's oracle: the IVF probe tail re-pointed at the fixed 8-query
+    * batch, the exact integer-cosine top-3 over all cells, and the
+    * intersection count with r4 recall. */
+  private lazy val recallOracleSql: String =
+    s"""$ivfPrefixCtes,
+      |qprobe AS (SELECT vec_id AS q_id, embedding AS eq, nrm AS nq, cent_id AS cell
+      |           FROM assign WHERE arn <= 4 AND vec_id < 8),
+      |cand AS (SELECT q.q_id, c2.vec_id AS c_id,
+      |         ${oFxSim("q.eq", "c2.embedding", "q.nq", "c2.nrm")} AS sim
+      |         FROM qprobe q JOIN cells c2 ON q.cell = c2.cell AND c2.vec_id <> q.q_id),
+      |ranked AS (SELECT q_id, c_id,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM cand),
+      |ivf AS (SELECT q_id, c_id FROM ranked WHERE rn <= 3),
+      |exq AS (SELECT vec_id AS q_id, embedding AS eq, nrm AS nq FROM cells WHERE vec_id < 8),
+      |exc AS (SELECT exq.q_id, c2.vec_id AS c_id,
+      |        row_number() OVER (PARTITION BY exq.q_id
+      |          ORDER BY ${oFxSim("exq.eq", "c2.embedding", "exq.nq", "c2.nrm")} DESC, c2.vec_id) AS rn
+      |        FROM exq JOIN cells c2 ON c2.vec_id <> exq.q_id),
+      |ex AS (SELECT q_id, c_id FROM exc WHERE rn <= 3),
+      |hits AS (SELECT ex.q_id, count(*) AS n_hit FROM ex JOIN ivf USING (q_id, c_id) GROUP BY 1)
+      |SELECT e.q_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |       CAST((2 * coalesce(h.n_hit, 0) * 10000 + 3) // 6 AS DOUBLE) / 10000.0 AS recall
+      |FROM (SELECT q_id FROM exq) e LEFT JOIN hits h ON e.q_id = h.q_id
+      |ORDER BY e.q_id""".stripMargin
 
   /** The shared DuckDB IVF prefix — trains the identical three
     * spherical-Lloyd iterations on identical fixed-point integers and

@@ -115,9 +115,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "q194_pq_adc",          // 8-row query batch broadcast (q148
                               // class): PQ's ADC is by definition a
                               // full-codes-scan per bounded query batch
-      "q195_ivfpq")           // 16-row persisted centroid table in the
+      "q195_ivfpq",           // 16-row persisted centroid table in the
                               // probe's assignRanked (q152 class); the
                               // codes join itself is an equi hash join
+      "q213_ann_recall")      // 8-row query batch broadcast on the
+                              // exact side (q148 class): recall is BY
+                              // DESIGN measured against a bounded
+                              // sampled batch, never corpus queries
     for ((name, fn) <- graft.SparkEntry.queries if !oneRowCross(name)) {
       val plan = fn(spark, SparkTestBase.Sf0001)
         .queryExecution.executedPlan.toString
