@@ -37,8 +37,15 @@ object Audit {
     *    a chain of three left joins against distinct-projected parent
     *    KEY sets (key-only shuffles; small parents broadcast, the
     *    orders-sized one SMJs at 100 TB) and a single aggregate counts
-    *    every null-parent flag and rule violation in one pass — one
-    *    audit sweep per child table, never one scan per constraint.
+    *    every null-parent flag and rule violation in one pass; the five
+    *    constraint rows are then EXPLODED from that one aggregate row
+    *    (a Generate over the 1-row aggregate, not a 5-way union of the
+    *    aggregate subtree — a union would re-instantiate the whole
+    *    3-join sweep once per constraint, which is exactly the failure
+    *    this shape exists to avoid). One audit sweep per child table,
+    *    never one scan per constraint; IntegrityAuditSpec counts the
+    *    physical lineitem FileScans (== 3: FK/rule sweep, uniqueness
+    *    group-by, reconciliation sum).
     *  - Uniqueness: groupBy(key) → count>1, partial+final.
     *  - Reconciliation: integer-cents line charges (ep·(100−d)·(100+t)
     *    at scale 10⁶, associative BIGINT sums — no double ever crosses
@@ -76,9 +83,19 @@ object Audit {
         .otherwise(0L)).as("bad_disc"),
       sum(when(col("p_ok").isNotNull && col("l_shipdate") < col("p_odate"), 1L)
         .otherwise(0L)).as("bad_ship"))
-    def liRow(check: String, kind: String, badCol: String): DataFrame =
-      liAgg.select(lit(check).as("check"), lit(kind).as("kind"),
+    // one constraint row per struct, exploded from the SINGLE aggregate
+    // row — never a union that re-instantiates the join+aggregate subtree
+    def rowOf(check: String, kind: String, badCol: String) =
+      struct(lit(check).as("check"), lit(kind).as("kind"),
         col("n").as("n_checked"), col(badCol).as("n_bad"))
+    val liRows = liAgg.select(explode(array(
+        rowOf("fk_lineitem_orderkey", "fk", "bad_fk_ord"),
+        rowOf("fk_lineitem_partkey", "fk", "bad_fk_part"),
+        rowOf("fk_lineitem_suppkey", "fk", "bad_fk_supp"),
+        rowOf("rule_discount_range", "rule", "bad_disc"),
+        rowOf("rule_ship_after_order", "rule", "bad_ship"))).as("_r"))
+      .select(col("_r.check"), col("_r.kind"),
+        col("_r.n_checked"), col("_r.n_bad"))
 
     val ordCust = agg1(
       T(s, dir, "orders").select("o_custkey")
@@ -115,19 +132,22 @@ object Audit {
       .groupBy("l_orderkey").agg(sum("charge_u").as("sum_u"))
     val ordRecon = T(s, dir, "orders").select("o_orderkey", "o_totalprice")
       .join(charges, col("o_orderkey") === col("l_orderkey"), "left")
-    val recon = agg1(ordRecon, "reconcile_totalprice", "reconcile",
-      col("sum_u").isNull ||
-        abs(c2("o_totalprice") * lit(10000L) - col("sum_u")) > lit(10000L))
-    val coverage = agg1(ordRecon, "coverage_orders_lineitem", "coverage",
-      col("sum_u").isNull)
+    // reconciliation and coverage share ONE pass over the recon join —
+    // both counts in a single aggregate, two rows exploded from it
+    val reconRows = ordRecon.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(col("sum_u").isNull ||
+            abs(c2("o_totalprice") * lit(10000L) - col("sum_u")) > lit(10000L),
+          1L).otherwise(0L)), lit(0L)).as("bad_recon"),
+        coalesce(sum(when(col("sum_u").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("bad_cov"))
+      .select(explode(array(
+        rowOf("reconcile_totalprice", "reconcile", "bad_recon"),
+        rowOf("coverage_orders_lineitem", "coverage", "bad_cov"))).as("_r"))
+      .select(col("_r.check"), col("_r.kind"),
+        col("_r.n_checked"), col("_r.n_bad"))
 
-    Seq(
-      liRow("fk_lineitem_orderkey", "fk", "bad_fk_ord"),
-      liRow("fk_lineitem_partkey", "fk", "bad_fk_part"),
-      liRow("fk_lineitem_suppkey", "fk", "bad_fk_supp"),
-      liRow("rule_discount_range", "rule", "bad_disc"),
-      liRow("rule_ship_after_order", "rule", "bad_ship"),
-      ordCust, evCust, uOrd, uLi, recon, coverage)
+    Seq(liRows, ordCust, evCust, uOrd, uLi, reconRows)
       .reduce(_ unionByName _)
       .withColumn("ok", col("n_bad") === 0L)
       .orderBy("check")

@@ -365,8 +365,13 @@ object Corpus {
     * tree); pages that fail it route to a real parser behind
     * `mapInPandas`, exactly like the media decode stubs. */
   private[ops] def htmlClean(html: Column): Column = {
+    // tag-name boundary via alternation, not lookahead (RE2 has none):
+    // `<nav>` / `<nav attr>` / `<nav/>` open a container, `<navbar>`
+    // does NOT — without the boundary any tag merely PREFIXED by a
+    // container name would open one and swallow text through the next
+    // real close tag
     val dropped = DropTags.foldLeft(html) { (c, t) =>
-      regexp_replace(c, s"(?is)<$t[^>]*>.*?</$t>", " ")
+      regexp_replace(c, s"(?is)<$t(>|[ \\t\\n\\r/][^>]*>).*?</$t[ \\t\\n\\r]*>", " ")
     }
     val untagged = regexp_replace(dropped, "<[^>]*>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
@@ -458,10 +463,10 @@ object Corpus {
         |s1 AS (SELECT doc_id,
         |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-        |    '(?is)<nav[^>]*>.*?</nav>', ' ', 'g'),
-        |    '(?is)<footer[^>]*>.*?</footer>', ' ', 'g') AS x
+        |    '(?is)<script(>|[ \t\n\r/][^>]*>).*?</script[ \t\n\r]*>', ' ', 'g'),
+        |    '(?is)<style(>|[ \t\n\r/][^>]*>).*?</style[ \t\n\r]*>', ' ', 'g'),
+        |    '(?is)<nav(>|[ \t\n\r/][^>]*>).*?</nav[ \t\n\r]*>', ' ', 'g'),
+        |    '(?is)<footer(>|[ \t\n\r/][^>]*>).*?</footer[ \t\n\r]*>', ' ', 'g') AS x
         |  FROM h),
         |s2 AS (SELECT doc_id, n_tags, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s1),
         |s3 AS (SELECT doc_id, n_tags,

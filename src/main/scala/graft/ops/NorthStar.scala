@@ -464,11 +464,15 @@ object NorthStar {
     * the scale-safe formulation is NOT a per-user quadratic join but
     * q204's carry applied twice to the time-merged union: events and
     * orders interleave in one per-user stream sorted (t, tag, id) with
-    * events first at equal t, a forward pass carries the last event at
-    * or before each order, a backward pass (reversed sort) carries the
-    * first event at or after, and each order picks the nearer (ties →
-    * the earlier event; equal-t events collapse to the carry's
-    * deterministic pick; users with no events → '(none)').
+    * events first at equal t, a forward pass carries the last event AT
+    * OR BEFORE each order (equal-time events land here, dist 0 — the
+    * sort seats them before the order), a backward pass (reversed sort)
+    * carries the first event STRICTLY AFTER (the reversed order seats
+    * orders before same-t events, so equal-t events are never in the
+    * backward carry), and each order picks the nearer (ties → the
+    * at-or-before event, dp ≤ dn; users with no events → '(none)').
+    * Dropping one carry to change direction policy: the FORWARD carry
+    * is the one that owns equal-time matches.
     *
     * All distances are exact µs BIGINTs (order dates cast to timestamp
     * at UTC midnight — the same instant DuckDB's CAST yields under the
@@ -505,18 +509,18 @@ object NorthStar {
       .filter(col("tag") === 1)
       .withColumn("dp", col("t") - col("prev.et"))
       .withColumn("dn", col("next.et") - col("t"))
+      // ONE pick decision, projected three ways — three copies of the
+      // tie predicate could silently diverge under a later tie-rule edit
+      .withColumn("pick", when(col("prev").isNotNull &&
+          (col("next").isNull || col("dp") <= col("dn")),
+          struct(col("prev.eid").as("eid"), col("prev.ety").as("ety"),
+            col("dp").as("d")))
+        .otherwise(struct(col("next.eid").as("eid"), col("next.ety").as("ety"),
+          col("dn").as("d"))))
       .select(col("o_orderkey"), col("u").as("user_id"),
-        when(col("prev").isNotNull &&
-            (col("next").isNull || col("dp") <= col("dn")), col("prev.eid"))
-          .otherwise(col("next.eid")).as("near_event_id"),
-        coalesce(
-          when(col("prev").isNotNull &&
-              (col("next").isNull || col("dp") <= col("dn")), col("prev.ety"))
-            .otherwise(col("next.ety")),
-          lit("(none)")).as("near_type"),
-        when(col("prev").isNotNull &&
-            (col("next").isNull || col("dp") <= col("dn")), col("dp"))
-          .otherwise(col("dn")).as("dist_us"))
+        col("pick.eid").as("near_event_id"),
+        coalesce(col("pick.ety"), lit("(none)")).as("near_type"),
+        col("pick.d").as("dist_us"))
       .orderBy("o_orderkey")
   }
 

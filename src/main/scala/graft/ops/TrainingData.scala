@@ -2452,25 +2452,34 @@ object TrainingData {
   private def budgetValuesSql: String =
     LangBudgets.map { case (l, b) => s"('$l', $b)" }.mkString(",")
 
+  /** The shared BM25 score CTE chain (`w → d → st → sc`, one `score`
+    * per doc) — q113 and q209 both splice THIS string, mirroring the
+    * shared `bm25Scored` on the Spark side, so a BM25 constant tweak
+    * (k1/b: the 2.2/1.2/0.25/0.75 literals) can never desynchronize
+    * the two graded rank lists' oracles. */
+  private def bm25ScoreCtesSql: String = {
+    val termScore = (i: Int) =>
+      s"((n_docs - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(", ")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(", ")
+    s"""w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+      |d AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfCols FROM w),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM d),
+      |sc AS (SELECT doc_id, ${Bm25Terms.indices.map(termScore).mkString(" + ")} AS score FROM d, st)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    // q209: the q113 score CTEs verbatim + 3-gram Jaccard ranks +
-    // integer RRF; the qg literal list is generated from the SAME
-    // Scala constant the Spark side broadcasts
+    // q209: the q113 score CTEs via the SHARED builder + 3-gram Jaccard
+    // ranks + integer RRF; the qg literal list is generated from the
+    // SAME Scala constant the Spark side broadcasts
     "q209_rank_fusion" -> {
-      val termScore = (i: Int) =>
-        s"((n_docs - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
-      val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf$i"
-      }.mkString(", ")
-      val dfCols = Bm25Terms.indices.map(i =>
-        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
-        .mkString(", ")
       val qgList = fusionQueryGrams.map(g => s"'$g'").mkString("[", ", ", "]")
       val qn = fusionQueryGrams.size
-      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
-        |d AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfCols FROM w),
-        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM d),
-        |sc AS (SELECT doc_id, ${Bm25Terms.indices.map(termScore).mkString(" + ")} AS score FROM d, st),
+      s"""WITH $bm25ScoreCtesSql,
         |bmr AS (SELECT doc_id, r FROM (
         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM sc) WHERE r <= 50),
         |g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS gm
@@ -2788,24 +2797,10 @@ object TrainingData {
     "q213_ann_recall" -> recallOracleSql,
     "q194_pq_adc" -> pqAdcOracleSql,
     "q195_ivfpq" -> ivfPqOracleSql,
-    "q113_bm25_rank" -> {
-      val termScore = (i: Int) =>
-        s"((n_docs - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
-      val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf$i"
-      }.mkString(", ")
-      val dfCols = Bm25Terms.indices.map(i =>
-        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
-        .mkString(", ")
-      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
-        |d AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfCols FROM w),
-        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM d),
-        |sc AS (SELECT doc_id,
-        |       ${Bm25Terms.indices.map(termScore).mkString(" + ")} AS score
-        |       FROM d, st)
+    "q113_bm25_rank" ->
+      s"""WITH $bm25ScoreCtesSql
         |SELECT doc_id, round(score, 4) AS bm25
-        |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    },
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q112_chunk_split" ->
       s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
         |c AS (SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) > 0),

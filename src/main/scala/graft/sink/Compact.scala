@@ -34,26 +34,28 @@ object Compact {
   def compact(s: SparkSession, src: String, dest: String,
               targetBytes: Long): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val p = new Path(src)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val total = fs.listStatus(p).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    val total = totalBytes(s, src)
     val nOut = math.max(1L, (total + targetBytes - 1L) / targetBytes).toInt
     s.read.parquet(src).coalesce(nOut)
       .write.mode("overwrite").parquet(dest)
     nOut
   }
 
-  /** Data files of a parquet directory (the `_SUCCESS`/CRC chaff
-    * excluded) — spec + sizing both read through this. */
-  def dataFiles(s: SparkSession, dir: String): Seq[Path] = {
+  /** The ONE definition of "data file" (the `_SUCCESS`/CRC chaff
+    * excluded) — spec, sizing, and fixture wiring all read through
+    * [[dataFiles]] / [[totalBytes]]. */
+  private def dataStatuses(s: SparkSession, dir: String) = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).toSeq
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).listStatus(p).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath)
   }
+
+  def dataFiles(s: SparkSession, dir: String): Seq[Path] =
+    dataStatuses(s, dir).map(_.getPath)
+
+  /** Σ size of the data files — driver cost bounded by file count. */
+  def totalBytes(s: SparkSession, dir: String): Long =
+    dataStatuses(s, dir).map(_.getLen).sum
 
   /** The fragmented fixture: orders deliberately written as 48 tiny
     * files (what 48 ingest micro-batches leave behind), once per
@@ -74,12 +76,7 @@ object Compact {
     ScratchExport.once(s"compact:$dir") {
       val src = ensureFragmentedOrders(s, dir)
       val out = ScratchExport.scratchDir("graft-compact-")
-      val p = new Path(src)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val total = fs.listStatus(p).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(_.getLen).sum
-      compact(s, src, out, math.max(1L, total / 4L))
+      compact(s, src, out, math.max(1L, totalBytes(s, src) / 4L))
       out
     }
 

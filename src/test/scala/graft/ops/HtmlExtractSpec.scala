@@ -59,7 +59,16 @@ class HtmlExtractSpec extends AnyFunSuite {
       ("<nav class=\"top\" data-x='1'>menu</nav>kept", "kept"),
       ("<a href=\"/x\" title=\"t\">link</a>", "link"),
       ("a\t\tb\r\nc   d", "a b c d"),
-      ("<footer>f1</footer>mid<footer>f2</footer>", "mid") // non-greedy
+      ("<footer>f1</footer>mid<footer>f2</footer>", "mid"), // non-greedy
+      // tag-name boundary: <navbar>/<footer-nav> are NOT containers —
+      // their content survives (tags themselves strip) and they must
+      // not swallow text through a later real close tag
+      ("<navbar>A</navbar> keep <nav>B</nav> end", "A keep end"),
+      ("<footer-nav>menu</footer-nav>ok", "menu ok"),
+      // regex-tier contract: a self-closing <nav/> counts as an opener
+      // and pairs with the next </nav> (the documented stub boundary)
+      ("<nav/>chrome</nav>after", "after"),
+      ("<nav\n data-x=\"1\">multi\nline</nav>z", "z") // whitespace after name
     )
     val got = cases.map(_._1).toDF("html")
       .select(Corpus.htmlClean(col("html"))).as[String].collect()

@@ -9,8 +9,9 @@ import graft.SparkTestBase
   * the same two-direction carry): a driver-side brute force that picks
   * the nearest event by direct candidate scan — no union, no windows —
   * replicating the declared tie policy (equal distance → the earlier
-  * event; at-order-time events belong to the backward carry), plus the
-  * coverage properties of the user spaces. */
+  * event; at-order-time events belong to the FORWARD carry at dist 0 —
+  * the backward carry is strictly-after), plus the coverage properties
+  * of the user spaces. */
 class NearestEventSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val dir = SparkTestBase.Sf0001
