@@ -62,6 +62,35 @@ object PlanAudit {
         "after the 16-row centroid fan-out — meeting in a LeftSemi " +
         "hash join on (q_id, c_id) and an 8-row aggregate; the " +
         "embeddings parquet itself is never rescanned."),
+    "q214_ngram_surprisal" ->
+      ("**Look for:** ONE documents scan whose bigram `Generate` feeds " +
+        "THREE hash-aggregate subtrees (bigram model, context counts, " +
+        "per-doc usage) — usage pre-aggregated to (doc, w1, w2, k) " +
+        "BEFORE the model join so the join is N:1 with no fan-out; " +
+        "the surprisal is a codegen'd bin()-length projection, and NO " +
+        "window or driver collect appears anywhere."),
+    "q215_assoc_rules" ->
+      ("**Look for:** q200's pair core (one items exchange, second side " +
+        "ReusedExchange, p1<p2 inside the join condition) with the " +
+        "support-count table coming back as TWO BroadcastHashJoins " +
+        "(vocab-sized build), the directed expansion as a 2-row " +
+        "`Generate` per surviving pair, and every threshold an integer " +
+        "cross-multiplication — `TakeOrderedAndProject` tops the rules."),
+    "q216_cascade_delete" ->
+      ("**Look for:** exactly FOUR fact scans (customer, orders, " +
+        "lineitem, events) — one per audited table, q207's discipline — " +
+        "each under a single aggregate; the erasure cohort and the " +
+        "derived deleted-order key set ride as key-only join sides " +
+        "(left-semi for the derivation), with NO forced broadcast: the " +
+        "cohort is corpus-proportional, so AQE picks broadcast here and " +
+        "shuffle joins at 10⁹-customer scale."),
+    "q217_group_split" ->
+      ("**Look for:** the q100 connected-components prefix (per-round " +
+        "join + min-aggregate over the checkpointed edge list) " +
+        "terminating in a docs-sized LEFT join on doc_id, the split as " +
+        "one codegen'd md5/conv projection on the GROUP representative, " +
+        "and NO window — singletons coalesce to their own id without a " +
+        "second scan."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

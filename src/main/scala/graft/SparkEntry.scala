@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Affinity, Audit, BpeTrain, Corpus, Curation, Graph, Multimodal, NorthStar, ParseRoute, Relational, RuntimeFilter, Scalars, SketchRollup, TpchShapes, TrainingData}
+import graft.ops.{Affinity, Audit, BpeTrain, Corpus, Curation, Governance, Graph, Multimodal, NorthStar, ParseRoute, Relational, RuntimeFilter, Scalars, SketchRollup, TpchShapes, TrainingData}
 import graft.sink.{AvroQueries, BucketQueries, Compact, CsvQueries, Layout, MvRefresh, OrcQueries, PartitionedQueries, SchemaEvolution, ShardedExport, ZOrderQueries}
 import graft.sources.JsonlIngest
 import graft.sources.rfc.RfcQueries
@@ -36,7 +36,8 @@ object SparkEntry {
       OrcQueries.queries ++ CsvQueries.queries ++ AvroQueries.queries ++
       SchemaEvolution.queries ++ Compact.queries ++
       Multimodal.queries ++ RfcQueries.queries ++ SketchRollup.queries ++
-      JsonlIngest.queries ++ BpeTrain.queries ++ Graph.queries ++ Audit.queries
+      JsonlIngest.queries ++ BpeTrain.queries ++ Graph.queries ++ Audit.queries ++
+      Governance.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TpchShapes.oracle ++ ParseRoute.oracle ++ Scalars.oracle ++
@@ -48,5 +49,5 @@ object SparkEntry {
       SchemaEvolution.oracle ++ Compact.oracle ++
       RfcQueries.oracle ++
       SketchRollup.oracle ++ JsonlIngest.oracle ++ BpeTrain.oracle ++ Graph.oracle ++
-      Audit.oracle
+      Audit.oracle ++ Governance.oracle
 }

@@ -595,6 +595,48 @@ object Curation {
   def q106DupClustersStar(s: SparkSession, dir: String): DataFrame =
     dupClusters(s, dir, connectedComponentsStar)
 
+  /** q217: leakage-safe train/val/test split — the assignment every
+    * eval-honest training pipeline needs: a document's split is decided
+    * by its NEAR-DUP CLUSTER, not its own id, so two near-duplicates
+    * can never straddle train and test (the q89 hash-split leaks
+    * exactly that way — each doc hashes independently, and a near-dup
+    * pair lands in different splits with probability 1−Σpᵢ²; this is
+    * the contamination q95 then has to detect after the fact —
+    * assigning by cluster prevents it at split time).
+    *
+    * Mechanics: clusters are the q100 connected components over the q72
+    * MinHash candidate edges (min-doc-id root = the cluster's stable
+    * representative); singletons — docs in no candidate pair — are their
+    * own representative via a left join + coalesce. The representative's
+    * md5 ticket (the q89 discipline, applied once per GROUP) buckets
+    * 0-7/8/9 → train/val/test, so membership is engine-exact and
+    * re-running on a grown corpus moves a doc only if its CLUSTER
+    * changed.
+    *
+    * Scale shape: the CC rounds are the q100 machinery (join +
+    * min-aggregate per round, scalar-only driver traffic); the split
+    * itself is one docs-sized left join on doc_id plus a map-side hash
+    * projection. Output is docs-sized; GroupSplitSpec pins the
+    * no-straddle invariant and both leakage counterfactuals. */
+  def q217GroupSplit(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TrainingData.minhashPairs(s, dir)
+    val labels = connectedComponents(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+    T(s, dir, "documents").select("doc_id")
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("group_rep"))
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(concat('split:', " +
+          "cast(group_rep as string))), 1, 12), 16, 10) as bigint) % 10"))
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test"))
+      .select("doc_id", "group_rep", "split")
+      .orderBy("doc_id")
+  }
+
   /** Shared q100/q106 body: cluster the q72 MinHash candidate edges
     * with the given components routine, then summarize per cluster. */
   private def dupClusters(s: SparkSession, dir: String,
@@ -1152,6 +1194,7 @@ object Curation {
     "q105_curation_pipeline" -> q105CurationPipeline _,
     "q106_dup_clusters_star" -> q106DupClustersStar _,
     "q107_indexed_dedup" -> q107IndexedDedup _,
+    "q217_group_split" -> q217GroupSplit _,
   )
 
   /** One DuckDB ground truth for BOTH incremental-dedup shapes (q104
@@ -1190,6 +1233,21 @@ object Curation {
       |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q217: the SAME recursive-CTE clustering ground truth as q100/q106
+    // (shared CTEs — the clustering can never drift between the cluster
+    // report and the split), then the md5 ticket on the representative
+    "q217_group_split" ->
+      s"""WITH ${TrainingData.minhashPairsCtes},
+        |$ccCtes,
+        |g AS (SELECT d.doc_id, COALESCE(rec.root, d.doc_id) AS group_rep
+        |      FROM documents d LEFT JOIN rec ON d.doc_id = rec.node),
+        |tick AS (SELECT doc_id, group_rep,
+        |        ('0x' || substr(md5('split:' || group_rep::VARCHAR), 1, 12))::BIGINT % 10 AS bk
+        |      FROM g)
+        |SELECT doc_id, group_rep,
+        |       CASE WHEN bk < 8 THEN 'train' WHEN bk = 8 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM tick ORDER BY doc_id""".stripMargin,
     "q95_decontaminate" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |shl AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS s

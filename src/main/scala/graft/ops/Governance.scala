@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-governance operations — the compliance surface a warehouse (and
+  * every training-data store holding user-derived rows) runs on demand:
+  * right-to-be-forgotten delete propagation across the foreign-key
+  * graph, with an auditable per-table account of what a deletion batch
+  * touches BEFORE anything is rewritten.
+  */
+object Governance {
+
+  /** The deterministic deletion cohort: ~6% of customers (1/16), selected by
+    * the repo's md5-ticket discipline (`conv(md5, 16, 10) % 16 = 0` —
+    * the same hex-prefix BIGINT both engines compute identically).
+    * Stands in for the externally-supplied erasure list a real GDPR
+    * batch carries. */
+  private def delTicket(key: String): String =
+    s"cast(conv(substring(md5(concat('del:', cast($key as string))), 1, 12), " +
+      s"16, 10) as bigint) % 16 = 0"
+
+  /** q216: cascade-delete audit — given the customer erasure cohort,
+    * propagate it through the FK graph (customer → orders → lineitem;
+    * customer → events) and report, per table, how many rows the
+    * deletion batch removes and how many survive: `(tbl, n_rows,
+    * n_deleted, n_kept)`, one row per table. This is the dry-run every
+    * delete pipeline executes first — the counts are the audit record,
+    * and the surviving-row predicate is exactly the anti-join a
+    * subsequent rewrite applies.
+    *
+    * Scale shape: ONE scan per table (4 scans total, q207's
+    * one-sweep-per-table discipline — each count pair rides a single
+    * aggregate over a left join against a KEY-ONLY delete set).
+    * The key sets stay distributed end-to-end: customer keys are
+    * erasure-cohort-sized (~6%), the derived deleted-ORDER key set is
+    * produced by a semi-join and never touches the driver; joins are
+    * plain equi-joins Spark sizes itself (broadcast at this SF,
+    * shuffle-hash at 10⁹-customer scale — nothing is force-broadcast
+    * precisely because an erasure cohort over 100 TB customers is NOT
+    * driver-bounded). Output is 4 rows. */
+  def q216CascadeDelete(s: SparkSession, dir: String): DataFrame = {
+    def cnt(df: DataFrame, tbl: String, deleted: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(when(deleted, 1L).otherwise(0L)), lit(0L))
+            .as("n_deleted"))
+        .select(lit(tbl).as("tbl"), col("n_rows"), col("n_deleted"),
+          (col("n_rows") - col("n_deleted")).as("n_kept"))
+
+    val cust = T(s, dir, "customer")
+    val custDel = expr(delTicket("c_custkey"))
+    val delKeys = cust.filter(custDel).select(col("c_custkey").as("k"))
+
+    val orders = T(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val ordJoined = orders.join(delKeys, col("o_custkey") === col("k"), "left")
+    val ordDelKeys = orders
+      .join(delKeys, col("o_custkey") === col("k"), "left_semi")
+      .select(col("o_orderkey").as("ok"))
+
+    Seq(
+      cnt(cust, "customer", custDel),
+      cnt(ordJoined, "orders", col("k").isNotNull),
+      cnt(T(s, dir, "lineitem").select("l_orderkey")
+          .join(ordDelKeys, col("l_orderkey") === col("ok"), "left"),
+        "lineitem", col("ok").isNotNull),
+      cnt(T.events(s, dir).select("user_id")
+          .join(delKeys, col("user_id") === col("k"), "left"),
+        "events", col("k").isNotNull))
+      .reduce(_ unionByName _)
+      .orderBy("tbl")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_cascade_delete" -> q216CascadeDelete _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    // q216: the same md5-ticket cohort and FK propagation; counts are
+    // plain integer aggregates in both engines
+    "q216_cascade_delete" ->
+      """WITH del AS (
+        |  SELECT c_custkey AS k FROM customer
+        |  WHERE ('0x' || substr(md5('del:' || c_custkey::VARCHAR), 1, 12))::BIGINT % 16 = 0),
+        |odel AS (SELECT o_orderkey FROM orders
+        |         WHERE o_custkey IN (SELECT k FROM del)),
+        |rows AS (
+        |  SELECT 'customer' AS tbl, count(*) AS n_rows,
+        |    sum(CASE WHEN c_custkey IN (SELECT k FROM del) THEN 1 ELSE 0 END) AS n_deleted
+        |  FROM customer
+        |  UNION ALL SELECT 'orders', count(*),
+        |    sum(CASE WHEN o_custkey IN (SELECT k FROM del) THEN 1 ELSE 0 END)
+        |  FROM orders
+        |  UNION ALL SELECT 'lineitem', count(*),
+        |    sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM odel) THEN 1 ELSE 0 END)
+        |  FROM lineitem
+        |  UNION ALL SELECT 'events', count(*),
+        |    sum(CASE WHEN user_id IN (SELECT k FROM del) THEN 1 ELSE 0 END)
+        |  FROM events)
+        |SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_deleted AS BIGINT) AS n_deleted,
+        |       CAST(n_rows - n_deleted AS BIGINT) AS n_kept
+        |FROM rows ORDER BY tbl""".stripMargin,
+  )
+}

@@ -2314,6 +2314,52 @@ object TrainingData {
       .limit(20)
   }
 
+  /** q214: bigram-LM surprisal scoring — the KenLM-style fluency filter
+    * (score each document under an n-gram model trained on the corpus
+    * itself; gibberish and boilerplate score high-surprisal, fluent text
+    * low) made INTEGER-EXACT: a real LM uses −log p in floating nats,
+    * which no two engines sum identically, so the surprisal of a bigram
+    * here is the BIT-LENGTH log of its conditional probability's
+    * reciprocal — ⌊log₂ c(w₁·)⌋ − ⌊log₂ c(w₁w₂)⌋ bits, computed as
+    * `length(bin(c1)) − length(bin(c2))` (q211's exact integer ⌊log₂⌋;
+    * c₂ ≤ c₁ so bits ≥ 0). Whole-bit resolution is exactly what a
+    * quality FILTER needs — thresholds are coarse — and every sum,
+    * count, and floor-scaled mean is engine-independent BIGINT
+    * arithmetic.
+    *
+    * Scale shape: one explode of the token stream into bigram instances
+    * feeds (a) the model — two partial+final counts, bigram-vocab- and
+    * context-vocab-sized — and (b) per-doc usage, pre-aggregated to
+    * (doc, w₁, w₂, k) BEFORE the model join so the join is N:1 on the
+    * usage side with no fan-out; scoring is one shuffle join on the
+    * bigram key plus a per-doc sum. No window, no driver materialization
+    * anywhere; docs with fewer than 2 tokens drop by construction
+    * (documented: they have no bigram evidence to score). */
+  def q214NgramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val bg = T(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> " +
+          "struct(x AS w1, w[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cc = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val model = cb.join(cc, "w1")
+      .withColumn("bits",
+        (length(expr("bin(c1)")) - length(expr("bin(c2)"))).cast("long"))
+      .select("w1", "w2", "bits")
+    bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+      .join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_bigrams"),
+        sum(col("k") * col("bits")).as("surprisal_bits"))
+      .withColumn("mean_x1e4",
+        expr("surprisal_bits * 10000 div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   def q92SequencePack(s: SparkSession, dir: String): DataFrame =
     sequencePack(s, dir,
       size(expr("filter(split(text, ' '), x -> x != '')")).cast("long"))
@@ -2435,6 +2481,7 @@ object TrainingData {
     "q112_chunk_split" -> q112ChunkSplit _,
     "q113_bm25_rank" -> q113Bm25Rank _,
     "q209_rank_fusion" -> q209RankFusion _,
+    "q214_ngram_surprisal" -> q214NgramSurprisal _,
     "q129_weighted_sample" -> q129WeightedSample _,
     "q148_batch_topk" -> q148BatchTopk _,
     "q149_epoch_shuffle" -> q149EpochShuffle _,
@@ -2801,6 +2848,24 @@ object TrainingData {
       s"""WITH $bm25ScoreCtesSql
         |SELECT doc_id, round(score, 4) AS bm25
         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // q214: identical bit-length ⌊log₂⌋ surprisal (q211's bin() trick);
+    // 1-based list indexing — w[i], w[i+1] over i ∈ [1, len−1]
+    "q214_ngram_surprisal" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |bg AS (SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+        |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+        |       WHERE len(w) >= 2),
+        |cb AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |cc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |model AS (SELECT w1, w2, length(bin(c1)) - length(bin(c2)) AS bits
+        |          FROM cb JOIN cc USING (w1)),
+        |du AS (SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(k * bits) AS BIGINT) AS surprisal_bits,
+        |       CAST(sum(k * bits) * 10000 // sum(k) AS BIGINT) AS mean_x1e4
+        |FROM du JOIN model USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q112_chunk_split" ->
       s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
         |c AS (SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) > 0),
