@@ -91,6 +91,21 @@ object PlanAudit {
         "one codegen'd md5/conv projection on the GROUP representative, " +
         "and NO window — singletons coalesce to their own id without a " +
         "second scan."),
+    "q218_triangles" ->
+      ("**Look for:** equi-joins ONLY — the wedge enumeration as a " +
+        "self-join of the oriented edges on src, the closure as an " +
+        "equi-join on the (u, w) pair key against the checkpointed " +
+        "canonical edge list (Scan ExistingRDD — built once, read by " +
+        "orientation and closure), a 3-row corner Generate into a " +
+        "partial+final aggregate, and the 1-row total as the bounded " +
+        "broadcast crossJoin; no cartesian anywhere."),
+    "q219_ks_drift" ->
+      ("**Look for:** ONE documents scan collapsing to the distinct-" +
+        "value histogram with BOTH sides' counts as conditional sums, " +
+        "the two ecdf prefix scans as ScalableRank's checkpointed " +
+        "ExistingRDDs (never a single-task global window), the 1-row " +
+        "totals broadcast, and TakeOrderedAndProject limit 1 over the " +
+        "decimal(38,0) cross-multiplied numerator."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

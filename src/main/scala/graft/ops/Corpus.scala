@@ -297,6 +297,52 @@ object Corpus {
       .orderBy(col("dshare_bp").desc, col("word"))
   }
 
+  /** q219: two-sample Kolmogorov–Smirnov drift test on `n_chars`
+    * between the even-/odd-doc_id snapshot halves — the CONTINUOUS
+    * complement of q188's categorical TVD: TVD asks "did the token MIX
+    * move", KS asks "did a numeric DISTRIBUTION move, and at which
+    * value" (the length-distribution shift that signals a changed
+    * extractor or a new source). The statistic is exact end-to-end:
+    * D = max over distinct values of |F₁·n₂ − F₂·n₁| / (n₁·n₂), kept
+    * as the cross-multiplied NUMERATOR (decimal(38,0) — n₁·n₂ exceeds
+    * BIGINT at real corpus sizes, q188's discipline) until one final
+    * floor-scaled division; the argmax value reports WHERE the
+    * distributions diverge (tie → smallest value).
+    *
+    * Scale shape: one partial+final aggregate collapses the corpus to
+    * the DISTINCT-VALUE histogram with both sides' counts as
+    * conditional sums (one scan, q188's trick); the two ecdf prefix
+    * sums are ScalableRank.withGlobalCumsumExclusive passes — the
+    * distributed prefix-scan, never a single-task global window — and
+    * they run over the value-domain-bounded histogram, not the corpus;
+    * the totals are a 1-row broadcast crossJoin (bounded class) and
+    * the argmax is a TakeOrdered limit 1. Output is ONE row. */
+  def q219KsDrift(s: SparkSession, dir: String): DataFrame = {
+    val counts = T(s, dir, "documents")
+      .select(col("n_chars"), (col("doc_id") % 2).as("g"))
+      .groupBy("n_chars")
+      .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g") =!= 0, 1L).otherwise(0L)).as("c2"))
+    val cum = ScalableRank.withGlobalCumsumExclusive(
+      ScalableRank.withGlobalCumsumExclusive(
+        counts, col("c1"), "p1", col("n_chars")),
+      col("c2"), "p2", col("n_chars"))
+    val totals = counts.agg(
+      sum("c1").cast("decimal(38,0)").as("n1"),
+      sum("c2").cast("decimal(38,0)").as("n2"))
+    cum.crossJoin(broadcast(totals)) // 1-row totals
+      .withColumn("f1", (col("p1") + col("c1")).cast("decimal(38,0)"))
+      .withColumn("f2", (col("p2") + col("c2")).cast("decimal(38,0)"))
+      .withColumn("d_num", abs(col("f1") * col("n2") - col("f2") * col("n1")))
+      .orderBy(col("d_num").desc, col("n_chars"))
+      .limit(1)
+      .select(col("n1").cast("long").as("n1"),
+        col("n2").cast("long").as("n2"),
+        col("n_chars").as("at_value"),
+        expr("cast(CASE WHEN n1 * n2 = 0 THEN 10000 ELSE " +
+          "(d_num * 10000) div (n1 * n2) END as long)").as("d_bp"))
+  }
+
   /** q202: robust daily-volume anomaly detection — the ingest guard a
     * production pipeline runs BEFORE training on a day's data ("did a
     * source silently double, halve, or vanish?"): per event type, flag
@@ -430,6 +476,7 @@ object Corpus {
     "q205_html_extract" -> q205HtmlExtract _,
     "q202_volume_anomaly" -> q202VolumeAnomaly _,
     "q188_token_drift" -> q188TokenDrift _,
+    "q219_ks_drift" -> q219KsDrift _,
     "q118_source_overlap" -> q118SourceOverlap _,
     "q123_segment_dedup" -> q123SegmentDedup _,
     "q130_mix_pipeline" -> q130MixPipeline _,
@@ -497,6 +544,27 @@ object Corpus {
         |FROM d JOIN mad USING (event_type)
         |WHERE 2 * d.dev > 5 * greatest(mad.mad, 1)
         |ORDER BY 1, 2""".stripMargin,
+    // q219: identical cross-multiplied ecdf numerators (HUGEINT mirrors
+    // decimal(38,0)); window cumsum here vs the distributed prefix scan
+    // on the Spark side — identical integers either way
+    "q219_ks_drift" ->
+      """WITH c AS (SELECT n_chars,
+        |        sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c1,
+        |        sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS c2
+        |      FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(c1) AS HUGEINT) AS n1,
+        |             CAST(sum(c2) AS HUGEINT) AS n2 FROM c),
+        |f AS (SELECT n_chars,
+        |        CAST(sum(c1) OVER (ORDER BY n_chars) AS HUGEINT) AS f1,
+        |        CAST(sum(c2) OVER (ORDER BY n_chars) AS HUGEINT) AS f2
+        |      FROM c),
+        |d AS (SELECT n_chars, abs(f1 * t.n2 - f2 * t.n1) AS d_num, t.n1, t.n2
+        |      FROM f, t)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |       n_chars AS at_value,
+        |       CAST(CASE WHEN n1 * n2 = 0 THEN 10000 ELSE
+        |            (d_num * 10000) // (n1 * n2) END AS BIGINT) AS d_bp
+        |FROM d ORDER BY d_num DESC, n_chars LIMIT 1""".stripMargin,
     "q188_token_drift" ->
       // HUGEINT mirrors Spark's decimal(38,0): the cross-multiplied
       // integers stay exact, `//` matches Spark's integral `div`

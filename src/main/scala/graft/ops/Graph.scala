@@ -86,8 +86,72 @@ object Graph {
       .limit(20)
   }
 
+  /** q218: triangle counting over the co-purchase graph (q200's part
+    * pairs with support ≥ 2 as undirected edges) — the graph-analytics
+    * primitive behind clustering coefficients, community seeds, and
+    * recommendation strength ("parts bought together in threes").
+    *
+    * The scale discipline is DEGREE ORIENTATION (the classic
+    * MapReduce-triangles move): orient every edge from its
+    * lower-(degree, id) endpoint to the higher one, enumerate wedges
+    * only at each edge's SOURCE (out-neighbor pairs), and close each
+    * wedge against the canonical undirected edge set. The orientation
+    * is acyclic and total, so every triangle is generated EXACTLY once
+    * (at its unique minimum corner) — no /3 correction, no duplicate
+    * set — and out-degrees are bounded by O(√m) regardless of hub
+    * skew: a hot part with 10⁶ neighbors contributes wedges only from
+    * the rare nodes that point AT it, never 10¹² pairs from its own
+    * adjacency (the c² trap q79 caps the same way).
+    *
+    * Joins are all equi-joins (wedge enumeration self-joins oriented
+    * edges on src; closure probes on the (u, w) pair key); per-node
+    * counts explode 3 corner rows per triangle into a partial+final
+    * aggregate; the 1-row global total rides every row via the bounded
+    * broadcast crossJoin (q188's class). Output: top-20 parts by
+    * triangle participation. */
+  def q218Triangles(s: SparkSession, dir: String): DataFrame = {
+    val items = T(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val right = items.select(col("ok").as("ok2"), col("pk").as("p2"))
+    // canonical undirected edges, p1 < p2
+    val edges = items.select(col("ok"), col("pk").as("p1"))
+      .join(right, col("ok") === col("ok2") && col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select("p1", "p2")
+      .localCheckpoint(true) // both the orientation and the closure probe read it
+    val deg = edges.select(col("p1").as("v"))
+      .union(edges.select(col("p2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // src = the lower endpoint in (degree, id) order; p1 < p2 already,
+    // so the degree tie resolves to p1
+    val oriented = edges
+      .join(deg.select(col("v").as("p1"), col("d").as("d1")), "p1")
+      .join(deg.select(col("v").as("p2"), col("d").as("d2")), "p2")
+      .select(when(col("d1") <= col("d2"), col("p1")).otherwise(col("p2"))
+          .as("src"),
+        when(col("d1") <= col("d2"), col("p2")).otherwise(col("p1"))
+          .as("dst"))
+    val o2 = oriented.select(col("src").as("src2"), col("dst").as("dst2"))
+    val wedges = oriented
+      .join(o2, col("src") === col("src2") && col("dst") < col("dst2"))
+      .select(col("src").as("apex"), col("dst").as("u"), col("dst2").as("w"))
+    val tri = wedges
+      .join(edges, col("u") === col("p1") && col("w") === col("p2"))
+      .select("apex", "u", "w")
+      .localCheckpoint(true) // total + per-node both read it
+    val total = tri.agg(count(lit(1)).as("n_triangles"))
+    tri.select(explode(array(col("apex"), col("u"), col("w"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_tri"))
+      .crossJoin(broadcast(total)) // 1-row global total rides every row
+      .orderBy(col("n_tri").desc, col("part"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_pagerank" -> q196PageRank _,
+    "q218_triangles" -> q218Triangles _,
   )
 
   /** One unrolled integer PageRank iteration (mirrors the Spark loop
@@ -104,6 +168,26 @@ object Graph {
        |        FROM n LEFT JOIN ctr$t c ON n.node = c.node),""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q218: the SEMANTIC ground truth — x<y<z three-way join, no
+    // orientation (degree orientation is the Spark-side scale device;
+    // the triangle SET is identical by construction)
+    "q218_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |               FROM lineitem),
+        |e AS (SELECT a.pk AS p1, b.pk AS p2
+        |      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT e1.p1 AS x, e1.p2 AS y, e2.p2 AS z
+        |        FROM e e1
+        |        JOIN e e2 ON e2.p1 = e1.p2
+        |        JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri),
+        |c AS (SELECT part, count(*) AS n_tri
+        |      FROM (SELECT unnest([x, y, z]) AS part FROM tri)
+        |      GROUP BY 1)
+        |SELECT part, CAST(n_tri AS BIGINT) AS n_tri, tot.n_triangles
+        |FROM c, tot
+        |ORDER BY n_tri DESC, part LIMIT 20""".stripMargin,
     "q196_pagerank" ->
       s"""WITH le AS (SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
         |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

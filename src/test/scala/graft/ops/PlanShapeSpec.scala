@@ -118,10 +118,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "q195_ivfpq",           // 16-row persisted centroid table in the
                               // probe's assignRanked (q152 class); the
                               // codes join itself is an equi hash join
-      "q213_ann_recall")      // 8-row query batch broadcast on the
+      "q213_ann_recall",      // 8-row query batch broadcast on the
                               // exact side (q148 class): recall is BY
                               // DESIGN measured against a bounded
                               // sampled batch, never corpus queries
+      "q218_triangles",       // 1-row global triangle total rides every
+                              // row (q188's totals class)
+      "q219_ks_drift")        // 1-row (n1, n2) totals broadcast
+                              // (q127/q188 class)
     for ((name, fn) <- graft.SparkEntry.queries if !oneRowCross(name)) {
       val plan = fn(spark, SparkTestBase.Sf0001)
         .queryExecution.executedPlan.toString
