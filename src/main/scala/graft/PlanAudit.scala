@@ -63,27 +63,32 @@ object PlanAudit {
         "hash join on (q_id, c_id) and an 8-row aggregate; the " +
         "embeddings parquet itself is never rescanned."),
     "q214_ngram_surprisal" ->
-      ("**Look for:** ONE documents scan whose bigram `Generate` feeds " +
-        "THREE hash-aggregate subtrees (bigram model, context counts, " +
-        "per-doc usage) — usage pre-aggregated to (doc, w1, w2, k) " +
-        "BEFORE the model join so the join is N:1 with no fan-out; " +
-        "the surprisal is a codegen'd bin()-length projection, and NO " +
+      ("**Look for:** NO documents parquet scan — the tokenize + bigram " +
+        "explode materialized ONCE as the checkpointed Scan ExistingRDD " +
+        "that all three consumers (bigram model, context counts, per-doc " +
+        "usage) read; usage pre-aggregated to (doc, w1, w2, k) BEFORE " +
+        "the model join so the join is N:1 with no fan-out; the " +
+        "surprisal is a codegen'd bin()-length projection, and NO " +
         "window or driver collect appears anywhere."),
     "q215_assoc_rules" ->
-      ("**Look for:** q200's pair core (one items exchange, second side " +
-        "ReusedExchange, p1<p2 inside the join condition) with the " +
-        "support-count table coming back as TWO BroadcastHashJoins " +
-        "(vocab-sized build), the directed expansion as a 2-row " +
-        "`Generate` per surviving pair, and every threshold an integer " +
-        "cross-multiplication — `TakeOrderedAndProject` tops the rules."),
+      ("**Look for:** NO lineitem parquet scan — the deduped items are " +
+        "one checkpointed Scan ExistingRDD feeding both self-join sides " +
+        "(p1<p2 inside the join condition) and the support count (itself " +
+        "checkpointed: the enrichment reads it twice), which comes back " +
+        "as TWO BroadcastHashJoins; the directed expansion is a 2-row " +
+        "`Generate` per surviving pair, the lift arithmetic is " +
+        "decimal(38,0) end-to-end, and `TakeOrderedAndProject` tops the " +
+        "rules."),
     "q216_cascade_delete" ->
-      ("**Look for:** exactly FOUR fact scans (customer, orders, " +
-        "lineitem, events) — one per audited table, q207's discipline — " +
-        "each under a single aggregate; the erasure cohort and the " +
-        "derived deleted-order key set ride as key-only join sides " +
-        "(left-semi for the derivation), with NO forced broadcast: the " +
-        "cohort is corpus-proportional, so AQE picks broadcast here and " +
-        "shuffle joins at 10⁹-customer scale."),
+      ("**Look for:** FIVE parquet scans — one audit scan per table " +
+        "(customer, orders, lineitem, events; q207's discipline) plus " +
+        "the one extra orders scan for the deleted-key semi-join; the " +
+        "cohort build ran eagerly into the delKeys checkpoint (one " +
+        "customer scan OUTSIDE this plan), so its three probe joins all " +
+        "read the same ExistingRDD — never one customer re-scan per " +
+        "branch; NO forced broadcast: the cohort is corpus-" +
+        "proportional, so AQE picks broadcast here and shuffle joins " +
+        "at 10⁹-customer scale."),
     "q217_group_split" ->
       ("**Look for:** the q100 connected-components prefix (per-round " +
         "join + min-aggregate over the checkpointed edge list) " +
@@ -92,20 +97,22 @@ object PlanAudit {
         "and NO window — singletons coalesce to their own id without a " +
         "second scan."),
     "q218_triangles" ->
-      ("**Look for:** equi-joins ONLY — the wedge enumeration as a " +
-        "self-join of the oriented edges on src, the closure as an " +
-        "equi-join on the (u, w) pair key against the checkpointed " +
-        "canonical edge list (Scan ExistingRDD — built once, read by " +
-        "orientation and closure), a 3-row corner Generate into a " +
-        "partial+final aggregate, and the 1-row total as the bounded " +
-        "broadcast crossJoin; no cartesian anywhere."),
+      ("**Look for:** NO parquet scan and NO cartesian — the whole " +
+        "edge→orient→wedge→closure pipeline ran eagerly into the `tri` " +
+        "checkpoint (equi-joins only, enforced upstream; the final plan " +
+        "deliberately shows just its consumers), so what remains is the " +
+        "two `tri` ExistingRDD reads: a 3-row corner Generate into a " +
+        "partial+final aggregate, and the 1-row global total as the " +
+        "bounded broadcast crossJoin."),
     "q219_ks_drift" ->
-      ("**Look for:** ONE documents scan collapsing to the distinct-" +
-        "value histogram with BOTH sides' counts as conditional sums, " +
-        "the two ecdf prefix scans as ScalableRank's checkpointed " +
-        "ExistingRDDs (never a single-task global window), the 1-row " +
-        "totals broadcast, and TakeOrderedAndProject limit 1 over the " +
-        "decimal(38,0) cross-multiplied numerator."),
+      ("**Look for:** NO documents parquet scan — the corpus collapsed " +
+        "into the distinct-value histogram inside the eager prefix " +
+        "passes (the second pass consumes the first's checkpoint, so " +
+        "ONE ExistingRDD remains), totals aggregated from that same " +
+        "checkpoint (never a corpus re-scan) as the 1-row broadcast, " +
+        "and TakeOrderedAndProject limit 1 over the decimal(38,0) " +
+        "cross-multiplied numerator; no single-task global window " +
+        "anywhere."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

@@ -318,8 +318,12 @@ object Corpus {
     * the totals are a 1-row broadcast crossJoin (bounded class) and
     * the argmax is a TakeOrdered limit 1. Output is ONE row. */
   def q219KsDrift(s: SparkSession, dir: String): DataFrame = {
+    // NULL values carry no distribution evidence and would split the
+    // sort-order contract (Spark seats NULLs first, DuckDB's window
+    // default last) — excluded identically in both engines
     val counts = T(s, dir, "documents")
       .select(col("n_chars"), (col("doc_id") % 2).as("g"))
+      .filter(col("n_chars").isNotNull)
       .groupBy("n_chars")
       .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("c1"),
         sum(when(col("g") =!= 0, 1L).otherwise(0L)).as("c2"))
@@ -327,7 +331,9 @@ object Corpus {
       ScalableRank.withGlobalCumsumExclusive(
         counts, col("c1"), "p1", col("n_chars")),
       col("c2"), "p2", col("n_chars"))
-    val totals = counts.agg(
+    // totals from the CHECKPOINTED histogram — summing `counts` itself
+    // would re-scan the corpus for numbers `cum` already carries
+    val totals = cum.agg(
       sum("c1").cast("decimal(38,0)").as("n1"),
       sum("c2").cast("decimal(38,0)").as("n2"))
     cum.crossJoin(broadcast(totals)) // 1-row totals
@@ -551,7 +557,7 @@ object Corpus {
       """WITH c AS (SELECT n_chars,
         |        sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c1,
         |        sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS c2
-        |      FROM documents GROUP BY 1),
+        |      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
         |t AS (SELECT CAST(sum(c1) AS HUGEINT) AS n1,
         |             CAST(sum(c2) AS HUGEINT) AS n2 FROM c),
         |f AS (SELECT n_chars,

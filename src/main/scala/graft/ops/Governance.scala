@@ -29,13 +29,15 @@ object Governance {
     * and the surviving-row predicate is exactly the anti-join a
     * subsequent rewrite applies.
     *
-    * Scale shape: ONE scan per table (4 scans total, q207's
-    * one-sweep-per-table discipline — each count pair rides a single
-    * aggregate over a left join against a KEY-ONLY delete set).
-    * The key sets stay distributed end-to-end: customer keys are
-    * erasure-cohort-sized (~6%), the derived deleted-ORDER key set is
-    * produced by a semi-join and never touches the driver; joins are
-    * plain equi-joins Spark sizes itself (broadcast at this SF,
+    * Scale shape: ONE audit scan per table plus exactly two derivation
+    * passes — the cohort build (one customer scan, localCheckpointed so
+    * the three consumers read the materialized key set instead of
+    * re-scanning customer each) and the deleted-order key derivation
+    * (one orders scan) — six scans total, q207's one-sweep-per-table
+    * discipline. The key sets stay distributed end-to-end: customer
+    * keys are erasure-cohort-sized (~6%), the derived deleted-ORDER key
+    * set is produced by a semi-join and never touches the driver; joins
+    * are plain equi-joins Spark sizes itself (broadcast at this SF,
     * shuffle-hash at 10⁹-customer scale — nothing is force-broadcast
     * precisely because an erasure cohort over 100 TB customers is NOT
     * driver-bounded). Output is 4 rows. */
@@ -50,6 +52,7 @@ object Governance {
     val cust = T(s, dir, "customer")
     val custDel = expr(delTicket("c_custkey"))
     val delKeys = cust.filter(custDel).select(col("c_custkey").as("k"))
+      .localCheckpoint(true) // 3 consumers — build the cohort ONCE
 
     val orders = T(s, dir, "orders").select("o_orderkey", "o_custkey")
     val ordJoined = orders.join(delKeys, col("o_custkey") === col("k"), "left")

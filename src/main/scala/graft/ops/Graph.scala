@@ -110,15 +110,10 @@ object Graph {
     * broadcast crossJoin (q188's class). Output: top-20 parts by
     * triangle participation. */
   def q218Triangles(s: SparkSession, dir: String): DataFrame = {
-    val items = T(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val right = items.select(col("ok").as("ok2"), col("pk").as("p2"))
-    // canonical undirected edges, p1 < p2
-    val edges = items.select(col("ok"), col("pk").as("p1"))
-      .join(right, col("ok") === col("ok2") && col("p1") < col("p2"))
-      .groupBy("p1", "p2").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
+    // canonical undirected edges, p1 < p2 — the SHARED co-purchase core
+    // (Affinity.basketItems/pairCounts), support floor 2
+    val edges = Affinity.pairCounts(Affinity.basketItems(s, dir))
+      .filter(col("n_pair") >= 2)
       .select("p1", "p2")
       .localCheckpoint(true) // both the orientation and the closure probe read it
     val deg = edges.select(col("p1").as("v"))
@@ -172,11 +167,9 @@ object Graph {
     // orientation (degree orientation is the Spark-side scale device;
     // the triangle SET is identical by construction)
     "q218_triangles" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |               FROM lineitem),
-        |e AS (SELECT a.pk AS p1, b.pk AS p2
-        |      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
-        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      s"""WITH ${Affinity.itemsCte},
+        |${Affinity.pairCte(2)},
+        |e AS (SELECT p1, p2 FROM p),
         |tri AS (SELECT e1.p1 AS x, e1.p2 AS y, e2.p2 AS z
         |        FROM e e1
         |        JOIN e e2 ON e2.p1 = e1.p2

@@ -2327,14 +2327,17 @@ object TrainingData {
     * count, and floor-scaled mean is engine-independent BIGINT
     * arithmetic.
     *
-    * Scale shape: one explode of the token stream into bigram instances
-    * feeds (a) the model — two partial+final counts, bigram-vocab- and
-    * context-vocab-sized — and (b) per-doc usage, pre-aggregated to
-    * (doc, w₁, w₂, k) BEFORE the model join so the join is N:1 on the
-    * usage side with no fan-out; scoring is one shuffle join on the
-    * bigram key plus a per-doc sum. No window, no driver materialization
-    * anywhere; docs with fewer than 2 tokens drop by construction
-    * (documented: they have no bigram evidence to score). */
+    * Scale shape: the tokenize + bigram explode is materialized ONCE
+    * (localCheckpoint — the q218 edges pattern; without it each of the
+    * three consumers would re-instantiate the corpus-sized explode,
+    * tripling the dominant cost) and feeds (a) the model — two
+    * partial+final counts, bigram-vocab- and context-vocab-sized — and
+    * (b) per-doc usage, pre-aggregated to (doc, w₁, w₂, k) BEFORE the
+    * model join so the join is N:1 on the usage side with no fan-out;
+    * scoring is one shuffle join on the bigram key plus a per-doc sum.
+    * No window, no driver materialization anywhere; docs with fewer
+    * than 2 tokens drop by construction (documented: they have no
+    * bigram evidence to score). */
   def q214NgramSurprisal(s: SparkSession, dir: String): DataFrame = {
     val bg = T(s, dir, "documents")
       .select(col("doc_id"),
@@ -2344,6 +2347,7 @@ object TrainingData {
         "transform(slice(w, 1, size(w) - 1), (x, i) -> " +
           "struct(x AS w1, w[i + 1] AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      .localCheckpoint(true) // three consumers, ONE corpus explode
     val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val cc = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val model = cb.join(cc, "w1")
