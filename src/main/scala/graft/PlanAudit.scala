@@ -113,6 +113,25 @@ object PlanAudit {
         "and TakeOrderedAndProject limit 1 over the decimal(38,0) " +
         "cross-multiplied numerator; no single-task global window " +
         "anywhere."),
+    "q220_manifest_prune" ->
+      ("**Look for:** the ranged-orders FileScan whose file list is the " +
+        "PRUNED subset (ManifestSpec pins it == prunedFiles exactly; " +
+        "the manifest consultation itself ran at plan build, driver-" +
+        "side over the file-count-sized metadata table), the row " +
+        "predicate still applied above the scan (stats prune files, " +
+        "never replace the filter), and one partial+final aggregate."),
+    "q221_time_travel" ->
+      ("**Look for:** ONE orders scan feeding the op-array Generate and " +
+        "then the visible-version `Generate explode(sequence(seq, 2))` " +
+        "(bounded ≤3 fan-out) into a single partial+final max_by " +
+        "aggregate on (as_of, k) — never one scan or one aggregate per " +
+        "version; the tombstone filter is a post-aggregate projection."),
+    "q222_rolling_distinct" ->
+      ("**Look for:** the distinct (day, user) aggregate FIRST (event " +
+        "volume collapses before any fan-out), a bounded 7-row " +
+        "`Generate explode(sequence(day, day+6))`, a second distinct on " +
+        "(window, user), and partial+final counts — NO range join " +
+        "against an event-sized side and no window function anywhere."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

@@ -461,7 +461,11 @@ object Curation {
     * the key — NO per-key window, no sort; the tombstone filter is a
     * post-aggregate projection. At 100 TB this is the standard
     * log-to-snapshot job: one shuffle of (key, latest-op) cells. */
-  def q183CdcCompact(s: SparkSession, dir: String): DataFrame =
+  /** The derived CDC log fixture shared by q183 (latest compaction) and
+    * q221 (time travel): per order an INSERT at seq 0, an UPDATE
+    * (+10.00) at seq 1 for keys ≡ 0 (mod 5), a DELETE at seq 2 for
+    * keys ≡ 0 (mod 7) — `(k, e.seq, e.op, e.price)` rows. */
+  private def cdcLog(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_totalprice"))
       .select(col("k"), explode(expr(
@@ -472,6 +476,9 @@ object Curation {
           |  x -> x.seq = 0 OR (x.seq = 1 AND k % 5 = 0)
           |               OR (x.seq = 2 AND k % 7 = 0))""".stripMargin))
         .as("e"))
+
+  def q183CdcCompact(s: SparkSession, dir: String): DataFrame =
+    cdcLog(s, dir)
       .groupBy("k")
       .agg(count(lit(1)).as("n_ops"),
         max_by(col("e.op"), col("e.seq")).as("_op"),
@@ -480,6 +487,36 @@ object Curation {
       .select(col("k").as("o_orderkey"), col("n_ops"),
         expr("cast(round(_price * 100) as bigint)").as("price_c2"))
       .orderBy("o_orderkey")
+
+  /** q221: time-travel read — the versioned-table `AS OF` every
+    * lakehouse ships (Delta/Iceberg snapshot reads): reconstruct the
+    * compacted snapshot at EVERY version of the q183 CDC log in one
+    * query — `(as_of, o_orderkey, n_ops, price_c2)`, where version v
+    * sees exactly the ops with seq ≤ v.
+    *
+    * Scale shape: ONE log scan — each op row explodes to the versions
+    * it is visible in (`sequence(seq, maxSeq)`, a bounded ≤3-row
+    * Generate; generally ≤|versions|) — then q183's max_by compaction
+    * runs per (as_of, key) in a single partial+final aggregate. That
+    * beats the naive per-version recompute (V log scans) and mirrors
+    * how a real snapshot reader materializes multiple versions in one
+    * pass. The tombstone filter applies per version, so a key deleted
+    * at v2 still appears in the v0/v1 snapshots — exactly the
+    * time-travel contract. The oracle recomputes each version's
+    * snapshot INDEPENDENTLY from the base table (semantic ground
+    * truth, never mirroring the explode). */
+  def q221TimeTravel(s: SparkSession, dir: String): DataFrame =
+    cdcLog(s, dir)
+      .select(col("k"), col("e"),
+        explode(expr("sequence(e.seq, 2)")).as("as_of"))
+      .groupBy("as_of", "k")
+      .agg(count(lit(1)).as("n_ops"),
+        max_by(col("e.op"), col("e.seq")).as("_op"),
+        max_by(col("e.price"), col("e.seq")).as("_price"))
+      .filter(col("_op") =!= "D")
+      .select(col("as_of"), col("k").as("o_orderkey"), col("n_ops"),
+        expr("cast(round(_price * 100) as bigint)").as("price_c2"))
+      .orderBy("as_of", "o_orderkey")
 
   /** The q98 core on any `(o_custkey, o_orderstatus, o_orderdate,
     * o_orderkey)` frame — separated so CurationProps can cross-check the
@@ -1179,6 +1216,7 @@ object Curation {
     "q178_best_of_cluster" -> q178BestOfCluster _,
     "q181_selection_pipeline" -> q181SelectionPipeline _,
     "q183_cdc_compact" -> q183CdcCompact _,
+    "q221_time_travel" -> q221TimeTravel _,
     "q96_repetition_signals" -> q96RepetitionSignals _,
     "q97_source_rebalance" -> q97SourceRebalance _,
     "q98_scd2_merge" -> q98Scd2Merge _,
@@ -1287,6 +1325,27 @@ object Curation {
         |      row_number() OVER (PARTITION BY doc_id ORDER BY n_shared DESC, eval_doc) AS rn
         |      FROM pairs)
         |SELECT doc_id, eval_doc, n_shared FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // q221: each version's snapshot recomputed INDEPENDENTLY from the
+    // base table and the %5/%7 rules — the oracle never mirrors the
+    // version-explode mechanics (q183's semantic-oracle discipline)
+    "q221_time_travel" ->
+      """SELECT CAST(0 AS INT) AS as_of, o_orderkey,
+        |       CAST(1 AS BIGINT) AS n_ops,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c2
+        |FROM orders
+        |UNION ALL
+        |SELECT 1, o_orderkey,
+        |       CAST(1 + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS BIGINT),
+        |       CAST(round((o_totalprice
+        |            + CASE WHEN o_orderkey % 5 = 0 THEN 10 ELSE 0 END) * 100) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 2, o_orderkey,
+        |       CAST(1 + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS BIGINT),
+        |       CAST(round((o_totalprice
+        |            + CASE WHEN o_orderkey % 5 = 0 THEN 10 ELSE 0 END) * 100) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |ORDER BY as_of, o_orderkey""".stripMargin,
     "q183_cdc_compact" ->
       // SEMANTIC oracle: the expected snapshot recomputed from the base
       // table, never mirroring the log/compaction mechanics

@@ -456,6 +456,41 @@ object NorthStar {
       .orderBy("b")
   }
 
+  /** q222: rolling 7-day distinct users — the WAU/rolling-reach metric
+    * every analytics stack reports: for each day with events, the EXACT
+    * count of distinct users active in the trailing 7-day window
+    * [d−6, d]. Exact sliding distinct does not decompose (per-day
+    * distinct counts cannot be merged), so the scale-safe formulation
+    * is CONTRIBUTION EXPLODE, not a range join: collapse events to
+    * distinct (day, user) once, explode each to the ≤7 window days it
+    * serves (`sequence(day, day+6)` — a bounded Generate, q169's
+    * hopping-window lowering), dedup (window, user), and count per
+    * window — every stage a partial+final aggregate on bounded fan-out.
+    * A range join (`e.day BETWEEN d.day−6 AND d.day`) re-reads each
+    * event row once per covered window through a join; the explode
+    * emits exactly the same pairs in one pass with no join at all. The
+    * oracle deliberately RUNS the range-join formulation — a hash match
+    * proves the two lowerings equivalent. Reported days are restricted
+    * to days that themselves have events (the semi-join), so no
+    * phantom trailing windows appear after the last event. Output is
+    * calendar-bounded. */
+  def q222RollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val dayUsers = T.events(s, dir)
+      .select(expr(s"tus div $DayUs").as("day"), col("user_id"))
+      .distinct()
+    val days = dayUsers.select(col("day").as("wday")).distinct()
+    dayUsers
+      .select(explode(expr("sequence(day, day + 6)")).as("wday"),
+        col("user_id"))
+      .distinct()
+      .join(days, "wday") // report only days that have events
+      .groupBy("wday")
+      .agg(count(lit(1)).as("users_7d"))
+      .select((col("wday") * DayUs).as("day_us"), col("users_7d"))
+      .orderBy("day_us")
+  }
+
   /** q212: nearest-event temporal alignment — for every order, the
     * event of the SAME user closest in time to the order date (the
     * sensor-fusion / feature-lookup join: "attach the nearest reading
@@ -526,6 +561,7 @@ object NorthStar {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q211_gap_histogram" -> q211GapHistogram _,
+    "q222_rolling_distinct" -> q222RollingDistinct _,
     "q212_nearest_event" -> q212NearestEvent _,
     "q70_dedup_exact" -> q70DedupExact _,
     "q199_concurrency_peak" -> q199ConcurrencyPeak _,
@@ -547,6 +583,17 @@ object NorthStar {
 
   val oracle: Map[String, String] = Map(
     // q211: identical integer log2 via bit length of bin(); zero gaps
+    // q222: the oracle runs the OTHER lowering — a range join over the
+    // distinct (day, user) pairs — so a hash match proves the explode
+    // and the range join compute the same windows
+    "q222_rolling_distinct" ->
+      """WITH e AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        |           FROM events),
+        |d AS (SELECT DISTINCT day FROM e)
+        |SELECT d.day * 86400000000 AS day_us,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS users_7d
+        |FROM d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // in bucket -1
     "q211_gap_histogram" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
