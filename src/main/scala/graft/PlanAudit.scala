@@ -127,11 +127,21 @@ object PlanAudit {
         "aggregate on (as_of, k) — never one scan or one aggregate per " +
         "version; the tombstone filter is a post-aggregate projection."),
     "q222_rolling_distinct" ->
-      ("**Look for:** the distinct (day, user) aggregate FIRST (event " +
-        "volume collapses before any fan-out), a bounded 7-row " +
-        "`Generate explode(sequence(day, day+6))`, a second distinct on " +
-        "(window, user), and partial+final counts — NO range join " +
-        "against an event-sized side and no window function anywhere."),
+      ("**Look for:** NO events parquet scan — the distinct (day, user) " +
+        "collapse ran eagerly into the checkpoint both consumers read " +
+        "(the explode and the event-days restriction), then a bounded " +
+        "7-row `Generate explode(sequence(day, day+6))`, a second " +
+        "distinct on (window, user), and partial+final counts — NO " +
+        "range join against an event-sized side and no window function " +
+        "anywhere."),
+    "q223_weighted_quantile" ->
+      ("**Look for:** NO per-source Window — the per-(source, value) " +
+        "weight collapse is a plain partial+final aggregate, the " +
+        "cumulative weights come from ScalableRank's checkpointed " +
+        "prefix scan (ExistingRDD), the per-source (base, W) table " +
+        "joins back as a small broadcast, and BOTH quantiles fall out " +
+        "of one min(when(...)) aggregate — one pass, source-count-" +
+        "sized output."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

@@ -198,12 +198,70 @@ object Audit {
       .orderBy("source")
   }
 
+  /** q223: WEIGHTED quantiles per source — the mass-weighted companion
+    * of q208's row quantiles: "the document length below which half /
+    * 90% of the source's TOKEN MASS sits". Row quantiles mislead on
+    * skewed corpora (a million tiny docs dominate the row count while
+    * a few huge docs hold the mass — the context-window and storage
+    * questions are about MASS); every token-budget decision (q150's
+    * mixes, q112's chunking) wants the weighted form.
+    *
+    * Definition (exact, both engines): the weighted lower p-quantile is
+    * the SMALLEST value v whose inclusive cumulative weight reaches
+    * p·W, decided by integer cross-multiplication — `2·cum ≥ W` (p50),
+    * `10·cum ≥ 9·W` (p90) — never a division.
+    *
+    * Scale shape: q208's lesson with a weight column — collapse to the
+    * per-(source, value) weight first (vocab-of-values-sized), ONE
+    * ScalableRank global EXCLUSIVE cumsum over the composite
+    * (source, n_chars) key (the distributed prefix scan — never a
+    * per-source window on a low-cardinality key), per-source offsets
+    * and totals via a broadcast (base, W) table (q208's min-base
+    * trick applied to weight), then one aggregate picks both quantile
+    * values with min(when(...)). Output is source-count-sized. */
+  def q223WeightedQuantile(s: SparkSession, dir: String): DataFrame = {
+    val byValue = T(s, dir, "documents")
+      .select(col("source"), col("n_chars"),
+        expr("cast(size(filter(split(text, ' '), x -> x != '')) as long)")
+          .as("w"))
+      .groupBy("source", "n_chars").agg(sum("w").as("sw"))
+    val cum = ScalableRank.withGlobalCumsumExclusive(
+      byValue, col("sw"), "_cx", col("source"), col("n_chars"))
+    val stats = cum.groupBy(col("source").as("_g"))
+      .agg(min("_cx").as("_base"), sum("sw").as("_W"))
+    cum.join(broadcast(stats), col("source") === col("_g"))
+      .withColumn("_cum", col("_cx") - col("_base") + col("sw"))
+      .groupBy("source")
+      .agg(max("_W").as("w_total"),
+        min(when(col("_cum") * 2 >= col("_W"), col("n_chars")))
+          .as("wp50_chars"),
+        min(when(col("_cum") * 10 >= col("_W") * 9, col("n_chars")))
+          .as("wp90_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_integrity_audit" -> q207IntegrityAudit _,
     "q208_winsorize" -> q208Winsorize _,
+    "q223_weighted_quantile" -> q223WeightedQuantile _,
   )
 
   val oracle: Map[String, String] = Map(
+    // q223: identical weighted lower quantiles — inclusive per-source
+    // weight cumsum in value order, integer cross-multiplied pick
+    "q223_weighted_quantile" ->
+      """WITH d AS (SELECT source, n_chars,
+        |             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w
+        |           FROM documents),
+        |v AS (SELECT source, n_chars, sum(w) AS sw FROM d GROUP BY 1, 2),
+        |c AS (SELECT source, n_chars, sw,
+        |        sum(sw) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+        |        sum(sw) OVER (PARTITION BY source) AS W
+        |      FROM v)
+        |SELECT source, CAST(max(W) AS BIGINT) AS w_total,
+        |       min(CASE WHEN cum * 2 >= W THEN n_chars END) AS wp50_chars,
+        |       min(CASE WHEN cum * 10 >= W * 9 THEN n_chars END) AS wp90_chars
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // q208: identical lower-quantile positions (value at row ⌈q·n⌉ per
     // source) — integer thresholds, integer clip, integer sums
     "q208_winsorize" ->

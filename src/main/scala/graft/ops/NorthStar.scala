@@ -476,9 +476,13 @@ object NorthStar {
     * calendar-bounded. */
   def q222RollingDistinct(s: SparkSession, dir: String): DataFrame = {
     val DayUs = 86400000000L
+    // checkpointed: the explode AND the event-days restriction both read
+    // the collapsed (day, user) table — without it the days subtree
+    // would re-scan the event corpus
     val dayUsers = T.events(s, dir)
       .select(expr(s"tus div $DayUs").as("day"), col("user_id"))
       .distinct()
+      .localCheckpoint(true)
     val days = dayUsers.select(col("day").as("wday")).distinct()
     dayUsers
       .select(explode(expr("sequence(day, day + 6)")).as("wday"),
