@@ -220,10 +220,15 @@ object Audit {
     * trick applied to weight), then one aggregate picks both quantile
     * values with min(when(...)). Output is source-count-sized. */
   def q223WeightedQuantile(s: SparkSession, dir: String): DataFrame = {
+    // NULL value/text rows carry no mass and would split the sort-order
+    // contract (Spark seats NULLs first, DuckDB's window default last —
+    // q219's discipline) and the weight contract (Spark legacy
+    // size(NULL) = −1 vs DuckDB NULL) — excluded identically
     val byValue = T(s, dir, "documents")
       .select(col("source"), col("n_chars"),
         expr("cast(size(filter(split(text, ' '), x -> x != '')) as long)")
           .as("w"))
+      .filter(col("n_chars").isNotNull && col("w") >= 0L)
       .groupBy("source", "n_chars").agg(sum("w").as("sw"))
     val cum = ScalableRank.withGlobalCumsumExclusive(
       byValue, col("sw"), "_cx", col("source"), col("n_chars"))
@@ -252,7 +257,8 @@ object Audit {
     "q223_weighted_quantile" ->
       """WITH d AS (SELECT source, n_chars,
         |             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w
-        |           FROM documents),
+        |           FROM documents
+        |           WHERE n_chars IS NOT NULL AND text IS NOT NULL),
         |v AS (SELECT source, n_chars, sum(w) AS sw FROM d GROUP BY 1, 2),
         |c AS (SELECT source, n_chars, sw,
         |        sum(sw) OVER (PARTITION BY source ORDER BY n_chars) AS cum,

@@ -464,7 +464,13 @@ object Curation {
   /** The derived CDC log fixture shared by q183 (latest compaction) and
     * q221 (time travel): per order an INSERT at seq 0, an UPDATE
     * (+10.00) at seq 1 for keys ≡ 0 (mod 5), a DELETE at seq 2 for
-    * keys ≡ 0 (mod 7) — `(k, e.seq, e.op, e.price)` rows. */
+    * keys ≡ 0 (mod 7) — `(k, e.seq, e.op, e.price)` rows.
+    * [[CdcMaxSeq]] MUST track the highest seq in the array below:
+    * q221's visibility explode tops out there, and a new op with a
+    * higher seq would otherwise produce a DESCENDING `sequence(3, 2)`
+    * silently instead of erroring. */
+  private val CdcMaxSeq = 2
+
   private def cdcLog(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_totalprice"))
@@ -508,7 +514,7 @@ object Curation {
   def q221TimeTravel(s: SparkSession, dir: String): DataFrame =
     cdcLog(s, dir)
       .select(col("k"), col("e"),
-        explode(expr("sequence(e.seq, 2)")).as("as_of"))
+        explode(expr(s"sequence(e.seq, $CdcMaxSeq)")).as("as_of"))
       .groupBy("as_of", "k")
       .agg(count(lit(1)).as("n_ops"),
         max_by(col("e.op"), col("e.seq")).as("_op"),
