@@ -142,6 +142,13 @@ object PlanAudit {
         "joins back as a small broadcast, and BOTH quantiles fall out " +
         "of one min(when(...)) aggregate — one pass, source-count-" +
         "sized output."),
+    "q224_corpus_gate" ->
+      ("**Look for:** ONE documents scan under an `Expand` (the two " +
+        "count-distinct rewrite, q166's class) into a single aggregate " +
+        "whose row EXPLODES into the five corpus-check rows (never a " +
+        "union of aggregate-subtree copies), unioned with q219's drift " +
+        "row (its subtree is the checkpointed histogram ExistingRDD — " +
+        "no second documents scan); 6 constant rows out."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

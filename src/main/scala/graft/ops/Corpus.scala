@@ -349,6 +349,59 @@ object Corpus {
           "(d_num * 10000) div (n1 * n2) END as long)").as("d_bp"))
   }
 
+  /** q224: corpus release gate — the thresholded go/no-go verdict table
+    * a training-data publish runs LAST, completing the gate triad (q191
+    * verdicts per DOCUMENT, q207 per WAREHOUSE TABLE, q224 per CORPUS):
+    * six checks, one `(check, value, threshold, ok)` row each, every
+    * value an exact integer and every verdict an integer comparison —
+    * volume floor, exact-dup rate (md5 groups, basis points), language
+    * coverage, quality-pass share (q191's min-words rule at corpus
+    * grain), distribution drift (the ACTUAL q219 op composed as a
+    * subquery — the gate consumes the gauge, q181's composition
+    * discipline), and token budget.
+    *
+    * The fixture fires BOTH verdicts genuinely (the q191/q207 bar): the
+    * volume, dup, language, and drift checks pass while quality share
+    * (7880bp < 8000bp) and token budget genuinely fail — a gate whose
+    * fail path never fires is untested.
+    *
+    * Scale shape: ONE documents scan under a single aggregate carries
+    * five of the six values (the two count-distincts share the q166
+    * Expand rewrite — 3× row multiplication, the accepted datasheet
+    * cost); the five rows EXPLODE from that one aggregate row (q207's
+    * discipline — never a union of aggregate-subtree copies); the drift
+    * row is q219's own plan (its corpus scan collapsed into the
+    * checkpointed histogram) unioned on. Output is 6 rows. */
+  def q224CorpusGate(s: SparkSession, dir: String): DataFrame = {
+    val words = expr(
+      "cast(size(filter(split(text, ' '), x -> x != '')) as long)")
+    val agg = T(s, dir, "documents")
+      .select(col("text"), col("lang"), words.as("w"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(md5(col("text"))).as("nd"),
+        countDistinct(col("lang")).as("nl"),
+        sum(when(col("w") >= 30L, 1L).otherwise(0L)).as("npass"),
+        sum("w").as("ntok"))
+    def row(check: String, value: Column, thr: Long, ok: Column) =
+      struct(lit(check).as("check"), value.cast("long").as("value"),
+        lit(thr).as("threshold"), ok.as("ok"))
+    val corpusRows = agg.select(explode(array(
+        row("a_min_docs", col("n"), 100L, col("n") >= 100L),
+        row("b_dup_rate_bp", expr("(n - nd) * 10000 div n"), 100L,
+          expr("(n - nd) * 10000 div n") <= 100L),
+        row("c_lang_coverage", col("nl"), 3L, col("nl") >= 3L),
+        row("d_quality_share_bp", expr("npass * 10000 div n"), 8000L,
+          expr("npass * 10000 div n") >= 8000L),
+        row("f_token_budget", col("ntok"), 100000L,
+          col("ntok") >= 100000L))).as("_r"))
+      .select(col("_r.check"), col("_r.value"), col("_r.threshold"),
+        col("_r.ok"))
+    val drift = q219KsDrift(s, dir)
+      .select(lit("e_ks_drift_bp").as("check"), col("d_bp").as("value"),
+        lit(2000L).as("threshold"), (col("d_bp") <= 2000L).as("ok"))
+    corpusRows.unionByName(drift).orderBy("check")
+  }
+
   /** q202: robust daily-volume anomaly detection — the ingest guard a
     * production pipeline runs BEFORE training on a day's data ("did a
     * source silently double, halve, or vanish?"): per event type, flag
@@ -483,12 +536,30 @@ object Corpus {
     "q202_volume_anomaly" -> q202VolumeAnomaly _,
     "q188_token_drift" -> q188TokenDrift _,
     "q219_ks_drift" -> q219KsDrift _,
+    "q224_corpus_gate" -> q224CorpusGate _,
     "q118_source_overlap" -> q118SourceOverlap _,
     "q123_segment_dedup" -> q123SegmentDedup _,
     "q130_mix_pipeline" -> q130MixPipeline _,
     "q166_data_card" -> q166DataCard _,
     "q167_snapshot_diff" -> q167SnapshotDiff _,
   )
+
+  /** The KS ecdf CTE chain (`c → t → f → d`, cross-multiplied per-value
+    * numerators) shared by the q219 and q224 oracles — the gate's drift
+    * number can never diverge from the gauge's. */
+  private val ksCtes: String =
+    """c AS (SELECT n_chars,
+      |        sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c1,
+      |        sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS c2
+      |      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+      |t AS (SELECT CAST(sum(c1) AS HUGEINT) AS n1,
+      |             CAST(sum(c2) AS HUGEINT) AS n2 FROM c),
+      |f AS (SELECT n_chars,
+      |        CAST(sum(c1) OVER (ORDER BY n_chars) AS HUGEINT) AS f1,
+      |        CAST(sum(c2) OVER (ORDER BY n_chars) AS HUGEINT) AS f2
+      |      FROM c),
+      |d AS (SELECT n_chars, abs(f1 * t.n2 - f2 * t.n1) AS d_num, t.n1, t.n2
+      |      FROM f, t)""".stripMargin
 
   /** The shared window CTE, verbatim in both oracles (DuckDB's
     * generate_series is end-inclusive, as Spark's sequence is). */
@@ -554,23 +625,38 @@ object Corpus {
     // decimal(38,0)); window cumsum here vs the distributed prefix scan
     // on the Spark side — identical integers either way
     "q219_ks_drift" ->
-      """WITH c AS (SELECT n_chars,
-        |        sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c1,
-        |        sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS c2
-        |      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
-        |t AS (SELECT CAST(sum(c1) AS HUGEINT) AS n1,
-        |             CAST(sum(c2) AS HUGEINT) AS n2 FROM c),
-        |f AS (SELECT n_chars,
-        |        CAST(sum(c1) OVER (ORDER BY n_chars) AS HUGEINT) AS f1,
-        |        CAST(sum(c2) OVER (ORDER BY n_chars) AS HUGEINT) AS f2
-        |      FROM c),
-        |d AS (SELECT n_chars, abs(f1 * t.n2 - f2 * t.n1) AS d_num, t.n1, t.n2
-        |      FROM f, t)
+      s"""WITH $ksCtes
         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
         |       n_chars AS at_value,
         |       CAST(CASE WHEN n1 * n2 = 0 THEN 10000 ELSE
         |            (d_num * 10000) // (n1 * n2) END AS BIGINT) AS d_bp
         |FROM d ORDER BY d_num DESC, n_chars LIMIT 1""".stripMargin,
+    // q224: the same ksCtes (shared — the gate's drift number can never
+    // diverge from q219's) + one corpus aggregate; verdicts are integer
+    // comparisons in both engines
+    "q224_corpus_gate" ->
+      s"""WITH $ksCtes,
+        |kk AS (SELECT CAST(CASE WHEN n1 * n2 = 0 THEN 10000 ELSE
+        |              (d_num * 10000) // (n1 * n2) END AS BIGINT) AS d_bp
+        |       FROM d ORDER BY d_num DESC, n_chars LIMIT 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(count(DISTINCT md5(text)) AS BIGINT) AS nd,
+        |             CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+        |             CAST(sum(CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS npass,
+        |             CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS ntok
+        |      FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'a_min_docs' AS "check", n AS value,
+        |         CAST(100 AS BIGINT) AS threshold, n >= 100 AS ok FROM m
+        |  UNION ALL SELECT 'b_dup_rate_bp', (n - nd) * 10000 // n, 100,
+        |         (n - nd) * 10000 // n <= 100 FROM m
+        |  UNION ALL SELECT 'c_lang_coverage', nl, 3, nl >= 3 FROM m
+        |  UNION ALL SELECT 'd_quality_share_bp', npass * 10000 // n, 8000,
+        |         npass * 10000 // n >= 8000 FROM m
+        |  UNION ALL SELECT 'e_ks_drift_bp', d_bp, 2000, d_bp <= 2000 FROM kk
+        |  UNION ALL SELECT 'f_token_budget', ntok, 100000,
+        |         ntok >= 100000 FROM m)
+        |ORDER BY "check"""".stripMargin,
     "q188_token_drift" ->
       // HUGEINT mirrors Spark's decimal(38,0): the cross-multiplied
       // integers stay exact, `//` matches Spark's integral `div`

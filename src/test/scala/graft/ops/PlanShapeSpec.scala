@@ -124,8 +124,10 @@ class PlanShapeSpec extends AnyFunSuite {
                               // sampled batch, never corpus queries
       "q218_triangles",       // 1-row global triangle total rides every
                               // row (q188's totals class)
-      "q219_ks_drift")        // 1-row (n1, n2) totals broadcast
+      "q219_ks_drift",        // 1-row (n1, n2) totals broadcast
                               // (q127/q188 class)
+      "q224_corpus_gate")     // composes q219 — inherits its 1-row
+                              // totals broadcast
     for ((name, fn) <- graft.SparkEntry.queries if !oneRowCross(name)) {
       val plan = fn(spark, SparkTestBase.Sf0001)
         .queryExecution.executedPlan.toString
