@@ -226,8 +226,7 @@ object Audit {
     // size(NULL) = −1 vs DuckDB NULL) — excluded identically
     val byValue = T(s, dir, "documents")
       .select(col("source"), col("n_chars"),
-        expr("cast(size(filter(split(text, ' '), x -> x != '')) as long)")
-          .as("w"))
+        expr(Curation.WordCountSql).as("w"))
       .filter(col("n_chars").isNotNull && col("w") >= 0L)
       .groupBy("source", "n_chars").agg(sum("w").as("sw"))
     val cum = ScalableRank.withGlobalCumsumExclusive(
@@ -255,8 +254,8 @@ object Audit {
     // q223: identical weighted lower quantiles — inclusive per-source
     // weight cumsum in value order, integer cross-multiplied pick
     "q223_weighted_quantile" ->
-      """WITH d AS (SELECT source, n_chars,
-        |             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w
+      s"""WITH d AS (SELECT source, n_chars,
+        |             CAST(${Curation.WordCountDuck} AS BIGINT) AS w
         |           FROM documents
         |           WHERE n_chars IS NOT NULL AND text IS NOT NULL),
         |v AS (SELECT source, n_chars, sum(w) AS sw FROM d GROUP BY 1, 2),

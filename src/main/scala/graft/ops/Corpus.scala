@@ -373,14 +373,20 @@ object Corpus {
     * row is q219's own plan (its corpus scan collapsed into the
     * checkpointed histogram) unioned on. Output is 6 rows. */
   def q224CorpusGate(s: SparkSession, dir: String): DataFrame = {
-    val words = expr(
-      "cast(size(filter(split(text, ' '), x -> x != '')) as long)")
+    // word count + min-words floor are Curation's SHARED definitions
+    // (the gate's quality check IS q191's rule at corpus grain — one
+    // edit point); NULL text carries no mass and would split the weight
+    // contract (q223's discipline), so it is excluded identically in
+    // both engines
     val agg = T(s, dir, "documents")
-      .select(col("text"), col("lang"), words.as("w"))
+      .select(col("text"), col("lang"),
+        expr(Curation.WordCountSql).as("w"))
+      .filter(col("w") >= 0L)
       .agg(count(lit(1)).as("n"),
         countDistinct(md5(col("text"))).as("nd"),
         countDistinct(col("lang")).as("nl"),
-        sum(when(col("w") >= 30L, 1L).otherwise(0L)).as("npass"),
+        sum(when(col("w") >= Curation.MinWords.toLong, 1L).otherwise(0L))
+          .as("npass"),
         sum("w").as("ntok"))
     def row(check: String, value: Column, thr: Long, ok: Column) =
       struct(lit(check).as("check"), value.cast("long").as("value"),
@@ -642,9 +648,9 @@ object Corpus {
         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |             CAST(count(DISTINCT md5(text)) AS BIGINT) AS nd,
         |             CAST(count(DISTINCT lang) AS BIGINT) AS nl,
-        |             CAST(sum(CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS npass,
-        |             CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS ntok
-        |      FROM documents)
+        |             CAST(sum(CASE WHEN ${Curation.WordCountDuck} >= ${Curation.MinWords} THEN 1 ELSE 0 END) AS BIGINT) AS npass,
+        |             CAST(sum(${Curation.WordCountDuck}) AS BIGINT) AS ntok
+        |      FROM documents WHERE text IS NOT NULL)
         |SELECT * FROM (
         |  SELECT 'a_min_docs' AS "check", n AS value,
         |         CAST(100 AS BIGINT) AS threshold, n >= 100 AS ok FROM m

@@ -106,13 +106,24 @@ object Curation {
           .as("st"),
         length(concat_ws("", col("ws"))).cast("long").as("chars"))
       .select(col("doc_id"), expr(
-        """stack(4,
-          |  'min_words',     n,                                n >= 30,
+        s"""stack(4,
+          |  'min_words',     n,                                n >= $MinWords,
           |  'uniq_ratio_bp', (2*d*10000 + n) div (2*n),        2*d >= n,
           |  'stop_ratio_bp', (2*st*10000 + n) div (2*n),       50*st >= n,
           |  'word_len_bp',   (2*chars*10000 + n) div (2*n),    10*chars <= 48*n
           |) as (rule, value, passed)""".stripMargin))
       .orderBy("doc_id", "rule")
+
+  /** The ONE whitespace word-count definition (Spark + DuckDB twins)
+    * and q191's min-words floor — q191, q223, and q224 all read these,
+    * so the gate's quality check can never decouple from the per-doc
+    * rule it claims to aggregate (the ksCtes/cdcLog sharing
+    * discipline). */
+  private[ops] val WordCountSql =
+    "cast(size(filter(split(text, ' '), x -> x != '')) as long)"
+  private[ops] val WordCountDuck =
+    "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+  private[ops] val MinWords = 30
 
   /** q155: n-gram novelty (OOV-rate) quality gate — the exact-integer
     * cousin of the CCNet-style LM-perplexity filter: score each
@@ -461,26 +472,29 @@ object Curation {
     * the key — NO per-key window, no sort; the tombstone filter is a
     * post-aggregate projection. At 100 TB this is the standard
     * log-to-snapshot job: one shuffle of (key, latest-op) cells. */
-  /** The derived CDC log fixture shared by q183 (latest compaction) and
-    * q221 (time travel): per order an INSERT at seq 0, an UPDATE
-    * (+10.00) at seq 1 for keys ≡ 0 (mod 5), a DELETE at seq 2 for
-    * keys ≡ 0 (mod 7) — `(k, e.seq, e.op, e.price)` rows.
-    * [[CdcMaxSeq]] MUST track the highest seq in the array below:
-    * q221's visibility explode tops out there, and a new op with a
-    * higher seq would otherwise produce a DESCENDING `sequence(3, 2)`
-    * silently instead of erroring. */
+  /** [[cdcLog]]'s highest sequence number — INTERPOLATED into the
+    * fixture's DELETE entry below (the delete is the last op by
+    * construction), so q221's visibility explode cannot drift from the
+    * fixture: a new op belongs at seq [[CdcMaxSeq]] after bumping it,
+    * and a stale constant would change the fixture itself rather than
+    * silently producing a descending `sequence(3, 2)`. */
   private val CdcMaxSeq = 2
 
+  /** The derived CDC log fixture shared by q183 (latest compaction) and
+    * q221 (time travel): per order an INSERT at seq 0, an UPDATE
+    * (+10.00) at seq 1 for keys ≡ 0 (mod 5), a DELETE at seq
+    * [[CdcMaxSeq]] for keys ≡ 0 (mod 7) — `(k, e.seq, e.op, e.price)`
+    * rows. */
   private def cdcLog(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_totalprice"))
       .select(col("k"), explode(expr(
-        """filter(array(
+        s"""filter(array(
           |  named_struct('seq', 0, 'op', 'I', 'price', o_totalprice),
           |  named_struct('seq', 1, 'op', 'U', 'price', o_totalprice + 10.0d),
-          |  named_struct('seq', 2, 'op', 'D', 'price', cast(null as double))),
+          |  named_struct('seq', $CdcMaxSeq, 'op', 'D', 'price', cast(null as double))),
           |  x -> x.seq = 0 OR (x.seq = 1 AND k % 5 = 0)
-          |               OR (x.seq = 2 AND k % 7 = 0))""".stripMargin))
+          |               OR (x.seq = $CdcMaxSeq AND k % 7 = 0))""".stripMargin))
         .as("e"))
 
   def q183CdcCompact(s: SparkSession, dir: String): DataFrame =
@@ -1304,14 +1318,14 @@ object Curation {
     "q191_quality_audit" ->
       // verdicts are integer cross-multiplications in BOTH engines —
       // no division at any decision point
-      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
         |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
         |      CAST(len(list_distinct(ws)) AS BIGINT) AS d,
         |      CAST(len(list_filter(ws, x -> x IN ('the', 'a'))) AS BIGINT) AS st,
         |      CAST(length(array_to_string(ws, '')) AS BIGINT) AS chars
         |      FROM w WHERE len(ws) > 0)
         |SELECT doc_id, rule, value, passed FROM (
-        |  SELECT doc_id, 'min_words' AS rule, n AS value, n >= 30 AS passed FROM m
+        |  SELECT doc_id, 'min_words' AS rule, n AS value, n >= $MinWords AS passed FROM m
         |  UNION ALL SELECT doc_id, 'uniq_ratio_bp', (2*d*10000 + n) // (2*n), 2*d >= n FROM m
         |  UNION ALL SELECT doc_id, 'stop_ratio_bp', (2*st*10000 + n) // (2*n), 50*st >= n FROM m
         |  UNION ALL SELECT doc_id, 'word_len_bp', (2*chars*10000 + n) // (2*n), 10*chars <= 48*n FROM m)
