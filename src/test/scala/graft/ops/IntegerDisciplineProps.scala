@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** The r12-session integer disciplines against plain-Scala references
+  * on RANDOM inputs — the math identities the cross-engine oracles of
+  * q211/q214 (bit-length ⌊log₂⌋), q219 (cross-multiplied ecdf KS),
+  * q223 (weighted lower quantiles), q208 (winsorize direction), and
+  * q209 (integer RRF grid) lean on. These are engine-independent
+  * NUMBER facts: if any property here failed, the corresponding
+  * DuckDB-vs-Spark hash matches would be coincidences of the fixture
+  * rather than consequences of the arithmetic. Pure JVM — no Spark
+  * session. */
+object IntegerDisciplineProps extends Properties("IntegerDiscipline") {
+
+  private val pos: Gen[Long] = Gen.chooseNum(1L, Long.MaxValue)
+
+  /** q211/q214's claim: bit length − 1 IS ⌊log₂ n⌋ (cross-checked via
+    * numberOfLeadingZeros, a third mechanism besides the two engines'
+    * bin()-string length). */
+  property("bit-length log2 identity") = Prop.forAll(pos) { n =>
+    val viaBin = java.lang.Long.toBinaryString(n).length - 1
+    val viaNlz = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    // bracket in BigInt: 1L << 63 overflows to negative and would fail
+    // the check spuriously at the 2^62 boundary
+    viaBin == viaNlz &&
+      (BigInt(1) << viaBin) <= BigInt(n) &&
+      BigInt(n) < (BigInt(1) << (viaBin + 1))
+  }
+
+  /** q214's surprisal non-negativity: a bigram never outcounts its own
+    * context, so the bit-length difference is ≥ 0 — for ANY 1 ≤ c2 ≤ c1. */
+  property("surprisal bits non-negative and ordered") =
+    Prop.forAll(Gen.chooseNum(1L, 1L << 40), Gen.chooseNum(1L, 1L << 40)) {
+      (a, b) =>
+        val (c1, c2) = (a max b, a min b)
+        def bl(n: Long) = java.lang.Long.toBinaryString(n).length
+        bl(c1) - bl(c2) >= 0
+    }
+
+  /** q219's KS statistic on the cross-multiplied grid: 0 ≤ D_num ≤
+    * n₁·n₂, self-comparison is exactly 0, and D_bp is monotone under
+    * adding the SAME value to both samples (pure shift invariance is
+    * false in general; identity and bounds are the oracle's load-
+    * bearing facts). */
+  private val sample: Gen[List[Long]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(0L, 100L))
+  private def ksNum(a: Seq[Long], b: Seq[Long]): BigInt = {
+    val (n1, n2) = (BigInt(a.size), BigInt(b.size))
+    (a ++ b).distinct.map { v =>
+      (BigInt(a.count(_ <= v)) * n2 - BigInt(b.count(_ <= v)) * n1).abs
+    }.max
+  }
+  property("KS numerator bounds and self-zero") =
+    Prop.forAll(sample, sample) { (a, b) =>
+      val d = ksNum(a, b)
+      d >= 0 && d <= BigInt(a.size) * BigInt(b.size) && ksNum(a, a) == 0
+    }
+
+  /** q223's weighted lower quantile: minimality (the previous distinct
+    * value misses the mass target) and membership, for random weights
+    * and both graded targets. */
+  private val weighted: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(1L, 9L)))
+  property("weighted lower quantile minimality") =
+    Prop.forAll(weighted, Gen.oneOf((1L, 2L), (9L, 10L))) { (xs, t) =>
+      val (num, den) = t
+      val sorted = xs.sortBy(_._1)
+      val w = sorted.map(_._2).sum
+      def massLe(v: Long) = sorted.collect { case (x, q) if x <= v => q }.sum
+      val values = sorted.map(_._1).distinct
+      val pick = values.find(v => massLe(v) * den >= w * num).get
+      val prev = values.takeWhile(_ < pick).lastOption
+      values.contains(pick) &&
+        massLe(pick) * den >= w * num &&
+        prev.forall(v => massLe(v) * den < w * num)
+    }
+
+  /** q208's winsorize direction facts on random data and any lo ≤ hi
+    * band: no clip → identical sum; one-sided clips move the sum only
+    * in the allowed direction. */
+  property("winsorize direction") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(-100L, 100L)),
+      Gen.chooseNum(-100L, 100L), Gen.chooseNum(-100L, 100L)) {
+      (xs, a, b) =>
+        val (lo, hi) = (a min b, a max b)
+        val clipped = xs.map(x => (lo max (hi min x)))
+        val (nLo, nHi) = (xs.count(_ < lo), xs.count(_ > hi))
+        val (raw, win) = (xs.sum, clipped.sum)
+        (nLo != 0 || nHi != 0 || win == raw) &&
+          (nHi != 0 || win >= raw) && (nLo != 0 || win <= raw)
+    }
+
+  /** q209's integer RRF grid: ⌊10⁷/(60+r)⌋ is STRICTLY decreasing while
+    * (60+r)² ≤ 10⁷ (consecutive floors collide only past r ≈ 3102 —
+    * far beyond any usable K; q209's K is 50), so integer fusion can
+    * never invert two ranks the real-valued RRF separates. */
+  property("RRF grid strictly decreasing through rank 3000") =
+    Prop.forAll(Gen.chooseNum(1L, 3000L)) { r =>
+      10000000L / (60L + r) > 10000000L / (60L + r + 1L)
+    }
+}
