@@ -149,6 +149,13 @@ object PlanAudit {
         "union of aggregate-subtree copies), unioned with q219's drift " +
         "row (its subtree is the checkpointed histogram ExistingRDD — " +
         "no second documents scan); 6 constant rows out."),
+    "q225_equidepth_hist" ->
+      ("**Look for:** NO single-task global Window (the q45 ntile " +
+        "lesson) — bucketing arrives as ScalableRank's checkpointed " +
+        "ExistingRDD (range-repartitioned two-pass rank), followed by " +
+        "one partial+final aggregate on the bucket id and the 32-row " +
+        "presentation sort; the only corpus-sized work is the rank's " +
+        "own exchange."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

@@ -829,6 +829,35 @@ object Relational {
       .select("c_custkey", "quartile")
       .orderBy("c_custkey")
 
+  /** q225: equi-depth histogram boundaries — the ANALYZE-stats artifact
+    * an optimizer actually stores (q175 profiles ndv/nulls; q225 is the
+    * selectivity side): 32 buckets of near-equal ROW DEPTH over integer-
+    * cents order totals, one `(bucket, n_rows, lo_c2, hi_c2)` row each.
+    * A range predicate's selectivity then reads as "buckets fully
+    * inside + boundary fractions" — the textbook equi-depth estimate.
+    *
+    * Exactness: bucketing is [[ScalableRank.withNtile]] over the exact
+    * integer cents with a full (value, key) tie-break — the same SQL
+    * ntile layout DuckDB computes (first N mod n buckets one row
+    * deeper), so boundaries and depths hash-match bit-for-bit; no
+    * sampling, no doubles.
+    *
+    * Scale shape: q45's lesson — NEVER a bare `Window.orderBy` ntile
+    * (one task); the two-pass range-repartitioned rank buckets in
+    * parallel, and the boundary table is one partial+final aggregate on
+    * the bucket id — output is bucket-count-sized. */
+  def q225EquidepthHist(s: SparkSession, dir: String): DataFrame = {
+    val rows = T(s, dir, "orders")
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("c2"),
+        col("o_orderkey"))
+    ScalableRank.withNtile(rows, 32, "bucket",
+        col("c2").asc, col("o_orderkey").asc)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("c2").as("lo_c2"), max("c2").as("hi_c2"))
+      .orderBy("bucket")
+  }
+
   // ---- sort / limit / top-k -------------------------------------------
 
   /** q50: global top-100 — TakeOrderedAndProject, no full sort at scale.
@@ -996,6 +1025,7 @@ object Relational {
     "q43_win_running_sum" -> q43WinRunningSum _,
     "q44_win_moving_avg" -> q44WinMovingAvg _,
     "q45_win_ntile" -> q45WinNtile _,
+    "q225_equidepth_hist" -> q225EquidepthHist _,
     "q46_range_frame" -> q46RangeFrame _,
     "q47_value_window" -> q47ValueWindow _,
     "q48_dist_window" -> q48DistWindow _,
@@ -1266,6 +1296,16 @@ object Relational {
     "q45_win_ntile" ->
       """SELECT c_custkey, CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS quartile
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q225: the same SQL ntile layout over the same exact cents + full
+    // tie-break — boundaries and depths are engine-identical integers
+    "q225_equidepth_hist" ->
+      """WITH r AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c2,
+        |                  o_orderkey,
+        |                  CAST(ntile(32) OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) AS INTEGER) AS bucket
+        |           FROM orders)
+        |SELECT bucket, count(*) AS n_rows,
+        |       CAST(min(c2) AS BIGINT) AS lo_c2, CAST(max(c2) AS BIGINT) AS hi_c2
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q46_range_frame" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |           date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS od FROM orders)
