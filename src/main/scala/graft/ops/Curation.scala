@@ -96,8 +96,7 @@ object Curation {
     * branches of every rule. */
   def q191QualityAudit(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
-      .select(col("doc_id"),
-        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+      .select(col("doc_id"), expr(WordsArraySql).as("ws"))
       .filter(size(col("ws")) > 0)
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n"),
@@ -114,15 +113,16 @@ object Curation {
           |) as (rule, value, passed)""".stripMargin))
       .orderBy("doc_id", "rule")
 
-  /** The ONE whitespace word-count definition (Spark + DuckDB twins)
-    * and q191's min-words floor — q191, q223, and q224 all read these,
-    * so the gate's quality check can never decouple from the per-doc
-    * rule it claims to aggregate (the ksCtes/cdcLog sharing
-    * discipline). */
-  private[ops] val WordCountSql =
-    "cast(size(filter(split(text, ' '), x -> x != '')) as long)"
-  private[ops] val WordCountDuck =
-    "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+  /** The ONE whitespace tokenization (array + count forms, Spark +
+    * DuckDB twins) and q191's min-words floor — q191 (array form),
+    * q223, and q224 (count form) all read these, so the gate's quality
+    * check can never decouple from the per-doc rule it claims to
+    * aggregate (the ksCtes/cdcLog sharing discipline). */
+  private[ops] val WordsArraySql = "filter(split(text, ' '), x -> x != '')"
+  private[ops] val WordsArrayDuck =
+    "list_filter(string_split(text, ' '), x -> x <> '')"
+  private[ops] val WordCountSql = s"cast(size($WordsArraySql) as long)"
+  private[ops] val WordCountDuck = s"len($WordsArrayDuck)"
   private[ops] val MinWords = 30
 
   /** q155: n-gram novelty (OOV-rate) quality gate — the exact-integer
@@ -1318,7 +1318,7 @@ object Curation {
     "q191_quality_audit" ->
       // verdicts are integer cross-multiplications in BOTH engines —
       // no division at any decision point
-      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, $WordsArrayDuck AS ws FROM documents),
         |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
         |      CAST(len(list_distinct(ws)) AS BIGINT) AS d,
         |      CAST(len(list_filter(ws, x -> x IN ('the', 'a'))) AS BIGINT) AS st,

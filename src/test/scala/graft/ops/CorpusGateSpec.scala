@@ -24,7 +24,9 @@ class CorpusGateSpec extends AnyFunSuite {
       .toMap
 
   test("q224 equals the driver-side brute force on every corpus check") {
+    // mirror the op's NULL-text exclusion (q223's weight contract)
     val rows = T(spark, dir, "documents").select("text", "lang").collect()
+      .filter(!_.isNullAt(0))
       .map(r => (r.getString(0), r.getString(1)))
     val n = rows.length.toLong
     val nd = rows.map(r => md5hex(r._1)).distinct.length.toLong

@@ -28,14 +28,21 @@ object IntegerDisciplineProps extends Properties("IntegerDiscipline") {
       BigInt(n) < (BigInt(1) << (viaBin + 1))
   }
 
-  /** q214's surprisal non-negativity: a bigram never outcounts its own
-    * context, so the bit-length difference is ≥ 0 — for ANY 1 ≤ c2 ≤ c1. */
-  property("surprisal bits non-negative and ordered") =
+  /** q214's whole-bit resolution claim: the bit-length surprisal
+    * bl(c1) − bl(c2) brackets the true log₂(c1/c2) within ONE bit —
+    * 2^(bits−1) ≤ c1/c2 < 2^(bits+1), checked by exact integer
+    * cross-multiplication (a wrong bit-length formula fails this; the
+    * earlier "bits ≥ 0 for c2 ≤ c1" phrasing was true by construction
+    * and tested nothing). */
+  property("surprisal bits bracket the true log ratio within one bit") =
     Prop.forAll(Gen.chooseNum(1L, 1L << 40), Gen.chooseNum(1L, 1L << 40)) {
       (a, b) =>
         val (c1, c2) = (a max b, a min b)
         def bl(n: Long) = java.lang.Long.toBinaryString(n).length
-        bl(c1) - bl(c2) >= 0
+        val bits = bl(c1) - bl(c2)
+        bits >= 0 &&
+          BigInt(c1) * 2 >= BigInt(c2) * (BigInt(1) << bits) &&
+          BigInt(c1) < BigInt(c2) * (BigInt(1) << (bits + 1))
     }
 
   /** q219's KS statistic on the cross-multiplied grid: 0 ≤ D_num ≤
