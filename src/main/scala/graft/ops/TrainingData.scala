@@ -588,6 +588,47 @@ object TrainingData {
   private def fxSimCol(a: Column, b: Column, na: Column, nb: Column): Column =
     graft.functions.FixDot.dot(a, b).cast("double") / (na * nb)
 
+  private val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** ⌊isqrt(nn)⌋ as an EXACT integer: double-sqrt estimate (absolute
+    * error < 1 for nn ≤ 2⁷⁶), corrected by integer square compares over
+    * the ±2 window — t = (t₀−2) + Σₖ [(t₀+k)² ≤ nn], k ∈ {−1,0,1,2}.
+    * The indicators are monotone, so the sum counts exactly the
+    * candidates ≤ the true root. `nn` must be decimal(38,0). */
+  private def isqrtCol(nn: Column): Column = {
+    val t0 = floor(sqrt(nn.cast("double"))).cast("long")
+    def sqLe(k: Int): Column = {
+      val c = (t0 + lit(k.toLong)).cast(Dec38)
+      (c * c) <= nn
+    }
+    t0 - lit(2L) + when(sqLe(-1), 1L).otherwise(0L) +
+      when(sqLe(0), 1L).otherwise(0L) + when(sqLe(1), 1L).otherwise(0L) +
+      when(sqLe(2), 1L).otherwise(0L)
+  }
+
+  /** The r13 fixed-point cosine quantum: ⌊d·scale/isqrt(n1·n2) + ½⌋ as
+    * a BIGINT computed in EXACT integer arithmetic — no double op
+    * exists between the integer dot and the compared key. The r12 form
+    * floored `d/(√n1·√n2)·scale + ½`, a multi-op double chain whose
+    * bit-identity across engines assumed no FMA contraction and
+    * correctly-rounded everything; the r12 driver-vs-local DuckDB
+    * divergence falsified that. Here: nn = n1·n2 exact in
+    * decimal(38,0) (≤ 2⁷⁶); t = [[isqrtCol]] exact; the half-up
+    * rounding is the floor division (2·d·scale + t) fdiv (2·t), made
+    * sign-correct for negative dots by the mod-complement (Spark's
+    * decimal % follows the dividend sign; num − mod is exactly
+    * divisible, so the decimal divide is exact). DuckDB twin:
+    * [[oHalfUp]] over HUGEINT. */
+  private[ops] def fxQuantum(d: Column, nsq1: Column, nsq2: Column,
+                             scale: Long): Column = {
+    val nn = nsq1.cast(Dec38) * nsq2.cast(Dec38)
+    val t = isqrtCol(nn)
+    val num = d.cast(Dec38) * lit(2L * scale) + t.cast(Dec38)
+    val den = (t * lit(2L)).cast(Dec38)
+    val mod = ((num % den) + den) % den
+    ((num - mod) / den).cast("long")
+  }
+
   /** q79: embedding near-duplicate search, blocked by `label` — the
     * block join bounds candidates (never a corpus cross product); exact
     * top-1 cosine neighbor per query vector (vec_id < 40).
@@ -752,11 +793,11 @@ object TrainingData {
   private val IvfK = 16
   private[ops] val IvfIters = 3
   private val FixScale = 1048576.0 // 2^20 — exact exponent-shift factor
-  // 2^30 — the assignment argmax's fixed-point cosine scale. Coarser
-  // than the double cosine, but both engines floor the IDENTICAL double
-  // (integer dot / integer-norm sqrts), so the BIGINT keys — and hence
-  // the argmax — cannot diverge, which is what matters.
-  private val AssignScale = 1073741824.0
+  // 2^30 — the assignment argmax's fixed-point cosine scale. r13: the
+  // quantum is pure integer arithmetic ([[fxQuantum]] — exact isqrt +
+  // floor division), so the BIGINT keys — and hence the argmax — are
+  // engine-independent by construction, not by rounding assumptions.
+  private val AssignScale = 1073741824L
 
   /** ⌊x·2¹⁶ + ½⌋ / 2¹⁶ as an exact FLOAT — the quantized-float vector
     * representation every IVF centroid (and seed) carries, chosen so
@@ -793,14 +834,19 @@ object TrainingData {
     *    fixed-point quanta (each quantum a fixed chain of exact /
     *    singly-rounded IEEE ops — no reduction).
     *  - The assignment argmax ranks on `csim_fx` =
-    *    ⌊dot/(‖v‖·‖c‖)·2³⁰ + ½⌋ as a BIGINT — dot is an exact integer,
-    *    the norms are sqrts of exact integers, so both engines floor
-    *    the identical double and the argmax cannot flip.
+    *    ⌊dot·2³⁰/isqrt(n₁·n₂) + ½⌋ as a BIGINT — dot and the squared
+    *    norms are exact integers and the quantum is pure integer
+    *    arithmetic ([[fxQuantum]]: exact isqrt + floor division), so
+    *    the argmax cannot flip on ANY engine (r13 — the r12 form still
+    *    floored a multi-op double chain, and one oracle build rounded
+    *    it differently).
     *  - The update sums per-dimension 2²⁰ fixed-point unit components
-    *    of the 2¹⁶-quantized members as integers, divides back in one
-    *    correctly-rounded op, and re-quantizes the centroid to the
-    *    2¹⁶ grid ([[quantF]]'s representation), so the next iteration's
-    *    inputs are again exact integers.
+    *    of the 2¹⁶-quantized members as integers (the same integer
+    *    quantum, t = isqrt(n₁)), floor-divides back exactly, and
+    *    re-quantizes the centroid to the 2¹⁶ grid ([[quantF]]'s
+    *    representation), so the next iteration's inputs are again
+    *    exact integers. No double exists anywhere between the integer
+    *    dot and a floored or compared value.
     * The DuckDB oracle unrolls the identical three iterations on the
     * identical integers, so the trained centroids — and every
     * downstream assignment — are bit-identical across engines
@@ -817,7 +863,8 @@ object TrainingData {
   private[ops] def trainIvfCentroids(s: SparkSession, dir: String)
       : IvfTrained = {
     val e = withFixNorm(T(s, dir, "embeddings"))
-      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .withColumn("nsq", FixDot.normSq(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("nsq"))
       .localCheckpoint(true) // reused by IvfIters assignment passes
     // seed = the vec_id < 16 corpus vectors, re-quantized to the 2^16
     // grid so iteration 1's dot products see the same integers the
@@ -836,47 +883,48 @@ object TrainingData {
       val assigned = e.crossJoin(broadcast(cdf))
         .withColumn("dotl", FixDot.dot(col("embedding"), col("ec")))
         .withColumn("csim_fx",
-          floor(col("dotl").cast("double") / (col("nrm") * col("ncn"))
-            * lit(AssignScale) + lit(0.5)))
+          fxQuantum(col("dotl"), col("nsq"), col("ncsq"), AssignScale))
         .withColumn("arn", row_number().over(wAssign))
         .filter(col("arn") === 1)
-        .select("vec_id", "embedding", "nrm", "cent_id", "dotl", "ncn")
+        .select("vec_id", "embedding", "nrm", "nsq", "cent_id", "dotl",
+          "ncn", "ncsq")
         .localCheckpoint(true) // objective + update branch off one pass
       // double diagnostic (order-dependent sum — never oracle-compared)
       objs += assigned.agg(sum(lit(1.0)
           - col("dotl").cast("double") / (col("nrm") * col("ncn"))).as("od"))
         .head.getDouble(0)
-      // Integer objective: 2²⁰ − ⌊cos·2²⁰ + ½⌋ per vector, where cos's
-      // numerator is the exact INTEGER dot — the floor input is one
-      // long→double cast, one multiply, one divide, one exact shift and
-      // one exact +½, all individually correctly rounded, so both
-      // engines floor the identical double; the outer sum is integer.
+      // Integer objective: 2²⁰ − ⌊cos·2²⁰ + ½⌋ per vector, with the
+      // quantum the same exact integer arithmetic as the assignment
+      // key ([[fxQuantum]] at 2²⁰); the outer sum is integer. No
+      // engine's rounding or summation strategy can perturb it.
       objsFx += assigned
         .agg(sum(lit(FixScale.toLong)
-          - floor(col("dotl").cast("double") / (col("nrm") * col("ncn"))
-              * lit(FixScale) + lit(0.5)).cast("long")).as("ofx"))
+          - fxQuantum(col("dotl"), col("nsq"), col("ncsq"),
+              FixScale.toLong)).as("ofx"))
         .head.getLong(0)
       // Update: integer sums of 2²⁰ fixed-point unit components of the
-      // 2¹⁶-quantized members (q = ⌊x·2¹⁶+½⌋ exact; q/‖v‖ one rounded
-      // divide; ×2²⁰ exact; +½ exact; floor exact), divided back in one
-      // rounded op and re-quantized to the 2¹⁶ grid: ⌊sfx/(n·16)+½⌋/2¹⁶
+      // 2¹⁶-quantized members (q = ⌊x·2¹⁶+½⌋ exact; ⌊q·2²⁰/isqrt(n₁)+½⌋
+      // the exact integer quantum), floor-divided back exactly and
+      // re-quantized to the 2¹⁶ grid: ⌊sfx/(n·16)+½⌋/2¹⁶
       // (sfx/(n·2²⁰)·2¹⁶ = sfx/(n·16)).
       val updated = assigned
-        .select(col("cent_id"), col("nrm"), posexplode(col("embedding")))
+        .select(col("cent_id"), col("nsq"), posexplode(col("embedding")))
         .withColumn("q", floor(col("col").cast("double")
-          * lit(FixDot.Scale) + lit(0.5)))
+          * lit(FixDot.Scale) + lit(0.5)).cast("long"))
         .withColumn("fx",
-          floor(col("q").cast("double") / col("nrm") * lit(FixScale)
-            + lit(0.5)).cast("long"))
+          fxQuantum(col("q"), col("nsq"), lit(1L), FixScale.toLong))
         .groupBy("cent_id", "pos")
         .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
         .collect() // k×dim rows — bounded by model constants
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>
-          cid -> rows.map(r => (r.getInt(1),
-              (math.floor(r.getLong(2).toDouble / (r.getLong(3) * 16.0) + 0.5)
-                / FixDot.Scale).toFloat))
-            .sortBy(_._1).map(_._2).toArray
+          cid -> rows.map { r =>
+            val sfx = r.getLong(2); val n = r.getLong(3)
+            // ⌊sfx/(16n)+½⌋ = floorDiv(2·sfx + 16n, 32n) — exact
+            (r.getInt(1),
+              (Math.floorDiv(2L * sfx + 16L * n, 32L * n) / FixDot.Scale)
+                .toFloat)
+          }.sortBy(_._1).map(_._2).toArray
         }
       cents = cents.map(c =>
         IvfCent(c.cent_id, updated.getOrElse(c.cent_id, c.ec)))
@@ -884,13 +932,14 @@ object TrainingData {
     IvfTrained(cents, objs.result(), objsFx.result())
   }
 
-  /** Lifts driver-side centroids into the (cent_id, ec, ncn) frame the
-    * assignment pass broadcasts. */
+  /** Lifts driver-side centroids into the (cent_id, ec, ncn, ncsq)
+    * frame the assignment pass broadcasts. */
   private def centroidFrame(s: SparkSession, cents: Seq[IvfCent]): DataFrame = {
     import s.implicits._
     cents.toDF("cent_id", "ec")
       .withColumn("ncn",
         sqrt(graft.functions.FixDot.normSq(col("ec")).cast("double")))
+      .withColumn("ncsq", graft.functions.FixDot.normSq(col("ec")))
   }
 
   /** q93: many-query ANN via an IVF (inverted-file) coarse quantizer —
@@ -925,10 +974,13 @@ object TrainingData {
                            extra: Seq[String] = Nil): DataFrame = {
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("csim_fx").desc, col("cent_id"))
-    e.crossJoin(broadcast(cents))
+    // nsq/ncsq recomputed inline (cheap codegen'd integer self-dots) so
+    // the persisted q152 centroid-table schema needs no migration
+    e.withColumn("nsq", FixDot.normSq(col("embedding")))
+      .crossJoin(broadcast(cents.withColumn("ncsq", FixDot.normSq(col("ec")))))
       .withColumn("csim_fx",
-        floor(FixDot.dot(col("embedding"), col("ec")).cast("double")
-          / (col("nrm") * col("ncn")) * lit(AssignScale) + lit(0.5)))
+        fxQuantum(FixDot.dot(col("embedding"), col("ec")),
+          col("nsq"), col("ncsq"), AssignScale))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") <= maxRank)
       .select((Seq("vec_id", "embedding", "nrm", "cent_id", "arn") ++ extra)
@@ -1087,10 +1139,10 @@ object TrainingData {
     *
     * Two catalog tables, named by a digest of the dataset dir (like
     * q107's band index, so scale factors never alias):
-    *  - `graft_ivf2_cents_<digest>_b1`: the k trained centroids
+    *  - `graft_ivf3_cents_<digest>_b1`: the k trained centroids
     *    (cent_id, ec, ncn) — built through [[ensureLazy]] so training
     *    runs ONLY when no complete on-disk table exists;
-    *  - `graft_ivf2_cells_<digest>_b8`: every corpus vector's cell
+    *  - `graft_ivf3_cells_<digest>_b8`: every corpus vector's cell
     *    assignment (vec_id, embedding, nrm, cell), bucketed + sorted
     *    on cell — the inverted file. Bucket-pruning applies to
     *    cell-equality probes, and a non-broadcastable (large-batch)
@@ -1115,24 +1167,29 @@ object TrainingData {
     * triggering a build. */
   private[ops] def ivfIndexNames(dir: String): (String, String) = {
     val digest = dirDigest(dir)
-    // `ivf2` = the r12 fixed-point layout (FixDot norms/assignment): an
-    // index persisted by the r11 double-fold pipeline carries nrm values
-    // an ulp away, so it must never be adopted — versioning the NAME is
+    // `ivf3` = the r13 exact-integer-quantum layout (fxQuantum
+    // assignment + integer update): centroids trained by the r12
+    // floor-of-double pipeline differ by a quantum here and there, so
+    // an `ivf2` index must never be adopted — versioning the NAME is
     // the BucketedTables way to retire a layout.
-    (s"graft_ivf2_cents_${digest}_b1",
-      s"graft_ivf2_cells_${digest}_b$IvfCellBuckets")
+    (s"graft_ivf3_cents_${digest}_b1",
+      s"graft_ivf3_cells_${digest}_b$IvfCellBuckets")
   }
 
   private[ops] def ensureIvfIndex(s: SparkSession, dir: String)
       : (String, String) = {
     val digest = dirDigest(dir)
     val cents = graft.sink.BucketedTables.ensureLazy(
-      s, s"graft_ivf2_cents_$digest", ivfCentSchema,
+      s, s"graft_ivf3_cents_$digest", ivfCentSchema,
+      // project to the declared 3-col schema: ncsq is derived (the
+      // integer self-dot of ec) and recomputed inline by assignRanked,
+      // so persisting it would only break adopt-path schema equality
       () => centroidFrame(s,
-        ivfCache.getOrElseUpdate(dir, trainIvfCentroids(s, dir)).cents),
+        ivfCache.getOrElseUpdate(dir, trainIvfCentroids(s, dir)).cents)
+        .select(col("cent_id"), col("ec"), col("ncn")),
       1, Seq("cent_id"))
     val cells = graft.sink.BucketedTables.ensure(
-      s, s"graft_ivf2_cells_$digest",
+      s, s"graft_ivf3_cells_$digest",
       assignRanked(withFixNorm(T(s, dir, "embeddings")), s.table(cents), 1)
         .select(col("vec_id"), col("embedding"), col("nrm"),
           col("cent_id").as("cell")),
@@ -1382,7 +1439,7 @@ object TrainingData {
 
   /** The q195 codes table's full catalog name for a dataset dir. */
   private[ops] def ivfCodesName(dir: String): String =
-    s"graft_ivf2_codes_${dirDigest(dir)}_b$IvfCellBuckets"
+    s"graft_ivf3_codes_${dirDigest(dir)}_b$IvfCellBuckets"
 
   /** q195: IVFPQ — the composition q152 (cell pruning) × q194 (code
     * compression) that IS the standard 100 TB vector-store
@@ -1392,7 +1449,7 @@ object TrainingData {
     * member floats are never re-read after indexing.
     *
     * Index: a THIRD persisted table next to q152's two —
-    * `graft_ivf2_codes_*`, (vec_id, cell, codes), bucketed+sorted on
+    * `graft_ivf3_codes_*`, (vec_id, cell, codes), bucketed+sorted on
     * cell like the inverted file, built from the cells table in ONE
     * [[graft.functions.PqCodes]] scan and adopted across sessions via
     * the same BucketedTables protocol. Probe: queries rank their
@@ -1412,7 +1469,7 @@ object TrainingData {
                                cells: String): String = {
     val cb = pqCodebook(s, dir)
     val codesTable = graft.sink.BucketedTables.ensureLazy(
-      s, s"graft_ivf2_codes_${dirDigest(dir)}", ivfCodesSchema,
+      s, s"graft_ivf3_codes_${dirDigest(dir)}", ivfCodesSchema,
       () => s.table(cells).select(col("vec_id"), col("cell"),
         graft.functions.PqCodes.codes(col("embedding"), cb).as("codes")),
       IvfCellBuckets, Seq("cell"))
@@ -1484,7 +1541,7 @@ object TrainingData {
     * row would otherwise be permanent recall loss with no error. */
   private[ops] def syncIvfPqCodes(s: SparkSession, cellsTable: String): Unit = {
     val codesTable =
-      cellsTable.replace("graft_ivf2_cells_", "graft_ivf2_codes_")
+      cellsTable.replace("graft_ivf3_cells_", "graft_ivf3_codes_")
     if (codesTable != cellsTable && s.catalog.tableExists(codesTable)) {
       val cb = pqCodebookFromCells(s, cellsTable)
       val missing = s.table(cellsTable)
@@ -2380,13 +2437,17 @@ object TrainingData {
 
   /** q160: the quantizer's training-convergence trace AS DATA — one
     * row per Lloyd iteration with the clustering objective
-    * J = Σ(1 − cos(v, c_assigned)) in 2⁻²⁰ fixed-point units. r12:
+    * J = Σ(1 − cos(v, c_assigned)) in 2⁻²⁰ fixed-point units. r13:
     * every reduction feeding the value is an INTEGER sum (the
-    * [[graft.functions.FixDot]] dot, the objective Σᵥ) and every
-    * double a fixed chain of singly-rounded scalar ops, so the trace
-    * is bit-identical across engines by construction — independent of
-    * any engine's summation strategy (the r10/r11 variants still
-    * floored around an order-dependent double `list_sum`). The
+    * [[graft.functions.FixDot]] dot, the objective Σᵥ) and the cosine
+    * quantum itself is EXACT integer arithmetic ([[fxQuantum]]: isqrt
+    * via corrected double estimate + floor division) — no double op
+    * exists between the integer dot and any floored or compared value,
+    * so the trace is bit-identical across engines by construction,
+    * independent of summation strategy, libm, or FMA contraction (the
+    * r12 variant still floored a multi-op double chain, which one
+    * oracle build rounded one ulp differently — the three-round hash
+    * mismatch). The
     * monitoring query every training job needs: a non-decreasing
     * trace means the quantizer (and everything downstream: q93/q152
     * probes, q156 cells) stopped improving.
@@ -3010,10 +3071,38 @@ object TrainingData {
     * sqrts — one cast, one multiply, one divide, each singly rounded. */
   private[ops] def oFxSim(a: String, b: String, na: String, nb: String): String =
     s"CAST(${oFxDot(a, b)} AS DOUBLE) / ($na * $nb)"
-  /** The assignment argmax key: ⌊cos·2³⁰ + ½⌋ as BIGINT (mirrors
-    * assignRanked's `csim_fx`). */
-  private def oCsimFx(a: String, b: String, na: String, nb: String): String =
-    s"CAST(floor(CAST(${oFxDot(a, b)} AS DOUBLE) / ($na * $nb) * 1073741824.0 + 0.5) AS BIGINT)"
+
+  // ---- r13 exact-integer quantum (the DuckDB [[fxQuantum]] twin) ----
+  // DuckDB's `//`/`%` truncate toward zero (sign of dividend), so the
+  // mod-complement makes num − mod exactly divisible and the division
+  // exact regardless of truncation direction.
+  private def oFloorDiv(num: String, den: String): String =
+    s"((($num) - (((($num) % ($den)) + ($den)) % ($den))) // ($den))"
+  /** ⌊d·scale/t + ½⌋ = floorDiv(2·d·scale + t, 2·t) over HUGEINT. */
+  private def oHalfUp(d: String, t: String, scale: Long): String =
+    oFloorDiv(s"2 * CAST($d AS HUGEINT) * $scale + ($t)", s"2 * ($t)")
+  /** Wraps `inner` (which must yield `$outCols` plus a HUGEINT-safe
+    * `nn`) with the exact-isqrt tail: emits `$outCols` plus
+    * `tq` = ⌊√nn⌋, the double estimate corrected by the ±2 monotone
+    * square-compare window (the [[isqrtCol]] twin). */
+  private def oIsqrtNest(inner: String, outCols: String): String =
+    s"""SELECT $outCols, t0 - 2
+       |  + (CASE WHEN (t0-1)*(t0-1) <= nn THEN 1 ELSE 0 END)
+       |  + (CASE WHEN t0*t0 <= nn THEN 1 ELSE 0 END)
+       |  + (CASE WHEN (t0+1)*(t0+1) <= nn THEN 1 ELSE 0 END)
+       |  + (CASE WHEN (t0+2)*(t0+2) <= nn THEN 1 ELSE 0 END) AS tq
+       |FROM (SELECT $outCols, nn,
+       |      CAST(floor(sqrt(CAST(nn AS DOUBLE))) AS HUGEINT) AS t0
+       |      FROM ($inner))""".stripMargin
+  /** The assignment argmax key ⌊cos·2³⁰ + ½⌋ (and any other cosine
+    * quantum) as a fully-integer nested select: `inner` must yield
+    * `$outCols`, the integer dot `fxd`, and `nn` = n₁·n₂ (HUGEINT).
+    * Mirrors assignRanked's r13 `csim_fx` exactly. */
+  private def oQuantumNest(inner: String, outCols: String,
+                           scale: Long, alias: String): String =
+    s"""SELECT $outCols,
+       |  CAST(${oHalfUp("fxd", "tq", scale)} AS BIGINT) AS $alias
+       |FROM (${oIsqrtNest(inner, s"$outCols, fxd")})""".stripMargin
 
   /** q213's oracle: the IVF probe tail re-pointed at the fixed 8-query
     * batch, the exact integer-cosine top-3 over all cells, and the
@@ -3047,35 +3136,46 @@ object TrainingData {
     * q157's hard negatives are tails over it, so the ground-truth
     * quantizer can never drift between them. */
   // One unrolled spherical-Lloyd iteration (mirrors trainIvfCentroids
-  // exactly): assignment by argmax fixed-point cosine (csim_fx BIGINT)
-  // with cent_id tie-break; update = per-dimension 2^-20 fixed-point
-  // INTEGER sums of the 2^-16-quantized members' unit components,
-  // divided back in one rounded op and re-quantized to the 2^16 grid
-  // as FLOAT; empty cells carrying the previous centroid.
+  // exactly): assignment by argmax fixed-point cosine (csim_fx BIGINT,
+  // the r13 exact-integer quantum) with cent_id tie-break; update =
+  // per-dimension 2^-20 fixed-point INTEGER sums of the 2^-16-quantized
+  // members' unit components (⌊q·2²⁰/isqrt(n₁)+½⌋ via e.tnrm),
+  // floor-divided back exactly and re-quantized to the 2^16 grid as
+  // FLOAT; empty cells carrying the previous centroid.
   private def lloydIterSql(prev: String, t: Int): String =
     s"""a$t AS (SELECT vec_id, cent_id,
        |        row_number() OVER (PARTITION BY vec_id ORDER BY csim_fx DESC, cent_id) AS arn
-       |        FROM (SELECT e.vec_id, c.cent_id, ${oCsimFx("e.embedding", "c.ec", "e.nrm", "c.ncn")} AS csim_fx
-       |              FROM e CROSS JOIN $prev c)),
+       |        FROM (${oQuantumNest(
+                 s"""SELECT e.vec_id, c.cent_id,
+                    |${oFxDot("e.embedding", "c.ec")} AS fxd,
+                    |CAST(e.nsq AS HUGEINT) * c.ncsq AS nn
+                    |FROM e CROSS JOIN $prev c""".stripMargin,
+                 "vec_id, cent_id", 1073741824L, "csim_fx")})),
        |s$t AS (SELECT a.cent_id, d.i AS dim,
-       |        SUM(CAST(floor(CAST(${oQ("e.embedding[d.i]")} AS DOUBLE) / e.nrm * 1048576.0 + 0.5) AS BIGINT)) AS sfx,
+       |        SUM(CAST(${oHalfUp(oQ("e.embedding[d.i]"), "e.tnrm", 1048576L)} AS BIGINT)) AS sfx,
        |        count(*) AS n
        |        FROM a$t a, e, range(1, 65) d(i)
        |        WHERE a.vec_id = e.vec_id AND a.arn = 1 GROUP BY 1, 2),
-       |u$t AS (SELECT cent_id, ec, ${oFxNorm("ec")} AS ncn
+       |u$t AS (SELECT cent_id, ec, ${oFxDot("ec", "ec")} AS ncsq
        |        FROM (SELECT cent_id,
-       |              list(CAST(floor(CAST(sfx AS DOUBLE) / (n * 16.0) + 0.5) / 65536.0 AS FLOAT) ORDER BY dim) AS ec
+       |              list(CAST(CAST(${oHalfUp("sfx", "CAST(n AS HUGEINT) * 16", 1L)} AS DOUBLE) / 65536.0 AS FLOAT) ORDER BY dim) AS ec
        |              FROM s$t GROUP BY cent_id)),
-       |c$t AS (SELECT p.cent_id, COALESCE(u.ec, p.ec) AS ec, COALESCE(u.ncn, p.ncn) AS ncn
+       |c$t AS (SELECT p.cent_id, COALESCE(u.ec, p.ec) AS ec, COALESCE(u.ncsq, p.ncsq) AS ncsq
        |        FROM $prev p LEFT JOIN u$t u ON p.cent_id = u.cent_id),""".stripMargin
 
-  /** The shared `e` + seed CTE opening every IVF oracle: integer-norm
-    * `nrm` and the seed centroids re-quantized to the 2¹⁶ float grid
-    * (trainIvfCentroids' [[quantF]]). */
+  /** The shared `e` + seed CTE opening every IVF oracle: integer
+    * squared norm `nsq`, its exact isqrt `tnrm` (the update quantum's
+    * denominator), the rerank norm `nrm`, and the seed centroids
+    * re-quantized to the 2¹⁶ float grid (trainIvfCentroids'
+    * [[quantF]]) with their integer squared norms. */
   private lazy val ivfBaseCtes: String =
-    s"""WITH e AS (SELECT vec_id, embedding, label, ${oFxNorm("embedding")} AS nrm
-      |           FROM embeddings),
-      |c0 AS (SELECT cent_id, ec, ${oFxNorm("ec")} AS ncn FROM
+    s"""WITH e AS (SELECT vec_id, embedding, label, sqrt(CAST(nsq AS DOUBLE)) AS nrm, nsq, tq AS tnrm
+      |           FROM (${oIsqrtNest(
+               s"""SELECT vec_id, embedding, label, nsq, CAST(nsq AS HUGEINT) AS nn
+                  |FROM (SELECT vec_id, embedding, label, ${oFxDot("embedding", "embedding")} AS nsq
+                  |      FROM embeddings)""".stripMargin,
+               "vec_id, embedding, label, nsq")})),
+      |c0 AS (SELECT cent_id, ec, ${oFxDot("ec", "ec")} AS ncsq FROM
       |       (SELECT vec_id AS cent_id,
       |               [CAST(floor(CAST(x AS DOUBLE) * 65536.0 + 0.5) / 65536.0 AS FLOAT) for x in embedding] AS ec
       |        FROM embeddings WHERE vec_id < 16))"""
@@ -3086,9 +3186,14 @@ object TrainingData {
       |${lloydIterSql("c0", 1)}
       |${lloydIterSql("c1", 2)}
       |${lloydIterSql("c2", 3)}
-      |sim AS (SELECT e.vec_id, e.embedding, e.nrm, e.label, c.cent_id,
-      |        ${oCsimFx("e.embedding", "c.ec", "e.nrm", "c.ncn")} AS csim_fx
-      |        FROM e CROSS JOIN c3 c),
+      |sim AS (SELECT vec_id, embedding, nrm, label, cent_id, csim_fx
+      |        FROM (${oQuantumNest(
+             s"""SELECT e.vec_id, e.embedding, e.nrm, e.label, c.cent_id,
+                |${oFxDot("e.embedding", "c.ec")} AS fxd,
+                |CAST(e.nsq AS HUGEINT) * c.ncsq AS nn
+                |FROM e CROSS JOIN c3 c""".stripMargin,
+             "vec_id, embedding, nrm, label, cent_id", 1073741824L,
+             "csim_fx")})),
       |assign AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim_fx DESC, cent_id) AS arn FROM sim),
       |cells AS (SELECT vec_id, embedding, nrm, label, cent_id AS cell FROM assign WHERE arn = 1)"""
       .stripMargin
@@ -3102,16 +3207,24 @@ object TrainingData {
     * order — the property the r10 (floor after a double dot) and r11
     * (double norms under a per-dimension floor) variants lacked. */
   private lazy val kmeansTraceOracleSql: String = {
+    // One iteration's objective: both the argmax key (2³⁰) and the
+    // objective quantum (2²⁰) computed from ONE dot/nn pair through the
+    // r13 exact-integer nest, then Σᵥ over the arn = 1 rows.
     def objCte(prevC: String, t: Int): String =
-      s"""oa$t AS (SELECT vec_id, cent_id FROM
-         |        (SELECT e.vec_id, c.cent_id,
-         |                row_number() OVER (PARTITION BY e.vec_id ORDER BY ${oCsimFx("e.embedding", "c.ec", "e.nrm", "c.ncn")} DESC, c.cent_id) AS arn
-         |         FROM e CROSS JOIN $prevC c) WHERE arn = 1),
-         |ov$t AS (SELECT CAST($t AS BIGINT) AS iter,
-         |        SUM(CAST(1048576 AS BIGINT)
-         |          - CAST(floor(CAST(${oFxDot("e.embedding", "c.ec")} AS DOUBLE) / (e.nrm * c.ncn) * 1048576.0 + 0.5) AS BIGINT)) AS obj_fx
-         |        FROM oa$t a JOIN e ON a.vec_id = e.vec_id
-         |             JOIN $prevC c ON a.cent_id = c.cent_id)""".stripMargin
+      s"""ov$t AS (SELECT CAST($t AS BIGINT) AS iter,
+         |        SUM(CAST(1048576 AS BIGINT) - q20) AS obj_fx
+         |        FROM (SELECT q20,
+         |              row_number() OVER (PARTITION BY vec_id ORDER BY csim_fx DESC, cent_id) AS arn
+         |              FROM (SELECT vec_id, cent_id,
+         |                    CAST(${oHalfUp("fxd", "tq", 1073741824L)} AS BIGINT) AS csim_fx,
+         |                    CAST(${oHalfUp("fxd", "tq", 1048576L)} AS BIGINT) AS q20
+         |                    FROM (${oIsqrtNest(
+                       s"""SELECT e.vec_id, c.cent_id,
+                          |${oFxDot("e.embedding", "c.ec")} AS fxd,
+                          |CAST(e.nsq AS HUGEINT) * c.ncsq AS nn
+                          |FROM e CROSS JOIN $prevC c""".stripMargin,
+                       "vec_id, cent_id, fxd")})))
+         |        WHERE arn = 1)""".stripMargin
     s"""$ivfBaseCtes,
       |${lloydIterSql("c0", 1)}
       |${lloydIterSql("c1", 2)}

@@ -43,7 +43,7 @@ class IndexedAnnSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
     assert(scans.nonEmpty)
     val files = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
-    assert(files.forall(p => p.contains("graft_ivf2_")),
+    assert(files.forall(p => p.contains("graft_ivf3_")),
       s"probe scans a non-index path: $files")
     assert(scans.exists(_.relation.bucketSpec.nonEmpty),
       "inverted file lost its bucket layout")

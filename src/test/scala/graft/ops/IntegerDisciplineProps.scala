@@ -98,6 +98,48 @@ object IntegerDisciplineProps extends Properties("IntegerDiscipline") {
           (nHi != 0 || win >= raw) && (nLo != 0 || win <= raw)
     }
 
+  /** The r13 q160/IVF quantum's isqrt: the double-sqrt estimate
+    * corrected by the ±2 monotone square-compare window lands EXACTLY
+    * on ⌊√nn⌋ for every nn up to the 2⁷⁶ domain bound (n₁·n₂ of two
+    * 64-dim 2¹⁶-quantized vectors) — the fact that lets both engines
+    * share one integer denominator with no double between the dot and
+    * the compared key. */
+  private val nnGen: Gen[BigInt] = for {
+    hi <- Gen.chooseNum(0L, (1L << 38) - 1)
+    lo <- Gen.chooseNum(0L, (1L << 38) - 1)
+    bump <- Gen.oneOf(-1, 0, 1) // also probe adjacent-to-square points
+  } yield {
+    val base = BigInt(hi) * BigInt(lo) + bump
+    if (base < 1) BigInt(1) else base
+  }
+  private def isqrtCorrected(nn: BigInt): BigInt = {
+    val t0 = BigInt(math.floor(math.sqrt(nn.toDouble)).toLong)
+    (-1 to 2).foldLeft(t0 - 2) { (acc, k) =>
+      acc + (if ((t0 + k) * (t0 + k) <= nn) 1 else 0)
+    }
+  }
+  property("corrected double estimate is the exact isqrt") =
+    Prop.forAll(nnGen) { nn =>
+      val t = isqrtCorrected(nn)
+      t * t <= nn && (t + 1) * (t + 1) > nn
+    }
+
+  /** The r13 quantum itself: floorDiv(2·d·scale + t, 2·t) (the
+    * mod-complement floor division both engines run) equals the
+    * mathematical ⌊d·scale/t + ½⌋ for POSITIVE and NEGATIVE dots —
+    * round-half-up at every sign, no doubles involved. */
+  property("half-up quantum via floor division, both signs") =
+    Prop.forAll(nnGen, Gen.chooseNum(-(1L << 38), 1L << 38),
+      Gen.oneOf(1L << 20, 1L << 30)) { (nn, d, scale) =>
+      val t = isqrtCorrected(nn)
+      val (num, den) = (2 * BigInt(d) * scale + t, 2 * t)
+      val mod = ((num % den) + den) % den
+      val q = (num - mod) / den
+      // reference: unique integer q with q ≤ d·scale/t + ½ < q + 1,
+      // cross-multiplied to avoid any floating point
+      (q * den <= num) && ((q + 1) * den > num)
+    }
+
   /** q209's integer RRF grid: ⌊10⁷/(60+r)⌋ is STRICTLY decreasing while
     * (60+r)² ≤ 10⁷ (consecutive floors collide only past r ≈ 3102 —
     * far beyond any usable K; q209's K is 50), so integer fusion can

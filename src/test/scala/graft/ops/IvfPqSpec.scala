@@ -130,9 +130,9 @@ class IvfPqSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
     assert(scans.nonEmpty)
     val files = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
-    assert(files.forall(p => p.contains("graft_ivf2_")),
+    assert(files.forall(p => p.contains("graft_ivf3_")),
       s"probe scans a non-index path: $files")
-    assert(files.exists(_.contains("graft_ivf2_codes_")),
+    assert(files.exists(_.contains("graft_ivf3_codes_")),
       "probe does not read the codes table")
   }
 }

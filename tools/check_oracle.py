@@ -36,6 +36,11 @@ def table_of(rel):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # Pin the adjudicating engine in every artifact: the r12 q160
+    # mismatch was engine-version-dependent (local DuckDB 1.0.0 matched
+    # Spark, the driver's build didn't), and without the version in the
+    # output such a flip costs a round of guessing.
+    print(f"-- oracle-engine: duckdb {duckdb.__version__}")
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -73,7 +78,11 @@ def main():
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     for k, v in results.items():
         print(f"{k:<{width}}  {v[:300]}")
-    print(f"-- {n_ok}/{len(results)} OK")
+    print(f"-- {n_ok}/{len(results)} OK (oracle duckdb {duckdb.__version__})")
+    # machine-readable engine pin next to the per-query dumps
+    with open(f"{out_dir}/oracle_engine.json", "w") as f:
+        json.dump({"oracle_engine": "duckdb",
+                   "oracle_version": duckdb.__version__}, f)
     # queries dumped but lacking oracle (rows-only check)
     for qdir in sorted(glob.glob(f"{out_dir}/q*")):
         nm = os.path.basename(qdir)
