@@ -308,6 +308,15 @@ object PlanAudit {
         "`HashAggregate` pairs for the distinct and the matrix rollup, " +
         "and NO window operator anywhere — retention is pure keyed " +
         "aggregation."),
+    "q136_nation_volume" ->
+      ("**Look for:** the 2-of-25-nation supplier filter applied as a " +
+        "BroadcastHashJoin DIRECTLY on the lineitem scan, BEFORE the " +
+        "lineitem⋈orders exchange (r13 reorder — the r12 plan shuffled " +
+        "the full two-year fact slice and filtered after): the " +
+        "fact-fact shuffle input is the ~8% of rows surviving the " +
+        "supplier cut; the customer-nation broadcast rides the orders " +
+        "side; the direction OR is a post-join filter; the aggregate " +
+        "is partial+final on (supp_nation, cust_nation, l_year)."),
     "q143_min_cost_supplier" ->
       ("**Look for:** the derived-partsupp catalog as ONE partial+final " +
         "`HashAggregate` pair on (partkey, suppkey); the region→nation→" +

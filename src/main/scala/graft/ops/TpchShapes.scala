@@ -82,7 +82,17 @@ object TpchShapes {
     * direction predicate is a symmetric OR over the two broadcast-joined
     * name columns, evaluated after the equi-joins so every join stays a
     * hash/sort-merge equi-join. The year() projection happens before the
-    * aggregate, so the shuffle carries (nation, nation, year) cells. */
+    * aggregate, so the shuffle carries (nation, nation, year) cells.
+    *
+    * Join ORDER (r13, the r12 verdict's one plan-order finding): the
+    * 2-of-25-nation broadcast supplier filter joins the lineitem scan
+    * FIRST — it keeps only ~2/25 ≈ 8% of fact rows, so the dominant
+    * lineitem⋈orders shuffle exchanges an eighth of the two-year slice
+    * instead of all of it. Catalyst does not reorder a selective
+    * broadcast join ahead of a fact-fact join on its own (no NDV stats
+    * on the name filter), so the DataFrame declares the order. At
+    * 100 TB this is the difference between shuffling the full slice
+    * and ~12× less. */
   def q136NationVolume(s: SparkSession, dir: String): DataFrame = {
     val names = Seq("NATION_1", "NATION_2")
     val n = T(s, dir, "nation").filter(col("n_name").isin(names: _*))
@@ -100,10 +110,10 @@ object TpchShapes {
       .select(col("l_orderkey"), col("l_suppkey"),
         year(col("l_shipdate")).as("l_year"),
         col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .filter((col("supp_nation") === "NATION_1" &&
           col("cust_nation") === "NATION_2") ||
         (col("supp_nation") === "NATION_2" &&
