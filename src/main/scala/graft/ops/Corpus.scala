@@ -469,12 +469,22 @@ object Corpus {
     * literal `&lt;` and double-encoding inverts cleanly), collapse
     * `[ \t\n\r]+` runs, trim.
     *
-    * CONTRACT (the documented stub boundary, q114's discipline):
-    * attribute values must not contain a literal `>` and markup must be
-    * well-formed enough that each drop-container closes — the regex
-    * tier is the 100 TB fast path (one codegen'd projection, no parse
-    * tree); pages that fail it route to a real parser behind
-    * `mapInPandas`, exactly like the media decode stubs. */
+    * CONTRACT: attribute values must not contain a literal `>` and
+    * markup must be well-formed enough that each drop-container closes
+    * — the regex tier is the 100 TB fast path (one codegen'd
+    * projection, no parse tree). Pages that fail the contract are
+    * detected by [[htmlRegexSafe]] (a conservative, SQL-expressible
+    * gate: over-flagging only routes extra rows to the strict tier,
+    * never corrupts a result) and take the REAL parser tier
+    * [[graft.functions.HtmlCleanStrict]] — a single-pass quote-aware
+    * state machine — in the SAME projection
+    * (`when(gate, regex).otherwise(strict)`), so routing costs no
+    * second scan and no exchange (r13: this tier previously existed
+    * only as a documented `mapInPandas` contract; it now ships as a
+    * codegen'd expression, which beats a Python fallback at any
+    * scale). HtmlExtractSpec pins tier equivalence on
+    * contract-satisfying pages and the strict tier's correctness on
+    * violating ones. */
   private[ops] def htmlClean(html: Column): Column = {
     // tag-name boundary via alternation, not lookahead (RE2 has none):
     // `<nav>` / `<nav attr>` / `<nav/>` open a container, `<navbar>`
@@ -491,6 +501,39 @@ object Corpus {
     }
     trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
   }
+
+  /** The regex tier's admission gate: TRUE when the page provably
+    * satisfies the [[htmlClean]] contract. Two violation detectors,
+    * both deliberately conservative (a false POSITIVE routes a safe
+    * page to the strict tier, which computes the identical answer —
+    * see HtmlExtractSpec's differential property — so over-flagging is
+    * free; a false negative is impossible for the two contract
+    * clauses):
+    *  - a quoted attribute value reaching a `>` before its closing
+    *    quote (`=["'] … >` with no intervening close) — the case where
+    *    the quote-unaware `<[^>]*>` strip truncates the tag early;
+    *  - more opens than closes for any drop-container — the case where
+    *    the container regex cannot match and boilerplate would leak
+    *    into the text. */
+  private[ops] def htmlRegexSafe(html: Column): Column = {
+    val quotedGt =
+      html.rlike("(?s)<[^>]*=[ \\t\\n\\r]*\"[^\"]*>") ||
+        html.rlike("(?s)<[^>]*=[ \\t\\n\\r]*'[^']*>")
+    val unbalanced = DropTags.map { t =>
+      size(regexp_extract_all(html,
+          lit(s"(?is)<$t(>|[ \\t\\n\\r/][^>]*>)"), lit(0))) >
+        size(regexp_extract_all(html,
+          lit(s"(?is)</$t[ \\t\\n\\r]*>"), lit(0)))
+    }.reduce(_ || _)
+    !(quotedGt || unbalanced)
+  }
+
+  /** The shipped two-tier extractor: regex fast path when the gate
+    * admits, strict state-machine tier otherwise — one projection, one
+    * scan, no union. */
+  private[ops] def htmlCleanRouted(html: Column): Column =
+    when(htmlRegexSafe(html), htmlClean(html))
+      .otherwise(graft.functions.HtmlCleanStrict.clean(html))
 
   /** q205: HTML boilerplate extraction — the first stage of every
     * web-crawl training pipeline (CommonCrawl WARC → text): drop
@@ -530,7 +573,11 @@ object Corpus {
       .select(col("doc_id"),
         expr("cast(size(regexp_extract_all(html, '<[^>]*>', 0)) as bigint)")
           .as("n_tags"),
-        htmlClean(col("html")).as("clean"))
+        // the routed two-tier extractor; the rendered fixture satisfies
+        // the regex contract on every row (HtmlExtractSpec pins that),
+        // so the DuckDB oracle — which can only express the regex tier
+        // — remains a complete equivalence check
+        htmlCleanRouted(col("html")).as("clean"))
       .select(col("doc_id"), col("n_tags"),
         length(col("clean")).cast("long").as("clean_len"), col("clean"))
       .orderBy("doc_id")

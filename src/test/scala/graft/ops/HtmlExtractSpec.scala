@@ -74,4 +74,76 @@ class HtmlExtractSpec extends AnyFunSuite {
       .select(Corpus.htmlClean(col("html"))).as[String].collect()
     got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e) }
   }
+
+  test("r13 strict tier: gate admits the whole graded fixture (so the " +
+    "regex-only oracle stays a complete check) and both tiers agree on " +
+    "every contract-satisfying page") {
+    import spark.implicits._
+    // the graded corpus routes 100% through the regex tier
+    val enc = expr(
+      "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')")
+    val html = concat(
+      lit("<html><head><title>"), col("source"),
+      lit("</title><style>p{margin:0}</style>" +
+        "<script type=\"text/javascript\">if (1 < 2) { x(\"&amp;\"); }" +
+        "</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a></nav>" +
+        "<h1>"),
+      col("source"),
+      lit(" &amp; &quot;Co.&#39;s&quot; &lt;guide&gt;</h1><p>"), enc,
+      lit("</p><footer>Copyright &quot;2026&quot; &amp; Co.</footer>" +
+        "</body></html>"))
+    val fixture = T(spark, dir, "documents").select(html.as("html"))
+    assert(fixture.filter(!Corpus.htmlRegexSafe(col("html"))).count() == 0L,
+      "a fixture page tripped the gate — the oracle would no longer " +
+        "prove the shipped (routed) output")
+    // differential property: on every safe page above plus the unit
+    // cases, strict == regex (the tiers are interchangeable exactly
+    // where the gate admits)
+    val safePages = fixture.limit(50).as[String].collect() ++ Seq(
+      "<p>&amp;lt; &amp;amp;</p>", "<SCRIPT>x</SCRIPT>tail",
+      "<nav class=\"top\" data-x='1'>menu</nav>kept",
+      "<navbar>A</navbar> keep <nav>B</nav> end",
+      "<nav/>chrome</nav>after", "a\t\tb\r\nc   d",
+      "text with 1 < 2 loose and a 'stray' \"quote\"",
+      "<footer>f1</footer>mid<footer>f2</footer>")
+    val both = safePages.toSeq.toDF("html")
+      .select(Corpus.htmlRegexSafe(col("html")).as("safe"),
+        Corpus.htmlClean(col("html")).as("rx"),
+        graft.functions.HtmlCleanStrict.clean(col("html")).as("st"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getBoolean(0), "differential corpus must be gate-safe")
+      assert(r.getString(1) == r.getString(2),
+        s"tiers diverged on a safe page: rx=${r.getString(1)} st=${r.getString(2)}")
+    }
+  }
+
+  test("r13 strict tier: contract-violating pages route to the state " +
+    "machine, which extracts what the regex tier would mangle") {
+    import spark.implicits._
+    val cases = Seq(
+      // literal '>' inside a quoted attribute value: the quote-unaware
+      // strip would cut the tag at that '>' and leak `y">` into text
+      ("<a href=\"x>y\">link</a>", false, "link"),
+      ("<img alt='a > b'>pic", false, "pic"),
+      // unclosed drop-container: the regex tier cannot match the span,
+      // boilerplate would leak; the strict tier drops to EOF
+      ("<p>body</p><nav>menu never closes", false, "body"),
+      // footer unclosed → everything after it drops to EOF
+      ("<footer>chrome<p>tail", false, ""),
+      // quoted '>' inside a drop container's OPEN tag: both violations
+      ("<nav data-x=\"a>b\">menu</nav>kept", false, "kept"),
+      // and a safe page for contrast
+      ("<p>plain</p>", true, "plain"))
+    val got = cases.map(_._1).toDF("html")
+      .select(Corpus.htmlRegexSafe(col("html")).as("safe"),
+        Corpus.htmlCleanRouted(col("html")).as("clean"))
+      .collect()
+    got.zip(cases).foreach { case (r, (in, expSafe, expClean)) =>
+      assert(r.getBoolean(0) == expSafe, s"gate on: $in")
+      assert(r.getString(1) == expClean,
+        s"routed clean on: $in → got ${r.getString(1)}")
+    }
+  }
 }
