@@ -156,6 +156,25 @@ object PlanAudit {
         "one partial+final aggregate on the bucket id and the 32-row " +
         "presentation sort; the only corpus-sized work is the rank's " +
         "own exchange."),
+    "q226_hierarchy_expand" ->
+      ("**Look for:** per-level lineage truncation — the deepest " +
+        "frontier enters the final union as an ExistingRDD " +
+        "(localCheckpoint ran each level's frontier ⋈ edges equi-join " +
+        "eagerly into the checkpoint), so the shipped plan is a flat " +
+        "Union of level-sized ExistingRDDs + one md5 projection and " +
+        "NEVER a join tower growing with depth; no cartesian, no " +
+        "window — the cycle guard is a per-row string predicate " +
+        "inside the per-level join's filter, already spent by the " +
+        "time this plan is captured."),
+    "q227_drift_monitor" ->
+      ("**Look for:** the graded read is DriftMonitor.drift's own " +
+        "plan over the persisted state — a committed-partials parquet " +
+        "scan (vocabulary-sized, the corpus is never rescanned) into " +
+        "a merge-by-word partial+final aggregate, a full-outer " +
+        "SortMergeJoin against the reference snapshot scan, and two " +
+        "1-row broadcasts (totals + n_batches, the q188 class); no " +
+        "documents scan anywhere in this plan — ingest happened " +
+        "behind the commit log."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

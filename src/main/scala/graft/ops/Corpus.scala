@@ -583,9 +583,49 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  private val DriftBatches = 4
+
+  /** q227: the STREAMING drift monitor's number, graded — r13, closing
+    * the one spec-only component whose arithmetic had no cross-engine
+    * check. [[graft.streaming.DriftMonitor]] maintains q188's
+    * exact-integer TVD over an unbounded ingest by appending
+    * vocabulary-sized word-count PARTIALS behind a commit log; this
+    * query drives the real machinery end-to-end — init the reference
+    * snapshot (`doc_id % 7 != 0`, q188's split), append the corpus as
+    * [[DriftBatches]] deterministic micro-batches (`doc_id % 4`), then
+    * read [[graft.streaming.DriftMonitor.drift]] — while the DuckDB
+    * oracle recomputes the same number FROM THE RAW DOCUMENTS, never
+    * seeing a partial or the log: if the merge-partials + full-outer +
+    * cross-multiplied half-up chain dropped a token anywhere, the hash
+    * would split (the q219→q224 composition discipline applied to
+    * streaming state).
+    *
+    * Scale shape: the graded read is [[graft.streaming.DriftMonitor.drift]]'s own plan —
+    * committed-partials scan (vocabulary-sized, never the corpus),
+    * merge-by-word aggregate, full-outer join to the reference
+    * vocabulary, 1-row totals broadcast (q188's named bounded
+    * crossJoin class). State builds once per (JVM, dataset) in a
+    * ScratchExport dir; replays are no-ops (commit-log gated), so
+    * bench reps re-read, never re-ingest. */
+  def q227DriftMonitor(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.sink.ScratchExport.once(s"driftmon:$dir") {
+      val root = graft.sink.ScratchExport.scratchDir("graft-driftmon-")
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val state = graft.streaming.DriftMonitor.init(
+        s, root, docs.filter(col("doc_id") % 7 =!= 0))
+      (0 until DriftBatches).foreach { b =>
+        graft.streaming.DriftMonitor.append(s, state, b.toLong,
+          docs.filter(col("doc_id") % DriftBatches === b))
+      }
+      state
+    }
+    graft.streaming.DriftMonitor.drift(s, st)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_substring_dedup" -> q117SubstringDedup _,
     "q205_html_extract" -> q205HtmlExtract _,
+    "q227_drift_monitor" -> q227DriftMonitor _,
     "q202_volume_anomaly" -> q202VolumeAnomaly _,
     "q188_token_drift" -> q188TokenDrift _,
     "q219_ks_drift" -> q219KsDrift _,
@@ -727,6 +767,28 @@ object Corpus {
         |SELECT m.word, CAST(m.c_old AS BIGINT) AS c_old, CAST(m.c_new AS BIGINT) AS c_new,
         |       m.dshare_bp, t.tvd_bp
         |FROM m, t ORDER BY dshare_bp DESC, word""".stripMargin,
+    // q227: recomputed FROM RAW DOCUMENTS — the oracle never sees a
+    // partial, a commit log, or the reference snapshot table, so it
+    // cross-checks the streaming monitor's whole merge+join+divide
+    // chain (including the defined degenerate branches, kept as the
+    // CASE twin even though this corpus never hits them)
+    "q227_drift_monitor" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents),
+        |c AS (SELECT word,
+        |      SUM(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS cref,
+        |      count(*) AS cseen FROM tok GROUP BY 1),
+        |g AS (SELECT CAST(SUM(cref) AS HUGEINT) AS na, CAST(SUM(cseen) AS HUGEINT) AS nb FROM c),
+        |d AS (SELECT abs(CAST(cref AS HUGEINT) * g.nb - CAST(cseen AS HUGEINT) * g.na) AS d,
+        |      g.na AS na, g.nb AS nb FROM c, g)
+        |SELECT CAST(CASE
+        |         WHEN max(na) = 0 AND max(nb) = 0 THEN 0
+        |         WHEN max(na) = 0 OR max(nb) = 0 THEN 10000
+        |         ELSE (2 * SUM(d) * 10000 + 2 * (max(na) * max(nb))) // (4 * (max(na) * max(nb)))
+        |       END AS BIGINT) AS tvd_bp,
+        |       CAST(max(na) AS BIGINT) AS n_ref_tokens,
+        |       CAST(max(nb) AS BIGINT) AS n_seen_tokens,
+        |       CAST($DriftBatches AS BIGINT) AS n_batches
+        |FROM d""".stripMargin,
     "q166_data_card" ->
       s"""WITH RECURSIVE ${graft.functions.Bpe.countCteSql},
         |w AS (SELECT d.doc_id, d.lang, d.source,

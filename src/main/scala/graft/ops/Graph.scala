@@ -144,9 +144,79 @@ object Graph {
       .limit(20)
   }
 
+  private[ops] val HierFanout = 8
+  private[ops] val HierMaxDepth = 12
+
+  /** q226: hierarchy expansion with depth AND path — the BOM-explosion
+    * / org-chart / multi-hop-lineage recursive shape warehouses run
+    * daily, and the one recursive semantics q100's connected components
+    * deliberately COLLAPSES (CC keeps only the final label; a BOM
+    * consumer needs every (root, node) pair with how-deep and
+    * via-which-chain). Hierarchy: parts forming an [[HierFanout]]-ary
+    * forest — node's parent is `p_partkey div 8`, the 8 parts with
+    * key < 8 are roots — derived, not synthetic: every key in `part`
+    * appears exactly once as a child.
+    *
+    * Shape: frontier expansion — level d+1 = frontier(d) ⋈ edges on
+    * (node = parent), carrying root, depth+1, and the extended path;
+    * the result is the union of all levels. Cycle guard: a child
+    * already on its own path is not re-expanded (`/path/` containment,
+    * the same guard a DuckDB `WITH RECURSIVE ... WHERE strpos(...)=0`
+    * writes), plus the [[HierMaxDepth]] hard cap — the derived forest
+    * is acyclic by construction (parent < child), but the OPERATOR
+    * contract must bound arbitrary input.
+    *
+    * Scale shape: per level, ONE equi-join of the frontier to the edge
+    * table on parent and nothing else; lineage truncates per level
+    * (localCheckpoint, the q196 discipline) so the plan never grows
+    * with depth; driver traffic is one count per level, bounded by the
+    * depth cap. At 100 TB the edge table is bucketed on parent so
+    * every level reuses one exchange, and the frontier stays
+    * level-sized. The PATH column grows with depth — the output ships
+    * `md5(path)` (constant width, the md5-ticket discipline) so row
+    * width is depth-independent.
+    *
+    * DuckDB oracle: the identical forest as `WITH RECURSIVE` with the
+    * same cycle guard — the canonical cross-engine equivalence for
+    * recursive traversal. */
+  def q226HierarchyExpand(s: SparkSession, dir: String): DataFrame = {
+    val edges = T(s, dir, "part")
+      .filter(col("p_partkey") >= HierFanout)
+      .select(expr(s"p_partkey div $HierFanout").as("parent"),
+        col("p_partkey").as("child"))
+      .localCheckpoint(true) // probed once per level
+    var frontier = T(s, dir, "part")
+      .filter(col("p_partkey") < HierFanout)
+      .select(col("p_partkey").as("root"), col("p_partkey").as("node"),
+        lit(0).as("depth"), col("p_partkey").cast("string").as("path"))
+      .localCheckpoint(true)
+    val levels = Seq.newBuilder[DataFrame]
+    levels += frontier
+    var depth = 0
+    var n = frontier.count() // per-level scalar — bounded by the cap
+    while (n > 0 && depth < HierMaxDepth) {
+      depth += 1
+      frontier = frontier.join(edges, col("node") === col("parent"))
+        .filter(instr(concat(lit("/"), col("path"), lit("/")),
+          concat(lit("/"), col("child").cast("string"), lit("/"))) === 0)
+        .select(col("root"), col("child").as("node"),
+          lit(depth).as("depth"),
+          concat(col("path"), lit("/"), col("child").cast("string"))
+            .as("path"))
+        .localCheckpoint(true) // plan must not grow with depth
+      n = frontier.count()
+      if (n > 0) levels += frontier
+    }
+    levels.result().reduce(_ unionByName _)
+      .select(col("root"), col("node"), col("depth").cast("int").as("depth"),
+        md5(col("path")).as("path_md5"))
+      .orderBy("root", "node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_pagerank" -> q196PageRank _,
     "q218_triangles" -> q218Triangles _,
+    "q226_hierarchy_expand" -> q226HierarchyExpand _,
   )
 
   /** One unrolled integer PageRank iteration (mirrors the Spark loop
@@ -163,6 +233,22 @@ object Graph {
        |        FROM n LEFT JOIN ctr$t c ON n.node = c.node),""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q226: the canonical WITH RECURSIVE twin — same forest, same
+    // cycle guard, same depth cap
+    "q226_hierarchy_expand" ->
+      s"""WITH RECURSIVE edges AS (SELECT p_partkey // $HierFanout AS parent, p_partkey AS child
+        |                         FROM part WHERE p_partkey >= $HierFanout),
+        |r AS (SELECT p_partkey AS root, p_partkey AS node, 0 AS depth,
+        |             CAST(p_partkey AS VARCHAR) AS path
+        |      FROM part WHERE p_partkey < $HierFanout
+        |      UNION ALL
+        |      SELECT r.root, e.child, r.depth + 1,
+        |             r.path || '/' || CAST(e.child AS VARCHAR)
+        |      FROM r JOIN edges e ON e.parent = r.node
+        |      WHERE r.depth < $HierMaxDepth
+        |        AND strpos('/' || r.path || '/', '/' || CAST(e.child AS VARCHAR) || '/') = 0)
+        |SELECT root, node, CAST(depth AS INTEGER) AS depth, md5(path) AS path_md5
+        |FROM r ORDER BY root, node""".stripMargin,
     // q218: the SEMANTIC ground truth — x<y<z three-way join, no
     // orientation (degree orientation is the Spark-side scale device;
     // the triangle SET is identical by construction)

@@ -126,8 +126,12 @@ class PlanShapeSpec extends AnyFunSuite {
                               // row (q188's totals class)
       "q219_ks_drift",        // 1-row (n1, n2) totals broadcast
                               // (q127/q188 class)
-      "q224_corpus_gate")     // composes q219 — inherits its 1-row
+      "q224_corpus_gate",     // composes q219 — inherits its 1-row
                               // totals broadcast
+      "q227_drift_monitor")   // DriftMonitor.drift's two 1-row
+                              // broadcasts: totals + n_batches (q188's
+                              // totals class, graded through the
+                              // streaming read path)
     for ((name, fn) <- graft.SparkEntry.queries if !oneRowCross(name)) {
       val plan = fn(spark, SparkTestBase.Sf0001)
         .queryExecution.executedPlan.toString

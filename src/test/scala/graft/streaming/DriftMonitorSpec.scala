@@ -49,6 +49,22 @@ class DriftMonitorSpec extends AnyFunSuite {
     assert(got.getLong(2) == 0L && got.getLong(3) == 0L)
   }
 
+  test("r13: the graded q227 row equals q188's tvd_bp on the shared " +
+    "split and reports the 4-batch ingest (the monitor's number, not " +
+    "a re-derivation)") {
+    val got = Corpus.q227DriftMonitor(spark, SparkTestBase.Sf0001)
+      .collect()(0)
+    val expected = Corpus.q188TokenDrift(spark, SparkTestBase.Sf0001)
+      .select("tvd_bp").collect()(0).getLong(0)
+    assert(got.getLong(0) == expected,
+      s"q227 tvd ${got.getLong(0)} != q188 $expected")
+    assert(got.getLong(3) == 4L, "q227 must commit exactly 4 batches")
+    // idempotent re-read (the bench-reps contract): same row again
+    val again = Corpus.q227DriftMonitor(spark, SparkTestBase.Sf0001)
+      .collect()(0)
+    assert(again.toSeq == got.toSeq, "q227 re-read must be stable")
+  }
+
   test("streaming exactly the reference drifts 0 bp") {
     val ref = docs.filter(col("doc_id") % 7 =!= 0)
     val st = DriftMonitor.init(spark,
