@@ -28,6 +28,33 @@ case class PqAdc(left: Expression, right: Expression,
                  codebook: Array[Array[Array[Long]]])
     extends BinaryExpression {
 
+  // a malformed codebook must fail at CONSTRUCTION with a message, not
+  // as an NPE when `sub` first dereferences codebook(0)(0) at planning
+  // (r12 advice); uniformity is what the eval loops assume
+  require(codebook.nonEmpty && codebook.forall(_.nonEmpty),
+    "pq_adc codebook must carry M >= 1 subspaces of K >= 1 centroids")
+  require({
+    val k0 = codebook(0).length
+    val s0 = codebook(0)(0).length
+    s0 >= 1 && codebook.forall(sp =>
+      sp.length == k0 && sp.forall(_.length == s0))
+  }, "pq_adc codebook must be uniform in K and subDim")
+
+  // Array fields compare by REFERENCE under case-class equality, which
+  // would defeat expression canonicalization/dedup (two semantically
+  // identical PqAdc nodes would never be recognized as equal) — deep
+  // content equality restores it (r12 advice)
+  override def equals(other: Any): Boolean = other match {
+    case p: PqAdc => left == p.left && right == p.right &&
+      java.util.Arrays.deepEquals(codebook.asInstanceOf[Array[AnyRef]],
+        p.codebook.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    left, right,
+    Integer.valueOf(
+      java.util.Arrays.deepHashCode(codebook.asInstanceOf[Array[AnyRef]])))
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(IntegerType, _)) =>

@@ -33,6 +33,29 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
 case class PqCodes(child: Expression, codebook: Array[Array[Array[Long]]])
     extends UnaryExpression {
 
+  // same construction contract and structural equality as [[PqAdc]]
+  // (r12 advice): malformed codebooks fail loudly at build time, and
+  // the Array field gets deep equality so canonicalization can dedup
+  require(codebook.nonEmpty && codebook.forall(_.nonEmpty),
+    "pq_codes codebook must carry M >= 1 subspaces of K >= 1 centroids")
+  require({
+    val k0 = codebook(0).length
+    val s0 = codebook(0)(0).length
+    s0 >= 1 && codebook.forall(sp =>
+      sp.length == k0 && sp.forall(_.length == s0))
+  }, "pq_codes codebook must be uniform in K and subDim")
+
+  override def equals(other: Any): Boolean = other match {
+    case p: PqCodes => child == p.child &&
+      java.util.Arrays.deepEquals(codebook.asInstanceOf[Array[AnyRef]],
+        p.codebook.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child,
+    Integer.valueOf(
+      java.util.Arrays.deepHashCode(codebook.asInstanceOf[Array[AnyRef]])))
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

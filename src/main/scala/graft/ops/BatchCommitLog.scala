@@ -114,8 +114,13 @@ object BatchCommitLog {
   def compact(spark: SparkSession, batchesDir: String): Unit = {
     if (!exists(batchesDir)) return
     import scala.jdk.CollectionConverters._
-    val pre = Files.list(Paths.get(batchesDir)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toList
+    // Files.list holds a directory handle until closed (r12 advice:
+    // the unclosed stream leaked one handle per compaction)
+    val listing = Files.list(Paths.get(batchesDir))
+    val pre =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toList
+      finally listing.close()
     if (pre.size <= 1) return
     committed(spark, batchesDir).distinct()
       .coalesce(1).write.mode("append").parquet(batchesDir)

@@ -39,9 +39,23 @@ private[graft] object ScratchExport {
     import scala.jdk.CollectionConverters._
     tempDirs.iterator().asScala.foreach { d =>
       val p = Paths.get(d)
-      if (Files.exists(p))
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => Files.deleteIfExists(q))
+      if (Files.exists(p)) {
+        // close the walk stream (it holds directory handles) and
+        // surface — not swallow — paths that would leak: a partially
+        // undeletable tree should say so on the way out (r12 advice)
+        val walk = Files.walk(p)
+        try {
+          walk.sorted(java.util.Comparator.reverseOrder()).forEach { q =>
+            try {
+              if (!Files.deleteIfExists(q))
+                () // already gone — fine
+            } catch {
+              case e: java.io.IOException =>
+                System.err.println(s"[scratch-export] leak: $q (${e.getMessage})")
+            }
+          }
+        } finally walk.close()
+      }
     }
   }
 }

@@ -320,24 +320,45 @@ case class AvroCommit(file: String) extends WriterCommitMessage
 case class AvroBatchWrite(path: String, schema: StructType,
                           truncate: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = AvroWriterFactory(path, schema)
+      : DataWriterFactory = AvroWriterFactory(path, schema, truncate)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(new Configuration())
     if (truncate) {
-      // overwrite semantics: the new files are already published under
-      // unique names — drop every pre-existing container file that is
-      // NOT part of this commit, plus any stale .inprogress staging
-      // orphans from hard-crashed attempts (safe here: truncate
-      // replaces the dataset, so no concurrent writer's in-flight
-      // staging files are legitimate)
-      val keep = messages.map(_.asInstanceOf[AvroCommit].file).toSet
+      // Overwrite semantics, r13 (r12 advice): truncate tasks do NOT
+      // publish at task commit — their containers are still under
+      // staged `.…inprogress` names here, invisible to readers, so the
+      // old dataset stays fully readable until THIS job commit. The
+      // swap below (drop old files, sweep stale orphans, then rename
+      // every staged container in) shrinks the read-inconsistency
+      // window from the whole job's task-commit span to the commit
+      // itself; delete-before-publish means a reader listing inside
+      // that window can see a PARTIAL dataset (a retryable read, the
+      // BatchCommitLog.compact contract) but never old+new duplicates.
+      val staged = messages.map(_.asInstanceOf[AvroCommit].file).toSet
       AvroDataSource.listAvroFiles(path)
-        .filterNot(p => keep.contains(p.getName))
         .foreach(p => fs.delete(p, false))
       if (fs.exists(dir)) fs.listStatus(dir)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".inprogress"))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".inprogress")
+          && !staged.contains(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, false))
+      staged.foreach { st =>
+        val fin = AvroDataWriter.finalName(st)
+        if (!fs.rename(new Path(dir, st), new Path(dir, fin)))
+          sys.error(s"graft-avro: failed to publish $st -> $fin")
+      }
+    } else {
+      // append: files were published at task commit; age-out staging
+      // orphans from hard-crashed attempts that are provably stale —
+      // far older than any plausible in-flight task — so they cannot
+      // belong to a concurrent writer (r12 advice; the previous
+      // behavior left them forever)
+      val cutoff = System.currentTimeMillis() -
+        AvroBatchWrite.OrphanSweepAgeMs
+      if (fs.exists(dir)) fs.listStatus(dir)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".inprogress")
+          && s.getModificationTime < cutoff)
         .foreach(s => fs.delete(s.getPath, false))
     }
     fs.create(new Path(dir, "_SUCCESS"), true).close()
@@ -352,29 +373,41 @@ case class AvroBatchWrite(path: String, schema: StructType,
   }
 }
 
-case class AvroWriterFactory(path: String, schema: StructType)
+object AvroBatchWrite {
+  /** Append-commit orphan sweep age: a `.inprogress` file untouched for
+    * this long cannot be a live task's output (container writers flush
+    * continuously), so sweeping it cannot race a concurrent writer. */
+  private[avro] val OrphanSweepAgeMs: Long = 24L * 3600 * 1000
+}
+
+case class AvroWriterFactory(path: String, schema: StructType,
+                             truncate: Boolean)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new AvroDataWriter(path, schema, partitionId, taskId)
+    new AvroDataWriter(path, schema, partitionId, taskId, truncate)
 }
 
 /** One container file per task (deflate-compressed — the codec in Avro
   * core, no optional native lib). Task output is STAGED under a
   * `.…avro.inprogress` name — invisible to readers, which list only
-  * `*.avro` — and renamed to its final name at TASK COMMIT (atomic on
-  * HDFS and local FS), so:
+  * `*.avro`. APPEND tasks rename to the final name at TASK COMMIT
+  * (atomic on HDFS and local FS); TRUNCATE tasks keep the staged name
+  * and the JOB commit performs the whole swap (r13 — publishing at
+  * task commit let a reader in the task-commit→job-commit window see
+  * old AND new containers together, i.e. duplicated rows). Either way:
   *  - a concurrent reader never sees a truncated container;
   *  - a hard-crashed attempt (whose abort() can never run) leaves only
   *    an invisible `.inprogress` orphan, never committed data — the
   *    retry's file is the only one a reader can observe. Stale
-  *    `.inprogress` files are garbage, swept by the next truncate
-  *    commit (an append job cannot sweep them without racing a
-  *    concurrent writer's in-flight files).
+  *    `.inprogress` files are swept by the next truncate commit, and
+  *    by append commits once provably stale
+  *    ([[AvroBatchWrite.OrphanSweepAgeMs]]).
   * The unique name additionally makes speculative / retried attempts
   * collision-free. */
 class AvroDataWriter(path: String, schema: StructType, partitionId: Int,
-                     taskId: Long) extends DataWriter[InternalRow] {
+                     taskId: Long, truncate: Boolean)
+    extends DataWriter[InternalRow] {
   private val avroSchema = AvroConv.toAvro(schema)
   private val fileName =
     f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.avro"
@@ -400,10 +433,15 @@ class AvroDataWriter(path: String, schema: StructType, partitionId: Int,
 
   override def commit(): WriterCommitMessage = {
     writer.close()
-    val dir = new Path(path)
-    if (!fs.rename(new Path(dir, stagedName), new Path(dir, fileName)))
-      sys.error(s"graft-avro: failed to publish $stagedName -> $fileName")
-    AvroCommit(fileName)
+    if (truncate) {
+      // stay staged: the job commit swaps every container in at once
+      AvroCommit(stagedName)
+    } else {
+      val dir = new Path(path)
+      if (!fs.rename(new Path(dir, stagedName), new Path(dir, fileName)))
+        sys.error(s"graft-avro: failed to publish $stagedName -> $fileName")
+      AvroCommit(fileName)
+    }
   }
 
   override def abort(): Unit = {
@@ -412,4 +450,11 @@ class AvroDataWriter(path: String, schema: StructType, partitionId: Int,
   }
 
   override def close(): Unit = ()
+}
+
+object AvroDataWriter {
+  /** `.part-….avro.inprogress` → `part-….avro` — the job-commit swap's
+    * name mapping (inverse of the writer's staging convention). */
+  private[sources] def finalName(staged: String): String =
+    staged.stripPrefix(".").stripSuffix(".inprogress")
 }

@@ -103,6 +103,33 @@ class AvroSourceSpec extends AnyFunSuite {
       .write.format("graft-avro").mode("append").save(out)
     assert(spark.read.format("graft-avro").load(out)
       .as[Long].collect().sorted.toSeq == Seq(10L, 11L))
+    // r13 job-commit swap hygiene: after the overwrites, the directory
+    // holds only final-named containers + _SUCCESS — no .inprogress
+    // residue from the truncate path's staged task commits
+    val names = new java.io.File(out).listFiles().map(_.getName)
+    assert(!names.exists(_.endsWith(".inprogress")),
+      s"staging residue in $out: ${names.mkString(",")}")
+  }
+
+  test("r13 truncate staging: a hard-crashed truncate attempt (staged " +
+    "file, no job commit) leaves the OLD dataset fully readable — " +
+    "readers never see old+new together") {
+    import spark.implicits._
+    val out = tmp()
+    Seq(1L, 2L).toDF("v").coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(out)
+    // simulate a truncate job's mid-flight state: a staged container
+    // (what every task commit of a truncate job now leaves) that never
+    // reached job commit
+    val staged = new java.io.File(out, ".part-99999-0-deadbeef.avro.inprogress")
+    java.nio.file.Files.write(staged.toPath, Array[Byte](1, 2, 3))
+    assert(spark.read.format("graft-avro").load(out)
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "old dataset must stay intact and staged files invisible")
+    // and the name mapping the job-commit swap uses is the exact
+    // inverse of the staging convention
+    assert(graft.sources.avro.AvroDataWriter.finalName(
+      ".part-00001-7-abc123.avro.inprogress") == "part-00001-7-abc123.avro")
   }
 
   test("schema evolution on read: files written BEFORE a column was " +
