@@ -36,7 +36,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    identical to the regex tier's tail. */
 object HtmlStrict {
 
-  private val DropTags = Array("script", "style", "nav", "footer")
+  /** THE canonical drop-container list — the regex tier
+    * (`graft.ops.Corpus.htmlClean`), its admission gate, and this
+    * strict tier all read this one constant (r13 review: a tag added
+    * to one copy but not the other would leak boilerplate exactly on
+    * the routed pages). */
+  val DropTags: Array[String] = Array("script", "style", "nav", "footer")
 
   private def isNameChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')

@@ -50,10 +50,13 @@ case class PqAdc(left: Expression, right: Expression,
         p.codebook.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
-  override def hashCode(): Int = java.util.Objects.hash(
+  // Catalyst hashes expression nodes repeatedly across rule batches —
+  // cache the O(M·K·subDim) deep walk (r13 review)
+  @transient private lazy val cachedHash: Int = java.util.Objects.hash(
     left, right,
     Integer.valueOf(
       java.util.Arrays.deepHashCode(codebook.asInstanceOf[Array[AnyRef]])))
+  override def hashCode(): Int = cachedHash
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {

@@ -51,10 +51,12 @@ case class PqCodes(child: Expression, codebook: Array[Array[Array[Long]]])
         p.codebook.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
-  override def hashCode(): Int = java.util.Objects.hash(
+  // cached: Catalyst hashes nodes repeatedly across rule batches
+  @transient private lazy val cachedHash: Int = java.util.Objects.hash(
     child,
     Integer.valueOf(
       java.util.Arrays.deepHashCode(codebook.asInstanceOf[Array[AnyRef]])))
+  override def hashCode(): Int = cachedHash
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess

@@ -460,8 +460,11 @@ object Corpus {
   /** The boilerplate containers whose CONTENT is dropped (not just the
     * tags): the trafilatura/jusText short list — code, styling, and
     * site chrome. `<title>` text is deliberately KEPT (most extractors
-    * index it). */
-  private val DropTags = Seq("script", "style", "nav", "footer")
+    * index it). ONE list shared with the strict tier and the gate
+    * ([[graft.functions.HtmlStrict.DropTags]]) so the tiers can never
+    * disagree on what counts as a container. */
+  private val DropTags: Seq[String] =
+    graft.functions.HtmlStrict.DropTags.toSeq
 
   /** Regex-extractor core shared by the query and its spec: drop
     * boilerplate containers, strip remaining tags to spaces, decode the
@@ -485,15 +488,25 @@ object Corpus {
     * scale). HtmlExtractSpec pins tier equivalence on
     * contract-satisfying pages and the strict tier's correctness on
     * violating ones. */
+  /** The drop-container span pattern for one tag — shared by the
+    * [[htmlClean]] fold and the [[htmlRegexSafe]] gate's residual
+    * check, so "what the regex tier can drop" has one definition. */
+  private def dropSpanPattern(t: String): String =
+    s"(?is)<$t(>|[ \\t\\n\\r/][^>]*>).*?</$t[ \\t\\n\\r]*>"
+
+  /** The container fold: every drop-container span → one space,
+    * sequentially per tag (script, style, nav, footer). */
+  private def dropContainers(html: Column): Column =
+    DropTags.foldLeft(html)((c, t) =>
+      regexp_replace(c, dropSpanPattern(t), " "))
+
   private[ops] def htmlClean(html: Column): Column = {
     // tag-name boundary via alternation, not lookahead (RE2 has none):
     // `<nav>` / `<nav attr>` / `<nav/>` open a container, `<navbar>`
     // does NOT — without the boundary any tag merely PREFIXED by a
     // container name would open one and swallow text through the next
     // real close tag
-    val dropped = DropTags.foldLeft(html) { (c, t) =>
-      regexp_replace(c, s"(?is)<$t(>|[ \\t\\n\\r/][^>]*>).*?</$t[ \\t\\n\\r]*>", " ")
-    }
+    val dropped = dropContainers(html)
     val untagged = regexp_replace(dropped, "<[^>]*>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&amp;" -> "&").foldLeft(untagged) {
@@ -505,27 +518,35 @@ object Corpus {
   /** The regex tier's admission gate: TRUE when the page provably
     * satisfies the [[htmlClean]] contract. Two violation detectors,
     * both deliberately conservative (a false POSITIVE routes a safe
-    * page to the strict tier, which computes the identical answer —
-    * see HtmlExtractSpec's differential property — so over-flagging is
-    * free; a false negative is impossible for the two contract
-    * clauses):
+    * page to the strict tier, which computes the identical answer on
+    * contract-satisfying pages — see HtmlExtractSpec's differential
+    * property — so over-flagging is free):
     *  - a quoted attribute value reaching a `>` before its closing
     *    quote (`=["'] … >` with no intervening close) — the case where
     *    the quote-unaware `<[^>]*>` strip truncates the tag early;
-    *  - more opens than closes for any drop-container — the case where
-    *    the container regex cannot match and boilerplate would leak
-    *    into the text. */
+    *  - container markup SURVIVING the [[dropContainers]] fold — the
+    *    r13-review replacement for the original open-vs-close COUNT,
+    *    which was blind to ordering (`</nav>A<nav>leak` counts 1–1
+    *    balanced, yet the span regex cannot match and `leak` would
+    *    reach the cleaned text; interleaved `<footer>y<nav>x</footer>
+    *    z</nav>` is per-tag balanced and leaks the same way). Running
+    *    the EXACT fold the fast tier runs and then asking "is any
+    *    open or close container tag still present?" detects, by
+    *    construction, every page where that fold failed to consume
+    *    some container markup — ordering included. The fold appears
+    *    in both the gate and the admitted branch of the SAME
+    *    projection, where whole-stage codegen's common-subexpression
+    *    elimination shares it. */
   private[ops] def htmlRegexSafe(html: Column): Column = {
     val quotedGt =
       html.rlike("(?s)<[^>]*=[ \\t\\n\\r]*\"[^\"]*>") ||
         html.rlike("(?s)<[^>]*=[ \\t\\n\\r]*'[^']*>")
-    val unbalanced = DropTags.map { t =>
-      size(regexp_extract_all(html,
-          lit(s"(?is)<$t(>|[ \\t\\n\\r/][^>]*>)"), lit(0))) >
-        size(regexp_extract_all(html,
-          lit(s"(?is)</$t[ \\t\\n\\r]*>"), lit(0)))
+    val folded = dropContainers(html)
+    val residual = DropTags.map { t =>
+      folded.rlike(s"(?is)<$t(>|[ \\t\\n\\r/][^>]*>)") ||
+        folded.rlike(s"(?is)</$t[ \\t\\n\\r]*>")
     }.reduce(_ || _)
-    !(quotedGt || unbalanced)
+    !(quotedGt || residual)
   }
 
   /** The shipped two-tier extractor: regex fast path when the gate
@@ -622,10 +643,45 @@ object Corpus {
     graft.streaming.DriftMonitor.drift(s, st)
   }
 
+  /** q228: the INCREMENTALLY-MAINTAINED data card, graded — q227's
+    * discipline applied to [[graft.ops.IncrementalCard]], the other
+    * BatchCommitLog consumer (closing the last spec-only component
+    * whose ARITHMETIC had no cross-engine check; the remaining
+    * spec-only set is write-layout/protocol machinery and sketches
+    * with engine-specific internals). The corpus lands as 4
+    * deterministic micro-batches (`doc_id % 4`) through the real
+    * append path — batch_id-partitioned dynamic-overwrite partials,
+    * anti-join digest admission, commit-log-last — and the graded read
+    * is [[graft.ops.IncrementalCard.card]] over partials only, while
+    * the oracle recomputes the card FROM RAW DOCUMENTS with q166's
+    * exact SQL ([[dataCardOracleSql]], shared verbatim): a dropped row
+    * anywhere in the partial/merge/dedup-mass chain splits the hash.
+    *
+    * Scale shape: per append, batch-sized work; per read,
+    * partials-sized work (|batches|·|lang×source| rows + the digest
+    * table) — the corpus is never rescanned. State builds once per
+    * (JVM, dataset) in a ScratchExport dir; replays are commit-log
+    * no-ops, so bench reps re-read, never re-ingest. */
+  def q228IncrementalCard(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.sink.ScratchExport.once(s"inccard:$dir") {
+      val state = IncrementalCard.init(
+        graft.sink.ScratchExport.scratchDir("graft-inccard-"))
+      val docs = T(s, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+      (0 until DriftBatches).foreach { b =>
+        IncrementalCard.append(s, state, b.toLong,
+          docs.filter(col("doc_id") % DriftBatches === b))
+      }
+      state
+    }
+    IncrementalCard.card(s, st)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_substring_dedup" -> q117SubstringDedup _,
     "q205_html_extract" -> q205HtmlExtract _,
     "q227_drift_monitor" -> q227DriftMonitor _,
+    "q228_incremental_card" -> q228IncrementalCard _,
     "q202_volume_anomaly" -> q202VolumeAnomaly _,
     "q188_token_drift" -> q188TokenDrift _,
     "q219_ks_drift" -> q219KsDrift _,
@@ -636,6 +692,24 @@ object Corpus {
     "q166_data_card" -> q166DataCard _,
     "q167_snapshot_diff" -> q167SnapshotDiff _,
   )
+
+  /** The one-row data-card recompute from raw documents — shared
+    * VERBATIM by the q166 (one-shot query) and q228 (incremental
+    * maintenance) oracles: one definition of "the correct card". */
+  private lazy val dataCardOracleSql: String =
+    s"""WITH RECURSIVE ${graft.functions.Bpe.countCteSql},
+      |w AS (SELECT d.doc_id, d.lang, d.source,
+      |        len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS ws,
+      |        c.btok, md5(d.text) AS digest
+      |      FROM documents d JOIN bpe_cnt c ON d.doc_id = c.doc_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+      |       CAST(sum(btok) AS BIGINT) AS bpe_tokens,
+      |       CAST(count(*) - count(DISTINCT digest) AS BIGINT) AS n_exact_dups,
+      |       CAST(max(btok) AS BIGINT) AS max_doc_btok
+      |FROM w""".stripMargin
 
   /** The KS ecdf CTE chain (`c → t → f → d`, cross-multiplied per-value
     * numerators) shared by the q219 and q224 oracles — the gate's drift
@@ -789,20 +863,12 @@ object Corpus {
         |       CAST(max(nb) AS BIGINT) AS n_seen_tokens,
         |       CAST($DriftBatches AS BIGINT) AS n_batches
         |FROM d""".stripMargin,
-    "q166_data_card" ->
-      s"""WITH RECURSIVE ${graft.functions.Bpe.countCteSql},
-        |w AS (SELECT d.doc_id, d.lang, d.source,
-        |        len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS ws,
-        |        c.btok, md5(d.text) AS digest
-        |      FROM documents d JOIN bpe_cnt c ON d.doc_id = c.doc_id)
-        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-        |       CAST(sum(ws) AS BIGINT) AS ws_tokens,
-        |       CAST(sum(btok) AS BIGINT) AS bpe_tokens,
-        |       CAST(count(*) - count(DISTINCT digest) AS BIGINT) AS n_exact_dups,
-        |       CAST(max(btok) AS BIGINT) AS max_doc_btok
-        |FROM w""".stripMargin,
+    "q166_data_card" -> dataCardOracleSql,
+    // q228: the SAME oracle text as q166 — the incremental card's one
+    // row must equal the one-shot card recomputed from the raw corpus,
+    // which is exactly what grades the partials protocol (the q227
+    // discipline applied to the other BatchCommitLog consumer)
+    "q228_incremental_card" -> dataCardOracleSql,
     "q167_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, md5(text) AS dig_a FROM documents),
         |b AS (SELECT doc_id,

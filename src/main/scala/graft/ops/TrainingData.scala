@@ -592,18 +592,23 @@ object TrainingData {
 
   /** ⌊isqrt(nn)⌋ as an EXACT integer: double-sqrt estimate (absolute
     * error < 1 for nn ≤ 2⁷⁶), corrected by integer square compares over
-    * the ±2 window — t = (t₀−2) + Σₖ [(t₀+k)² ≤ nn], k ∈ {−1,0,1,2}.
-    * The indicators are monotone, so the sum counts exactly the
-    * candidates ≤ the true root. `nn` must be decimal(38,0). */
+    * the ±2 window — t = (t₀−2) + Σₖ [t₀+k ≤ ⌊√nn⌋], k ∈ {−1,0,1,2},
+    * where the indicator is `(t₀+k < 0) ∨ (t₀+k)² ≤ nn`: squaring is
+    * not monotone through negatives, so a negative candidate counts
+    * unconditionally (r13 review — the square-only form returned −1
+    * for nn = 0 because (−1)² ≤ 0 failed while −1 ≤ 0 holds). The
+    * indicators are monotone, so the sum counts exactly the candidates
+    * ≤ the true root; isqrt(0) = 0. `nn` must be decimal(38,0). */
   private def isqrtCol(nn: Column): Column = {
     val t0 = floor(sqrt(nn.cast("double"))).cast("long")
-    def sqLe(k: Int): Column = {
-      val c = (t0 + lit(k.toLong)).cast(Dec38)
-      (c * c) <= nn
+    def cLe(k: Int): Column = {
+      val c = t0 + lit(k.toLong)
+      val cd = c.cast(Dec38)
+      (c < 0) || ((cd * cd) <= nn)
     }
-    t0 - lit(2L) + when(sqLe(-1), 1L).otherwise(0L) +
-      when(sqLe(0), 1L).otherwise(0L) + when(sqLe(1), 1L).otherwise(0L) +
-      when(sqLe(2), 1L).otherwise(0L)
+    t0 - lit(2L) + when(cLe(-1), 1L).otherwise(0L) +
+      when(cLe(0), 1L).otherwise(0L) + when(cLe(1), 1L).otherwise(0L) +
+      when(cLe(2), 1L).otherwise(0L)
   }
 
   /** The r13 fixed-point cosine quantum: ⌊d·scale/isqrt(n1·n2) + ½⌋ as
@@ -626,7 +631,11 @@ object TrainingData {
     val num = d.cast(Dec38) * lit(2L * scale) + t.cast(Dec38)
     val den = (t * lit(2L)).cast(Dec38)
     val mod = ((num % den) + den) % den
-    ((num - mod) / den).cast("long")
+    // a zero vector on either side has cosine DEFINED as 0 (t = 0 would
+    // otherwise divide by zero — an ANSI runtime error, not a NULL);
+    // d = 0 by Cauchy-Schwarz, so 0 is the honest quantum
+    when(t === 0L, lit(0L))
+      .otherwise(((num - mod) / den).cast("long"))
   }
 
   /** q79: embedding near-duplicate search, blocked by `label` — the
@@ -3078,17 +3087,21 @@ object TrainingData {
   // exact regardless of truncation direction.
   private def oFloorDiv(num: String, den: String): String =
     s"((($num) - (((($num) % ($den)) + ($den)) % ($den))) // ($den))"
-  /** ⌊d·scale/t + ½⌋ = floorDiv(2·d·scale + t, 2·t) over HUGEINT. */
+  /** ⌊d·scale/t + ½⌋ = floorDiv(2·d·scale + t, 2·t) over HUGEINT, with
+    * t = 0 DEFINED as quantum 0 (the [[fxQuantum]] zero-vector
+    * contract; unguarded it would be a division-by-zero error). */
   private def oHalfUp(d: String, t: String, scale: Long): String =
-    oFloorDiv(s"2 * CAST($d AS HUGEINT) * $scale + ($t)", s"2 * ($t)")
+    s"(CASE WHEN ($t) = 0 THEN 0 ELSE ${
+      oFloorDiv(s"2 * CAST($d AS HUGEINT) * $scale + ($t)", s"2 * ($t)")} END)"
   /** Wraps `inner` (which must yield `$outCols` plus a HUGEINT-safe
     * `nn`) with the exact-isqrt tail: emits `$outCols` plus
     * `tq` = ⌊√nn⌋, the double estimate corrected by the ±2 monotone
-    * square-compare window (the [[isqrtCol]] twin). */
+    * candidate-compare window (the [[isqrtCol]] twin — negative
+    * candidates count unconditionally, so isqrt(0) = 0). */
   private def oIsqrtNest(inner: String, outCols: String): String =
     s"""SELECT $outCols, t0 - 2
-       |  + (CASE WHEN (t0-1)*(t0-1) <= nn THEN 1 ELSE 0 END)
-       |  + (CASE WHEN t0*t0 <= nn THEN 1 ELSE 0 END)
+       |  + (CASE WHEN t0 - 1 < 0 OR (t0-1)*(t0-1) <= nn THEN 1 ELSE 0 END)
+       |  + (CASE WHEN t0 < 0 OR t0*t0 <= nn THEN 1 ELSE 0 END)
        |  + (CASE WHEN (t0+1)*(t0+1) <= nn THEN 1 ELSE 0 END)
        |  + (CASE WHEN (t0+2)*(t0+2) <= nn THEN 1 ELSE 0 END) AS tq
        |FROM (SELECT $outCols, nn,
@@ -3201,7 +3214,7 @@ object TrainingData {
   /** q160's DuckDB twin: the per-iteration objective against each
     * iteration's PRE-update centroids (c0, c1, c2 — exactly what the
     * Spark training loop measures). Every reduction is an INTEGER sum
-    * (the fixed-point dot inside [[oCsimFx]]/[[oFxDot]] and the outer
+    * (the fixed-point dot inside [[oQuantumNest]]/[[oFxDot]] and the outer
     * Σᵥ), and every double is a fixed chain of singly-rounded ops, so
     * the three BIGINTs cannot depend on either engine's summation
     * order — the property the r10 (floor after a double dot) and r11

@@ -30,7 +30,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * surface as the `sap-rfc` source.
   *
   * Layout and scale model (the classic Avro-on-a-data-lake baseline):
-  *  - a dataset is a directory of `part-*.avro` object-container files;
+  *  - a dataset is a directory of `part-*.avro` object-container files
+  *    plus, once truncated, a `_generation` pointer naming the current
+  *    generation (see the generation-pointer protocol notes on
+  *    [[AvroDataSource]] — overwrite is one atomic pointer flip, so no
+  *    crash point or read window ever shows duplicated or lost data);
   *  - the WRITE side emits one container file per task (append), so
   *    write parallelism is the upstream partitioning, exactly like the
   *    built-in file sinks; tasks STAGE under `.…inprogress` names and
@@ -84,7 +88,7 @@ class AvroTableProvider extends TableProvider with DataSourceRegister {
     * union-null defaults. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = AvroDataSource.pathOf(options)
-    val files = AvroDataSource.listAvroFiles(path)
+    val files = AvroDataSource.listVisibleFiles(path)
     require(files.nonEmpty, s"graft-avro: no *.avro files under $path")
     val conf = new Configuration()
     val perFile = files.map { f =>
@@ -131,6 +135,61 @@ private[avro] object AvroDataSource {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
       .map(_.getPath)
       .sortBy(_.getName) // deterministic partition order
+  }
+
+  // ---- generation pointer (r13: crash-atomic truncate) -----------------
+  // A truncate commit publishes its containers under a FRESH generation
+  // token (`gen-<tok>-part-….avro`) and then atomically renames the
+  // `_generation` pointer onto the new token. Readers resolve the
+  // pointer first, so the old→new flip is one atomic rename: no window
+  // shows old+new together (duplicates) and no crash point leaves
+  // neither readable — before the flip the old generation is fully
+  // intact, after it the new one is fully published (its renames all
+  // happened at task commit, before job commit ran). Old files and
+  // crashed-attempt orphans are invisible garbage, swept after the
+  // flip and by later truncates. Dirs never truncated by this protocol
+  // have no pointer; their visible set is the unprefixed append files.
+
+  private[avro] val GenPointer = "_generation"
+  private[avro] def genPrefix(token: String): String = s"gen-$token-"
+
+  private[avro] def currentToken(path: String): Option[String] = {
+    val p = new Path(path, GenPointer)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val line = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8")).readLine()
+        Option(line).map(_.trim).filter(_.nonEmpty)
+      } finally in.close()
+    }
+  }
+
+  /** Atomic pointer flip: staged write + `FileContext` rename with
+    * OVERWRITE (atomic on HDFS and local FS). */
+  private[avro] def flipPointer(path: String, token: String): Unit = {
+    val conf = new Configuration()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val tmp = new Path(dir,
+      s".${GenPointer}.${UUID.randomUUID().toString.take(8)}.inprogress")
+    val out = fs.create(tmp, true)
+    try out.write(token.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+    fc.rename(tmp, new Path(dir, GenPointer),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The reader-visible containers: the current generation's files
+    * when a pointer exists, the unprefixed append files otherwise. */
+  def listVisibleFiles(path: String): Seq[Path] = {
+    val all = listAvroFiles(path)
+    currentToken(path) match {
+      case Some(tok) => all.filter(_.getName.startsWith(genPrefix(tok)))
+      case None => all.filterNot(_.getName.startsWith("gen-"))
+    }
   }
 }
 
@@ -260,7 +319,7 @@ case class AvroScan(path: String, required: StructType)
     s"graft-avro $path ReadSchema: ${required.catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    AvroDataSource.listAvroFiles(path)
+    AvroDataSource.listVisibleFiles(path)
       .map(p => AvroFilePartition(p.toString): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -320,40 +379,50 @@ case class AvroCommit(file: String) extends WriterCommitMessage
 case class AvroBatchWrite(path: String, schema: StructType,
                           truncate: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = AvroWriterFactory(path, schema, truncate)
+      : DataWriterFactory = AvroWriterFactory(path, schema, token)
+
+  // truncate jobs mint a FRESH generation token on the driver; append
+  // jobs join the directory's current generation (None for a
+  // never-truncated dir — unprefixed files)
+  private val token: Option[String] =
+    if (truncate)
+      Some(f"${System.currentTimeMillis()}%013x-${
+        UUID.randomUUID().toString.take(8)}")
+    else AvroDataSource.currentToken(path)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(new Configuration())
     if (truncate) {
-      // Overwrite semantics, r13 (r12 advice): truncate tasks do NOT
-      // publish at task commit — their containers are still under
-      // staged `.…inprogress` names here, invisible to readers, so the
-      // old dataset stays fully readable until THIS job commit. The
-      // swap below (drop old files, sweep stale orphans, then rename
-      // every staged container in) shrinks the read-inconsistency
-      // window from the whole job's task-commit span to the commit
-      // itself; delete-before-publish means a reader listing inside
-      // that window can see a PARTIAL dataset (a retryable read, the
-      // BatchCommitLog.compact contract) but never old+new duplicates.
-      val staged = messages.map(_.asInstanceOf[AvroCommit].file).toSet
+      // Crash-atomic overwrite (r13 review — the first r13 cut deleted
+      // old files before publishing new ones, so a driver crash inside
+      // the commit lost BOTH datasets): the new containers are already
+      // fully published (task-commit renames) under the fresh token,
+      // but readers cannot see them — no pointer names that token. The
+      // flip below is ONE atomic rename: before it the old generation
+      // is intact and complete, after it the new one is. Only then is
+      // garbage swept (old-generation containers, crashed-attempt
+      // orphans of other tokens, stale staging files); a crash
+      // mid-sweep leaves invisible garbage for the next truncate,
+      // never an unreadable or duplicated dataset. A reader holding a
+      // pre-flip file listing can hit a swept old file — the
+      // documented retryable read (BatchCommitLog.compact's
+      // contract).
+      val tok = token.get
+      AvroDataSource.flipPointer(path, tok)
+      val keep = AvroDataSource.genPrefix(tok)
       AvroDataSource.listAvroFiles(path)
+        .filterNot(_.getName.startsWith(keep))
         .foreach(p => fs.delete(p, false))
       if (fs.exists(dir)) fs.listStatus(dir)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".inprogress")
-          && !staged.contains(s.getPath.getName))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".inprogress"))
         .foreach(s => fs.delete(s.getPath, false))
-      staged.foreach { st =>
-        val fin = AvroDataWriter.finalName(st)
-        if (!fs.rename(new Path(dir, st), new Path(dir, fin)))
-          sys.error(s"graft-avro: failed to publish $st -> $fin")
-      }
     } else {
-      // append: files were published at task commit; age-out staging
-      // orphans from hard-crashed attempts that are provably stale —
-      // far older than any plausible in-flight task — so they cannot
-      // belong to a concurrent writer (r12 advice; the previous
-      // behavior left them forever)
+      // append: files were published at task commit (visible as tasks
+      // finish, standard file-sink semantics); age-out staging orphans
+      // from hard-crashed attempts that are provably stale — far older
+      // than any plausible in-flight task — so the sweep cannot race a
+      // concurrent writer (r12 advice; previously they leaked forever)
       val cutoff = System.currentTimeMillis() -
         AvroBatchWrite.OrphanSweepAgeMs
       if (fs.exists(dir)) fs.listStatus(dir)
@@ -381,36 +450,37 @@ object AvroBatchWrite {
 }
 
 case class AvroWriterFactory(path: String, schema: StructType,
-                             truncate: Boolean)
+                             token: Option[String])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new AvroDataWriter(path, schema, partitionId, taskId, truncate)
+    new AvroDataWriter(path, schema, partitionId, taskId, token)
 }
 
 /** One container file per task (deflate-compressed — the codec in Avro
   * core, no optional native lib). Task output is STAGED under a
   * `.…avro.inprogress` name — invisible to readers, which list only
-  * `*.avro`. APPEND tasks rename to the final name at TASK COMMIT
-  * (atomic on HDFS and local FS); TRUNCATE tasks keep the staged name
-  * and the JOB commit performs the whole swap (r13 — publishing at
-  * task commit let a reader in the task-commit→job-commit window see
-  * old AND new containers together, i.e. duplicated rows). Either way:
+  * `*.avro` — and renamed to its final name at TASK COMMIT (atomic on
+  * HDFS and local FS). A truncate job's final names carry the job's
+  * fresh generation token, so they stay READER-invisible even after
+  * publication (no pointer names the token until job commit flips it
+  * — the r13 crash-atomic overwrite protocol). So:
   *  - a concurrent reader never sees a truncated container;
   *  - a hard-crashed attempt (whose abort() can never run) leaves only
-  *    an invisible `.inprogress` orphan, never committed data — the
-  *    retry's file is the only one a reader can observe. Stale
-  *    `.inprogress` files are swept by the next truncate commit, and
-  *    by append commits once provably stale
-  *    ([[AvroBatchWrite.OrphanSweepAgeMs]]).
+  *    an invisible `.inprogress` orphan — or, for a crashed TRUNCATE
+  *    job, published files of a token no pointer will ever name —
+  *    never reader-visible data. Both kinds are swept by the next
+  *    truncate commit; append commits age-out provably-stale staging
+  *    orphans ([[AvroBatchWrite.OrphanSweepAgeMs]]).
   * The unique name additionally makes speculative / retried attempts
   * collision-free. */
 class AvroDataWriter(path: String, schema: StructType, partitionId: Int,
-                     taskId: Long, truncate: Boolean)
+                     taskId: Long, token: Option[String])
     extends DataWriter[InternalRow] {
   private val avroSchema = AvroConv.toAvro(schema)
   private val fileName =
-    f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.avro"
+    token.map(AvroDataSource.genPrefix).getOrElse("") +
+      f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.avro"
   private val stagedName = s".$fileName.inprogress"
   private val fs = new Path(path).getFileSystem(new Configuration())
   private val out = fs.create(new Path(new Path(path), stagedName), true)
@@ -433,15 +503,10 @@ class AvroDataWriter(path: String, schema: StructType, partitionId: Int,
 
   override def commit(): WriterCommitMessage = {
     writer.close()
-    if (truncate) {
-      // stay staged: the job commit swaps every container in at once
-      AvroCommit(stagedName)
-    } else {
-      val dir = new Path(path)
-      if (!fs.rename(new Path(dir, stagedName), new Path(dir, fileName)))
-        sys.error(s"graft-avro: failed to publish $stagedName -> $fileName")
-      AvroCommit(fileName)
-    }
+    val dir = new Path(path)
+    if (!fs.rename(new Path(dir, stagedName), new Path(dir, fileName)))
+      sys.error(s"graft-avro: failed to publish $stagedName -> $fileName")
+    AvroCommit(fileName)
   }
 
   override def abort(): Unit = {
@@ -452,9 +517,3 @@ class AvroDataWriter(path: String, schema: StructType, partitionId: Int,
   override def close(): Unit = ()
 }
 
-object AvroDataWriter {
-  /** `.part-….avro.inprogress` → `part-….avro` — the job-commit swap's
-    * name mapping (inverse of the writer's staging convention). */
-  private[sources] def finalName(staged: String): String =
-    staged.stripPrefix(".").stripSuffix(".inprogress")
-}

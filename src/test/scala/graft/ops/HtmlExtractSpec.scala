@@ -134,6 +134,13 @@ class HtmlExtractSpec extends AnyFunSuite {
       ("<footer>chrome<p>tail", false, ""),
       // quoted '>' inside a drop container's OPEN tag: both violations
       ("<nav data-x=\"a>b\">menu</nav>kept", false, "kept"),
+      // r13 review: ORDERING violations an open/close COUNT cannot see
+      // — close before open (1–1 balanced, span regex can't match)
+      ("</nav>A<nav>boilerplate never closes", false, "A"),
+      // — interleaved containers (per-tag balanced; the nav span
+      //   swallows footer's close, so footer chrome would leak in the
+      //   regex tier; the strict tier drops footer to its real close)
+      ("<footer>y<nav>x</footer>z</nav>", false, "z"),
       // and a safe page for contrast
       ("<p>plain</p>", true, "plain"))
     val got = cases.map(_._1).toDF("html")

@@ -110,18 +110,23 @@ object IntegerDisciplineProps extends Properties("IntegerDiscipline") {
     bump <- Gen.oneOf(-1, 0, 1) // also probe adjacent-to-square points
   } yield {
     val base = BigInt(hi) * BigInt(lo) + bump
-    if (base < 1) BigInt(1) else base
+    if (base < 0) BigInt(0) else base // 0 included: isqrt(0) = 0 is
+                                      // part of the contract (r13
+                                      // review — the square-only
+                                      // indicator returned −1 there)
   }
   private def isqrtCorrected(nn: BigInt): BigInt = {
     val t0 = BigInt(math.floor(math.sqrt(nn.toDouble)).toLong)
     (-1 to 2).foldLeft(t0 - 2) { (acc, k) =>
-      acc + (if ((t0 + k) * (t0 + k) <= nn) 1 else 0)
+      // the shipped indicator: negative candidates count unconditionally
+      acc + (if (t0 + k < 0 || (t0 + k) * (t0 + k) <= nn) 1 else 0)
     }
   }
-  property("corrected double estimate is the exact isqrt") =
+  property("corrected double estimate is the exact isqrt (incl. 0)") =
     Prop.forAll(nnGen) { nn =>
       val t = isqrtCorrected(nn)
-      t * t <= nn && (t + 1) * (t + 1) > nn
+      t >= 0 && t * t <= nn && (t + 1) * (t + 1) > nn &&
+        isqrtCorrected(BigInt(0)) == 0
     }
 
   /** The r13 quantum itself: floorDiv(2·d·scale + t, 2·t) (the
@@ -132,12 +137,15 @@ object IntegerDisciplineProps extends Properties("IntegerDiscipline") {
     Prop.forAll(nnGen, Gen.chooseNum(-(1L << 38), 1L << 38),
       Gen.oneOf(1L << 20, 1L << 30)) { (nn, d, scale) =>
       val t = isqrtCorrected(nn)
-      val (num, den) = (2 * BigInt(d) * scale + t, 2 * t)
-      val mod = ((num % den) + den) % den
-      val q = (num - mod) / den
-      // reference: unique integer q with q ≤ d·scale/t + ½ < q + 1,
-      // cross-multiplied to avoid any floating point
-      (q * den <= num) && ((q + 1) * den > num)
+      if (t == 0) Prop.passed // zero-vector branch: quantum DEFINED 0
+      else {
+        val (num, den) = (2 * BigInt(d) * scale + t, 2 * t)
+        val mod = ((num % den) + den) % den
+        val q = (num - mod) / den
+        // reference: unique integer q with q ≤ d·scale/t + ½ < q + 1,
+        // cross-multiplied to avoid any floating point
+        Prop.propBoolean((q * den <= num) && ((q + 1) * den > num))
+      }
     }
 
   /** q209's integer RRF grid: ⌊10⁷/(60+r)⌋ is STRICTLY decreasing while

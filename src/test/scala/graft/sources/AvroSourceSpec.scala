@@ -111,25 +111,38 @@ class AvroSourceSpec extends AnyFunSuite {
       s"staging residue in $out: ${names.mkString(",")}")
   }
 
-  test("r13 truncate staging: a hard-crashed truncate attempt (staged " +
-    "file, no job commit) leaves the OLD dataset fully readable — " +
-    "readers never see old+new together") {
+  test("r13 generation pointer: a hard-crashed truncate attempt " +
+    "(published containers, no pointer flip) leaves the OLD dataset " +
+    "fully readable — no crash point shows duplicates or loses both") {
     import spark.implicits._
     val out = tmp()
     Seq(1L, 2L).toDF("v").coalesce(1)
       .write.format("graft-avro").mode("overwrite").save(out)
-    // simulate a truncate job's mid-flight state: a staged container
-    // (what every task commit of a truncate job now leaves) that never
-    // reached job commit
-    val staged = new java.io.File(out, ".part-99999-0-deadbeef.avro.inprogress")
+    // the committed dataset lives under a generation token now
+    val dir = new java.io.File(out)
+    assert(new java.io.File(dir, "_generation").exists(), "pointer")
+    // simulate a truncate job that crashed AFTER its task commits
+    // published containers but BEFORE the job-commit pointer flip: a
+    // full *.avro file under a token no pointer names, plus a staging
+    // orphan — both must be invisible
+    val stray = new java.io.File(dir, "gen-deadbeef-part-00000-9-ffff.avro")
+    java.nio.file.Files.write(stray.toPath, Array[Byte](1, 2, 3))
+    val staged = new java.io.File(dir, ".part-99999-0-dead.avro.inprogress")
     java.nio.file.Files.write(staged.toPath, Array[Byte](1, 2, 3))
     assert(spark.read.format("graft-avro").load(out)
       .as[Long].collect().sorted.toSeq == Seq(1L, 2L),
-      "old dataset must stay intact and staged files invisible")
-    // and the name mapping the job-commit swap uses is the exact
-    // inverse of the staging convention
-    assert(graft.sources.avro.AvroDataWriter.finalName(
-      ".part-00001-7-abc123.avro.inprogress") == "part-00001-7-abc123.avro")
+      "old generation must stay intact; unflipped tokens invisible")
+    // the NEXT successful truncate sweeps the crashed attempt's garbage
+    Seq(9L).toDF("v").coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(out)
+    assert(spark.read.format("graft-avro").load(out)
+      .as[Long].collect().toSeq == Seq(9L))
+    assert(!stray.exists() && !staged.exists(), "garbage swept")
+    // appends join the current generation and stay visible
+    Seq(10L).toDF("v").coalesce(1)
+      .write.format("graft-avro").mode("append").save(out)
+    assert(spark.read.format("graft-avro").load(out)
+      .as[Long].collect().sorted.toSeq == Seq(9L, 10L))
   }
 
   test("schema evolution on read: files written BEFORE a column was " +
