@@ -175,6 +175,25 @@ object PlanAudit {
         "1-row broadcasts (totals + n_batches, the q188 class); no " +
         "documents scan anywhere in this plan — ingest happened " +
         "behind the commit log."),
+    "q228_incremental_card" ->
+      ("**Look for:** NO documents scan — the card aggregates the " +
+        "persisted per-batch partials parquet (semi-joined to the " +
+        "committed batch ids) and the digest table only; the " +
+        "countDistinct dedup mass is a scalar resolved before this " +
+        "plan (a bounded driver read of the digest aggregate), so the " +
+        "shipped shape is one partials scan into a global " +
+        "partial+final aggregate. The corpus was ingested behind the " +
+        "commit log; a refresh never rescans it."),
+    "q229_pareto_frontier" ->
+      ("**Look for:** NO dominance self-join anywhere — one documents " +
+        "scan into the per-cost struct-argmax partial+final aggregate, " +
+        "then the ScalableRank prefix-max machinery: the sweep's " +
+        "shipped subtree is the localCheckpointed ExistingRDD (range " +
+        "repartition + per-_pid exclusive cummax windows + the " +
+        "broadcast per-partition offsets ran eagerly into the " +
+        "checkpoint), followed by the n_lex > pmax filter and the " +
+        "presentation sort. Window partitioned by _pid, never " +
+        "global."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

@@ -1226,7 +1226,48 @@ object Curation {
       .orderBy("lang", "split")
   }
 
+  /** q229: the Pareto frontier of the corpus under two SELECTION
+    * objectives — lexical diversity (distinct whitespace words,
+    * maximize) vs token cost ([[graft.functions.Bpe.count]],
+    * minimize): the documents no other document beats on both axes at
+    * once, i.e. the efficient frontier a budgeted data-selection pass
+    * picks from ("most diversity per token"). q172/q181 SCORE and cut
+    * on one axis; the skyline is the multi-objective primitive —
+    * scalarize any weighting later and its optimum is ON this
+    * frontier.
+    *
+    * Scale shape (the 2-D skyline never does the O(n²) dominance
+    * join): (1) collapse the corpus to one row per DISTINCT token
+    * cost with that cost's best diversity and smallest achieving
+    * doc_id (struct-argmax inside a partial+final aggregate — bounded
+    * by the token-count DOMAIN, not the corpus); (2) one
+    * [[ScalableRank.withGlobalCummaxExclusive]] sweep over cost
+    * ascending (two-pass distributed prefix-max, never a global
+    * window); (3) keep rows whose diversity exceeds every
+    * cheaper-cost diversity — by construction exactly the
+    * non-dominated set. The DuckDB oracle states dominance
+    * declaratively (NOT EXISTS over the collapsed per-cost table), so
+    * the hash match proves the sweep IS the skyline. Output ordered
+    * by cost; diversity is strictly increasing along it (ParetoSpec
+    * pins the staircase and brute-forces dominance per doc). */
+  def q229ParetoFrontier(s: SparkSession, dir: String): DataFrame = {
+    val m = T(s, dir, "documents").select(col("doc_id"),
+      size(expr("array_distinct(filter(split(text, ' '), x -> x != ''))"))
+        .cast("long").as("n_lex"),
+      graft.functions.Bpe.count(col("text")).as("btok"))
+    val g = m.groupBy("btok")
+      .agg(max(struct(col("n_lex"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("btok"), col("b.n_lex").as("n_lex"),
+        (-col("b.nid")).as("doc_id"))
+    ScalableRank.withGlobalCummaxExclusive(
+        g, col("n_lex"), "pmax", col("btok").asc)
+      .filter(col("n_lex") > col("pmax"))
+      .select(col("doc_id"), col("n_lex"), col("btok"))
+      .orderBy("btok")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_pareto_frontier" -> q229ParetoFrontier _,
     "q95_decontaminate" -> q95Decontaminate _,
     "q187_contam_attribution" -> q187ContamAttribution _,
     "q191_quality_audit" -> q191QualityAudit _,
@@ -1291,6 +1332,24 @@ object Curation {
       |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q229: dominance stated DECLARATIVELY (NOT EXISTS over the
+    // per-cost collapsed table) — a hash match proves the Spark
+    // prefix-max sweep computes exactly the non-dominated set
+    "q229_pareto_frontier" ->
+      s"""WITH RECURSIVE ${graft.functions.Bpe.countCteSql},
+        |m AS (SELECT d.doc_id,
+        |      CAST(len(list_distinct(list_filter(string_split(d.text, ' '), x -> x <> ''))) AS BIGINT) AS n_lex,
+        |      c.btok
+        |      FROM documents d JOIN bpe_cnt c ON d.doc_id = c.doc_id),
+        |g AS (SELECT btok, max(n_lex) AS n_lex FROM m GROUP BY btok),
+        |pick AS (SELECT m.btok, m.n_lex, CAST(min(m.doc_id) AS BIGINT) AS doc_id
+        |         FROM m JOIN g ON m.btok = g.btok AND m.n_lex = g.n_lex
+        |         GROUP BY 1, 2)
+        |SELECT doc_id, n_lex, CAST(btok AS BIGINT) AS btok
+        |FROM pick p
+        |WHERE NOT EXISTS (SELECT 1 FROM g g2
+        |                  WHERE g2.btok < p.btok AND g2.n_lex >= p.n_lex)
+        |ORDER BY btok""".stripMargin,
     // q217: the SAME recursive-CTE clustering ground truth as q100/q106
     // (shared CTEs — the clustering can never drift between the cluster
     // report and the split), then the md5 ticket on the representative

@@ -38,10 +38,13 @@ import org.apache.spark.sql.functions._
   *     and the distinct count (not the row count) keeps the dedup
   *     mass exact.
   *
-  * Library component (no DuckDB oracle — the point is the refresh
-  * PROTOCOL, pinned by IncrementalCardSpec: card-equals-direct after
-  * every append, replay no-op, torn-write invisibility, crash-replay
-  * convergence, and the card plan reading only the state directory). */
+  * Verified twice over: IncrementalCardSpec pins the refresh PROTOCOL
+  * (card-equals-direct after every append, replay no-op, torn-write
+  * invisibility, crash-replay convergence, the card plan reading only
+  * the state directory), and — r13 — the graded `q228_incremental_card`
+  * (Corpus.scala) drives the real append path end-to-end and
+  * hash-compares [[card]] against a DuckDB recompute from the raw
+  * corpus (q166's oracle SQL, shared verbatim). */
 object IncrementalCard {
 
   final case class State(root: String) {

@@ -63,6 +63,46 @@ object ScalableRank {
       .drop("_g_rn")
   }
 
+  /** Adds `outCol` = exact global EXCLUSIVE running MAX of `valueCol`
+    * over `sortExprs` (max over all strictly-preceding rows;
+    * Long.MinValue before the first). The [[withGlobalCumsumExclusive]]
+    * two-pass shape with max as the merge — per-partition local
+    * exclusive cummax windows in parallel (partitioned by _pid, never
+    * global), per-partition maxes (one tiny row each) collected,
+    * prefix-maxed on the driver and broadcast back. r13, for q229's
+    * Pareto sweep: frontier membership on a 2-D skyline is
+    * `value > exclusive-prefix-max` along the other axis. */
+  def withGlobalCummaxExclusive(df: DataFrame, valueCol: Column,
+                                outCol: String,
+                                sortExprs: Column*): DataFrame = {
+    passes.incrementAndGet()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = df.repartitionByRange(sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_v", valueCol.cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val maxes = parts.groupBy("_pid").agg(max("_v").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = Long.MinValue
+    val offsets = maxes.map { case (pid, t) =>
+      val o = (pid, acc); acc = math.max(acc, t); o
+    }.toSeq
+    val offDf = broadcast(offsets.toDF("_pid", "_off"))
+    val w = Window.partitionBy("_pid").orderBy(sortExprs: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val out = parts
+      .withColumn("_lmax", max("_v").over(w)) // null on each first row
+      .join(offDf, "_pid")
+      .withColumn(outCol,
+        greatest(coalesce(col("_lmax"), lit(Long.MinValue)), col("_off")))
+      .drop("_pid", "_v", "_lmax", "_off")
+      .localCheckpoint(true)
+    parts.unpersist(blocking = false)
+    out
+  }
+
   /** Adds `outCol` = exact global EXCLUSIVE running sum of `valueCol`
     * over `sortExprs` (value of all strictly-preceding rows). Same
     * two-pass shape as the rank: per-partition local prefix sums in

@@ -52,6 +52,19 @@ class IncrementalCardSpec extends AnyFunSuite {
     assert(files.forall(_.contains(st.root)), files.mkString("\n"))
   }
 
+  test("r13: the graded q228 row equals q166's one-shot card and " +
+    "re-reads are stable (the bench-reps contract)") {
+    val got = Corpus.q228IncrementalCard(spark, SparkTestBase.Sf0001)
+      .collect()(0)
+    val direct = Corpus.q166DataCard(spark, SparkTestBase.Sf0001)
+      .collect()(0)
+    assert(got.toSeq == direct.toSeq,
+      s"q228 ${got.toSeq} != q166 ${direct.toSeq}")
+    val again = Corpus.q228IncrementalCard(spark, SparkTestBase.Sf0001)
+      .collect()(0)
+    assert(again.toSeq == got.toSeq, "q228 re-read must be stable")
+  }
+
   test("a torn append (partials written, batch id never recorded) is " +
     "invisible to the card, and its replay converges without " +
     "double-counting (ADVICE r10)") {
