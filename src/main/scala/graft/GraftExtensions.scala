@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeCount, BpeTokens, DeflateLen, MinhashSig, NgramSet, Simhash64, SrpBucket, VecDot, WinnowFp}
+import graft.functions.{BpeCount, BpeTokens, DeflateLen, HtmlCleanStrict, MinhashSig, NgramSet, Simhash64, SrpBucket, VecDot, WinnowFp}
 import graft.ops.TrainingData
 
 /** `SparkSessionExtensions` entry point: registers the library's native
@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bpeCountDescriptor)
     ext.injectFunction(GraftExtensions.bpeTokensDescriptor)
     ext.injectFunction(GraftExtensions.deflateLenDescriptor)
+    ext.injectFunction(GraftExtensions.htmlCleanStrictDescriptor)
   }
 }
 
@@ -135,12 +136,17 @@ object GraftExtensions {
   private[graft] val deflateLenDescriptor =
     unaryDescriptor("deflate_len", classOf[DeflateLen], DeflateLen(_))
 
+  private[graft] val htmlCleanStrictDescriptor =
+    unaryDescriptor("html_clean_strict", classOf[HtmlCleanStrict],
+      HtmlCleanStrict(_))
+
   /** Same registration against an already-built session (tests, REPL). */
   def register(registry: FunctionRegistry): Unit = {
     Seq(srpBucketDescriptor, vecDotDescriptor, fixDotDescriptor,
       simhash64Descriptor,
       minhashSigDescriptor, winnowFpDescriptor, ngramSetDescriptor,
-      bpeCountDescriptor, bpeTokensDescriptor, deflateLenDescriptor)
+      bpeCountDescriptor, bpeTokensDescriptor, deflateLenDescriptor,
+      htmlCleanStrictDescriptor)
       .foreach { case (id, info, builder) =>
         registry.registerFunction(id, info, builder)
       }

@@ -588,55 +588,26 @@ object TrainingData {
   private def fxSimCol(a: Column, b: Column, na: Column, nb: Column): Column =
     graft.functions.FixDot.dot(a, b).cast("double") / (na * nb)
 
-  private val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-
-  /** ⌊isqrt(nn)⌋ as an EXACT integer: double-sqrt estimate (absolute
-    * error < 1 for nn ≤ 2⁷⁶), corrected by integer square compares over
-    * the ±2 window — t = (t₀−2) + Σₖ [t₀+k ≤ ⌊√nn⌋], k ∈ {−1,0,1,2},
-    * where the indicator is `(t₀+k < 0) ∨ (t₀+k)² ≤ nn`: squaring is
-    * not monotone through negatives, so a negative candidate counts
-    * unconditionally (r13 review — the square-only form returned −1
-    * for nn = 0 because (−1)² ≤ 0 failed while −1 ≤ 0 holds). The
-    * indicators are monotone, so the sum counts exactly the candidates
-    * ≤ the true root; isqrt(0) = 0. `nn` must be decimal(38,0). */
-  private def isqrtCol(nn: Column): Column = {
-    val t0 = floor(sqrt(nn.cast("double"))).cast("long")
-    def cLe(k: Int): Column = {
-      val c = t0 + lit(k.toLong)
-      val cd = c.cast(Dec38)
-      (c < 0) || ((cd * cd) <= nn)
-    }
-    t0 - lit(2L) + when(cLe(-1), 1L).otherwise(0L) +
-      when(cLe(0), 1L).otherwise(0L) + when(cLe(1), 1L).otherwise(0L) +
-      when(cLe(2), 1L).otherwise(0L)
-  }
-
   /** The r13 fixed-point cosine quantum: ⌊d·scale/isqrt(n1·n2) + ½⌋ as
     * a BIGINT computed in EXACT integer arithmetic — no double op
     * exists between the integer dot and the compared key. The r12 form
     * floored `d/(√n1·√n2)·scale + ½`, a multi-op double chain whose
     * bit-identity across engines assumed no FMA contraction and
     * correctly-rounded everything; the r12 driver-vs-local DuckDB
-    * divergence falsified that. Here: nn = n1·n2 exact in
-    * decimal(38,0) (≤ 2⁷⁶); t = [[isqrtCol]] exact; the half-up
-    * rounding is the floor division (2·d·scale + t) fdiv (2·t), made
-    * sign-correct for negative dots by the mod-complement (Spark's
-    * decimal % follows the dividend sign; num − mod is exactly
-    * divisible, so the decimal divide is exact). DuckDB twin:
-    * [[oHalfUp]] over HUGEINT. */
+    * divergence falsified that. Evaluation is the native codegen'd
+    * [[graft.functions.FixQuantum]] — 128-bit n₁·n₂ via multiplyHigh,
+    * corrected-estimate isqrt (negative candidates count
+    * unconditionally, so isqrt(0) = 0), two-stage long floor division
+    * exact at every sign. (The first r13 cut built the same integers
+    * from decimal(38,0) Column arithmetic; the bench caught the
+    * corpus×k assignment loop at 3× its r12 cost — ~10 Decimal object
+    * ops per pair — so the native expression computes the identical
+    * values at long speed inside whole-stage codegen.) Zero vectors
+    * define the quantum as 0. DuckDB twin: [[oHalfUp]] over HUGEINT
+    * with [[oIsqrtNest]]. */
   private[ops] def fxQuantum(d: Column, nsq1: Column, nsq2: Column,
-                             scale: Long): Column = {
-    val nn = nsq1.cast(Dec38) * nsq2.cast(Dec38)
-    val t = isqrtCol(nn)
-    val num = d.cast(Dec38) * lit(2L * scale) + t.cast(Dec38)
-    val den = (t * lit(2L)).cast(Dec38)
-    val mod = ((num % den) + den) % den
-    // a zero vector on either side has cosine DEFINED as 0 (t = 0 would
-    // otherwise divide by zero — an ANSI runtime error, not a NULL);
-    // d = 0 by Cauchy-Schwarz, so 0 is the honest quantum
-    when(t === 0L, lit(0L))
-      .otherwise(((num - mod) / den).cast("long"))
-  }
+                             scale: Long): Column =
+    graft.functions.FixQuantum.quantum(d, nsq1, nsq2, scale)
 
   /** q79: embedding near-duplicate search, blocked by `label` — the
     * block join bounds candidates (never a corpus cross product); exact
@@ -3096,7 +3067,7 @@ object TrainingData {
   /** Wraps `inner` (which must yield `$outCols` plus a HUGEINT-safe
     * `nn`) with the exact-isqrt tail: emits `$outCols` plus
     * `tq` = ⌊√nn⌋, the double estimate corrected by the ±2 monotone
-    * candidate-compare window (the [[isqrtCol]] twin — negative
+    * candidate-compare window (the [[graft.functions.FixQuantum]] isqrt twin — negative
     * candidates count unconditionally, so isqrt(0) = 0). */
   private def oIsqrtNest(inner: String, outCols: String): String =
     s"""SELECT $outCols, t0 - 2

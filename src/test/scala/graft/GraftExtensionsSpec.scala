@@ -47,6 +47,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql.map(_._1).distinct.size > 1) // not degenerate
   }
 
+  test("html_clean_strict registers and matches the Column API from SQL") {
+    GraftExtensions.register(ColumnBridge.registry(spark))
+    import spark.implicits._
+    Seq("<p>body</p><nav>menu never closes",
+        "<a href=\"x>y\">link</a>", "plain & <b>bold</b>")
+      .toDF("html").createOrReplaceTempView("ext_html")
+    val viaSql = spark.sql(
+        "SELECT html_clean_strict(html) AS c FROM ext_html")
+      .as[String].collect().toSeq
+    val viaColumn = spark.table("ext_html")
+      .select(graft.functions.HtmlCleanStrict.clean(col("html")).as("c"))
+      .as[String].collect().toSeq
+    assert(viaSql == viaColumn)
+    assert(viaSql == Seq("body", "link", "plain & bold"))
+  }
+
   test("srp_bucket arity raises Spark's standard WRONG_NUM_ARGS analysis error") {
     GraftExtensions.register(ColumnBridge.registry(spark))
     val e = intercept[org.apache.spark.sql.AnalysisException] {

@@ -148,6 +148,29 @@ object IntegerDisciplineProps extends Properties("IntegerDiscipline") {
       }
     }
 
+  /** The SHIPPED native quantum ([[graft.functions.FixQuantum]], the
+    * multiplyHigh/two-stage-long path) against the BigInt reference on
+    * random in-domain inputs (n ≤ 2³⁸, |d| ≤ isqrt(n₁·n₂) — the
+    * Cauchy-Schwarz domain FixDot guarantees): the long decomposition
+    * must reproduce ⌊d·scale/t + ½⌋ exactly at every sign, and the
+    * zero-vector case is DEFINED 0. */
+  property("native FixQuantum equals the BigInt reference") =
+    Prop.forAll(Gen.chooseNum(0L, (1L << 38) - 1),
+      Gen.chooseNum(0L, (1L << 38) - 1),
+      Gen.chooseNum(0L, Long.MaxValue), Gen.oneOf(1L << 20, 1L << 30)) {
+      (n1, n2, dSeed, scale) =>
+        val t = isqrtCorrected(BigInt(n1) * BigInt(n2))
+        if (t == 0)
+          graft.functions.FixQuantum.quantum(0L, n1, n2, scale) == 0L
+        else {
+          val d = (dSeed % (2 * t.toLong + 1)) - t.toLong // ∈ [−t, t]
+          val (num, den) = (2 * BigInt(d) * scale + t, 2 * t)
+          val mod = ((num % den) + den) % den
+          graft.functions.FixQuantum.quantum(d, n1, n2, scale) ==
+            ((num - mod) / den).toLong
+        }
+    }
+
   /** q209's integer RRF grid: ⌊10⁷/(60+r)⌋ is STRICTLY decreasing while
     * (60+r)² ≤ 10⁷ (consecutive floors collide only past r ≈ 3102 —
     * far beyond any usable K; q209's K is 50), so integer fusion can
