@@ -194,6 +194,15 @@ object PlanAudit {
         "checkpoint), followed by the n_lex > pmax filter and the " +
         "presentation sort. Window partitioned by _pid, never " +
         "global."),
+    "q230_subtree_rollup" ->
+      ("**Look for:** the ancestor closure entering as the union of " +
+        "level-sized ExistingRDDs (the shared q226 expansion ran " +
+        "eagerly into per-level checkpoints) feeding ONE Generate " +
+        "(path explode); lineitem pre-aggregated partial+final to " +
+        "part grain BEFORE the closure join (never line-grain rows " +
+        "multiplied by depth); then one partial+final rollup on " +
+        "ancestor — map-side combine is what keeps the root's " +
+        "N-contribution group off a single task."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

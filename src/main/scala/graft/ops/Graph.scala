@@ -160,9 +160,11 @@ object Graph {
     * Shape: frontier expansion — level d+1 = frontier(d) ⋈ edges on
     * (node = parent), carrying root, depth+1, and the extended path;
     * the result is the union of all levels. Cycle guard: a child
-    * already on its own path is not re-expanded (`/path/` containment,
-    * the same guard a DuckDB `WITH RECURSIVE ... WHERE strpos(...)=0`
-    * writes), plus the [[HierMaxDepth]] hard cap — the derived forest
+    * already on its own path is not re-expanded (exact array
+    * membership, equivalent to the guard a DuckDB `WITH RECURSIVE …
+    * WHERE strpos('/'||path||'/', …) = 0` writes — delimiters make the
+    * string form memberwise-exact too), plus the [[HierMaxDepth]] hard
+    * cap — the derived forest
     * is acyclic by construction (parent < child), but the OPERATOR
     * contract must bound arbitrary input.
     *
@@ -179,7 +181,14 @@ object Graph {
     * DuckDB oracle: the identical forest as `WITH RECURSIVE` with the
     * same cycle guard — the canonical cross-engine equivalence for
     * recursive traversal. */
-  def q226HierarchyExpand(s: SparkSession, dir: String): DataFrame = {
+  /** The shared frontier expansion under q226 (root/depth/path report)
+    * and q230 (subtree rollup): every (root, node, depth,
+    * path ARRAY<BIGINT>) of the part forest, lineage truncated per
+    * level, cycle-guarded by exact array membership (equivalent to
+    * the `WITH RECURSIVE` oracles' delimiter-bounded path-string
+    * guard — both never fire on the derived acyclic forest, both
+    * bound arbitrary input) plus the [[HierMaxDepth]] hard cap. */
+  private[ops] def hierarchyPaths(s: SparkSession, dir: String): DataFrame = {
     val edges = T(s, dir, "part")
       .filter(col("p_partkey") >= HierFanout)
       .select(expr(s"p_partkey div $HierFanout").as("parent"),
@@ -188,7 +197,7 @@ object Graph {
     var frontier = T(s, dir, "part")
       .filter(col("p_partkey") < HierFanout)
       .select(col("p_partkey").as("root"), col("p_partkey").as("node"),
-        lit(0).as("depth"), col("p_partkey").cast("string").as("path"))
+        lit(0).as("depth"), array(col("p_partkey")).as("path"))
       .localCheckpoint(true)
     val levels = Seq.newBuilder[DataFrame]
     levels += frontier
@@ -197,26 +206,61 @@ object Graph {
     while (n > 0 && depth < HierMaxDepth) {
       depth += 1
       frontier = frontier.join(edges, col("node") === col("parent"))
-        .filter(instr(concat(lit("/"), col("path"), lit("/")),
-          concat(lit("/"), col("child").cast("string"), lit("/"))) === 0)
+        .filter(!array_contains(col("path"), col("child")))
         .select(col("root"), col("child").as("node"),
           lit(depth).as("depth"),
-          concat(col("path"), lit("/"), col("child").cast("string"))
-            .as("path"))
+          concat(col("path"), array(col("child"))).as("path"))
         .localCheckpoint(true) // plan must not grow with depth
       n = frontier.count()
       if (n > 0) levels += frontier
     }
     levels.result().reduce(_ unionByName _)
+  }
+
+  def q226HierarchyExpand(s: SparkSession, dir: String): DataFrame =
+    hierarchyPaths(s, dir)
       .select(col("root"), col("node"), col("depth").cast("int").as("depth"),
-        md5(col("path")).as("path_md5"))
+        // same digest input as the oracle's '/'-joined path string
+        md5(array_join(col("path"), "/")).as("path_md5"))
       .orderBy("root", "node")
+
+  /** q230: the subtree ROLLUP over the same forest — the aggregation
+    * half of BOM processing (q226 materializes WHERE everything sits;
+    * q230 answers "how much demand under each assembly"): for every
+    * part node, the size of its subtree and the total lineitem demand
+    * (quantity sum, order-line count) over all descendant parts
+    * including itself.
+    *
+    * Shape: the ancestor closure IS the expansion's path column — each
+    * (node, path) row explodes to (ancestor, node) pairs (Σ|path| ≈
+    * N·log_F N rows, never N²), joined to per-part demand
+    * (pre-aggregated partial+final BEFORE the join, so lineitem
+    * touches the closure at part grain, not line grain) and rolled up
+    * by ancestor. The root's group absorbs N contributions — map-side
+    * partial aggregation combines per partition, so no single task
+    * sees the whole corpus (the q199 hierarchical-decomposition
+    * argument). Demand stays integral (l_quantity is an integral
+    * double; both engines cast exactly). */
+  def q230SubtreeRollup(s: SparkSession, dir: String): DataFrame = {
+    val anc = hierarchyPaths(s, dir)
+      .select(col("node"), explode(col("path")).as("anc"))
+    val demand = T(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("node"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        count(lit(1)).as("n_li"))
+    anc.join(demand, Seq("node"), "left")
+      .groupBy(col("anc").as("node"))
+      .agg(count(lit(1)).as("n_subtree"),
+        coalesce(sum("qty"), lit(0L)).as("qty_sum"),
+        coalesce(sum("n_li"), lit(0L)).as("n_lineitems"))
+      .orderBy("node")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_pagerank" -> q196PageRank _,
     "q218_triangles" -> q218Triangles _,
     "q226_hierarchy_expand" -> q226HierarchyExpand _,
+    "q230_subtree_rollup" -> q230SubtreeRollup _,
   )
 
   /** One unrolled integer PageRank iteration (mirrors the Spark loop
@@ -233,6 +277,29 @@ object Graph {
        |        FROM n LEFT JOIN ctr$t c ON n.node = c.node),""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q230: list-path recursion + unnest ancestor closure + demand
+    // left join — the same forest as q226 (same edges, roots, cap,
+    // cycle guard), rolled up instead of reported
+    "q230_subtree_rollup" ->
+      s"""WITH RECURSIVE edges AS (SELECT p_partkey // $HierFanout AS parent, p_partkey AS child
+        |                         FROM part WHERE p_partkey >= $HierFanout),
+        |r AS (SELECT p_partkey AS node, [p_partkey] AS path
+        |      FROM part WHERE p_partkey < $HierFanout
+        |      UNION ALL
+        |      SELECT e.child, list_append(r.path, e.child)
+        |      FROM r JOIN edges e ON e.parent = r.node
+        |      WHERE len(r.path) <= $HierMaxDepth
+        |        AND NOT list_contains(r.path, e.child)),
+        |anc AS (SELECT node, unnest(path) AS anc FROM r),
+        |demand AS (SELECT l_partkey AS node,
+        |           SUM(CAST(l_quantity AS BIGINT)) AS qty,
+        |           count(*) AS n_li
+        |           FROM lineitem GROUP BY 1)
+        |SELECT a.anc AS node, CAST(count(*) AS BIGINT) AS n_subtree,
+        |       CAST(COALESCE(SUM(d.qty), 0) AS BIGINT) AS qty_sum,
+        |       CAST(COALESCE(SUM(d.n_li), 0) AS BIGINT) AS n_lineitems
+        |FROM anc a LEFT JOIN demand d ON a.node = d.node
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q226: the canonical WITH RECURSIVE twin — same forest, same
     // cycle guard, same depth cap
     "q226_hierarchy_expand" ->

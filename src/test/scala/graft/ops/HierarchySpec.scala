@@ -51,6 +51,35 @@ class HierarchySpec extends AnyFunSuite {
       s"max depth $maxDepth")
   }
 
+  test("q230 equals the driver-side subtree rollup: every node's " +
+    "descendant set (via chain walks), lineitem demand, and the " +
+    "root-absorbs-everything invariant") {
+    val keys = T(spark, dir, "part").select("p_partkey").collect()
+      .map(_.getLong(0))
+    val demand = T(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity").collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) =>
+        k -> (rs.map(_.getDouble(1).toLong).sum, rs.length.toLong) }
+    // node -> all ancestors (incl. self) via the chain walk
+    val expected = keys.flatMap(k => chainOf(k).map(anc => (anc, k)))
+      .groupBy(_._1).map { case (anc, pairs) =>
+        val descs = pairs.map(_._2)
+        val (q, n) = descs.map(d => demand.getOrElse(d, (0L, 0L)))
+          .foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+        (anc, descs.length.toLong, q, n)
+      }.toArray.sortBy(_._1)
+    val got = Graph.q230SubtreeRollup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+    // structural invariants: one row per part; the 8 roots' subtree
+    // sizes partition the forest; total demand conserved at the roots
+    assert(got.length == keys.length)
+    val roots = got.filter(_._1 < Graph.HierFanout)
+    assert(roots.map(_._2).sum == keys.length.toLong)
+    assert(roots.map(_._3).sum == demand.values.map(_._1).sum)
+  }
+
   test("cycle guard: a self-parenting edge set terminates at the " +
     "guard, not the depth cap, and never revisits a node") {
     // the guard is structural (path containment), so exercise it on
