@@ -466,15 +466,27 @@ object Corpus {
   private val DropTags: Seq[String] =
     graft.functions.HtmlStrict.DropTags.toSeq
 
+  /** The drop-container span pattern for one tag — shared by the
+    * [[htmlClean]] fold and the [[htmlRegexSafe]] gate's residual
+    * check, so "what the regex tier can drop" has one definition. */
+  private def dropSpanPattern(t: String): String =
+    s"(?is)<$t(>|[ \\t\\n\\r/][^>]*>).*?</$t[ \\t\\n\\r]*>"
+
+  /** The container fold: every drop-container span → one space,
+    * sequentially per tag (script, style, nav, footer). */
+  private def dropContainers(html: Column): Column =
+    DropTags.foldLeft(html)((c, t) =>
+      regexp_replace(c, dropSpanPattern(t), " "))
+
   /** Regex-extractor core shared by the query and its spec: drop
     * boilerplate containers, strip remaining tags to spaces, decode the
     * five core entities (`&amp;` LAST, so `&amp;lt;` round-trips to the
     * literal `&lt;` and double-encoding inverts cleanly), collapse
     * `[ \t\n\r]+` runs, trim.
     *
-    * CONTRACT: attribute values must not contain a literal `>` and
-    * markup must be well-formed enough that each drop-container closes
-    * — the regex tier is the 100 TB fast path (one codegen'd
+    * CONTRACT: attribute values must not contain a literal `>`, every
+    * drop-container closes, and containers do not interleave across
+    * types — the regex tier is the 100 TB fast path (one codegen'd
     * projection, no parse tree). Pages that fail the contract are
     * detected by [[htmlRegexSafe]] (a conservative, SQL-expressible
     * gate: over-flagging only routes extra rows to the strict tier,
@@ -488,18 +500,6 @@ object Corpus {
     * scale). HtmlExtractSpec pins tier equivalence on
     * contract-satisfying pages and the strict tier's correctness on
     * violating ones. */
-  /** The drop-container span pattern for one tag — shared by the
-    * [[htmlClean]] fold and the [[htmlRegexSafe]] gate's residual
-    * check, so "what the regex tier can drop" has one definition. */
-  private def dropSpanPattern(t: String): String =
-    s"(?is)<$t(>|[ \\t\\n\\r/][^>]*>).*?</$t[ \\t\\n\\r]*>"
-
-  /** The container fold: every drop-container span → one space,
-    * sequentially per tag (script, style, nav, footer). */
-  private def dropContainers(html: Column): Column =
-    DropTags.foldLeft(html)((c, t) =>
-      regexp_replace(c, dropSpanPattern(t), " "))
-
   private[ops] def htmlClean(html: Column): Column = {
     // tag-name boundary via alternation, not lookahead (RE2 has none):
     // `<nav>` / `<nav attr>` / `<nav/>` open a container, `<navbar>`
@@ -531,12 +531,26 @@ object Corpus {
     *    reach the cleaned text; interleaved `<footer>y<nav>x</footer>
     *    z</nav>` is per-tag balanced and leaks the same way). Running
     *    the EXACT fold the fast tier runs and then asking "is any
-    *    open or close container tag still present?" detects, by
-    *    construction, every page where that fold failed to consume
-    *    some container markup — ordering included. The fold appears
-    *    in both the gate and the admitted branch of the SAME
-    *    projection, where whole-stage codegen's common-subexpression
-    *    elimination shares it. */
+    *    open or close container tag still present?" detects every
+    *    page where the fold failed to CONSUME some container markup.
+    *    The fold appears in both the gate and the admitted branch of
+    *    the SAME projection, where whole-stage codegen's
+    *    common-subexpression elimination shares it;
+    *  - cross-type container nesting/interleaving — the second-pass
+    *    r13-review case the residual check alone cannot see: with a
+    *    SECOND close tag of the outer type present
+    *    (`<footer>a<nav>b</footer>c</nav>d</footer>KEEP`), the fold
+    *    consumes all container markup but pairs the WRONG spans
+    *    (nav's span swallows footer's first close, footer then pairs
+    *    with the second), silently dropping legit text the strict
+    *    tier keeps. Detector: any OTHER container tag between a
+    *    container's open and its first close
+    *    (`<A…>((?!</A>).)*</?(B|C|D)`) — Java-regex negative
+    *    lookahead is fine HERE because the gate is Spark-side only
+    *    (the no-lookahead rule is for DuckDB/RE2 oracle regexes;
+    *    this predicate never reaches an oracle). Benign cross-type
+    *    nesting where both tiers agree is also flagged — harmless,
+    *    the strict tier answers. */
   private[ops] def htmlRegexSafe(html: Column): Column = {
     val quotedGt =
       html.rlike("(?s)<[^>]*=[ \\t\\n\\r]*\"[^\"]*>") ||
@@ -546,7 +560,12 @@ object Corpus {
       folded.rlike(s"(?is)<$t(>|[ \\t\\n\\r/][^>]*>)") ||
         folded.rlike(s"(?is)</$t[ \\t\\n\\r]*>")
     }.reduce(_ || _)
-    !(quotedGt || residual)
+    val crossNest = DropTags.map { a =>
+      val others = DropTags.filterNot(_ == a).mkString("|")
+      html.rlike(s"(?is)<$a(>|[ \\t\\n\\r/][^>]*>)" +
+        s"((?!</$a[ \\t\\n\\r]*>).)*</?($others)[ \\t\\n\\r/>]")
+    }.reduce(_ || _)
+    !(quotedGt || residual || crossNest)
   }
 
   /** The shipped two-tier extractor: regex fast path when the gate

@@ -83,11 +83,17 @@ object ScalableRank {
       .withColumn("_pid", spark_partition_id())
       .withColumn("_v", valueCol.cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // null-tolerant (r13 review): a partition whose values are all
+    // NULL yields a null max — it contributes nothing to the running
+    // prefix but must still receive an offset row, or the inner join
+    // below would drop its rows entirely
     val maxes = parts.groupBy("_pid").agg(max("_v").as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
     var acc = Long.MinValue
     val offsets = maxes.map { case (pid, t) =>
-      val o = (pid, acc); acc = math.max(acc, t); o
+      val o = (pid, acc); t.foreach(v => acc = math.max(acc, v)); o
     }.toSeq
     val offDf = broadcast(offsets.toDF("_pid", "_off"))
     val w = Window.partitionBy("_pid").orderBy(sortExprs: _*)

@@ -183,13 +183,35 @@ private[avro] object AvroDataSource {
   }
 
   /** The reader-visible containers: the current generation's files
-    * when a pointer exists, the unprefixed append files otherwise. */
+    * when a pointer exists, the unprefixed append files otherwise.
+    *
+    * Pointer-bracketed listing (r13 review): the pointer is read
+    * BEFORE and AFTER the directory listing, and the listing only
+    * counts when both reads agree — a truncate flipping mid-listing
+    * would otherwise let a reader silently see a PARTIAL generation
+    * (half the new files, or survivors of a mid-sweep old one). A
+    * stable bracket is consistent: the named generation's files were
+    * all published before its flip and are never deleted while the
+    * pointer still names it (the next truncate flips first). Under a
+    * persistent storm of concurrent truncates the read fails LOUDLY
+    * as retryable, never silently short. */
   def listVisibleFiles(path: String): Seq[Path] = {
-    val all = listAvroFiles(path)
-    currentToken(path) match {
-      case Some(tok) => all.filter(_.getName.startsWith(genPrefix(tok)))
-      case None => all.filterNot(_.getName.startsWith("gen-"))
+    var attempt = 0
+    while (attempt < 5) {
+      val before = currentToken(path)
+      val all = listAvroFiles(path)
+      val after = currentToken(path)
+      if (before == after) {
+        return before match {
+          case Some(tok) => all.filter(_.getName.startsWith(genPrefix(tok)))
+          case None => all.filterNot(_.getName.startsWith("gen-"))
+        }
+      }
+      attempt += 1
     }
+    sys.error(s"graft-avro: generation pointer of $path kept moving " +
+      "across 5 listing attempts — concurrent truncates in progress; " +
+      "retry the read")
   }
 }
 
@@ -419,10 +441,22 @@ case class AvroBatchWrite(path: String, schema: StructType,
         .foreach(s => fs.delete(s.getPath, false))
     } else {
       // append: files were published at task commit (visible as tasks
-      // finish, standard file-sink semantics); age-out staging orphans
-      // from hard-crashed attempts that are provably stale — far older
-      // than any plausible in-flight task — so the sweep cannot race a
-      // concurrent writer (r12 advice; previously they leaked forever)
+      // finish, standard file-sink semantics). A truncate that
+      // committed CONCURRENTLY flipped the pointer after this job
+      // captured its token — the appended files landed under the
+      // retired generation and no reader will ever see them, so fail
+      // the job LOUDLY instead of reporting a silent no-op success
+      // (r13 review); the stranded files are invisible garbage the
+      // next truncate sweeps, and the caller retries against the new
+      // generation.
+      if (AvroDataSource.currentToken(path) != token)
+        sys.error(s"graft-avro: generation of $path changed during an " +
+          "append (concurrent truncate) — the appended rows are not " +
+          "visible; retry the append")
+      // age-out staging orphans from hard-crashed attempts that are
+      // provably stale — far older than any plausible in-flight task —
+      // so the sweep cannot race a concurrent writer (r12 advice;
+      // previously they leaked forever)
       val cutoff = System.currentTimeMillis() -
         AvroBatchWrite.OrphanSweepAgeMs
       if (fs.exists(dir)) fs.listStatus(dir)

@@ -141,6 +141,11 @@ class HtmlExtractSpec extends AnyFunSuite {
       //   swallows footer's close, so footer chrome would leak in the
       //   regex tier; the strict tier drops footer to its real close)
       ("<footer>y<nav>x</footer>z</nav>", false, "z"),
+      // r13 review, second pass: cross-type interleave with a SECOND
+      // outer close — the fold consumes all container markup but pairs
+      // the wrong spans (regex tier would emit only KEEP, silently
+      // dropping 'c d'); the crossNest clause must route it
+      ("<footer>a<nav>b</footer>c</nav>d</footer>KEEP", false, "c d KEEP"),
       // and a safe page for contrast
       ("<p>plain</p>", true, "plain"))
     val got = cases.map(_._1).toDF("html")
