@@ -203,6 +203,14 @@ object PlanAudit {
         "multiplied by depth); then one partial+final rollup on " +
         "ancestor — map-side combine is what keeps the root's " +
         "N-contribution group off a single task."),
+    "q231_targeted_delete" ->
+      ("**Look for:** an ordinary partial+final aggregate whose scan " +
+        "reads the CLUSTERED post-delete directory — the surgical " +
+        "rewrite already happened (footer-pruned candidate files " +
+        "only, staged .bak-first swaps); like q210, the plan's value " +
+        "is that a right-to-be-forgotten pass leaves a table " +
+        "indistinguishable from one that never held the keys, which " +
+        "the raw-complement oracle proves row-exactly."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

@@ -65,6 +65,30 @@ class TargetedDeleteSpec extends AnyFunSuite {
     assert(unchanged == rep.filesTotal - rep.filesRewritten)
   }
 
+  test("r13: the graded q231 row equals the direct complement filter " +
+    "on raw orders, the fixture genuinely deleted rows, and re-reads " +
+    "are stable (the bench-reps contract)") {
+    import org.apache.spark.sql.functions._
+    val dir = SparkTestBase.Sf0001
+    val got = DeleteQueries.q231TargetedDelete(spark, dir).collect()
+    val direct = T(spark, dir, "orders")
+      .filter(col("o_orderkey") % 1000 =!= 0)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+          .as("sum_price_c2"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus").collect()
+    assert(got.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+    // the delete was not vacuous: raw row count strictly exceeds the
+    // post-delete count
+    val raw = T(spark, dir, "orders").count()
+    assert(got.map(_.getLong(1)).sum < raw, "fixture must delete rows")
+    val again = DeleteQueries.q231TargetedDelete(spark, dir).collect()
+    assert(again.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+  }
+
   test("crash between the two swap renames heals: the backup restores " +
     "and a re-run completes the delete") {
     val out = freshTable()
