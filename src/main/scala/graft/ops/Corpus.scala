@@ -544,13 +544,13 @@ object Corpus {
     *    (nav's span swallows footer's first close, footer then pairs
     *    with the second), silently dropping legit text the strict
     *    tier keeps. Detector: any OTHER container tag between a
-    *    container's open and its first close
-    *    (`<A…>((?!</A>).)*</?(B|C|D)`) — Java-regex negative
-    *    lookahead is fine HERE because the gate is Spark-side only
-    *    (the no-lookahead rule is for DuckDB/RE2 oracle regexes;
-    *    this predicate never reaches an oracle). Benign cross-type
-    *    nesting where both tiers agree is also flagged — harmless,
-    *    the strict tier answers. */
+    *    container's open and its first close — computed by the
+    *    codegen'd linear scanner [[graft.functions.HtmlCrossNest]]
+    *    (one tokenizing pass; replaced the r13 tempered-dot regex
+    *    `<A…>((?!</A>).)*</?(B|C|D)`, whose per-position lookahead
+    *    backtracked superlinearly on adversarial pages). Benign
+    *    cross-type nesting where both tiers agree is also flagged —
+    *    harmless, the strict tier answers. */
   private[ops] def htmlRegexSafe(html: Column): Column = {
     val quotedGt =
       html.rlike("(?s)<[^>]*=[ \\t\\n\\r]*\"[^\"]*>") ||
@@ -560,11 +560,13 @@ object Corpus {
       folded.rlike(s"(?is)<$t(>|[ \\t\\n\\r/][^>]*>)") ||
         folded.rlike(s"(?is)</$t[ \\t\\n\\r]*>")
     }.reduce(_ || _)
-    val crossNest = DropTags.map { a =>
-      val others = DropTags.filterNot(_ == a).mkString("|")
-      html.rlike(s"(?is)<$a(>|[ \\t\\n\\r/][^>]*>)" +
-        s"((?!</$a[ \\t\\n\\r]*>).)*</?($others)[ \\t\\n\\r/>]")
-    }.reduce(_ || _)
+    // cross-type interleave: a codegen'd linear scanner
+    // (functions.HtmlCrossNest) computing exactly the decision the
+    // previous tempered-dot regex alternation encoded — that regex's
+    // `((?!</A…>).)*` re-ran its lookahead per position and backtracked
+    // superlinearly on adversarial pages (r13 advice), a hazard for a
+    // predicate evaluated on every row of a 100 TB corpus
+    val crossNest = graft.functions.HtmlCrossNest(html)
     !(quotedGt || residual || crossNest)
   }
 

@@ -3196,7 +3196,7 @@ object TrainingData {
     // r13 exact-integer nest, then Σᵥ over the arn = 1 rows.
     def objCte(prevC: String, t: Int): String =
       s"""ov$t AS (SELECT CAST($t AS BIGINT) AS iter,
-         |        SUM(CAST(1048576 AS BIGINT) - q20) AS obj_fx
+         |        CAST(SUM(CAST(1048576 AS BIGINT) - q20) AS BIGINT) AS obj_fx
          |        FROM (SELECT q20,
          |              row_number() OVER (PARTITION BY vec_id ORDER BY csim_fx DESC, cent_id) AS arn
          |              FROM (SELECT vec_id, cent_id,

@@ -423,21 +423,72 @@ case class AvroBatchWrite(path: String, schema: StructType,
       // but readers cannot see them — no pointer names that token. The
       // flip below is ONE atomic rename: before it the old generation
       // is intact and complete, after it the new one is. Only then is
-      // garbage swept (old-generation containers, crashed-attempt
-      // orphans of other tokens, stale staging files); a crash
-      // mid-sweep leaves invisible garbage for the next truncate,
-      // never an unreadable or duplicated dataset. A reader holding a
-      // pre-flip file listing can hit a swept old file — the
-      // documented retryable read (BatchCommitLog.compact's
+      // garbage swept (STRICTLY-OLDER-generation containers,
+      // crashed-attempt orphans of older tokens, provably-stale
+      // staging files); a crash mid-sweep leaves invisible garbage for
+      // the next truncate, never an unreadable or duplicated dataset.
+      // A reader holding a pre-flip file listing can hit a swept old
+      // file — the documented retryable read (BatchCommitLog.compact's
       // contract).
+      // Concurrent-truncate discipline (r13 advice: the old sweep
+      // deleted ANY other generation's files, so truncate T1's
+      // post-flip sweep could silently destroy a concurrent T2's
+      // already-published-but-not-yet-flipped generation — T2 then
+      // flipped onto swept files and readers saw a stable, partial
+      // dataset). Four guards, all loud, none silent:
+      //  1. ordering pre-check — tokens embed a zero-padded millis-hex
+      //     prefix, so lexicographic compare is time order; if the
+      //     pointer already names a NEWER token, this truncate lost
+      //     the race and must not un-flip it;
+      //  2. the sweep is scoped to generations STRICTLY OLDER than the
+      //     committing token (plus unprefixed legacy append files) —
+      //     a newer in-flight generation's files are never touched;
+      //  3. post-sweep pointer re-read — if a newer truncate flipped
+      //     past us mid-commit, our rows are not visible: fail loudly
+      //     (the append path's existing discipline);
+      //  4. committed-file existence check — the one residual
+      //     interleaving (an OLDER-token truncate whose pre-check
+      //     raced past a newer flip) surfaces here as missing files
+      //     instead of a silent empty read; the failed truncate must
+      //     be retried.
+      // Net: concurrent truncates are last-writer-wins; the loser
+      // FAILS; no interleaving reports success over lost data.
       val tok = token.get
-      AvroDataSource.flipPointer(path, tok)
       val keep = AvroDataSource.genPrefix(tok)
+      AvroDataSource.currentToken(path).foreach { cur =>
+        if (cur > tok)
+          sys.error(s"graft-avro: a newer truncate (generation $cur) " +
+            s"already committed to $path — this truncate ($tok) lost " +
+            "the race; its rows are not visible; retry if still wanted")
+      }
+      AvroDataSource.flipPointer(path, tok)
       AvroDataSource.listAvroFiles(path)
         .filterNot(_.getName.startsWith(keep))
+        .filter { p =>
+          val nm = p.getName
+          !nm.startsWith("gen-") || nm < keep
+        }
         .foreach(p => fs.delete(p, false))
+      if (!AvroDataSource.currentToken(path).contains(tok))
+        sys.error(s"graft-avro: generation of $path changed during a " +
+          s"truncate commit (concurrent truncate superseded $tok) — " +
+          "this job's rows are not visible; retry if still wanted")
+      val missing = messages.collect {
+        case AvroCommit(f) if !fs.exists(new Path(dir, f)) => f
+      }
+      if (missing.nonEmpty)
+        sys.error(s"graft-avro: ${missing.length} committed container(s) " +
+          s"of generation $tok were swept by a concurrent truncate of " +
+          s"$path (e.g. ${missing.head}) — the pointer may name an " +
+          "incomplete generation; retry the truncate")
+      // stage-file GC: only provably-stale orphans (same age cutoff as
+      // the append path) — an unconditional sweep would delete a
+      // concurrent job's in-flight staging files
+      val stagingCutoff = System.currentTimeMillis() -
+        AvroBatchWrite.OrphanSweepAgeMs
       if (fs.exists(dir)) fs.listStatus(dir)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".inprogress"))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".inprogress")
+          && s.getModificationTime < stagingCutoff)
         .foreach(s => fs.delete(s.getPath, false))
     } else {
       // append: files were published at task commit (visible as tasks

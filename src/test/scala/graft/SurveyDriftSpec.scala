@@ -36,4 +36,47 @@ class SurveyDriftSpec extends AnyFunSuite {
       s"registered but missing a SURVEY §2.3 row: ${undeclared.toSeq.sorted}")
     // (oracle-without-query orphans are DataContractSpec's invariant)
   }
+
+  // ---- oracle output-type lint (r13 verdict item 2) -----------------
+  //
+  // The driver hash-compares cell RENDERINGS, and exotic column types
+  // render differently across engine/pyarrow versions: DuckDB widens
+  // SUM(BIGINT) to HUGEINT, and the one query whose oracle emitted a
+  // HUGEINT (q160) hash-failed for three rounds while rows and schema
+  // names matched. Two guards close the class:
+  //  1. here — every hash-compared Spark result schema stays inside a
+  //     closed set of render-stable types (no Decimal, no Binary, no
+  //     CalendarInterval in a final projection);
+  //  2. tools/check_oracle.py — the DuckDB side of the same lint
+  //     (HUGEINT/DECIMAL in either relation fails the local gate before
+  //     the driver ever sees it). This spec pins that the python lint
+  //     stays present so it cannot silently rot.
+
+  import org.apache.spark.sql.types._
+
+  private def renderStable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+        FloatType | StringType | BooleanType | DateType | TimestampType |
+        TimestampNTZType => true
+    case ArrayType(e, _) => renderStable(e)
+    case _ => false // DecimalType (HUGEINT twin), BinaryType, structs, maps
+  }
+
+  test("every hash-compared query's output schema uses only " +
+    "render-stable types (no Decimal/Binary/struct in a final projection)") {
+    val spark = SparkTestBase.spark
+    for (name <- SparkEntry.oracleSql.keySet.toSeq.sorted) {
+      val schema = SparkEntry.queries(name)(spark, SparkTestBase.Sf0001).schema
+      val bad = schema.fields.filterNot(f => renderStable(f.dataType))
+      assert(bad.isEmpty,
+        s"$name emits hash-unstable output column(s): " +
+          bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))
+    }
+  }
+
+  test("tools/check_oracle.py carries the DuckDB-side output-type lint") {
+    val py = new String(Files.readAllBytes(Paths.get("tools/check_oracle.py")))
+    assert(py.contains("TYPE-LINT") && py.contains("HUGEINT"),
+      "the oracle-side type lint was removed from tools/check_oracle.py")
+  }
 }

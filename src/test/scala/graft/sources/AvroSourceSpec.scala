@@ -123,12 +123,16 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(new java.io.File(dir, "_generation").exists(), "pointer")
     // simulate a truncate job that crashed AFTER its task commits
     // published containers but BEFORE the job-commit pointer flip: a
-    // full *.avro file under a token no pointer names, plus a staging
-    // orphan — both must be invisible
-    val stray = new java.io.File(dir, "gen-deadbeef-part-00000-9-ffff.avro")
+    // full *.avro file under a token no pointer names (standard token
+    // format, OLDER millis prefix — the r14 sweep is scoped to
+    // strictly-older generations so a concurrent newer one is never
+    // destroyed), plus a long-stale staging orphan — both invisible
+    val stray = new java.io.File(dir,
+      "gen-0000000000001-deadbeef-part-00000-9-ffff.avro")
     java.nio.file.Files.write(stray.toPath, Array[Byte](1, 2, 3))
     val staged = new java.io.File(dir, ".part-99999-0-dead.avro.inprogress")
     java.nio.file.Files.write(staged.toPath, Array[Byte](1, 2, 3))
+    staged.setLastModified(System.currentTimeMillis() - 25L * 3600 * 1000)
     assert(spark.read.format("graft-avro").load(out)
       .as[Long].collect().sorted.toSeq == Seq(1L, 2L),
       "old generation must stay intact; unflipped tokens invisible")
@@ -143,6 +147,52 @@ class AvroSourceSpec extends AnyFunSuite {
       .write.format("graft-avro").mode("append").save(out)
     assert(spark.read.format("graft-avro").load(out)
       .as[Long].collect().sorted.toSeq == Seq(9L, 10L))
+  }
+
+  test("r14 concurrent-truncate discipline: a truncate's sweep never " +
+    "deletes a NEWER published-but-unflipped generation, and a truncate " +
+    "that lost the race to a newer committed one fails loudly") {
+    import spark.implicits._
+    val out = tmp()
+    Seq(1L).toDF("v").coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(out)
+    val dir = new java.io.File(out)
+    // a concurrent truncate T2 that published its generation (NEWER
+    // token than anything this clock will mint) but has not flipped yet
+    val newer = new java.io.File(dir,
+      "gen-zzzzzzzzzzzzz-cafecafe-part-00000-0-aaaa.avro")
+    java.nio.file.Files.write(newer.toPath, Array[Byte](1, 2, 3))
+    // T1 truncates: the r13 sweep (delete everything not mine) would
+    // destroy T2's files here; the r14 scoped sweep must keep them
+    Seq(2L).toDF("v").coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(out)
+    assert(newer.exists(),
+      "sweep deleted a newer generation's published files (the r13 race)")
+    assert(spark.read.format("graft-avro").load(out)
+      .as[Long].collect().toSeq == Seq(2L),
+      "unflipped newer generation must stay invisible to readers")
+    // now the pointer names the NEWER token (T2's flip won): any
+    // truncate minting an older token must refuse to un-flip it
+    locally { // hadoop FS write (a raw java.nio write desyncs the .crc)
+      val hp = new org.apache.hadoop.fs.Path(out, "_generation")
+      val hfs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val o = hfs.create(hp, true)
+      try o.write("zzzzzzzzzzzzz-cafecafe".getBytes("UTF-8")) finally o.close()
+    }
+    val e = intercept[Exception] {
+      Seq(3L).toDF("v").coalesce(1)
+        .write.format("graft-avro").mode("overwrite").save(out)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("lost the race")),
+      s"expected the loud losing-truncate error, got: ${messages(e)}")
+    // the winner's pointer and files are untouched by the loser
+    assert(newer.exists())
+    assert(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "_generation").toPath), "UTF-8").trim ==
+      "zzzzzzzzzzzzz-cafecafe")
   }
 
   test("schema evolution on read: files written BEFORE a column was " +
