@@ -327,6 +327,45 @@ object NorthStar {
   def q193SessionExamplesBatch(s: SparkSession, dir: String): DataFrame =
     sessionExamplesBatch(T.events(s, dir))
 
+  /** The attribution-audit OUTPUT contract as a batch projection —
+    * literally [[graft.streaming.EventStreams.attributionAudit]] (the
+    * left-outer stream-stream interval join; `withWatermark` is
+    * eliminated on a batch frame) with the timestamps lowered to µs
+    * BIGINTs for the render-stable compare. Factored so three
+    * derivations meet on ONE plan: the streaming micro-batch replay
+    * (StreamBatchParitySpec pins stream == this), this batch
+    * formulation, and q232's DuckDB oracle — the same triangle q193
+    * gave sessionExamples. Input needs `(event_id, user_id, ts,
+    * event_type, value)`. */
+  private[graft] def attributionAuditBatch(events: DataFrame): DataFrame =
+    graft.streaming.EventStreams.attributionAudit(events)
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        expr("unix_micros(p_ts)").as("p_us"),
+        expr("unix_micros(c_ts)").as("c_us"), col("value"))
+      .orderBy("purchase_id", "click_id")
+
+  /** q232: the streaming attribution AUDIT graded — each purchase
+    * left-outer interval-joined to the same user's clicks in the
+    * preceding hour; purchases with NO qualifying click survive with
+    * null click columns (the "unattributed conversions" audit an inner
+    * join cannot ask). This was the one EventStreams member whose
+    * arithmetic never met DuckDB (the parity spec only proved
+    * stream == batch SELF-consistency); now the shared batch plan is
+    * hash-checked cross-engine and the parity spec pins the stream to
+    * the DECLARED query.
+    *
+    * Scale shape: equi hash/sort-merge join on user_id with the time
+    * range as residual — never a cross product; in streaming the same
+    * two-sided time bound is what makes join state watermark-bounded.
+    * All time math in µs integers; `ts` is reconstructed from the
+    * schema-drift-proof `tus` so the plan is byte-identical across
+    * testdata regenerations. */
+  def q232AttributionAuditBatch(s: SparkSession, dir: String): DataFrame =
+    attributionAuditBatch(
+      T.events(s, dir).select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(tus)").as("ts"), col("event_type"),
+        col("value")))
+
   /** q199: peak concurrent sessions per day — the interval-overlap
     * aggregate ("how many sessions were live at the busiest instant of
     * each day"), the capacity-planning question raw per-bucket counts
@@ -572,6 +611,7 @@ object NorthStar {
     "q204_attribution" -> q204Attribution _,
     "q164_session_examples" -> q164SessionExamples _,
     "q193_session_examples_batch" -> q193SessionExamplesBatch _,
+    "q232_attribution_audit" -> q232AttributionAuditBatch _,
     "q120_event_transitions" -> q120EventTransitions _,
     "q132_event_ohlc" -> q132EventOhlc _,
     "q206_twap" -> q206Twap _,
@@ -792,6 +832,24 @@ object NorthStar {
         |       md5(array_to_string(seq[1:len(seq)-1], ' ')) AS prefix_md5,
         |       seq[-1] AS label
         |FROM a WHERE n_events >= 3 ORDER BY user_id, session_id""".stripMargin,
+    // q232: the identical left-outer interval join in plain SQL — all
+    // time comparisons on integer µs, so no engine rounding can move a
+    // row across the 1-hour boundary; click_id is null ONLY on
+    // singleton (unattributed) purchases, so the ORDER BY never has to
+    // rank a null against a value and the engines' null-order defaults
+    // cannot diverge
+    "q232_attribution_audit" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |                  event_type, value FROM events),
+        |c AS (SELECT user_id AS c_user, tus AS c_us, event_id AS click_id
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, tus AS p_us, event_id AS purchase_id, value
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id, c.click_id, p.p_us, c.c_us, p.value
+        |FROM p LEFT JOIN c
+        |  ON p.user_id = c.c_user
+        | AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 3600000000
+        |ORDER BY p.purchase_id, c.click_id""".stripMargin,
     "q193_session_examples_batch" ->
       """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events),
         |l AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM x),

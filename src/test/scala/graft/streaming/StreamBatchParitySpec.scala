@@ -254,6 +254,19 @@ class StreamBatchParitySpec extends AnyFunSuite {
     val want = EventStreams.attributionAudit(fixture.toDF())
       .selectExpr(cols: _*).collect().map(_.toSeq).toSet
     assert(got == want)
+    // r14: the stream is ALSO pinned to the DECLARED q232 plan (the
+    // batch formulation the DuckDB oracle hash-checks), closing the
+    // q193-style three-way loop: stream == q232 batch == DuckDB
+    val declaredCols = Seq("user_id", "purchase_id", "click_id",
+      "p_us", "c_us", "value")
+    val gotUs = spark.table("parity_audit").filter("user_id <> 999")
+      .selectExpr("user_id", "purchase_id", "click_id",
+        "unix_micros(p_ts) as p_us", "unix_micros(c_ts) as c_us", "value")
+      .selectExpr(declaredCols: _*).collect().map(_.toSeq).toSet
+    val declared = graft.ops.NorthStar.attributionAuditBatch(fixture.toDF())
+      .selectExpr(declaredCols: _*).collect().map(_.toSeq).toSet
+    assert(gotUs == declared,
+      "stream output diverged from the declared q232 batch plan")
     assert(want.exists(_(2) == null),
       "fixture has no unattributed purchase — the outer path is untested")
     assert(want.exists(_(2) != null),
