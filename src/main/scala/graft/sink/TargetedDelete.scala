@@ -63,31 +63,44 @@ object TargetedDelete {
       val df = spark.read.parquet(f.toString)
       val hits = df.filter(col(keyCol).isInCollection(keys)).count()
       if (hits > 0) {
-        val staged = new Path(f.getParent, s".${f.getName}.staged")
-        df.filter(!col(keyCol).isInCollection(keys))
-          .coalesce(1)
-          .sortWithinPartitions(keyCol)
-          .write.mode("overwrite").parquet(staged.toString)
-        val part = fs.listStatus(staged)
-          .map(_.getPath)
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"staged rewrite produced no file: $staged"))
-        val backup = new Path(f.getParent, s".${f.getName}.bak")
-        require(fs.rename(f, backup),
-          s"targeted delete: could not back up $f")
-        if (!fs.rename(part, f)) {
-          // roll the original back before failing: the table must
-          // never be left without the file
-          fs.rename(backup, f)
-          sys.error(s"targeted delete: swap failed for $f (restored)")
-        }
-        fs.delete(backup, false)
-        fs.delete(staged, true)
+        swapStaged(fs, f,
+          df.filter(!col(keyCol).isInCollection(keys))
+            .coalesce(1)
+            .sortWithinPartitions(keyCol))
         rewritten += 1
         deleted += hits
       }
     }
     DeleteReport(files.length, affected.length, rewritten, deleted)
+  }
+
+  /** Rewrites one table file IN PLACE from the given replacement frame:
+    * staged temp write, `.bak`-first atomic swap (never
+    * delete-then-rename — a crash between those would lose every
+    * surviving row of the file), every rename CHECKED, original rolled
+    * back if the swap-in fails. Shared by the delete and the r14
+    * [[MergeInto]] upsert (the ScratchExport lesson: duplicated
+    * protocol code means the next fix silently misses the twin). */
+  private[sink] def swapStaged(fs: FileSystem, f: Path,
+                               replacement: org.apache.spark.sql.DataFrame)
+      : Unit = {
+    val staged = new Path(f.getParent, s".${f.getName}.staged")
+    replacement.write.mode("overwrite").parquet(staged.toString)
+    val part = fs.listStatus(staged)
+      .map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"staged rewrite produced no file: $staged"))
+    val backup = new Path(f.getParent, s".${f.getName}.bak")
+    require(fs.rename(f, backup),
+      s"surgical rewrite: could not back up $f")
+    if (!fs.rename(part, f)) {
+      // roll the original back before failing: the table must
+      // never be left without the file
+      fs.rename(backup, f)
+      sys.error(s"surgical rewrite: swap failed for $f (restored)")
+    }
+    fs.delete(backup, false)
+    fs.delete(staged, true)
   }
 
   /** Heals the artifacts of a crash at any point of a previous run:
@@ -96,7 +109,7 @@ object TargetedDelete {
     * moves back, and the lost delete simply re-runs; a `.bak` whose
     * original EXISTS is a completed swap's stale backup; any `.staged`
     * directory is a discarded rewrite. */
-  private def recover(fs: FileSystem, dir: Path): Unit =
+  private[sink] def recover(fs: FileSystem, dir: Path): Unit =
     fs.listStatus(dir).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith(".") && name.endsWith(".bak")) {
@@ -112,8 +125,8 @@ object TargetedDelete {
 
   /** The (min, max) footer statistics of an INT64 column across all row
     * groups of one parquet file; None when any row group lacks stats. */
-  private def keyRange(conf: Configuration, file: Path,
-                       keyCol: String): Option[(Long, Long)] = {
+  private[sink] def keyRange(conf: Configuration, file: Path,
+                             keyCol: String): Option[(Long, Long)] = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val ranges = reader.getFooter.getBlocks.asScala.toSeq.map { block =>
