@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.{Affinity, Audit, BpeTrain, Corpus, Curation, Governance, Graph, Multimodal, NorthStar, ParseRoute, Relational, RuntimeFilter, Scalars, SketchRollup, TpchShapes, TrainingData}
-import graft.sink.{AvroQueries, BucketQueries, Compact, CsvQueries, DeleteQueries, Layout, Manifest, MergeQueries, MvRefresh, OrcQueries, PartitionedQueries, SchemaEvolution, ShardedExport, ZOrderQueries}
+import graft.sink.{AvroQueries, BucketQueries, Compact, CsvQueries, DeleteQueries, Layout, Manifest, MergeQueries, MvRefresh, StatsDecision, OrcQueries, PartitionedQueries, SchemaEvolution, ShardedExport, ZOrderQueries}
 import graft.sources.JsonlIngest
 import graft.sources.rfc.RfcQueries
 
@@ -35,7 +35,7 @@ object SparkEntry {
       PartitionedQueries.queries ++ ShardedExport.queries ++ MvRefresh.queries ++
       OrcQueries.queries ++ CsvQueries.queries ++ AvroQueries.queries ++
       SchemaEvolution.queries ++ Compact.queries ++ Manifest.queries ++
-      DeleteQueries.queries ++ MergeQueries.queries ++
+      DeleteQueries.queries ++ MergeQueries.queries ++ StatsDecision.queries ++
       Multimodal.queries ++ RfcQueries.queries ++ SketchRollup.queries ++
       JsonlIngest.queries ++ BpeTrain.queries ++ Graph.queries ++ Audit.queries ++
       Governance.queries
@@ -48,7 +48,7 @@ object SparkEntry {
       PartitionedQueries.oracle ++ ShardedExport.oracle ++ MvRefresh.oracle ++
       OrcQueries.oracle ++ CsvQueries.oracle ++ AvroQueries.oracle ++
       SchemaEvolution.oracle ++ Compact.oracle ++ Manifest.oracle ++
-      DeleteQueries.oracle ++ MergeQueries.oracle ++
+      DeleteQueries.oracle ++ MergeQueries.oracle ++ StatsDecision.oracle ++
       RfcQueries.oracle ++
       SketchRollup.oracle ++ JsonlIngest.oracle ++ BpeTrain.oracle ++ Graph.oracle ++
       Audit.oracle ++ Governance.oracle

@@ -1,0 +1,131 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.T
+
+/** Histogram-driven join planning — the CONSUMING half of the
+  * statistics story. q175 profiles columns and q225 builds the
+  * equi-depth histogram, but through r13 nothing DECIDED anything from
+  * them; this is the classic CBO selectivity decision reduced to its
+  * primitive: a PERSISTED equi-depth histogram (q225's exact artifact,
+  * the q220 manifest pattern applied to column statistics) is consulted
+  * at plan time to estimate how many orders a price range selects, and
+  * the estimate picks the join strategy —
+  *  - estimated-selective (≤ 1/8 of the table): `broadcast()` the
+  *    filtered side, so the customer side never shuffles;
+  *  - estimated-wide: leave both sides to the shuffle planner (forcing
+  *    a broadcast of a mis-estimated big side is how drivers OOM).
+  * The threshold is deliberately row-FRACTION-based: at 100 TB the
+  * absolute byte budget changes, the decision shape does not.
+  *
+  * Estimation: buckets whose [lo_c2, hi_c2] overlaps the predicate
+  * range contribute their full row count — a deterministic UPPER bound
+  * (never interpolated: equi-depth buckets are narrow exactly where
+  * data is dense, so the bound is tight where it matters, and a bound
+  * can only over-broadcast by one bucket width, never under-estimate
+  * into a driver OOM).
+  *
+  * The histogram read is driver-side by design — 32 rows, the q220
+  * manifest class (metadata-scale; the decision must reach the driver
+  * anyway to pick a plan). StatsDecisionSpec pins the FLIP itself with
+  * Spark's auto-broadcast disabled: a one-bucket range plans a
+  * BroadcastHashJoin, a 28-bucket range plans a shuffle join, and the
+  * estimator's threshold algebra is unit-pinned at the boundary. */
+object StatsDecision {
+
+  final case class JoinChoice(estRows: Long, totalRows: Long,
+                              broadcast: Boolean)
+
+  private val Buckets = 32
+
+  /** Persists q225's equi-depth histogram once per (JVM, dataset) —
+    * the graded q225 plan IS the stored statistics artifact. */
+  private[sink] def ensureHistogram(s: SparkSession, dir: String): String =
+    ScratchExport.once(s"statshist:$dir") {
+      val out = ScratchExport.scratchDir("graft-statshist-")
+      graft.ops.Relational.q225EquidepthHist(s, dir)
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    }
+
+  /** The stored histogram, driver-side: (bucket, n_rows, lo_c2, hi_c2)
+    * sorted by bucket — 32 rows by construction. */
+  private[sink] def readHistogram(s: SparkSession,
+                                  hist: String): Array[(Int, Long, Long, Long)] =
+    s.read.parquet(hist)
+      .select("bucket", "n_rows", "lo_c2", "hi_c2")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+
+  /** Upper-bound row estimate for `c2 ∈ [lo, hi]` plus the decision:
+    * broadcast iff the bound is ≤ 1/8 of the table. */
+  private[sink] def estimate(hist: Array[(Int, Long, Long, Long)],
+                             lo: Long, hi: Long): JoinChoice = {
+    val est = hist.collect {
+      case (_, n, bLo, bHi) if bHi >= lo && bLo <= hi => n
+    }.sum
+    val total = hist.map(_._2).sum
+    JoinChoice(est, total, est * 8L <= total)
+  }
+
+  /** Revenue-by-nation for orders priced in `[lo, hi]` cents, with the
+    * join strategy chosen from the stored histogram. Both branches are
+    * semantically identical — the histogram picks the PLAN, never the
+    * answer (the property the oracle hash-checks). */
+  private[sink] def revenueByChoice(s: SparkSession, dir: String,
+                                    lo: Long, hi: Long,
+                                    choice: JoinChoice): DataFrame = {
+    val sel = T(s, dir, "orders")
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("c2"),
+        col("o_custkey"))
+      .filter(col("c2") >= lo && col("c2") <= hi)
+    val cust = T(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val joined =
+      if (choice.broadcast)
+        cust.join(broadcast(sel), col("c_custkey") === col("o_custkey"))
+      else cust.join(sel, col("c_custkey") === col("o_custkey"))
+    joined.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"), sum("c2").as("rev_c2"))
+      .orderBy("c_nationkey")
+  }
+
+  /** q234: the graded selective side — the predicate range is bucket
+    * 5's [lo_c2, hi_c2] from the STORED histogram (deterministic given
+    * the data; the oracle re-derives the same bounds with SQL ntile,
+    * which q225 already proves equal to ScalableRank's), the estimate
+    * bounds it at ≤ ~3/32 of the table, and the decision broadcasts
+    * the filtered side. */
+  def q234StatsJoin(s: SparkSession, dir: String): DataFrame = {
+    val hist = readHistogram(s, ensureHistogram(s, dir))
+    val (_, _, lo, hi) = hist.find(_._1 == 5)
+      .getOrElse(sys.error("stored histogram lacks bucket 5"))
+    val choice = estimate(hist, lo, hi)
+    revenueByChoice(s, dir, lo, hi, choice)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_stats_join" -> q234StatsJoin _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    // re-derive bucket 5's bounds with SQL ntile (q225's proven twin),
+    // filter by VALUE range (ties at the boundary behave identically
+    // on both sides — the filter is on c2, never on the bucket id),
+    // then the same join + cent aggregate
+    "q234_stats_join" ->
+      """WITH r AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c2,
+        |                  o_custkey,
+        |                  CAST(ntile(32) OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) AS INTEGER) AS bucket
+        |           FROM orders),
+        |b AS (SELECT min(c2) AS lo, max(c2) AS hi FROM r WHERE bucket = 5),
+        |sel AS (SELECT r.o_custkey, r.c2 FROM r, b
+        |        WHERE r.c2 >= b.lo AND r.c2 <= b.hi)
+        |SELECT c.c_nationkey, count(*) AS n_orders,
+        |       CAST(sum(sel.c2) AS BIGINT) AS rev_c2
+        |FROM sel JOIN customer c ON sel.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}
