@@ -80,6 +80,74 @@ class HierarchySpec extends AnyFunSuite {
     assert(roots.map(_._3).sum == demand.values.map(_._1).sum)
   }
 
+  /** A scratch dataset dir holding ONLY the tables the hierarchy ops
+    * read — the graded `(s, dir)` entry points run against it
+    * unchanged. */
+  private def fixtureDir(parts: Seq[Long],
+                         demand: Seq[(Long, Double)]): String = {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-hier-fixture-").toString
+    parts.toDF("p_partkey").coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    demand.toDF("l_partkey", "l_quantity").coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    out
+  }
+
+  test("r14 depth cap END-TO-END: a chain deeper than HierMaxDepth " +
+    "through the GRADED q226/q230 entry points truncates at the cap " +
+    "and terminates") {
+    val depthBeyond = Graph.HierMaxDepth + 2 // 14: two levels past the cap
+    val chain = (0 to depthBeyond)
+      .map(i => math.pow(Graph.HierFanout.toDouble, i.toDouble).toLong)
+    // demand on the deepest IN-cap node and on a TRUNCATED node: the
+    // cap drops the truncated node AND its demand from every rollup
+    // (documented truncation, pinned here so it can't silently change)
+    val dir = fixtureDir(chain,
+      Seq((chain(Graph.HierMaxDepth), 5.0), (chain(Graph.HierMaxDepth + 1), 7.0)))
+    val got226 = Graph.q226HierarchyExpand(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getInt(2))).sortBy(_._2)
+    assert(got226.length == Graph.HierMaxDepth + 1,
+      s"exactly root..cap rows, got ${got226.length}")
+    assert(got226.map(_._2).toSeq == (0 to Graph.HierMaxDepth),
+      "one node per depth, capped")
+    assert(!got226.map(_._1).contains(chain(Graph.HierMaxDepth + 1)),
+      "a node beyond the cap must not appear")
+    val got230 = Graph.q230SubtreeRollup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got230.length == Graph.HierMaxDepth + 1, "rollup over in-cap nodes")
+    val root = got230.find(_._1 == chain.head).get
+    assert(root._2 == (Graph.HierMaxDepth + 1).toLong &&
+      root._3 == 5L && root._4 == 1L,
+      s"root absorbs in-cap demand only (truncated 7.0 excluded): $root")
+    val deepest = got230.find(_._1 == chain(Graph.HierMaxDepth)).get
+    assert(deepest._2 == 1L && deepest._3 == 5L)
+  }
+
+  test("r14 cycle guard END-TO-END on the graded ops' expansion loop: " +
+    "a 3-cycle terminates at the guard (depth 2), never the cap, and " +
+    "never revisits a node; a self-loop stops at depth 0") {
+    import spark.implicits._
+    val cyc = Graph.expandFrontier(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("parent", "child"),
+      Seq(1L).toDF("root")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getSeq[Long](3).toList))
+      .sortBy(_._3)
+    assert(cyc.toSeq == Seq(
+      (1L, 1L, 0, List(1L)),
+      (1L, 2L, 1, List(1L, 2L)),
+      (1L, 3L, 2, List(1L, 2L, 3L))),
+      s"guard must stop the loop at the first revisit: ${cyc.toSeq}")
+    assert(cyc.map(_._3).max < Graph.HierMaxDepth,
+      "termination came from the guard, not the cap")
+    val self = Graph.expandFrontier(
+      Seq((5L, 5L)).toDF("parent", "child"),
+      Seq(5L).toDF("root")).collect()
+    assert(self.length == 1 && self.head.getInt(2) == 0)
+  }
+
   test("cycle guard: a self-parenting edge set terminates at the " +
     "guard, not the depth cap, and never revisits a node") {
     // the guard is structural (path containment), so exercise it on
