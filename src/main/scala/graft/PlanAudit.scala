@@ -211,6 +211,33 @@ object PlanAudit {
         "is that a right-to-be-forgotten pass leaves a table " +
         "indistinguishable from one that never held the keys, which " +
         "the raw-complement oracle proves row-exactly."),
+    "q232_attribution_audit" ->
+      ("**Look for:** the stream-shared left-outer interval join " +
+        "planned as an EQUI join on user_id (LeftOuter — AQE " +
+        "broadcasts the click side at this SF; sort-merge at scale) " +
+        "with the two-sided µs range bound as a join-condition " +
+        "residual — NEVER a BroadcastNestedLoopJoin or cartesian; the " +
+        "same bound is what makes the streaming twin's state " +
+        "watermark-bounded. Watermark nodes are eliminated (batch), " +
+        "and both inputs are one events scan filtered by event_type."),
+    "q233_merge_upsert" ->
+      ("**Look for:** an ordinary partial+final aggregate whose scan " +
+        "reads the post-MERGE clustered directory — the routing and " +
+        "rewrite already happened (driver walked only the " +
+        "footer-pruned touch set; each touched file rebuilt by one " +
+        "bounded job: file scan left-anti change keys, union the 'U' " +
+        "images, staged .bak-first swap). Like q231, the plan's value " +
+        "is that the merged table is indistinguishable from a table " +
+        "that always held the post-CDC state — the raw-recompute " +
+        "oracle proves it row-exactly."),
+    "q234_stats_join" ->
+      ("**Look for:** BroadcastHashJoin with the FILTERED orders side " +
+        "as the build — chosen by the library's own histogram " +
+        "estimate (the persisted q225 artifact read driver-side), not " +
+        "by Spark's size fallback: StatsDecisionSpec re-plans the " +
+        "same query with auto-broadcast disabled and the broadcast " +
+        "survives, while a 28-bucket range flips to SortMergeJoin. " +
+        "Customer never shuffles on the selective side."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +
