@@ -29,4 +29,34 @@ object SkewJoin {
       explode(expr(s"sequence(0L, ${r - 1}L)")))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  // ---- the DECISION (r14) ----------------------------------------------
+  // q180's SURVEY row has promised since r10 that "the salting fan-out
+  // reads off the top bucket"; this is that read, as code — the
+  // StatsDecision discipline (a graded statistics artifact consulted
+  // driver-side picks a plan, never an answer) applied to the skew knob.
+
+  /** Salting fan-out from the q180 skew histogram (`(bucket, n_keys,
+    * n_rows, max_rows)`, ≤64 cells — driver-side by nature): the
+    * hottest key's row count over the per-task budget, clamped to
+    * [1, maxFanout]. 1 means "don't salt" — a uniform key column must
+    * never pay the r× replication. */
+  def fanoutFrom(hist: DataFrame, targetRowsPerTask: Long,
+                 maxFanout: Int = 64): Int = {
+    require(targetRowsPerTask > 0)
+    val hottest = hist.agg(max("max_rows")).collect()(0).getLong(0)
+    val r = (hottest + targetRowsPerTask - 1) / targetRowsPerTask
+    math.max(1L, math.min(r, maxFanout.toLong)).toInt
+  }
+
+  /** [[saltedInnerJoin]] when the histogram says the key is hot,
+    * the PLAIN join when it does not — both compute the identical
+    * multiset (SkewJoinSpec's equality plus the decision-flip pin). */
+  def decidedInnerJoin(big: DataFrame, small: DataFrame, key: String,
+                       hist: DataFrame, targetRowsPerTask: Long,
+                       maxFanout: Int = 64): DataFrame = {
+    val r = fanoutFrom(hist, targetRowsPerTask, maxFanout)
+    if (r > 1) saltedInnerJoin(big, small, key, r)
+    else big.join(small, Seq(key))
+  }
 }
