@@ -238,6 +238,23 @@ object PlanAudit {
         "same query with auto-broadcast disabled and the broadcast " +
         "survives, while a 28-bucket range flips to SortMergeJoin. " +
         "Customer never shuffles on the selective side."),
+    "q235_shortest_path" ->
+      ("**Look for:** the final round's shape — the distance table " +
+        "entering as a localCheckpointed ExistingRDD (every earlier " +
+        "round ran eagerly into its checkpoint, so the plan is ONE " +
+        "round deep regardless of SpIters), one equi-join of that " +
+        "node-sized table to the edge ExistingRDD on src, then a " +
+        "partial+final HashAggregate MIN on the receiving node — " +
+        "map-side combine is what absorbs hub skew before the " +
+        "shuffle. No Generate, no window, no cartesian."),
+    "q236_golden_record" ->
+      ("**Look for:** ONE customer FileScan feeding a Generate (the " +
+        "three-source struct-array explode) into a single " +
+        "partial+final HashAggregate on the entity key carrying all " +
+        "eight max_by cells — no window, no sort, no self-join, no " +
+        "second scan: MDM consolidation as one shuffle of (key, " +
+        "field-cells), map-side combined. The final sort is " +
+        "presentation-only."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

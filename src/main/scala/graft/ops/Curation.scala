@@ -538,6 +538,67 @@ object Curation {
         expr("cast(round(_price * 100) as bigint)").as("price_c2"))
       .orderBy("as_of", "o_orderkey")
 
+  /** q236: GOLDEN-RECORD survivorship — the master-data-management
+    * merge that q178's whole-row argmax cannot express: when an entity
+    * arrives from several source systems with PARTIAL, overlapping
+    * fields, the golden record takes each FIELD independently from the
+    * highest-recency source that has it non-null, with per-field
+    * provenance. A whole-row latest-wins (q71/q183) would take the
+    * newest record and keep its nulls; survivorship fills every field
+    * the union of sources can fill — GoldenRecordSpec pins an explicit
+    * key where the two semantics genuinely differ.
+    *
+    * Fixture (derived, the cdcLog discipline — one scan, explode of a
+    * filtered struct array, so the oracle can rebuild it verbatim):
+    * three source systems over customer —
+    *  - `crm` (recency 3, even keys): name (UPPER-cased) + nation key only;
+    *  - `billing` (recency 2, keys ≡ 0 mod 3): balance cents + segment
+    *    only;
+    *  - `legacy` (recency 1, every key): all four fields, balance
+    *    stale by 7 cents.
+    *
+    * Scale shape: ONE partial+final `max_by(field, CASE WHEN field IS
+    * NOT NULL THEN recency END)` aggregate per field on the entity key
+    * — no per-entity window, no sort, no self-join; both engines skip
+    * null ordering keys in max_by, and recencies are distinct per
+    * (key, source) by construction, so no tie-break ambiguity exists.
+    * At 100 TB this is the standard MDM consolidation: one shuffle of
+    * (key, field-cells), map-side-combined. Balance rides integer
+    * cents (the q183 `round(×100)` cast, exact on 2-decimal inputs). */
+  def q236GoldenRecord(s: SparkSession, dir: String): DataFrame = {
+    def pick(field: String) = Seq(
+      max_by(col(s"e.$field"),
+        when(col(s"e.$field").isNotNull, col("e.rank"))).as(field),
+      max_by(col("e.src"),
+        when(col(s"e.$field").isNotNull, col("e.rank"))).as(s"${field}_src"))
+    T(s, dir, "customer")
+      .select(col("c_custkey").as("k"), explode(expr(
+        """filter(array(
+          |  named_struct('src', 'crm', 'rank', 3, 'name', upper(c_name),
+          |               'nkey', cast(c_nationkey as bigint),
+          |               'bal_c2', cast(null as bigint),
+          |               'seg', cast(null as string)),
+          |  named_struct('src', 'billing', 'rank', 2,
+          |               'name', cast(null as string),
+          |               'nkey', cast(null as bigint),
+          |               'bal_c2', cast(round(c_acctbal * 100) as bigint),
+          |               'seg', c_mktsegment),
+          |  named_struct('src', 'legacy', 'rank', 1, 'name', c_name,
+          |               'nkey', cast(c_nationkey as bigint),
+          |               'bal_c2', cast(round(c_acctbal * 100) as bigint) - 7L,
+          |               'seg', c_mktsegment)),
+          |  x -> (x.rank = 3 AND c_custkey % 2 = 0)
+          |    OR (x.rank = 2 AND c_custkey % 3 = 0)
+          |    OR x.rank = 1)""".stripMargin)).as("e"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_records"),
+        (pick("name") ++ pick("nkey") ++ pick("bal_c2") ++ pick("seg")): _*)
+      .select(col("k").as("custkey"), col("n_records"),
+        col("name"), col("name_src"), col("nkey"), col("nkey_src"),
+        col("bal_c2"), col("bal_c2_src"), col("seg"), col("seg_src"))
+      .orderBy("custkey")
+  }
+
   /** The q98 core on any `(o_custkey, o_orderstatus, o_orderdate,
     * o_orderkey)` frame — separated so CurationProps can cross-check the
     * lag/lead formulation against an independent run-compression scan
@@ -1278,6 +1339,7 @@ object Curation {
     "q181_selection_pipeline" -> q181SelectionPipeline _,
     "q183_cdc_compact" -> q183CdcCompact _,
     "q221_time_travel" -> q221TimeTravel _,
+    "q236_golden_record" -> q236GoldenRecord _,
     "q96_repetition_signals" -> q96RepetitionSignals _,
     "q97_source_rebalance" -> q97SourceRebalance _,
     "q98_scd2_merge" -> q98Scd2Merge _,
@@ -1425,6 +1487,35 @@ object Curation {
         |            + CASE WHEN o_orderkey % 5 = 0 THEN 10 ELSE 0 END) * 100) AS BIGINT)
         |FROM orders WHERE o_orderkey % 7 <> 0
         |ORDER BY as_of, o_orderkey""".stripMargin,
+    // q236: the same three-source fixture rebuilt as a plain UNION ALL
+    // (the struct-array explode is Spark-side mechanics; the SOURCES
+    // are the semantics), then the identical per-field max_by
+    // survivorship — DuckDB's max_by skips NULL ordering keys exactly
+    // like Spark's, and recencies are distinct per (key, source)
+    "q236_golden_record" ->
+      """WITH src AS (
+        |  SELECT c_custkey AS k, 'crm' AS src, 3 AS rank,
+        |         upper(c_name) AS name, CAST(c_nationkey AS BIGINT) AS nkey,
+        |         CAST(NULL AS BIGINT) AS bal_c2, CAST(NULL AS VARCHAR) AS seg
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'billing', 2, NULL, CAST(NULL AS BIGINT),
+        |         CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'legacy', 1, c_name, CAST(c_nationkey AS BIGINT),
+        |         CAST(round(c_acctbal * 100) AS BIGINT) - 7, c_mktsegment
+        |  FROM customer)
+        |SELECT k AS custkey, CAST(count(*) AS BIGINT) AS n_records,
+        |  max_by(name, CASE WHEN name IS NOT NULL THEN rank END) AS name,
+        |  max_by(src, CASE WHEN name IS NOT NULL THEN rank END) AS name_src,
+        |  max_by(nkey, CASE WHEN nkey IS NOT NULL THEN rank END) AS nkey,
+        |  max_by(src, CASE WHEN nkey IS NOT NULL THEN rank END) AS nkey_src,
+        |  max_by(bal_c2, CASE WHEN bal_c2 IS NOT NULL THEN rank END) AS bal_c2,
+        |  max_by(src, CASE WHEN bal_c2 IS NOT NULL THEN rank END) AS bal_c2_src,
+        |  max_by(seg, CASE WHEN seg IS NOT NULL THEN rank END) AS seg,
+        |  max_by(src, CASE WHEN seg IS NOT NULL THEN rank END) AS seg_src
+        |FROM src GROUP BY 1 ORDER BY 1""".stripMargin,
     "q183_cdc_compact" ->
       // SEMANTIC oracle: the expected snapshot recomputed from the base
       // table, never mirroring the log/compaction mechanics

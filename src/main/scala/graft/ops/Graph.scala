@@ -271,11 +271,69 @@ object Graph {
       .orderBy("node")
   }
 
+  private[ops] val SpIters = 4
+  private[ops] val SpSeedMod = 17
+
+  /** The weighted co-purchase graph under q235: q218's edge set
+    * (support ≥ 2 part pairs, the shared Affinity universe) as two
+    * directed rows, each carrying the integer "distance"
+    * `1 + 1000 div n_pair` — frequently co-bought parts are CLOSE, so
+    * a cheap path is a chain of strong affinities. */
+  private def weightedCoEdges(s: SparkSession, dir: String): DataFrame = {
+    val p = Affinity.pairCounts(Affinity.basketItems(s, dir))
+      .filter(col("n_pair") >= 2)
+      .withColumn("w", expr("1L + 1000 div n_pair"))
+    p.select(col("p1").as("src"), col("p2").as("dst"), col("w"))
+      .union(p.select(col("p2").as("src"), col("p1").as("dst"), col("w")))
+  }
+
+  /** q235: multi-source WEIGHTED shortest path — the min-plus semiring
+    * on DataFrames, the third propagation algebra in the graph family
+    * (q196 sums damped mass, q226 enumerates acyclic paths; q235
+    * RELAXES distances, the semantics that stays bounded on CYCLIC
+    * graphs where frontier recursion would enumerate paths forever):
+    * from every seed part (graph nodes ≡ 0 mod [[SpSeedMod]], dist 0),
+    * [[SpIters]] Bellman-Ford rounds of
+    * `dist' = min(dist, min over in-edges (dist_src + w))` over the
+    * weighted co-purchase graph — "how close is every part to a seed
+    * part through chains of strong co-purchase affinity, within 4
+    * hops".
+    *
+    * Determinism: weights and distances are BIGINTs and min-plus is a
+    * true semiring — min and + are associative/commutative, so NO
+    * reduction order (Spark partial aggregates, DuckDB's, anything)
+    * can move a bit; the oracle unrolls the identical rounds as CTEs
+    * (the q196 `prIterSql` discipline applied to relaxation).
+    *
+    * Scale shape: per round, ONE equi-join of the node-sized distance
+    * table to the edge list on src and ONE partial+final MIN aggregate
+    * on the receiving node — hub skew combines map-side (min is
+    * associative) before any shuffle; lineage truncates per round
+    * (localCheckpoint, the q196/q226 discipline) so the plan never
+    * grows with rounds. At 100 TB: edges bucketed on src, every round
+    * reuses one exchange; the distance table stays node-sized. */
+  def q235ShortestPath(s: SparkSession, dir: String): DataFrame = {
+    val edges = weightedCoEdges(s, dir).localCheckpoint(true)
+    var dist = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") % SpSeedMod === 0)
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to SpIters) {
+      val relax = dist.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relax)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true) // plan must not grow with rounds
+    }
+    dist.orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_pagerank" -> q196PageRank _,
     "q218_triangles" -> q218Triangles _,
     "q226_hierarchy_expand" -> q226HierarchyExpand _,
     "q230_subtree_rollup" -> q230SubtreeRollup _,
+    "q235_shortest_path" -> q235ShortestPath _,
   )
 
   /** One unrolled integer PageRank iteration (mirrors the Spark loop
@@ -291,7 +349,33 @@ object Graph {
        |        CAST(157286 + COALESCE(c.ctr, 0) AS BIGINT) AS pr
        |        FROM n LEFT JOIN ctr$t c ON n.node = c.node),""".stripMargin
 
+  /** One unrolled Bellman-Ford round (mirrors the Spark loop exactly:
+    * keep-or-relax union, integer min). */
+  private def spIterSql(prev: String, t: Int): String =
+    s"""d$t AS (SELECT node, MIN(dist) AS dist FROM (
+       |        SELECT node, dist FROM $prev
+       |        UNION ALL
+       |        SELECT e.dst AS node, p.dist + e.w AS dist
+       |        FROM $prev p JOIN e ON e.src = p.node) GROUP BY 1),""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // q235: the same support-≥2 co-purchase universe as q218, weighted
+    // 1 + 1000 // n_pair, SpIters unrolled min-plus rounds from the
+    // mod-SpSeedMod seed set — CTE-per-round, the q196 discipline
+    "q235_shortest_path" ->
+      s"""WITH ${Affinity.itemsCte},
+        |${Affinity.pairCte(2)},
+        |e AS (SELECT p1 AS src, p2 AS dst, CAST(1 + 1000 // n_pair AS BIGINT) AS w FROM p
+        |      UNION ALL
+        |      SELECT p2 AS src, p1 AS dst, CAST(1 + 1000 // n_pair AS BIGINT) AS w FROM p),
+        |d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+        |       FROM e WHERE src % $SpSeedMod = 0),
+        |${spIterSql("d0", 1)}
+        |${spIterSql("d1", 2)}
+        |${spIterSql("d2", 3)}
+        |${spIterSql("d3", 4)}
+        |sel AS (SELECT node, dist FROM d4)
+        |SELECT node, dist FROM sel ORDER BY node""".stripMargin,
     // q230: list-path recursion + unnest ancestor closure + demand
     // left join — the same forest as q226 (same edges, roots, cap,
     // cycle guard), rolled up instead of reported
