@@ -44,9 +44,13 @@ object SkewJoin {
   def fanoutFrom(hist: DataFrame, targetRowsPerTask: Long,
                  maxFanout: Int = 64): Int = {
     require(targetRowsPerTask > 0)
-    val hottest = hist.agg(max("max_rows")).collect()(0).getLong(0)
-    val r = (hottest + targetRowsPerTask - 1) / targetRowsPerTask
-    math.max(1L, math.min(r, maxFanout.toLong)).toInt
+    val cell = hist.agg(max("max_rows")).collect()(0)
+    // empty histogram (empty/fully-filtered table): no rows = no skew
+    if (cell.isNullAt(0)) 1
+    else {
+      val r = (cell.getLong(0) + targetRowsPerTask - 1) / targetRowsPerTask
+      math.max(1L, math.min(r, maxFanout.toLong)).toInt
+    }
   }
 
   /** [[saltedInnerJoin]] when the histogram says the key is hot,

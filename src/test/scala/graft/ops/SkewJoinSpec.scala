@@ -49,6 +49,8 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(SkewJoin.fanoutFrom(hist(1001L), 1000L) == 2)  // first flip
     assert(SkewJoin.fanoutFrom(hist(8000L), 1000L) == 8)
     assert(SkewJoin.fanoutFrom(hist(1000000L), 1000L) == 64) // clamp
+    // empty histogram (empty/fully-filtered table): no rows = no skew
+    assert(SkewJoin.fanoutFrom(hist(1L).limit(0), 1000L) == 1)
     // the graded q180 histogram over real orders: custkey is uniform at
     // this scale, so a sane budget must decide "don't salt"
     val real = Relational.q180KeySkew(spark, SparkTestBase.Sf0001)
