@@ -73,8 +73,47 @@ object Governance {
       .orderBy("tbl")
   }
 
+  private[ops] val KAnon = 5L        // the k in k-anonymity
+  private[ops] val BandC2 = 100000L  // $1000 balance bands (cents)
+
+  /** q237: k-anonymity audit — the re-identification-risk gauge that
+    * complements q111 (PII scrub) and q216 (erasure propagation): under
+    * the quasi-identifier tuple (nation, market segment, $1000 balance
+    * band), how many equivalence classes does the customer table
+    * partition into, how many violate k = [[KAnon]] (fewer than k
+    * indistinguishable members), and how many rows those violating
+    * classes expose? A release gate reads `rows_at_risk` the way q224
+    * reads its checks: 0 means every customer hides in a crowd of ≥ k.
+    *
+    * Semantics: balances ride integer cents (the q183 `round(×100)`
+    * cast) and the band divides `bal_c2 + 10⁶` — the offset keeps the
+    * dividend positive for every in-contract balance (≥ −$10,000), so
+    * Spark's `div` and DuckDB's `//` cannot diverge on negative
+    * truncation (the T.tus ≥ 0 argument applied to money).
+    *
+    * Scale shape: groupBy(QI) count → groupBy(segment) rollup — two
+    * partial+final aggregates, no window, no driver materialization;
+    * the first shuffle is class-count-sized, the second
+    * segment-count-sized. Output: one row per market segment
+    * `(c_mktsegment, n_classes, n_violating, rows_at_risk, n_rows)`. */
+  def q237KAnonymity(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        expr(s"(cast(round(c_acctbal * 100) as bigint) + 1000000) div $BandC2")
+          .as("bal_band"))
+      .groupBy("c_mktsegment", "c_nationkey", "bal_band")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("n") < KAnon, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("n") < KAnon, col("n")).otherwise(0L))
+          .as("rows_at_risk"),
+        sum("n").as("n_rows"))
+      .orderBy("c_mktsegment")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q216_cascade_delete" -> q216CascadeDelete _,
+    "q237_k_anonymity" -> q237KAnonymity _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -103,5 +142,18 @@ object Governance {
         |       CAST(n_deleted AS BIGINT) AS n_deleted,
         |       CAST(n_rows - n_deleted AS BIGINT) AS n_kept
         |FROM rows ORDER BY tbl""".stripMargin,
+    // q237: identical QI tuple (offset-positive band division) and the
+    // same two-level rollup; all counts are plain integer aggregates
+    "q237_k_anonymity" ->
+      s"""WITH cls AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |         (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // $BandC2 AS bal_band,
+        |         count(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(sum(CASE WHEN n < $KAnon THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |       CAST(sum(CASE WHEN n < $KAnon THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |       CAST(sum(n) AS BIGINT) AS n_rows
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -328,13 +328,93 @@ object Graph {
     dist.orderBy("node")
   }
 
+  private[ops] val LpIters = 3
+  // (count, label) argmax packed into ONE BIGINT: cnt·2⁴⁰ + (2⁴⁰−1−lab)
+  // — larger count wins, ties break to the SMALLEST label; exact while
+  // labels < 2⁴⁰ and counts < 2²³ (widen the packing, or switch to a
+  // struct max_by, if a deployment's node ids outgrow 40 bits)
+  private[ops] val LpPack = 1L << 40
+
+  /** q239: synchronous label propagation — community detection over the
+    * co-purchase graph, the FOURTH propagation algebra in the family
+    * (q196 sums damped mass, q226/q230 enumerate acyclic paths, q235
+    * relaxes min-plus distances; q239 takes the neighborhood MODE — the
+    * argmax-vote semiring LPA/WCC-style community detection runs).
+    * Labels start as node ids; each of [[LpIters]] synchronous rounds
+    * re-labels every node with its neighbors' most frequent label
+    * (ties → smallest label — the deterministic tie-break that makes
+    * synchronous LPA engine-exact, where textbook random tie-breaks
+    * make it a coin flip).
+    *
+    * Determinism: the (count, label) argmax rides one packed BIGINT
+    * ([[LpPack]]) under a plain MAX — associative, so no reduction
+    * order on either engine can move a bit; the oracle unrolls the
+    * identical rounds as CTEs (the q196/q235 discipline applied to
+    * mode propagation).
+    *
+    * Scale shape: per round, ONE equi-join of the node-sized label
+    * table to the edge list and TWO partial+final aggregates (vote
+    * count, then packed argmax) — hub skew combines map-side in both
+    * (count and max are associative); lineage truncates per round.
+    * At 100 TB: edges bucketed on dst so every round reuses one
+    * exchange; the label table stays node-sized. Output: the 20
+    * largest communities plus the global community count riding each
+    * row (q218's bounded 1-row crossJoin). */
+  def q239LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val p = Affinity.pairCounts(Affinity.basketItems(s, dir))
+      .filter(col("n_pair") >= 2).select("p1", "p2")
+    val edges = p.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(p.select(col("p2").as("src"), col("p1").as("dst")))
+      .localCheckpoint(true)
+    var lab = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint(true)
+    for (_ <- 1 to LpIters) {
+      val votes = edges
+        .join(lab.select(col("node").as("dst"), col("lab")), "dst")
+        .groupBy(col("src"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src").as("node"))
+        .agg(max(col("cnt") * LpPack + (lit(LpPack - 1) - col("lab")))
+          .as("key"))
+        .select(col("node"),
+          (lit(LpPack - 1) - col("key") % LpPack).as("newlab"))
+      // left join + coalesce: an isolated node keeps its label — the
+      // OPERATOR contract for arbitrary edge inputs (the symmetric
+      // co-purchase construction guarantees in-neighbors, so the
+      // branch is a no-op on the graded universe)
+      lab = lab.join(votes, Seq("node"), "left")
+        .select(col("node"), coalesce(col("newlab"), col("lab")).as("lab"))
+        .localCheckpoint(true) // plan must not grow with rounds
+    }
+    val total = lab.agg(countDistinct("lab").as("n_communities"))
+    lab.groupBy("lab").agg(count(lit(1)).as("n_members"))
+      .crossJoin(broadcast(total)) // 1-row global total rides every row
+      .orderBy(col("n_members").desc, col("lab"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_pagerank" -> q196PageRank _,
     "q218_triangles" -> q218Triangles _,
     "q226_hierarchy_expand" -> q226HierarchyExpand _,
     "q230_subtree_rollup" -> q230SubtreeRollup _,
     "q235_shortest_path" -> q235ShortestPath _,
+    "q239_label_prop" -> q239LabelProp _,
   )
+
+  /** One unrolled synchronous LPA round (mirrors the Spark loop
+    * exactly: vote count, packed argmax, left-join label keep). */
+  private def lpIterSql(prev: String, t: Int): String = {
+    val pk = LpPack; val pm = LpPack - 1
+    s"""v$t AS (SELECT e.src, l.lab, count(*) AS cnt
+       |        FROM e JOIN $prev l ON e.dst = l.node GROUP BY 1, 2),
+       |m$t AS (SELECT src AS node,
+       |        CAST($pm - (MAX(cnt * $pk + ($pm - lab)) % $pk) AS BIGINT) AS newlab
+       |        FROM v$t GROUP BY 1),
+       |l$t AS (SELECT p.node, COALESCE(m.newlab, p.lab) AS lab
+       |        FROM $prev p LEFT JOIN m$t m ON p.node = m.node),""".stripMargin
+  }
 
   /** One unrolled integer PageRank iteration (mirrors the Spark loop
     * exactly: per-edge floor-divided contribution, integer sum,
@@ -359,6 +439,21 @@ object Graph {
        |        FROM $prev p JOIN e ON e.src = p.node) GROUP BY 1),""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q239: the same support-≥2 co-purchase universe, LpIters unrolled
+    // argmax-vote rounds on the identical packed-BIGINT tie-break
+    "q239_label_prop" ->
+      s"""WITH ${Affinity.itemsCte},
+        |${Affinity.pairCte(2)},
+        |e AS (SELECT p1 AS src, p2 AS dst FROM p
+        |      UNION ALL SELECT p2 AS src, p1 AS dst FROM p),
+        |l0 AS (SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS lab FROM e),
+        |${lpIterSql("l0", 1)}
+        |${lpIterSql("l1", 2)}
+        |${lpIterSql("l2", 3)}
+        |h AS (SELECT lab, count(*) AS n_members FROM l3 GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT lab) AS BIGINT) AS n_communities FROM l3)
+        |SELECT h.lab, CAST(h.n_members AS BIGINT) AS n_members, tot.n_communities
+        |FROM h, tot ORDER BY n_members DESC, lab LIMIT 20""".stripMargin,
     // q235: the same support-≥2 co-purchase universe as q218, weighted
     // 1 + 1000 // n_pair, SpIters unrolled min-plus rounds from the
     // mod-SpSeedMod seed set — CTE-per-round, the q196 discipline

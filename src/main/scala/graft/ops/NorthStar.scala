@@ -602,7 +602,52 @@ object NorthStar {
       .orderBy("o_orderkey")
   }
 
+  private[ops] val EwmaTaps = 16
+
+  /** q238: exact dyadic EWMA smoothing + spike flag — the per-sensor
+    * exponential smoother every telemetry/monitoring pipeline runs
+    * before alerting (q44's moving average weights history uniformly;
+    * an EWMA halves each older reading, which is what "recent matters
+    * more" means). α = 1/2 truncated to [[EwmaTaps]] taps makes it
+    * EXACT integer arithmetic: with readings in cents,
+    * `ewma_fx = Σ_{i=0..15} cents[t−i] · 2^(15−i)` is the smoothed
+    * value on a 2⁻¹⁶ fixed-point grid (missing history contributes 0 —
+    * the standard zero-initialized filter), and the tap 15 truncation
+    * error is < 2⁻¹⁶ of one reading. No double ever enters: the same
+    * FixDot/q160 discipline, applied to time-series smoothing. A
+    * reading spikes when it exceeds 1.8× its own smoothed value
+    * (`5·cents·2¹⁶ > 9·ewma_fx` — the multiplier is alert policy,
+    * exact at any rational threshold via cross-multiplication), gated
+    * on a full 16-tap history so a zero-padded warmup can never
+    * false-fire.
+    *
+    * Scale shape: the 16 lags share ONE window spec, so Spark computes
+    * them in a single per-user window pass (ingest-bounded, the
+    * q81/q204 class — hot-user capping applies unchanged, RUNBOOK);
+    * the ordering key (tus, event_id) is NULL-free and total, so both
+    * engines sort identically. Output: the user_id ≡ 0 (mod 3) sample,
+    * one row per event. */
+  def q238EwmaSmooth(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val ewma = (0 until EwmaTaps).map { i =>
+      coalesce(lag(col("v_c2"), i).over(w), lit(0L)) *
+        lit(1L << (EwmaTaps - 1 - i))
+    }.reduce(_ + _)
+    T.events(s, dir)
+      .filter(col("user_id") % 3 === 0)
+      .select(col("user_id"), col("event_id"), col("tus"),
+        expr("cast(round(value * 100) as bigint)").as("v_c2"))
+      .withColumn("ewma_fx", ewma)
+      .withColumn("full_hist",
+        lag(col("v_c2"), EwmaTaps - 1).over(w).isNotNull)
+      .withColumn("spike",
+        col("full_hist") && col("v_c2") * 327680L > col("ewma_fx") * 9L)
+      .drop("full_hist")
+      .orderBy("user_id", "tus", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_ewma_smooth" -> q238EwmaSmooth _,
     "q211_gap_histogram" -> q211GapHistogram _,
     "q222_rolling_distinct" -> q222RollingDistinct _,
     "q212_nearest_event" -> q212NearestEvent _,
@@ -626,6 +671,23 @@ object NorthStar {
   )
 
   val oracle: Map[String, String] = Map(
+    // q238: the identical 16-tap dyadic filter — one named window, the
+    // same zero-padded warmup, the same integer spike inequality
+    "q238_ewma_smooth" -> {
+      val taps = (0 until EwmaTaps).map(i =>
+        s"COALESCE(lag(v_c2, $i) OVER w, 0) * ${1L << (EwmaTaps - 1 - i)}")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |                  CAST(round(value * 100) AS BIGINT) AS v_c2
+        |           FROM events WHERE user_id % 3 = 0),
+        |s AS (SELECT user_id, event_id, tus, v_c2,
+        |             CAST($taps AS BIGINT) AS ewma_fx,
+        |             lag(v_c2, ${EwmaTaps - 1}) OVER w IS NOT NULL AS full_hist
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+        |SELECT user_id, event_id, tus, v_c2, ewma_fx,
+        |       (full_hist AND v_c2 * 327680 > ewma_fx * 9) AS spike
+        |FROM s ORDER BY user_id, tus, event_id""".stripMargin
+    },
     // q211: identical integer log2 via bit length of bin(); zero gaps
     // q222: the oracle runs the OTHER lowering — a range join over the
     // distinct (day, user) pairs — so a hash match proves the explode

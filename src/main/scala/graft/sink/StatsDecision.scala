@@ -106,8 +106,46 @@ object StatsDecision {
     revenueByChoice(s, dir, lo, hi, choice)
   }
 
+  /** q240: histogram-calibrated percentile scoring — the SECOND
+    * consumer of the stored q225 statistics artifact (q234 picks a join
+    * plan from it; q240 turns raw scores into corpus percentiles, the
+    * calibration step every quality-ranked selection pipeline needs
+    * before thresholds transfer across corpora). Each order's price is
+    * assigned to its stored equi-depth bucket — `bucket(c2)` = 1 + the
+    * number of stored upper boundaries strictly below c2, capped at
+    * [[Buckets]] — and reported with the calibrated basis-point
+    * percentile `calib_bp = ((bucket−1)·10⁴) div 32`, exact integers
+    * end to end.
+    *
+    * The scale contract is O(1) per row vs the global sort a true
+    * percent_rank costs: the 32 boundaries ride an array LITERAL inside
+    * whole-stage codegen (driver reads 32 rows once — the q234
+    * metadata-scale argument), so calibration is scan-shaped with NO
+    * exchange at any corpus size; the stored histogram refreshes on
+    * q225's cadence (RUNBOOK). Resolution is the knob: 32 buckets ⇒
+    * ~312 bp steps; raise the bucket count for finer calibration, the
+    * plan shape is unchanged. Output: the o_orderkey ≡ 0 (mod 97)
+    * sample with (c2, bucket, calib_bp). */
+  def q240ScoreCalibrate(s: SparkSession, dir: String): DataFrame = {
+    val hist = readHistogram(s, ensureHistogram(s, dir))
+    require(hist.length == Buckets,
+      s"stored histogram has ${hist.length} buckets, expected $Buckets")
+    val his = hist.map(_._4) // upper boundaries, bucket-sorted
+    val boundaries = array(his.map(lit): _*)
+    T(s, dir, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("c2"))
+      .withColumn("bucket",
+        least(size(filter(boundaries, h => h < col("c2"))) + 1,
+          lit(Buckets)).cast("int"))
+      .withColumn("calib_bp", expr("(cast(bucket as bigint) - 1) * 10000 div 32"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q234_stats_join" -> q234StatsJoin _,
+    "q240_score_calibrate" -> q240ScoreCalibrate _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -127,5 +165,21 @@ object StatsDecision {
         |       CAST(sum(sel.c2) AS BIGINT) AS rev_c2
         |FROM sel JOIN customer c ON sel.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q240: re-derive the 32 upper boundaries with SQL ntile (q225's
+    // proven twin), then the identical count-of-boundaries-below bucket
+    // assignment and basis-point projection on the same sample
+    "q240_score_calibrate" ->
+      """WITH r AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c2,
+        |                  o_orderkey,
+        |                  CAST(ntile(32) OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) AS INTEGER) AS bucket
+        |           FROM orders),
+        |b AS (SELECT bucket, max(c2) AS hi FROM r GROUP BY 1),
+        |s AS (SELECT o_orderkey, c2 FROM r WHERE o_orderkey % 97 = 0),
+        |s2 AS (SELECT s.o_orderkey, s.c2,
+        |              CAST(least(1 + sum(CASE WHEN b.hi < s.c2 THEN 1 ELSE 0 END), 32) AS INTEGER) AS bucket
+        |       FROM s CROSS JOIN b GROUP BY 1, 2)
+        |SELECT o_orderkey, c2, bucket,
+        |       CAST((CAST(bucket AS BIGINT) - 1) * 10000 // 32 AS BIGINT) AS calib_bp
+        |FROM s2 ORDER BY o_orderkey""".stripMargin,
   )
 }

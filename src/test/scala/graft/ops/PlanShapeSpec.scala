@@ -128,10 +128,12 @@ class PlanShapeSpec extends AnyFunSuite {
                               // (q127/q188 class)
       "q224_corpus_gate",     // composes q219 — inherits its 1-row
                               // totals broadcast
-      "q227_drift_monitor")   // DriftMonitor.drift's two 1-row
+      "q227_drift_monitor",   // DriftMonitor.drift's two 1-row
                               // broadcasts: totals + n_batches (q188's
                               // totals class, graded through the
                               // streaming read path)
+      "q239_label_prop")      // 1-row global community count rides
+                              // every row (q218's totals class)
     for ((name, fn) <- graft.SparkEntry.queries if !oneRowCross(name)) {
       val plan = fn(spark, SparkTestBase.Sf0001)
         .queryExecution.executedPlan.toString
