@@ -255,6 +255,63 @@ object PlanAudit {
         "second scan: MDM consolidation as one shuffle of (key, " +
         "field-cells), map-side combined. The final sort is " +
         "presentation-only."),
+    "q237_k_anonymity" ->
+      ("**Look for:** ONE customer FileScan (ReadSchema pruned to the " +
+        "three QI columns) feeding two chained partial+final " +
+        "HashAggregates — QI-class counting then the per-segment " +
+        "rollup — with map-side combine on both; the first exchange " +
+        "is class-count-sized, the second segment-sized. No window, " +
+        "no join: auditing 100 TB of customers is one pass."),
+    "q238_ewma_smooth" ->
+      ("**Look for:** ONE events scan into a SINGLE Window node " +
+        "(partitioned by user_id — never global) evaluating all 16 " +
+        "lag frames plus the warmup-gate lag in one pass; the EWMA " +
+        "sum and the cross-multiplied spike inequality are plain " +
+        "integer Project arithmetic inside WholeStageCodegen. One " +
+        "per-user sort, zero joins."),
+    "q239_label_prop" ->
+      ("**Look for:** the final round's shape — labels entering as a " +
+        "localCheckpointed ExistingRDD (one round deep regardless of " +
+        "LpIters, the q235 discipline), ONE equi-join to the edge " +
+        "ExistingRDD, then TWO chained partial+final HashAggregates " +
+        "(vote count on (src, lab), packed-BIGINT MAX on src) — both " +
+        "associative, so hub skew combines map-side before either " +
+        "shuffle. The only BNLJ is the named 1-row community-count " +
+        "broadcast (q218's totals class)."),
+    "q240_score_calibrate" ->
+      ("**Look for:** NO join, NO aggregate, NO window — one orders " +
+        "FileScan (orderkey sample filter pushed) into a single " +
+        "Project whose bucket assignment is `size(filter(<32-element " +
+        "array literal>, …))` inside WholeStageCodegen; the stored " +
+        "histogram was read driver-side (32 rows) and compiled INTO " +
+        "the plan. Percentile calibration of 100 TB is exactly one " +
+        "scan-shaped pass; the final sort is presentation-only."),
+    "q241_fixed_width_roundtrip" ->
+      ("**Look for:** a text FileScan of the 53-char-line extract " +
+        "feeding ONE Project holding every positional " +
+        "substring→trim→cast in a single codegen'd projection (no " +
+        "UDF, no regex, no Generate), then an ordinary partial+final " +
+        "aggregate. Fixed-width parse at 100 TB is line-splittable " +
+        "scan work — the cost the format DOES impose is visible too: " +
+        "no PushedFilters, ReadSchema is the whole line."),
+    "q242_quantile_normalize" ->
+      ("**Look for:** NO window partitioned by source anywhere — both " +
+        "rank passes enter as localCheckpointed ExistingRDDs " +
+        "(ScalableRank ran eagerly: range repartition + per-_pid " +
+        "windows + broadcast offsets), the per-source (base, n) stats " +
+        "and the 8-row reference boundary table come back as " +
+        "BroadcastHashJoins, and the ntile-inverse bucket assignment " +
+        "is plain integer Project arithmetic. A hot source never " +
+        "lands in one task."),
+    "q243_skyline_3d" ->
+      ("**Look for:** NO self-join anywhere — one documents scan into " +
+        "a codegen'd objective Project, a MapPartitions (the local " +
+        "dominance frontier — the documented 3-D fallback where " +
+        "q229's prefix-max sweep can't apply), then the guarded " +
+        "single-partition merge reading the tiny localCheckpointed " +
+        "frontier union (ExistingRDD), never the corpus. The O(n²) " +
+        "dominance join the oracle states declaratively appears in " +
+        "NO plan."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

@@ -698,7 +698,65 @@ object Corpus {
     IncrementalCard.card(s, st)
   }
 
+  private[ops] val NormBuckets = 8
+
+  /** q242: cross-source quantile normalization — mapping every source's
+    * score distribution onto the GLOBAL distribution before pooling
+    * (the batch-effect correction genomics calls quantile
+    * normalization, and a mixed-corpus pipeline needs before any
+    * absolute threshold transfers across sources: q97/q186 re-weight
+    * source COUNTS, q242 re-scales the SCORE AXIS). Each document's
+    * `n_chars` is replaced by the global distribution's value at the
+    * same within-source quantile: within-source ntile([[NormBuckets]])
+    * → the global equi-depth bucket's upper boundary.
+    *
+    * Exactness: both ntiles are the SQL ntile layout on total orders
+    * ((n_chars, doc_id) — tie-free), integer end to end. The
+    * within-source ntile is NOT a per-source window (source is a
+    * low-cardinality key — q208's lesson): ranks come from ONE
+    * ScalableRank two-pass global row number over (source, n_chars,
+    * doc_id), per-source bases via a broadcast (base, n) table, and
+    * the ntile layout inverse (ScalableRank.withNtile's formula,
+    * parameterized per source) as plain integer arithmetic. A source
+    * smaller than the grid degrades to rank-identity (q = 0 branch) —
+    * defined, not an error.
+    *
+    * Scale shape: two ScalableRank passes (one per distribution — the
+    * reference boundary table is [[NormBuckets]] rows and broadcasts),
+    * one broadcast stats join, one broadcast boundary join; no
+    * per-source window, no self-join. Output: every doc with its
+    * source bucket and normalized value. */
+  def q242QuantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    // n_chars IS NOT NULL: same sort-order-contract exclusion as q223
+    // (no such row in the driver testdata; the contract is for real
+    // corpora)
+    val docs = T(s, dir, "documents")
+      .filter(col("n_chars").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val ranked = ScalableRank.withGlobalRowNumber(
+      docs, "_grn", col("source"), col("n_chars"), col("doc_id"))
+    val stats = ranked.groupBy(col("source").as("_g"))
+      .agg(min("_grn").as("_base"), count(lit(1)).as("_n"))
+    val bucketed = ranked
+      .join(broadcast(stats), col("source") === col("_g"))
+      .withColumn("_rn", col("_grn") - col("_base") + 1)
+      .withColumn("_q", expr(s"_n div $NormBuckets"))
+      .withColumn("_r", expr(s"_n % $NormBuckets"))
+      .withColumn("_cut", expr("_r * (_q + 1)"))
+      .withColumn("src_bucket", // SQL ntile layout inverse, per source
+        expr("cast(case when _rn <= _cut then (_rn - 1) div (_q + 1) " +
+          "else _r + (_rn - _cut - 1) div greatest(_q, 1) end as int) + 1"))
+    val ref = ScalableRank.withNtile(docs, NormBuckets, "gb",
+        col("n_chars"), col("doc_id"))
+      .groupBy("gb").agg(max("n_chars").as("norm_chars"))
+    bucketed.join(broadcast(ref), col("src_bucket") === col("gb"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("src_bucket"), col("norm_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_quantile_normalize" -> q242QuantileNormalize _,
     "q117_substring_dedup" -> q117SubstringDedup _,
     "q205_html_extract" -> q205HtmlExtract _,
     "q227_drift_monitor" -> q227DriftMonitor _,
@@ -759,6 +817,21 @@ object Corpus {
       |  WHERE length(text) >= 50)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q242: both ntiles stated natively (PARTITION BY source for the
+    // within-source one — fine at oracle scale; the Spark side's
+    // composite-rank lowering is the scale device, and the hash match
+    // proves the two lowerings agree), same tie-free orders
+    "q242_quantile_normalize" ->
+      s"""WITH r AS (SELECT doc_id, source, n_chars,
+        |       CAST(ntile($NormBuckets) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS INTEGER) AS sb
+        |       FROM documents WHERE n_chars IS NOT NULL),
+        |g AS (SELECT n_chars,
+        |      CAST(ntile($NormBuckets) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS gb
+        |      FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT gb, max(n_chars) AS norm_chars FROM g GROUP BY 1)
+        |SELECT r.doc_id, r.source, r.n_chars, r.sb AS src_bucket,
+        |       CAST(b.norm_chars AS BIGINT) AS norm_chars
+        |FROM r JOIN b ON r.sb = b.gb ORDER BY r.doc_id""".stripMargin,
     // q205: the identical render → drop-containers → strip-tags →
     // decode-entities → collapse pipeline; every regex construct is in
     // the Java∩RE2 common subset and entity decode is literal replace()

@@ -1327,7 +1327,75 @@ object Curation {
       .orderBy("btok")
   }
 
+  /** Frontier-size guard for [[q243Skyline3d]]'s merge step: the union
+    * of local frontiers must be driver-mergeable. Real 3-D skylines of
+    * correlated objectives are tiny (anti-correlated worst cases grow —
+    * the guard fails LOUDLY instead of silently funneling a corpus
+    * into one task). */
+  private[ops] val SkyCap = 1 << 20
+
+  /** q243: the 3-D Pareto frontier — q229's skyline at the
+    * dimensionality where the prefix-max sweep NO LONGER APPLIES
+    * (RUNBOOK documents the 2-D sweep's boundary; this op ships the
+    * standard distributed-skyline shape that replaces it): documents
+    * non-dominated under (lexical diversity ↑, BPE token cost ↓,
+    * character storage cost ↓) — the three-way efficient frontier a
+    * budget-constrained selection pass picks from when storage and
+    * context-window cost are priced separately.
+    *
+    * Scale shape — LOCAL FRONTIERS, the classic two-phase distributed
+    * skyline: (1) each partition reduces to its locally non-dominated
+    * set via an in-memory dominance buffer (`mapPartitions` — a 3-way
+    * dominance filter has no Catalyst operator; this is exactly the
+    * documented fallback, and dominance transitivity makes local
+    * pruning SOUND: any globally-dominated tuple is dominated by some
+    * tuple that survives its own partition's frontier); (2) the union
+    * of local frontiers — tiny for real corpora, [[SkyCap]]-guarded
+    * loudly — merges in one bounded task through the same filter.
+    * Duplicate objective tuples dominate nothing and both survive, so
+    * the frontier SET is partition-invariant (Skyline3dSpec pins
+    * that). The DuckDB oracle states 3-D dominance declaratively
+    * (NOT EXISTS), so the hash match proves the two-phase merge IS
+    * the skyline. */
+  def q243Skyline3d(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // canonical orientation: maximize all axes (cost axes negated)
+    val m = T(s, dir, "documents").select(col("doc_id"),
+        size(expr("array_distinct(filter(split(text, ' '), x -> x != ''))"))
+          .cast("long").as("n_lex"),
+        (-graft.functions.Bpe.count(col("text"))).as("nb"),
+        (-col("n_chars")).as("nc"))
+      .as[(Long, Long, Long, Long)]
+    def dominates(p: (Long, Long, Long, Long),
+                  q: (Long, Long, Long, Long)): Boolean =
+      p._2 >= q._2 && p._3 >= q._3 && p._4 >= q._4 &&
+        (p._2 > q._2 || p._3 > q._3 || p._4 > q._4)
+    def frontier(it: Iterator[(Long, Long, Long, Long)])
+        : Iterator[(Long, Long, Long, Long)] = {
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      it.foreach { t =>
+        if (!buf.exists(b => dominates(b, t))) {
+          val keep = buf.filterNot(b => dominates(t, b))
+          buf.clear(); buf ++= keep += t
+        }
+      }
+      buf.iterator
+    }
+    val local = m.mapPartitions(frontier _).localCheckpoint(true)
+    val n = local.count() // bounded-merge guard, loud on pathology
+    require(n <= SkyCap,
+      s"3-D skyline local-frontier union is $n rows (> $SkyCap): " +
+        "objectives too anti-correlated for the bounded merge — " +
+        "partition the corpus and merge frontiers hierarchically")
+    local.repartition(1).mapPartitions(frontier _)
+      .select(col("_1").as("doc_id"), col("_2").as("n_lex"),
+        (-col("_3")).as("btok"), (-col("_4")).as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_skyline_3d" -> q243Skyline3d _,
     "q229_pareto_frontier" -> q229ParetoFrontier _,
     "q95_decontaminate" -> q95Decontaminate _,
     "q187_contam_attribution" -> q187ContamAttribution _,
@@ -1397,6 +1465,20 @@ object Curation {
     // q229: dominance stated DECLARATIVELY (NOT EXISTS over the
     // per-cost collapsed table) — a hash match proves the Spark
     // prefix-max sweep computes exactly the non-dominated set
+    // q243: 3-D dominance stated declaratively over the full per-doc
+    // tuple table — the hash match proves the two-phase local-frontier
+    // merge computes exactly the skyline
+    "q243_skyline_3d" ->
+      s"""WITH RECURSIVE ${graft.functions.Bpe.countCteSql},
+        |m AS (SELECT d.doc_id,
+        |      CAST(len(list_distinct(list_filter(string_split(d.text, ' '), x -> x <> ''))) AS BIGINT) AS n_lex,
+        |      CAST(c.btok AS BIGINT) AS btok, d.n_chars
+        |      FROM documents d JOIN bpe_cnt c ON d.doc_id = c.doc_id)
+        |SELECT doc_id, n_lex, btok, n_chars FROM m t
+        |WHERE NOT EXISTS (SELECT 1 FROM m o
+        |  WHERE o.n_lex >= t.n_lex AND o.btok <= t.btok AND o.n_chars <= t.n_chars
+        |    AND (o.n_lex > t.n_lex OR o.btok < t.btok OR o.n_chars < t.n_chars))
+        |ORDER BY doc_id""".stripMargin,
     "q229_pareto_frontier" ->
       s"""WITH RECURSIVE ${graft.functions.Bpe.countCteSql},
         |m AS (SELECT d.doc_id,
