@@ -312,6 +312,26 @@ object PlanAudit {
         "frontier union (ExistingRDD), never the corpus. The O(n²) " +
         "dominance join the oracle states declaratively appears in " +
         "NO plan."),
+    "q244_minhash_recall" ->
+      ("**Look for:** the classification entering as a " +
+        "localCheckpointed ExistingRDD (exact-pair-sized — the PPJoin " +
+        "truth and the band candidates already ran eagerly into it), " +
+        "feeding one Expand (the rollup) and a partial+final " +
+        "HashAggregate; recall arithmetic is integer Project math. " +
+        "Neither input is ever all-pairs — both subtrees are the " +
+        "shipped q78/q72 machinery."),
+    "q245_blocklist_filter" ->
+      ("**Look for:** ONE documents FileScan feeding a single Project " +
+        "whose blocked-token count is a codegen'd " +
+        "size(filter(split(...), IN-list)) — no Generate, no join, no " +
+        "UDF — then a partial+final HashAggregate on source. Gating a " +
+        "100 TB corpus against a wordlist is exactly one pass."),
+    "q246_phrase_search" ->
+      ("**Look for:** NO documents scan — two FileScans of the " +
+        "positional index table, each with SelectedBucketsCount " +
+        "1 out of 8 (the term probes), equi-joined on (doc_id, " +
+        "adjacent pos), then a partial+final per-doc aggregate. The " +
+        "join is posting-list-sized; the corpus appears nowhere."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

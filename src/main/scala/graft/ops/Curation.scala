@@ -1394,7 +1394,49 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The blocklist and its occurrence threshold — corpus policy (the
+    * C4-style badword list): entries absent from a corpus cost nothing,
+    * and the threshold separates incidental mentions from saturated
+    * documents. */
+  private[ops] val BlockTerms = Seq("slow", "stale", "deadlock")
+  private[ops] val BlockMax = 3L
+
+  /** q245: blocklist filtering — the wordlist gate every public-corpus
+    * curation pipeline runs (C4 dropped pages on a badword list; safety
+    * and compliance lists work the same way), complementing the
+    * STATISTICAL gates (q191 quality rules, q83 scoring) with an exact
+    * LEXICAL one: count each document's blocked-token occurrences and
+    * flag it when they reach [[BlockMax]] (threshold, not presence —
+    * one incidental mention survives, a saturated page does not).
+    * Reported per source: documents, flagged documents, total blocked
+    * tokens, and surviving characters — the audit row a release gate
+    * consumes (q224's composition pattern).
+    *
+    * Scale shape: ONE corpus scan — the count is a codegen'd
+    * `size(filter(tokens, array_contains(...)))` projection against an
+    * array literal (no explode, no join, no UDF: the blocklist ships
+    * inside the expression the way q240 ships its boundaries), then a
+    * partial+final aggregate on source. A 10⁴-entry production list
+    * outgrows a literal — swap the membership test for a broadcast
+    * semi-join on exploded tokens; the one-scan shape survives. */
+  def q245BlocklistFilter(s: SparkSession, dir: String): DataFrame = {
+    val listSql = BlockTerms.map(t => s"'$t'").mkString(", ")
+    T(s, dir, "documents")
+      .select(col("source"), col("n_chars"),
+        expr(s"size(filter(split(text, ' '), x -> x in ($listSql)))")
+          .cast("long").as("bc"))
+      .withColumn("flagged", col("bc") >= BlockMax)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum("bc").as("blocked_tokens"),
+        sum(when(!col("flagged"), col("n_chars")).otherwise(0L))
+          .as("kept_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_blocklist_filter" -> q245BlocklistFilter _,
     "q243_skyline_3d" -> q243Skyline3d _,
     "q229_pareto_frontier" -> q229ParetoFrontier _,
     "q95_decontaminate" -> q95Decontaminate _,
@@ -1465,6 +1507,20 @@ object Curation {
     // q229: dominance stated DECLARATIVELY (NOT EXISTS over the
     // per-cost collapsed table) — a hash match proves the Spark
     // prefix-max sweep computes exactly the non-dominated set
+    // q245: the same list membership count and threshold; all integer
+    // aggregates
+    "q245_blocklist_filter" -> {
+      val listSql = BlockTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH c AS (SELECT source, n_chars,
+        |           len(list_filter(string_split(text, ' '),
+        |               x -> x IN ($listSql))) AS bc
+        |           FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN bc >= $BlockMax THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |       CAST(sum(bc) AS BIGINT) AS blocked_tokens,
+        |       CAST(sum(CASE WHEN bc < $BlockMax THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // q243: 3-D dominance stated declaratively over the full per-doc
     // tuple table — the hash match proves the two-phase local-frontier
     // merge computes exactly the skyline

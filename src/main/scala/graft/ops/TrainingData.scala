@@ -127,8 +127,16 @@ object TrainingData {
     * connected components consume the unordered pairs, and the global
     * orderBy would otherwise execute (uselessly) under its eager
     * localCheckpoint. */
-  private[ops] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(s, dir)
+  private[ops] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOfDocs(T(s, dir, "documents"))
+
+  /** The band-collision candidate join over an arbitrary (doc_id, text)
+    * frame — split from [[minhashPairs]] (r14) so the q244 recall
+    * gauge's miss branch is drivable on synthetic fixtures whose
+    * similarity sits mid-S-curve (the driver corpus's near-dups are
+    * all-but-identical, so its banding never misses). */
+  private[ops] def minhashPairsOfDocs(docs: DataFrame): DataFrame = {
+    val bands = minhashBandsOfDocs(docs)
     bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
@@ -538,7 +546,18 @@ object TrainingData {
     * hot-shingle cap threaded through. Verification computes the TRUE
     * intersection on the full (uncapped) shingle sets, so every reported
     * pair carries its exact Jaccard regardless of the cap. */
-  private[ops] def ngramJaccardCore(docs: DataFrame, maxDf: Long): DataFrame = {
+  private[ops] def ngramJaccardCore(docs: DataFrame, maxDf: Long): DataFrame =
+    ngramExactPairs(docs, maxDf)
+      // the 4-dp rounding in exact integer math — Jaccard is a small
+      // rational, which can land on a 4-decimal half-way point where
+      // Spark and the oracle round the same double differently (see q83)
+      .select(col("da"), col("db"), Exact.r4("i", "u").as("jac"))
+      .orderBy("da", "db")
+
+  /** The q78 verify stage with the raw `(i, u)` counts exposed — shared
+    * by the q78 report (rounds them to the 4-dp Jaccard) and the q244
+    * recall gauge (buckets on the exact rational). */
+  private[ops] def ngramExactPairs(docs: DataFrame, maxDf: Long): DataFrame = {
     val t = 0.5
     val docsets = ngramDocsets(docs)
     val cand = ngramCandidates(docsets, t, maxDf)
@@ -556,13 +575,9 @@ object TrainingData {
       .join(setsB, "db")
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("u", col("na") + col("nb") - col("i"))
-      // threshold on the exact rational (2i >= u ⟺ i/u >= 0.5), and the
-      // 4-dp rounding in exact integer math — Jaccard is a small
-      // rational, which can land on a 4-decimal half-way point where
-      // Spark and the oracle round the same double differently (see q83)
+      // threshold on the exact rational (2i >= u ⟺ i/u >= 0.5)
       .filter(col("i") * 2 >= col("u"))
-      .select(col("da"), col("db"), Exact.r4("i", "u").as("jac"))
-      .orderBy("da", "db")
+      .select(col("da"), col("db"), col("i"), col("u"))
   }
 
   // r12: every similarity query in this file rides the FixDot integer
@@ -2234,6 +2249,99 @@ object TrainingData {
     * has matches (a real deployment parameterizes these). */
   private val Bm25Terms = Seq("data", "join", "stream")
 
+  /** q244: MinHash banding recall measured against EXACT Jaccard ground
+    * truth — the dedup-index quality gauge paired with q213 (which
+    * gauges the ANN index the same way): for every true near-dup pair
+    * (q78's exact ≥ 0.5 PPJoin set), did the q72 banding propose it?
+    * Reported per exact-similarity decile — the empirically measured
+    * LSH S-curve, where q176 diagnoses only the CANDIDATE side (too
+    * permissive); q244 measures the MISS side (too strict), which no
+    * candidate-only diagnostic can see. Run it before committing a
+    * bands×rows shape; re-run after corpus drift (recall is a property
+    * of the similarity distribution, not just the banding).
+    *
+    * Exactness: the bucket is the integer `(10·i) div u` (capped at 9)
+    * and recall is exact half-up basis points — no doubles. Scale
+    * shape: both inputs are shipped machinery (the PPJoin exact pairs
+    * and the banded candidate self-join — neither is ever all-pairs);
+    * the comparison is ONE left equi-join on the pair key plus a
+    * rollup aggregate (bucket rows + the -1 total row). */
+  def q244MinhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = ngramExactPairs(T(s, dir, "documents"), Long.MaxValue)
+      .withColumn("bucket",
+        least(expr("(10 * i) div u"), lit(9L)).cast("int"))
+    val cand = minhashPairs(s, dir)
+      .select(col("doc_a").as("da"), col("doc_b").as("db"),
+        lit(1L).as("hit"))
+    // the classified-pair frame is exact-pair-sized (tiny — this is a
+    // gauge over the near-dup set, not the corpus); the checkpoint
+    // materializes it once for the rollup AND severs the lineage both
+    // sides share with the documents scan (exact and candidate pairs
+    // descend from the same source, which otherwise trips Spark's
+    // ambiguous-self-join detector on the rollup's grouping column)
+    val base = exact.join(cand, Seq("da", "db"), "left")
+      .select(col("bucket"), coalesce(col("hit"), lit(0L)).as("h"))
+      .localCheckpoint(true)
+    base.rollup("bucket")
+      .agg(count(lit(1)).as("n_exact"), sum("h").as("n_caught"))
+      .select(coalesce(col("bucket"), lit(-1)).as("bucket"),
+        col("n_exact"), col("n_caught"),
+        expr("(2 * n_caught * 10000 + n_exact) div (2 * n_exact)")
+          .as("recall_bp"))
+      .orderBy("bucket")
+  }
+
+  /** The positional inverted index under q246 — q185's postings with
+    * the 1-based token position kept (term, doc_id, pos), persisted
+    * bucketed on term so a term's postings co-locate and the probe
+    * prunes to the queried terms' buckets. */
+  private[ops] def ensurePositionalIndex(s: SparkSession,
+                                         dir: String): String = {
+    val digest = dirDigest(dir)
+    graft.sink.BucketedTables.ensure(s, s"graft_postings_pos_$digest",
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(expr("filter(split(text, ' '), x -> x != '')")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"),
+          col("col").as("term")),
+      8, Seq("term"))
+  }
+
+  private val PhraseT1 = "data"
+  private val PhraseT2 = "join"
+
+  /** q246: exact PHRASE search through the persisted positional index —
+    * the retrieval primitive term-level postings (q185) and bag-of-words
+    * scoring (q113) cannot express: documents containing the exact
+    * bigram "data join", with occurrence counts and first position
+    * (dedup pipelines use the same shape to find verbatim quoted spans
+    * anchored at known anchor terms; q117's windows find UNKNOWN spans,
+    * a phrase probe answers "where does THIS span occur" without a
+    * corpus scan).
+    *
+    * Scale shape: the plan touches ONLY the index table — two
+    * bucket-pruned term probes (each df(term)-sized, never the corpus)
+    * equi-joined on (doc_id, adjacent position), then a partial+final
+    * aggregate per document. The join key is doc_id+pos, so the two
+    * posting lists shuffle — but a posting list is df-sized, the thing
+    * an index exists to make small; longer phrases chain one more
+    * probe+join per extra term, rarest term first. The DuckDB oracle
+    * recomputes adjacency from the RAW corpus (list comprehension over
+    * tokens), so a hash match proves the positional index is a
+    * faithful materialization. */
+  def q246PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val idx = s.table(ensurePositionalIndex(s, dir))
+    val t1 = idx.filter(col("term") === PhraseT1)
+      .select(col("doc_id"), col("pos"))
+    val t2 = idx.filter(col("term") === PhraseT2)
+      .select(col("doc_id").as("d2"), col("pos").as("p2"))
+    t1.join(t2, col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"),
+        min("pos").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** q113: BM25-style relevance ranking of the corpus against a fixed
     * term set — the retrieval-scoring op a curation pipeline uses for
     * query-targeted sampling ("give me training docs relevant to X").
@@ -2497,6 +2605,8 @@ object TrainingData {
     "q77_dedup_simhash" -> q77DedupSimhash _,
     "q88_simhash_hamming" -> q88SimhashHamming _,
     "q78_ngram_jaccard" -> q78NgramJaccard _,
+    "q244_minhash_recall" -> q244MinhashRecall _,
+    "q246_phrase_search" -> q246PhraseSearch _,
     "q79_embed_neardup" -> q79EmbedNeardup _,
     "q82_lang_id" -> q82LangId _,
     "q83_quality_score" -> q83QualityScore _,
@@ -2692,6 +2802,40 @@ object TrainingData {
         |FROM cand
         |WHERE list_sum([CASE WHEN ha[i:i] <> hb[i:i] THEN 1 ELSE 0 END for i in range(1, 65)]) <= 3
         |ORDER BY 1, 2""".stripMargin,
+    // q244: the exact side re-states q78's naive ground truth (with the
+    // raw i/u kept), the candidate side interpolates the SHARED minhash
+    // CTEs (q72/q100/q104's family — recall is measured against the
+    // very banding those ops run), classification + rollup identical
+    "q244_minhash_recall" ->
+      s"""WITH $minhashPairsCtes,
+        |shu AS (SELECT doc_id, unnest(ss) AS s FROM shl),
+        |sizes AS (SELECT doc_id, len(ss) AS n FROM shl),
+        |inter AS (SELECT a.doc_id AS da, b2.doc_id AS db, count(*) AS i
+        |          FROM shu a JOIN shu b2 ON a.s = b2.s AND a.doc_id < b2.doc_id GROUP BY 1, 2),
+        |ex AS (SELECT inter.da, inter.db, inter.i, sa.n + sb.n - inter.i AS u
+        |       FROM inter JOIN sizes sa ON inter.da = sa.doc_id
+        |                  JOIN sizes sb ON inter.db = sb.doc_id
+        |       WHERE 2 * inter.i >= sa.n + sb.n - inter.i),
+        |j AS (SELECT CAST(least((10 * e.i) // e.u, 9) AS INTEGER) AS bucket,
+        |             CASE WHEN p.da IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |      FROM ex e LEFT JOIN pairs p ON e.da = p.da AND e.db = p.db)
+        |SELECT CAST(COALESCE(bucket, -1) AS INTEGER) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_exact,
+        |       CAST(sum(hit) AS BIGINT) AS n_caught,
+        |       CAST((2 * sum(hit) * 10000 + count(*)) // (2 * count(*)) AS BIGINT) AS recall_bp
+        |FROM j GROUP BY ROLLUP(bucket) ORDER BY bucket""".stripMargin,
+    // q246: adjacency recomputed from the RAW corpus via a filtered
+    // list comprehension over 1-based token positions — the index is
+    // proven a faithful materialization, not just self-consistent
+    "q246_phrase_search" ->
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |           FROM documents),
+        |occ AS (SELECT doc_id,
+        |        unnest([i for i in range(1, len(t)) if t[i] = '$PhraseT1' and t[i+1] = '$PhraseT2']) AS pos
+        |        FROM w)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |       CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM occ GROUP BY 1 ORDER BY 1""".stripMargin,
     "q78_ngram_jaccard" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |shl AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS s
