@@ -332,6 +332,14 @@ object PlanAudit {
         "1 out of 8 (the term probes), equi-joined on (doc_id, " +
         "adjacent pos), then a partial+final per-doc aggregate. The " +
         "join is posting-list-sized; the corpus appears nowhere."),
+    "q247_bitemporal_pit" ->
+      ("**Look for:** ONE orders FileScan feeding two Generates (the " +
+        "derived op log, then the literal 9-cell (T, V) grid — no " +
+        "join, no cross product anywhere), a filter on the two " +
+        "temporal axes, one partial+final max_by HashAggregate on " +
+        "(t, voff, key) resolving the packed bitemporal key, and a " +
+        "second 9-row report aggregate. Reconstructing any (T, V) " +
+        "cell of a 100 TB log is one scan + two aggregates."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

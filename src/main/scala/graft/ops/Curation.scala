@@ -538,6 +538,69 @@ object Curation {
         expr("cast(round(_price * 100) as bigint)").as("price_c2"))
       .orderBy("as_of", "o_orderkey")
 
+  private val DayUs = 86400000000L
+
+  /** q247: BITEMPORAL point-in-time read — the two-axis reconstruction
+    * q221 (transaction-time travel) and q197 (valid-time PIT) each do
+    * HALF of: "as the warehouse KNEW it at transaction T, what was
+    * EFFECTIVE at business time V". The axes genuinely differ — a
+    * correction can be recorded late but effective early (retroactive),
+    * or recorded now but effective next month (proactive) — and
+    * auditing/restatement workloads need both: reproduce last quarter's
+    * report (old T) under today's business calendar (any V), or today's
+    * knowledge (max T) about a past effective date.
+    *
+    * Fixture (derived, the cdcLog discipline, so the oracle rebuilds it
+    * verbatim from orders): INSERT at seq 0 effective from the order
+    * date; for keys ≡ 0 (mod 5) a PROACTIVE price update at seq 1
+    * effective +30 days; for keys ≡ 0 (mod 7) a cancellation at seq 2
+    * effective +60 days. The (T, V) report grid — T ∈ {0,1,2} ×
+    * V ∈ order date + {15,45,75} days — makes both axes move: the
+    * update is known at T ≥ 1 but effective only at V ≥ +30; the
+    * delete is known at T = 2 but kills the row only at V ≥ +60.
+    *
+    * Resolution rule (the bitemporal standard): among ops with
+    * seq ≤ T and valid_from ≤ V, the LATEST valid_from wins, ties by
+    * seq — one packed BIGINT ordering key (`vf·4 + seq`, exact: µs
+    * epochs sit well under 2⁶¹) under max_by, the q183 aggregate shape.
+    *
+    * Scale shape: the 9-cell grid rides a Generate (literal array
+    * explode — no join, no cross product; grid size is report policy,
+    * bounded); resolution is ONE partial+final max_by aggregate on
+    * (t, voff, key); the report is a second segment-sized aggregate.
+    * All time arithmetic on exact µs BIGINTs. */
+  def q247BitemporalPit(s: SparkSession, dir: String): DataFrame = {
+    val grid = for (t <- 0 to 2; v <- Seq(15, 45, 75))
+      yield s"named_struct('t', $t, 'voff', $v)"
+    val log = T(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("d0"),
+        col("o_totalprice"))
+      .select(col("k"), col("d0"), explode(expr(
+        s"""filter(array(
+          |  named_struct('seq', 0, 'op', 'I', 'vfo', 0, 'price', o_totalprice),
+          |  named_struct('seq', 1, 'op', 'U', 'vfo', 30, 'price', o_totalprice + 10.0d),
+          |  named_struct('seq', 2, 'op', 'D', 'vfo', 60, 'price', cast(null as double))),
+          |  x -> x.seq = 0 OR (x.seq = 1 AND k % 5 = 0)
+          |               OR (x.seq = 2 AND k % 7 = 0))""".stripMargin)).as("e"))
+      .select(col("k"), col("d0"), col("e.seq").as("seq"),
+        col("e.op").as("op"),
+        (col("d0") + col("e.vfo") * DayUs).as("vf"),
+        expr("cast(round(e.price * 100) as bigint)").as("price_c2"))
+    log
+      .select(col("*"),
+        explode(expr(s"array(${grid.mkString(", ")})")).as("g"))
+      .filter(col("seq") <= col("g.t") &&
+        col("vf") <= col("d0") + col("g.voff") * DayUs)
+      .groupBy(col("g.t").as("t"), col("g.voff").as("voff"), col("k"))
+      .agg(max_by(col("op"), col("vf") * 4 + col("seq")).as("op"),
+        max_by(col("price_c2"), col("vf") * 4 + col("seq")).as("c2"))
+      .filter(col("op") =!= "D")
+      .groupBy("t", "voff")
+      .agg(count(lit(1)).as("n_live"), sum("c2").as("sum_price_c2"))
+      .orderBy("t", "voff")
+  }
+
   /** q236: GOLDEN-RECORD survivorship — the master-data-management
     * merge that q178's whole-row argmax cannot express: when an entity
     * arrives from several source systems with PARTIAL, overlapping
@@ -1436,6 +1499,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_bitemporal_pit" -> q247BitemporalPit _,
     "q245_blocklist_filter" -> q245BlocklistFilter _,
     "q243_skyline_3d" -> q243Skyline3d _,
     "q229_pareto_frontier" -> q229ParetoFrontier _,
@@ -1507,6 +1571,31 @@ object Curation {
     // q229: dominance stated DECLARATIVELY (NOT EXISTS over the
     // per-cost collapsed table) — a hash match proves the Spark
     // prefix-max sweep computes exactly the non-dominated set
+    // q247: the same derived bitemporal log (UNION ALL branches — the
+    // oracle rebuilds the fixture verbatim from orders), the same grid,
+    // the same packed-key resolution via arg_max on never-null keys
+    "q247_bitemporal_pit" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |              epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS d0,
+        |              o_totalprice AS p FROM orders),
+        |log AS (
+        |  SELECT k, d0, 0 AS seq, 'I' AS op, d0 AS vf,
+        |         CAST(round(p * 100) AS BIGINT) AS c2 FROM base
+        |  UNION ALL
+        |  SELECT k, d0, 1, 'U', d0 + 30 * 86400000000,
+        |         CAST(round((p + 10) * 100) AS BIGINT) FROM base WHERE k % 5 = 0
+        |  UNION ALL
+        |  SELECT k, d0, 2, 'D', d0 + 60 * 86400000000, NULL FROM base WHERE k % 7 = 0),
+        |grid(t, voff) AS (VALUES (0,15),(0,45),(0,75),(1,15),(1,45),(1,75),(2,15),(2,45),(2,75)),
+        |eff AS (SELECT g.t, g.voff, l.k,
+        |        arg_max(l.op, l.vf * 4 + l.seq) AS op,
+        |        arg_max(l.c2, l.vf * 4 + l.seq) AS c2
+        |        FROM log l JOIN grid g
+        |          ON l.seq <= g.t AND l.vf <= l.d0 + g.voff * 86400000000
+        |        GROUP BY 1, 2, 3)
+        |SELECT t, voff, CAST(count(*) AS BIGINT) AS n_live,
+        |       CAST(sum(c2) AS BIGINT) AS sum_price_c2
+        |FROM eff WHERE op <> 'D' GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q245: the same list membership count and threshold; all integer
     // aggregates
     "q245_blocklist_filter" -> {
