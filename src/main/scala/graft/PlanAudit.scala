@@ -340,6 +340,23 @@ object PlanAudit {
         "(t, voff, key) resolving the packed bitemporal key, and a " +
         "second 9-row report aggregate. Reconstructing any (T, V) " +
         "cell of a 100 TB log is one scan + two aggregates."),
+    "q248_spatial_join" ->
+      ("**Look for:** NO CartesianProduct and NO theta join — the " +
+        "points enter as one localCheckpointed ExistingRDD read " +
+        "twice, the probe side fans out through a bounded ×9 Generate " +
+        "(the 3×3 cell neighborhood), the join is an EQUI " +
+        "SortMergeJoin/BHJ on (cx, cy), and the radius predicate is " +
+        "an integer Filter AFTER it. The N² scan the oracle states " +
+        "appears in no plan."),
+    "q249_greedy_match" ->
+      ("**Look for:** the final round's shape — the pool entering as " +
+        "a localCheckpointed ExistingRDD (one round deep regardless " +
+        "of MatchRounds, the q235/q239 discipline), TWO chained " +
+        "partial+final HashAggregates (packed customer-argmin, then " +
+        "packed supplier-argmin), an equi self-join of the two choice " +
+        "sets, and two left-anti joins shrinking the pool. No window, " +
+        "no cross join; the blocking equi-join on nation happened " +
+        "once, upstream of round 1."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

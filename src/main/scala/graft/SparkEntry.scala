@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Affinity, Audit, BpeTrain, Corpus, Curation, Governance, Graph, Multimodal, NorthStar, ParseRoute, Relational, RuntimeFilter, Scalars, SketchRollup, TpchShapes, TrainingData}
+import graft.ops.{Affinity, Audit, BpeTrain, Corpus, Curation, Governance, Graph, Matching, Multimodal, NorthStar, ParseRoute, Relational, RuntimeFilter, Scalars, SketchRollup, TpchShapes, TrainingData}
 import graft.sink.{AvroQueries, BucketQueries, Compact, CsvQueries, DeleteQueries, FixedWidth, Layout, Manifest, MergeQueries, MvRefresh, StatsDecision, OrcQueries, PartitionedQueries, SchemaEvolution, ShardedExport, ZOrderQueries}
 import graft.sources.JsonlIngest
 import graft.sources.rfc.RfcQueries
@@ -39,7 +39,7 @@ object SparkEntry {
       FixedWidth.queries ++
       Multimodal.queries ++ RfcQueries.queries ++ SketchRollup.queries ++
       JsonlIngest.queries ++ BpeTrain.queries ++ Graph.queries ++ Audit.queries ++
-      Governance.queries
+      Governance.queries ++ Matching.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TpchShapes.oracle ++ ParseRoute.oracle ++ Scalars.oracle ++
@@ -53,5 +53,5 @@ object SparkEntry {
       FixedWidth.oracle ++
       RfcQueries.oracle ++
       SketchRollup.oracle ++ JsonlIngest.oracle ++ BpeTrain.oracle ++ Graph.oracle ++
-      Audit.oracle ++ Governance.oracle
+      Audit.oracle ++ Governance.oracle ++ Matching.oracle
 }
