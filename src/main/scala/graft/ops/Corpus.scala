@@ -432,7 +432,7 @@ object Corpus {
     * are bounded by policy, not data; the three windows share one
     * event_type exchange (the MAD pass only re-sorts). */
   def q202VolumeAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val DayUs = 86400000000L
+    val DayUs = T.DayUs
 
     val wAll = Window.partitionBy("event_type")
     def withLowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {

@@ -538,7 +538,7 @@ object Curation {
         expr("cast(round(_price * 100) as bigint)").as("price_c2"))
       .orderBy("as_of", "o_orderkey")
 
-  private val DayUs = 86400000000L
+  private val DayUs = T.DayUs
 
   /** q247: BITEMPORAL point-in-time read — the two-axis reconstruction
     * q221 (transaction-time travel) and q197 (valid-time PIT) each do
@@ -1476,9 +1476,9 @@ object Curation {
     * consumes (q224's composition pattern).
     *
     * Scale shape: ONE corpus scan — the count is a codegen'd
-    * `size(filter(tokens, array_contains(...)))` projection against an
-    * array literal (no explode, no join, no UDF: the blocklist ships
-    * inside the expression the way q240 ships its boundaries), then a
+    * `size(filter(tokens, x -> x IN (<list literal>)))` projection (no
+    * explode, no join, no UDF: the blocklist ships inside the
+    * expression the way q240 ships its boundaries), then a
     * partial+final aggregate on source. A 10⁴-entry production list
     * outgrows a literal — swap the membership test for a broadcast
     * semi-join on exploded tokens; the one-scan shape survives. */

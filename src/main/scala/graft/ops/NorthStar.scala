@@ -391,7 +391,7 @@ object NorthStar {
     * the combine; the DuckDB oracle runs the single-level formulation,
     * so the decomposition itself is what correctness checks. */
   def q199ConcurrencyPeak(s: SparkSession, dir: String): DataFrame = {
-    val DayUs = 86400000000L
+    val DayUs = T.DayUs
     val HourUs = 3600000000L
     val sess = sessionizeCore(T.events(s, dir)
       .select(col("user_id"), col("event_id"), col("tus")))
@@ -514,7 +514,7 @@ object NorthStar {
     * phantom trailing windows appear after the last event. Output is
     * calendar-bounded. */
   def q222RollingDistinct(s: SparkSession, dir: String): DataFrame = {
-    val DayUs = 86400000000L
+    val DayUs = T.DayUs
     // checkpointed: the explode AND the event-days restriction both read
     // the collapsed (day, user) table — without it the days subtree
     // would re-scan the event corpus

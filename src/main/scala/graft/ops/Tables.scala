@@ -21,6 +21,11 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * negative epochs is therefore out of contract.
   */
 object T {
+  /** One day in the canonical µs event-time grid — the shared unit
+    * constant for every day-bucketing query (previously four private
+    * copies; a grid change must happen in exactly one place). */
+  val DayUs = 86400000000L
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 

@@ -2834,7 +2834,7 @@ object TrainingData {
         |        unnest([i for i in range(1, len(t)) if t[i] = '$PhraseT1' and t[i+1] = '$PhraseT2']) AS pos
         |        FROM w)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
-        |       CAST(min(pos) AS BIGINT) AS first_pos
+        |       CAST(min(pos) AS INTEGER) AS first_pos
         |FROM occ GROUP BY 1 ORDER BY 1""".stripMargin,
     "q78_ngram_jaccard" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -38,7 +38,7 @@ object StatsDecision {
   final case class JoinChoice(estRows: Long, totalRows: Long,
                               broadcast: Boolean)
 
-  private val Buckets = 32
+  private[sink] val Buckets = 32
 
   /** Persists q225's equi-depth histogram once per (JVM, dataset) —
     * the graded q225 plan IS the stored statistics artifact. */
@@ -139,7 +139,8 @@ object StatsDecision {
       .withColumn("bucket",
         least(size(filter(boundaries, h => h < col("c2"))) + 1,
           lit(Buckets)).cast("int"))
-      .withColumn("calib_bp", expr("(cast(bucket as bigint) - 1) * 10000 div 32"))
+      .withColumn("calib_bp",
+        expr(s"(cast(bucket as bigint) - 1) * 10000 div $Buckets"))
       .orderBy("o_orderkey")
   }
 
@@ -169,17 +170,17 @@ object StatsDecision {
     // proven twin), then the identical count-of-boundaries-below bucket
     // assignment and basis-point projection on the same sample
     "q240_score_calibrate" ->
-      """WITH r AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c2,
+      s"""WITH r AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c2,
         |                  o_orderkey,
-        |                  CAST(ntile(32) OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) AS INTEGER) AS bucket
+        |                  CAST(ntile($Buckets) OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) AS INTEGER) AS bucket
         |           FROM orders),
         |b AS (SELECT bucket, max(c2) AS hi FROM r GROUP BY 1),
         |s AS (SELECT o_orderkey, c2 FROM r WHERE o_orderkey % 97 = 0),
         |s2 AS (SELECT s.o_orderkey, s.c2,
-        |              CAST(least(1 + sum(CASE WHEN b.hi < s.c2 THEN 1 ELSE 0 END), 32) AS INTEGER) AS bucket
+        |              CAST(least(1 + sum(CASE WHEN b.hi < s.c2 THEN 1 ELSE 0 END), $Buckets) AS INTEGER) AS bucket
         |       FROM s CROSS JOIN b GROUP BY 1, 2)
         |SELECT o_orderkey, c2, bucket,
-        |       CAST((CAST(bucket AS BIGINT) - 1) * 10000 // 32 AS BIGINT) AS calib_bp
+        |       CAST((CAST(bucket AS BIGINT) - 1) * 10000 // $Buckets AS BIGINT) AS calib_bp
         |FROM s2 ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -24,13 +24,15 @@ class ScoreCalibrateSpec extends AnyFunSuite {
     StatsDecision.q240ScoreCalibrate(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
 
+  private val B = StatsDecision.Buckets
+
   test("every bucket assignment equals the driver-side count-below " +
     "search on the stored boundaries; calib_bp is its exact projection") {
     assert(rows.nonEmpty)
     rows.foreach { case (k, c2, b, bp) =>
-      val expect = math.min(his.count(_ < c2) + 1, 32)
+      val expect = math.min(his.count(_ < c2) + 1, B)
       assert(b == expect, s"order $k")
-      assert(bp == (b - 1).toLong * 10000L / 32L, s"order $k")
+      assert(bp == (b - 1).toLong * 10000L / B, s"order $k")
     }
   }
 
@@ -38,7 +40,7 @@ class ScoreCalibrateSpec extends AnyFunSuite {
     "boundary (except in the capped last bucket) and always exceeds " +
     "the previous bucket's") {
     rows.foreach { case (k, c2, b, _) =>
-      if (b < 32) assert(c2 <= his(b - 1), s"order $k above bucket $b")
+      if (b < B) assert(c2 <= his(b - 1), s"order $k above bucket $b")
       if (b > 1) assert(c2 > his(b - 2), s"order $k below bucket $b")
     }
   }
