@@ -602,7 +602,7 @@ object NorthStar {
       .orderBy("o_orderkey")
   }
 
-  private[ops] val EwmaTaps = 16
+  private[graft] val EwmaTaps = 16
 
   /** q238: exact dyadic EWMA smoothing + spike flag — the per-sensor
     * exponential smoother every telemetry/monitoring pipeline runs
@@ -627,23 +627,32 @@ object NorthStar {
     * the ordering key (tus, event_id) is NULL-free and total, so both
     * engines sort identically. Output: the user_id ≡ 0 (mod 3) sample,
     * one row per event. */
-  def q238EwmaSmooth(s: SparkSession, dir: String): DataFrame = {
+  def q238EwmaSmooth(s: SparkSession, dir: String): DataFrame =
+    ewmaCore(T.events(s, dir)
+      .filter(col("user_id") % 3 === 0)
+      .select(col("user_id"), col("event_id"), col("tus"),
+        expr("cast(round(value * 100) as bigint)").as("v_c2")))
+      .orderBy("user_id", "tus", "event_id")
+
+  /** The q238 filter body over any `(user_id, event_id, tus, v_c2)`
+    * frame — shared with the streaming twin
+    * ([[graft.streaming.EventStreams.ewmaPoints]]), whose parity spec
+    * pins the incremental state machine against exactly this window
+    * formulation (the q193/q232 three-way loop: stream == declared
+    * batch == DuckDB). */
+  private[graft] def ewmaCore(in: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
     val ewma = (0 until EwmaTaps).map { i =>
       coalesce(lag(col("v_c2"), i).over(w), lit(0L)) *
         lit(1L << (EwmaTaps - 1 - i))
     }.reduce(_ + _)
-    T.events(s, dir)
-      .filter(col("user_id") % 3 === 0)
-      .select(col("user_id"), col("event_id"), col("tus"),
-        expr("cast(round(value * 100) as bigint)").as("v_c2"))
+    in
       .withColumn("ewma_fx", ewma)
       .withColumn("full_hist",
         lag(col("v_c2"), EwmaTaps - 1).over(w).isNotNull)
       .withColumn("spike",
         col("full_hist") && col("v_c2") * 327680L > col("ewma_fx") * 9L)
       .drop("full_hist")
-      .orderBy("user_id", "tus", "event_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

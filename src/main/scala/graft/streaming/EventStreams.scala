@@ -112,6 +112,78 @@ object EventStreams {
       }
   }
 
+  /** One smoothed reading emitted by [[ewmaPoints]] — the streaming twin
+    * of a q238 output row. */
+  final case class EwmaPoint(user_id: Long, event_id: Long, tus: Long,
+                             v_c2: Long, ewma_fx: Long, spike: Boolean)
+
+  /** Internal typed row under [[ewmaPoints]] (public: Catalyst codegen
+    * instantiates encoder target classes and cannot reach a private
+    * constructor — the UserAgg/ClosedSession precedent). */
+  final case class EwmaRow(user_id: Long, event_id: Long,
+                           ts: Timestamp, tus: Long, v_c2: Long)
+
+  /** Per-user EWMA filter state: the most recent readings, newest
+    * first, capped at taps − 1 (the current reading completes the
+    * window). */
+  final case class EwmaState(recent: List[Long])
+
+  /** Streaming exact dyadic EWMA + spike flag — the incremental twin of
+    * q238 (the DECLARED, DuckDB-graded batch formulation;
+    * StreamBatchParitySpec pins stream == that batch == oracle, the
+    * q193/q232 three-way loop applied to a stateful FILTER rather than
+    * an aggregate). Cents are computed by the same Spark `round`
+    * expression as the batch side BEFORE the stateful operator, so the
+    * state machine is integer-only — no Scala float rounding can
+    * diverge from SQL semantics.
+    *
+    * State per user: the last taps − 1 readings (a bounded ring — the
+    * watermark-timed eviction bounds user count, the cap bounds bytes
+    * per user; contrast q81's unbounded-session hazard). Emits one
+    * point per event in event-time order; assumes per-user cross-batch
+    * event-time arrival (in-batch disorder is sorted — the
+    * closedSessions contract). */
+  def ewmaPoints(events: Dataset[SEvent],
+                 idleMs: Long = 4L * 3600 * 1000): Dataset[EwmaPoint] = {
+    implicit val rowEnc: Encoder[EwmaRow] = Encoders.product[EwmaRow]
+    implicit val outEnc: Encoder[EwmaPoint] = Encoders.product[EwmaPoint]
+    implicit val stEnc: Encoder[EwmaState] = Encoders.product[EwmaState]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    val taps = graft.ops.NorthStar.EwmaTaps
+    events.toDF()
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("unix_micros(ts)").as("tus"),
+        expr("cast(round(value * 100) as bigint)").as("v_c2"))
+      .withWatermark("ts", "2 hours")
+      .as[EwmaRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[EwmaRow], state: GroupState[EwmaState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq.sortBy(e => (e.tus, e.event_id))
+            var recent = state.getOption.map(_.recent).getOrElse(Nil)
+            val out = batch.map { e =>
+              val window = e.v_c2 :: recent
+              val ewma = window.take(taps).zipWithIndex
+                .map { case (c, i) => c * (1L << (taps - 1 - i)) }.sum
+              val full = window.lengthCompare(taps) >= 0
+              recent = window.take(taps - 1)
+              EwmaPoint(uid, e.event_id, e.tus, e.v_c2, ewma,
+                full && e.v_c2 * 327680L > ewma * 9L)
+            }
+            state.update(EwmaState(recent))
+            state.setTimeoutTimestamp(math.max(
+              batch.last.tus / 1000 + idleMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Fully custom sessionization with `flatMapGroupsWithState` +
     * event-time timeouts — the pattern `session_window` can't express
     * (per-session custom state, emit-on-close): a user's open session

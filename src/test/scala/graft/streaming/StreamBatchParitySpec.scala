@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, expr}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
@@ -271,6 +272,52 @@ class StreamBatchParitySpec extends AnyFunSuite {
       "fixture has no unattributed purchase — the outer path is untested")
     assert(want.exists(_(2) != null),
       "fixture has no attributed purchase — degenerate")
+  }
+
+  test("ewmaPoints: the incremental streaming filter equals the " +
+    "DECLARED q238 batch core on the same rows, across micro-batch " +
+    "boundaries — including the warmup gate and spike flags") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the shared fixture plus a crafted user whose stream fills the
+    // 16-tap window and then genuinely spikes (17 quiet readings, one
+    // 12× burst) — the shared users average ~12 events, too few to
+    // leave warmup
+    val crafted = (0 until 18).map { i =>
+      SEvent(2000L + i, new Timestamp(base + i.toLong * 7 * 60 * 1000),
+        7L, "view", if (i == 17) 3.0 else 0.25)
+    }
+    val fx = (fixture ++ crafted).sortBy(e => (e.ts.getTime, e.event_id))
+    val in = MemoryStream[SEvent]
+    val q = EventStreams.ewmaPoints(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("parity_ewma")
+      .outputMode("append").start()
+    val got =
+      try {
+        fx.grouped(20).foreach { chunk =>
+          in.addData(chunk); q.processAllAvailable()
+        }
+        in.addData(sentinel(1000, 600)); q.processAllAvailable()
+        in.addData(sentinel(1001, 605)); q.processAllAvailable()
+        spark.table("parity_ewma").filter("user_id <> 999")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+      } finally q.stop()
+    // the graded batch twin: q238's window core on the identical frame
+    val want = graft.ops.NorthStar.ewmaCore(
+        fx.toDF()
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("tus"),
+            expr("cast(round(value * 100) as bigint)").as("v_c2")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+    assert(got == want)
+    assert(want.exists(_._6), "no spike in the fixture — flag untested")
+    assert(want.exists(t => t._1 == 7L && !t._6),
+      "crafted user has no warmup points")
+    assert(want.size == fx.size, "one point per event")
   }
 
   test("sessionExamples: streaming training examples equal the q164 " +
