@@ -244,13 +244,91 @@ object Audit {
       .orderBy("source")
   }
 
+  /** The deterministic missingness ticket under q254 — the md5-ticket
+    * discipline (q89/q216) standing in for real-world nulls: ~1/7 of
+    * customers lose their balance. */
+  private[ops] val MissTicket =
+    "cast(conv(substring(md5(concat('miss:', cast(c_custkey as string))), " +
+      "1, 12), 16, 10) as bigint) % 7 = 0"
+
+  /** q254: group-median NULL imputation — the tabular data-repair step
+    * every feature pipeline runs before training on columns with
+    * missing values (q101 forward-fills a TIME SERIES from each key's
+    * own history; a plain tabular column has no history — the standard
+    * repair is the GROUP's robust center). Balance is nulled for the
+    * [[MissTicket]] cohort (derived missingness — deterministic,
+    * cross-engine), then every null takes its market segment's LOWER
+    * median of the non-null balances (exact integer cents at sorted
+    * position ⌈n/2⌉ — q202/q208's interpolation-free discipline; median
+    * not mean, so the repair value is not dragged by the tails it will
+    * sit among). Output per segment: rows, missing count, the
+    * imputation value, and the sums before/after repair — the audit row
+    * a feature-store backfill logs.
+    *
+    * Scale shape: q208's lesson verbatim — segment is LOW-cardinality,
+    * so the rank comes from ONE ScalableRank two-pass global row number
+    * over (segment, balance), per-segment positions via the broadcast
+    * (base, n) table, and the 5-row median table broadcasts back onto
+    * the full scan for a map-side fill + partial/final aggregate. No
+    * per-segment window ever sees a segment's whole slice in one
+    * task. */
+  def q254ImputeMedian(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "customer")
+      .select(col("c_mktsegment").as("seg"),
+        when(expr(MissTicket), lit(null))
+          .otherwise(expr("cast(round(c_acctbal * 100) as bigint)"))
+          .as("bal"))
+    val nn = d.filter(col("bal").isNotNull)
+    val ranked = ScalableRank.withGlobalRowNumber(
+      nn, "_grn", col("seg"), col("bal"))
+    val stats = ranked.groupBy(col("seg").as("_g"))
+      .agg(min("_grn").as("_base"), count(lit(1)).as("_n"))
+      .withColumn("_pmed", expr("(_n + 1) div 2"))
+    val medians = ranked
+      .join(broadcast(stats), col("seg") === col("_g"))
+      .filter(col("_grn") - col("_base") + 1 === col("_pmed"))
+      .groupBy(col("seg").as("_ms"))
+      .agg(max("bal").as("med")) // the position is unique; max collapses it
+    d.join(broadcast(medians), col("seg") === col("_ms"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("bal").isNull, 1L).otherwise(0L)).as("n_missing"),
+        max("med").as("median_c2"),
+        sum("bal").as("sum_before_c2"),
+        sum(coalesce(col("bal"), col("med"))).as("sum_after_c2"))
+      .orderBy("seg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_integrity_audit" -> q207IntegrityAudit _,
     "q208_winsorize" -> q208Winsorize _,
     "q223_weighted_quantile" -> q223WeightedQuantile _,
+    "q254_impute_median" -> q254ImputeMedian _,
   )
 
   val oracle: Map[String, String] = Map(
+    // q254: the identical derived missingness (same md5 ticket), lower
+    // median at the same 1-based position, same fill — per-segment
+    // windows are fine at oracle scale
+    "q254_impute_median" ->
+      """WITH d AS (SELECT c_mktsegment AS seg,
+        |             CASE WHEN ('0x' || substr(md5('miss:' || c_custkey::VARCHAR), 1, 12))::BIGINT % 7 = 0
+        |                  THEN NULL
+        |                  ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS bal
+        |           FROM customer),
+        |nn AS (SELECT seg, bal,
+        |         row_number() OVER (PARTITION BY seg ORDER BY bal) AS rn,
+        |         count(*) OVER (PARTITION BY seg) AS n
+        |       FROM d WHERE bal IS NOT NULL),
+        |m AS (SELECT seg, max(CASE WHEN rn = (n + 1) // 2 THEN bal END) AS med
+        |      FROM nn GROUP BY 1)
+        |SELECT d.seg, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN d.bal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+        |       CAST(max(m.med) AS BIGINT) AS median_c2,
+        |       CAST(sum(d.bal) AS BIGINT) AS sum_before_c2,
+        |       CAST(sum(coalesce(d.bal, m.med)) AS BIGINT) AS sum_after_c2
+        |FROM d JOIN m ON d.seg = m.seg
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q223: identical weighted lower quantiles — inclusive per-source
     // weight cumsum in value order, integer cross-multiplied pick
     "q223_weighted_quantile" ->

@@ -111,9 +111,80 @@ object Governance {
         sum("n").as("n_rows"))
       .orderBy("c_mktsegment")
 
+  /** The ladder's per-level band widths in cents — each level widens the
+    * balance band 4× over the one before; levels 2+ also coarsen nation
+    * to REGION, level 3 drops the segment, level 4 generalizes
+    * everything to one class. One Seq interpolated into BOTH engines so
+    * the rungs can never drift. */
+  private[ops] val LadderBandsC2 = Seq(100000L, 400000L, 1600000L, 6400000L)
+
+  /** q253: k-anonymity GENERALIZATION ladder — the deciding half of the
+    * privacy story q237 only measures: given a fixed sequence of
+    * increasingly coarse quasi-identifier representations (the
+    * Mondrian/Datafly move, with a pinned deterministic ladder instead
+    * of a data-driven cut search), evaluate every rung and mark the
+    * MINIMAL one whose release satisfies k = [[KAnon]] — "how much
+    * detail can we publish". Rungs: L0 = q237's QI (nation, segment,
+    * $1k band); L1 widens the band 4×; L2 coarsens nation→region; L3
+    * drops segment; L4 is the single-class full generalization (always
+    * satisfiable, so a minimal rung always exists). Output one audit
+    * row per rung — classes, violating classes, rows at risk, meets_k,
+    * chosen — the table a data-release review actually signs off on.
+    *
+    * Non-monotonicity note: rows_at_risk need NOT decrease monotonically
+    * rung to rung (merging classes can assemble NEW sub-k classes from
+    * scraps), which is exactly why every rung is evaluated rather than
+    * binary-searched.
+    *
+    * Scale shape: ONE customer scan (broadcast 25-row nation join)
+    * exploded ×5 into (rung, qi) — the grouping-sets Expand shape, 5
+    * narrow string rows per customer — then two chained partial+final
+    * aggregates (class counts → rung rollup); the minimal-rung pick is
+    * a 1-row broadcast crossJoin (q218's class). No window, no driver
+    * loop; the first shuffle is class-count-sized × 5. */
+  def q253GeneralizeLadder(s: SparkSession, dir: String): DataFrame = {
+    val b = LadderBandsC2
+    val c = T(s, dir, "customer")
+      .join(broadcast(T(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_mktsegment").as("seg"), col("c_nationkey").as("nk"),
+        col("n_regionkey").as("rk"),
+        // q237's offset-positive cents (dividends stay ≥ 0, so div
+        // and // cannot diverge on truncation direction)
+        expr("cast(round(c_acctbal * 100) as bigint) + 1000000").as("balp"))
+    val rungs = array(
+      struct(lit(0).as("lvl"),
+        concat_ws("|", col("nk"), col("seg"), expr(s"balp div ${b(0)}")).as("qi")),
+      struct(lit(1).as("lvl"),
+        concat_ws("|", col("nk"), col("seg"), expr(s"balp div ${b(1)}")).as("qi")),
+      struct(lit(2).as("lvl"),
+        concat_ws("|", col("rk"), col("seg"), expr(s"balp div ${b(2)}")).as("qi")),
+      struct(lit(3).as("lvl"),
+        concat_ws("|", col("rk"), expr(s"balp div ${b(3)}")).as("qi")),
+      struct(lit(4).as("lvl"), lit("*").as("qi")))
+    val lvls = c.select(explode(rungs).as("x"))
+      .groupBy(col("x.lvl").as("lvl"), col("x.qi").as("qi"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("lvl")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("n") < KAnon, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("n") < KAnon, col("n")).otherwise(0L)).as("rows_at_risk"),
+        sum("n").as("n_rows"))
+    val minOk = lvls.filter(col("rows_at_risk") === 0)
+      .agg(min("lvl").as("min_ok"))
+    lvls.crossJoin(broadcast(minOk)) // 1-row minimal rung rides every row
+      .select(col("lvl"), col("n_classes"), col("n_violating"),
+        col("rows_at_risk"), col("n_rows"),
+        (col("rows_at_risk") === 0).as("meets_k"),
+        (col("lvl") === col("min_ok")).as("chosen"))
+      .orderBy("lvl")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q216_cascade_delete" -> q216CascadeDelete _,
     "q237_k_anonymity" -> q237KAnonymity _,
+    "q253_generalize_ladder" -> q253GeneralizeLadder _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -142,6 +213,35 @@ object Governance {
         |       CAST(n_deleted AS BIGINT) AS n_deleted,
         |       CAST(n_rows - n_deleted AS BIGINT) AS n_kept
         |FROM rows ORDER BY tbl""".stripMargin,
+    // q253: the identical 5-rung ladder (same widths Seq, same
+    // offset-positive cents, same '|'-joined class keys) — the minimal
+    // satisfying rung re-derived by the same min-over-satisfying scalar
+    "q253_generalize_ladder" -> {
+      val b = LadderBandsC2
+      s"""WITH c AS (SELECT c_mktsegment AS seg, c_nationkey AS nk, n_regionkey AS rk,
+        |            CAST(round(c_acctbal * 100) AS BIGINT) + 1000000 AS balp
+        |           FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |q AS (
+        |  SELECT 0 AS lvl, nk::VARCHAR || '|' || seg || '|' || (balp // ${b(0)})::VARCHAR AS qi FROM c
+        |  UNION ALL SELECT 1, nk::VARCHAR || '|' || seg || '|' || (balp // ${b(1)})::VARCHAR FROM c
+        |  UNION ALL SELECT 2, rk::VARCHAR || '|' || seg || '|' || (balp // ${b(2)})::VARCHAR FROM c
+        |  UNION ALL SELECT 3, rk::VARCHAR || '|' || (balp // ${b(3)})::VARCHAR FROM c
+        |  UNION ALL SELECT 4, '*' FROM c),
+        |cls AS (SELECT lvl, qi, count(*) AS n FROM q GROUP BY 1, 2),
+        |l AS (SELECT lvl, count(*) AS n_classes,
+        |        sum(CASE WHEN n < $KAnon THEN 1 ELSE 0 END) AS n_violating,
+        |        sum(CASE WHEN n < $KAnon THEN n ELSE 0 END) AS rows_at_risk,
+        |        sum(n) AS n_rows
+        |      FROM cls GROUP BY 1),
+        |mo AS (SELECT min(lvl) AS min_ok FROM l WHERE rows_at_risk = 0)
+        |SELECT CAST(lvl AS INTEGER) AS lvl, CAST(n_classes AS BIGINT) AS n_classes,
+        |       CAST(n_violating AS BIGINT) AS n_violating,
+        |       CAST(rows_at_risk AS BIGINT) AS rows_at_risk,
+        |       CAST(n_rows AS BIGINT) AS n_rows,
+        |       rows_at_risk = 0 AS meets_k,
+        |       lvl = mo.min_ok AS chosen
+        |FROM l, mo ORDER BY lvl""".stripMargin
+    },
     // q237: identical QI tuple (offset-positive band division) and the
     // same two-level rollup; all counts are plain integer aggregates
     "q237_k_anonymity" ->

@@ -466,6 +466,69 @@ object NorthStar {
       .orderBy("attr_type")
   }
 
+  /** q252: per-user interval-UNION coverage — "how much wall-clock was
+    * this user actually active", with each event holding the line for
+    * its own `value` seconds: total covered time with overlaps
+    * collapsed, distinct activity islands, and utilization of the
+    * user's span. The interval-algebra member the event family still
+    * lacked: q81 merges POINTS by gap, q199 sweeps for the global
+    * concurrency PEAK, q206 integrates a carried VALUE — none of them
+    * answers uptime/SLA/billing's "union of possibly-engulfing
+    * intervals" (a long call absorbs the short ones inside it; gap
+    * logic on points gets that wrong).
+    *
+    * Mechanics — the cummax gaps-and-islands form, NOT lag: intervals
+    * are half-open [tus, tus + dur) with `dur = ⌊value·10⁶ + ½⌋` µs
+    * (q206's singly-rounded quantization chain, exact cross-engine); an
+    * interval starts a NEW island iff its start exceeds the running max
+    * END of every earlier interval (frame [unbounded, −1]) — comparing
+    * against lag(end) alone is the classic bug this op exists to pin:
+    * an engulfing interval's end must keep counting after later shorter
+    * ones. Touching intervals (start == running max) merge; either
+    * convention preserves the union LENGTH, this one is pinned. Island
+    * union = max(end) − min(start), exact because an island by
+    * construction has no internal gap. A zero-span user (single
+    * zero-duration event) defines util_bp = 10⁴ (covered == span,
+    * degenerately total) — both engines state the identical constant.
+    *
+    * Scale shape: q81's user-partitioned window class (per-user streams
+    * are ingest-bounded), ONE exchange feeding two same-spec windows
+    * (cummax + island cumsum re-use the sort), then two partial+final
+    * aggregates; output is user-count-sized. */
+  def q252IntervalUnion(s: SparkSession, dir: String): DataFrame =
+    intervalUnionCore(T.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("tus"),
+        expr("cast(floor(cast(value as double) * 1000000.0 + 0.5) as bigint)")
+          .as("dur")))
+
+  /** The islands machinery under q252, on any (user_id, event_id, tus,
+    * dur) frame — split out so IntervalUnionSpec can drive the
+    * ENGULFING fixture (one long interval swallowing several short
+    * ones) through the exact graded plan: that case is where a
+    * lag(end)-based island rule silently differs from the cummax one. */
+  private[graft] def intervalUnionCore(in: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val prevMax = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    in
+      .withColumn("e", col("tus") + col("dur"))
+      .withColumn("pmax", max("e").over(prevMax))
+      .withColumn("is_new",
+        when(col("pmax").isNull || col("tus") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum("is_new").over(cum))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("n_iv"), min("tus").as("s"), max("e").as("ee"))
+      .groupBy("user_id")
+      .agg(sum("n_iv").as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("ee") - col("s")).as("covered_us"),
+        (max("ee") - min("s")).as("span_us"))
+      .withColumn("util_bp",
+        expr("case when span_us > 0 then (covered_us * 10000) div span_us " +
+          "else 10000 end"))
+      .orderBy("user_id")
+  }
+
   /** q211: inter-event-gap histogram in power-of-2 buckets — the
     * HdrHistogram/latency-telemetry shape: per-user consecutive-event
     * gaps, bucketed by ⌊log₂(gap_µs)⌋. The log is EXACT integer
@@ -663,6 +726,7 @@ object NorthStar {
     "q70_dedup_exact" -> q70DedupExact _,
     "q199_concurrency_peak" -> q199ConcurrencyPeak _,
     "q204_attribution" -> q204Attribution _,
+    "q252_interval_union" -> q252IntervalUnion _,
     "q164_session_examples" -> q164SessionExamples _,
     "q193_session_examples_batch" -> q193SessionExamplesBatch _,
     "q232_attribution_audit" -> q232AttributionAuditBatch _,
@@ -776,6 +840,29 @@ object NorthStar {
         |  CAST((2 * num + active_us) // (2 * active_us) AS BIGINT) AS twap_fx,
         |  CAST(CAST((2 * num + active_us) // (2 * active_us) AS BIGINT) AS DOUBLE) / 65536.0 AS twap
         |FROM a WHERE active_us > 0 ORDER BY user_id""".stripMargin,
+    // q252: the single-level window form of the identical cummax
+    // islands — same quantization, same strict-gap island rule, same
+    // degenerate zero-span constant
+    "q252_interval_union" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |             CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS dur
+        |           FROM events),
+        |x AS (SELECT user_id, tus, event_id, tus + dur AS e FROM e),
+        |p AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM x),
+        |n AS (SELECT *, CASE WHEN pmax IS NULL OR tus > pmax THEN 1 ELSE 0 END AS is_new FROM p),
+        |g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM n),
+        |i AS (SELECT user_id, island, count(*) AS n_iv, min(tus) AS s, max(e) AS ee
+        |      FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+        |       CAST(count(*) AS BIGINT) AS n_islands,
+        |       CAST(sum(ee - s) AS BIGINT) AS covered_us,
+        |       CAST(max(ee) - min(s) AS BIGINT) AS span_us,
+        |       CAST(CASE WHEN max(ee) - min(s) > 0
+        |            THEN (sum(ee - s) * 10000) // (max(ee) - min(s))
+        |            ELSE 10000 END AS BIGINT) AS util_bp
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q70_dedup_exact" ->
       "SELECT count(DISTINCT sha256(text)) AS n_distinct_text FROM documents",
     // q204: DuckDB's IGNORE NULLS carries the same last-non-purchase
