@@ -457,6 +457,75 @@ object Corpus {
       .orderBy("event_type", "day_us")
   }
 
+  /** q255: CUSUM level-shift detection over daily volumes — the REGIME
+    * gauge q202 cannot be: MAD flags single anomalous DAYS (spikes),
+    * but a source that quietly settles at +30% never produces one
+    * outlier day — only a sustained small deviation whose CUMULATIVE
+    * sum is the signal (the Page/CUSUM change-point classic, the "did
+    * the upstream silently change" question every ingest dashboard
+    * asks). Per event type: one-sided positive and negative CUSUMs
+    * over daily counts against the type's lower-median target with a
+    * 10% slack band, alarm when the cumulative excess exceeds one
+    * median-day (h = med).
+    *
+    * Exactness — the recurrence is NOT a window function, but its
+    * prefix form is: `s_t = max(0, s_{t−1} + d_t)` equals
+    * `P_t − min(0, min_{j≤t} P_j)` for the running sum P (induction on
+    * the max; CusumShiftSpec re-runs the literal recurrence driver-side
+    * to pin the identity on real data), so the whole statistic is two
+    * cumulative-sum windows plus two cumulative-min windows over
+    * calendar-bounded per-type frames — all BIGINTs (counts, an
+    * integer slack `med div 10`, integer prefix sums), no doubles
+    * anywhere.
+    *
+    * Scale shape: q202's argument verbatim — the only corpus-sized
+    * stage is the (type, day) count (scan-shaped partial+final agg);
+    * everything after runs on the CALENDAR-bounded counts table, the
+    * four windows share one event_type exchange, and the output is
+    * type-count-sized. */
+  def q255CusumShift(s: SparkSession, dir: String): DataFrame = {
+    val DayUs = T.DayUs
+    cusumCore(T.events(s, dir)
+      .select(col("event_type"), expr(s"(tus div $DayUs) * $DayUs").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt")))
+  }
+
+  /** The CUSUM machinery under q255 on any (event_type, day, cnt)
+    * frame — split out so CusumShiftSpec can drive synthetic
+    * level-shift and level-drop fixtures (and a stationary control)
+    * through the exact graded plan. `day` is unit-agnostic (the graded
+    * query passes µs-aligned day starts). */
+  private[graft] def cusumCore(counts: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy("event_type")
+    val wMed = Window.partitionBy("event_type").orderBy(col("cnt"), col("day"))
+    val wDay = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wMed))
+      .withColumn("med",
+        max(when(col("rn") === expr("(n + 1) div 2"), col("cnt"))).over(wAll))
+      .drop("rn", "n")
+      .withColumn("slack", expr("med div 10"))
+      .withColumn("h", greatest(col("med"), lit(1L)))
+      .withColumn("pup", sum(col("cnt") - col("med") - col("slack")).over(wDay))
+      .withColumn("pdn", sum(col("med") - col("slack") - col("cnt")).over(wDay))
+      .withColumn("splus", col("pup") - least(lit(0L), min("pup").over(wDay)))
+      .withColumn("sminus", col("pdn") - least(lit(0L), min("pdn").over(wDay)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        max("med").as("med_cnt"),
+        max("splus").as("max_splus"),
+        max("sminus").as("max_sminus"),
+        sum(when(col("splus") > col("h"), 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("sminus") > col("h"), 1L).otherwise(0L)).as("n_down"),
+        coalesce(min(when(col("splus") > col("h"), col("day"))), lit(-1L))
+          .as("first_up_day"),
+        coalesce(min(when(col("sminus") > col("h"), col("day"))), lit(-1L))
+          .as("first_down_day"))
+      .orderBy("event_type")
+  }
+
   /** The boilerplate containers whose CONTENT is dropped (not just the
     * tags): the trafilatura/jusText short list — code, styling, and
     * site chrome. `<title>` text is deliberately KEPT (most extractors
@@ -762,6 +831,7 @@ object Corpus {
     "q227_drift_monitor" -> q227DriftMonitor _,
     "q228_incremental_card" -> q228IncrementalCard _,
     "q202_volume_anomaly" -> q202VolumeAnomaly _,
+    "q255_cusum_shift" -> q255CusumShift _,
     "q188_token_drift" -> q188TokenDrift _,
     "q219_ks_drift" -> q219KsDrift _,
     "q224_corpus_gate" -> q224CorpusGate _,
@@ -865,6 +935,38 @@ object Corpus {
     // q202: the SAME lower-median formulation (row ⌈n/2⌉ under
     // (value, day) order) — integer-exact in both engines;
     // VolumeAnomalySpec supplies the independent brute force
+    // q255: the identical prefix-form CUSUM (sum + min windows over the
+    // same per-type day order), same lower-median target, same integer
+    // slack and threshold
+    "q255_cusum_shift" ->
+      """WITH c AS (SELECT event_type, (epoch_us(ts) // 86400000000) * 86400000000 AS day,
+        |                 CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cnt, day) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS n FROM c),
+        |med AS (SELECT event_type, cnt AS med FROM r WHERE rn = (n + 1) // 2),
+        |d AS (SELECT c.event_type, c.day, c.cnt, m.med, m.med // 10 AS slack,
+        |             greatest(m.med, 1) AS h
+        |      FROM c JOIN med m USING (event_type)),
+        |p AS (SELECT *, sum(cnt - med - slack) OVER w AS pup,
+        |             sum(med - slack - cnt) OVER w AS pdn
+        |      FROM d
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT *, pup - least(0, min(pup) OVER w) AS splus,
+        |             pdn - least(0, min(pdn) OVER w) AS sminus
+        |      FROM p
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(max(med) AS BIGINT) AS med_cnt,
+        |       CAST(max(splus) AS BIGINT) AS max_splus,
+        |       CAST(max(sminus) AS BIGINT) AS max_sminus,
+        |       CAST(sum(CASE WHEN splus > h THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+        |       CAST(sum(CASE WHEN sminus > h THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+        |       CAST(coalesce(min(CASE WHEN splus > h THEN day END), -1) AS BIGINT) AS first_up_day,
+        |       CAST(coalesce(min(CASE WHEN sminus > h THEN day END), -1) AS BIGINT) AS first_down_day
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q202_volume_anomaly" ->
       """WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |                 CAST(count(*) AS BIGINT) AS cnt

@@ -394,6 +394,84 @@ object Graph {
       .limit(20)
   }
 
+  private[ops] val KcIters = 4
+
+  /** q256: k-core decomposition trace — the SIXTH propagation algebra
+    * in the graph family (q196 sums damped mass, q226/q230 enumerate
+    * acyclic paths, q235 relaxes min-plus, q239 takes the neighborhood
+    * mode; q256 PEELS a fixpoint subgraph): iteratively remove every
+    * node with fewer than k surviving neighbors until stable — the
+    * standard cohesion primitive (spam/bot subgraphs survive k-core
+    * where organic long tails do not; graph-ML pipelines ship
+    * core-number features). k is DERIVED, not pinned: ⌈mean degree⌉ of
+    * the initial graph ("the above-average core"), because the
+    * co-purchase graph's density swings an order of magnitude across
+    * scale factors — a constant k peels everything at one SF and
+    * nothing at another; ceil keeps it an exact integer
+    * (`(Σdeg + n − 1) div n`, one 1-row aggregate collected driver-side)
+    * and guarantees at least one node sits below it on any non-regular
+    * graph. Output: the per-round (nodes, edges) trace over [[KcIters]]
+    * rounds plus k and the converged flag — the trace IS the diagnostic
+    * (how fast the graph sheds its periphery), and fixing the round
+    * count keeps the cross-engine unroll finite; the flag says whether
+    * the cap bound the result (both engines compute the identical
+    * partial either way).
+    *
+    * Why peeling needs ROUNDS at all (the non-obvious part): removing
+    * a degree-2 node can drop its neighbor under k, so one filter pass
+    * is not a k-core — KCoreSpec's chain fixture makes a single-pass
+    * implementation fail loudly.
+    *
+    * Scale shape: per round ONE degree aggregate (partial+final count
+    * on src — hub skew combines map-side) and TWO semi-joins of the
+    * edge list against the node-sized keep set; lineage truncates per
+    * round (localCheckpoint, the family discipline). At 100 TB edges
+    * bucket on src and every round reuses one exchange; the trace
+    * reaching the driver is iteration-cap-bounded scalars. */
+  def q256KCore(s: SparkSession, dir: String): DataFrame = {
+    val p = Affinity.pairCounts(Affinity.basketItems(s, dir))
+      .filter(col("n_pair") >= 2).select("p1", "p2")
+    val edges = p.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(p.select(col("p2").as("src"), col("p1").as("dst")))
+      .localCheckpoint(true) // k derivation + every peel round read it
+    val k = edges.groupBy("src").agg(count(lit(1)).as("c"))
+      .agg(expr("(sum(c) + count(*) - 1) div count(*)").as("k"))
+      .collect()(0).getLong(0) // ONE row — ⌈mean degree⌉
+    kcoreTrace(s, edges, k, KcIters)
+  }
+
+  /** The peeling loop under q256 on any SYMMETRIC (src, dst) edge
+    * frame — split out so KCoreSpec can drive the cascade fixture (a
+    * chain whose removal propagates over several rounds) through the
+    * exact graded plan. */
+  private[ops] def kcoreTrace(s: SparkSession, edgesIn: DataFrame,
+                              k: Long, iters: Int): DataFrame = {
+    var edges = edgesIn.localCheckpoint(true)
+    def nodes() = edges.select("src").distinct().count()
+    def undirected() = edges.count() / 2
+    val trace = Seq.newBuilder[(Int, Long, Long)]
+    trace += ((0, nodes(), undirected()))
+    for (r <- 1 to iters) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= k).select("src")
+        .localCheckpoint(true) // probed by BOTH endpoint semi-joins
+      edges = edges
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(true) // plan must not grow with rounds
+      trace += ((r, nodes(), undirected()))
+    }
+    val t = trace.result()
+    // stable last round ⇒ a true fixpoint (peeling is monotone, so an
+    // unchanged round can never change again)
+    val converged =
+      t.last._2 == t(t.size - 2)._2 && t.last._3 == t(t.size - 2)._3
+    import s.implicits._
+    t.map { case (r, n, m) => (r, k, n, m, converged) }
+      .toDF("round", "k", "n_nodes", "n_edges", "converged")
+      .orderBy("round")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_pagerank" -> q196PageRank _,
     "q218_triangles" -> q218Triangles _,
@@ -401,7 +479,26 @@ object Graph {
     "q230_subtree_rollup" -> q230SubtreeRollup _,
     "q235_shortest_path" -> q235ShortestPath _,
     "q239_label_prop" -> q239LabelProp _,
+    "q256_kcore" -> q256KCore _,
   )
+
+  /** One unrolled peeling round (mirrors the Spark loop exactly:
+    * degree count, keep set, both-endpoint filter). Each e$t is
+    * MATERIALIZED: every round's edge set is referenced by the next
+    * round AND two trace scalars, so DuckDB's default CTE inlining
+    * re-evaluates the whole chain per reference — exponential in the
+    * round count (measured: the inlined form never finished at sf0.01;
+    * materialized it is 0.08 s). The Spark side's localCheckpoint is
+    * the same decision. */
+  private def kcIterSql(t: Int): String =
+    s"""d$t AS (SELECT src, count(*) AS c FROM e${t - 1} GROUP BY 1),
+       |k$t AS (SELECT src FROM d$t WHERE c >= (SELECT k FROM kk)),
+       |e$t AS MATERIALIZED (SELECT e.src, e.dst FROM e${t - 1} e
+       |        JOIN k$t a ON e.src = a.src JOIN k$t b ON e.dst = b.src),""".stripMargin
+
+  private def kcTraceRow(r: Int): String =
+    s"SELECT $r AS round, (SELECT count(DISTINCT src) FROM e$r) AS n_nodes, " +
+      s"(SELECT count(*) // 2 FROM e$r) AS n_edges"
 
   /** One unrolled synchronous LPA round (mirrors the Spark loop
     * exactly: vote count, packed argmax, left-join label keep). */
@@ -439,6 +536,29 @@ object Graph {
        |        FROM $prev p JOIN e ON e.src = p.node) GROUP BY 1),""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q256: the same support-≥2 co-purchase universe, KcIters unrolled
+    // peeling rounds (degree → keep → both-endpoint filter), the trace
+    // as one row per round, convergence = last two rounds identical
+    "q256_kcore" ->
+      s"""WITH ${Affinity.itemsCte},
+        |${Affinity.pairCte(2)},
+        |e0 AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM p
+        |       UNION ALL SELECT p2 AS src, p1 AS dst FROM p),
+        |kk AS MATERIALIZED (SELECT (sum(c) + count(*) - 1) // count(*) AS k
+        |       FROM (SELECT src, count(*) AS c FROM e0 GROUP BY 1)),
+        |${kcIterSql(1)}
+        |${kcIterSql(2)}
+        |${kcIterSql(3)}
+        |${kcIterSql(4)}
+        |t AS (${(0 to KcIters).map(kcTraceRow).mkString("\n  UNION ALL ")}),
+        |c AS (SELECT (SELECT n_nodes FROM t WHERE round = $KcIters) =
+        |             (SELECT n_nodes FROM t WHERE round = ${KcIters - 1})
+        |         AND (SELECT n_edges FROM t WHERE round = $KcIters) =
+        |             (SELECT n_edges FROM t WHERE round = ${KcIters - 1}) AS converged)
+        |SELECT CAST(t.round AS INTEGER) AS round, CAST(kk.k AS BIGINT) AS k,
+        |       CAST(t.n_nodes AS BIGINT) AS n_nodes,
+        |       CAST(t.n_edges AS BIGINT) AS n_edges, c.converged
+        |FROM t, c, kk ORDER BY round""".stripMargin,
     // q239: the same support-≥2 co-purchase universe, LpIters unrolled
     // argmax-vote rounds on the identical packed-BIGINT tie-break
     "q239_label_prop" ->
