@@ -357,6 +357,55 @@ object PlanAudit {
         "sets, and two left-anti joins shrinking the pool. No window, " +
         "no cross join; the blocking equi-join on nation happened " +
         "once, upstream of round 1."),
+    "q250_vacuum" ->
+      ("**Look for:** an ordinary partial+final aggregate whose scan " +
+        "reads the POST-SWEEP directory — exactly the manifest's 16 " +
+        "live files, no orphan part file in the scan's file list; the " +
+        "GC itself ran as a driver directory loop, so the plan's value " +
+        "is that it is indistinguishable from scanning a clean table."),
+    "q251_bloom_prune" ->
+      ("**Look for:** the scan's file list is the bloom CANDIDATE set " +
+        "— ~9 of the 48 date-ranged files, tracking the key's TRUE " +
+        "file count (a customer's orders really are scattered across " +
+        "the date clustering; custkey min/max could never have pruned " +
+        "any of the 48) — the point filter still applied on top (the " +
+        "bloom skips files, never replaces the row filter), one " +
+        "single-row partial+final aggregate; no join, no window."),
+    "q252_interval_union" ->
+      ("**Look for:** ONE user_id exchange+sort feeding BOTH window " +
+        "specs (the running-max end and the island cumsum reuse the " +
+        "same ordering), then two chained partial+final HashAggregates " +
+        "(island collapse, user rollup). No self-join, no range join — " +
+        "interval union is a sort problem, not a join problem."),
+    "q253_generalize_ladder" ->
+      ("**Look for:** one customer scan, a 25-row broadcast nation " +
+        "join, a Generate (the ×5 rung explode), two chained " +
+        "partial+final HashAggregates (class counts → rung rollup), " +
+        "and the 1-row minimal-rung BroadcastNestedLoopJoin riding the " +
+        "5-row result. No window; the first shuffle is " +
+        "class-count-sized × 5."),
+    "q254_impute_median" ->
+      ("**Look for:** NO per-segment Window — the rank subtree is " +
+        "ScalableRank's localCheckpointed ExistingRDD (q208's shape); " +
+        "the 5-row median table returns as a BroadcastHashJoin onto " +
+        "the customer scan, the fill is a map-side coalesce " +
+        "projection, and the final aggregate is partial+final on " +
+        "segment."),
+    "q255_cusum_shift" ->
+      ("**Look for:** the ONLY corpus-sized stage is the (type, day) " +
+        "count — a scan-shaped partial+final HashAggregate; every " +
+        "window (median rank, two prefix sums, two prefix mins) runs " +
+        "over the CALENDAR-bounded counts table and shares one " +
+        "event_type exchange; the output aggregate is type-count-" +
+        "sized."),
+    "q256_kcore" ->
+      ("**Look for:** a 5-row LocalTableScan — deliberately: the " +
+        "peeling ran as per-round degree HashAggregates and two " +
+        "semi-joins against localCheckpointed edge RDDs (the q235/" +
+        "q239 round discipline), and only iteration-cap-bounded trace " +
+        "scalars ever reached the driver. The plan to audit is each " +
+        "ROUND's, which the spec pins by construction (no cross join, " +
+        "node-sized keep sets)."),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +

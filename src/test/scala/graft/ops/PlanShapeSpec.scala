@@ -132,8 +132,10 @@ class PlanShapeSpec extends AnyFunSuite {
                               // broadcasts: totals + n_batches (q188's
                               // totals class, graded through the
                               // streaming read path)
-      "q239_label_prop")      // 1-row global community count rides
+      "q239_label_prop",      // 1-row global community count rides
                               // every row (q218's totals class)
+      "q253_generalize_ladder") // 1-row minimal-rung scalar rides the
+                              // 5-row ladder (q127's totals class)
     for ((name, fn) <- graft.SparkEntry.queries if !oneRowCross(name)) {
       val plan = fn(spark, SparkTestBase.Sf0001)
         .queryExecution.executedPlan.toString
