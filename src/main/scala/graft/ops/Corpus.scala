@@ -490,12 +490,12 @@ object Corpus {
       .groupBy("event_type", "day").agg(count(lit(1)).as("cnt")))
   }
 
-  /** The CUSUM machinery under q255 on any (event_type, day, cnt)
-    * frame — split out so CusumShiftSpec can drive synthetic
-    * level-shift and level-drop fixtures (and a stationary control)
-    * through the exact graded plan. `day` is unit-agnostic (the graded
-    * query passes µs-aligned day starts). */
-  private[graft] def cusumCore(counts: DataFrame): DataFrame = {
+  /** The per-day CUSUM frame under [[cusumCore]]: each (type, day) row
+    * with its target, slack, threshold, and both one-sided statistics —
+    * the granularity the STREAMING twin
+    * ([[graft.streaming.EventStreams.cusumPoints]]) emits, so
+    * StreamBatchParitySpec pins stream == exactly these rows. */
+  private[graft] def cusumDays(counts: DataFrame): DataFrame = {
     val wAll = Window.partitionBy("event_type")
     val wMed = Window.partitionBy("event_type").orderBy(col("cnt"), col("day"))
     val wDay = Window.partitionBy("event_type").orderBy("day")
@@ -512,6 +512,15 @@ object Corpus {
       .withColumn("pdn", sum(col("med") - col("slack") - col("cnt")).over(wDay))
       .withColumn("splus", col("pup") - least(lit(0L), min("pup").over(wDay)))
       .withColumn("sminus", col("pdn") - least(lit(0L), min("pdn").over(wDay)))
+  }
+
+  /** The CUSUM machinery under q255 on any (event_type, day, cnt)
+    * frame — split out so CusumShiftSpec can drive synthetic
+    * level-shift and level-drop fixtures (and a stationary control)
+    * through the exact graded plan. `day` is unit-agnostic (the graded
+    * query passes µs-aligned day starts). */
+  private[graft] def cusumCore(counts: DataFrame): DataFrame =
+    cusumDays(counts)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_days"),
         max("med").as("med_cnt"),
@@ -524,7 +533,6 @@ object Corpus {
         coalesce(min(when(col("sminus") > col("h"), col("day"))), lit(-1L))
           .as("first_down_day"))
       .orderBy("event_type")
-  }
 
   /** The boilerplate containers whose CONTENT is dropped (not just the
     * tags): the trafilatura/jusText short list — code, styling, and

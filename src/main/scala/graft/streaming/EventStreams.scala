@@ -184,6 +184,98 @@ object EventStreams {
       }
   }
 
+  /** One closed-day CUSUM reading emitted by [[cusumPoints]] — the
+    * streaming twin of a q255 per-day row ([[graft.ops.Corpus.cusumDays]]).
+    * `day` is the µs-aligned day start, matching the batch frame. */
+  final case class CusumPoint(event_type: String, day: Long, cnt: Long,
+                              splus: Long, sminus: Long,
+                              alarm_up: Boolean, alarm_down: Boolean)
+
+  /** Internal typed row under [[cusumPoints]]. */
+  final case class CusumEvent(event_type: String, event_id: Long,
+                              ts: Timestamp, tus: Long)
+
+  /** Per-type monitor state: the open day, its running count, and both
+    * one-sided statistics over all CLOSED days. */
+  final case class CusumState(day: Long, cnt: Long, sUp: Long, sDn: Long)
+
+  private val DayUs = 86400000000L
+
+  /** Streaming CUSUM level-shift monitor — the incremental twin of q255
+    * (the DECLARED, DuckDB-graded batch formulation; parity is pinned
+    * per-day against [[graft.ops.Corpus.cusumDays]], the q193/q232/q238
+    * three-way-loop discipline applied to a CHANGE-POINT monitor). The
+    * deployment split mirrors DriftMonitor: the BATCH op derives the
+    * target (median daily volume) from trusted history; the STREAM takes
+    * that target as `targets` and maintains the recurrence live —
+    * re-baselining after an accepted regime change means re-running the
+    * batch init and restarting the monitor (the RUNBOOK contract).
+    *
+    * Semantics: per event type, the open day's count accumulates in
+    * state; an event from a LATER day closes it — one CUSUM transition
+    * `s' = max(0, s + d)` per closed day, one emitted point — and the
+    * event-time timeout (watermark passing the idle deadline) flushes
+    * the final open day. Days with no events are skipped, exactly as
+    * the batch frame (which only carries observed days). Assumes
+    * per-type cross-batch event-time arrival (the closedSessions
+    * contract); in-batch disorder is sorted.
+    *
+    * State per type is four longs — the monitor runs at ANY volume with
+    * |types| × 32 bytes of state (contrast the per-user filters whose
+    * state scales with active keys). */
+  def cusumPoints(events: Dataset[SEvent], targets: Map[String, Long],
+                  idleMs: Long = 4L * 3600 * 1000): Dataset[CusumPoint] = {
+    implicit val rowEnc: Encoder[CusumEvent] = Encoders.product[CusumEvent]
+    implicit val outEnc: Encoder[CusumPoint] = Encoders.product[CusumPoint]
+    implicit val stEnc: Encoder[CusumState] = Encoders.product[CusumState]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    events.toDF()
+      .select(col("event_type"), col("event_id"), col("ts"),
+        expr("unix_micros(ts)").as("tus"))
+      .withWatermark("ts", "2 hours")
+      .as[CusumEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (ty: String, rows: Iterator[CusumEvent], state: GroupState[CusumState]) =>
+          val med = targets.getOrElse(ty,
+            sys.error(s"cusumPoints: no target for event type '$ty' — " +
+              "run the batch init (q255) over trusted history first"))
+          val slack = med / 10
+          val h = math.max(med, 1L)
+          def close(st: CusumState): (CusumPoint, Long, Long) = {
+            val sUp = math.max(0L, st.sUp + (st.cnt - med - slack))
+            val sDn = math.max(0L, st.sDn + (med - slack - st.cnt))
+            (CusumPoint(ty, st.day * DayUs, st.cnt, sUp, sDn,
+              sUp > h, sDn > h), sUp, sDn)
+          }
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(st => close(st)._1)
+            state.remove()
+            out.iterator
+          } else {
+            val batch = rows.toSeq.sortBy(e => (e.tus, e.event_id))
+            val out = Seq.newBuilder[CusumPoint]
+            var st = state.getOption.orNull
+            batch.foreach { e =>
+              val d = e.tus / DayUs
+              if (st == null) st = CusumState(d, 1L, 0L, 0L)
+              else if (d == st.day) st = st.copy(cnt = st.cnt + 1)
+              else {
+                val (p, sUp, sDn) = close(st)
+                out += p
+                st = CusumState(d, 1L, sUp, sDn)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(
+              batch.last.tus / 1000 + idleMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Fully custom sessionization with `flatMapGroupsWithState` +
     * event-time timeouts — the pattern `session_window` can't express
     * (per-session custom state, emit-on-close): a user's open session

@@ -375,4 +375,73 @@ class StreamBatchParitySpec extends AnyFunSuite {
       .toSet
     assert(q193 == want, "q193 batch formulation drifted from the stream")
   }
+
+  test("cusumPoints: the incremental change-point monitor equals the " +
+    "DECLARED q255 per-day frame on the same rows, across micro-batch " +
+    "boundaries — alarms in both directions included") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // 8 days, 2 types: alpha settles +150% on days 5-7 (up alarms),
+    // beta drops to a quarter on days 6-7 (one down alarm) — plus a
+    // quiet prefix on both so silence is pinned too
+    val day0 = Timestamp.valueOf("2024-04-01 00:00:00").getTime
+    val cusumFx: Seq[SEvent] = {
+      def mk(ty: String, day: Int, n: Int, idBase: Long): Seq[SEvent] =
+        (0 until n).map { i =>
+          SEvent(idBase + day * 100 + i,
+            new Timestamp(day0 + day * 86400000L + i.toLong * 7 * 60 * 1000),
+            1L, ty, 0.25)
+        }
+      val alpha = (0 until 8).flatMap(d =>
+        mk("alpha", d, if (d >= 5) 25 else 10, 10000L))
+      val beta = (0 until 8).flatMap(d =>
+        mk("beta", d, if (d >= 6) 2 else 8, 20000L))
+      (alpha ++ beta).sortBy(e => (e.ts.getTime, e.event_id))
+    }
+    // batch side: the graded per-day frame (q255's cusumDays) and the
+    // targets the deployed monitor would take from the batch init
+    val DayUs = 86400000000L
+    val counts = cusumFx.toDF()
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) div $DayUs) * $DayUs").as("day"))
+      .groupBy("event_type", "day")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    val days = graft.ops.Corpus.cusumDays(counts)
+    val want = days
+      .selectExpr("event_type", "day", "cnt", "splus", "sminus",
+        "splus > h as up", "sminus > h as dn")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toSet
+    val targets = days.selectExpr("event_type", "med").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap +
+      ("zz_sentinel" -> 1L)
+
+    def sent(id: Long, plusMin: Long): SEvent =
+      SEvent(id, new Timestamp(day0 + 30L * 86400000L + plusMin * 60000L),
+        999L, "zz_sentinel", 0.25)
+    val in = MemoryStream[SEvent]
+    val q = EventStreams.cusumPoints(in.toDS(), targets).toDF()
+      .writeStream.format("memory").queryName("parity_cusum")
+      .outputMode("append").start()
+    val got =
+      try {
+        cusumFx.grouped(25).foreach { chunk =>
+          in.addData(chunk); q.processAllAvailable()
+        }
+        in.addData(sent(1000, 0)); q.processAllAvailable()
+        in.addData(sent(1001, 5)); q.processAllAvailable()
+        spark.table("parity_cusum").filter("event_type <> 'zz_sentinel'")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toSet
+      } finally q.stop()
+    assert(got == want,
+      "stream diverged from the declared q255 per-day frame")
+    assert(want.exists(_._6), "no up alarm in the fixture — untested")
+    assert(want.exists(_._7), "no down alarm in the fixture — untested")
+    assert(want.exists(t => !t._6 && !t._7), "no quiet day — degenerate")
+    assert(got.size == 16, "timeout flush must emit the final open days")
+  }
 }
