@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.{Affinity, Audit, BpeTrain, Corpus, Curation, Governance, Graph, Matching, Multimodal, NorthStar, ParseRoute, Relational, RuntimeFilter, Scalars, SketchRollup, TpchShapes, TrainingData}
-import graft.sink.{AvroQueries, BloomManifest, BucketQueries, Compact, CsvQueries, DeleteQueries, FixedWidth, Layout, Manifest, MergeQueries, MvRefresh, StatsDecision, OrcQueries, PartitionedQueries, SchemaEvolution, ShardedExport, Vacuum, ZOrderQueries}
+import graft.sink.{AvroQueries, BloomManifest, BucketQueries, Compact, CsvQueries, DeleteQueries, FixedWidth, Layout, Manifest, MergeQueries, MvRefresh, StatsDecision, OrcQueries, PartitionedQueries, SchemaEvolution, ShardedExport, SurrogateKeys, Vacuum, ZOrderQueries}
 import graft.sources.JsonlIngest
 import graft.sources.rfc.RfcQueries
 
@@ -36,7 +36,7 @@ object SparkEntry {
       OrcQueries.queries ++ CsvQueries.queries ++ AvroQueries.queries ++
       SchemaEvolution.queries ++ Compact.queries ++ Manifest.queries ++
       DeleteQueries.queries ++ MergeQueries.queries ++ StatsDecision.queries ++
-      FixedWidth.queries ++ Vacuum.queries ++ BloomManifest.queries ++
+      FixedWidth.queries ++ Vacuum.queries ++ BloomManifest.queries ++ SurrogateKeys.queries ++
       Multimodal.queries ++ RfcQueries.queries ++ SketchRollup.queries ++
       JsonlIngest.queries ++ BpeTrain.queries ++ Graph.queries ++ Audit.queries ++
       Governance.queries ++ Matching.queries
@@ -50,7 +50,7 @@ object SparkEntry {
       OrcQueries.oracle ++ CsvQueries.oracle ++ AvroQueries.oracle ++
       SchemaEvolution.oracle ++ Compact.oracle ++ Manifest.oracle ++
       DeleteQueries.oracle ++ MergeQueries.oracle ++ StatsDecision.oracle ++
-      FixedWidth.oracle ++ Vacuum.oracle ++ BloomManifest.oracle ++
+      FixedWidth.oracle ++ Vacuum.oracle ++ BloomManifest.oracle ++ SurrogateKeys.oracle ++
       RfcQueries.oracle ++
       SketchRollup.oracle ++ JsonlIngest.oracle ++ BpeTrain.oracle ++ Graph.oracle ++
       Audit.oracle ++ Governance.oracle ++ Matching.oracle
