@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Affinity, Audit, BpeTrain, Corpus, Curation, Governance, Graph, Matching, Multimodal, NorthStar, ParseRoute, Relational, RuntimeFilter, Scalars, SketchRollup, TpchShapes, TrainingData}
+import graft.ops.{Affinity, Audit, BpeTrain, Corpus, Curation, Erp, Governance, Graph, Matching, Multimodal, NorthStar, ParseRoute, Relational, RuntimeFilter, Scalars, SketchRollup, TpchShapes, TrainingData}
 import graft.sink.{AvroQueries, BloomManifest, BucketQueries, Compact, CsvQueries, DeleteQueries, FixedWidth, Layout, Manifest, MergeQueries, MvRefresh, StatsDecision, OrcQueries, PartitionedQueries, SchemaEvolution, ShardedExport, SurrogateKeys, Vacuum, ZOrderQueries}
 import graft.sources.JsonlIngest
 import graft.sources.rfc.RfcQueries
@@ -39,7 +39,7 @@ object SparkEntry {
       FixedWidth.queries ++ Vacuum.queries ++ BloomManifest.queries ++ SurrogateKeys.queries ++
       Multimodal.queries ++ RfcQueries.queries ++ SketchRollup.queries ++
       JsonlIngest.queries ++ BpeTrain.queries ++ Graph.queries ++ Audit.queries ++
-      Governance.queries ++ Matching.queries
+      Governance.queries ++ Matching.queries ++ Erp.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TpchShapes.oracle ++ ParseRoute.oracle ++ Scalars.oracle ++
@@ -53,5 +53,5 @@ object SparkEntry {
       FixedWidth.oracle ++ Vacuum.oracle ++ BloomManifest.oracle ++ SurrogateKeys.oracle ++
       RfcQueries.oracle ++
       SketchRollup.oracle ++ JsonlIngest.oracle ++ BpeTrain.oracle ++ Graph.oracle ++
-      Audit.oracle ++ Governance.oracle ++ Matching.oracle
+      Audit.oracle ++ Governance.oracle ++ Matching.oracle ++ Erp.oracle
 }

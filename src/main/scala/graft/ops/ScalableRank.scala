@@ -144,6 +144,50 @@ object ScalableRank {
     out
   }
 
+  /** Adds `outCol` = exact global lag(1) of `valueCol` over
+    * `sortExprs` (the strictly-previous row's value; null on the global
+    * first row — and wherever the previous row's VALUE is null, which
+    * is why first rows are detected by local row number, never by a
+    * null lag). Same two-pass shape as the rank: per-partition lag
+    * windows in parallel, each partition's LAST value (one tiny row)
+    * collected and broadcast back as the next partition's first-row
+    * lag. r14, for q261's number-range gap audit — "previous key" over
+    * a total order is the classic single-task global window. */
+  def withGlobalLag(df: DataFrame, valueCol: Column, outCol: String,
+                    sortExprs: Column*): DataFrame = {
+    passes.incrementAndGet()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = df.repartitionByRange(sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_v", valueCol.cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // each non-empty partition's last ROW's value (None = that value is
+    // null); empty partitions have no group row and need no offset
+    val lasts = parts.groupBy("_pid")
+      .agg(max_by(col("_v"), struct(sortExprs: _*)).as("t"))
+      .collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    var carry: Option[Long] = None
+    val offsets = lasts.map { case (pid, t) =>
+      val o = (pid, carry); carry = t; o
+    }.toSeq
+    val offDf = broadcast(offsets.toDF("_pid", "_off"))
+    val w = Window.partitionBy("_pid").orderBy(sortExprs: _*)
+    val out = parts
+      .withColumn("_lrn", row_number().over(w))
+      .withColumn("_llag", lag(col("_v"), 1).over(w))
+      .join(offDf, "_pid")
+      .withColumn(outCol,
+        when(col("_lrn") === 1, col("_off")).otherwise(col("_llag")))
+      .drop("_pid", "_v", "_lrn", "_llag", "_off")
+      .localCheckpoint(true)
+    parts.unpersist(blocking = false)
+    out
+  }
+
   private def withRankAndTotal(df: DataFrame, rnCol: String,
                                sortExprs: Column*): (DataFrame, Long) = {
     passes.incrementAndGet()

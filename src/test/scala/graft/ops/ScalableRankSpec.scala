@@ -51,6 +51,28 @@ class ScalableRankSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("global lag matches single-task window — including null values " +
+    "carried across partition boundaries") {
+    val sortKeys = Seq(col("id").asc)
+    // plant nulls, including at positions likely to land on partition
+    // edges, so the boundary carry is exercised with null payloads
+    val withNulls = df.withColumn("v2",
+      when(col("id") % 9 === 0, lit(null)).otherwise(col("v").cast("long")))
+    val got = ScalableRank
+      .withGlobalLag(withNulls, col("v2"), "p", sortKeys: _*)
+      .select("id", "p").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    val want = withNulls
+      .withColumn("p", lag(col("v2"), 1).over(Window.orderBy(sortKeys: _*)))
+      .select("id", "p").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got == want)
+    assert(want.values.toSeq.count(_.isEmpty) > 1,
+      "fixture has no null lags beyond the first row — carry untested")
+  }
+
   test("q45 plan has no unpartitioned window (scale guard)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val plan = Relational.q45WinNtile(spark, SparkTestBase.Sf0001)
