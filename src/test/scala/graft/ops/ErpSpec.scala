@@ -103,6 +103,88 @@ class ErpSpec extends AnyFunSuite {
         case (k, v) => (k.toLong, v) })
   }
 
+  test("q262 equals the driver-side aging walk; every bucket fires") {
+    val cutoff = T(spark, dir, "orders")
+      .agg(max(expr("cast(o_orderdate as date)"))).collect()(0)
+      .getDate(0).toLocalDate
+    val seg = T(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = T(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"), expr("cast(o_orderdate as date)"),
+        expr("cast(round(o_totalprice * 100) as bigint)"))
+      .collect()
+      .map { r =>
+        val age = java.time.temporal.ChronoUnit.DAYS
+          .between(r.getDate(1).toLocalDate, cutoff)
+        val b = if (age <= 30) "a_0_30" else if (age <= 60) "b_31_60"
+          else if (age <= 90) "c_61_90" else "d_90_plus"
+        ((seg(r.getLong(0)), b), r.getLong(2))
+      }
+      .groupBy(_._1)
+      .map { case (k, rs) => k -> (rs.length.toLong, rs.map(_._2).sum) }
+    val got = graft.SparkEntry.queries("q262_ar_aging")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == want)
+    assert(got.keys.map(_._2).toSet ==
+      Set("a_0_30", "b_31_60", "c_61_90", "d_90_plus"),
+      "not every aging bucket fires — weak fixture")
+  }
+
+  test("q263 YoY joins each period to last year's same period; both " +
+    "variance signs appear (negative truncation exercised)") {
+    val per = graft.SparkEntry.queries("q260_fiscal_calendar")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val got = graft.SparkEntry.queries("q263_fiscal_yoy")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    got.foreach { case (fy, fp, rev, prior, bp) =>
+      assert(rev == per((fy, fp)))
+      assert(prior == per((fy - 1, fp)))
+      assert(bp == (rev - prior) * 10000 / prior)
+    }
+    val expected = per.keys.filter(k => per.contains((k._1 - 1, k._2)))
+    assert(got.length == expected.size)
+    assert(got.exists(_._5 > 0) && got.exists(_._5 < 0),
+      "variance has one sign only — negative truncation untested")
+  }
+
+  test("q264 conserves every penny: per-order allocations sum to the " +
+    "fee exactly, each within 1 of the exact share") {
+    val rows = graft.SparkEntry.queries("q264_penny_allocation")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byOrder = rows.groupBy(_._1)
+    val li = T(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("cast(round(l_extendedprice * 100) as bigint)"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(r => (r._1, r._2)) // line-NUMBER grain (the op's contract)
+      .map { case ((ok, ln), rs) => (ok, ln, rs.map(_._3).sum) }
+      .groupBy(_._1)
+    byOrder.foreach { case (ok, allocs) =>
+      val fee = allocs.head._3
+      assert(allocs.map(_._4).sum == fee, s"order $ok leaks pennies")
+      val ws = li(ok).map(l => (l._2, l._3)).toMap
+      val tot = ws.values.sum
+      allocs.foreach { case (_, ln, _, a) =>
+        val base = fee * ws(ln) / tot
+        assert(a == base || a == base + 1,
+          s"order $ok line $ln alloc $a not within 1 of share $base")
+      }
+    }
+    val topUps = byOrder.exists { case (ok, allocs) =>
+      val ws = li(ok).map(l => (l._2, l._3)).toMap
+      val tot = ws.values.sum
+      val fee = allocs.head._3
+      allocs.exists { case (_, ln, _, a) => a == fee * ws(ln) / tot + 1 }
+    }
+    assert(topUps, "no remainder penny ever distributed — Hamilton untested")
+  }
+
   test("q261 gap islands reconstruct the purged key set exactly") {
     val all = T(spark, dir, "orders").select("o_orderkey")
       .collect().map(_.getLong(0)).sorted
