@@ -181,10 +181,46 @@ object Governance {
       .orderBy("lvl")
   }
 
+  private[ops] val LDiv = 3L // the l in l-diversity
+
+  /** q270: l-diversity audit — the HOMOGENEITY-ATTACK check k-anonymity
+    * (q237) structurally cannot make: a class can hide k members and
+    * still leak the SENSITIVE attribute outright if all k share it (an
+    * adversary who links a victim to the class learns the value without
+    * identifying the row). Here the sensitive attribute is the market
+    * segment and the quasi-identifier is (nation, $1000 balance band) —
+    * q237's QI WITH the sensitive column removed, which is the whole
+    * point: diversity is measured across, never inside, the QI. A class
+    * is diverse when it carries ≥ [[LDiv]] distinct segments; the audit
+    * reports per nation the class count, diverse count, rows exposed by
+    * non-diverse classes, and the worst (minimum) l.
+    *
+    * Scale shape: exactly q237's — groupBy(QI) with a count and an
+    * exact countDistinct over a 5-value attribute (partial aggregation
+    * carries a ≤5-element set per class, never a shuffle of raw rows
+    * per distinct), then a nation-count-sized rollup. No window, no
+    * driver materialization. */
+  def q270LDiversity(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .select(col("c_nationkey"),
+        expr(s"(cast(round(c_acctbal * 100) as bigint) + 1000000) div $BandC2")
+          .as("bal_band"),
+        col("c_mktsegment"))
+      .groupBy("c_nationkey", "bal_band")
+      .agg(count(lit(1)).as("n"), countDistinct("c_mktsegment").as("l"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("l") >= LDiv, 1L).otherwise(0L)).as("n_diverse"),
+        sum(when(col("l") < LDiv, col("n")).otherwise(0L)).as("rows_exposed"),
+        min("l").as("min_l"),
+        sum("n").as("n_rows"))
+      .orderBy("c_nationkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q216_cascade_delete" -> q216CascadeDelete _,
     "q237_k_anonymity" -> q237KAnonymity _,
     "q253_generalize_ladder" -> q253GeneralizeLadder _,
+    "q270_l_diversity" -> q270LDiversity _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -253,6 +289,20 @@ object Governance {
         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_classes,
         |       CAST(sum(CASE WHEN n < $KAnon THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
         |       CAST(sum(CASE WHEN n < $KAnon THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |       CAST(sum(n) AS BIGINT) AS n_rows
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q270: the same QI-minus-sensitive classes; count(DISTINCT seg) is
+    // exact in both engines over the 5-value segment domain
+    "q270_l_diversity" ->
+      s"""WITH cls AS (
+        |  SELECT c_nationkey,
+        |         (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // $BandC2 AS bal_band,
+        |         count(*) AS n, count(DISTINCT c_mktsegment) AS l
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(sum(CASE WHEN l >= $LDiv THEN 1 ELSE 0 END) AS BIGINT) AS n_diverse,
+        |       CAST(sum(CASE WHEN l < $LDiv THEN n ELSE 0 END) AS BIGINT) AS rows_exposed,
+        |       CAST(min(l) AS BIGINT) AS min_l,
         |       CAST(sum(n) AS BIGINT) AS n_rows
         |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
   )

@@ -164,9 +164,17 @@ object ScalableRank {
       .withColumn("_v", valueCol.cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // each non-empty partition's last ROW's value (None = that value is
-    // null); empty partitions have no group row and need no offset
-    val lasts = parts.groupBy("_pid")
-      .agg(max_by(col("_v"), struct(sortExprs: _*)).as("t"))
+    // null); empty partitions have no group row and need no offset.
+    // max_by keys on the LOCAL row number, not on struct(sortExprs):
+    // sortExprs may be SortOrders (`.asc`/`.desc`), which a struct can
+    // hold in the plan but never evaluate (interpreted-eval fallback
+    // throws), and a desc sort would invert "last row" anyway — the
+    // row number is direction-correct and always evaluable
+    val lasts = parts
+      .withColumn("_lrn",
+        row_number().over(Window.partitionBy("_pid").orderBy(sortExprs: _*)))
+      .groupBy("_pid")
+      .agg(max_by(col("_v"), col("_lrn")).as("t"))
       .collect()
       .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
       .sortBy(_._1)

@@ -204,4 +204,240 @@ class ErpSpec extends AnyFunSuite {
     assert(enumerated == interior)
     assert(got.exists(_._3 > 1), "no multi-key gap island — weak fixture")
   }
+
+  test("q265 equals a sequential per-part FIFO walk; partial receipts " +
+    "and value conservation hold") {
+    val grain = T(spark, dir, "lineitem")
+      .select(col("l_partkey"), expr("cast(l_shipdate as date)"),
+        col("l_orderkey"), col("l_linenumber"),
+        expr("cast(l_quantity as bigint)"),
+        expr("cast(round(l_extendedprice * 100) as bigint)"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2),
+        r.getInt(3)), (r.getLong(4), r.getLong(5))))
+      .groupBy(_._1)
+      .map { case (k, rs) =>
+        (k, (rs.map(_._2._1).sum, rs.map(_._2._2).sum)) }
+      .toSeq
+    val want = grain.groupBy(_._1._1).map { case (pk, rows) =>
+      // the literal sequential FIFO: walk the queue in order, consume
+      val queue = rows.sortBy { case ((_, sd, ok, ln), _) =>
+        (sd.toEpochDay, ok, ln.toLong) }.map(_._2)
+      val recv = queue.map(_._1).sum
+      var left = recv / 2 // demand
+      var (issued, cogs, endQty, endV) = (0L, 0L, 0L, 0L)
+      queue.foreach { case (q, c2) =>
+        val take = math.max(0L, math.min(q, left))
+        left -= take
+        issued += take; cogs += c2 * take / q
+        endQty += q - take; endV += c2 * (q - take) / q
+      }
+      pk -> (queue.size.toLong, recv, issued, cogs, endQty, endV)
+    }
+    val got = graft.SparkEntry.queries("q265_fifo_costing")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (pk, w) => assert(got(pk) == w, s"part $pk diverged") }
+    // quantity conserves exactly; value conserves up to the floor split
+    // (each receipt loses < 1¢ total across its two floored halves)
+    got.foreach { case (pk, (n, recv, issued, cogs, endQty, endV)) =>
+      assert(issued + endQty == recv, s"part $pk leaks quantity")
+      assert(issued == recv / 2, s"part $pk demand not half of receipts")
+      val totV = grain.filter(_._1._1 == pk).map(_._2._2).sum
+      assert(cogs + endV <= totV)
+      assert(totV - (cogs + endV) < n,
+        s"part $pk floor loss exceeds 1¢ per receipt")
+    }
+    // a PARTIAL receipt (0 < consumed < qty) must exist or the interval
+    // clamp never exercised its middle branch
+    val partial = want.exists { case (pk, _) =>
+      val rows = grain.filter(_._1._1 == pk)
+      val queue = rows.sortBy { case ((_, sd, ok, ln), _) =>
+        (sd.toEpochDay, ok, ln.toLong) }.map(_._2)
+      var left = queue.map(_._1).sum / 2
+      queue.exists { case (q, _) =>
+        val take = math.max(0L, math.min(q, left)); left -= take
+        take > 0 && take < q
+      }
+    }
+    assert(partial, "no receipt ever partially consumed — clamp untested")
+  }
+
+  test("q266 classes equal the driver-side Pareto walk; all three " +
+    "classes fire and shares account for the whole") {
+    val rev = T(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (pk, rs) => (pk, rs.map(_._2).sum) }.toSeq
+    val tot = rev.map(_._2).sum
+    var run = 0L
+    val cls = rev.sortBy { case (pk, r) => (-r, pk) }.map { case (pk, r) =>
+      run += r
+      val c = if (run * 100 <= tot * 80) "A"
+        else if (run * 100 <= tot * 95) "B" else "C"
+      (c, pk, r)
+    }
+    val want = cls.groupBy(_._1).map { case (c, rs) =>
+      c -> (rs.length.toLong, rs.map(_._3).sum,
+        rs.map(_._3).sum * 10000 / tot) }
+    val got = graft.SparkEntry.queries("q266_abc_class")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == want)
+    assert(got.keySet == Set("A", "B", "C"), "a class is empty — weak fixture")
+    // ranking is load-bearing: the head's average per-part revenue
+    // strictly exceeds the tail's (guaranteed by the desc sort; TPC-H
+    // part revenue is near-uniform, so A-has-fewer-parts need not hold)
+    assert(got("A")._2 * got("C")._1 > got("C")._2 * got("A")._1,
+      "class A average revenue does not exceed class C — ordering broken")
+    assert(got.values.map(_._1).sum == rev.length.toLong)
+    assert(got.values.map(_._2).sum == tot)
+  }
+
+  test("q267 equals the driver-side ticket walk; every status fires and " +
+    "the 200 bp tolerance is load-bearing") {
+    val li = T(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("cast(l_quantity as bigint)"),
+        expr("cast(round(l_extendedprice * 100) as bigint)"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1)
+      .map { case ((ok, ln), rs) =>
+        (ok, ln, rs.map(_._2._1).sum, rs.map(_._2._2).sum) }
+      .toSeq
+    case class L(status: String, poC2: Long, ivC2: Long, shortQ: Long,
+                 deltaBp: Long)
+    val lines = li.map { case (ok, ln, poQty, poC2) =>
+      val tk = md5Long(s"3wm:$ok:$ln", 12)
+      val short = math.min(if (tk % 10 == 0) 1 + (tk / 10) % 3 else 0L, poQty)
+      val bp = if ((tk / 100) % 8 == 0) 100 + (tk / 1000) % 400 else 0L
+      val sign = if ((tk / 1000000) % 2 == 0) 1L else -1L
+      val ivC2 = poC2 + (if (bp == 0) 0L else sign * (poC2 * bp / 10000))
+      val qtyBad = short > 0
+      val priceBad = math.abs(ivC2 - poC2) * 10000 > 200 * poC2
+      val st = if (qtyBad && priceBad) "both" else if (qtyBad) "qty_short"
+        else if (priceBad) "price_var" else "ok"
+      L(st, poC2, ivC2, short, bp)
+    }
+    val want = lines.groupBy(_.status).map { case (st, rs) =>
+      st -> (rs.length.toLong, rs.map(_.poC2).sum, rs.map(_.ivC2).sum,
+        rs.map(_.shortQ).sum) }
+    val got = graft.SparkEntry.queries("q267_three_way_match")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toMap
+    assert(got == want)
+    assert(got.keySet == Set("ok", "qty_short", "price_var", "both"),
+      "a match status never fires — weak fixture")
+    // tolerance is load-bearing: some line carries a nonzero invoice
+    // variance yet still matches (its floored bp landed <= 200)
+    assert(lines.exists(l => l.deltaBp > 0 && l.status == "ok"),
+      "no sub-tolerance variance — the 200 bp gate is untested")
+    assert(lines.exists(l => l.deltaBp > 0 && l.deltaBp <= 200),
+      "ticket range never lands in-tolerance")
+  }
+
+  /** The SQL-ntile layout over an already-sorted sequence: first
+    * N mod n buckets get one extra row (ScalableRank.withNtile's
+    * contract, recomputed independently). */
+  private def ntileOf(rank1: Int, total: Int, n: Int): Int = {
+    val q = total / n
+    val r = total % n
+    val bigCut = r * (q + 1)
+    if (rank1 <= bigCut) (rank1 - 1) / (q + 1) + 1
+    else r + (rank1 - bigCut - 1) / math.max(q, 1) + 1
+  }
+
+  test("q268 equals the driver-side quintile walk; the segment ladder " +
+    "covers the fixture") {
+    val cutoff = T(spark, dir, "orders")
+      .agg(max(expr("cast(o_orderdate as date)"))).collect()(0)
+      .getDate(0).toLocalDate
+    val base = T(spark, dir, "orders")
+      .select(col("o_custkey"), expr("cast(o_orderdate as date)"),
+        expr("cast(round(o_totalprice * 100) as bigint)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (ck, rs) =>
+        val rec = java.time.temporal.ChronoUnit.DAYS
+          .between(rs.map(_._2).maxBy(_.toEpochDay), cutoff)
+        (ck, rec, rs.length.toLong, rs.map(_._3).sum)
+      }.toSeq
+    val nCust = base.length
+    def scores(key: ((Long, Long, Long, Long)) => (Long, Long),
+               desc: Boolean): Map[Long, Int] = {
+      val sorted = base.map(c => (c._1, key((c._1, c._2, c._3, c._4))))
+        .sortBy { case (ck, (v, _)) => (if (desc) -v else v, ck) }
+      sorted.zipWithIndex.map { case ((ck, _), i) =>
+        ck -> ntileOf(i + 1, nCust, 5) }.toMap
+    }
+    val rS = scores(c => (c._2, c._1), desc = true)  // recency DESC
+    val fS = scores(c => (c._3, c._1), desc = false) // freq ASC
+    val mS = scores(c => (c._4, c._1), desc = false) // monetary ASC
+    def seg(r: Int, f: Int, m: Int): String =
+      if (r >= 4 && f >= 4 && m >= 4) "champion"
+      else if (r >= 4 && f >= 4) "loyal"
+      else if (r >= 4) "promising"
+      else if (f >= 4) "at_risk"
+      else if (r <= 2 && f <= 2) "hibernating"
+      else "regular"
+    val want = base.groupBy(c => seg(rS(c._1), fS(c._1), mS(c._1)))
+      .map { case (sg, cs) => sg -> (cs.length.toLong, cs.map(_._2).sum,
+        cs.map(_._3).sum, cs.map(_._4).sum) }
+    val got = graft.SparkEntry.queries("q268_rfm_segments")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toMap
+    assert(got == want)
+    assert(got.keySet.size >= 4,
+      s"only ${got.keySet} segments fire — ladder mostly dead on fixture")
+    assert(got.values.map(_._1).sum == nCust.toLong)
+  }
+
+  test("q269 equals the driver-side SLA walk; late and on-time orders " +
+    "both exist and the span is nonzero somewhere") {
+    val ship = T(spark, dir, "lineitem")
+      .select(col("l_orderkey"), expr("cast(l_shipdate as date)"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1)
+      .map { case (ok, rs) =>
+        ok -> (rs.map(_._2).minBy(_.toEpochDay), rs.map(_._2).maxBy(_.toEpochDay)) }
+    val rows = T(spark, dir, "orders")
+      .select(col("o_orderkey"), expr("cast(o_orderdate as date)"),
+        col("o_orderpriority"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getString(2)))
+      .filter(r => ship.contains(r._1))
+      .map { case (ok, od, pr) =>
+        val (fs, ls) = ship(ok)
+        val lead = java.time.temporal.ChronoUnit.DAYS.between(od, fs)
+        val span = java.time.temporal.ChronoUnit.DAYS.between(fs, ls)
+        val sla = 15 + 15 * pr.substring(0, 1).toInt
+        (pr, lead, span, lead > sla)
+      }
+    val want = rows.groupBy(_._1).map { case (pr, rs) =>
+      pr -> (rs.length.toLong, rs.count(_._4).toLong,
+        rs.count(_._4).toLong * 10000 / rs.length,
+        rs.map(_._2).sum, rs.map(_._3).sum) }
+    val got = graft.SparkEntry.queries("q269_fulfillment_cycle")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got == want)
+    assert(rows.exists(_._4) && rows.exists(!_._4),
+      "SLA gate fires one way only — threshold untested")
+    assert(rows.exists(_._3 > 0), "no multi-day ship span — weak fixture")
+    got.foreach { case (pr, (n, late, bp, _, _)) =>
+      assert(bp == late * 10000 / n, s"priority $pr bp arithmetic")
+    }
+  }
 }

@@ -63,6 +63,49 @@ class KAnonymitySpec extends AnyFunSuite {
     assert(graded.exists { case (nc, nv) => nc > nv }, "no k-safe class")
   }
 
+  test("q270 equals the driver-side diversity brute force, per nation") {
+    val cells = T(spark, dir, "customer")
+      .select(col("c_nationkey"),
+        expr("cast(round(c_acctbal * 100) as bigint)"), col("c_mktsegment"))
+      .collect()
+      .map(r => ((r.getInt(0), (r.getLong(1) + 1000000L) / 100000L),
+        r.getString(2)))
+      .groupBy(_._1)
+      .map { case (k, rs) =>
+        (k._1, rs.size.toLong, rs.map(_._2).distinct.size.toLong) }
+      .toSeq
+    val want = cells.groupBy(_._1).map { case (nk, cs) =>
+      nk -> (cs.size.toLong,
+        cs.count(_._3 >= Governance.LDiv).toLong,
+        cs.filter(_._3 < Governance.LDiv).map(_._2).sum,
+        cs.map(_._3).min,
+        cs.map(_._2).sum) }
+    val got = Governance.q270LDiversity(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == want)
+  }
+
+  test("q270's reason to exist fires at the graded scale: sf0.01 has a " +
+    "class that IS k-anonymous yet NOT l-diverse (the homogeneity attack " +
+    "k-anonymity cannot see), plus diverse classes") {
+    val graded = T(spark, "/root/testdata/sf0.01", "customer")
+      .select(col("c_nationkey"),
+        expr("cast(round(c_acctbal * 100) as bigint)"), col("c_mktsegment"))
+      .collect()
+      .map(r => ((r.getInt(0), (r.getLong(1) + 1000000L) / 100000L),
+        r.getString(2)))
+      .groupBy(_._1).toSeq // toSeq: mapping a Map to (n, l) pairs would
+      .map { case (_, rs) => // rebuild a Map keyed on n, collapsing classes
+        (rs.size.toLong, rs.map(_._2).distinct.size.toLong) }
+    assert(graded.exists { case (n, l) =>
+      n >= Governance.KAnon && l < Governance.LDiv },
+      "no k-anonymous-but-homogeneous class — the attack surface is absent")
+    assert(graded.exists(_._2 >= Governance.LDiv), "no diverse class at all")
+    assert(graded.exists(_._2 < Governance.LDiv), "every class diverse — " +
+      "the audit can only say one thing")
+  }
+
   test("negative balances stay in contract: the +10^6 offset keeps every " +
     "band dividend positive, so div and floor agree") {
     val minC2 = T(spark, dir, "customer")
