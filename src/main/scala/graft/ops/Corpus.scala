@@ -832,7 +832,70 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // ---- q271: LM-quality filter (cross-corpus bigram cross-entropy) ---
+
+  /** q271 constants: the OOV backoff cost in integer "bits" and the
+    * keep threshold on the ×10⁴ mean-bits grid — shared verbatim with
+    * the oracle. 48000 ≈ the corpus median, so BOTH filter verdicts
+    * fire at every SF. */
+  private[ops] val OovBits = 20L
+  private[ops] val LmKeepX1e4 = 48000L
+
+  /** q271: the CCNet-style language-model quality filter — the
+    * training-data selection step run before every big pretraining
+    * corpus: score each document's fluency against a reference corpus
+    * (here: the `en` partition) with a bigram model, and keep documents
+    * under a perplexity-proxy threshold. Unlike q214 (in-corpus
+    * surprisal, unseen bigrams silently dropped by its inner join),
+    * q271 is CROSS-corpus: the model is trained on the reference slice
+    * only, every document scores — including off-reference ones — and
+    * unseen bigrams pay an explicit [[OovBits]] backoff (the real
+    * filter's OOV handling; reference-slice docs are never OOV by
+    * construction, which the spec pins).
+    *
+    * Arithmetic is the q214 integer log₂ proxy (`bitlen(c1) −
+    * bitlen(c2)` per bigram — exact in any engine; no libm log), doc
+    * score = Σ k·bits ×10⁴ div n over non-negative integers.
+    *
+    * Scale shape: ONE corpus explode shared by model-build and scoring
+    * (localCheckpoint), model join on (w1, w2) with map-side partial
+    * counts; the model table is vocabulary²-bounded (≪ corpus), the
+    * score aggregate doc-count-sized. At 100 TB the model is built
+    * once, persisted bucketed on w1 and reused per batch — the
+    * q104/q152 persisted-index discipline. */
+  def q271LmQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val bg = T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(text, ' '), x -> x != '')").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> " +
+          "struct(x AS w1, w[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1"), col("b.w2"))
+      .localCheckpoint(true) // two consumers, ONE corpus explode
+    val ref = bg.filter(col("lang") === "en")
+    val model = ref.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .join(ref.groupBy("w1").agg(count(lit(1)).as("c1")), "w1")
+      .withColumn("bits",
+        (length(expr("bin(c1)")) - length(expr("bin(c2)"))).cast("long"))
+      .select("w1", "w2", "bits")
+    bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+      .join(model, Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_bigrams"),
+        sum(when(col("bits").isNull, col("k")).otherwise(0L))
+          .as("oov_bigrams"),
+        sum(col("k") * coalesce(col("bits"), lit(OovBits)))
+          .as("total_bits"))
+      .withColumn("score_x1e4",
+        expr("total_bits * 10000 div n_bigrams"))
+      .withColumn("keep", col("score_x1e4") <= LmKeepX1e4)
+      .select("doc_id", "n_bigrams", "oov_bigrams", "score_x1e4", "keep")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_lm_quality_filter" -> q271LmQualityFilter _,
     "q242_quantile_normalize" -> q242QuantileNormalize _,
     "q117_substring_dedup" -> q117SubstringDedup _,
     "q205_html_extract" -> q205HtmlExtract _,
@@ -895,6 +958,32 @@ object Corpus {
       |  WHERE length(text) >= 50)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q271: same reference slice, same integer bitlen model, same OOV
+    // backoff and threshold constants (interpolated, can't drift)
+    "q271_lm_quality_filter" ->
+      s"""WITH docs AS (SELECT doc_id, lang,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |       FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |         unnest([{'w1': w[i], 'w2': w[i+1]}
+        |                 for i in range(1, len(w))], recursive := true)
+        |       FROM docs WHERE len(w) >= 2),
+        |m2 AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+        |m1 AS (SELECT w1, count(*) AS c1 FROM bg WHERE lang = 'en' GROUP BY 1),
+        |model AS (SELECT m2.w1, m2.w2,
+        |            CAST(length(bin(m1.c1)) - length(bin(m2.c2)) AS BIGINT) AS bits
+        |          FROM m2 JOIN m1 ON m2.w1 = m1.w1),
+        |dk AS (SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3),
+        |sc AS (SELECT d.doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(CASE WHEN m.bits IS NULL THEN k ELSE 0 END) AS BIGINT)
+        |           AS oov_bigrams,
+        |         CAST(sum(k * COALESCE(m.bits, $OovBits)) AS BIGINT) AS total_bits
+        |       FROM dk d LEFT JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2
+        |       GROUP BY 1)
+        |SELECT doc_id, n_bigrams, oov_bigrams,
+        |       CAST(total_bits * 10000 // n_bigrams AS BIGINT) AS score_x1e4,
+        |       total_bits * 10000 // n_bigrams <= $LmKeepX1e4 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
     // q242: both ntiles stated natively (PARTITION BY source for the
     // within-source one — fine at oracle scale; the Spark side's
     // composite-rank lowering is the scale device, and the hash match

@@ -472,7 +472,51 @@ object Graph {
       .orderBy("round")
   }
 
+  /** q272 constants: the per-hub neighbor-list cap and the result
+    * depth, shared with the oracle. */
+  private[ops] val LinkTopNbr = 8
+  private[ops] val LinkTopK = 20
+
+  /** q272: link prediction by weighted common neighbors — "which two
+    * customers who never traded through the same channels look most
+    * alike": for customer pairs sharing suppliers, score
+    * Σ_s 2²⁰ div bitlen(deg(s)) over the common suppliers — the
+    * Adamic–Adar shape with the q214 integer log₂ proxy instead of
+    * libm's `ln` (rare shared suppliers count more; engine-exact).
+    *
+    * The scale device is NEIGHBOR-LIST TRUNCATION: pair generation
+    * from a hub with d neighbors is d² — unbounded by data. Each
+    * supplier contributes pairs only among its [[LinkTopNbr]]
+    * strongest customers (by trade-line count, ties by key), capping
+    * the per-hub fan-out at C(8,2) = 28 while the DEGREE in the weight
+    * stays the full one — the standard production trick (the q78
+    * maxDf discipline pointed at graphs). The rank window partitions
+    * on the supplier (bounded groups), never globally. */
+  def q272LinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val pairs = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+      .agg(count(lit(1)).as("n_lines"))
+    val deg = pairs.groupBy("sk").agg(count(lit(1)).as("d"))
+      .withColumn("wt", expr(s"$PrScale div length(bin(d))"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sk").orderBy(col("n_lines").desc, col("ck"))
+    val top = pairs.withColumn("r", row_number().over(w))
+      .filter(col("r") <= LinkTopNbr)
+      .select("sk", "ck")
+    val a = top.select(col("sk"), col("ck").as("c1"))
+    val b = top.select(col("sk"), col("ck").as("c2"))
+    a.join(b, "sk").filter(col("c1") < col("c2"))
+      .join(deg.select("sk", "wt"), "sk")
+      .groupBy("c1", "c2")
+      .agg(count(lit(1)).as("n_common"), sum("wt").as("score_fx"))
+      .orderBy(col("score_fx").desc, col("c1"), col("c2"))
+      .limit(LinkTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_link_predict" -> q272LinkPredict _,
     "q196_pagerank" -> q196PageRank _,
     "q218_triangles" -> q218Triangles _,
     "q226_hierarchy_expand" -> q226HierarchyExpand _,
@@ -536,6 +580,24 @@ object Graph {
        |        FROM $prev p JOIN e ON e.src = p.node) GROUP BY 1),""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q272: identical truncation rank, full-degree bitlen weights, and
+    // the (score desc, c1, c2) total order
+    "q272_link_predict" ->
+      s"""WITH p AS (SELECT l_suppkey AS sk, o_custkey AS ck, count(*) AS n_lines
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |           GROUP BY 1, 2),
+        |deg AS (SELECT sk, $PrScale // length(bin(count(*))) AS wt
+        |        FROM p GROUP BY sk),
+        |top AS (SELECT sk, ck FROM (
+        |          SELECT sk, ck, row_number() OVER (PARTITION BY sk
+        |            ORDER BY n_lines DESC, ck) AS r FROM p)
+        |        WHERE r <= $LinkTopNbr)
+        |SELECT a.ck AS c1, b.ck AS c2, count(*) AS n_common,
+        |       CAST(sum(d.wt) AS BIGINT) AS score_fx
+        |FROM top a JOIN top b ON a.sk = b.sk AND a.ck < b.ck
+        |     JOIN deg d ON d.sk = a.sk
+        |GROUP BY 1, 2
+        |ORDER BY score_fx DESC, c1, c2 LIMIT $LinkTopK""".stripMargin,
     // q256: the same support-≥2 co-purchase universe, KcIters unrolled
     // peeling rounds (degree → keep → both-endpoint filter), the trace
     // as one row per round, convergence = last two rounds identical
