@@ -816,7 +816,137 @@ object PlanAudit {
         "dimension's 8-way `explode(sequence(...))` replication, and " +
         "the join keyed on (suppkey, _salt) — at this SF the replicated " +
         "dimension broadcasts; at scale the same plan shuffle-joins " +
-        "with the hot key spread over 8 tasks."))
+        "with the hot key spread over 8 tasks."),
+    "q257_join_mv" ->
+      ("**Look for:** the maintained view assembled from THREE " +
+        "delta-bounded terms, never a history re-join — the stored-V " +
+        "scan passes ONCE through two broadcast ANTI joins (the KEPT " +
+        "term; the only V-sized stage), the ΔA ⋈ B′ term broadcasts " +
+        "the delta over the overlaid dimension, and the A′ ⋈ ΔB term " +
+        "is a semi-pruned orders scan bounded by affected customers; " +
+        "a union of the three feeds one segment-sized aggregate."),
+    "q258_surrogate_keys" ->
+      ("**Look for:** a plain parquet scan of the persisted vault plus " +
+        "a presentation sort — deliberately: assignment work happened " +
+        "at merge time (broadcast anti join + ScalableRank's two-pass " +
+        "rank + 1-row max offset), so the nightly READ of a 100 TB " +
+        "vault is scan-shaped; the merge plan is pinned by " +
+        "SurrogateKeySpec."),
+    "q259_currency_convert" ->
+      ("**Look for:** the as-of resolved ON THE DIMENSION — the " +
+        "calendar-bounded (currency, month) grid generated by an " +
+        "explode(sequence(...)), the carry-forward window partitioned " +
+        "by currency over that tiny grid, and the FACT side joining " +
+        "the resolved rates by BroadcastHashJoin on (rk, mi). No " +
+        "fact-side range join, no fact fan-out anywhere."),
+    "q260_fiscal_calendar" ->
+      ("**Look for:** one orders FileScan feeding a single codegen'd " +
+        "integer projection (datediff → div/mod 4-4-5 bucketing) into " +
+        "one partial+final HashAggregate — no join, no window; the " +
+        "fiscal calendar costs a 100 TB scan exactly one pass."),
+    "q261_gap_ranges" ->
+      ("**Look for:** NO global window — the lag subtree is " +
+        "ScalableRank.withGlobalLag's localCheckpointed ExistingRDD " +
+        "(per-partition lag windows keyed on _pid, boundary carry via " +
+        "a broadcast offsets join), followed by a pure gap " +
+        "filter+projection and a presentation sort."),
+    "q262_ar_aging" ->
+      ("**Look for:** `PushedFilters` carrying the o_orderstatus = 'O' " +
+        "predicate into the orders scan, the derived-cutoff age " +
+        "bucketing as one codegen'd projection, a single equi-join to " +
+        "customer, and one segment×bucket-sized partial+final " +
+        "HashAggregate."),
+    "q263_fiscal_yoy" ->
+      ("**Look for:** the self-join on the PERIOD-COUNT-sized " +
+        "aggregate frame — both join inputs are (fy, fp) HashAggregate " +
+        "subtrees (the ~80-row fiscal rollup), joined broadcast; the " +
+        "fact table is never self-joined, and the bp variance is a " +
+        "map-side integer projection."),
+    "q264_penny_allocation" ->
+      ("**Look for:** every Window partitioned by l_orderkey (the " +
+        "7-line bounded order groups) — grain aggregate, total-weight " +
+        "sum, base-share sum, and the remainder rank all reuse the " +
+        "orderkey exchange; no global window, no driver loop; output " +
+        "stays line-grain."),
+    "q265_fifo_costing" ->
+      ("**Look for:** ONE l_partkey exchange feeding the grain " +
+        "aggregate and BOTH windows (the exclusive cumulative-quantity " +
+        "queue interval and the per-part demand total share the " +
+        "partitioning); the FIFO consumption itself is a pure " +
+        "greatest/least clamp projection — no recursion, no loop, no " +
+        "self-join — then one part-sized partial+final aggregate."),
+    "q266_abc_class" ->
+      ("**Look for:** NO global window — the inclusive running " +
+        "revenue rides ScalableRank.withGlobalCumsumExclusive's " +
+        "localCheckpointed ExistingRDD (range-partitioned local prefix " +
+        "sums + broadcast offsets); the classification is a map-side " +
+        "integer-compare projection into a 3-row aggregate."),
+    "q267_three_way_match" ->
+      ("**Look for:** scan-shaped end to end — one lineitem FileScan, " +
+        "the (order, line) grain partial+final HashAggregate, the " +
+        "md5-ticket GR/IV derivations and tolerance predicates as ONE " +
+        "codegen'd projection, and a 4-row status aggregate. No join " +
+        "at all."),
+    "q268_rfm_segments" ->
+      ("**Look for:** the order fact reduced to CUSTOMER grain by one " +
+        "partial+final aggregate FIRST, then three ScalableRank ntile " +
+        "stages each appearing as a localCheckpointed ExistingRDD (no " +
+        "unpartitioned window anywhere), a map-side CASE-ladder " +
+        "projection, and a 6-row segment aggregate."),
+    "q269_fulfillment_cycle" ->
+      ("**Look for:** one lineitem partial+final aggregate to order " +
+        "grain (min/max ship date), a single equi-join to orders, and " +
+        "one priority-sized aggregate computing the late share as an " +
+        "integer division INSIDE the final aggregate — no window, no " +
+        "per-row late flags materialized."),
+    "q270_l_diversity" ->
+      ("**Look for:** two chained partial+final HashAggregates — " +
+        "groupBy(QI) carrying count + exact count(DISTINCT segment) " +
+        "whose partials are bounded by the 5-value segment domain " +
+        "(never a raw-row shuffle per distinct), then the " +
+        "nation-sized rollup. No window, no join."),
+    "q271_lm_quality_filter" ->
+      ("**Look for:** the corpus bigram explode materialized ONCE " +
+        "(localCheckpointed ExistingRDD read by the model-build and " +
+        "the scoring subtrees), the model assembled by " +
+        "vocabulary-bounded aggregates, a LEFT equi-join of per-doc " +
+        "bigram counts to the model with the OOV backoff as a " +
+        "map-side coalesce, and a doc-count-sized final aggregate."),
+    "q272_link_predict" ->
+      ("**Look for:** the truncation rank window partitioned by " +
+        "SUPPLIER (bounded groups, never global), pair generation as " +
+        "an equi self-join on sk over the ≤8-row truncated neighbor " +
+        "lists (the d² hub blowup is structurally capped at C(8,2) " +
+        "per key), the full-degree weight joined from the degree " +
+        "aggregate, and TakeOrderedAndProject for the top-20 — no " +
+        "full sort."),
+    "q273_uom_rollup" ->
+      ("**Look for:** the conversion ladder derived in the PART " +
+        "DIMENSION subtree and arriving as a BroadcastHashJoin onto " +
+        "the lineitem scan; the unit dispatch and base-quantity " +
+        "multiply as one codegen'd projection; one brand-sized " +
+        "partial+final aggregate. The fact side carries no " +
+        "per-row conversion state."),
+    "q274_seasonal_index" ->
+      ("**Look for:** one orders⋈customer equi-join feeding the " +
+        "(segment, month) partial+final HashAggregate, then the 5-row " +
+        "per-segment totals returning as a BroadcastHashJoin (keyed on " +
+        "segment — not a cross join) with the index as a map-side " +
+        "integer projection. No window anywhere."),
+    "q275_mv_retract" ->
+      ("**Look for:** the stored-MV parquet scan unioned with the " +
+        "SIGNED delta partial aggregate (two delta-term order scans — " +
+        "inserts and tombstone images, both CDC-sized in production), " +
+        "one final month-sized re-aggregate, and the count>0 filter " +
+        "dropping vanished groups. History is never re-aggregated; " +
+        "the only fact-sized stages are the delta terms."),
+    "q276_promo_uplift" ->
+      ("**Look for:** ONE pass over the fact — lineitem⋈orders " +
+        "equi-join, the part treatment flag arriving as a " +
+        "BroadcastHashJoin, a single 4-group partial+final " +
+        "HashAggregate, and the 4-row frame pivoting to the one-row " +
+        "report via a second tiny aggregate. No window, no self-join, " +
+        "no repeated fact scan per cell."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
