@@ -466,7 +466,60 @@ object TpchShapes {
       .orderBy("s_name")
   }
 
+  /** q276 pivot year: orders at or after it are the "after" period —
+    * a fixed campaign date (the generator's year range is fixed, so the
+    * literal is scale-invariant; production passes its launch date). */
+  private[ops] val UpliftPivotYear = 1998
+
+  /** q276: promotion uplift as difference-in-differences — the
+    * campaign-measurement report: did PROMO parts' average line value
+    * move differently across the campaign date than everything else's?
+    * The 2×2 design (treated = PROMO parts / control = all others ×
+    * before / after [[UpliftPivotYear]]) controls for the market-wide
+    * trend a naive before/after comparison conflates with the
+    * campaign: uplift = (T_after/T_before) ÷ (C_after/C_before), in
+    * basis points on the integer-cents average grid (per-cell integer
+    * avg first, so every product stays < 2⁶² — the q264 domain-bound
+    * discipline).
+    *
+    * Scale shape: one lineitem⋈orders equi-join (the date lookup), one
+    * broadcast part join (the treatment flag), ONE partial+final
+    * 4-group aggregate, then the 4-row frame pivots to the one-row
+    * report by conditional aggregation — no window, no self-join; the
+    * report costs a 100 TB fact exactly one pass. */
+  def q276PromoUplift(s: SparkSession, dir: String): DataFrame = {
+    val cells = T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("c2"))
+      .join(T(s, dir, "orders")
+        .select(col("o_orderkey"), expr("year(o_orderdate)").as("yr")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T(s, dir, "part").select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("treated", col("p_type") === "PROMO")
+      .withColumn("after", col("yr") >= UpliftPivotYear)
+      .groupBy("treated", "after")
+      .agg(count(lit(1)).as("n"), sum("c2").as("rev"))
+      .withColumn("avg_c2", expr("rev div n"))
+    def cell(t: Boolean, a: Boolean, c: String) =
+      max(when(col("treated") === t && col("after") === a, col(c)))
+    cells.agg(
+        cell(t = true, a = false, "n").as("n_tb"),
+        cell(t = true, a = true, "n").as("n_ta"),
+        cell(t = false, a = false, "n").as("n_cb"),
+        cell(t = false, a = true, "n").as("n_ca"),
+        cell(t = true, a = false, "avg_c2").as("tb_avg_c2"),
+        cell(t = true, a = true, "avg_c2").as("ta_avg_c2"),
+        cell(t = false, a = false, "avg_c2").as("cb_avg_c2"),
+        cell(t = false, a = true, "avg_c2").as("ca_avg_c2"))
+      .withColumn("treated_bp", expr("(ta_avg_c2 * 10000) div tb_avg_c2"))
+      .withColumn("control_bp", expr("(ca_avg_c2 * 10000) div cb_avg_c2"))
+      .withColumn("did_bp",
+        expr("(ta_avg_c2 * cb_avg_c2 * 10000) div (tb_avg_c2 * ca_avg_c2)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_promo_uplift" -> q276PromoUplift _,
     "q134_order_priority" -> q134OrderPriority _,
     "q135_revenue_forecast" -> q135RevenueForecast _,
     "q136_nation_volume" -> q136NationVolume _,
@@ -495,6 +548,39 @@ object TpchShapes {
       |  FROM lineitem GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q276: identical 2×2 cells, identical per-cell integer avg and
+    // ratio arithmetic (avg first keeps every product in range)
+    "q276_promo_uplift" ->
+      s"""WITH j AS (SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT) AS c2,
+        |             p.p_type = 'PROMO' AS treated,
+        |             year(o.o_orderdate) >= $UpliftPivotYear AS a
+        |           FROM lineitem l
+        |           JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |           JOIN part p ON l.l_partkey = p.p_partkey),
+        |cells AS (SELECT treated, a, count(*) AS n,
+        |            sum(c2) // count(*) AS avg_c2
+        |          FROM j GROUP BY 1, 2),
+        |pv AS (SELECT
+        |         max(CASE WHEN treated AND NOT a THEN n END) AS n_tb,
+        |         max(CASE WHEN treated AND a THEN n END) AS n_ta,
+        |         max(CASE WHEN NOT treated AND NOT a THEN n END) AS n_cb,
+        |         max(CASE WHEN NOT treated AND a THEN n END) AS n_ca,
+        |         max(CASE WHEN treated AND NOT a THEN avg_c2 END) AS tb_avg_c2,
+        |         max(CASE WHEN treated AND a THEN avg_c2 END) AS ta_avg_c2,
+        |         max(CASE WHEN NOT treated AND NOT a THEN avg_c2 END) AS cb_avg_c2,
+        |         max(CASE WHEN NOT treated AND a THEN avg_c2 END) AS ca_avg_c2
+        |       FROM cells)
+        |SELECT CAST(n_tb AS BIGINT) AS n_tb, CAST(n_ta AS BIGINT) AS n_ta,
+        |       CAST(n_cb AS BIGINT) AS n_cb, CAST(n_ca AS BIGINT) AS n_ca,
+        |       CAST(tb_avg_c2 AS BIGINT) AS tb_avg_c2,
+        |       CAST(ta_avg_c2 AS BIGINT) AS ta_avg_c2,
+        |       CAST(cb_avg_c2 AS BIGINT) AS cb_avg_c2,
+        |       CAST(ca_avg_c2 AS BIGINT) AS ca_avg_c2,
+        |       CAST((ta_avg_c2 * 10000) // tb_avg_c2 AS BIGINT) AS treated_bp,
+        |       CAST((ca_avg_c2 * 10000) // cb_avg_c2 AS BIGINT) AS control_bp,
+        |       CAST((ta_avg_c2 * cb_avg_c2 * 10000)
+        |            // (tb_avg_c2 * ca_avg_c2) AS BIGINT) AS did_bp
+        |FROM pv""".stripMargin,
     "q134_order_priority" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders o

@@ -184,9 +184,62 @@ object MvRefresh {
       .agg(count(lit(1)).as("n_rows"), sum("price_c2").as("sum_price_c2"))
       .orderBy("seg")
 
+  // ---- q275: aggregate maintenance under RETRACTION -------------------
+
+  /** Tombstone ticket: ~9% of order keys receive a delete image in
+    * today's load (GDPR erasure, cancellations, late voids). */
+  private[sink] val RetractMod = 11L
+
+  /** q275: the aggregate-MV algebra q203 deliberately lacks —
+    * RETRACTION. q203's refresh is append-only (union + re-aggregate);
+    * the moment the CDC feed carries deletes, an append-only MV goes
+    * silently stale, and a "full recompute on any delete" falls back to
+    * O(history). The fix is SIGNED partial aggregates: every delta row
+    * carries a weight (+1 insert, −1 tombstone), the delta's partial
+    * aggregate sums `w` and `w·cents`, and the merge is the SAME union
+    * + re-aggregate as q203 — counts and sums are abelian-group
+    * aggregates, so retraction is just addition of inverses. Keys whose
+    * count reaches 0 drop out of the view (the group vanished). The
+    * non-invertible aggregates (min/max, distinct) are exactly the ones
+    * this algebra CANNOT maintain — documented boundary; they need
+    * q221-style recompute or sketch bounds.
+    *
+    * Fixture mechanics: tombstones derive from history by md5 ticket
+    * (mod [[RetractMod]]); in production the delete IMAGES arrive on
+    * the CDC feed (the q183/q257 contract) — the stored MV is never
+    * re-read beyond its months-sized self, and the base scan here
+    * stands in for the delta feed. Graded against a raw recompute with
+    * the deletions applied declaratively. */
+  def q275MvRetract(s: SparkSession, dir: String): DataFrame = {
+    val base = s.read.parquet(ensureBaseAgg(s, dir))
+      .select(col("o_month"), col("n_orders").as("w"),
+        col("sum_price_c2").as("wc"))
+    val tick = s"cast(conv(substring(md5(concat('ret:', " +
+      s"cast(o_orderkey as string))), 1, 12), 16, 10) as bigint) % $RetractMod = 0"
+    // tombstones ticket over the WHOLE key space: a batch-2 key hit by
+    // the ticket arrives as insert + same-day void (+1 then −1, net 0)
+    // — the CDC feed's normal shape, and what keeps the oracle free of
+    // the engine-specific batch hash
+    val inserts = T(s, dir, "orders").filter(batchTag >= 8)
+      .withColumn("w", lit(1L))
+    val tombs = T(s, dir, "orders").filter(expr(tick))
+      .withColumn("w", lit(-1L))
+    val delta = inserts.unionByName(tombs)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .groupBy("o_month")
+      .agg(sum("w").as("w"),
+        sum(expr("w * cast(round(o_totalprice * 100) as bigint)")).as("wc"))
+    base.unionByName(delta)
+      .groupBy("o_month")
+      .agg(sum("w").as("n_orders"), sum("wc").as("sum_price_c2"))
+      .filter(col("n_orders") > 0)
+      .orderBy("o_month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_mv_refresh" -> q203MvRefresh _,
     "q257_join_mv" -> q257JoinMv _,
+    "q275_mv_retract" -> q275MvRetract _,
   )
 
   /** The oracle is the FULL recompute over all history — equality
@@ -215,6 +268,18 @@ object MvRefresh {
         |       CAST(sum(a.price_c2) AS BIGINT) AS sum_price_c2
         |FROM aq a JOIN bq b ON a.o_custkey = b.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q275: the raw recompute with deletions applied declaratively —
+    // history minus the tombstone ticket, plus today's batch untouched
+    "q275_mv_retract" ->
+      s"""WITH live AS (
+        |  SELECT o_orderdate, o_totalprice FROM orders
+        |  WHERE ('0x' || substr(md5('ret:' || o_orderkey::VARCHAR), 1, 12))::BIGINT
+        |          % $RetractMod <> 0)
+        |SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_price_c2
+        |FROM live GROUP BY 1 HAVING count(*) > 0 ORDER BY 1""".stripMargin,
     "q203_mv_refresh" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
         |       CAST(count(*) AS BIGINT) AS n_orders,

@@ -343,6 +343,38 @@ class ErpSpec extends AnyFunSuite {
       "ticket range never lands in-tolerance")
   }
 
+  test("q274 equals the driver-side index walk; indices straddle the " +
+    "10000 average and sum back to ~120000 per segment") {
+    val seg = T(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = T(spark, dir, "orders")
+      .select(col("o_custkey"), expr("month(o_orderdate)"),
+        expr("cast(round(o_totalprice * 100) as bigint)"))
+      .collect().map(r => (seg(r.getLong(0)), r.getInt(1), r.getLong(2)))
+    val want = rows.groupBy(r => (r._1, r._2)).map { case ((sg, m), rs) =>
+      (sg, m) -> (rs.length.toLong, rs.map(_._3).sum) }
+    val totals = rows.groupBy(_._1).map { case (sg, rs) =>
+      sg -> rs.map(_._3).sum }
+    val got = graft.SparkEntry.queries("q274_seasonal_index")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case ((sg, m), (n, rev, bp)) =>
+      assert((n, rev) == want((sg, m)), s"cell ($sg, $m)")
+      assert(bp == rev * 12 * 10000 / totals(sg), s"index ($sg, $m)")
+    }
+    // seasonality is visible: some month above and some below average
+    assert(got.values.exists(_._3 > 10000) && got.values.exists(_._3 < 10000))
+    // indices are shares ×12: per segment they sum to 120000 minus the
+    // per-month truncation (< 12 bp total)
+    got.keys.map(_._1).toSeq.distinct.foreach { sg =>
+      val s12 = got.collect { case ((g, _), (_, _, bp)) if g == sg => bp }.sum
+      assert(s12 <= 120000L && s12 > 120000L - 12, s"segment $sg sums to $s12")
+    }
+  }
+
   /** The SQL-ntile layout over an already-sorted sequence: first
     * N mod n buckets get one extra row (ScalableRank.withNtile's
     * contract, recomputed independently). */

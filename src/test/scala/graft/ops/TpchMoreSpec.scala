@@ -122,4 +122,39 @@ class TpchMoreSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan)
     assert(plan.contains("GreaterThanOrEqual("), plan)
   }
+
+  test("q276 equals the driver-side 2x2 diff-in-diff walk; all four " +
+    "cells populate and the DiD composes the two ratios") {
+    val part = T(spark, Sf, "part").select("p_partkey", "p_type")
+      .collect().map(r => r.getLong(0) -> (r.getString(1) == "PROMO")).toMap
+    val year = T(spark, Sf, "orders")
+      .selectExpr("o_orderkey", "year(o_orderdate)")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cells = T(spark, Sf, "lineitem")
+      .selectExpr("l_orderkey", "l_partkey",
+        "cast(round(l_extendedprice * 100) as bigint)")
+      .collect()
+      .map(r => ((part(r.getLong(1)),
+        year(r.getLong(0)) >= TpchShapes.UpliftPivotYear), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (k, rs) =>
+        k -> (rs.length.toLong, rs.map(_._2).sum / rs.length) }
+    assert(cells.keySet.size == 4, "a 2x2 cell is empty — weak fixture")
+    val (tb, ta) = (cells((true, false)), cells((true, true)))
+    val (cb, ca) = (cells((false, false)), cells((false, true)))
+    val row = graft.SparkEntry.queries("q276_promo_uplift")(spark, Sf)
+      .collect().head
+    assert(row.getLong(0) == tb._1 && row.getLong(1) == ta._1 &&
+      row.getLong(2) == cb._1 && row.getLong(3) == ca._1)
+    assert(row.getLong(4) == tb._2 && row.getLong(5) == ta._2 &&
+      row.getLong(6) == cb._2 && row.getLong(7) == ca._2)
+    assert(row.getLong(8) == ta._2 * 10000 / tb._2)
+    assert(row.getLong(9) == ca._2 * 10000 / cb._2)
+    assert(row.getLong(10) == ta._2 * cb._2 * 10000 / (tb._2 * ca._2))
+    // the DiD is the ratio of ratios up to integer truncation: within
+    // 2 bp of treated_bp * 1e4 / control_bp
+    val approx = row.getLong(8) * 10000 / row.getLong(9)
+    assert(math.abs(approx - row.getLong(10)) <= 2,
+      s"DiD ${row.getLong(10)} vs composed $approx")
+  }
 }
