@@ -946,7 +946,19 @@ object PlanAudit {
         "BroadcastHashJoin, a single 4-group partial+final " +
         "HashAggregate, and the 4-row frame pivoting to the one-row " +
         "report via a second tiny aggregate. No window, no self-join, " +
-        "no repeated fact scan per cell."))
+        "no repeated fact scan per cell."),
+    "q277_posting_period" ->
+      ("**Look for:** one orders FileScan feeding a single codegen'd " +
+        "projection (ticket lateness, last_day + grace deadline, the " +
+        "posting-month CASE) into one month-sized partial+final " +
+        "HashAggregate — no join, no window; the close reconciliation " +
+        "costs a 100 TB ledger one pass."),
+    "q278_benford_audit" ->
+      ("**Look for:** one orders scan, the first-digit extraction as a " +
+        "substring of the BIGINT's decimal rendering (no float log " +
+        "anywhere), a 9-row partial+final HashAggregate, and the 1-row " +
+        "total returning as a literal (driver scalar) in the share " +
+        "projection. Constant-sized output at any volume."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

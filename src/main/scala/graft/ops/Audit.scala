@@ -299,14 +299,71 @@ object Audit {
       .orderBy("seg")
   }
 
+  /** Benford first-digit expectations ⌊log₁₀(1+1/d)·10⁴⌋ bp, d = 1–9 —
+    * a fixed constant table (sums to 9995; the missing bp are the
+    * per-digit floors), interpolated into BOTH engines so the law itself can
+    * never drift between them. */
+  private[ops] val BenfordBp =
+    Seq(3010L, 1760L, 1249L, 969L, 791L, 669L, 579L, 511L, 457L)
+
+  /** q278: Benford first-digit audit — the forensic-accounting screen
+    * (fraud teams run it over journal entries; fabricated amounts skew
+    * toward mid digits): the distribution of leading significant
+    * digits of order amounts against Benford's law, per digit: observed
+    * count, observed share (bp), expected share (bp), absolute
+    * deviation (bp). The verdict threshold is the CONSUMER's (audit
+    * policy); this op is the measurement — and on TPC-H's
+    * uniform-generated prices the deviation is predictably LARGE,
+    * which is exactly what the audit should say about synthetic data
+    * (BenfordSpec pins that it does).
+    *
+    * The first digit of an integer-cents amount is engine-exact
+    * (leading char of the BIGINT's decimal rendering — no float log,
+    * no locale); one scan, one 9-row aggregate, one 1-row total
+    * broadcast back. */
+  def q278BenfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val obs = T(s, dir, "orders")
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("c2"))
+      .filter(col("c2") > 0)
+      .withColumn("digit", expr("cast(substring(cast(c2 as string), 1, 1) as int)"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = obs.agg(sum("n")).collect()(0).getLong(0)
+    val exp = BenfordBp.zipWithIndex
+      .map { case (bp, i) => s"when digit = ${i + 1} then ${bp}L" }
+      .mkString("case ", " ", " end")
+    obs
+      .withColumn("share_bp", expr(s"(n * 10000) div ${tot}L"))
+      .withColumn("benford_bp", expr(exp))
+      .withColumn("dev_bp", expr("abs(share_bp - benford_bp)"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_integrity_audit" -> q207IntegrityAudit _,
     "q208_winsorize" -> q208Winsorize _,
     "q223_weighted_quantile" -> q223WeightedQuantile _,
     "q254_impute_median" -> q254ImputeMedian _,
+    "q278_benford_audit" -> q278BenfordAudit _,
   )
 
   val oracle: Map[String, String] = Map(
+    // q278: the same decimal-rendering first digit, the same constant
+    // expectation table (one Seq, interpolated into both engines)
+    "q278_benford_audit" -> {
+      val exp = BenfordBp.zipWithIndex
+        .map { case (bp, i) => s"WHEN digit = ${i + 1} THEN $bp" }
+        .mkString("CASE ", " ", " END")
+      s"""WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c2
+        |           FROM orders WHERE round(o_totalprice * 100) > 0),
+        |d AS (SELECT CAST(substr(c2::VARCHAR, 1, 1) AS INTEGER) AS digit FROM o),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM g)
+        |SELECT digit, CAST(n AS BIGINT) AS n,
+        |       CAST((n * 10000) // tot AS BIGINT) AS share_bp,
+        |       CAST($exp AS BIGINT) AS benford_bp,
+        |       CAST(abs((n * 10000) // tot - ($exp)) AS BIGINT) AS dev_bp
+        |FROM g, t ORDER BY digit""".stripMargin
+    },
     // q254: the identical derived missingness (same md5 ticket), lower
     // median at the same 1-based position, same fill — per-segment
     // windows are fine at oracle scale

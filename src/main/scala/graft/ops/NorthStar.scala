@@ -540,12 +540,23 @@ object NorthStar {
     * are the per-user lead window (q81's ingest-bounded class) and one
     * partial+final aggregate on the bucket id. Per-bucket min/max gaps
     * ride along as the range sanity the histogram consumer reads. */
-  def q211GapHistogram(s: SparkSession, dir: String): DataFrame = {
+  /** The per-gap frame shared by the q211 histogram and the streaming
+    * twin's parity spec ([[graft.streaming.EventStreams.gapPoints]]):
+    * one row per consecutive-event pair, gap attributed to the LATER
+    * event (lag semantics — what a live monitor can emit on arrival;
+    * the gap MULTISET is identical to the lead formulation, so the
+    * graded histogram is unchanged). */
+  def gapPairs(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    T.events(s, dir)
+    events
       .select(col("user_id"), col("tus"), col("event_id"))
-      .withColumn("gap", lead("tus", 1).over(w) - col("tus"))
-      .filter(col("gap").isNotNull)
+      .withColumn("prev_tus", lag("tus", 1).over(w))
+      .filter(col("prev_tus").isNotNull)
+      .withColumn("gap", col("tus") - col("prev_tus"))
+  }
+
+  def q211GapHistogram(s: SparkSession, dir: String): DataFrame = {
+    gapPairs(T.events(s, dir))
       .withColumn("b", when(col("gap") === 0L, lit(-1L))
         .otherwise((length(expr("bin(gap)")) - 1).cast("long")))
       .groupBy("b")

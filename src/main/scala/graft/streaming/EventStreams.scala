@@ -276,6 +276,75 @@ object EventStreams {
       }
   }
 
+  /** One inter-event gap emitted by [[gapPoints]] — the streaming twin
+    * of a [[graft.ops.NorthStar.gapPairs]] row (gap attributed to the
+    * LATER event), with the q211 power-of-2 bucket precomputed. */
+  final case class GapPoint(user_id: Long, event_id: Long, tus: Long,
+                            prev_tus: Long, gap: Long, b: Long)
+
+  /** Internal typed row under [[gapPoints]]. */
+  final case class GapEvent(user_id: Long, event_id: Long,
+                            ts: Timestamp, tus: Long)
+
+  /** Per-user monitor state: the last seen event (two longs). */
+  final case class GapState(lastTus: Long, lastId: Long)
+
+  /** Streaming inter-event-gap monitor — the incremental twin of the
+    * q211 latency-telemetry frame (parity pinned per-gap against the
+    * shared [[graft.ops.NorthStar.gapPairs]] core, the q193/q232/q238
+    * three-way-loop discipline): each arriving event emits the gap to
+    * its predecessor immediately (a live histogram/alerting feed is one
+    * downstream aggregate), bucketed by the same exact integer
+    * ⌊log₂ gap⌋ as the batch histogram.
+    *
+    * State per user is TWO LONGS (last tus + id). Keys are users, so
+    * state scales with ACTIVE users and the event-time timeout evicts
+    * idle ones — the documented contract: a gap longer than the idle
+    * horizon is not reportable (the chain restarts on the next event,
+    * emitting nothing), which is exactly what the eviction deadline
+    * promises and the parity spec pins. Assumes per-user cross-batch
+    * event-time arrival (the closedSessions contract); in-batch
+    * disorder is sorted. */
+  def gapPoints(events: Dataset[SEvent],
+                idleMs: Long = 4L * 3600 * 1000): Dataset[GapPoint] = {
+    implicit val rowEnc: Encoder[GapEvent] = Encoders.product[GapEvent]
+    implicit val outEnc: Encoder[GapPoint] = Encoders.product[GapPoint]
+    implicit val stEnc: Encoder[GapState] = Encoders.product[GapState]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.toDF()
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("unix_micros(ts)").as("tus"))
+      .withWatermark("ts", "2 hours")
+      .as[GapEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[GapEvent], state: GroupState[GapState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq.sortBy(e => (e.tus, e.event_id))
+            val out = Seq.newBuilder[GapPoint]
+            var st = state.getOption.orNull
+            batch.foreach { e =>
+              if (st != null) {
+                val gap = e.tus - st.lastTus
+                val b = if (gap == 0L) -1L
+                  else 63L - java.lang.Long.numberOfLeadingZeros(gap)
+                out += GapPoint(uid, e.event_id, e.tus, st.lastTus, gap, b)
+              }
+              st = GapState(e.tus, e.event_id)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(
+              batch.last.tus / 1000 + idleMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Fully custom sessionization with `flatMapGroupsWithState` +
     * event-time timeouts — the pattern `session_window` can't express
     * (per-session custom state, emit-on-close): a user's open session

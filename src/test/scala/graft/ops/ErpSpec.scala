@@ -375,6 +375,50 @@ class ErpSpec extends AnyFunSuite {
     }
   }
 
+  test("q277 equals the driver-side close-calendar walk; carried and " +
+    "in-period documents both fire, restated months never appear") {
+    val rows = T(spark, dir, "orders")
+      .select(col("o_orderkey"), expr("cast(o_orderdate as date)"),
+        expr("cast(round(o_totalprice * 100) as bigint)"))
+      .collect()
+      .map { r =>
+        val ok = r.getLong(0)
+        val dd = r.getDate(1).toLocalDate
+        val tk = md5Long(s"late:$ok", 12)
+        val late = if (tk % 20 < 3) 1 + (tk / 100) % 40 else 0L
+        val arrival = dd.plusDays(late)
+        val deadline = dd.withDayOfMonth(dd.lengthOfMonth())
+          .plusDays(Erp.GraceDays.toLong)
+        val pm = if (!arrival.isAfter(deadline))
+          f"${dd.getYear}%04d-${dd.getMonthValue}%02d"
+        else f"${arrival.getYear}%04d-${arrival.getMonthValue}%02d"
+        val dm = f"${dd.getYear}%04d-${dd.getMonthValue}%02d"
+        (pm, pm != dm, r.getLong(2))
+      }
+    val want = rows.groupBy(_._1).map { case (m, rs) =>
+      m -> (rs.length.toLong, rs.count(_._2).toLong, rs.map(_._3).sum) }
+    val got = graft.SparkEntry.queries("q277_posting_period")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == want)
+    assert(rows.exists(_._2) && rows.exists(!_._2),
+      "carry-in never fires (or always fires) — the grace gate untested")
+    // a late-but-within-grace document must exist: lateness alone must
+    // NOT imply a carry (the grace window is load-bearing)
+    val withinGrace = T(spark, dir, "orders")
+      .select(col("o_orderkey"), expr("cast(o_orderdate as date)"))
+      .collect().exists { r =>
+        val dd = r.getDate(1).toLocalDate
+        val tk = md5Long(s"late:${r.getLong(0)}", 12)
+        val late = if (tk % 20 < 3) 1 + (tk / 100) % 40 else 0L
+        val deadline = dd.withDayOfMonth(dd.lengthOfMonth())
+          .plusDays(Erp.GraceDays.toLong)
+        late > 0 && !dd.plusDays(late).isAfter(deadline)
+      }
+    assert(withinGrace, "no late-but-within-grace document — weak fixture")
+  }
+
   /** The SQL-ntile layout over an already-sorted sequence: first
     * N mod n buckets get one extra row (ScalableRank.withNtile's
     * contract, recomputed independently). */

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, length, lit, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
@@ -443,5 +443,60 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(want.exists(_._7), "no down alarm in the fixture — untested")
     assert(want.exists(t => !t._6 && !t._7), "no quiet day — degenerate")
     assert(got.size == 16, "timeout flush must emit the final open days")
+  }
+
+  test("gapPoints: the streaming inter-event-gap monitor equals the " +
+    "shared q211 gapPairs core on the same rows, across micro-batch " +
+    "boundaries — zero gaps included; idle eviction restarts the chain") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the shared fixture plus a crafted zero-gap pair (two events, one
+    // instant) so the b = -1 bucket is exercised
+    val crafted = Seq(
+      SEvent(3000L, new Timestamp(base + 42L * 60 * 1000), 8L, "view", 0.25),
+      SEvent(3001L, new Timestamp(base + 42L * 60 * 1000), 8L, "view", 0.25),
+      SEvent(3002L, new Timestamp(base + 90L * 60 * 1000), 8L, "view", 0.25))
+    val fx = (fixture ++ crafted).sortBy(e => (e.ts.getTime, e.event_id))
+    val in = MemoryStream[SEvent]
+    val q = EventStreams.gapPoints(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("parity_gaps")
+      .outputMode("append").start()
+    val (got, afterEvict) =
+      try {
+        fx.grouped(20).foreach { chunk =>
+          in.addData(chunk); q.processAllAvailable()
+        }
+        val before = spark.table("parity_gaps").filter("user_id <> 999")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+        // push the watermark past every user's idle deadline (the
+        // 4-hour default + the 2-hour watermark delay), then send one
+        // more event for user 8: its state was EVICTED, so the chain
+        // restarts and NO gap may be emitted for it
+        in.addData(sentinel(1000, 600)); q.processAllAvailable()
+        in.addData(sentinel(1001, 605)); q.processAllAvailable()
+        in.addData(SEvent(3003L,
+          new Timestamp(base + (600 + 610) * 60 * 1000), 8L, "view", 0.25))
+        q.processAllAvailable()
+        val after = spark.table("parity_gaps").filter("user_id <> 999")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+        (before, after)
+      } finally q.stop()
+    val want = graft.ops.NorthStar.gapPairs(
+        fx.toDF().withColumn("tus", expr("unix_micros(ts)")))
+      .withColumn("b", when(col("gap") === 0L, lit(-1L))
+        .otherwise((length(expr("bin(gap)")) - 1).cast("long")))
+      .selectExpr("user_id", "event_id", "tus", "prev_tus", "gap", "b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == want, "stream diverged from the shared q211 gap core")
+    assert(want.exists(_._6 == -1L), "no zero gap — the -1 bucket untested")
+    assert(want.map(_._6).size > 3, "gap buckets degenerate")
+    assert(afterEvict == got,
+      "an evicted user emitted a cross-horizon gap — TTL contract broken")
   }
 }
