@@ -958,7 +958,45 @@ object PlanAudit {
         "substring of the BIGINT's decimal rendering (no float log " +
         "anywhere), a 9-row partial+final HashAggregate, and the 1-row " +
         "total returning as a literal (driver scalar) in the share " +
-        "projection. Constant-sized output at any volume."))
+        "projection. Constant-sized output at any volume."),
+    "q279_supplier_hhi" ->
+      ("**Look for:** the part dimension arriving as a " +
+        "BroadcastHashJoin onto the lineitem scan, one " +
+        "(brand, supplier) partial+final HashAggregate, the 25-row " +
+        "brand totals returning as a second BroadcastHashJoin (keyed " +
+        "on brand), and a brand-sized rollup with the share/HHI floors " +
+        "as map-side integer projections. No window."),
+    "q280_return_rate_lcb" ->
+      ("**Look for:** one lineitem scan with the part dimension " +
+        "broadcast, a cell-sized partial+final HashAggregate, and the " +
+        "whole LCB chain — shrinkage floors, the double sqrt estimate, " +
+        "the ±2 candidate correction — as ONE codegen'd projection " +
+        "over the aggregate output. No join after the aggregate, no " +
+        "window, no UDF."),
+    "q281_repeat_curve" ->
+      ("**Look for:** NO per-order window — the per-customer count " +
+        "aggregate feeds a bounded Generate (explode of " +
+        "sequence(1, cnt)), one n-sized partial+final HashAggregate, " +
+        "and the conversion self-join runs on the max-n-sized frame " +
+        "(a broadcast join of a few dozen rows)."),
+    "q282_price_volume_mix" ->
+      ("**Look for:** ONE pass over the fact — lineitem⋈orders with " +
+        "the year filter, the part brand broadcast, a single " +
+        "(brand, year) partial+final HashAggregate — and the bridge " +
+        "arithmetic on the brand-sized frame joined across the two " +
+        "years broadcast. The fact table is never self-joined."),
+    "q283_ic_elimination" ->
+      ("**Look for:** the supplier and customer nation lookups " +
+        "arriving as BroadcastHashJoins onto the single " +
+        "lineitem⋈orders fact join, the intra-group predicate as a " +
+        "map-side integer compare, and one region-sized partial+final " +
+        "aggregate. No self-join, no second fact pass."),
+    "q284_embedding_drift" ->
+      ("**Look for:** ONE embeddings scan feeding a ×dim Generate " +
+        "(posexplode) into a (label, half, pos) partial+final " +
+        "HashAggregate; every join after that runs on the " +
+        "dim×labels-sized aggregate frame (broadcast), and the final " +
+        "rollup is label-sized. No window, no corpus re-read."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -338,7 +338,48 @@ object Audit {
       .orderBy("digit")
   }
 
+  /** q280: return-rate ranking by LOWER CONFIDENCE BOUND — the
+    * small-sample ranking discipline (Evan Miller's "how not to sort by
+    * average rating", the Wilson/Agresti–Coull move): per (brand, size)
+    * cell, the raw return rate over-ranks tiny cells (2 of 3 returned
+    * beats 300 of 1000 on raw rate; it must not), so cells rank by
+    * p̃ − 2·σ̃ with p̃ = (x+2)/(n+4) — the +2/+4 shrinkage prior plus a
+    * two-sigma penalty that grows as n shrinks.
+    *
+    * Everything is exact integer arithmetic: p̃ in bp by floor
+    * division, σ̃·10⁴ = isqrt(p̃_bp·(10⁴−p̃_bp) div (n+4)) with the
+    * ⌊√·⌋ computed as the double estimate corrected by the ±2
+    * monotone candidate window (the FixQuantum/q160 isqrt discipline —
+    * no float comparison survives to the output). One lineitem⋈part
+    * broadcast join, one cell-sized partial+final aggregate, one
+    * codegen'd projection. AuditLcbSpec pins a BigInt-sqrt recompute
+    * AND the reason to exist: some cell pair ranks differently by raw
+    * rate than by LCB. */
+  def q280ReturnRateLcb(s: SparkSession, dir: String): DataFrame = {
+    val cells = T(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        (col("l_returnflag") === "R").cast("long").as("r"))
+      .join(broadcast(T(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(count(lit(1)).as("n"), sum("r").as("x"))
+    cells
+      .withColumn("p_bp", expr("((x + 2) * 10000) div (n + 4)"))
+      .withColumn("vv", expr("(p_bp * (10000 - p_bp)) div (n + 4)"))
+      .withColumn("t0", expr("cast(floor(sqrt(cast(vv as double))) as bigint)"))
+      .withColumn("sig", expr(
+        "t0 - 2 + (case when t0 - 1 < 0 or (t0-1)*(t0-1) <= vv then 1 else 0 end)" +
+          " + (case when t0 < 0 or t0*t0 <= vv then 1 else 0 end)" +
+          " + (case when (t0+1)*(t0+1) <= vv then 1 else 0 end)" +
+          " + (case when (t0+2)*(t0+2) <= vv then 1 else 0 end)"))
+      .withColumn("lcb_bp", greatest(lit(0L), expr("p_bp - 2 * sig")))
+      .select("p_brand", "p_size", "n", "x", "p_bp", "lcb_bp")
+      .orderBy("p_brand", "p_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_return_rate_lcb" -> q280ReturnRateLcb _,
     "q207_integrity_audit" -> q207IntegrityAudit _,
     "q208_winsorize" -> q208Winsorize _,
     "q223_weighted_quantile" -> q223WeightedQuantile _,
@@ -347,6 +388,30 @@ object Audit {
   )
 
   val oracle: Map[String, String] = Map(
+    // q280: identical shrinkage, floors, and the ±2-corrected isqrt
+    "q280_return_rate_lcb" ->
+      """WITH cells AS (SELECT p.p_brand, p.p_size, count(*) AS n,
+        |                 sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS x
+        |               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |               GROUP BY 1, 2),
+        |e AS (SELECT p_brand, p_size, n, x,
+        |        ((x + 2) * 10000) // (n + 4) AS p_bp,
+        |        (((x + 2) * 10000) // (n + 4) * (10000 - ((x + 2) * 10000) // (n + 4)))
+        |          // (n + 4) AS vv
+        |      FROM cells),
+        |s AS (SELECT *, CAST(floor(sqrt(CAST(vv AS DOUBLE))) AS BIGINT) AS t0 FROM e),
+        |c AS (SELECT p_brand, p_size, n, x, p_bp,
+        |        t0 - 2
+        |        + (CASE WHEN t0 - 1 < 0 OR (t0-1)*(t0-1) <= vv THEN 1 ELSE 0 END)
+        |        + (CASE WHEN t0 < 0 OR t0*t0 <= vv THEN 1 ELSE 0 END)
+        |        + (CASE WHEN (t0+1)*(t0+1) <= vv THEN 1 ELSE 0 END)
+        |        + (CASE WHEN (t0+2)*(t0+2) <= vv THEN 1 ELSE 0 END) AS sig
+        |      FROM s)
+        |SELECT p_brand, CAST(p_size AS INTEGER) AS p_size,
+        |       CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+        |       CAST(p_bp AS BIGINT) AS p_bp,
+        |       CAST(greatest(0, p_bp - 2 * sig) AS BIGINT) AS lcb_bp
+        |FROM c ORDER BY 1, 2""".stripMargin,
     // q278: the same decimal-rendering first digit, the same constant
     // expectation table (one Seq, interpolated into both engines)
     "q278_benford_audit" -> {

@@ -1498,7 +1498,58 @@ object Curation {
       .orderBy("source")
   }
 
+  // ---- q284: embedding centroid drift ---------------------------------
+
+  /** q284: per-label embedding drift between two corpus versions — the
+    * model-ops check run after every embedder upgrade or corpus
+    * refresh: did a class's centroid MOVE? Versions are the vec_id
+    * parity halves (production joins two snapshot tables); the drift
+    * statistic is the L1 distance between the two centroids,
+    * CROSS-MULTIPLIED to stay integer-exact: per component,
+    * |s₁ᵢ·n₂ − s₂ᵢ·n₁| over component sums on the 2¹⁶ fixed-point grid
+    * (the oQ quantization — one singly-rounded double→grid cast per
+    * component, then every reduction is an associative integer sum, so
+    * no accumulation order anywhere can move a bit; the q160/FixDot
+    * discipline applied to centroid arithmetic). Division by n₁·n₂
+    * would reintroduce rounding, so the report carries the
+    * cross-multiplied statistic plus both counts — consumers compare
+    * drifts at equal n, or divide at read time.
+    *
+    * Bounds: |component| ≤ ~1 → s ≤ n·2¹⁶; the cross product ≤
+    * n₁·n₂·2¹⁷ — at 10⁶ vectors per label per side that is ~2⁵⁷,
+    * in range; beyond that, pre-divide the sums by a power of two.
+    *
+    * Scale shape: one posexplode (×dim Generate), one
+    * (label, half, pos) partial+final aggregate (dim×labels×2 rows),
+    * the halves joined on the TINY aggregate frame, one label rollup.
+    * The corpus is read once. */
+  def q284EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val comp = T(s, dir, "embeddings")
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("q",
+        expr("cast(floor(cast(v as double) * 65536.0 + 0.5) as bigint)"))
+      .groupBy("label", "half", "pos")
+      .agg(sum("q").as("s"))
+    val counts = T(s, dir, "embeddings")
+      .groupBy(col("label"), (col("vec_id") % 2).as("half"))
+      .agg(count(lit(1)).as("n"))
+    val h0 = comp.filter(col("half") === 0)
+      .join(counts.filter(col("half") === 0).select("label", "n"), "label")
+      .select(col("label"), col("pos"), col("s").as("s1"), col("n").as("n1"))
+    val h1 = comp.filter(col("half") === 1)
+      .join(counts.filter(col("half") === 1).select("label", "n"), "label")
+      .select(col("label"), col("pos"), col("s").as("s2"), col("n").as("n2"))
+    h0.join(h1, Seq("label", "pos"))
+      .withColumn("term", expr("abs(s1 * n2 - s2 * n1)"))
+      .groupBy("label")
+      .agg(max("n1").as("n1"), max("n2").as("n2"),
+        sum("term").as("drift_l1x"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q284_embedding_drift" -> q284EmbeddingDrift _,
     "q247_bitemporal_pit" -> q247BitemporalPit _,
     "q245_blocklist_filter" -> q245BlocklistFilter _,
     "q243_skyline_3d" -> q243Skyline3d _,
@@ -1568,6 +1619,31 @@ object Curation {
       |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q284: the same 2^16 grid quantization (singly-rounded), integer
+    // component sums, and the cross-multiplied L1 — no division
+    "q284_embedding_drift" ->
+      """WITH c AS (SELECT label, vec_id % 2 AS half,
+        |             unnest([{'pos': i,
+        |                      'q': CAST(floor(CAST(embedding[i] AS DOUBLE)
+        |                                      * 65536.0 + 0.5) AS BIGINT)}
+        |                     for i in range(1, len(embedding) + 1)],
+        |                    recursive := true)
+        |           FROM embeddings),
+        |sums AS (SELECT label, half, pos, CAST(sum(q) AS BIGINT) AS s
+        |         FROM c GROUP BY 1, 2, 3),
+        |n AS (SELECT label, vec_id % 2 AS half, count(*) AS n
+        |      FROM embeddings GROUP BY 1, 2),
+        |h0 AS (SELECT s.label, s.pos, s.s AS s1, n.n AS n1
+        |       FROM sums s JOIN n ON s.label = n.label AND n.half = 0
+        |       WHERE s.half = 0),
+        |h1 AS (SELECT s.label, s.pos, s.s AS s2, n.n AS n2
+        |       FROM sums s JOIN n ON s.label = n.label AND n.half = 1
+        |       WHERE s.half = 1)
+        |SELECT h0.label, CAST(max(n1) AS BIGINT) AS n1,
+        |       CAST(max(n2) AS BIGINT) AS n2,
+        |       CAST(sum(abs(s1 * n2 - s2 * n1)) AS BIGINT) AS drift_l1x
+        |FROM h0 JOIN h1 ON h0.label = h1.label AND h0.pos = h1.pos
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q229: dominance stated DECLARATIVELY (NOT EXISTS over the
     // per-cost collapsed table) — a hash match proves the Spark
     // prefix-max sweep computes exactly the non-dominated set

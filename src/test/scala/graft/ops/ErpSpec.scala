@@ -419,6 +419,132 @@ class ErpSpec extends AnyFunSuite {
     assert(withinGrace, "no late-but-within-grace document — weak fixture")
   }
 
+  test("q279 equals the driver-side HHI walk; concentration spans the " +
+    "spectrum (no single-value report)") {
+    val brand = T(spark, dir, "part").select("p_partkey", "p_brand")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vols = T(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint)"))
+      .collect().map(r => ((brand(r.getLong(0)), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).sum }
+    val want = vols.groupBy(_._1._1).map { case (b, sup) =>
+      val tot = sup.values.sum
+      val shares = sup.values.map(v => v * 10000 / tot)
+      b -> (sup.size.toLong, shares.max,
+        shares.map(s => s * s).sum / 10000)
+    }
+    val got = graft.SparkEntry.queries("q279_supplier_hhi")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (b, (n, top, hhi)) =>
+      assert(got(b) == ((n, top, hhi, hhi > 2500L)), s"brand $b")
+    }
+    // HHI must vary across brands or the report is a constant
+    assert(got.values.map(_._3).toSeq.distinct.size > 1)
+    // atomization sanity: a brand with many suppliers has HHI below
+    // the single-source ceiling
+    assert(got.values.exists { case (n, _, hhi, _) => n >= 5 && hhi < 2500 })
+  }
+
+  test("q281 equals the driver-side repeat-curve walk; the curve is " +
+    "monotone non-increasing and conversion is genuinely partial") {
+    val counts = T(spark, dir, "orders").select("o_custkey")
+      .collect().map(_.getLong(0))
+      .groupBy(identity).map(_._2.size.toLong)
+    val maxN = counts.max
+    val want = (1L to maxN).map { n =>
+      val at = counts.count(_ >= n).toLong
+      val nxt = counts.count(_ >= n + 1).toLong
+      (n, at, nxt * 10000 / at)
+    }
+    val got = graft.SparkEntry.queries("q281_repeat_curve")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse,
+      "customers-at-n is not non-increasing — explode lowering broken")
+    assert(got.exists(r => r._3 > 0 && r._3 < 10000),
+      "no partial conversion step — degenerate curve")
+    assert(got.last._3 == 0L, "the last step must convert nobody")
+  }
+
+  test("q282 bridge conserves exactly per brand (vol + price + residual " +
+    "== delta revenue) and equals the driver walk") {
+    val brand = T(spark, dir, "part").select("p_partkey", "p_brand")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val year = T(spark, dir, "orders")
+      .selectExpr("o_orderkey", "year(o_orderdate)")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val by = T(spark, dir, "lineitem")
+      .selectExpr("l_orderkey", "l_partkey", "cast(l_quantity as bigint)",
+        "cast(round(l_extendedprice * 100) as bigint)")
+      .collect()
+      .map(r => ((brand(r.getLong(1)), year(r.getLong(0))),
+        (r.getLong(2), r.getLong(3))))
+      .filter(r => r._1._2 == Erp.PvmY1 || r._1._2 == Erp.PvmY2)
+      .groupBy(_._1)
+      .map { case (k, rs) =>
+        k -> (rs.map(_._2._1).sum, rs.map(_._2._2).sum) }
+    val want = by.keys.map(_._1).toSeq.distinct.sorted.flatMap { b =>
+      (by.get((b, Erp.PvmY1)), by.get((b, Erp.PvmY2))) match {
+        case (Some((q1, r1)), Some((q2, r2))) =>
+          val (p1, p2) = (r1 / q1, r2 / q2)
+          val vol = (q2 - q1) * p1
+          val price = (p2 - p1) * q2
+          Some((b, r1, r2, vol, price, (r2 - r1) - vol - price))
+        case _ => None
+      }
+    }
+    val got = graft.SparkEntry.queries("q282_price_volume_mix")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    got.foreach { case (b, r1, r2, vol, price, res) =>
+      assert(vol + price + res == r2 - r1, s"brand $b bridge leaks")
+    }
+    assert(got.exists(_._4 != 0L) && got.exists(_._5 != 0L),
+      "an effect is identically zero — degenerate bridge")
+  }
+
+  test("q283 equals the driver-side elimination walk; intra-group trade " +
+    "exists and gross == eliminated + net") {
+    val custN = T(spark, dir, "customer").select("c_custkey", "c_nationkey")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val region = T(spark, dir, "nation").select("n_nationkey", "n_regionkey")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val suppN = T(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ordC = T(spark, dir, "orders").select("o_orderkey", "o_custkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = T(spark, dir, "lineitem")
+      .selectExpr("l_orderkey", "l_suppkey",
+        "cast(round(l_extendedprice * 100) as bigint)")
+      .collect().map { r =>
+        val cn = custN(ordC(r.getLong(0)))
+        (region(cn), suppN(r.getLong(1)) == cn, r.getLong(2))
+      }
+    val want = rows.groupBy(_._1).map { case (rg, rs) =>
+      val g = rs.map(_._3).sum
+      val e = rs.filter(_._2).map(_._3).sum
+      rg -> (rs.length.toLong, g, e, g - e, e * 10000 / g) }
+    val got = graft.SparkEntry.queries("q283_ic_elimination")(spark, dir)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got == want)
+    got.foreach { case (rg, (_, g, e, n, _)) =>
+      assert(g == e + n, s"region $rg does not reconcile") }
+    assert(got.values.exists(_._3 > 0),
+      "no intra-group trade — elimination untested")
+    assert(got.values.forall(v => v._3 < v._2),
+      "a region is ALL intra-group — degenerate")
+  }
+
   /** The SQL-ntile layout over an already-sorted sequence: first
     * N mod n buckets get one extra row (ScalableRank.withNtile's
     * contract, recomputed independently). */
