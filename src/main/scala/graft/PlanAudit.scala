@@ -996,7 +996,27 @@ object PlanAudit {
         "(posexplode) into a (label, half, pos) partial+final " +
         "HashAggregate; every join after that runs on the " +
         "dim×labels-sized aggregate frame (broadcast), and the final " +
-        "rollup is label-sized. No window, no corpus re-read."))
+        "rollup is label-sized. No window, no corpus re-read."),
+    "q285_errata_replay" ->
+      ("**Look for:** two parse subtrees over the WA projection (the " +
+        "good-arity filter and the err-arity filter — in production " +
+        "two different sinks), the repair as a codegen'd " +
+        "regexp_replace, the re-parse, and a broadcast LEFT ANTI join " +
+        "on the key triple guarding the union. No window, no driver " +
+        "loop."),
+    "q286_late_census" ->
+      ("**Look for:** NO global window — the running max over arrival " +
+        "order is ScalableRank.withGlobalCummaxExclusive's " +
+        "localCheckpointed ExistingRDD (per-partition prefix maxes + " +
+        "broadcast offsets); the lateness flags are map-side integer " +
+        "compares feeding one type-sized partial+final aggregate."),
+    "q287_dim_usage" ->
+      ("**Look for:** per dimension, the WINDOWED fact key set " +
+        "collapsing FIRST (year filter + distinct partial+final " +
+        "HashAggregate — a key-only shuffle), then a membership left " +
+        "join against the dimension and a 1-row count; three such " +
+        "subtrees unioned into a 3-row result. Join outputs are " +
+        "dimension-sized, never fact-sized."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

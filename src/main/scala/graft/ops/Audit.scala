@@ -378,7 +378,48 @@ object Audit {
       .orderBy("p_brand", "p_size")
   }
 
+  /** q287: dimension ACTIVITY census — the reverse of q207's FK checks
+    * (children must have parents): how much of each DIMENSION did the
+    * facts touch in the trailing window (the data's final calendar
+    * year — production passes its window)? Inactive members are not
+    * errors — they are cost and risk (an untouched dimension member
+    * still broadcasts, still SCD2-versions, still gets GDPR-swept),
+    * they gate archiving decisions, and a falling active share is the
+    * q202-class signal that a feed stopped writing. One row per
+    * dimension: members, active, inactive, active share (bp).
+    * (All-history referencing is vacuous on this generator — every
+    * member is referenced — which is itself the reason real censuses
+    * are WINDOWED.)
+    *
+    * Scale shape: per dimension, the windowed FACT key set collapses
+    * FIRST (filter + distinct partial+final — a key-only shuffle),
+    * then a membership left join and one 1-row count; the three
+    * dimension rows union. Never a fact-sized join output. */
+  def q287DimUsage(s: SparkSession, dir: String): DataFrame = {
+    def census(dim: DataFrame, key: String, fact: DataFrame,
+               fkey: String, dateCol: String, name: String): DataFrame = {
+      val yr = fact.agg(max(expr(s"year($dateCol)"))).collect()(0).getInt(0)
+      val active = fact.filter(expr(s"year($dateCol) = $yr"))
+        .select(col(fkey).as("_fk")).distinct()
+      dim.select(col(key).as("_k"))
+        .join(active, col("_k") === col("_fk"), "left")
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("_fk").isNotNull, 1L).otherwise(0L)).as("n_active"))
+        .select(lit(name).as("dim"), col("n_members"), col("n_active"),
+          (col("n_members") - col("n_active")).as("n_inactive"),
+          expr("(n_active * 10000) div n_members").as("active_bp"))
+    }
+    census(T(s, dir, "customer"), "c_custkey",
+        T(s, dir, "orders"), "o_custkey", "o_orderdate", "customer")
+      .unionByName(census(T(s, dir, "part"), "p_partkey",
+        T(s, dir, "lineitem"), "l_partkey", "l_shipdate", "part"))
+      .unionByName(census(T(s, dir, "supplier"), "s_suppkey",
+        T(s, dir, "lineitem"), "l_suppkey", "l_shipdate", "supplier"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_dim_usage" -> q287DimUsage _,
     "q280_return_rate_lcb" -> q280ReturnRateLcb _,
     "q207_integrity_audit" -> q207IntegrityAudit _,
     "q208_winsorize" -> q208Winsorize _,
@@ -388,6 +429,30 @@ object Audit {
   )
 
   val oracle: Map[String, String] = Map(
+    // q287: the same derived final-year window and membership shape
+    "q287_dim_usage" ->
+      """WITH oy AS (SELECT max(year(o_orderdate)) AS y FROM orders),
+        |ly AS (SELECT max(year(l_shipdate)) AS y FROM lineitem),
+        |c AS (SELECT count(*) AS m,
+        |        sum(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders, oy
+        |                                    WHERE year(o_orderdate) = oy.y)
+        |            THEN 1 ELSE 0 END) AS r FROM customer),
+        |p AS (SELECT count(*) AS m,
+        |        sum(CASE WHEN p_partkey IN (SELECT l_partkey FROM lineitem, ly
+        |                                    WHERE year(l_shipdate) = ly.y)
+        |            THEN 1 ELSE 0 END) AS r FROM part),
+        |s AS (SELECT count(*) AS m,
+        |        sum(CASE WHEN s_suppkey IN (SELECT l_suppkey FROM lineitem, ly
+        |                                    WHERE year(l_shipdate) = ly.y)
+        |            THEN 1 ELSE 0 END) AS r FROM supplier),
+        |u AS (SELECT 'customer' AS dim, m, r FROM c
+        |      UNION ALL SELECT 'part', m, r FROM p
+        |      UNION ALL SELECT 'supplier', m, r FROM s)
+        |SELECT dim, CAST(m AS BIGINT) AS n_members,
+        |       CAST(r AS BIGINT) AS n_active,
+        |       CAST(m - r AS BIGINT) AS n_inactive,
+        |       CAST((r * 10000) // m AS BIGINT) AS active_bp
+        |FROM u ORDER BY dim""".stripMargin,
     // q280: identical shrinkage, floors, and the ±2-corrected isqrt
     "q280_return_rate_lcb" ->
       """WITH cells AS (SELECT p.p_brand, p.p_size, count(*) AS n,

@@ -729,7 +729,55 @@ object NorthStar {
       .drop("full_hist")
   }
 
+  /** q286 lateness budgets (µs): one minute and one hour. */
+  private[ops] val LateW1 = 60000000L
+  private[ops] val LateW2 = 3600000000L
+
+  /** q286: the late-data census — the measurement every watermark
+    * budget should be SET from instead of guessed: replaying the
+    * event stream in ARRIVAL order, how many events would a watermark
+    * of W have dropped, i.e. arrive with event time below the running
+    * max event time already seen minus W? Reported per event type at
+    * [[LateW1]]/[[LateW2]] with shares in bp — the number that decides
+    * `withWatermark` budgets for every streaming member (RUNBOOK's
+    * watermark row points here).
+    *
+    * Arrival order: production replays the real ingest sequence
+    * (offsets, file order); the fixture's events are perfectly
+    * time-ordered by construction, so arrival is DERIVED as event time
+    * plus a deterministic transit delay (md5 ticket: ~20% of events
+    * delayed up to 2 h) — the census then measures genuine disorder,
+    * and the spec pins both budgets firing differently.
+    *
+    * The scale point: "running max over arrival order" is the global
+    * ordered prefix scan — q286 rides
+    * [[ScalableRank.withGlobalCummaxExclusive]] (range-partitioned
+    * local prefix maxes + broadcast offsets), never a single-task
+    * window; the census is then one type-sized aggregate. */
+  def q286LateCensus(s: SparkSession, dir: String): DataFrame = {
+    val tick = "cast(conv(substring(md5(concat('arr:', " +
+      "cast(event_id as string))), 1, 12), 16, 10) as bigint)"
+    val ev = T.events(s, dir).select("event_id", "event_type", "tus")
+      .withColumn("arr", expr(s"tus + case when $tick % 10 < 2 " +
+        s"then (($tick div 10) % 7200) * 1000000 else 0 end"))
+    ScalableRank.withGlobalCummaxExclusive(ev, col("tus"), "runmax",
+        col("arr"), col("event_id"))
+      .groupBy("event_type")
+      // compared as tus + W < runmax: the global first row carries the
+      // Long.MinValue exclusive-prefix sentinel, and runmax − W would
+      // wrap below it (tus + W cannot overflow on the µs grid)
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("tus") + LateW1 < col("runmax"), 1L).otherwise(0L))
+          .as("late_1m"),
+        sum(when(col("tus") + LateW2 < col("runmax"), 1L).otherwise(0L))
+          .as("late_1h"))
+      .withColumn("late_1m_bp", expr("(late_1m * 10000) div n_events"))
+      .withColumn("late_1h_bp", expr("(late_1h * 10000) div n_events"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q286_late_census" -> q286LateCensus _,
     "q238_ewma_smooth" -> q238EwmaSmooth _,
     "q211_gap_histogram" -> q211GapHistogram _,
     "q222_rolling_distinct" -> q222RollingDistinct _,
@@ -755,6 +803,30 @@ object NorthStar {
   )
 
   val oracle: Map[String, String] = Map(
+    // q286: the exclusive running max stated as a native window (the
+    // Spark side's two-pass lowering is the scale device; the hash
+    // match proves the lowerings agree); NULL runmax on the first row
+    // falls to the ELSE like the Spark sentinel comparison
+    "q286_late_census" ->
+      s"""WITH a AS (SELECT event_id, event_type, epoch_us(ts) AS tus,
+        |             epoch_us(ts) + (CASE WHEN
+        |               ('0x' || substr(md5('arr:' || event_id::VARCHAR), 1, 12))::BIGINT % 10 < 2
+        |             THEN ((('0x' || substr(md5('arr:' || event_id::VARCHAR), 1, 12))::BIGINT // 10) % 7200) * 1000000
+        |             ELSE 0 END) AS arr
+        |           FROM events),
+        |r AS (SELECT event_type, tus,
+        |        max(tus) OVER (ORDER BY arr, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        |      FROM a),
+        |g AS (SELECT event_type, count(*) AS n,
+        |        sum(CASE WHEN tus + $LateW1 < runmax THEN 1 ELSE 0 END) AS l1,
+        |        sum(CASE WHEN tus + $LateW2 < runmax THEN 1 ELSE 0 END) AS l2
+        |      FROM r GROUP BY 1)
+        |SELECT event_type, n AS n_events,
+        |       CAST(l1 AS BIGINT) AS late_1m, CAST(l2 AS BIGINT) AS late_1h,
+        |       CAST((l1 * 10000) // n AS BIGINT) AS late_1m_bp,
+        |       CAST((l2 * 10000) // n AS BIGINT) AS late_1h_bp
+        |FROM g ORDER BY 1""".stripMargin,
     // q238: the identical 16-tap dyadic filter — one named window, the
     // same zero-padded warmup, the same integer spike inequality
     "q238_ewma_smooth" -> {
