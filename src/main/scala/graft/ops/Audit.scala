@@ -396,9 +396,15 @@ object Audit {
     * then a membership left join and one 1-row count; the three
     * dimension rows union. Never a fact-sized join output. */
   def q287DimUsage(s: SparkSession, dir: String): DataFrame = {
+    // one cutoff scalar per (fact, dateCol) — the part and supplier
+    // censuses share lineitem's, so the fact is not re-scanned for the
+    // same scalar once per dimension
+    val yearOf = scala.collection.mutable.Map.empty[(String, String), Int]
     def census(dim: DataFrame, key: String, fact: DataFrame,
-               fkey: String, dateCol: String, name: String): DataFrame = {
-      val yr = fact.agg(max(expr(s"year($dateCol)"))).collect()(0).getInt(0)
+               fkey: String, factName: String, dateCol: String,
+               name: String): DataFrame = {
+      val yr = yearOf.getOrElseUpdate((factName, dateCol),
+        fact.agg(max(expr(s"year($dateCol)"))).collect()(0).getInt(0))
       val active = fact.filter(expr(s"year($dateCol) = $yr"))
         .select(col(fkey).as("_fk")).distinct()
       dim.select(col(key).as("_k"))
@@ -410,11 +416,12 @@ object Audit {
           expr("(n_active * 10000) div n_members").as("active_bp"))
     }
     census(T(s, dir, "customer"), "c_custkey",
-        T(s, dir, "orders"), "o_custkey", "o_orderdate", "customer")
+        T(s, dir, "orders"), "o_custkey", "orders", "o_orderdate", "customer")
       .unionByName(census(T(s, dir, "part"), "p_partkey",
-        T(s, dir, "lineitem"), "l_partkey", "l_shipdate", "part"))
+        T(s, dir, "lineitem"), "l_partkey", "lineitem", "l_shipdate", "part"))
       .unionByName(census(T(s, dir, "supplier"), "s_suppkey",
-        T(s, dir, "lineitem"), "l_suppkey", "l_shipdate", "supplier"))
+        T(s, dir, "lineitem"), "l_suppkey", "lineitem", "l_shipdate",
+        "supplier"))
       .orderBy("dim")
   }
 

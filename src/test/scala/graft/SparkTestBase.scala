@@ -15,6 +15,16 @@ object SparkTestBase {
   /** Smallest driver-generated scale factor (TESTDATA.md) — smoke-sized. */
   val Sf0001 = "/root/testdata/sf0.001"
 
+  /** The md5-ticket derivation the fixtures share (the Spark side's
+    * `conv(substring(md5(s), 1, hexDigits), 16, 10)`) — ONE test-side
+    * implementation so a ticket-scheme change cannot leave a spec
+    * validating against a stale copy. */
+  def md5Long(s: String, hexDigits: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(hexDigits), 16)
+  }
+
   /** Scoped conf override restoring the PRIOR value (or unsetting, for
     * confs whose default is null — e.g.
     * spark.sql.adaptive.autoBroadcastJoinThreshold) — never a hardcoded

@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -16,11 +14,6 @@ class ErpSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val dir = SparkTestBase.Sf0001
 
-  private def md5Long(s: String, hexDigits: Int): Long = {
-    val hex = MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.take(hexDigits), 16)
-  }
 
   test("q259 equals the driver-side as-of conversion; sparse months " +
     "genuinely resolve backward") {
@@ -37,7 +30,7 @@ class ErpSpec extends AnyFunSuite {
     val hi = orders.map(_._2).max
     def pub(rk: Int, mi: Int): Option[Long] =
       if (mi == lo || mi % 2 == 1)
-        Some(8000L + md5Long(s"fx:$rk:$mi", 12) % 4000L)
+        Some(8000L + SparkTestBase.md5Long(s"fx:$rk:$mi", 12) % 4000L)
       else None
     // resolve forward-carry per currency
     val resolved: Map[(Int, Int), Long] = (0 to 4).flatMap { rk =>
@@ -65,7 +58,7 @@ class ErpSpec extends AnyFunSuite {
     val backward = (0 to 4).flatMap { rk =>
       (lo to hi).filter(mi => pub(rk, mi).isEmpty)
         .map(mi => resolved((rk, mi)) !=
-          8000L + md5Long(s"fx:$rk:$mi", 12) % 4000L)
+          8000L + SparkTestBase.md5Long(s"fx:$rk:$mi", 12) % 4000L)
     }
     assert(backward.exists(identity),
       "every unpublished month coincidentally matches — as-of untested")
@@ -188,8 +181,8 @@ class ErpSpec extends AnyFunSuite {
   test("q261 gap islands reconstruct the purged key set exactly") {
     val all = T(spark, dir, "orders").select("o_orderkey")
       .collect().map(_.getLong(0)).sorted
-    val kept = all.filter(k => md5Long(s"arch:$k", 12) % 5 != 0)
-    val purged = all.filter(k => md5Long(s"arch:$k", 12) % 5 == 0).toSet
+    val kept = all.filter(k => SparkTestBase.md5Long(s"arch:$k", 12) % 5 != 0)
+    val purged = all.filter(k => SparkTestBase.md5Long(s"arch:$k", 12) % 5 == 0).toSet
     assert(purged.nonEmpty && kept.nonEmpty)
     val got = graft.SparkEntry.queries("q261_gap_ranges")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -313,7 +306,7 @@ class ErpSpec extends AnyFunSuite {
     case class L(status: String, poC2: Long, ivC2: Long, shortQ: Long,
                  deltaBp: Long)
     val lines = li.map { case (ok, ln, poQty, poC2) =>
-      val tk = md5Long(s"3wm:$ok:$ln", 12)
+      val tk = SparkTestBase.md5Long(s"3wm:$ok:$ln", 12)
       val short = math.min(if (tk % 10 == 0) 1 + (tk / 10) % 3 else 0L, poQty)
       val bp = if ((tk / 100) % 8 == 0) 100 + (tk / 1000) % 400 else 0L
       val sign = if ((tk / 1000000) % 2 == 0) 1L else -1L
@@ -384,7 +377,7 @@ class ErpSpec extends AnyFunSuite {
       .map { r =>
         val ok = r.getLong(0)
         val dd = r.getDate(1).toLocalDate
-        val tk = md5Long(s"late:$ok", 12)
+        val tk = SparkTestBase.md5Long(s"late:$ok", 12)
         val late = if (tk % 20 < 3) 1 + (tk / 100) % 40 else 0L
         val arrival = dd.plusDays(late)
         val deadline = dd.withDayOfMonth(dd.lengthOfMonth())
@@ -410,7 +403,7 @@ class ErpSpec extends AnyFunSuite {
       .select(col("o_orderkey"), expr("cast(o_orderdate as date)"))
       .collect().exists { r =>
         val dd = r.getDate(1).toLocalDate
-        val tk = md5Long(s"late:${r.getLong(0)}", 12)
+        val tk = SparkTestBase.md5Long(s"late:${r.getLong(0)}", 12)
         val late = if (tk % 20 < 3) 1 + (tk / 100) % 40 else 0L
         val deadline = dd.withDayOfMonth(dd.lengthOfMonth())
           .plusDays(Erp.GraceDays.toLong)

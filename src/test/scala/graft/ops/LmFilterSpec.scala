@@ -14,11 +14,6 @@ class LmFilterSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val dir = SparkTestBase.Sf0001
 
-  private def md5Long(s: String, hexDigits: Int): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.take(hexDigits), 16)
-  }
 
   test("q271 equals the driver-side bigram model walk; en docs are " +
     "never OOV, off-reference OOV and both verdicts fire") {
@@ -105,7 +100,7 @@ class LmFilterSpec extends AnyFunSuite {
     val parts = T(spark, dir, "part").select("p_partkey", "p_brand")
       .collect().map { r =>
         val pk = r.getLong(0)
-        val tk = md5Long(s"uomp:$pk", 12)
+        val tk = SparkTestBase.md5Long(s"uomp:$pk", 12)
         pk -> (r.getString(1), 2 + tk % 9, 4 + (tk / 10) % 5)
       }.toMap
     val lines = T(spark, dir, "lineitem")
@@ -114,7 +109,7 @@ class LmFilterSpec extends AnyFunSuite {
         expr("cast(round(l_extendedprice * 100) as bigint)"))
       .collect().map { r =>
         val (brand, box, pal) = parts(r.getLong(0))
-        val u = md5Long(s"uoml:${r.getLong(1)}:${r.getInt(2)}", 12) % 10
+        val u = SparkTestBase.md5Long(s"uoml:${r.getLong(1)}:${r.getInt(2)}", 12) % 10
         val qty = r.getLong(3)
         val uom = if (u <= 6) "EA" else if (u <= 8) "BOX" else "PAL"
         val base = if (u <= 6) qty else if (u <= 8) qty * box

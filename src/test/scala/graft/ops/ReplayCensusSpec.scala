@@ -14,11 +14,6 @@ class ReplayCensusSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val dir = SparkTestBase.Sf0001
 
-  private def md5Long(s: String, hexDigits: Int): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.take(hexDigits), 16)
-  }
 
   test("q285 replay is total (merged == universe), disjoint (replayed " +
     "are exactly the corrupted keys), and equals the driver walk") {
@@ -49,7 +44,7 @@ class ReplayCensusSpec extends AnyFunSuite {
       .selectExpr("event_id", "event_type", "tus")
       .collect().map { r =>
         val id = r.getLong(0)
-        val tk = md5Long(s"arr:$id", 12)
+        val tk = SparkTestBase.md5Long(s"arr:$id", 12)
         val delay = if (tk % 10 < 2) ((tk / 10) % 7200) * 1000000L else 0L
         (id, r.getString(1), r.getLong(2), r.getLong(2) + delay)
       }

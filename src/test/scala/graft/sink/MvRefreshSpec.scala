@@ -65,11 +65,7 @@ class MvRefreshSpec extends AnyFunSuite {
 
   test("q275 retraction equals the driver-side signed-weight walk; " +
     "decrements genuinely fire and insert+void keys net to zero") {
-    val md = (s: String) => {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(12), 16)
-    }
+    val md = (s: String) => graft.SparkTestBase.md5Long(s, 12)
     val rows = graft.ops.T(spark, dir, "orders")
       .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM"),
         expr("cast(round(o_totalprice * 100) as bigint)"))
