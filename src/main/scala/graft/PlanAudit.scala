@@ -1016,7 +1016,14 @@ object PlanAudit {
         "HashAggregate — a key-only shuffle), then a membership left " +
         "join against the dimension and a 1-row count; three such " +
         "subtrees unioned into a 3-row result. Join outputs are " +
-        "dimension-sized, never fact-sized."))
+        "dimension-sized, never fact-sized."),
+    "q288_idoc_reconcile" ->
+      ("**Look for:** ONE text FileScan feeding two type-byte filters " +
+        "with the positional parses as codegen'd substring/cast " +
+        "projections (no UDF, no regex), the data side reduced to " +
+        "document grain by a partial+final aggregate BEFORE the " +
+        "control join, and a verdict-sized rollup. The file is read " +
+        "once; no per-record-type re-scan."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

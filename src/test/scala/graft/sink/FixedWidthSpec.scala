@@ -62,4 +62,46 @@ class FixedWidthSpec extends AnyFunSuite {
       .collect().head.getInt(0)
     assert(maxLen <= 6)
   }
+
+  test("q288 equals the driver-side reconciliation walk; every verdict " +
+    "fires, verdict priority holds, and sum corruption is exactly +100") {
+    val grain = graft.ops.T(spark, dir, "lineitem")
+      .selectExpr("l_orderkey", "l_linenumber",
+        "cast(round(l_extendedprice * 100) as bigint)")
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2)))
+      .groupBy(_._1).map { case ((ok, ln), rs) => (ok, ln, rs.map(_._2).sum) }
+      .toSeq
+    val perOrder = grain.groupBy(_._1).map { case (ok, rows) =>
+      val declN = rows.size.toLong
+      val declC2 = rows.map(_._3).sum
+      val tk = graft.SparkTestBase.md5Long(s"idoc:$ok", 12) % 20
+      val mx = rows.map(_._2).max
+      val mn = rows.map(_._2).min
+      val kept = rows.filterNot(r => tk == 0 && r._2 == mx)
+      val gotN = kept.size.toLong
+      val gotC2 = kept.map(r =>
+        if (tk == 1 && r._2 == mn) r._3 + 100 else r._3).sum
+      val verdict = if (gotN != declN) "count_mismatch"
+        else if (gotC2 != declC2) "sum_mismatch" else "ok"
+      (ok, declN, gotN, declC2, gotC2, verdict, tk)
+    }.toSeq
+    val want = perOrder.groupBy(_._6).map { case (v, rs) =>
+      v -> (rs.length.toLong, rs.map(_._2).sum, rs.map(_._3).sum,
+        rs.map(_._4).sum, rs.map(_._5).sum) }
+    val got = graft.SparkEntry.queries("q288_idoc_reconcile")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got == want)
+    assert(got.keySet == Set("ok", "count_mismatch", "sum_mismatch"),
+      "a verdict never fires — weak fixture")
+    // priority: every ticket-0 document lands count_mismatch even
+    // though its sum is off too
+    assert(perOrder.filter(_._7 == 0).forall(_._6 == "count_mismatch"))
+    // sum corruption is exactly the +100 transit bump
+    perOrder.filter(_._6 == "sum_mismatch").foreach { o =>
+      assert(o._5 == o._4 + 100, s"order ${o._1} sum corruption drifted")
+    }
+  }
 }
