@@ -1023,7 +1023,26 @@ object PlanAudit {
         "projections (no UDF, no regex), the data side reduced to " +
         "document grain by a partial+final aggregate BEFORE the " +
         "control join, and a verdict-sized rollup. The file is read " +
-        "once; no per-record-type re-scan."))
+        "once; no per-record-type re-scan."),
+    "q289_trend_fit" ->
+      ("**Look for:** one orders⋈customer equi-join into the " +
+        "(segment, month) partial+final HashAggregate, then the OLS " +
+        "moments as a SECOND partial+final aggregate over the " +
+        "months-sized frame with the decimal(38,0) products inside " +
+        "the aggregate expressions; the floor division is a map-side " +
+        "projection. No window, no driver-side matrix."),
+    "q290_path_mining" ->
+      ("**Look for:** ONE events scan, a single user_id exchange+sort " +
+        "feeding one Window node carrying BOTH leads, the triple " +
+        "concat as a map-side projection, a path-sized partial+final " +
+        "aggregate, and TakeOrderedAndProject for the top-10 — no " +
+        "full sort, no self-join."),
+    "q291_discount_ladder" ->
+      ("**Look for:** one lineitem scan into the 11-band partial+final " +
+        "HashAggregate, and the step computed by a broadcast self-join " +
+        "of that band-sized frame shifted one band — NO window node " +
+        "anywhere (the tiny unpartitioned window would be the " +
+        "single-task shape the suite bans)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -776,7 +776,33 @@ object NorthStar {
       .orderBy("event_type")
   }
 
+  /** q290: 3-step path mining — the navigation-analysis extension of
+    * q120's pairwise transitions: the top-10 most-traveled CONSECUTIVE
+    * event-type triples across users (product analytics reads these to
+    * find the highways and the dead ends a 2-step matrix blurs:
+    * view→click→purchase and view→click→view share a prefix but tell
+    * opposite stories). Paths come from two leads over the per-user
+    * event order (bounded windows — q81's ingest-bounded class), one
+    * path-sized aggregate, and TakeOrdered for the top-10 on the
+    * (count desc, path) total order — longer k-grams are one more
+    * lead each, same plan shape. */
+  def q290PathMining(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    T.events(s, dir)
+      .select(col("user_id"), col("tus"), col("event_id"),
+        col("event_type"))
+      .withColumn("t2", lead("event_type", 1).over(w))
+      .withColumn("t3", lead("event_type", 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q290_path_mining" -> q290PathMining _,
     "q286_late_census" -> q286LateCensus _,
     "q238_ewma_smooth" -> q238EwmaSmooth _,
     "q211_gap_histogram" -> q211GapHistogram _,
@@ -807,6 +833,16 @@ object NorthStar {
     // Spark side's two-pass lowering is the scale device; the hash
     // match proves the lowerings agree); NULL runmax on the first row
     // falls to the ELSE like the Spark sentinel comparison
+    // q290: the same per-user lead triples and (count desc, path) order
+    "q290_path_mining" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,
+        |             lead(event_type, 1) OVER w AS t2,
+        |             lead(event_type, 2) OVER w AS t3
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT event_type || '>' || t2 || '>' || t3 AS path, count(*) AS n
+        |FROM p WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "q286_late_census" ->
       s"""WITH a AS (SELECT event_id, event_type, epoch_us(ts) AS tus,
         |             epoch_us(ts) + (CASE WHEN

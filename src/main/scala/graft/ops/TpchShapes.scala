@@ -518,7 +518,35 @@ object TpchShapes {
         expr("(ta_avg_c2 * cb_avg_c2 * 10000) div (tb_avg_c2 * ca_avg_c2)"))
   }
 
+  /** q291: the discount ladder — the promotion-effectiveness readout
+    * pricing teams eyeball before any elasticity model: per integer
+    * discount band (round(l_discount·100), 0–10%), line count, total
+    * quantity, average quantity ×100 (floored integers), revenue — and
+    * the STEP vs the previous band (avg-quantity delta), computed by a
+    * band-count-sized self-join shifted one band (11 rows; never a
+    * window — even a tiny unpartitioned window is the single-task
+    * shape PlanShapeSpec bans, and the ladder frame is join-sized
+    * anyway). The first band's step is null (no predecessor). */
+  def q291DiscountLadder(s: SparkSession, dir: String): DataFrame = {
+    val bands = T(s, dir, "lineitem")
+      .select(expr("cast(round(l_discount * 100) as bigint)").as("band"),
+        expr("cast(l_quantity as bigint)").as("q"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("c2"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_lines"), sum("q").as("sum_qty"),
+        expr("(sum(q) * 100) div count(1)").as("avg_qty_x100"),
+        sum("c2").as("rev_c2"))
+    val prev = bands.select((col("band") + 1).as("band"),
+      col("avg_qty_x100").as("prev_avg"))
+    bands.join(prev, Seq("band"), "left")
+      .withColumn("step_x100", col("avg_qty_x100") - col("prev_avg"))
+      .select("band", "n_lines", "sum_qty", "avg_qty_x100", "rev_c2",
+        "step_x100")
+      .orderBy("band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_discount_ladder" -> q291DiscountLadder _,
     "q276_promo_uplift" -> q276PromoUplift _,
     "q134_order_priority" -> q134OrderPriority _,
     "q135_revenue_forecast" -> q135RevenueForecast _,
@@ -548,6 +576,20 @@ object TpchShapes {
       |  FROM lineitem GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q291: identical bands, floored averages, and the shifted self-join
+    "q291_discount_ladder" ->
+      """WITH b AS (SELECT CAST(round(l_discount * 100) AS BIGINT) AS band,
+        |             count(*) AS n_lines,
+        |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |             CAST((sum(CAST(l_quantity AS BIGINT)) * 100) // count(*)
+        |                  AS BIGINT) AS avg_qty_x100,
+        |             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |                  AS BIGINT) AS rev_c2
+        |           FROM lineitem GROUP BY 1)
+        |SELECT a.band, a.n_lines, a.sum_qty, a.avg_qty_x100, a.rev_c2,
+        |       CAST(a.avg_qty_x100 - p.avg_qty_x100 AS BIGINT) AS step_x100
+        |FROM b a LEFT JOIN b p ON p.band = a.band - 1
+        |ORDER BY a.band""".stripMargin,
     // q276: identical 2×2 cells, identical per-cell integer avg and
     // ratio arithmetic (avg first keeps every product in range)
     "q276_promo_uplift" ->
