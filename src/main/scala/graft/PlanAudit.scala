@@ -1042,7 +1042,13 @@ object PlanAudit {
         "HashAggregate, and the step computed by a broadcast self-join " +
         "of that band-sized frame shifted one band — NO window node " +
         "anywhere (the tiny unpartitioned window would be the " +
-        "single-task shape the suite bans)."))
+        "single-task shape the suite bans)."),
+    "q292_commission_tiers" ->
+      ("**Look for:** one lineitem scan into the supplier-keyed " +
+        "partial+final HashAggregate, then the ENTIRE bracket walk " +
+        "(per-tier clamp, per-tier floor, reached-tier CASE) as one " +
+        "codegen'd projection over the aggregate output. No join, no " +
+        "window — a comp run over a 100 TB fact is one pass."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

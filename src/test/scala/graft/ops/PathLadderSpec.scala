@@ -100,4 +100,36 @@ class PathLadderSpec extends AnyFunSuite {
     assert(got(got.keys.min)._5.isEmpty, "the lowest band must have no step")
     assert(got.values.count(_._5.isDefined) == got.size - 1)
   }
+
+  test("q292 equals the driver-side bracket walk; the payout is " +
+    "monotone in revenue and every tier is reached") {
+    val revs = T(spark, dir, "lineitem")
+      .selectExpr("l_suppkey", "cast(round(l_extendedprice * 100) as bigint)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).sum }
+    def payout(rev: Long): Long =
+      Erp.CommTiers.zipWithIndex.map { case ((lo, rate), i) =>
+        val width = if (i + 1 < Erp.CommTiers.length)
+          Erp.CommTiers(i + 1)._1 - lo else Long.MaxValue
+        math.min(math.max(rev - lo, 0L), width) * rate / 10000
+      }.sum
+    def tierOf(rev: Long): Long =
+      Erp.CommTiers.lastIndexWhere(rev >= _._1).toLong + 1
+    val want = revs.map { case (k, rev) =>
+      k -> (rev, payout(rev), tierOf(rev)) }
+    val got = graft.SparkEntry.queries("q292_commission_tiers")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == want)
+    assert(got.values.map(_._3).toSet.size > 1,
+      "every supplier lands in one tier — brackets untested")
+    assert(got.values.exists(_._3 == Erp.CommTiers.length.toLong),
+      "the top tier is never reached")
+    // marginal monotonicity: sorting by revenue sorts the payout too
+    // (a flat-rate-on-total schedule would violate this at thresholds)
+    val byRev = got.values.toSeq.sortBy(_._1)
+    assert(byRev.map(_._2) == byRev.map(_._2).sorted,
+      "payout not monotone in revenue — bracket arithmetic broken")
+  }
 }
