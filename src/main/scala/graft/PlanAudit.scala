@@ -1048,7 +1048,14 @@ object PlanAudit {
         "partial+final HashAggregate, then the ENTIRE bracket walk " +
         "(per-tier clamp, per-tier floor, reached-tier CASE) as one " +
         "codegen'd projection over the aggregate output. No join, no " +
-        "window — a comp run over a 100 TB fact is one pass."))
+        "window — a comp run over a 100 TB fact is one pass."),
+    "q293_dup_payments" ->
+      ("**Look for:** the payments universe (grain aggregate ∪ " +
+        "ticket-filtered reposts) materialized once, the candidate " +
+        "join keyed on (supplier, cents) — an EQUI join whose pair " +
+        "fan-out is block-bounded, never a theta join — with the " +
+        "date-window predicate as a Filter above it, and two " +
+        "supplier-sized aggregates meeting in a left join."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -425,7 +425,64 @@ object Audit {
       .orderBy("dim")
   }
 
+  /** q293 double-posting ticket: ~2.7% of payment lines are re-posted
+    * 3 days later under a shifted document key. */
+  private[ops] val DupMod = 37L
+  private[ops] val DupDocOffset = 2000000000L
+  private[ops] val DupWindowDays = 7
+
+  /** q293: duplicate-payment detection — the AP-audit staple (every
+    * payment-recovery firm's first query): two postings to the SAME
+    * supplier for the SAME amount within a short window are duplicate
+    * candidates. Exact-amount blocking is what makes this scan-shaped
+    * at 100 TB: the self-join keys on (supplier, cents), so the pair
+    * generator is bounded by per-(supplier, amount) multiplicity — on
+    * real integer-cents data collisions are rare (on THIS generator,
+    * zero: the fixture's upstream injects ticket-derived double
+    * postings — mod [[DupMod]] lines re-posted [[DupWindowDays]]−4
+    * days later under a document key shifted by [[DupDocOffset]] — and
+    * the detector's job is to find exactly those, which the spec and
+    * oracle independently confirm it does, plus nothing else).
+    * Output per supplier: payments, flagged pairs, cents at risk (the
+    * later posting of each pair).
+    *
+    * Scale note: amount-blocked self-joins degrade only when one
+    * (supplier, amount) key is hot (recurring fixed fees) — cap the
+    * block like q78's maxDf and route hot blocks to review. */
+  def q293DupPayments(s: SparkSession, dir: String): DataFrame = {
+    val tick = "cast(conv(substring(md5(concat('dup:', " +
+      "cast(doc as string), ':', cast(ln as string))), " +
+      "1, 12), 16, 10) as bigint)"
+    val base = T(s, dir, "lineitem")
+      .select(col("l_suppkey").as("sk"), col("l_orderkey").as("doc"),
+        col("l_linenumber").as("ln"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("c2"),
+        expr("cast(l_shipdate as date)").as("d"))
+      .groupBy("sk", "doc", "ln")
+      .agg(sum("c2").as("c2"), min("d").as("d"))
+    val reposts = base.filter(expr(s"$tick % $DupMod = 0"))
+      .select(col("sk"), (col("doc") + DupDocOffset).as("doc"), col("ln"),
+        col("c2"), expr(s"date_add(d, ${DupWindowDays - 4})").as("d"))
+    val pays = base.unionByName(reposts)
+    val a = pays.select(col("sk"), col("c2"), col("doc").as("doc1"),
+      col("ln").as("ln1"), col("d").as("d1"))
+    val b = pays.select(col("sk"), col("c2"), col("doc").as("doc2"),
+      col("ln").as("ln2"), col("d").as("d2"))
+    val pairs = a.join(b, Seq("sk", "c2"))
+      .filter(expr("(doc1 < doc2 or (doc1 = doc2 and ln1 < ln2)) and " +
+        s"abs(datediff(d2, d1)) <= $DupWindowDays"))
+    pays.groupBy("sk").agg(count(lit(1)).as("n_payments"))
+      .join(pairs.groupBy("sk")
+        .agg(count(lit(1)).as("n_dup_pairs"), sum("c2").as("at_risk_c2")),
+        Seq("sk"), "left")
+      .select(col("sk").as("l_suppkey"), col("n_payments"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("at_risk_c2"), lit(0L)).as("at_risk_c2"))
+      .orderBy("l_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q293_dup_payments" -> q293DupPayments _,
     "q287_dim_usage" -> q287DimUsage _,
     "q280_return_rate_lcb" -> q280ReturnRateLcb _,
     "q207_integrity_audit" -> q207IntegrityAudit _,
@@ -436,6 +493,31 @@ object Audit {
   )
 
   val oracle: Map[String, String] = Map(
+    // q293: the same injected reposts, the same (supplier, cents)
+    // blocking, pair order, and window predicate
+    "q293_dup_payments" ->
+      s"""WITH base AS (SELECT l_suppkey AS sk, l_orderkey AS doc,
+        |                l_linenumber AS ln,
+        |                sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS c2,
+        |                min(CAST(l_shipdate AS DATE)) AS d
+        |              FROM lineitem GROUP BY 1, 2, 3),
+        |rep AS (SELECT sk, doc + $DupDocOffset AS doc, ln, c2,
+        |          d + to_days(${DupWindowDays - 4}) AS d
+        |        FROM base
+        |        WHERE ('0x' || substr(md5('dup:' || doc::VARCHAR || ':' ||
+        |                ln::VARCHAR), 1, 12))::BIGINT % $DupMod = 0),
+        |pays AS (SELECT * FROM base UNION ALL SELECT * FROM rep),
+        |pairs AS (SELECT a.sk, a.c2
+        |          FROM pays a JOIN pays b ON a.sk = b.sk AND a.c2 = b.c2
+        |            AND (a.doc < b.doc OR (a.doc = b.doc AND a.ln < b.ln))
+        |            AND abs(datediff('day', a.d, b.d)) <= $DupWindowDays),
+        |agg AS (SELECT sk, count(*) AS n_dup_pairs, sum(c2) AS at_risk_c2
+        |        FROM pairs GROUP BY 1)
+        |SELECT p.sk AS l_suppkey, count(*) AS n_payments,
+        |       CAST(COALESCE(max(a.n_dup_pairs), 0) AS BIGINT) AS n_dup_pairs,
+        |       CAST(COALESCE(max(a.at_risk_c2), 0) AS BIGINT) AS at_risk_c2
+        |FROM pays p LEFT JOIN agg a ON p.sk = a.sk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q287: the same derived final-year window and membership shape
     "q287_dim_usage" ->
       """WITH oy AS (SELECT max(year(o_orderdate)) AS y FROM orders),

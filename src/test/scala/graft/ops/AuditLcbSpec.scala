@@ -56,4 +56,49 @@ class AuditLcbSpec extends AnyFunSuite {
     assert(want.values.exists { case (_, _, p, lcb) => p - lcb > 500 },
       "no small cell pays a visible penalty — shrinkage untested")
   }
+
+  test("q293 equals the driver-side pair walk and flags EXACTLY the " +
+    "injected double postings — nothing else (zero natural collisions)") {
+    val grain = T(spark, dir, "lineitem")
+      .selectExpr("l_suppkey", "l_orderkey", "l_linenumber",
+        "cast(round(l_extendedprice * 100) as bigint)",
+        "cast(l_shipdate as date)")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getInt(2)),
+        (r.getLong(3), r.getDate(4).toLocalDate)))
+      .groupBy(_._1)
+      .map { case ((sk, doc, ln), rs) =>
+        (sk, doc, ln.toLong, rs.map(_._2._1).sum,
+          rs.map(_._2._2).minBy(_.toEpochDay)) }
+      .toSeq
+    val reposts = grain.filter { case (_, doc, ln, _, _) =>
+      graft.SparkTestBase.md5Long(s"dup:$doc:$ln", 12) % Audit.DupMod == 0 }
+      .map { case (sk, doc, ln, c2, d) =>
+        (sk, doc + Audit.DupDocOffset, ln, c2,
+          d.plusDays(Audit.DupWindowDays - 4L)) }
+    val pays = grain ++ reposts
+    val pairs = pays.groupBy(p => (p._1, p._4)).values.toSeq.flatMap { blk =>
+      for {
+        a <- blk; b <- blk
+        if (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)) &&
+          math.abs(java.time.temporal.ChronoUnit.DAYS
+            .between(a._5, b._5)) <= Audit.DupWindowDays
+      } yield (a._1, a._4)
+    }
+    val want = pays.groupBy(_._1).map { case (sk, ps) =>
+      val fp = pairs.filter(_._1 == sk)
+      sk -> (ps.size.toLong, fp.size.toLong, fp.map(_._2).sum) }
+    val got = graft.SparkEntry.queries("q293_dup_payments")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == want)
+    // precision AND recall are exact on this fixture: one pair per
+    // injected repost, no accidental amount collision adds noise
+    assert(pairs.size == reposts.size,
+      "pair count != injected reposts — false positives or misses")
+    assert(got.values.map(_._3).sum == reposts.map(_._4).sum,
+      "cents at risk != injected cents")
+    assert(reposts.nonEmpty, "no injected duplicate — detector untested")
+  }
 }
