@@ -406,6 +406,16 @@ object PlanAudit {
         "scalars ever reached the driver. The plan to audit is each " +
         "ROUND's, which the spec pins by construction (no cross join, " +
         "node-sized keep sets)."),
+    "q05_cast_numeric_text" ->
+      ("**Look for:** ONE events scan feeding a single Project with the " +
+        "get_json_object → try_cast chain inside one WholeStageCodegen " +
+        "span, then only the presentation sort's range exchange — no " +
+        "join, no window, no aggregate; both casts are the regex-" +
+        "guarded CASE WHEN, not naked try_cast. (The r14 bench-board " +
+        "question about this query's 2.4s is closed in BASELINE.md's " +
+        "r15 note: it was try_cast's exception-per-failing-row path — " +
+        "~12 µs/row — not the JSON parse; the guard is 8× on the " +
+        "failing column with bit-identical output.)"),
     "q10_filter_range" ->
       ("**Look for:** `PushedFilters` carrying the shipdate/discount/" +
         "quantity predicates into the parquet scan and `ReadSchema` pruned " +
@@ -437,6 +447,17 @@ object PlanAudit {
         "on the (band, signature) key — 8-byte BIGINT hashes on the wire, " +
         "never document text — and hash aggregates for the shingle/minhash " +
         "stages."),
+    "q78_ngram_jaccard" ->
+      ("**Look for:** candidate generation as a shuffle equi-join on the " +
+        "PREFIX tokens only (each doc contributes n − ⌈t·n⌉ + 1 rarest " +
+        "shingles — global-document-frequency order attached by one " +
+        "broadcast-able df join), never the full inverted index; hot " +
+        "shingles sort out of every prefix, so no c² blowup on " +
+        "boilerplate n-grams. Then one hash-aggregate intersection count " +
+        "and the exact Jaccard filter — the plan is EXACT for the " +
+        "threshold (oracle runs the naive SQL), the prefix filter only " +
+        "prunes candidates. Top wall-time line since r2: genuine " +
+        "similarity-join work, all candidate-bounded."),
     "q92_sequence_pack" ->
       ("**Look for:** the two-pass distributed prefix scan: range " +
         "repartition by the global order key, per-partition running sums, " +
@@ -453,6 +474,22 @@ object PlanAudit {
         "partial group-limits on BOTH sides of its exchange, and " +
         "partial+final aggregation for the (lang, split) stats — two data " +
         "shuffles plus the presentation sort."),
+    "q100_dup_clusters" ->
+      ("**Look for:** per-ROUND plans only — each hash-to-min round is " +
+        "one edge⋈label equi-join plus a per-node min aggregate, its " +
+        "input the previous round's localCheckpointed ExistingRDD (lineage " +
+        "truncated, no recomputation cascade); the driver sees a single " +
+        "changed-count scalar per round, never node data. Rounds bound by " +
+        "component diameter (near-dup clusters: 2–4)."),
+    "q106_dup_clusters_star" ->
+      ("**Look for:** q100's contract through Kiveris large-star/small-" +
+        "star contraction: each round is TWO join+aggregate passes over a " +
+        "directed duplicate-free edge set, ONE job per round for the " +
+        "fixpoint test, per-round localCheckpoint — provably O(log n) " +
+        "rounds, the adversarial-diameter (long-chain) 100× shape. " +
+        "Second-highest bench line because the fixpoint runs more rounds " +
+        "than hash-to-min on shallow clusters — that is the price of the " +
+        "logarithmic worst-case bound, not a plan defect."),
     "q107_indexed_dedup" ->
       ("**Look for:** the probe join against the PERSISTED bucketed band " +
         "index: the index side is a bucketed parquet scan (`Bucketed: " +
@@ -466,6 +503,15 @@ object PlanAudit {
         "clustered dimension, which a single-key layout cannot do " +
         "(ZOrderQueriesSpec pins files-touched ≤ 8 of 16 through this " +
         "query)."),
+    "q109_simhash_clusters" ->
+      ("**Look for:** every stage bounded by DISTINCT-fingerprint count, " +
+        "not doc count: the doc mass collapses to per-fingerprint " +
+        "(n_docs, min_doc) aggregates FIRST (partial+final), the " +
+        "hamming-≤3 linking is a band equi-self-join at the fingerprint " +
+        "level off ONE localCheckpointed fps frame (simhash pipeline runs " +
+        "once, not 3×), and the CC rounds are q100's join+aggregate " +
+        "shape. A boilerplate doc duplicated millions of times is ONE " +
+        "fingerprint node — no c² anywhere."),
     "q112_chunk_split" ->
       ("**Look for:** one parquet scan with `ReadSchema` pruned to " +
         "(doc_id, text), the window starts generated then exploded " +
@@ -756,6 +802,14 @@ object PlanAudit {
         "priority filter evaluated ABOVE the scan: row-major " +
         "containers carry no statistics, so there is deliberately no " +
         "PushedFilters line — the documented cost of the format."),
+    "q179_containment" ->
+      ("**Look for:** the same candidate-bounded frame as q176 (band " +
+        "equi-self-join, md5 digests on the wire, LEFT join so disjoint-" +
+        "set candidates keep their i = 0 row), then a pure integer-bp " +
+        "projection for C = i / min(na, nb) — no extra shuffle beyond " +
+        "the shared candidateOverlaps shape; its bench cost is the " +
+        "candidate frame, amortizable across q176/q179 in a real " +
+        "pipeline."),
     "q178_best_of_cluster" ->
       ("**Look for:** the iterative connected-components prefix (its " +
         "per-round shape is q100's, lineage truncated by " +

@@ -727,12 +727,25 @@ object TrainingData {
       s"(${castInt(s"($dot) > 0")} << $k)"
     }.mkString("(", " | ", ")")
 
+  /** q86's enforced query-batch bound: at most this many query vectors
+    * per run, whatever the corpus size — the same explicit ≤K-row batch
+    * contract q148/q194/q213 carry. `vec_id % 50` stays as the fixture
+    * binding (selects 10/40 queries at sf0.01/sf0.1, both under the
+    * cap, so test-scale results are unchanged); the cap is what makes
+    * the probe-exploded broadcast bounded BY CONSTRUCTION: ≤ 64 × 697
+    * masks ≈ 45k rows, not corpus/50 × 697. A 100 TB corpus with more
+    * than 64 queries runs the batch loop (q148's deployment story),
+    * never an unbounded broadcast. */
+  private[graft] val Q86QueryCap = 64
+
   /** q86: many-query ANN via signed-random-projection LSH + multiprobe.
-    * Corpus vectors are bucketed once; the (tiny) query set is exploded
-    * over the 697 probe masks and broadcast, so the corpus-side scan
-    * stays shuffle-free and candidates per query are bounded by the
-    * probed buckets (≈ corpus · 697/2¹⁶ ≈ corpus/94 for uniform data),
-    * then exact-cosine reranked to top-3.
+    * Corpus vectors are bucketed once; the query set — an explicit
+    * ≤[[Q86QueryCap]]-row batch (see that scaladoc; enforced in the
+    * filter, not assumed) — is exploded over the 697 probe masks and
+    * broadcast, so the corpus-side scan stays shuffle-free and
+    * candidates per query are bounded by the probed buckets
+    * (≈ corpus · 697/2¹⁶ ≈ corpus/94 for uniform data), then
+    * exact-cosine reranked to top-3.
     *
     * Recall is data-dependent: this testdata's true top-3 neighbors are
     * near-orthogonal (cosine 0.32–0.49 ⇒ expected hamming ≈ 6/16), so
@@ -745,7 +758,8 @@ object TrainingData {
   def q86AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val b = withFixNorm(T(s, dir, "embeddings"))
       .withColumn("bucket", graft.functions.SrpBucket.bucket(col("embedding"), lshPlanes))
-    val qs = b.filter(col("vec_id") % 50 === 0)
+    val qs = b.filter(col("vec_id") % 50 === 0 &&
+        col("vec_id") < lit(50L * Q86QueryCap))
       .select(col("vec_id").as("q_id"), col("embedding").as("ea"),
         col("nrm").as("nq"), col("bucket").as("qb"))
       .withColumn("mask", explode(lit(lshMasks.toArray)))
@@ -3013,7 +3027,8 @@ object TrainingData {
         |           ${oFxNorm("embedding")} AS nrm
         |           FROM embeddings),
         |qs AS (SELECT q.*, xor(q.bucket, m.mask) AS pb
-        |       FROM (SELECT * FROM b WHERE vec_id % 50 = 0) q
+        |       FROM (SELECT * FROM b
+        |             WHERE vec_id % 50 = 0 AND vec_id < ${50L * Q86QueryCap}) q
         |       CROSS JOIN (SELECT unnest([${lshMasks.mkString(", ")}]) AS mask) m),
         |cand AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
         |         ${oFxSim("q.embedding", "c.embedding", "q.nrm", "c.nrm")} AS sim

@@ -42,7 +42,11 @@ object Ddic {
 
   /** Typed conversion of a (trimmed) string cell for a DDIC code.
     * Every branch is null-on-failure (per-value tolerance), ANSI-safe,
-    * and codegen'd — no UDFs. */
+    * and codegen'd — no UDFs. Cost note: `try_cast`'s FAILURE path is
+    * exception-per-row (~12 µs, the r15 q05 measurement —
+    * [[graft.ops.Scalars.tolerantLong]]); fine here because DDIC-typed
+    * SAP columns are overwhelmingly valid, but a mostly-invalid feed
+    * should route through a regex-guarded cast of that shape. */
   def castColumn(c: Column, code: String, length: Int = 0,
                  decimals: Int = 0): Column = code match {
     case "C" => c

@@ -96,6 +96,20 @@ class PlanShapeSpec extends AnyFunSuite {
       plan)
   }
 
+  test("q86's probe broadcast is bounded by construction: the query " +
+    "batch carries the explicit <=Q86QueryCap cap (the q148/q194/q213 " +
+    "bounded-batch contract), so the exploded broadcast is <= cap x " +
+    "masks rows — never corpus/50 x masks") {
+    val capped = 50L * TrainingData.Q86QueryCap
+    val plan = planOf(TrainingData.q86AnnLsh(spark, SparkTestBase.Sf0001))
+    // the probe side broadcasts; the cap predicate reaches its scan
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains(s"LessThan(vec_id,$capped)") ||
+      plan.contains(s"vec_id#") && plan.contains(s"< $capped"), plan)
+    // the worst-case broadcast is a compile-time constant, ~45k rows
+    assert(TrainingData.Q86QueryCap * TrainingData.lshMasks.size <= 50000)
+  }
+
   test("no query plans a cartesian product or nested-loop join " +
     "(except deliberate bounded broadcast crossJoins: 1-row in " +
     "q73/q90/q97/q113/q115/q127/q145, the 16-row centroid table in " +
