@@ -406,6 +406,22 @@ object PlanAudit {
         "scalars ever reached the driver. The plan to audit is each " +
         "ROUND's, which the spec pins by construction (no cross join, " +
         "node-sized keep sets)."),
+    "q294_dup_spans" ->
+      ("**Look for:** the shingle table exploded ONCE from the scan " +
+        "(a Generate over the codegen'd transform/slice/md5 chain — " +
+        "32-hex digests on every exchange, never text), the df " +
+        "aggregate partial+final on the digest, the join-back an equi " +
+        "hash join whose build side is the COLLAPSED duplicated-digest " +
+        "set, and the island merge as doc_id-partitioned Window nodes " +
+        "(lag + running sum share one exchange+sort) — no global " +
+        "window, no cartesian, cost bounded by shingle count."),
+    "q295_line_dedup" ->
+      ("**Look for:** ownership as a partial+final MIN aggregate over " +
+        "the encoded (doc·2^20+sid) key — NOT a per-hash window (a " +
+        "million-fold boilerplate line must collapse map-side, never " +
+        "pile into one window partition); the drop-list join-back onto " +
+        "the intact doc rows broadcast while small (AQE), and the " +
+        "excision + reassembly a map-side filter/concat_ws projection."),
     "q05_cast_numeric_text" ->
       ("**Look for:** ONE events scan feeding a single Project with the " +
         "get_json_object → try_cast chain inside one WholeStageCodegen " +

@@ -6,6 +6,7 @@ import graft.ops.{Affinity, Audit, BpeTrain, Corpus, Curation, Erp, Governance, 
 import graft.sink.{AvroQueries, BloomManifest, BucketQueries, Compact, CsvQueries, DeleteQueries, FixedWidth, Layout, Manifest, MergeQueries, MvRefresh, StatsDecision, OrcQueries, PartitionedQueries, SchemaEvolution, ShardedExport, SurrogateKeys, Vacuum, ZOrderQueries}
 import graft.sources.JsonlIngest
 import graft.sources.rfc.RfcQueries
+import graft.streaming.StreamGraded
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3 (normative inventory).
   *
@@ -39,7 +40,8 @@ object SparkEntry {
       FixedWidth.queries ++ Vacuum.queries ++ BloomManifest.queries ++ SurrogateKeys.queries ++
       Multimodal.queries ++ RfcQueries.queries ++ SketchRollup.queries ++
       JsonlIngest.queries ++ BpeTrain.queries ++ Graph.queries ++ Audit.queries ++
-      Governance.queries ++ Matching.queries ++ Erp.queries
+      Governance.queries ++ Matching.queries ++ Erp.queries ++
+      StreamGraded.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TpchShapes.oracle ++ ParseRoute.oracle ++ Scalars.oracle ++
@@ -53,5 +55,6 @@ object SparkEntry {
       FixedWidth.oracle ++ Vacuum.oracle ++ BloomManifest.oracle ++ SurrogateKeys.oracle ++
       RfcQueries.oracle ++
       SketchRollup.oracle ++ JsonlIngest.oracle ++ BpeTrain.oracle ++ Graph.oracle ++
-      Audit.oracle ++ Governance.oracle ++ Matching.oracle ++ Erp.oracle
+      Audit.oracle ++ Governance.oracle ++ Matching.oracle ++ Erp.oracle ++
+      StreamGraded.oracle
 }

@@ -91,6 +91,148 @@ object Corpus {
       .orderBy("src_a", "src_b")
   }
 
+  // ---- q294: duplicated-span extents (exact-substring dedup) ----------
+
+  /** q294's shingle width: a duplicated run must span at least this
+    * many tokens to register (Lee et al. use 50 BPE tokens at web
+    * scale; 8 fits this fixture's 10–99-token docs while staying far
+    * above the 31-token vocabulary's collision noise — the k=3/4
+    * birthday collisions die out by k=5, so every k=8 duplicate here is
+    * a genuinely shared span). ONE constant, interpolated into both
+    * engines. */
+  private[ops] val SpanK = 8
+
+  /** q294: exact duplicated-span EXTENTS — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * memorization filter, and the coordinates q117's per-doc COUNTS
+    * deliberately stop short of: q117 reports how much of a doc is
+    * repeated, q294 reports WHERE — the merged `[span_start, span_end]`
+    * token extents of every ≥[[SpanK]]-token substring that also occurs
+    * in ANOTHER document, which is what an excision step needs to cut
+    * memorizable spans while keeping each document's unique remainder.
+    *
+    * Pipeline: positioned token shingles (md5 digests on the exchange,
+    * never text — the q105 discipline), a corpus-wide distinct-doc
+    * frequency aggregate keeps shingles seen in ≥2 docs, duplicated
+    * positions join back (the build side collapsed to one row per
+    * shingle by its aggregate — hot boilerplate cannot skew it, q117's
+    * argument), then per-doc islands merge overlapping/adjacent hits:
+    * two length-K hits at p₁ < p₂ share a span iff p₂ ≤ p₁ + K, and
+    * since positions arrive sorted, `lag(pos)` is the only lookback the
+    * merge needs. The island windows partition by doc_id — bounded by
+    * document length, never global. SubstrSpanSpec pins the span-merge
+    * algebra (overlap, adjacency, break, multi-span docs) on a
+    * synthetic fixture and re-derives the graded frame brute-force.
+    *
+    * This fixture's duplicated mass is whole-document injections, so
+    * every graded span is a multi-hit merge (47 docs / 47 single-span
+    * extents at sf0.01 — probed, not assumed); disjoint multi-span docs
+    * are exercised by the spec fixture. */
+  def q294DupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpanCore(T(s, dir, "documents"))
+
+  /** The q294 machinery on any (doc_id, text) frame — split out so
+    * SubstrSpanSpec can drive synthetic overlap/adjacency/break/
+    * multi-span fixtures through the exact graded plan. */
+  private[ops] def dupSpanCore(docsIn: DataFrame): DataFrame = {
+    val k = SpanK
+    val sh = docsIn
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - $k + 1), i -> struct(" +
+          s"cast(i as bigint) as pos, " +
+          s"md5(concat_ws(' ', slice(w, i, $k))) as h))")).as("sh"))
+      .select(col("doc_id"), col("sh.pos").as("pos"), col("sh.h").as("h"))
+    val dup = sh.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val wr = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sh.join(dup, Seq("h"))
+      .withColumn("brk",
+        when(col("pos") > lag("pos", 1).over(wd) + k, 1L).otherwise(0L))
+      .withColumn("sid", sum("brk").over(wr))
+      .groupBy("doc_id", "sid")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(k.toLong - 1)).as("span_end"),
+        count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_hits"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  // ---- q295: keep-first line-level dedup (CCNet-style) -----------------
+
+  /** q295's line length in tokens. The corpus carries no newlines, so
+    * the CCNet "line" is a fixed 8-token segment — the documented
+    * stand-in; the semantics under test (corpus-wide hash df + KEEP-ONE
+    * ownership + within-doc positional reassembly) are unit-agnostic. */
+  private[ops] val LineLen = 8
+  /** Owner-key encoding base: `doc_id · 2²⁰ + sid` orders (doc_id, sid)
+    * lexicographically as ONE BIGINT as long as sid < 2²⁰ — documents
+    * are pipeline-bounded far below 2²⁰ segments (8M tokens), and the
+    * encoding is shared verbatim with the oracle. */
+  private[ops] val LineOwnBase = 1048576L
+
+  /** q295: CCNet-style repeated-line removal with KEEP-FIRST ownership —
+    * the corpus-dedup semantics q123 deliberately does not have: q123
+    * EXCISES a duplicated segment from every document (a profile-grade
+    * rewrite — all copies go), while real line/paragraph dedup keeps
+    * exactly ONE copy (the globally first occurrence, ordered by
+    * (doc_id, position)) so no content is lost from the corpus, and
+    * every LATER occurrence — across documents and within one — drops.
+    * Output is the reassembled text itself, not a digest: the oracle
+    * checks the within-doc positional reassembly verbatim.
+    *
+    * Scale shape — q123's argument with ownership added: segmentation
+    * is a codegen'd transform projection; the dedup shuffle carries
+    * (doc_id, sid, md5) digests; ownership is a partial+final MIN
+    * aggregate over the encoded (doc·2²⁰+sid) key — never a
+    * per-hash-partition window, so a million-fold boilerplate line is
+    * ONE build-side row and cannot skew anything; the per-doc drop-list
+    * (bounded by duplicated positions) joins back to the INTACT doc row
+    * (AQE broadcasts it while small) and the excision + reassembly is a
+    * map-side `filter` + `concat_ws`. LineDedupSpec drives a synthetic
+    * repetition corpus (shared line, within-doc repeat, unique tail)
+    * and pins keep-first ownership both ways. */
+  def q295LineDedup(s: SparkSession, dir: String): DataFrame =
+    lineDedupCore(T(s, dir, "documents"))
+
+  /** The q295 machinery on any (doc_id, text) frame — split out so
+    * LineDedupSpec can drive a synthetic repetition corpus (shared
+    * line, within-doc repeat, unique tail) through the graded plan. */
+  private[ops] def lineDedupCore(docsIn: DataFrame): DataFrame = {
+    val L = LineLen
+    val docs = docsIn
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(1, (size(w) + $L - 1) div $L), " +
+          s"i -> concat_ws(' ', slice(w, (i - 1) * $L + 1, $L)))").as("segs"))
+    val ks = docs.select(col("doc_id"),
+      posexplode(expr("transform(segs, x -> md5(x))")).as(Seq("p", "k")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("sid"), col("k"))
+    val own = ks.groupBy("k")
+      .agg(min(col("doc_id") * lit(LineOwnBase) + col("sid")).as("ok"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select("k", "ok")
+    val drops = ks.join(own, Seq("k"))
+      .filter(col("doc_id") * lit(LineOwnBase) + col("sid") =!= col("ok"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("sid")).as("drop_ids"))
+    docs.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("segs")).cast("long").as("n_segs"),
+        expr("filter(segs, (x, i) -> drop_ids IS NULL OR " +
+          "NOT array_contains(drop_ids, cast(i + 1 as bigint)))").as("kept"))
+      .select(col("doc_id"), col("n_segs"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** q123: segment-level dedup REWRITE — the excision counterpart to
     * q117's profile. RefinedWeb/C4-style pipelines don't just measure
     * repeated spans, they REMOVE them and keep the rest of the document;
@@ -908,6 +1050,8 @@ object Corpus {
     "q224_corpus_gate" -> q224CorpusGate _,
     "q118_source_overlap" -> q118SourceOverlap _,
     "q123_segment_dedup" -> q123SegmentDedup _,
+    "q294_dup_spans" -> q294DupSpans _,
+    "q295_line_dedup" -> q295LineDedup _,
     "q130_mix_pipeline" -> q130MixPipeline _,
     "q166_data_card" -> q166DataCard _,
     "q167_snapshot_diff" -> q167SnapshotDiff _,
@@ -958,6 +1102,60 @@ object Corpus {
       |  WHERE length(text) >= 50)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q294: the identical shingle table (same SpanK, same md5 keys),
+    // df >= 2 distinct docs, and the same lag-based island merge
+    "q294_dup_spans" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest([{'pos': i,
+        |                  'h': md5(array_to_string(w[i:i+$SpanK-1], ' '))}
+        |                 for i in range(1, len(w) - $SpanK + 2)],
+        |                recursive := true)
+        |       FROM tok WHERE len(w) >= $SpanK),
+        |df AS (SELECT h FROM sh GROUP BY h
+        |       HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (SELECT s.doc_id, s.pos FROM sh s JOIN df USING (h)),
+        |m AS (SELECT doc_id, pos,
+        |        CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |                       + $SpanK THEN 1 ELSE 0 END AS brk
+        |      FROM d),
+        |g AS (SELECT doc_id, pos,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM m)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |       CAST(max(pos) + $SpanK - 1 AS BIGINT) AS span_end,
+        |       CAST(max(pos) - min(pos) + $SpanK AS BIGINT) AS span_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_hits
+        |FROM g GROUP BY doc_id, sid ORDER BY doc_id, span_start""".stripMargin,
+    // q295: identical segmentation, owner-key encoding, and reassembly
+    "q295_line_dedup" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |d AS (SELECT doc_id,
+        |        [array_to_string(w[(i-1)*$LineLen+1:i*$LineLen], ' ')
+        |         for i in range(1, (len(w) + $LineLen - 1) // $LineLen + 1)] AS segs
+        |      FROM tok),
+        |ks AS (SELECT doc_id,
+        |         unnest([{'sid': i, 'k': md5(segs[i])}
+        |                 for i in range(1, len(segs) + 1)],
+        |                recursive := true)
+        |       FROM d),
+        |own AS (SELECT k, min(doc_id * $LineOwnBase + sid) AS ok
+        |        FROM ks GROUP BY k HAVING count(*) >= 2),
+        |drops AS (SELECT ks.doc_id, list(ks.sid) AS drop_ids
+        |          FROM ks JOIN own USING (k)
+        |          WHERE ks.doc_id * $LineOwnBase + ks.sid <> own.ok
+        |          GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(d.segs) AS BIGINT) AS n_segs,
+        |       CAST(len(d.segs) - coalesce(len(dr.drop_ids), 0) AS BIGINT) AS n_kept,
+        |       -- DuckDB's array_to_string of an EMPTY list is NULL,
+        |       -- Spark's concat_ws is '' — coalesce to the Spark value
+        |       coalesce(array_to_string([d.segs[i]
+        |                                 for i in range(1, len(d.segs) + 1)
+        |                                 if dr.drop_ids IS NULL
+        |                                    OR NOT list_contains(dr.drop_ids, i)],
+        |                                ' '), '') AS clean_text
+        |FROM d LEFT JOIN drops dr USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // q271: same reference slice, same integer bitlen model, same OOV
     // backoff and threshold constants (interpolated, can't drift)
     "q271_lm_quality_filter" ->

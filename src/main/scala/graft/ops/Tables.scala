@@ -45,6 +45,19 @@ object T {
         "testdata physical type drifted; extend T.tus for the new encoding")
   }
 
+  /** `ts` normalized to a true TimestampType column — the typed
+    * streaming surface ([[graft.streaming.EventStreams.SEvent]]) wants
+    * a real timestamp, with the same physical-type dispatch as [[tus]]
+    * (UTC session timezone makes the NTZ reinterpretation exact). */
+  def tsAsTimestamp(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType         => expr("timestamp_micros(ts div 1000)")
+    case TimestampNTZType => expr("cast(ts as timestamp)")
+    case TimestampType    => expr("ts")
+    case other => throw new IllegalStateException(
+      s"events.ts: expected ns-long|timestamp|timestamp_ntz, got $other — " +
+        "testdata physical type drifted; extend T.tsAsTimestamp too")
+  }
+
   /** `df` with `tus` (µs epoch, BIGINT) appended. */
   def withTus(df: DataFrame): DataFrame = df.withColumn("tus", tus(df))
 

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ops.{Corpus, T}
+import graft.streaming.EventStreams.SEvent
+
+/** The DRIVER-GRADED streaming surface (r15) — Structured Streaming
+  * under the same DuckDB hash gate as every batch operator.
+  *
+  * Until r14 the streaming twins were verified only by
+  * StreamBatchParitySpec (stream == batch on MemoryStream
+  * micro-batches) — oracle-grade within ScalaTest, invisible to the
+  * driver's correctness artifact. q296 promotes ONE parity pair
+  * (q255's CUSUM change-point monitor vs [[EventStreams.cusumPoints]])
+  * into a declared query: the events parquet is replayed through a
+  * real file streaming source with `Trigger.AvailableNow`, the
+  * flatMapGroupsWithState monitor runs exactly as deployed, the memory
+  * sink materializes its emissions, and the DuckDB oracle recomputes
+  * the expected per-day frame in SQL. A silent semantic drift between
+  * the streaming recurrence and the batch formulation now fails the
+  * round, not just a spec.
+  *
+  * What is graded — CLOSED days only: an append-mode monitor emits a
+  * day when a LATER day's first event closes it, so each type's final
+  * open day stays in state at end-of-replay (in deployment the idle
+  * timeout flushes it; a bounded replay ends before that fires). The
+  * oracle applies the same exclusion (`day < max(day) per type`) —
+  * 5 types × 30 days ⇒ 145 graded rows at sf0.01.
+  */
+object StreamGraded {
+
+  /** Unique memory-sink name per invocation (Bench runs a query
+    * several times in one session; memory sinks are session-global). */
+  private val runSeq = new AtomicInteger(0)
+
+  /** q296: the streaming CUSUM monitor, graded end-to-end. Stage 1 is
+    * the RUNBOOK batch init — per-type median targets from the trusted
+    * history via the graded q255 frame ([[Corpus.cusumDays]]); the
+    * collect is bounded by EVENT-TYPE cardinality (5 here; tens in any
+    * deployment), never data volume. Stage 2 replays the same parquet
+    * through `readStream` (one AvailableNow batch — in-batch disorder
+    * is sorted inside the state handler, matching the monitor's
+    * cross-batch event-time arrival contract) and materializes the
+    * emitted [[EventStreams.CusumPoint]]s. The memory sink holds
+    * types × days rows — calendar-bounded, the q202 argument. */
+  def q296CusumStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val DayUs = T.DayUs
+
+    // batch init: the monitor's targets, from the q255 per-day frame
+    val days = Corpus.cusumDays(T.events(s, dir)
+      .select(col("event_type"), expr(s"(tus div $DayUs) * $DayUs").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt")))
+    // bounded collect: one row per event TYPE (annotated; q202 class)
+    val targets = days.selectExpr("event_type", "med").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // replay: the same file through a genuine streaming source. The
+    // file source wants a DIRECTORY base path, so the single-file
+    // fixture is addressed as a glob under its parent (at deployment
+    // the source watches an ingest directory — this is the same shape).
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val raw = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+    val ev = raw
+      .select(col("event_id"), T.tsAsTimestamp(raw).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[SEvent]
+    val sink = s"q296_cusum_stream_${runSeq.incrementAndGet()}"
+    // idle flush DISABLED for the bounded replay: whether the engine
+    // schedules a timeout-firing batch after the data batch (and hence
+    // whether a type idle ≥ watermark+idle at end-of-file flushes its
+    // final open day) is a micro-batch scheduling detail, not a
+    // semantic one — observed to differ run-to-run under AvailableNow.
+    // The graded contract is therefore exactly CLOSED days; the idle
+    // flush itself is deployment behavior, pinned deterministically by
+    // StreamBatchParitySpec's sentinel batches.
+    val q = EventStreams.cusumPoints(ev, targets,
+        idleMs = Long.MaxValue / 4).toDF()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination()
+    finally q.stop()
+    s.table(sink).orderBy("event_type", "day")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_cusum_stream" -> q296CusumStream _,
+  )
+
+  /** The q255 cusumDays frame in SQL, restricted to CLOSED days (every
+    * per-type day except the last — the one still open in monitor
+    * state at end-of-replay). Same lower-median target, integer slack,
+    * prefix-sum/prefix-min recurrence closed form, and µs day grid as
+    * the batch op; sums CAST to BIGINT (DuckDB widens to HUGEINT). */
+  val oracle: Map[String, String] = Map(
+    "q296_cusum_stream" ->
+      """WITH c AS (SELECT event_type,
+        |             (epoch_us(ts) // 86400000000) * 86400000000 AS day,
+        |             count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, day, cnt,
+        |        count(*) OVER (PARTITION BY event_type) AS n,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY cnt, day) AS rn
+        |      FROM c),
+        |md AS (SELECT event_type,
+        |         max(CASE WHEN rn = (n + 1) // 2 THEN cnt END) AS med
+        |       FROM m GROUP BY 1),
+        |f AS (SELECT m.event_type, m.day, m.cnt, md.med,
+        |        md.med // 10 AS slack, greatest(md.med, 1) AS h,
+        |        max(m.day) OVER (PARTITION BY m.event_type) AS last_day
+        |      FROM m JOIN md USING (event_type)),
+        |p AS (SELECT *,
+        |        sum(cnt - med - slack) OVER w AS pup,
+        |        sum(med - slack - cnt) OVER w AS pdn
+        |      FROM f
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |q AS (SELECT *,
+        |        pup - least(0, min(pup) OVER w) AS splus,
+        |        pdn - least(0, min(pdn) OVER w) AS sminus
+        |      FROM p
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+        |       CAST(splus AS BIGINT) AS splus,
+        |       CAST(sminus AS BIGINT) AS sminus,
+        |       splus > h AS alarm_up, sminus > h AS alarm_down
+        |FROM q WHERE day < last_day
+        |ORDER BY event_type, day""".stripMargin,
+  )
+}

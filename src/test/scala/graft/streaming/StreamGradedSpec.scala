@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.ops.{Corpus, T}
+
+/** q296's own third leg (the q193/q232/q238 three-way discipline): the
+  * DRIVER-GRADED streaming replay must equal the batch q255 per-day
+  * frame computed directly — per closed day, per type — on the same
+  * parquet. StreamBatchParitySpec pins the micro-batch/state semantics
+  * on synthetic fixtures; this pins the graded end-to-end path (file
+  * source → monitor → memory sink) against the graded batch frame on
+  * real data. */
+class StreamGradedSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.Sf0001
+
+  test("q296 equals the batch cusumDays frame restricted to closed " +
+    "days; alarms and quiet days both present") {
+    val DayUs = T.DayUs
+    val days = Corpus.cusumDays(T.events(spark, dir)
+      .select(col("event_type"), expr(s"(tus div $DayUs) * $DayUs").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt")))
+    val want = days
+      .withColumn("last_day",
+        max("day").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")))
+      .filter(col("day") < col("last_day"))
+      .selectExpr("event_type", "day", "cnt", "splus", "sminus",
+        "splus > h as alarm_up", "sminus > h as alarm_down")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toSet
+    val got = graft.SparkEntry.queries("q296_cusum_stream")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toSet
+    assert(got == want, "graded stream replay diverged from the batch frame")
+    assert(got.nonEmpty, "no closed days — degenerate")
+    assert(got.exists(t => !t._6 && !t._7), "no quiet day — degenerate")
+  }
+
+  test("q296 is rerunnable within one session (Bench reps) — the " +
+    "memory sink name does not collide") {
+    val a = graft.SparkEntry.queries("q296_cusum_stream")(spark, dir).count()
+    val b = graft.SparkEntry.queries("q296_cusum_stream")(spark, dir).count()
+    assert(a == b && a > 0)
+  }
+}
