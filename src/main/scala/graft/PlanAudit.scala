@@ -406,6 +406,62 @@ object PlanAudit {
         "scalars ever reached the driver. The plan to audit is each " +
         "ROUND's, which the spec pins by construction (no cross join, " +
         "node-sized keep sets)."),
+    "q303_atp" ->
+      ("**Look for:** ONE exchange on l_partkey feeding all three " +
+        "window computations (row number, running balance, and the " +
+        "[current, unbounded following] future-min) over the same " +
+        "sort — no second exchange, no reverse re-sort; per-part " +
+        "groups are ledger-bounded (q265's byPart class), never a " +
+        "corpus-wide partition."),
+    "q304_dedup_accounting" ->
+      ("**Look for:** exactly ONE lineDedupCore subtree (the graded " +
+        "q295 plan reused verbatim) feeding a doc-keyed lang join and " +
+        "a language-sized partial+final aggregate — the accounting " +
+        "never recomputes or re-derives the rewrite."),
+    "q305_span_excision" ->
+      ("**Look for:** the q294 span subtree (shingle df + island " +
+        "windows) collapsing to per-doc span lists (bounded " +
+        "collect_list), then a LEFT join onto the intact doc scan and " +
+        "a map-side filter/exists projection — span-free docs take " +
+        "the NULL branch untouched; no second corpus text shuffle."),
+    "q300_cash_discount" ->
+      ("**Look for:** the greedy order materialized by ScalableRank's " +
+        "range exchange (an ExistingRDD — never a single-task ORDER BY " +
+        "window), the 1-row budget broadcast riding every row (q127 " +
+        "totals class), and a tier-sized final aggregate; the take " +
+        "predicate is a pure map-side comparison."),
+    "q301_gini" ->
+      ("**Look for:** ONE global row number from ScalableRank over " +
+        "(region, rev, key) — NOT a per-region window (a region is a " +
+        "corpus-scale slice: the single-task hazard) — with per-region " +
+        "offsets coming back as a BroadcastHashJoin, the weighted sum " +
+        "in decimal(38,0), and a region-sized final aggregate."),
+    "q302_dunning_run" ->
+      ("**Look for:** one orders scan with the status filter pushed, " +
+        "the 1-row derived run-date broadcast, a customer-sized " +
+        "partial+final aggregate (the MAX-level escalation), then the " +
+        "3-row level rollup — no window, no self-join."),
+    "q297_mwu_drift" ->
+      ("**Look for:** q219's shape — one partial+final count aggregate " +
+        "over (value, cohort), ScalableRank's two-pass exclusive cumsum " +
+        "(range exchange + per-partition sums, an ExistingRDD — never a " +
+        "single-task global window), then ONE scalar HashAggregate; " +
+        "every product decimal(38,0). The whole statistic is two " +
+        "passes over the value-bounded count frame."),
+    "q298_depreciation" ->
+      ("**Look for:** one orders scan, the ×36 Generate (output-" +
+        "bounded: a posting run IS life rows per asset), and a " +
+        "partial+final HashAggregate keyed by posting month — the " +
+        "map side collapses each task to ≤ calendar-months rows, so " +
+        "the exchange is month-count-sized regardless of asset count; " +
+        "no join, no window."),
+    "q299_avg_costing" ->
+      ("**Look for:** the pre-grouping aggregate on the q265 grain, " +
+        "then ONE per-part hash aggregate building the bounded event " +
+        "list, and the fold as a single Project over sort_array + " +
+        "aggregate (interpreted HOF — acceptable: per-part arrays are " +
+        "ledger-bounded, the q99 call) — no window, no self-join, " +
+        "parallel across parts."),
     "q294_dup_spans" ->
       ("**Look for:** the shingle table exploded ONCE from the scan " +
         "(a Generate over the codegen'd transform/slice/md5 chain — " +

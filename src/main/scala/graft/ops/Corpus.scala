@@ -233,6 +233,69 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // ---- q304: post-dedup token accounting ---------------------------------
+
+  /** q304: effective-dataset-size accounting after q295's keep-first
+    * rewrite — the number every data card needs NEXT to its raw token
+    * count: per language, docs, raw whitespace tokens, tokens surviving
+    * the corpus-wide line dedup, and the survival share in bp. A mix
+    * schedule built on raw counts over-weights boilerplate-heavy
+    * sources; this is the corrected denominator. Composes the GRADED
+    * q295 core verbatim (the oracle shares the CTE chain, so the
+    * accounting can never drift from the rewrite it describes).
+    *
+    * Scale: one [[lineDedupCore]] pass + a doc-keyed lang join + a
+    * language-sized aggregate. Empty rewrites count 0 tokens (the
+    * `'' → 0` guard — `split('')` is a 1-element array in both
+    * engines, the off-by-one the CASE exists to avoid). */
+  def q304DedupAccounting(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    lineDedupCore(docs)
+      .join(docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("raw_tok")), "doc_id")
+      .withColumn("kept_tok", expr(
+        "CASE WHEN clean_text = '' THEN 0L " +
+          "ELSE cast(size(split(clean_text, ' ')) as bigint) END"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("raw_tok").as("raw_tok"),
+        sum("kept_tok").as("kept_tok"))
+      .withColumn("kept_bp", expr("(kept_tok * 10000) div raw_tok"))
+      .orderBy("lang")
+  }
+
+  // ---- q305: duplicated-span excision ------------------------------------
+
+  /** q305: the excision q294's extents exist FOR — Lee et al.'s actual
+    * rewrite: cut every duplicated span out of every document, keep the
+    * unique remainder in original order, emit the cleaned text. Where
+    * q295 drops whole repeated LINES keep-first (one copy survives
+    * somewhere), span excision removes the duplicated run from EVERY
+    * carrier — the memorization-suppression policy (no verbatim
+    * ≥SpanK-token run survives anywhere it was shared).
+    *
+    * Composes the GRADED [[dupSpanCore]] verbatim; the oracle shares
+    * the span CTE chain, so the cut coordinates can never drift from
+    * the gauge's. Per-doc span lists are doc-length-bounded
+    * (collect_list fine); the cut itself is a map-side `filter` with
+    * an `exists` over the broadcast-able span list; docs with no spans
+    * pass through on the left join's NULL branch. */
+  def q305SpanExcision(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val dp = dupSpanCore(docs).groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("sp"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .join(dp, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        "CASE WHEN sp IS NULL THEN w ELSE " +
+          "filter(w, (x, i) -> NOT exists(sp, " +
+          "p -> i + 1 >= p.s AND i + 1 <= p.e)) END"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** q123: segment-level dedup REWRITE — the excision counterpart to
     * q117's profile. RefinedWeb/C4-style pipelines don't just measure
     * repeated spans, they REMOVE them and keep the rest of the document;
@@ -489,6 +552,76 @@ object Corpus {
         col("n_chars").as("at_value"),
         expr("cast(CASE WHEN n1 * n2 = 0 THEN 10000 ELSE " +
           "(d_num * 10000) div (n1 * n2) END as long)").as("d_bp"))
+  }
+
+  // ---- q297: Mann-Whitney U drift ---------------------------------------
+
+  /** q297: exact Mann-Whitney U (Wilcoxon rank-sum) drift — the
+    * LOCATION-shift companion to q219's KS: KS's max-ECDF-gap is most
+    * sensitive near the middle of the distribution and treats any shape
+    * difference alike; the rank-sum statistic targets the question a
+    * drift review actually asks ("did the new cohort's values move UP
+    * or DOWN?") with a signed answer and a variance-calibrated alarm.
+    * Same cohort split as q219 (doc_id parity over n_chars) so the two
+    * gauges read the same experiment.
+    *
+    * Exactness — no midranks anywhere: over the DISTINCT-value count
+    * frame (c1, c2 per value), `2U₁ = Σ c1·(2·C2< + c2)` counts each
+    * cross-pair win twice and each tie once, so DOUBLING U keeps tie
+    * halves integral (the q237-style offset trick applied to ranks).
+    * The alarm is the normal approximation with the EXACT tie-corrected
+    * variance, evaluated entirely in integers: with N = n1+n2,
+    * T = Σ(t³−t) over tie groups, tie_q = T div (N(N−1)), the statistic
+    * `z² ≈ 3·dev² div (n1·n2·(N+1−tie_q))` for dev = 2U − n1·n2, and
+    * drift fires at z² > 4 (|z| > 2). Every product rides
+    * decimal(38,0)/HUGEINT; 3·dev² ≤ 3(n1n2)² bounds the chain to
+    * N ≲ 4·10⁹ rows — beyond that, pre-aggregate the value domain
+    * (the counts frame, not the corpus, is the input).
+    *
+    * Scale shape: q219's verbatim — one corpus-sized (value, cohort)
+    * count aggregate, ScalableRank's two-pass exclusive cumsum over the
+    * value-bounded count frame (never a single-task window), one final
+    * scalar aggregate. MwuDriftSpec drives a shifted synthetic cohort
+    * (alarm fires) and the stationary real corpus (silent) through the
+    * same core and re-derives U brute-force from pairs. */
+  def q297MwuDrift(s: SparkSession, dir: String): DataFrame =
+    mwuCore(T(s, dir, "documents")
+      .select(col("n_chars"), (col("doc_id") % 2).as("g"))
+      .filter(col("n_chars").isNotNull)
+      .groupBy("n_chars")
+      .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g") =!= 0, 1L).otherwise(0L)).as("c2")))
+
+  /** The q297 machinery on any (value, c1, c2) count frame — split out
+    * so MwuDriftSpec can drive shifted/stationary synthetic cohorts
+    * through the graded plan. Expects the frame keyed by a column
+    * literally named `n_chars` (the sort key of the cumsum). */
+  private[ops] def mwuCore(counts: DataFrame): DataFrame = {
+    val cum = ScalableRank.withGlobalCumsumExclusive(
+      counts, col("c2"), "p2", col("n_chars"))
+    cum.agg(
+      sum("c1").cast("decimal(38,0)").as("n1"),
+      sum("c2").cast("decimal(38,0)").as("n2"),
+      sum(col("c1").cast("decimal(38,0)")
+        * (lit(2) * col("p2") + col("c2"))).as("u2d"),
+      sum((col("c1") + col("c2")).cast("decimal(38,0)")
+        * (col("c1") + col("c2")) * (col("c1") + col("c2"))
+        - (col("c1") + col("c2"))).as("tt"))
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("tie_qd",
+        expr("CASE WHEN nn >= 2 THEN tt div (nn * (nn - 1)) ELSE 0 END"))
+      .withColumn("devd", col("u2d") - col("n1") * col("n2"))
+      .withColumn("z2d", expr(
+        "CASE WHEN n1 * n2 > 0 AND nn + 1 - tie_qd > 0 THEN " +
+          "(3 * devd * devd) div (n1 * n2 * (nn + 1 - tie_qd)) " +
+          "ELSE 0 END"))
+      .select(col("n1").cast("long").as("n1"),
+        col("n2").cast("long").as("n2"),
+        col("u2d").cast("long").as("u2"),
+        col("devd").cast("long").as("dev"),
+        col("tie_qd").cast("long").as("tie_q"),
+        col("z2d").cast("long").as("z2"),
+        (col("z2d") > 4).as("drifted"))
   }
 
   /** q224: corpus release gate — the thresholded go/no-go verdict table
@@ -1047,11 +1180,14 @@ object Corpus {
     "q255_cusum_shift" -> q255CusumShift _,
     "q188_token_drift" -> q188TokenDrift _,
     "q219_ks_drift" -> q219KsDrift _,
+    "q297_mwu_drift" -> q297MwuDrift _,
     "q224_corpus_gate" -> q224CorpusGate _,
     "q118_source_overlap" -> q118SourceOverlap _,
     "q123_segment_dedup" -> q123SegmentDedup _,
     "q294_dup_spans" -> q294DupSpans _,
     "q295_line_dedup" -> q295LineDedup _,
+    "q304_dedup_accounting" -> q304DedupAccounting _,
+    "q305_span_excision" -> q305SpanExcision _,
     "q130_mix_pipeline" -> q130MixPipeline _,
     "q166_data_card" -> q166DataCard _,
     "q167_snapshot_diff" -> q167SnapshotDiff _,
@@ -1101,61 +1237,105 @@ object Corpus {
       |       LATERAL (SELECT unnest(generate_series(1, length(text) - 49, 10)) AS i) t
       |  WHERE length(text) >= 50)""".stripMargin
 
+  /** The q294 span chain (`tok → sh → df → d → m → g → spans`), shared
+    * VERBATIM by the q294 and q305 oracles — the excision cuts exactly
+    * the extents the gauge reports, by construction. */
+  private lazy val dupSpanCtes: String =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |         unnest([{'pos': i,
+      |                  'h': md5(array_to_string(w[i:i+$SpanK-1], ' '))}
+      |                 for i in range(1, len(w) - $SpanK + 2)],
+      |                recursive := true)
+      |       FROM tok WHERE len(w) >= $SpanK),
+      |df AS (SELECT h FROM sh GROUP BY h
+      |       HAVING count(DISTINCT doc_id) >= 2),
+      |d AS (SELECT s.doc_id, s.pos FROM sh s JOIN df USING (h)),
+      |m AS (SELECT doc_id, pos,
+      |        CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |                       + $SpanK THEN 1 ELSE 0 END AS brk
+      |      FROM d),
+      |g AS (SELECT doc_id, pos,
+      |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM m),
+      |spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |            CAST(max(pos) + $SpanK - 1 AS BIGINT) AS span_end,
+      |            CAST(max(pos) - min(pos) + $SpanK AS BIGINT) AS span_tokens,
+      |            CAST(count(*) AS BIGINT) AS n_hits
+      |          FROM g GROUP BY doc_id, sid)""".stripMargin
+
+  /** The q295 keep-first chain (`tok → d → ks → own → drops → cleaned`),
+    * shared VERBATIM by the q295 and q304 oracles — the accounting
+    * counts exactly the rewrite's survivors. */
+  private lazy val lineDedupCtes: String =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |d AS (SELECT doc_id,
+      |        [array_to_string(w[(i-1)*$LineLen+1:i*$LineLen], ' ')
+      |         for i in range(1, (len(w) + $LineLen - 1) // $LineLen + 1)] AS segs
+      |      FROM tok),
+      |ks AS (SELECT doc_id,
+      |         unnest([{'sid': i, 'k': md5(segs[i])}
+      |                 for i in range(1, len(segs) + 1)],
+      |                recursive := true)
+      |       FROM d),
+      |own AS (SELECT k, min(doc_id * $LineOwnBase + sid) AS ok
+      |        FROM ks GROUP BY k HAVING count(*) >= 2),
+      |drops AS (SELECT ks.doc_id, list(ks.sid) AS drop_ids
+      |          FROM ks JOIN own USING (k)
+      |          WHERE ks.doc_id * $LineOwnBase + ks.sid <> own.ok
+      |          GROUP BY 1),
+      |cleaned AS (SELECT d.doc_id, CAST(len(d.segs) AS BIGINT) AS n_segs,
+      |       CAST(len(d.segs) - coalesce(len(dr.drop_ids), 0) AS BIGINT) AS n_kept,
+      |       -- DuckDB's array_to_string of an EMPTY list is NULL,
+      |       -- Spark's concat_ws is '' — coalesce to the Spark value
+      |       coalesce(array_to_string([d.segs[i]
+      |                                 for i in range(1, len(d.segs) + 1)
+      |                                 if dr.drop_ids IS NULL
+      |                                    OR NOT list_contains(dr.drop_ids, i)],
+      |                                ' '), '') AS clean_text
+      |FROM d LEFT JOIN drops dr USING (doc_id))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // q294: the identical shingle table (same SpanK, same md5 keys),
     // df >= 2 distinct docs, and the same lag-based island merge
     "q294_dup_spans" ->
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT doc_id,
-        |         unnest([{'pos': i,
-        |                  'h': md5(array_to_string(w[i:i+$SpanK-1], ' '))}
-        |                 for i in range(1, len(w) - $SpanK + 2)],
-        |                recursive := true)
-        |       FROM tok WHERE len(w) >= $SpanK),
-        |df AS (SELECT h FROM sh GROUP BY h
-        |       HAVING count(DISTINCT doc_id) >= 2),
-        |d AS (SELECT s.doc_id, s.pos FROM sh s JOIN df USING (h)),
-        |m AS (SELECT doc_id, pos,
-        |        CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-        |                       + $SpanK THEN 1 ELSE 0 END AS brk
-        |      FROM d),
-        |g AS (SELECT doc_id, pos,
-        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |      FROM m)
-        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-        |       CAST(max(pos) + $SpanK - 1 AS BIGINT) AS span_end,
-        |       CAST(max(pos) - min(pos) + $SpanK AS BIGINT) AS span_tokens,
-        |       CAST(count(*) AS BIGINT) AS n_hits
-        |FROM g GROUP BY doc_id, sid ORDER BY doc_id, span_start""".stripMargin,
+      s"""WITH $dupSpanCtes
+        |SELECT doc_id, span_start, span_end, span_tokens, n_hits
+        |FROM spans ORDER BY doc_id, span_start""".stripMargin,
     // q295: identical segmentation, owner-key encoding, and reassembly
     "q295_line_dedup" ->
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |d AS (SELECT doc_id,
-        |        [array_to_string(w[(i-1)*$LineLen+1:i*$LineLen], ' ')
-        |         for i in range(1, (len(w) + $LineLen - 1) // $LineLen + 1)] AS segs
-        |      FROM tok),
-        |ks AS (SELECT doc_id,
-        |         unnest([{'sid': i, 'k': md5(segs[i])}
-        |                 for i in range(1, len(segs) + 1)],
-        |                recursive := true)
-        |       FROM d),
-        |own AS (SELECT k, min(doc_id * $LineOwnBase + sid) AS ok
-        |        FROM ks GROUP BY k HAVING count(*) >= 2),
-        |drops AS (SELECT ks.doc_id, list(ks.sid) AS drop_ids
-        |          FROM ks JOIN own USING (k)
-        |          WHERE ks.doc_id * $LineOwnBase + ks.sid <> own.ok
-        |          GROUP BY 1)
-        |SELECT d.doc_id, CAST(len(d.segs) AS BIGINT) AS n_segs,
-        |       CAST(len(d.segs) - coalesce(len(dr.drop_ids), 0) AS BIGINT) AS n_kept,
-        |       -- DuckDB's array_to_string of an EMPTY list is NULL,
-        |       -- Spark's concat_ws is '' — coalesce to the Spark value
-        |       coalesce(array_to_string([d.segs[i]
-        |                                 for i in range(1, len(d.segs) + 1)
-        |                                 if dr.drop_ids IS NULL
-        |                                    OR NOT list_contains(dr.drop_ids, i)],
-        |                                ' '), '') AS clean_text
-        |FROM d LEFT JOIN drops dr USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $lineDedupCtes
+        |SELECT doc_id, n_segs, n_kept, clean_text
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
+    // q305: the q294 span chain VERBATIM + the positional excision
+    "q305_span_excision" ->
+      s"""WITH $dupSpanCtes,
+        |dp AS (SELECT doc_id,
+        |         list({'s': span_start, 'e': span_end}) AS sp
+        |       FROM spans GROUP BY 1),
+        |k AS (SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |        CASE WHEN dp.sp IS NULL THEN t.w
+        |             ELSE [t.w[i] for i in range(1, len(t.w) + 1)
+        |                   if len(list_filter(dp.sp,
+        |                        p -> i >= p.s AND i <= p.e)) = 0] END AS kept
+        |      FROM tok t LEFT JOIN dp USING (doc_id))
+        |SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept,
+        |       coalesce(array_to_string(kept, ' '), '') AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin,
+    // q304: the q295 keep-first chain VERBATIM + language accounting
+    "q304_dedup_accounting" ->
+      s"""WITH $lineDedupCtes
+        |SELECT doc.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(string_split(doc.text, ' '))) AS BIGINT) AS raw_tok,
+        |       CAST(sum(CASE WHEN c.clean_text = '' THEN 0
+        |                ELSE len(string_split(c.clean_text, ' ')) END) AS BIGINT)
+        |         AS kept_tok,
+        |       CAST((sum(CASE WHEN c.clean_text = '' THEN 0
+        |                 ELSE len(string_split(c.clean_text, ' ')) END) * 10000)
+        |            // sum(len(string_split(doc.text, ' '))) AS BIGINT) AS kept_bp
+        |FROM cleaned c JOIN documents doc ON c.doc_id = doc.doc_id
+        |GROUP BY doc.lang ORDER BY doc.lang""".stripMargin,
     // q271: same reference slice, same integer bitlen model, same OOV
     // backoff and threshold constants (interpolated, can't drift)
     "q271_lm_quality_filter" ->
@@ -1282,6 +1462,38 @@ object Corpus {
     // q219: identical cross-multiplied ecdf numerators (HUGEINT mirrors
     // decimal(38,0)); window cumsum here vs the distributed prefix scan
     // on the Spark side — identical integers either way
+    // q297: identical count frame, doubled-U tie handling, and the same
+    // floored tie_q / z² integer chains over HUGEINT
+    "q297_mwu_drift" ->
+      """WITH c AS (SELECT n_chars,
+        |        sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c1,
+        |        sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS c2
+        |      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |f AS (SELECT n_chars, c1, c2,
+        |        CAST(coalesce(sum(c2) OVER (ORDER BY n_chars
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS HUGEINT) AS p2
+        |      FROM c),
+        |a AS (SELECT CAST(sum(c1) AS HUGEINT) AS n1,
+        |        CAST(sum(c2) AS HUGEINT) AS n2,
+        |        sum(CAST(c1 AS HUGEINT) * (2 * p2 + c2)) AS u2d,
+        |        sum(CAST(c1 + c2 AS HUGEINT) * (c1 + c2) * (c1 + c2)
+        |            - (c1 + c2)) AS tt
+        |      FROM f),
+        |p AS (SELECT n1, n2, u2d, tt, n1 + n2 AS nn,
+        |        CASE WHEN n1 + n2 >= 2
+        |             THEN tt // ((n1 + n2) * (n1 + n2 - 1)) ELSE 0 END AS tieq,
+        |        u2d - n1 * n2 AS devd
+        |      FROM a),
+        |z AS (SELECT *, CASE WHEN n1 * n2 > 0 AND nn + 1 - tieq > 0
+        |        THEN (3 * devd * devd) // (n1 * n2 * (nn + 1 - tieq))
+        |        ELSE 0 END AS z2d
+        |      FROM p)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |       CAST(u2d AS BIGINT) AS u2, CAST(devd AS BIGINT) AS dev,
+        |       CAST(tieq AS BIGINT) AS tie_q, CAST(z2d AS BIGINT) AS z2,
+        |       z2d > 4 AS drifted
+        |FROM z""".stripMargin,
     "q219_ks_drift" ->
       s"""WITH $ksCtes
         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,

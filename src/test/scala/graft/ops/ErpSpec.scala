@@ -635,4 +635,216 @@ class ErpSpec extends AnyFunSuite {
       assert(bp == late * 10000 / n, s"priority $pr bp arithmetic")
     }
   }
+
+  test("q298 posting run ties out to acquisition cost to the cent; " +
+    "the remainder posts in the final month") {
+    val costs = T(spark, dir, "orders")
+      .select(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1"),
+        expr("cast(round(o_totalprice * 100) as bigint)"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val got = graft.SparkEntry.queries("q298_depreciation")(spark, dir)
+      .collect()
+      .map(r => r.getLong(2) -> (r.getLong(3), r.getLong(4))).toMap
+    // global conservation: the full run posts exactly the capitalized
+    // cents, no penny lost to the monthly floor
+    assert(got.values.map(_._2).sum == costs.map(_._2).sum,
+      "depreciation run != total acquisition cost")
+    // driver recompute of the whole run (tiny: months x assets grid)
+    val L = Erp.DepLifeMonths
+    val want = costs.flatMap { case (mi0, cost) =>
+      (0 until L).map { m =>
+        (mi0 + m).toLong ->
+          (if (m < L - 1) cost / L else cost - (L - 1) * (cost / L))
+      }
+    }.groupBy(_._1).map { case (mi, rows) =>
+      mi -> (rows.length.toLong, rows.map(_._2).sum)
+    }
+    assert(got == want, "posting run diverged from the driver walk")
+    // the remainder month is visibly lumpier than the steady months on
+    // at least one boundary (non-vacuous remainder)
+    assert(costs.exists(_._2 % L != 0), "every cost divisible — degenerate")
+  }
+
+  test("q299 equals a sequential per-part moving-average walk; the " +
+    "empty-stock guard and a genuine MAP refloor both fire") {
+    val rows = T(spark, dir, "lineitem")
+      .select(col("l_partkey"), expr("cast(l_shipdate as date)").as("sd"),
+        col("l_orderkey"), col("l_linenumber"),
+        expr("cast(l_quantity as bigint)").as("q0"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("c0"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getInt(3), r.getLong(4), r.getLong(5)))
+    val byKey = rows.groupBy(t => (t._1, t._2, t._3, t._4))
+      .map { case (k, g) => (k, g.map(_._5).sum, g.map(_._6).sum) }
+    var guardFired = false
+    var refloored = false
+    val want = byKey.groupBy(_._1._1).map { case (part, evs) =>
+      var q = 0L; var v = 0L; var iss = 0L; var cogs = 0L
+      var lastMap = -1L
+      evs.toSeq.sortBy(e => (e._1._2, e._1._3, e._1._4)).foreach {
+        case ((_, _, _, ln), qs, cs) =>
+          if (ln % 2 == 1) { q += qs; v += cs }
+          else if (q <= 0L) guardFired = true
+          else {
+            val out = math.min(qs / 2, q); val m = v / q
+            if (lastMap >= 0 && m != lastMap) refloored = true
+            lastMap = m
+            v -= out * m; q -= out; iss += out; cogs += out * m
+          }
+      }
+      part -> (evs.size.toLong, q, v, if (q > 0) v / q else 0L, iss, cogs)
+    }
+    val got = graft.SparkEntry.queries("q299_avg_costing")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got == want, "graded fold diverged from the sequential walk")
+    assert(refloored, "MAP never moved between issues — fold untested")
+    // conservation: received value = ending value + COGS + the floored
+    // remainders (each issue floors once, so the residue is bounded)
+    got.foreach { case (part, (_, _, endv, _, _, cogs)) =>
+      val recv = byKey.collect {
+        case ((p, _, _, ln), _, cs) if p == part && ln % 2 == 1 => cs
+      }.sum
+      assert(endv + cogs <= recv, s"part $part created value")
+    }
+  }
+
+  test("q300 equals the driver-side greedy budget walk; the cut fires " +
+    "mid-tier (take and skip both present)") {
+    val inv = T(spark, dir, "orders").filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      .collect().map { r =>
+        val ok = r.getLong(0)
+        val tk = SparkTestBase.md5Long(s"cd:$ok", 12)
+        val bp = Erp.CdTiersBp((tk % 3).toInt)
+        (ok, r.getLong(1), bp)
+      }
+    val budget = inv.map(_._2).sum / 10
+    // prefix semantics: the cumulative counts EVERY invoice in rank
+    // order, so the first non-fit provably ends the run (cs only
+    // grows) — the take set is the longest greedy prefix that fits,
+    // never a first-fit packer
+    var cs = 0L
+    val want = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
+    inv.sortBy(t => (-t._3, t._2, t._1)).foreach { case (_, cents, bp) =>
+      val take = cs + cents <= budget
+      cs += cents
+      val (nt, ns, tc, sv) = want.getOrElse(bp, (0L, 0L, 0L, 0L))
+      want(bp) =
+        if (take) (nt + 1, ns, tc + cents, sv + cents * bp / 10000)
+        else (nt, ns + 1, tc, sv)
+    }
+    val got = graft.SparkEntry.queries("q300_cash_discount")(spark, dir)
+      .collect() // disc_bp is an interpolated int literal → INT column
+      .map(r => r.getInt(0).toLong -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got == want.toMap, "greedy take diverged from the driver walk")
+    assert(got.values.exists(t => t._1 > 0 && t._2 > 0),
+      "no tier has both taken and skipped — the cut never bit mid-tier")
+  }
+
+  test("q301 equals the textbook Gini formula per region; regions " +
+    "genuinely disperse") {
+    val rev = T(spark, dir, "lineitem")
+      .select(col("l_suppkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("c2"))
+      .groupBy("l_suppkey").agg(sum("c2").as("rev"))
+      .join(T(spark, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(T(spark, dir, "nation").select("n_nationkey", "n_regionkey"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey"), col("l_suppkey"), col("rev"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val want = rev.groupBy(_._1).map { case (region, rows) =>
+      val xs = rows.sortBy(t => (t._3, t._2)).map(_._3)
+      val n = xs.length
+      val num = xs.zipWithIndex.map { case (x, i0) =>
+        BigInt(2 * (i0 + 1) - n - 1) * x }.sum
+      val tot = xs.map(BigInt(_)).sum
+      region.toLong -> (n.toLong, tot.toLong,
+        ((num * 10000) / (BigInt(n) * tot)).toLong)
+    }
+    val got = graft.SparkEntry.queries("q301_gini")(spark, dir)
+      .collect()
+      .map(r => r.getInt(0).toLong -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(got == want, "Gini diverged from the textbook walk")
+    assert(got.values.map(_._3).toSet.size > 1,
+      "all regions identical — dispersion untested")
+  }
+
+  test("q302 equals the driver-side escalation walk; the top level " +
+    "fires and blocks") {
+    val today = T(spark, dir, "orders")
+      .agg(max(expr("cast(o_orderdate as date)"))).collect()(0)
+      .getDate(0).toLocalDate
+    val items = T(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"), expr("cast(o_orderdate as date)"),
+        expr("cast(round(o_totalprice * 100) as bigint)"))
+      .collect().flatMap { r =>
+        val age = java.time.temporal.ChronoUnit.DAYS.between(
+          r.getDate(1).toLocalDate, today) - 30
+        if (age <= 0) None
+        else {
+          val lvl = if (age <= Erp.DunLevels(0)._1) 1L
+            else if (age <= Erp.DunLevels(1)._1) 2L else 3L
+          val fee = Erp.DunLevels((lvl - 1).toInt)._2
+          Some((r.getLong(0), lvl, r.getLong(2), fee))
+        }
+      }
+    val want = items.groupBy(_._1).map { case (ck, g) =>
+      (ck, g.map(_._2).max, g.length.toLong, g.map(_._3).sum, g.map(_._4).sum)
+    }.groupBy(_._2).map { case (lvl, custs) =>
+      lvl -> (custs.size.toLong, custs.map(_._3).sum, custs.map(_._4).sum,
+        custs.map(_._5).sum, if (lvl == 3L) custs.size.toLong else 0L)
+    }
+    val got = graft.SparkEntry.queries("q302_dunning_run")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == want, "dunning run diverged from the escalation walk")
+    assert(got.contains(3L) && got(3L)._5 > 0, "no blocked accounts")
+    // the MAX-level escalation must be visible: some ITEM sits below
+    // its customer's level (at sf0.001 every multi-level customer
+    // escalates fully, so the per-level output alone can't show it)
+    val custLvl = items.groupBy(_._1).map { case (ck, g) =>
+      ck -> g.map(_._2).max }
+    assert(items.exists(i => i._2 < custLvl(i._1)),
+      "no item below its customer's level — escalation untested")
+  }
+
+  test("q303 equals the driver-side balance + future-min walk; " +
+    "shortage and healthy windows both present") {
+    val evs = T(spark, dir, "lineitem")
+      .select(col("l_partkey"), expr("cast(l_shipdate as date)").as("sd"),
+        col("l_orderkey"), col("l_linenumber"),
+        expr("cast(l_quantity as bigint)").as("q0"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getInt(3)), r.getLong(4)))
+      .groupBy(_._1).map { case (k, g) => (k, g.map(_._2).sum) }
+    val want = evs.groupBy(_._1._1).flatMap { case (part, g) =>
+      val ordered = g.toSeq.sortBy(t => (t._1._2, t._1._3, t._1._4))
+        .map { case ((_, _, _, ln), qs) =>
+          if (ln % 2 == 1) qs else -(qs / 2) }
+      val bal = ordered.scanLeft(0L)(_ + _).tail
+      val atp = bal.scanRight(Long.MaxValue)(math.min).init
+      ordered.indices.map(i =>
+        (part, (i + 1).toLong) ->
+          (ordered(i), bal(i), atp(i), atp(i) < 0))
+    }
+    val got = graft.SparkEntry.queries("q303_atp")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got == want, "ATP diverged from the driver walk")
+    assert(got.values.exists(_._4), "no shortage window — untested")
+    assert(got.values.exists(!_._4), "everything short — degenerate")
+    // ATP never exceeds the balance, by definition of the future-min
+    got.values.foreach { case (_, bal, atp, _) => assert(atp <= bal) }
+  }
 }

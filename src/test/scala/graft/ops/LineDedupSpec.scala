@@ -89,4 +89,27 @@ class LineDedupSpec extends AnyFunSuite {
     assert(got.exists(t => t._2 > t._3), "nothing dropped — degenerate")
     assert(got.exists(t => t._2 == t._3), "everything dropped — degenerate")
   }
+
+  test("q304 accounts exactly the q295 rewrite's survivors per " +
+    "language; some language genuinely loses tokens") {
+    val meta = T(spark, dir, "documents")
+      .selectExpr("doc_id", "lang", "size(split(text, ' ')) as n")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2)))
+      .toMap
+    val cleaned = graft.SparkEntry.queries("q295_line_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3))
+    val want = cleaned.groupBy(t => meta(t._1)._1).map { case (lang, g) =>
+      val raw = g.map(t => meta(t._1)._2.toLong).sum
+      val kept = g.map { case (_, txt) =>
+        if (txt.isEmpty) 0L else txt.split(" ").length.toLong }.sum
+      lang -> (g.length.toLong, raw, kept, kept * 10000 / raw)
+    }
+    val got = graft.SparkEntry.queries("q304_dedup_accounting")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == want, "accounting diverged from the graded rewrite")
+    assert(got.values.exists(t => t._3 < t._2),
+      "no language lost tokens — degenerate")
+  }
 }

@@ -148,8 +148,12 @@ class PlanShapeSpec extends AnyFunSuite {
                               // streaming read path)
       "q239_label_prop",      // 1-row global community count rides
                               // every row (q218's totals class)
-      "q253_generalize_ladder") // 1-row minimal-rung scalar rides the
+      "q253_generalize_ladder", // 1-row minimal-rung scalar rides the
                               // 5-row ladder (q127's totals class)
+      "q300_cash_discount",   // 1-row derived budget rides every ranked
+                              // invoice (q127's totals class)
+      "q302_dunning_run")     // 1-row derived run date rides every open
+                              // item (q127's totals class)
     for ((name, fn) <- graft.SparkEntry.queries if !oneRowCross(name)) {
       val plan = fn(spark, SparkTestBase.Sf0001)
         .queryExecution.executedPlan.toString

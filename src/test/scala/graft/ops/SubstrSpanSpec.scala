@@ -113,4 +113,38 @@ class SubstrSpanSpec extends AnyFunSuite {
     assert((all -- flagged).nonEmpty, "every doc flagged — degenerate")
     assert(got.exists(_._4 > 1), "no merged multi-hit span — merge untested")
   }
+
+  test("q305 excision cuts exactly q294's extents: n_kept = n_tokens " +
+    "− Σ span_tokens per doc, the reassembly equals the positional " +
+    "filter, and clean docs pass through verbatim") {
+    val spans = graft.SparkEntry.queries("q294_dup_spans")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val raw = T(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = graft.SparkEntry.queries("q305_span_excision")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got.keySet == raw.keySet, "excision dropped or invented docs")
+    got.foreach { case (doc, (nTok, nKept, clean)) =>
+      val w = raw(doc).split(" ")
+      assert(nTok == w.length.toLong)
+      spans.get(doc) match {
+        case None =>
+          assert(clean == raw(doc), s"doc $doc rewritten without spans")
+        case Some(sp) =>
+          // merged extents are disjoint, so the cut size is the exact sum
+          assert(nKept == nTok - sp.map(_._4).sum,
+            s"doc $doc kept-count != tokens minus span mass")
+          val keep = w.indices.filter { i0 =>
+            !sp.exists(s => i0 + 1 >= s._2 && i0 + 1 <= s._3) }
+          assert(clean == keep.map(w).mkString(" "),
+            s"doc $doc reassembly diverged from the positional filter")
+      }
+    }
+    assert(got.values.exists(t => t._2 == 0L),
+      "no fully-excised doc (whole-doc dups exist here) — degenerate")
+  }
 }
