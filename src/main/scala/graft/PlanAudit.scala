@@ -406,6 +406,21 @@ object PlanAudit {
         "scalars ever reached the driver. The plan to audit is each " +
         "ROUND's, which the spec pins by construction (no cross join, " +
         "node-sized keep sets)."),
+    "q306_chi2_drift" ->
+      ("**Look for:** q219's shape — one partial+final (bin, cohort) " +
+        "count aggregate over the corpus scan, the 1-row totals " +
+        "broadcast riding the bin frame, and ONE scalar aggregate; " +
+        "every product decimal(38,0); the critical-value lookup is a " +
+        "constant array element_at, no join."),
+    "q307_t_closeness" ->
+      ("**Look for:** ONE customer-sized cell aggregate " +
+        "(localCheckpointed — classes, bounds, and the grid all branch " +
+        "off it), the dense grid as a bounded sequence explode (bands " +
+        "are policy-sized), per-class cumulative windows over ≤ " +
+        "band-count rows, and the global cumulative as a band-keyed " +
+        "AGGREGATE of class cumulatives — NO global window anywhere; " +
+        "the derived median threshold rides ScalableRank + a 1-row " +
+        "broadcast."),
     "q303_atp" ->
       ("**Look for:** ONE exchange on l_partkey feeding all three " +
         "window computations (row number, running balance, and the " +

@@ -624,6 +624,75 @@ object Corpus {
         (col("z2d") > 4).as("drifted"))
   }
 
+  // ---- q306: chi-square drift ---------------------------------------------
+
+  /** q306's bin width over n_chars — equi-width bins are the
+    * categorical-test framing (the equi-depth alternative is q225's
+    * histogram; either feeds the same statistic). */
+  private[ops] val Chi2BinW = 50L
+
+  /** χ²₀.₀₅ critical values for df = 1..30, in centi-units — the
+    * pinned constant table (q278's Benford-table discipline). df > 30
+    * clamps to the last entry (document the clamp; at df that large
+    * the test is usually rebinned anyway). */
+  private[ops] val Chi2Crit05X100: Seq[Long] = Seq(
+    384L, 599L, 781L, 949L, 1107L, 1259L, 1407L, 1551L, 1692L, 1831L,
+    1968L, 2103L, 2236L, 2368L, 2500L, 2630L, 2759L, 2887L, 3014L, 3141L,
+    3267L, 3392L, 3517L, 3641L, 3765L, 3889L, 4011L, 4134L, 4256L, 4377L)
+
+  /** q306: two-sample chi-square drift — the BINNED/CATEGORICAL member
+    * completing the drift triad (q219 KS reads the worst ECDF gap,
+    * q297 MWU the location shift, χ² the overall binned divergence —
+    * the PSI-style monitor reviewers actually deploy, minus PSI's
+    * logarithm, which has no exact integer form). Same parity cohorts
+    * over n_chars, equi-width [[Chi2BinW]] bins.
+    *
+    * Exactness: the two-sample statistic with pooled expectations is
+    * `X² = Σ_b (o1·n2 − o2·n1)² / (n1·n2·(o1+o2))` — evaluated as the
+    * sum of PER-BIN centi-unit floors (`·100 div`, decimal(38,0)
+    * products; a DEFINED statistic, identical in both engines,
+    * under-reading true X² by < bins/100). The alarm compares against
+    * the pinned [[Chi2Crit05X100]] table at df = bins − 1. Bound:
+    * (o·n)²·100 holds to N ≲ 10⁹ rows — past that, pre-aggregate the
+    * bin domain (the counts frame is the input).
+    *
+    * Scale shape: one corpus-sized (bin, cohort) count aggregate, a
+    * 1-row totals broadcast, one scalar aggregate — q219's class.
+    * Chi2DriftSpec fires the alarm on a shifted synthetic cohort
+    * through this core and pins the real split silent. */
+  def q306Chi2Drift(s: SparkSession, dir: String): DataFrame =
+    chi2Core(T(s, dir, "documents")
+      .select(expr(s"n_chars div $Chi2BinW").as("bin"),
+        (col("doc_id") % 2).as("g"))
+      .filter(col("bin").isNotNull)
+      .groupBy("bin")
+      .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("o1"),
+        sum(when(col("g") =!= 0, 1L).otherwise(0L)).as("o2")))
+
+  /** The q306 machinery on any (bin, o1, o2) count frame — split out
+    * so Chi2DriftSpec can drive shifted/stationary synthetic cohorts
+    * through the graded plan. */
+  private[ops] def chi2Core(counts: DataFrame): DataFrame = {
+    val totals = counts.agg(
+      sum("o1").cast("decimal(38,0)").as("n1"),
+      sum("o2").cast("decimal(38,0)").as("n2"))
+    val critArr = Chi2Crit05X100.mkString("array(", "L, ", "L)")
+    counts.crossJoin(broadcast(totals)) // 1-row totals (q219 class)
+      .withColumn("term", expr(
+        "((cast(o1 as decimal(38,0)) * n2 - cast(o2 as decimal(38,0)) * n1)" +
+          " * (cast(o1 as decimal(38,0)) * n2 - cast(o2 as decimal(38,0)) * n1)" +
+          " * 100) div (n1 * n2 * (o1 + o2))"))
+      .agg(count(lit(1)).as("n_bins"),
+        max(col("n1")).cast("long").as("n1"),
+        max(col("n2")).cast("long").as("n2"),
+        sum("term").cast("long").as("x2_x100"))
+      .withColumn("df", expr(s"least(n_bins - 1, ${Chi2Crit05X100.size})"))
+      .withColumn("crit_x100",
+        expr(s"element_at($critArr, cast(df as int))"))
+      .withColumn("drifted", col("x2_x100") > col("crit_x100"))
+      .select("n_bins", "df", "n1", "n2", "x2_x100", "crit_x100", "drifted")
+  }
+
   /** q224: corpus release gate — the thresholded go/no-go verdict table
     * a training-data publish runs LAST, completing the gate triad (q191
     * verdicts per DOCUMENT, q207 per WAREHOUSE TABLE, q224 per CORPUS):
@@ -1181,6 +1250,7 @@ object Corpus {
     "q188_token_drift" -> q188TokenDrift _,
     "q219_ks_drift" -> q219KsDrift _,
     "q297_mwu_drift" -> q297MwuDrift _,
+    "q306_chi2_drift" -> q306Chi2Drift _,
     "q224_corpus_gate" -> q224CorpusGate _,
     "q118_source_overlap" -> q118SourceOverlap _,
     "q123_segment_dedup" -> q123SegmentDedup _,
@@ -1462,6 +1532,29 @@ object Corpus {
     // q219: identical cross-multiplied ecdf numerators (HUGEINT mirrors
     // decimal(38,0)); window cumsum here vs the distributed prefix scan
     // on the Spark side — identical integers either way
+    // q306: identical bins, the same per-bin centi-floor terms over
+    // HUGEINT, and the same pinned critical-value table
+    "q306_chi2_drift" ->
+      s"""WITH c AS (SELECT n_chars // $Chi2BinW AS bin,
+        |        sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS o1,
+        |        sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS o2
+        |      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(o1) AS HUGEINT) AS n1,
+        |             CAST(sum(o2) AS HUGEINT) AS n2 FROM c),
+        |a AS (SELECT count(*) AS n_bins, max(t.n1) AS n1, max(t.n2) AS n2,
+        |        sum(((CAST(o1 AS HUGEINT) * t.n2 - CAST(o2 AS HUGEINT) * t.n1)
+        |             * (CAST(o1 AS HUGEINT) * t.n2 - CAST(o2 AS HUGEINT) * t.n1)
+        |             * 100) // (t.n1 * t.n2 * (o1 + o2))) AS x2
+        |      FROM c, t),
+        |d AS (SELECT *, least(n_bins - 1, ${Chi2Crit05X100.size}) AS df,
+        |        [${Chi2Crit05X100.mkString(", ")}]
+        |          [least(n_bins - 1, ${Chi2Crit05X100.size})] AS crit
+        |      FROM a)
+        |SELECT CAST(n_bins AS BIGINT) AS n_bins, CAST(df AS BIGINT) AS df,
+        |       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |       CAST(x2 AS BIGINT) AS x2_x100, CAST(crit AS BIGINT) AS crit_x100,
+        |       x2 > crit AS drifted
+        |FROM d""".stripMargin,
     // q297: identical count frame, doubled-U tie handling, and the same
     // floored tie_q / z² integer chains over HUGEINT
     "q297_mwu_drift" ->

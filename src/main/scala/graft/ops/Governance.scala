@@ -216,7 +216,84 @@ object Governance {
         sum("n").as("n_rows"))
       .orderBy("c_nationkey")
 
+  /** q307's breach rule: a class breaches when its t exceeds
+    * [[TCloseNum]]/[[TCloseDen]] × the corpus's median class t
+    * (3/2 — probed to fire AND pass at every tested SF). Derived, not
+    * fixed (the q256 derived-k discipline): sampling noise moves the t
+    * scale an order of magnitude across SFs (measured medians
+    * 2986 → 289 bp from sf0.001 to sf0.1), so a fixed policy t is
+    * vacuously all-breach at one SF and never-breach at another; a
+    * deployment pins its policy t as a constant instead. The floored
+    * `thr = (3·med) div 2` comparison equals the exact cross-multiplied
+    * `2t > 3·med` (2t is even, so the odd-3m boundary cannot tie). */
+  private[ops] val TCloseNum = 3L
+  private[ops] val TCloseDen = 2L
+
+  /** q307: t-closeness — the third leg of the privacy triad (q237
+    * k-anonymity: classes big enough; q270 l-diversity: sensitive
+    * values varied enough; t-closeness: the class's sensitive
+    * DISTRIBUTION close enough to the global one that membership
+    * reveals nothing — the skewness attack l-diversity misses).
+    * Sensitive attribute = the ordered balance band (q237's grid,
+    * shared [[BandC2]]); QI class = (nation, segment); distance = the
+    * ordered-attribute Earth Mover's Distance, which for unit ground
+    * distance is the mean absolute CDF gap:
+    * `t = Σ_b |F_class(b) − F_global(b)| / (B−1)` — evaluated exactly
+    * as cross-multiplied integers `Σ|cc·N − cg·n|` over
+    * decimal(38,0), one floor at the final bp division.
+    *
+    * The global cumulative needs NO global window: with the dense
+    * class×band grid, `cg(b) = Σ_classes cc(b)` — a plain band-keyed
+    * aggregate of the per-class cumulatives. Per-class windows run
+    * over ≤ band-count rows (policy-bounded, the q202 calendar
+    * argument). Scale: one customer-sized cell aggregate; everything
+    * after is classes × bands. TClosenessSpec pins the textbook EMD
+    * walk and both verdicts. */
+  def q307TCloseness(s: SparkSession, dir: String): DataFrame = {
+    val cell = T(s, dir, "customer")
+      .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        expr(s"(cast(round(c_acctbal * 100) as bigint) + 1000000) div $BandC2")
+          .as("band"))
+      .groupBy("nat", "seg", "band").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // classes, band bounds, and the grid all branch off it
+    val cls = cell.groupBy("nat", "seg").agg(sum("cnt").as("n"))
+    val bounds = cell.agg(min("band").as("b0"), max("band").as("b1"),
+      sum("cnt").as("nn"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("nat", "seg").orderBy("band")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = cls.crossJoin(broadcast(bounds)) // 1-row band bounds + N
+      .select(col("nat"), col("seg"), col("n"), col("nn"),
+        explode(expr("sequence(b0, b1)")).as("band"))
+      .join(cell, Seq("nat", "seg", "band"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("cc", sum("cnt").over(wc))
+    val g = cum.groupBy("band").agg(sum("cc").as("cg"))
+    val t = cum.join(broadcast(g), "band")
+      .withColumn("d", expr(
+        "abs(cast(cc as decimal(38,0)) * nn - cast(cg as decimal(38,0)) * n)"))
+      .groupBy("nat", "seg")
+      .agg(max("n").as("n"), max("nn").as("nn"),
+        count(lit(1)).as("nb"), sum("d").as("num"))
+      .withColumn("t_bp", expr(
+        "cast((num * 10000) div (cast(n as decimal(38,0)) * nn" +
+          " * greatest(nb - 1, 1)) as bigint)"))
+      .select("nat", "seg", "n", "t_bp")
+    val ranked = ScalableRank.withGlobalRowNumber(t, "rn",
+      col("t_bp"), col("nat"), col("seg"))
+    val med = ranked.agg(count(lit(1)).as("ncls")).collect()(0).getLong(0)
+    val medRow = ranked.filter(col("rn") === (med + 1) / 2)
+      .select(col("t_bp").as("med"))
+    ranked.crossJoin(broadcast(medRow)) // 1-row derived median (q127 class)
+      .withColumn("thr_bp",
+        expr(s"($TCloseNum * med) div $TCloseDen"))
+      .withColumn("breach", col("t_bp") > col("thr_bp"))
+      .select("nat", "seg", "n", "t_bp", "thr_bp", "breach")
+      .orderBy("nat", "seg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q307_t_closeness" -> q307TCloseness _,
     "q216_cascade_delete" -> q216CascadeDelete _,
     "q237_k_anonymity" -> q237KAnonymity _,
     "q253_generalize_ladder" -> q253GeneralizeLadder _,
@@ -224,6 +301,43 @@ object Governance {
   )
 
   val oracle: Map[String, String] = Map(
+    // q307: identical band grid, dense class×band cumulatives, the
+    // cross-multiplied EMD, and the same derived 2×median threshold
+    "q307_t_closeness" ->
+      s"""WITH cell AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |         (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // $BandC2 AS band,
+        |         count(*) AS cnt
+        |       FROM customer GROUP BY 1, 2, 3),
+        |cls AS (SELECT nat, seg, sum(cnt) AS n FROM cell GROUP BY 1, 2),
+        |bounds AS (SELECT min(band) AS b0, max(band) AS b1,
+        |             CAST(sum(cnt) AS HUGEINT) AS nn FROM cell),
+        |grid AS (SELECT c.nat, c.seg, c.n, bo.nn, r.band,
+        |           coalesce(cell.cnt, 0) AS cnt
+        |         FROM cls c CROSS JOIN bounds bo
+        |         CROSS JOIN (SELECT unnest(generate_series(
+        |             (SELECT b0 FROM bounds), (SELECT b1 FROM bounds))) AS band) r
+        |         LEFT JOIN cell ON cell.nat = c.nat AND cell.seg = c.seg
+        |                        AND cell.band = r.band),
+        |cum AS (SELECT *, sum(cnt) OVER (PARTITION BY nat, seg
+        |          ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS cc FROM grid),
+        |g AS (SELECT band, CAST(sum(cc) AS HUGEINT) AS cg FROM cum GROUP BY 1),
+        |t AS (SELECT cum.nat, cum.seg, max(cum.n) AS n, max(cum.nn) AS nn,
+        |        count(*) AS nb,
+        |        sum(abs(CAST(cum.cc AS HUGEINT) * cum.nn
+        |                - g.cg * cum.n)) AS num
+        |      FROM cum JOIN g USING (band) GROUP BY 1, 2),
+        |tb AS (SELECT nat, seg, CAST(n AS BIGINT) AS n,
+        |         CAST((num * 10000) // (CAST(n AS HUGEINT) * nn
+        |              * greatest(nb - 1, 1)) AS BIGINT) AS t_bp
+        |       FROM t),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY t_bp, nat, seg) AS rn,
+        |         count(*) OVER () AS ncls FROM tb),
+        |med AS (SELECT t_bp AS m FROM rk WHERE rn = (ncls + 1) // 2)
+        |SELECT nat, seg, n, t_bp,
+        |       CAST(($TCloseNum * med.m) // $TCloseDen AS BIGINT) AS thr_bp,
+        |       t_bp > ($TCloseNum * med.m) // $TCloseDen AS breach
+        |FROM tb, med ORDER BY nat, seg""".stripMargin,
     // q216: the same md5-ticket cohort and FK propagation; counts are
     // plain integer aggregates in both engines
     "q216_cascade_delete" ->

@@ -152,8 +152,12 @@ class PlanShapeSpec extends AnyFunSuite {
                               // 5-row ladder (q127's totals class)
       "q300_cash_discount",   // 1-row derived budget rides every ranked
                               // invoice (q127's totals class)
-      "q302_dunning_run")     // 1-row derived run date rides every open
+      "q302_dunning_run",     // 1-row derived run date rides every open
                               // item (q127's totals class)
+      "q306_chi2_drift",      // 1-row cohort totals ride the bin frame
+                              // (q219's totals class)
+      "q307_t_closeness")     // two 1-row broadcasts: band bounds + the
+                              // derived median threshold (q127 class)
     for ((name, fn) <- graft.SparkEntry.queries if !oneRowCross(name)) {
       val plan = fn(spark, SparkTestBase.Sf0001)
         .queryExecution.executedPlan.toString
