@@ -38,6 +38,28 @@ object StreamGraded {
     * several times in one session; memory sinks are session-global). */
   private val runSeq = new AtomicInteger(0)
 
+  /** The shared replay harness: the events parquet through a real file
+    * streaming source (AvailableNow, one batch — see q296's scaladoc
+    * for why the graded contract excludes anything only a POST-data
+    * timeout batch could emit), the given monitor, a memory sink. */
+  private def replay(s: SparkSession, dir: String, tag: String)(
+      monitor: org.apache.spark.sql.Dataset[SEvent] => DataFrame): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val raw = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+    val ev = raw
+      .select(col("event_id"), T.tsAsTimestamp(raw).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[SEvent]
+    val sink = s"${tag}_${runSeq.incrementAndGet()}"
+    val q = monitor(ev)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination()
+    finally q.stop()
+    s.table(sink)
+  }
+
   /** q296: the streaming CUSUM monitor, graded end-to-end. Stage 1 is
     * the RUNBOOK batch init — per-type median targets from the trusted
     * history via the graded q255 frame ([[Corpus.cusumDays]]); the
@@ -49,9 +71,7 @@ object StreamGraded {
     * emitted [[EventStreams.CusumPoint]]s. The memory sink holds
     * types × days rows — calendar-bounded, the q202 argument. */
   def q296CusumStream(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val DayUs = T.DayUs
-
     // batch init: the monitor's targets, from the q255 per-day frame
     val days = Corpus.cusumDays(T.events(s, dir)
       .select(col("event_type"), expr(s"(tus div $DayUs) * $DayUs").as("day"))
@@ -59,18 +79,6 @@ object StreamGraded {
     // bounded collect: one row per event TYPE (annotated; q202 class)
     val targets = days.selectExpr("event_type", "med").distinct()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-
-    // replay: the same file through a genuine streaming source. The
-    // file source wants a DIRECTORY base path, so the single-file
-    // fixture is addressed as a glob under its parent (at deployment
-    // the source watches an ingest directory — this is the same shape).
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val raw = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
-    val ev = raw
-      .select(col("event_id"), T.tsAsTimestamp(raw).as("ts"),
-        col("user_id"), col("event_type"), col("value"))
-      .as[SEvent]
-    val sink = s"q296_cusum_stream_${runSeq.incrementAndGet()}"
     // idle flush DISABLED for the bounded replay: whether the engine
     // schedules a timeout-firing batch after the data batch (and hence
     // whether a type idle ≥ watermark+idle at end-of-file flushes its
@@ -79,17 +87,29 @@ object StreamGraded {
     // The graded contract is therefore exactly CLOSED days; the idle
     // flush itself is deployment behavior, pinned deterministically by
     // StreamBatchParitySpec's sentinel batches.
-    val q = EventStreams.cusumPoints(ev, targets,
-        idleMs = Long.MaxValue / 4).toDF()
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination()
-    finally q.stop()
-    s.table(sink).orderBy("event_type", "day")
+    replay(s, dir, "q296_cusum_stream")(ev =>
+      EventStreams.cusumPoints(ev, targets, idleMs = Long.MaxValue / 4).toDF())
+      .orderBy("event_type", "day")
   }
+
+  /** q308: the inter-event-gap monitor, graded end-to-end — the second
+    * streaming query under the hash gate, and the structurally SAFER
+    * one: [[EventStreams.gapPoints]] emits only on a SUCCESSOR event
+    * (a gap exists once its later endpoint arrives), and its timeout
+    * path only EVICTS state (emitting nothing), so a bounded replay's
+    * output is batch-schedule-independent by construction — every
+    * per-user gap except none is emitted, each user's chain simply has
+    * no row for its first event. The huge idleMs keeps even the
+    * eviction structurally impossible, matching q296's contract. The
+    * oracle is q211's lag formulation with the bitlen-log₂ bucket. */
+  def q308GapStream(s: SparkSession, dir: String): DataFrame =
+    replay(s, dir, "q308_gap_stream")(ev =>
+      EventStreams.gapPoints(ev, idleMs = Long.MaxValue / 4).toDF())
+      .orderBy("user_id", "tus", "event_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q296_cusum_stream" -> q296CusumStream _,
+    "q308_gap_stream" -> q308GapStream _,
   )
 
   /** The q255 cusumDays frame in SQL, restricted to CLOSED days (every
@@ -98,6 +118,21 @@ object StreamGraded {
     * prefix-sum/prefix-min recurrence closed form, and µs day grid as
     * the batch op; sums CAST to BIGINT (DuckDB widens to HUGEINT). */
   val oracle: Map[String, String] = Map(
+    // q308: q211's lag formulation — one row per (user, successor
+    // event), the same (tus, event_id) tie order, the same
+    // bitlen-log₂ bucket
+    "q308_gap_stream" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |w AS (SELECT user_id, event_id, tus,
+        |        lag(tus) OVER (PARTITION BY user_id
+        |                       ORDER BY tus, event_id) AS prev_tus
+        |      FROM e),
+        |g AS (SELECT user_id, event_id, tus, prev_tus, tus - prev_tus AS gap
+        |      FROM w WHERE prev_tus IS NOT NULL)
+        |SELECT user_id, event_id, tus, prev_tus, CAST(gap AS BIGINT) AS gap,
+        |       CAST(CASE WHEN gap = 0 THEN -1
+        |            ELSE length(bin(gap)) - 1 END AS BIGINT) AS b
+        |FROM g ORDER BY user_id, tus, event_id""".stripMargin,
     "q296_cusum_stream" ->
       """WITH c AS (SELECT event_type,
         |             (epoch_us(ts) // 86400000000) * 86400000000 AS day,

@@ -48,4 +48,31 @@ class StreamGradedSpec extends AnyFunSuite {
     val b = graft.SparkEntry.queries("q296_cusum_stream")(spark, dir).count()
     assert(a == b && a > 0)
   }
+
+  test("q308 equals the batch gapPairs core on the same parquet — " +
+    "every successor event's gap, none dropped, zero-gap bucket " +
+    "included") {
+    val want = graft.ops.NorthStar.gapPairs(T.events(spark, dir))
+      .selectExpr("user_id", "event_id", "tus", "prev_tus", "gap",
+        "CASE WHEN gap = 0 THEN -1L " +
+          "ELSE cast(length(bin(gap)) - 1 as bigint) END as b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val got = graft.SparkEntry.queries("q308_gap_stream")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want, "graded gap stream diverged from the batch core")
+    assert(got.nonEmpty)
+    // each user contributes exactly (events − 1) rows: no chain restart
+    // can have fired in a bounded replay
+    val evCounts = T.events(spark, dir).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gapCounts = got.toSeq.groupBy(_._1).map { case (u, g) =>
+      u -> g.size.toLong }
+    evCounts.foreach { case (u, n) =>
+      assert(gapCounts.getOrElse(u, 0L) == n - 1, s"user $u chain broke")
+    }
+  }
 }
