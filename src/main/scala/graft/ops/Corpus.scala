@@ -177,6 +177,20 @@ object Corpus {
     * encoding is shared verbatim with the oracle. */
   private[ops] val LineOwnBase = 1048576L
 
+  /** The q295/q304 owner-key encoding `doc_id · 2²⁰ + sid`, with the
+    * encoding's domain ENFORCED in-plan: a corpus that breaks the bound
+    * (a document past 2²⁰ segments, or doc_id ≥ 2⁴³ where the product
+    * would overflow BIGINT) raises instead of silently mis-ordering
+    * ownership — wrong dedup must fail loudly, not pass quietly. The
+    * guard is two codegen'd long comparisons per exploded segment;
+    * `raise_error`'s NullType unifies with the BIGINT branch. */
+  private def lineOwnKey: org.apache.spark.sql.Column = expr(
+    s"CASE WHEN sid < $LineOwnBase AND doc_id >= 0 " +
+      s"AND doc_id < ${Long.MaxValue / LineOwnBase} " +
+      s"THEN doc_id * $LineOwnBase + sid " +
+      "ELSE raise_error(concat('q295 owner-key out of range: doc_id=', " +
+      "cast(doc_id as string), ' sid=', cast(sid as string))) END")
+
   /** q295: CCNet-style repeated-line removal with KEEP-FIRST ownership —
     * the corpus-dedup semantics q123 deliberately does not have: q123
     * EXCISES a duplicated segment from every document (a profile-grade
@@ -215,12 +229,11 @@ object Corpus {
       posexplode(expr("transform(segs, x -> md5(x))")).as(Seq("p", "k")))
       .select(col("doc_id"), (col("p") + 1).cast("long").as("sid"), col("k"))
     val own = ks.groupBy("k")
-      .agg(min(col("doc_id") * lit(LineOwnBase) + col("sid")).as("ok"),
-        count(lit(1)).as("n"))
+      .agg(min(lineOwnKey).as("ok"), count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .select("k", "ok")
     val drops = ks.join(own, Seq("k"))
-      .filter(col("doc_id") * lit(LineOwnBase) + col("sid") =!= col("ok"))
+      .filter(lineOwnKey =!= col("ok"))
       .groupBy("doc_id")
       .agg(collect_list(col("sid")).as("drop_ids"))
     docs.join(drops, Seq("doc_id"), "left")
@@ -686,7 +699,14 @@ object Corpus {
         max(col("n1")).cast("long").as("n1"),
         max(col("n2")).cast("long").as("n2"),
         sum("term").cast("long").as("x2_x100"))
-      .withColumn("df", expr(s"least(n_bins - 1, ${Chi2Crit05X100.size})"))
+      // greatest(…, 1): a degenerate single-bin corpus has df = 0, and
+      // element_at(arr, 0) THROWS in Spark while DuckDB's arr[0] silently
+      // NULLs — clamping to df = 1 (mirrored in the oracle) makes the
+      // degenerate case defined and identical on both engines (the most
+      // conservative critical value; with one bin x2 = 0, so drifted is
+      // false either way).
+      .withColumn("df",
+        expr(s"greatest(least(n_bins - 1, ${Chi2Crit05X100.size}), 1)"))
       .withColumn("crit_x100",
         expr(s"element_at($critArr, cast(df as int))"))
       .withColumn("drifted", col("x2_x100") > col("crit_x100"))
@@ -1546,9 +1566,10 @@ object Corpus {
         |             * (CAST(o1 AS HUGEINT) * t.n2 - CAST(o2 AS HUGEINT) * t.n1)
         |             * 100) // (t.n1 * t.n2 * (o1 + o2))) AS x2
         |      FROM c, t),
-        |d AS (SELECT *, least(n_bins - 1, ${Chi2Crit05X100.size}) AS df,
+        |d AS (SELECT *,
+        |        greatest(least(n_bins - 1, ${Chi2Crit05X100.size}), 1) AS df,
         |        [${Chi2Crit05X100.mkString(", ")}]
-        |          [least(n_bins - 1, ${Chi2Crit05X100.size})] AS crit
+        |          [greatest(least(n_bins - 1, ${Chi2Crit05X100.size}), 1)] AS crit
         |      FROM a)
         |SELECT CAST(n_bins AS BIGINT) AS n_bins, CAST(df AS BIGINT) AS df,
         |       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
