@@ -118,9 +118,52 @@ object StreamGraded {
       EventStreams.gapPoints(ev, idleMs = Long.MaxValue / 4).toDF())
       .orderBy("user_id", "tus", "event_id")
 
+  /** q309: the streaming EWMA spike monitor, graded end-to-end — the
+    * third query under the hash gate, and q308's structural class:
+    * [[EventStreams.ewmaPoints]] emits exactly one point PER EVENT as
+    * it folds into the filter state, and its timeout path only EVICTS
+    * (emitting nothing), so a bounded replay's output is
+    * batch-schedule-independent by construction — no closed-window
+    * exclusion needed, every event contributes exactly one graded row.
+    * The huge idleMs keeps even mid-replay eviction (which would
+    * zero-reset a user's tap history) structurally impossible. Input is
+    * pre-filtered to q238's sensor sample (user_id ≡ 0 mod 3) BEFORE
+    * the stateful operator — a stream filter, the deployment shape —
+    * so the oracle is q238's formulation verbatim: a silent drift
+    * between the 16-tap integer recurrence and the declared batch
+    * window now fails the round. */
+  def q309EwmaStream(s: SparkSession, dir: String): DataFrame =
+    replay(s, dir, "q309_ewma_stream")(ev =>
+      EventStreams.ewmaPoints(ev.filter(col("user_id") % 3 === 0),
+        idleMs = Long.MaxValue / 4).toDF())
+      .orderBy("user_id", "tus", "event_id")
+
+  /** q311: the streaming session-example emitter, graded end-to-end —
+    * the q164-family monitor under the hash gate, closing the verdict's
+    * last spec-only stateful monitor. Emission analysis (the q296/q308
+    * successor-emission discipline): [[EventStreams.sessionExamples]]
+    * emits a session when a LATER same-user event closes it (the
+    * in-batch gap path) or when a watermark/timeout flush fires; with
+    * `flushDelayMs` huge both cross-batch paths are structurally
+    * disabled in the bounded replay, so the graded contract is exactly
+    * the SUCCESSOR-CLOSED sessions: every session except each user's
+    * final one (which is still open in state at end-of-replay; in
+    * deployment the gap timeout flushes it — pinned by
+    * StreamBatchParitySpec, which runs flushDelayMs = 0). The oracle is
+    * q193's formulation with the matching exclusion (`session_id <
+    * max(session_id)` per user, applied BEFORE the ≥3-event gate —
+    * the open session is excluded whatever its size). */
+  def q311SessionStream(s: SparkSession, dir: String): DataFrame =
+    replay(s, dir, "q311_session_stream")(ev =>
+      EventStreams.sessionExamples(ev, flushDelayMs = Long.MaxValue / 4)
+        .toDF())
+      .orderBy("user_id", "n_events", "prefix_md5", "label")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q296_cusum_stream" -> q296CusumStream _,
     "q308_gap_stream" -> q308GapStream _,
+    "q309_ewma_stream" -> q309EwmaStream _,
+    "q311_session_stream" -> q311SessionStream _,
   )
 
   /** The q255 cusumDays frame in SQL, restricted to CLOSED days (every
@@ -129,6 +172,32 @@ object StreamGraded {
     * prefix-sum/prefix-min recurrence closed form, and µs day grid as
     * the batch op; sums CAST to BIGINT (DuckDB widens to HUGEINT). */
   val oracle: Map[String, String] = Map(
+    // q309: q238's oracle VERBATIM (shared by reference, so the
+    // streaming recurrence grades against exactly the declared batch
+    // formulation — same sensor sample, same 16-tap dyadic filter,
+    // same integer spike inequality, same order)
+    "q309_ewma_stream" -> graft.ops.NorthStar.oracle("q238_ewma_smooth"),
+    // q311: q193's session-example formulation with the bounded-replay
+    // exclusion — each user's FINAL session (max session_id) is still
+    // open in monitor state at end-of-replay, so it is excluded before
+    // the >= 3-event gate; everything else is q193 verbatim
+    "q311_session_stream" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events),
+        |l AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM x),
+        |n AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+        |g AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |      FROM n),
+        |a AS (SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |             list(event_type ORDER BY tus, event_id) AS seq
+        |      FROM g GROUP BY 1, 2),
+        |m AS (SELECT *, max(session_id) OVER (PARTITION BY user_id) AS last_sid
+        |      FROM a)
+        |SELECT user_id, n_events,
+        |       md5(array_to_string(seq[1:len(seq)-1], ' ')) AS prefix_md5,
+        |       seq[-1] AS label
+        |FROM m WHERE session_id < last_sid AND n_events >= 3
+        |ORDER BY user_id, n_events, prefix_md5, label""".stripMargin,
     // q308: q211's lag formulation — one row per (user, successor
     // event), the same (tus, event_id) tie order, the same
     // bitlen-log₂ bucket

@@ -75,4 +75,50 @@ class StreamGradedSpec extends AnyFunSuite {
       assert(gapCounts.getOrElse(u, 0L) == n - 1, s"user $u chain broke")
     }
   }
+
+  test("q309 equals the declared q238 batch window on the same parquet " +
+    "— one row per sampled event, spikes present and identical") {
+    val batch = graft.SparkEntry.queries("q238_ewma_smooth")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    val got = graft.SparkEntry.queries("q309_ewma_stream")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    assert(got == batch, "graded ewma stream diverged from the q238 window")
+    assert(got.nonEmpty)
+    // schedule-independence contract: exactly one row per sampled event
+    val nSampled = T.events(spark, dir)
+      .filter(col("user_id") % 3 === 0).count()
+    assert(got.size.toLong == nSampled,
+      "emission is not one-row-per-event — replay grade unsound")
+  }
+
+  test("q311 equals the batch session examples minus each user's final " +
+    "(still-open) session; the exclusion is real but small") {
+    // independent want-set: q164's graded frame (with session ordinal),
+    // dropping each user's max session_id BEFORE the >= 3-event gate
+    val all = graft.SparkEntry.queries("q164_session_examples")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4)))
+    // q164 already gates n >= 3, so recover last_sid from the raw
+    // sessionization (q81's graded frame carries every session)
+    val lastSid = graft.SparkEntry.queries("q81_event_sessionize")(spark, dir)
+      .groupBy("user_id").agg(max("session_id").as("last"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = all.filter { case (u, sid, _, _, _) => sid < lastSid(u) }
+      .map { case (u, _, n, p, l) => (u, n, p, l) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val gotRows = graft.SparkEntry.queries("q311_session_stream")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val got = gotRows.groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == want,
+      "graded session stream diverged from the batch exclusion frame")
+    assert(gotRows.nonEmpty, "no successor-closed sessions — degenerate")
+    // the exclusion can only remove rows, never add or mutate them
+    assert(gotRows.length <= all.length)
+  }
 }
