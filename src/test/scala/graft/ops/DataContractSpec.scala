@@ -25,9 +25,11 @@ class DataContractSpec extends AnyFunSuite {
     "ScalaTest-verified exception list (the driver records only a weak " +
     "rows-check without an oracle — additions must opt out explicitly)") {
     val noOracle = Set( // each verified by a dedicated ScalaTest suite
+      // q36/q39 left this list in r16: self-validating outputs (exact
+      // values + bound verdicts the oracle asserts TRUE) put the
+      // sketches under the driver hash gate; HllBoundSpec still pins
+      // the raw estimates independently
       "q06_sink_layout",         // LayoutSpec
-      "q36_agg_approx_distinct", // HllBoundSpec
-      "q39_approx_percentile",   // HllBoundSpec
       "q114_media_pipeline",     // Multimodal*/GifFrameSpec/ImageProps
                                  // (no SQL engine decodes PNG/GIF)
       "q116_audio_pipeline",     // AudioSpec (no SQL engine decodes WAV)
