@@ -1213,8 +1213,34 @@ object PlanAudit {
       val plan = df.queryExecution.explainString(FormattedMode)
       sb ++= s"## $name\n\n$note\n\n```\n$plan```\n\n"
     }
+    // q310's shared-exchange proof needs the EXECUTED plans: ReuseExchange
+    // under AQE resolves at stage materialization, and the shingle reuse
+    // lives in the pre-checkpoint subplan the final query no longer shows.
+    locally {
+      import org.apache.spark.sql.functions.{col, split}
+      val tok = ops.T(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      val ex = ops.Corpus.q310Excised(tok)
+      ex.collect()
+      sb ++= "## q310_dedup_pipeline — excision subplan (EXECUTED, AQE " +
+        "final)\n\n**Look for:** exactly ONE `Exchange hashpartitioning" +
+        "(h…)` materialized for the positioned-shingle table, with the " +
+        "second consumer reading a `ReusedExchange` — the df aggregate " +
+        "and the position join-back share the shuffle, so raw shingle " +
+        "rows cross the wire once (DedupPipelineSpec enforces this).\n\n" +
+        s"```\n${ex.queryExecution.executedPlan}```\n\n"
+      val full = SparkEntry.queries("q310_dedup_pipeline")(spark, sfDir)
+      full.collect()
+      sb ++= "## q310_dedup_pipeline — line stage (EXECUTED, AQE final)\n\n" +
+        "**Look for:** the line-key `Exchange hashpartitioning(k…)` " +
+        "materialized once with a `ReusedExchange` feeding the ownership " +
+        "join-back; the excised frame enters as a localCheckpointed " +
+        "`Scan ExistingRDD` (the q215 multi-consumer discipline) so the " +
+        "span stage never re-executes.\n\n" +
+        s"```\n${full.queryExecution.executedPlan}```\n\n"
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"wrote PLANS.md (${picks.size} plans)")
+    println(s"wrote PLANS.md (${picks.size + 2} plans)")
     spark.stop()
   }
 }

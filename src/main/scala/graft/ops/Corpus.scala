@@ -309,6 +309,136 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // ---- q310: the composed dedup flagship ---------------------------------
+
+  /** q310: the r15 dedup additions composed into ONE plan — the pass a
+    * real corpus build actually runs (q105's composed-flagship pattern
+    * applied to the Lee-et-al/CCNet chain): duplicated-span detection →
+    * span EXCISION from every carrier → keep-first LINE dedup over the
+    * excised survivors → per-language token accounting, where q294→q305
+    * and q295→q304 each re-ran their chains independently.
+    *
+    * The composition's scale move is SHARED EXCHANGES, not shared
+    * prose: the positioned-shingle table is `repartition(h)`-ed ONCE and
+    * both consumers (the distinct-doc frequency aggregate and the
+    * position join-back) hang off that same exchange — Spark's
+    * ReuseExchange collapses the two subtrees, so raw shingle rows
+    * cross the wire exactly once (PLANS.md shows the ReusedExchange
+    * node; DedupPipelineSpec pins it). The line stage's (doc, sid, md5)
+    * keys share their `repartition(k)` exchange the same way. The
+    * excised frame — consumed by the segmentation AND the final
+    * accounting — is localCheckpointed once (the q215 multi-consumer
+    * discipline), truncating the span lineage so no downstream
+    * recompute ever re-runs the shingle join.
+    *
+    * Semantics pinned by the shared constants: [[SpanK]]-token spans,
+    * ≥2 distinct docs, [[LineLen]]-token lines keep-first by the
+    * guarded [[lineOwnKey]]; fully-excised docs carry 0 surviving
+    * tokens and are excluded from segmentation (an empty rewrite has no
+    * lines — the q304 `'' → 0` guard made structural). Output per
+    * language: docs, raw tokens, tokens surviving span excision,
+    * tokens surviving both passes, and each survival share in bp. */
+  def q310DedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val L = LineLen
+    val tok = T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+    val excised = q310Excised(tok).localCheckpoint()
+    val segd = excised.filter(col("span_tok") > 0)
+      .select(col("doc_id"), expr(
+        s"transform(sequence(1, (size(kw) + $L - 1) div $L), " +
+          s"i -> concat_ws(' ', slice(kw, (i - 1) * $L + 1, $L)))")
+        .as("segs"))
+    // ONE line-key exchange, shared by ownership agg and join-back.
+    // The explicit isNotNull keeps the two consumers' exchange children
+    // CANONICALLY IDENTICAL: the drops branch's null-rejecting filter
+    // (lineOwnKey ≠ ok) makes the optimizer infer isnotnull(doc_id) on
+    // that branch alone, which would otherwise specialize its copy of
+    // the exchange subtree and defeat ReuseExchange (probed, not
+    // assumed — DedupPipelineSpec pins single-materialization).
+    val ks = segd.select(col("doc_id"),
+        posexplode(expr("transform(segs, x -> md5(x))")).as(Seq("p", "k")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("sid"),
+        col("k"))
+      .filter(col("doc_id").isNotNull)
+      .repartition(col("k"))
+    val own = ks.groupBy("k")
+      .agg(min(lineOwnKey).as("ok"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("k", "ok")
+    val drops = ks.join(own, Seq("k"))
+      .filter(lineOwnKey =!= col("ok"))
+      .groupBy("doc_id").agg(collect_list(col("sid")).as("drop_ids"))
+    val lineTok = segd.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"), expr(
+        "concat_ws(' ', filter(segs, (x, i) -> drop_ids IS NULL OR " +
+          "NOT array_contains(drop_ids, cast(i + 1 as bigint))))")
+        .as("clean"))
+      .select(col("doc_id"), expr(
+        "CASE WHEN clean = '' THEN 0L " +
+          "ELSE cast(size(split(clean, ' ')) as bigint) END").as("line_tok"))
+    excised.join(lineTok, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("raw_tok").as("raw_tok"),
+        sum("span_tok").as("span_tok"),
+        sum(coalesce(col("line_tok"), lit(0L))).as("line_tok"))
+      .withColumn("span_bp", expr("(span_tok * 10000) div raw_tok"))
+      .withColumn("line_bp", expr("(line_tok * 10000) div raw_tok"))
+      .orderBy("lang")
+  }
+
+  /** q310's span-excision stage on any (doc_id, lang, w) token frame —
+    * the pre-checkpoint subplan, split out so DedupPipelineSpec can pin
+    * the SHARED SHINGLE EXCHANGE on the exact graded plan (the
+    * checkpoint in q310 executes this subtree before the caller can
+    * inspect it). Two deliberate canonical-identity moves keep
+    * ReuseExchange live:
+    *  - the df aggregate also counts `pos` rows (`np` — implied by
+    *    nd ≥ 2, so semantics are unchanged) so column pruning cannot
+    *    specialize the aggregate branch's copy of the exchange child
+    *    by dropping `pos`;
+    *  - both consumers therefore hang off ONE
+    *    `repartition(h)` subtree, and the raw shingle rows cross the
+    *    wire exactly once (vs the uncomposed q294 shape, which pays the
+    *    shingle exchange twice: once partially aggregated, once raw). */
+  private[graft] def q310Excised(tok: DataFrame): DataFrame = {
+    val k = SpanK
+    // the isNotNull is load-bearing for reuse: the excision's broadcast
+    // join infers isnotnull(doc_id) on the spans branch and would push
+    // it below ONE copy of the exchange; stating it below BOTH keeps
+    // the children canonically identical
+    val sh = tok.filter(size(col("w")) >= k && col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - $k + 1), i -> struct(" +
+          s"cast(i as bigint) as pos, " +
+          s"md5(concat_ws(' ', slice(w, i, $k))) as h))")).as("sh"))
+      .select(col("doc_id"), col("sh.pos").as("pos"), col("sh.h").as("h"))
+      .repartition(col("h"))
+    // max(pos) ≥ 1 is a tautology (positions are 1-based) kept ONLY so
+    // column pruning cannot drop pos from this branch's copy of the
+    // exchange child (a count(pos) gets rewritten to count(1) and
+    // pruned the same way — max survives)
+    val dup = sh.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"), max("pos").as("mp"))
+      .filter(col("nd") >= 2 && col("mp") >= 1).select("h")
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val wr = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = sh.join(dup, Seq("h"))
+      .withColumn("brk",
+        when(col("pos") > lag("pos", 1).over(wd) + k, 1L).otherwise(0L))
+      .withColumn("sid", sum("brk").over(wr))
+      .groupBy("doc_id", "sid")
+      .agg(min("pos").as("s"), (max("pos") + lit(k.toLong - 1)).as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("sp"))
+    tok.join(spans, Seq("doc_id"), "left")
+      .withColumn("kw", expr(
+        "CASE WHEN sp IS NULL THEN w ELSE " +
+          "filter(w, (x, i) -> NOT exists(sp, " +
+          "p -> i + 1 >= p.s AND i + 1 <= p.e)) END"))
+      .select(col("doc_id"), col("lang"),
+        size(col("w")).cast("long").as("raw_tok"),
+        size(col("kw")).cast("long").as("span_tok"), col("kw"))
+  }
+
   /** q123: segment-level dedup REWRITE — the excision counterpart to
     * q117's profile. RefinedWeb/C4-style pipelines don't just measure
     * repeated spans, they REMOVE them and keep the rest of the document;
@@ -1278,6 +1408,7 @@ object Corpus {
     "q295_line_dedup" -> q295LineDedup _,
     "q304_dedup_accounting" -> q304DedupAccounting _,
     "q305_span_excision" -> q305SpanExcision _,
+    "q310_dedup_pipeline" -> q310DedupPipeline _,
     "q130_mix_pipeline" -> q130MixPipeline _,
     "q166_data_card" -> q166DataCard _,
     "q167_snapshot_diff" -> q167SnapshotDiff _,
@@ -1413,6 +1544,59 @@ object Corpus {
         |SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept,
         |       coalesce(array_to_string(kept, ' '), '') AS clean_text
         |FROM k ORDER BY doc_id""".stripMargin,
+    // q310: the q294/q305 span chain VERBATIM (shared dupSpanCtes), the
+    // excision, then the q295 line chain re-seated over the EXCISED
+    // tokens, then q304's accounting — one composed statement, so the
+    // flagship can never drift from the graded pieces it composes
+    "q310_dedup_pipeline" ->
+      s"""WITH $dupSpanCtes,
+        |dp AS (SELECT doc_id, list({'s': span_start, 'e': span_end}) AS sp
+        |       FROM spans GROUP BY 1),
+        |ex AS (SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS raw_tok,
+        |        CASE WHEN dp.sp IS NULL THEN t.w
+        |             ELSE [t.w[i] for i in range(1, len(t.w) + 1)
+        |                   if len(list_filter(dp.sp,
+        |                        p -> i >= p.s AND i <= p.e)) = 0] END AS kw
+        |      FROM tok t LEFT JOIN dp USING (doc_id)),
+        |seg AS (SELECT doc_id,
+        |         [array_to_string(kw[(i-1)*$LineLen+1:i*$LineLen], ' ')
+        |          for i in range(1, (len(kw) + $LineLen - 1) // $LineLen + 1)]
+        |           AS segs
+        |        FROM ex WHERE len(kw) > 0),
+        |ks2 AS (SELECT doc_id,
+        |          unnest([{'sid': i, 'k': md5(segs[i])}
+        |                  for i in range(1, len(segs) + 1)],
+        |                 recursive := true)
+        |        FROM seg),
+        |own2 AS (SELECT k, min(doc_id * $LineOwnBase + sid) AS ok
+        |         FROM ks2 GROUP BY k HAVING count(*) >= 2),
+        |drops2 AS (SELECT ks2.doc_id, list(ks2.sid) AS drop_ids
+        |           FROM ks2 JOIN own2 USING (k)
+        |           WHERE ks2.doc_id * $LineOwnBase + ks2.sid <> own2.ok
+        |           GROUP BY 1),
+        |lk AS (SELECT seg.doc_id,
+        |         coalesce(array_to_string([seg.segs[i]
+        |                   for i in range(1, len(seg.segs) + 1)
+        |                   if dr.drop_ids IS NULL
+        |                      OR NOT list_contains(dr.drop_ids, i)], ' '), '')
+        |           AS clean
+        |       FROM seg LEFT JOIN drops2 dr USING (doc_id)),
+        |lt AS (SELECT doc_id,
+        |         CASE WHEN clean = '' THEN 0
+        |              ELSE len(string_split(clean, ' ')) END AS line_tok
+        |       FROM lk),
+        |acc AS (SELECT d.lang, ex.raw_tok,
+        |          CAST(len(ex.kw) AS BIGINT) AS span_tok,
+        |          coalesce(lt.line_tok, 0) AS line_tok
+        |        FROM ex JOIN documents d USING (doc_id)
+        |        LEFT JOIN lt USING (doc_id))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(raw_tok) AS BIGINT) AS raw_tok,
+        |       CAST(sum(span_tok) AS BIGINT) AS span_tok,
+        |       CAST(sum(line_tok) AS BIGINT) AS line_tok,
+        |       CAST((sum(span_tok) * 10000) // sum(raw_tok) AS BIGINT) AS span_bp,
+        |       CAST((sum(line_tok) * 10000) // sum(raw_tok) AS BIGINT) AS line_bp
+        |FROM acc GROUP BY 1 ORDER BY 1""".stripMargin,
     // q304: the q295 keep-first chain VERBATIM + language accounting
     "q304_dedup_accounting" ->
       s"""WITH $lineDedupCtes
