@@ -56,6 +56,13 @@ object Bench {
         .toOption.filter(_._2 > 0))
       .groupMapReduce(_._1)(_._2)(math.min)
 
+  /** The rep-count rule (r16 budget guard, BASELINE.md): an explicit
+    * SPARK_GRAFT_REPS always wins (clamped to ≥1); otherwise 5 reps
+    * while the measured surface fits the driver's bench window, 3 once
+    * it exceeds the budget threshold. */
+  def repsFor(surface: Int, budget: Int, explicit: Option[Int]): Int =
+    explicit.map(_.max(1)).getOrElse(if (surface > budget) 3 else 5)
+
   /** The drift rule: recheck when both mins are real and the new one is
     * more than 2× the previous — the same factor as the within-run
     * variance flag, but across rounds, where uniform within-window
@@ -66,21 +73,6 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // default raised 3 → 5 (r11 verdict: 44/176 queries variance-flagged
-    // at 3 reps on a noisy VM — the min of 5 samples is a much tighter
-    // estimator, so cross-round deltas stop needing adjudication prose;
-    // ~35 min extra at sf0.1 is cheap next to a misread regression)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
-    val spark = Sessions.local(cpus)
-    spark.sparkContext.setLogLevel("WARN")
-    // Name any testdata schema drift up front (round 8's regression
-    // surfaced as 13 opaque per-query errors) — one line per mismatch.
-    SchemaProbe.check(spark, sfDir)
-    // untimed warmup: session/codegen/parquet-footer setup otherwise
-    // lands on whichever query sorts first
-    SparkEntry.queries.get("q30_agg_q1").foreach { fn =>
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    }
     // dev loop: SPARK_GRAFT_ONLY=q72_dedup_minhash,q78_ngram_jaccard
     // restricts the run; the driver never sets it, so round benches
     // always cover the full surface. Unknown names fail loudly — a
@@ -92,6 +84,31 @@ object Bench {
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: " +
         s"${unknown.toSeq.sorted.mkString(", ")}")
+    }
+    val surface = SparkEntry.queries.keySet
+      .count(n => only.forall(_.contains(n)))
+    // default raised 3 → 5 (r11 verdict: 44/176 queries variance-flagged
+    // at 3 reps on a noisy VM — the min of 5 samples is a much tighter
+    // estimator, so cross-round deltas stop needing adjudication prose;
+    // ~35 min extra at sf0.1 is cheap next to a misread regression).
+    // Budget guard (r16): past SPARK_GRAFT_BENCH_BUDGET queries
+    // (default 300) the default drops back to 3 — at ~7.6 min of
+    // measured work per rep at 293 queries (r15), a growing surface ×
+    // 5 reps would overflow the driver's bench window and corrupt the
+    // cross-round tails the window truncates. An explicit
+    // SPARK_GRAFT_REPS always wins. Documented in BASELINE.md.
+    val reps = repsFor(surface,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "300").toInt,
+      sys.env.get("SPARK_GRAFT_REPS").map(_.toInt))
+    val spark = Sessions.local(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    // Name any testdata schema drift up front (round 8's regression
+    // surfaced as 13 opaque per-query errors) — one line per mismatch.
+    SchemaProbe.check(spark, sfDir)
+    // untimed warmup: session/codegen/parquet-footer setup otherwise
+    // lands on whichever query sorts first
+    SparkEntry.queries.get("q30_agg_q1").foreach { fn =>
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     }
     var failures = List.empty[String]
     // true median: even rep counts average the two middle samples

@@ -69,4 +69,13 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(!Bench.needsRecheck(Some(1.0), -1.0),
       "a current failure is recorded in failures, not rechecked")
   }
+
+  test("repsFor: 5 within the bench budget, 3 past it, explicit always " +
+    "wins (r16 guard — BASELINE.md)") {
+    assert(Bench.repsFor(296, 300, None) == 5, "this round stays at 5")
+    assert(Bench.repsFor(300, 300, None) == 5, "the threshold is exclusive")
+    assert(Bench.repsFor(301, 300, None) == 3, "past budget drops to 3")
+    assert(Bench.repsFor(301, 300, Some(7)) == 7, "explicit wins past budget")
+    assert(Bench.repsFor(10, 300, Some(0)) == 1, "explicit clamps to >= 1")
+  }
 }
