@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale evidence (r16 — the r15 verdict's item 2): every
+  * 100×-readiness claim in the scaladocs is argued structurally and
+  * enforced by PlanShapeSpec, but until this round never MEASURED beyond
+  * sf0.1 (~17 MB). This main:
+  *
+  *  1. AMPLIFIES sf0.1 into a deterministic ×`factor` (default 10,
+  *     ≈ sf1-equivalent) parquet copy under `target/scale/` — row
+  *     replication with KEY REMAPPING, no randomness anywhere: replica
+  *     r shifts every entity key by `r·2³²` (joins stay intact inside a
+  *     replica, replicas never cross-join), and document tokens get a
+  *     per-replica suffix so the dedup/similarity structure is
+  *     PRESERVED, not degenerate: each replica carries the same dup
+  *     clusters/span injections as the original, so cluster-size
+  *     distributions stay fixed while cluster COUNT scales ×factor —
+  *     exactly how a 10× crawl grows. (A naive verbatim copy would make
+  *     EVERYTHING a 10-fold duplicate and turn every dedup query into a
+  *     different, denser workload.)
+  *  2. TIMES the heavy dedup/CC/similarity suite at both scales (min of
+  *     `SPARK_GRAFT_SCALE_REPS`, default 2, same session, noop sink —
+  *     Bench's method) and reports the empirical scaling exponent
+  *     `e = ln(T_big/T_small)/ln(factor)`: e ≈ 1 is linear, n·log n at
+  *     ×10 reads as e ≈ 1.06, and anything past the 1.20 flag line is a
+  *     superlinear outlier that becomes the next round's fix list.
+  *
+  * Results land in SCALING.md (generated — do not hand-edit). Run:
+  * `sbt "runMain graft.ScaleProbe /root/testdata/sf0.1 10"`.
+  *
+  * Fixed per-query overhead (plan + session constants, ~0.1–0.3 s)
+  * rides BOTH measurements and deflates the exponent slightly at these
+  * absolute sizes; it is not subtracted — the reported e is therefore a
+  * mild UNDER-estimate for genuinely linear queries and the 1.20 flag
+  * line already accounts for it. */
+object ScaleProbe {
+
+  /** Key shift per replica — far above any sf0.1 key, far below the
+    * q295 owner-key guard's doc_id < 2⁴³ bound at factor ≤ 512. */
+  private val KeyBase = 1L << 32
+
+  /** The probed suite: the dedup/CC/similarity heavies from the r15
+    * bench board plus both composed flagships and the windowed
+    * sessionize — the queries whose 100 TB story the scaladocs argue
+    * hardest. Each name must exist in SparkEntry.queries. */
+  val ProbeSuite: Seq[String] = Seq(
+    "q72_dedup_minhash",     // LSH banding + pair join
+    "q78_ngram_jaccard",     // PPJoin exact Jaccard (top cost since r2)
+    "q81_event_sessionize",  // per-user window sessionize
+    "q100_dup_clusters",     // hash-to-min connected components
+    "q105_curation_pipeline",// composed curation flagship
+    "q106_dup_clusters_star",// Kiveris alternating-star CC
+    "q117_substring_dedup",  // windowed substring duplication profile
+    "q181_selection_pipeline",// composed selection flagship
+    "q285_errata_replay",    // dual WA parse + anti-join replay
+    "q310_dedup_pipeline")   // composed span+line dedup flagship (r16)
+
+  /** Per-table amplification: (key columns shifted by r·2³², and for
+    * documents a token-level per-replica suffix that keeps shingle/line
+    * dedup structure intact within each replica). */
+  private def amplifyTable(s: SparkSession, src: String, out: String,
+                           table: String, factor: Int): Long = {
+    val df = s.read.parquet(s"$src/$table.parquet")
+    val rep = df.withColumn("_r", explode(expr(s"sequence(0, ${factor - 1})")))
+    def shift(c: String) = (col(c) + col("_r").cast("long") * KeyBase).as(c)
+    val amplified: DataFrame = table match {
+      case "documents" => rep.select(shift("doc_id"),
+          expr("CASE WHEN _r = 0 THEN text ELSE concat_ws(' ', " +
+            "transform(split(text, ' '), t -> concat(t, '_', " +
+            "cast(_r as string)))) END").as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      case "events" => rep.select(shift("event_id"), col("ts"),
+          shift("user_id"), col("event_type"), col("value"), col("props"))
+      case "lineitem" => rep.select((Seq(shift("l_orderkey"),
+          shift("l_partkey"), shift("l_suppkey")) ++
+          df.columns.filterNot(Set("l_orderkey", "l_partkey", "l_suppkey"))
+            .map(col)): _*)
+      case "orders" => rep.select((Seq(shift("o_orderkey"),
+          shift("o_custkey")) ++
+          df.columns.filterNot(Set("o_orderkey", "o_custkey")).map(col)): _*)
+      case "customer" => rep.select((Seq(shift("c_custkey")) ++
+          df.columns.filterNot(Set("c_custkey")).map(col)): _*)
+      case "supplier" => rep.select((Seq(shift("s_suppkey")) ++
+          df.columns.filterNot(Set("s_suppkey")).map(col)): _*)
+      case "part" => rep.select((Seq(shift("p_partkey")) ++
+          df.columns.filterNot(Set("p_partkey")).map(col)): _*)
+      case "embeddings" => rep.select((Seq(shift("vec_id")) ++
+          df.columns.filterNot(Set("vec_id")).map(col)): _*)
+      case _ => df // nation/region: shared dimensions, copied verbatim
+    }
+    amplified.write.mode("overwrite").parquet(s"$out/$table.parquet")
+    s.read.parquet(s"$out/$table.parquet").count()
+  }
+
+  private val Tables = Seq("documents", "events", "lineitem", "orders",
+    "customer", "supplier", "part", "embeddings", "nation", "region")
+
+  def amplify(s: SparkSession, src: String, out: String,
+              factor: Int): Unit = {
+    val marker = Paths.get(out, s"_AMPLIFIED_x$factor")
+    if (Files.exists(marker)) { println(s"[scale] reusing $out"); return }
+    Tables.foreach { t =>
+      val n = amplifyTable(s, src, out, t, factor)
+      println(s"[scale] amplified $t -> $n rows")
+    }
+    Files.createDirectories(Paths.get(out))
+    Files.writeString(marker, s"src=$src factor=$factor\n")
+  }
+
+  private def timeQuery(s: SparkSession, name: String, dir: String,
+                        reps: Int): Double =
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(s, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val out = args.lift(2).getOrElse("target/scale/x" + factor)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt.max(1)
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    spark.sparkContext.setLogLevel("WARN")
+    amplify(spark, src, out, factor)
+    // untimed warmup at the small scale (Bench's discipline)
+    SparkEntry.queries("q30_agg_q1")(spark, src)
+      .write.format("noop").mode("overwrite").save()
+    val rows = ProbeSuite.map { name =>
+      val small = timeQuery(spark, name, src, reps)
+      val big = timeQuery(spark, name, out, reps)
+      val e = math.log(big / small) / math.log(factor.toDouble)
+      val verdict =
+        if (e <= 1.10) "≲ n·log n"
+        else if (e <= 1.20) "mildly superlinear (watch)"
+        else "SUPERLINEAR — fix list"
+      println(f"[scale] $name%-26s small=$small%7.2fs big=$big%8.2fs " +
+        f"e=$e%5.2f  $verdict")
+      (name, small, big, e, verdict)
+    }
+    val sb = new StringBuilder
+    sb ++= "# SCALING.md (generated by graft.ScaleProbe — do not hand-edit)\n\n"
+    sb ++= s"`sbt \"runMain graft.ScaleProbe $src $factor\"` — empirical\n"
+    sb ++= s"×$factor scaling of the heavy dedup/CC/similarity suite: sf0.1\n"
+    sb ++= s"vs a deterministic ×$factor amplification (key-remapped row\n"
+    sb ++= "replication with per-replica token suffixes, so dup-cluster\n"
+    sb ++= "SIZE distributions stay fixed while cluster COUNT scales —\n"
+    sb ++= "how a 10× crawl actually grows; see ScaleProbe's scaladoc).\n"
+    sb ++= s"Times are min of $reps same-session reps into the noop sink.\n"
+    sb ++= "`e = ln(T_big/T_small)/ln(factor)`: 1.00 = linear, n·log n\n"
+    sb ++= "reads ≈ 1.06 at ×10, > 1.20 = superlinear outlier (the next\n"
+    sb ++= "round's fix list). Fixed per-query overhead rides both sides\n"
+    sb ++= "and mildly DEFLATES e at these absolute sizes.\n\n"
+    sb ++= "| query | t(sf0.1) s | t(×" + factor + ") s | ratio | e | verdict |\n"
+    sb ++= "|---|---|---|---|---|---|\n"
+    rows.foreach { case (n, s0, s1, e, v) =>
+      sb ++= f"| `$n` | $s0%.2f | $s1%.2f | ${s1 / s0}%.1f× | $e%.2f | $v |\n"
+    }
+    val worst = rows.maxBy(_._4)
+    sb ++= f"\nWorst exponent: `${worst._1}` at e=${worst._4}%.2f. "
+    sb ++= s"Suite verdict: ${
+      if (rows.forall(_._4 <= 1.20)) "no superlinear outlier — the " +
+        "structural 100× arguments hold empirically at ×" + factor + "."
+      else "superlinear outliers present — carry to the next round's fix list."
+    }\n"
+    Files.writeString(Paths.get("SCALING.md"), sb.toString)
+    println(s"wrote SCALING.md (${rows.size} probes)")
+    spark.stop()
+  }
+}
