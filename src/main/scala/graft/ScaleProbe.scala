@@ -121,56 +121,82 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+  /** Least-squares slope of ln(t) against ln(n-ratio) over ≥2 points —
+    * with factors 1, 10, 30 the FITTED exponent is much less hostage to
+    * the fixed per-query overhead than a single two-point ratio. */
+  def fittedExponent(points: Seq[(Double, Double)]): Double = {
+    val xs = points.map(p => math.log(p._1))
+    val ys = points.map(p => math.log(p._2))
+    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+    val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val den = xs.map(x => (x - mx) * (x - mx)).sum
+    num / den
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val factor = args.lift(1).map(_.toInt).getOrElse(10)
-    val out = args.lift(2).getOrElse("target/scale/x" + factor)
+    val factors = args.lift(1).getOrElse("10")
+      .split(",").map(_.trim.toInt).toSeq.sorted
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt.max(1)
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     spark.sparkContext.setLogLevel("WARN")
-    amplify(spark, src, out, factor)
+    val outs = factors.map { f =>
+      val out = s"target/scale/x$f"
+      amplify(spark, src, out, f)
+      f -> out
+    }
     // untimed warmup at the small scale (Bench's discipline)
     SparkEntry.queries("q30_agg_q1")(spark, src)
       .write.format("noop").mode("overwrite").save()
+    // (name, t_small, per-factor times, fitted e, verdict)
     val rows = ProbeSuite.map { name =>
       val small = timeQuery(spark, name, src, reps)
-      val big = timeQuery(spark, name, out, reps)
-      val e = math.log(big / small) / math.log(factor.toDouble)
+      val bigs = outs.map { case (f, out) =>
+        f -> timeQuery(spark, name, out, reps) }
+      val e = fittedExponent((1.0, small) +:
+        bigs.map { case (f, t) => (f.toDouble, t) })
       val verdict =
         if (e <= 1.10) "≲ n·log n"
         else if (e <= 1.20) "mildly superlinear (watch)"
         else "SUPERLINEAR — fix list"
-      println(f"[scale] $name%-26s small=$small%7.2fs big=$big%8.2fs " +
-        f"e=$e%5.2f  $verdict")
-      (name, small, big, e, verdict)
+      val bigStr = bigs.map { case (f, t) => f"×$f=$t%.2fs" }.mkString(" ")
+      println(f"[scale] $name%-26s small=$small%7.2fs $bigStr e=$e%5.2f  " +
+        verdict)
+      (name, small, bigs, e, verdict)
     }
+    val fstr = factors.mkString(",")
     val sb = new StringBuilder
     sb ++= "# SCALING.md (generated by graft.ScaleProbe — do not hand-edit)\n\n"
-    sb ++= s"`sbt \"runMain graft.ScaleProbe $src $factor\"` — empirical\n"
-    sb ++= s"×$factor scaling of the heavy dedup/CC/similarity suite: sf0.1\n"
-    sb ++= s"vs a deterministic ×$factor amplification (key-remapped row\n"
+    sb ++= s"`sbt \"runMain graft.ScaleProbe $src $fstr\"` — empirical\n"
+    sb ++= "scaling of the heavy dedup/CC/similarity suite: sf0.1 vs\n"
+    sb ++= s"deterministic ×{$fstr} amplifications (key-remapped row\n"
     sb ++= "replication with per-replica token suffixes, so dup-cluster\n"
     sb ++= "SIZE distributions stay fixed while cluster COUNT scales —\n"
-    sb ++= "how a 10× crawl actually grows; see ScaleProbe's scaladoc).\n"
+    sb ++= "how a growing crawl actually grows; see ScaleProbe's scaladoc).\n"
     sb ++= s"Times are min of $reps same-session reps into the noop sink.\n"
-    sb ++= "`e = ln(T_big/T_small)/ln(factor)`: 1.00 = linear, n·log n\n"
-    sb ++= "reads ≈ 1.06 at ×10, > 1.20 = superlinear outlier (the next\n"
-    sb ++= "round's fix list). Fixed per-query overhead rides both sides\n"
-    sb ++= "and mildly DEFLATES e at these absolute sizes.\n\n"
-    sb ++= "| query | t(sf0.1) s | t(×" + factor + ") s | ratio | e | verdict |\n"
-    sb ++= "|---|---|---|---|---|---|\n"
-    rows.foreach { case (n, s0, s1, e, v) =>
-      sb ++= f"| `$n` | $s0%.2f | $s1%.2f | ${s1 / s0}%.1f× | $e%.2f | $v |\n"
+    sb ++= "`e` is the least-squares slope of ln(t) vs ln(scale) over all\n"
+    sb ++= "points (1 included): 1.00 = linear, n·log n reads ≈ 1.06 over\n"
+    sb ++= "this range, > 1.20 = superlinear outlier (the next round's fix\n"
+    sb ++= "list). Fixed per-query overhead rides every point and mildly\n"
+    sb ++= "DEFLATES e at these absolute sizes.\n\n"
+    sb ++= "| query | t(sf0.1) s |" +
+      factors.map(f => s" t(×$f) s |").mkString +
+      " e (fit) | verdict |\n"
+    sb ++= "|---|---|" + factors.map(_ => "---|").mkString + "---|---|\n"
+    rows.foreach { case (n, s0, bigs, e, v) =>
+      sb ++= f"| `$n` | $s0%.2f |" +
+        bigs.map { case (_, t) => f" $t%.2f |" }.mkString +
+        f" $e%.2f | $v |\n"
     }
     val worst = rows.maxBy(_._4)
     sb ++= f"\nWorst exponent: `${worst._1}` at e=${worst._4}%.2f. "
     sb ++= s"Suite verdict: ${
       if (rows.forall(_._4 <= 1.20)) "no superlinear outlier — the " +
-        "structural 100× arguments hold empirically at ×" + factor + "."
+        s"structural 100× arguments hold empirically across ×{$fstr}."
       else "superlinear outliers present — carry to the next round's fix list."
     }\n"
     Files.writeString(Paths.get("SCALING.md"), sb.toString)
-    println(s"wrote SCALING.md (${rows.size} probes)")
+    println(s"wrote SCALING.md (${rows.size} probes × ${factors.size} factors)")
     spark.stop()
   }
 }
