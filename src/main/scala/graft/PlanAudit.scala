@@ -1221,7 +1221,11 @@ object PlanAudit {
       val tok = ops.T(spark, sfDir, "documents")
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
       val ex = ops.Corpus.q310Excised(tok)
-      ex.collect()
+      // foreach, not collect: finalizes the same queryExecution's AQE
+      // plan at O(1) driver memory (the frame carries every document's
+      // kept-token array — a collect would materialize the corpus on
+      // the driver just to read the plan)
+      ex.foreach(_ => ())
       sb ++= "## q310_dedup_pipeline — excision subplan (EXECUTED, AQE " +
         "final)\n\n**Look for:** exactly ONE `Exchange hashpartitioning" +
         "(h…)` materialized for the positioned-shingle table, with the " +

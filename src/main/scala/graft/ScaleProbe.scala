@@ -103,13 +103,31 @@ object ScaleProbe {
   def amplify(s: SparkSession, src: String, out: String,
               factor: Int): Unit = {
     val marker = Paths.get(out, s"_AMPLIFIED_x$factor")
-    if (Files.exists(marker)) { println(s"[scale] reusing $out"); return }
+    // a stamp of WHAT was amplified, not just that something was: the
+    // testdata regenerates across rounds, and reusing an amplification
+    // of a prior fixture would pair big-scale points from one corpus
+    // with small-scale points from another, corrupting the fitted
+    // exponent (r16 review). Source file sizes are the cheap content
+    // proxy; any mismatch re-amplifies.
+    val stamp = {
+      val sizes = Tables.map { t =>
+        val p = Paths.get(s"$src/$t.parquet")
+        val sz = if (Files.isDirectory(p))
+          Files.list(p).mapToLong(Files.size(_)).sum
+        else Files.size(p)
+        s"$t=$sz"
+      }.mkString(",")
+      s"src=$src factor=$factor $sizes\n"
+    }
+    if (Files.exists(marker) && Files.readString(marker) == stamp) {
+      println(s"[scale] reusing $out"); return
+    }
     Tables.foreach { t =>
       val n = amplifyTable(s, src, out, t, factor)
       println(s"[scale] amplified $t -> $n rows")
     }
     Files.createDirectories(Paths.get(out))
-    Files.writeString(marker, s"src=$src factor=$factor\n")
+    Files.writeString(marker, stamp)
   }
 
   private def timeQuery(s: SparkSession, name: String, dir: String,
@@ -137,6 +155,12 @@ object ScaleProbe {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = args.lift(1).getOrElse("10")
       .split(",").map(_.trim.toInt).toSeq.sorted
+    // factors must be distinct and > 1: a factor of 1 (or a duplicate)
+    // collapses the log-log fit's x-spread to zero and the exponent to
+    // NaN, which then poisons every verdict comparison (r16 review) —
+    // reject the degenerate input loudly instead
+    require(factors.forall(_ > 1) && factors.distinct == factors,
+      s"factors must be distinct integers > 1, got: ${factors.mkString(",")}")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt.max(1)
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     spark.sparkContext.setLogLevel("WARN")

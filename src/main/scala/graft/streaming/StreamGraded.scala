@@ -38,16 +38,6 @@ object StreamGraded {
     * several times in one session; memory sinks are session-global). */
   private val runSeq = new AtomicInteger(0)
 
-  /** Last sink registered per tag — so the NEXT invocation of the same
-    * query can drop the previous run's memory-sink table. Bench runs a
-    * query several times per session and each sink holds a full result
-    * copy in driver memory; by the time a query is re-invoked its prior
-    * result has been consumed, so the prior view is safe to drop. The
-    * final run's sink lives until session end (one result copy, the
-    * price of returning a lazily-readable DataFrame). */
-  private val lastSink =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** The shared replay harness: the events parquet through a real file
     * streaming source (AvailableNow, one batch — see q296's scaladoc
     * for why the graded contract excludes anything only a POST-data
@@ -62,13 +52,22 @@ object StreamGraded {
         col("user_id"), col("event_type"), col("value"))
       .as[SEvent]
     val sink = s"${tag}_${runSeq.incrementAndGet()}"
-    Option(lastSink.put(tag, sink)).foreach(s.catalog.dropTempView(_))
     val q = monitor(ev)
       .writeStream.format("memory").queryName(sink)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination()
     finally q.stop()
-    s.table(sink)
+    // hand back a SELF-CONTAINED frame and free the sink immediately:
+    // a lazily-readable s.table(sink) either leaks one full result copy
+    // per Bench rep (session-global memory sinks) or — if a later run
+    // drops it — invalidates a handle a caller still holds (the r16
+    // review's finding). The graded frames are monitor emissions
+    // (calendar-/ingest-bounded), so one bounded collect per replay is
+    // the grading harness's documented cost, never a data-path one.
+    val out = s.table(sink)
+    val (rows, outSchema) = (out.collect(), out.schema)
+    s.catalog.dropTempView(sink)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
   }
 
   /** q296: the streaming CUSUM monitor, graded end-to-end. Stage 1 is
