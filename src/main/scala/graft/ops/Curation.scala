@@ -818,6 +818,50 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q312: the dedup ROI curve — token mass by duplicate-cluster size,
+    * the gauge an engineer consults BEFORE choosing dedup
+    * aggressiveness: q100/q106 report the clusters and q304 reports
+    * line-survival AFTER a policy ran, but "what share of my tokens
+    * sits in near-dup clusters of size ≥ k" is what decides whether
+    * cluster-drop (q105's policy), keep-one, or nothing is worth its
+    * recall cost. Buckets are ⌊log₂ size⌋ via the bitlen trick
+    * (`length(bin(sz)) − 1`, the q211 discipline — no libm), so the
+    * curve is a handful of rows at any corpus size; singletons
+    * (bucket 0) carry the non-duplicated mass and make the rows sum to
+    * the whole corpus — Σ n_docs = |corpus|, Σ tok_mass = total
+    * tokens, both pinned by DupMassSpec.
+    *
+    * Scale shape: the q72 band edges + the q100 log-round CC (shared
+    * [[connectedComponents]] — one job per round, per-round
+    * localCheckpoint), a doc-keyed left join seating singletons via
+    * coalesce (q217's pattern), two partial+final aggregates
+    * (cluster-sized, then bucket-sized), and a 1-row corpus-total
+    * broadcast for the bp share (q127's totals class, on the
+    * PlanShapeSpec exemption list). Token counts are q84's whitespace
+    * contract; shares floor to bp. */
+  def q312DupMassCurve(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TrainingData.minhashPairs(s, dir)
+    val labels = connectedComponents(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+    val docs = T(s, dir, "documents").select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("tok"))
+    val clusters = docs
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("tok"), coalesce(col("root"), col("doc_id")).as("cluster"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("sz"), sum("tok").as("ctok"))
+    val tot = docs.agg(sum("tok").as("ttok"))
+    clusters
+      .withColumn("b", expr("cast(length(bin(sz)) - 1 as bigint)"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"),
+        sum("ctok").as("tok_mass"))
+      .crossJoin(broadcast(tot)) // 1-row corpus total (q127 class)
+      .withColumn("mass_bp", expr("(tok_mass * 10000) div ttok"))
+      .select("b", "n_clusters", "n_docs", "tok_mass", "mass_bp")
+      .orderBy("b")
+  }
+
   /** Shared q100/q106 body: cluster the q72 MinHash candidate edges
     * with the given components routine, then summarize per cluster. */
   private def dupClusters(s: SparkSession, dir: String,
@@ -1581,6 +1625,7 @@ object Curation {
     "q106_dup_clusters_star" -> q106DupClustersStar _,
     "q107_indexed_dedup" -> q107IndexedDedup _,
     "q217_group_split" -> q217GroupSplit _,
+    "q312_dup_mass_curve" -> q312DupMassCurve _,
   )
 
   /** One DuckDB ground truth for BOTH incremental-dedup shapes (q104
@@ -1715,6 +1760,30 @@ object Curation {
         |WHERE NOT EXISTS (SELECT 1 FROM g g2
         |                  WHERE g2.btok < p.btok AND g2.n_lex >= p.n_lex)
         |ORDER BY btok""".stripMargin,
+    // q312: the q100/q106/q217 recursive-CTE clustering ground truth
+    // (shared CTEs), singletons seated by coalesce, the same bitlen
+    // log2 bucket as q211, HUGEINT share against the 1-row corpus total
+    "q312_dup_mass_curve" ->
+      s"""WITH ${TrainingData.minhashPairsCtes},
+        |$ccCtes,
+        |docs AS (SELECT doc_id,
+        |           CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |         FROM documents),
+        |wr AS (SELECT d.tok, COALESCE(rec.root, d.doc_id) AS cluster
+        |       FROM docs d LEFT JOIN rec ON d.doc_id = rec.node),
+        |cl AS (SELECT cluster, count(*) AS sz, sum(tok) AS ctok
+        |       FROM wr GROUP BY 1),
+        |bu AS (SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS b,
+        |         count(*) AS n_clusters, sum(sz) AS n_docs,
+        |         sum(ctok) AS tok_mass
+        |       FROM cl GROUP BY 1),
+        |t AS (SELECT CAST(sum(tok) AS HUGEINT) AS ttok FROM docs)
+        |SELECT b, CAST(n_clusters AS BIGINT) AS n_clusters,
+        |       CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(tok_mass AS BIGINT) AS tok_mass,
+        |       CAST((CAST(tok_mass AS HUGEINT) * 10000) // t.ttok AS BIGINT)
+        |         AS mass_bp
+        |FROM bu, t ORDER BY b""".stripMargin,
     // q217: the SAME recursive-CTE clustering ground truth as q100/q106
     // (shared CTEs — the clustering can never drift between the cluster
     // report and the split), then the md5 ticket on the representative

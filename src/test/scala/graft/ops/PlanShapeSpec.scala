@@ -156,6 +156,8 @@ class PlanShapeSpec extends AnyFunSuite {
                               // item (q127's totals class)
       "q306_chi2_drift",      // 1-row cohort totals ride the bin frame
                               // (q219's totals class)
+      "q312_dup_mass_curve",  // 1-row corpus-token total rides the
+                              // bucket curve (q127's totals class)
       "q307_t_closeness")     // two 1-row broadcasts: band bounds + the
                               // derived median threshold (q127 class)
     for ((name, fn) <- graft.SparkEntry.queries if !oneRowCross(name)) {
