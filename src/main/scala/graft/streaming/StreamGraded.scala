@@ -158,11 +158,36 @@ object StreamGraded {
         .toDF())
       .orderBy("user_id", "n_events", "prefix_md5", "label")
 
+  /** q313: the stream-stream interval JOIN graded end-to-end — the
+    * fourth stateful operator class under the hash gate (q296/q308/
+    * q309/q311 all grade `flatMapGroupsWithState`; this grades the
+    * engine's own two-sided join state). The DEPLOYED left-outer
+    * [[EventStreams.attributionAudit]] runs verbatim; the graded
+    * contract is its MATCHED rows only (`click_id IS NOT NULL`):
+    * stream-stream matches emit eagerly in the batch where both sides
+    * are present — schedule-independent by construction — while the
+    * NULL-extended unattributed rows are exactly the watermark-closed
+    * part whose emission depends on whether a post-data batch runs
+    * (the q296 analysis applied to an outer join; those rows stay
+    * pinned by StreamBatchParitySpec's batch parity). Timestamps lower
+    * to µs BIGINTs (q232's render-stable compare); `value` passes
+    * through untouched, so no float arithmetic crosses engines. Oracle
+    * = q232's interval join as a plain INNER join. */
+  def q313AttributionStream(s: SparkSession, dir: String): DataFrame =
+    replay(s, dir, "q313_attribution_stream")(ev =>
+      EventStreams.attributionAudit(ev.toDF())
+        .filter(col("click_id").isNotNull)
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          expr("unix_micros(p_ts)").as("p_us"),
+          expr("unix_micros(c_ts)").as("c_us"), col("value")))
+      .orderBy("purchase_id", "click_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q296_cusum_stream" -> q296CusumStream _,
     "q308_gap_stream" -> q308GapStream _,
     "q309_ewma_stream" -> q309EwmaStream _,
     "q311_session_stream" -> q311SessionStream _,
+    "q313_attribution_stream" -> q313AttributionStream _,
   )
 
   /** The q255 cusumDays frame in SQL, restricted to CLOSED days (every
@@ -176,6 +201,21 @@ object StreamGraded {
     // formulation — same sensor sample, same 16-tap dyadic filter,
     // same integer spike inequality, same order)
     "q309_ewma_stream" -> graft.ops.NorthStar.oracle("q238_ewma_smooth"),
+    // q313: q232's interval join as a plain INNER join — matched rows
+    // are the schedule-independent emission class; the same integer-µs
+    // time bounds, the same non-null (purchase_id, click_id) order
+    "q313_attribution_stream" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |                  event_type, value FROM events),
+        |c AS (SELECT user_id AS c_user, tus AS c_us, event_id AS click_id
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, tus AS p_us, event_id AS purchase_id, value
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id, c.click_id, p.p_us, c.c_us, p.value
+        |FROM p JOIN c
+        |  ON p.user_id = c.c_user
+        | AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 3600000000
+        |ORDER BY p.purchase_id, c.click_id""".stripMargin,
     // q311: q193's session-example formulation with the bounded-replay
     // exclusion — each user's FINAL session (max session_id) is still
     // open in monitor state at end-of-replay, so it is excluded before

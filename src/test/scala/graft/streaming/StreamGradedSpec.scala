@@ -121,4 +121,31 @@ class StreamGradedSpec extends AnyFunSuite {
     // the exclusion can only remove rows, never add or mutate them
     assert(gotRows.length <= all.length)
   }
+
+  test("q313 equals the declared q232 batch interval join restricted to " +
+    "matched rows — every eager inner match, none dropped") {
+    val batch = graft.ops.NorthStar
+      .attributionAuditBatch(T.events(spark, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("timestamp_micros(tus)").as("ts"), col("event_type"),
+          col("value")))
+      .filter(col("click_id").isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    val got = graft.SparkEntry.queries("q313_attribution_stream")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(got == batch, "graded join stream diverged from the batch join")
+    assert(got.nonEmpty, "no attributed purchase — degenerate")
+    // every emitted match satisfies the interval bound it claims (the
+    // multi-click case is sf-dependent — 0 at sf0.001, present at
+    // sf0.01 — and its semantics are pinned by StreamBatchParitySpec's
+    // synthetic fixture; here we pin the bound on real rows)
+    got.foreach { case (_, p, c, pUs, cUs, _) =>
+      assert(pUs >= cUs && pUs <= cUs + 3600000000L,
+        s"match ($p, $c) violates the 1-hour interval")
+    }
+  }
 }
