@@ -1221,11 +1221,13 @@ object PlanAudit {
       val tok = ops.T(spark, sfDir, "documents")
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
       val ex = ops.Corpus.q310Excised(tok)
-      // foreach, not collect: finalizes the same queryExecution's AQE
-      // plan at O(1) driver memory (the frame carries every document's
-      // kept-token array — a collect would materialize the corpus on
-      // the driver just to read the plan)
-      ex.foreach(_ => ())
+      // execute the SAME QueryExecution at O(1) driver memory: a
+      // collect would materialize every document's kept-token array on
+      // the driver, and Dataset.foreach would run the SEPARATE
+      // rddQueryExecution, leaving ex.queryExecution's AQE plan
+      // unfinalized — the r16 review caught the PLANS.md section going
+      // isFinalPlan=false with its ReusedExchange proof missing
+      ex.queryExecution.toRdd.foreach(_ => ())
       sb ++= "## q310_dedup_pipeline — excision subplan (EXECUTED, AQE " +
         "final)\n\n**Look for:** exactly ONE `Exchange hashpartitioning" +
         "(h…)` materialized for the positioned-shingle table, with the " +

@@ -112,9 +112,12 @@ object ScaleProbe {
     val stamp = {
       val sizes = Tables.map { t =>
         val p = Paths.get(s"$src/$t.parquet")
-        val sz = if (Files.isDirectory(p))
-          Files.list(p).mapToLong(Files.size(_)).sum
-        else Files.size(p)
+        val sz = if (Files.isDirectory(p)) {
+          // close the listing (the BatchCommitLog r12 lesson: an
+          // unclosed Files.list leaks one directory handle per call)
+          val ls = Files.list(p)
+          try ls.mapToLong(Files.size(_)).sum finally ls.close()
+        } else Files.size(p)
         s"$t=$sz"
       }.mkString(",")
       s"src=$src factor=$factor $sizes\n"

@@ -835,9 +835,11 @@ object Curation {
     * [[connectedComponents]] — one job per round, per-round
     * localCheckpoint), a doc-keyed left join seating singletons via
     * coalesce (q217's pattern), two partial+final aggregates
-    * (cluster-sized, then bucket-sized), and a 1-row corpus-total
-    * broadcast for the bp share (q127's totals class, on the
-    * PlanShapeSpec exemption list). Token counts are q84's whitespace
+    * (cluster-sized, then bucket-sized), and a 1-row total broadcast
+    * for the bp share (q127's totals class, exemption-listed) DERIVED
+    * from the checkpointed curve itself — buckets partition the
+    * corpus, so Σ tok_mass IS the denominator and no second corpus
+    * scan+tokenize ever runs. Token counts are q84's whitespace
     * contract; shares floor to bp. */
   def q312DupMassCurve(s: SparkSession, dir: String): DataFrame = {
     val pairs = TrainingData.minhashPairs(s, dir)
@@ -845,18 +847,22 @@ object Curation {
       pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
     val docs = T(s, dir, "documents").select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("tok"))
-    val clusters = docs
+    val curve = docs
       .join(labels, col("doc_id") === col("node"), "left")
       .select(col("tok"), coalesce(col("root"), col("doc_id")).as("cluster"))
       .groupBy("cluster")
       .agg(count(lit(1)).as("sz"), sum("tok").as("ctok"))
-    val tot = docs.agg(sum("tok").as("ttok"))
-    clusters
       .withColumn("b", expr("cast(length(bin(sz)) - 1 as bigint)"))
       .groupBy("b")
       .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"),
         sum("ctok").as("tok_mass"))
-      .crossJoin(broadcast(tot)) // 1-row corpus total (q127 class)
+      .localCheckpoint() // ⌊log₂⌋-bucket-count rows (≤ ~40 ever)
+    // the bp denominator is DERIVED from the curve itself (buckets
+    // partition the corpus, so Σ tok_mass = total tokens) — never a
+    // second corpus scan+tokenize just for a denominator (r16 review);
+    // the checkpointed handful of rows feeds both consumers
+    curve
+      .crossJoin(broadcast(curve.agg(sum("tok_mass").as("ttok"))))
       .withColumn("mass_bp", expr("(tok_mass * 10000) div ttok"))
       .select("b", "n_clusters", "n_docs", "tok_mass", "mass_bp")
       .orderBy("b")
