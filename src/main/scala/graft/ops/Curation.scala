@@ -868,6 +868,47 @@ object Curation {
       .orderBy("b")
   }
 
+  /** q314: the quality-filter YIELD CURVE — q312's knob-setting role
+    * applied to the quality gate: before deploying a cutoff, the
+    * engineer asks "what does admitting only quality ≥ t cost in
+    * documents and tokens?" (q83 scores, q171/q172 consume scores under
+    * a GIVEN policy; nothing priced the policy). One row per decile
+    * threshold t: docs and tokens surviving `qbp ≥ 1000·t`, and both
+    * survival shares in bp — read top-down, the curve is the
+    * yield-vs-selectivity trade the cutoff decision is made on.
+    *
+    * Exactness: qbp is q83's exact integer basis-point score (recovered
+    * via `round(quality·10⁴)` — q171's discipline, same oracle `k` CTE
+    * chain), so bucket membership is bit-identical cross-engine.
+    *
+    * Scale shape: ONE corpus scan (q83's projection) into an
+    * ≤11-bucket aggregate; the suffix-cumulative yield needs NO window
+    * — each bucket row explodes to the thresholds it satisfies (≤11
+    * fan-out on an 11-row frame, q307's dense-grid discipline) and
+    * re-aggregates; denominators derive from the checkpointed bucket
+    * frame itself (q312's rule — never a second corpus scan for a
+    * denominator); the 1-row totals broadcast is q127's class,
+    * exemption-listed. */
+  def q314QualityYieldCurve(s: SparkSession, dir: String): DataFrame = {
+    val buckets = TrainingData.q83QualityScore(s, dir)
+      .select(expr("cast(round(quality * 10000) as bigint) div 1000")
+        .as("bucket"), col("n_words").as("tok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("bd"), sum("tok").as("bt"))
+      .localCheckpoint() // ≤11 rows by construction
+    buckets
+      .select(explode(expr("sequence(0L, bucket)")).as("thr"),
+        col("bd"), col("bt"))
+      .groupBy("thr")
+      .agg(sum("bd").as("n_docs"), sum("bt").as("n_tok"))
+      .crossJoin(broadcast(
+        buckets.agg(sum("bd").as("td"), sum("bt").as("tt"))))
+      .withColumn("doc_bp", expr("(n_docs * 10000) div td"))
+      .withColumn("tok_bp", expr("(n_tok * 10000) div tt"))
+      .select("thr", "n_docs", "n_tok", "doc_bp", "tok_bp")
+      .orderBy("thr")
+  }
+
   /** Shared q100/q106 body: cluster the q72 MinHash candidate edges
     * with the given components routine, then summarize per cluster. */
   private def dupClusters(s: SparkSession, dir: String,
@@ -1632,6 +1673,7 @@ object Curation {
     "q107_indexed_dedup" -> q107IndexedDedup _,
     "q217_group_split" -> q217GroupSplit _,
     "q312_dup_mass_curve" -> q312DupMassCurve _,
+    "q314_quality_yield_curve" -> q314QualityYieldCurve _,
   )
 
   /** One DuckDB ground truth for BOTH incremental-dedup shapes (q104
@@ -1766,6 +1808,31 @@ object Curation {
         |WHERE NOT EXISTS (SELECT 1 FROM g g2
         |                  WHERE g2.btok < p.btok AND g2.n_lex >= p.n_lex)
         |ORDER BY btok""".stripMargin,
+    // q314: q171's exact qbp CTE chain (same quality formulation), the
+    // same decile bucket, generate_series suffix explode, HUGEINT shares
+    "q314_quality_yield_curve" ->
+      """WITH w AS (SELECT doc_id,
+        |           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n,
+        |           len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS uniq,
+        |           len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS stop
+        |      FROM documents),
+        |k AS (SELECT doc_id, n,
+        |             (2 * (10 * least(n, 100) * n + 750 * uniq + 750 * (n - stop)) * 10000
+        |              + 2500 * n) // (2 * 2500 * n) AS qbp
+        |      FROM w WHERE n > 0),
+        |bu AS (SELECT qbp // 1000 AS bucket, count(*) AS bd,
+        |         CAST(sum(n) AS HUGEINT) AS bt
+        |       FROM k GROUP BY 1),
+        |t AS (SELECT CAST(sum(bd) AS HUGEINT) AS td, sum(bt) AS tt FROM bu),
+        |e AS (SELECT unnest(generate_series(0, bucket)) AS thr, bd, bt
+        |      FROM bu),
+        |y AS (SELECT thr, sum(bd) AS n_docs, sum(bt) AS n_tok
+        |      FROM e GROUP BY 1)
+        |SELECT CAST(thr AS BIGINT) AS thr, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_tok AS BIGINT) AS n_tok,
+        |       CAST((CAST(n_docs AS HUGEINT) * 10000) // t.td AS BIGINT) AS doc_bp,
+        |       CAST((CAST(n_tok AS HUGEINT) * 10000) // t.tt AS BIGINT) AS tok_bp
+        |FROM y, t ORDER BY thr""".stripMargin,
     // q312: the q100/q106/q217 recursive-CTE clustering ground truth
     // (shared CTEs), singletons seated by coalesce, the same bitlen
     // log2 bucket as q211, HUGEINT share against the 1-row corpus total

@@ -158,6 +158,8 @@ class PlanShapeSpec extends AnyFunSuite {
                               // (q219's totals class)
       "q312_dup_mass_curve",  // 1-row corpus-token total rides the
                               // bucket curve (q127's totals class)
+      "q314_quality_yield_curve", // 1-row totals ride the ≤11-row
+                              // threshold curve (q127's totals class)
       "q307_t_closeness")     // two 1-row broadcasts: band bounds + the
                               // derived median threshold (q127 class)
     for ((name, fn) <- graft.SparkEntry.queries if !oneRowCross(name)) {
