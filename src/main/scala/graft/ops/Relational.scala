@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -779,9 +779,17 @@ object Relational {
       .agg(countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_partkey"), 0.02).as("_ap"))
       .select(col("l_returnflag"), col("exact_parts"),
-        (abs(col("_ap") - col("exact_parts")) * 20 <= col("exact_parts"))
-          .as("approx_ok"))
+        approxOk(col("_ap"), col("exact_parts")).as("approx_ok"))
       .orderBy("l_returnflag")
+
+  /** q36's graded ±5% verdict as a named expression — `|ap − exact|·20 ≤
+    * exact`, the integer cross-multiplied bound — so HllBoundSpec can
+    * evaluate the PRODUCTION Column on crafted straddling inputs instead
+    * of re-deriving the arithmetic in plain Scala (r16 advice: the old
+    * literal-arithmetic test could not catch a regression in this
+    * expression). */
+  private[graft] def approxOk(ap: Column, exact: Column): Column =
+    abs(ap - exact) * 20 <= exact
 
   // ---- window functions ------------------------------------------------
 

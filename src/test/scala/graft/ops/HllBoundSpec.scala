@@ -80,17 +80,20 @@ class HllBoundSpec extends AnyFunSuite {
     }
   }
 
-  test("q36's verdict logic fires FALSE on a genuinely out-of-bound " +
-    "estimate (the bound is a live comparison, not a constant)") {
-    // the graded projection's exact arithmetic on values straddling the
-    // envelope: |205−200|·20 = 100 ≤ 200 (2.5%, in), |210−200|·20 =
-    // 200 ≤ 200 (exactly 5%, closed bound holds), |211−200|·20 =
-    // 220 > 200 (5.5%, out)
-    assert(math.abs(205L - 200L) * 20 <= 200L,
-      "5% bound must accept a 2.5% error")
-    assert(math.abs(210L - 200L) * 20 <= 200L,
-      "exactly 5% sits inside the closed bound")
-    assert(!(math.abs(211L - 200L) * 20 <= 200L),
-      "5.5% error must read out-of-bound")
+  test("q36's verdict expression fires FALSE on a genuinely out-of-bound " +
+    "estimate (the PRODUCTION Column, not re-derived arithmetic)") {
+    // evaluate Relational.approxOk — the exact Column q36's graded
+    // projection emits — on values straddling the envelope:
+    // |205−200|·20 = 100 ≤ 200 (2.5%, in), |210−200|·20 = 200 ≤ 200
+    // (exactly 5%, closed bound holds), |211−200|·20 = 220 > 200 (out)
+    import spark.implicits._
+    val verdicts = Seq((205L, 200L), (210L, 200L), (211L, 200L))
+      .toDF("ap", "exact")
+      .select(col("ap"), Relational.approxOk(col("ap"), col("exact"))
+        .as("approx_ok"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(verdicts(205L), "5% bound must accept a 2.5% error")
+    assert(verdicts(210L), "exactly 5% sits inside the closed bound")
+    assert(!verdicts(211L), "5.5% error must read out-of-bound")
   }
 }
