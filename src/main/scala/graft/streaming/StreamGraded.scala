@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.util.concurrent.atomic.AtomicInteger
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -19,8 +17,9 @@ import graft.streaming.EventStreams.SEvent
   * (q255's CUSUM change-point monitor vs [[EventStreams.cusumPoints]])
   * into a declared query: the events parquet is replayed through a
   * real file streaming source with `Trigger.AvailableNow`, the
-  * flatMapGroupsWithState monitor runs exactly as deployed, the memory
-  * sink materializes its emissions, and the DuckDB oracle recomputes
+  * flatMapGroupsWithState monitor runs exactly as deployed, a scratch
+  * parquet sink materializes its emissions (read back lazily — r17;
+  * no driver-side copy), and the DuckDB oracle recomputes
   * the expected per-day frame in SQL. A silent semantic drift between
   * the streaming recurrence and the batch formulation now fails the
   * round, not just a spec.
@@ -34,40 +33,47 @@ import graft.streaming.EventStreams.SEvent
   */
 object StreamGraded {
 
-  /** Unique memory-sink name per invocation (Bench runs a query
-    * several times in one session; memory sinks are session-global). */
-  private val runSeq = new AtomicInteger(0)
-
-  /** The shared replay harness: the events parquet through a real file
-    * streaming source (AvailableNow, one batch — see q296's scaladoc
-    * for why the graded contract excludes anything only a POST-data
-    * timeout batch could emit), the given monitor, a memory sink. */
-  private def replay(s: SparkSession, dir: String, tag: String)(
+  /** The shared replay harness: a parquet source replayed through a
+    * real file streaming source under `Trigger.AvailableNow` (one batch
+    * by default — see q296's scaladoc for why the graded contract
+    * excludes anything only a POST-data timeout batch could emit; pass
+    * `maxFilesPerTrigger = Some(1)` for replays that NEED watermark
+    * progression across batches, q313), the given monitor, a parquet
+    * sink. Materialization is sink + read-back (r17, the r16 verdict's
+    * harness-hygiene item): the emitted frame streams to scratch
+    * parquet and is handed back as an ordinary lazy scan, so
+    * EVENT-PROPORTIONAL emission classes (q308/q309/q313) grade with
+    * no driver-side copy — the harness itself now has the scale-safe
+    * shape. Scratch trees are JVM-exit-reaped ([[ScratchExport]]).
+    *
+    * `schemaFrom` names the parquet whose schema types the stream
+    * (readStream needs a declared schema); `glob` is the source file
+    * pattern the stream actually lists. */
+  private def replay(s: SparkSession, schemaFrom: String, glob: String,
+                     tag: String, maxFilesPerTrigger: Option[Int] = None)(
       monitor: org.apache.spark.sql.Dataset[SEvent] => DataFrame): DataFrame = {
     import s.implicits._
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val raw = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+    val schema = s.read.parquet(schemaFrom).schema
+    val reader = s.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val raw = reader.parquet(glob)
     val ev = raw
       .select(col("event_id"), T.tsAsTimestamp(raw).as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[SEvent]
-    val sink = s"${tag}_${runSeq.incrementAndGet()}"
-    val q = monitor(ev)
-      .writeStream.format("memory").queryName(sink)
+    val out = monitor(ev)
+    val scratch = graft.sink.ScratchExport.scratchDir(s"graft-replay-$tag-")
+    val q = out
+      .writeStream.format("parquet")
+      .option("path", s"$scratch/out")
+      .option("checkpointLocation", s"$scratch/ckpt")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination()
     finally q.stop()
-    // hand back a SELF-CONTAINED frame and free the sink immediately:
-    // a lazily-readable s.table(sink) either leaks one full result copy
-    // per Bench rep (session-global memory sinks) or — if a later run
-    // drops it — invalidates a handle a caller still holds (the r16
-    // review's finding). The graded frames are monitor emissions
-    // (calendar-/ingest-bounded), so one bounded collect per replay is
-    // the grading harness's documented cost, never a data-path one.
-    val out = s.table(sink)
-    val (rows, outSchema) = (out.collect(), out.schema)
-    s.catalog.dropTempView(sink)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    // explicit schema: a zero-emission replay leaves no data files and
+    // schema inference would throw; the monitor's plan already knows it
+    s.read.schema(out.schema).parquet(s"$scratch/out")
   }
 
   /** q296: the streaming CUSUM monitor, graded end-to-end. Stage 1 is
@@ -78,8 +84,8 @@ object StreamGraded {
     * through `readStream` (one AvailableNow batch — in-batch disorder
     * is sorted inside the state handler, matching the monitor's
     * cross-batch event-time arrival contract) and materializes the
-    * emitted [[EventStreams.CusumPoint]]s. The memory sink holds
-    * types × days rows — calendar-bounded, the q202 argument. */
+    * emitted [[EventStreams.CusumPoint]]s — since r17 to a scratch
+    * parquet sink read back lazily (no driver-side copy). */
   def q296CusumStream(s: SparkSession, dir: String): DataFrame = {
     val DayUs = T.DayUs
     // batch init: the monitor's targets, from the q255 per-day frame
@@ -97,7 +103,8 @@ object StreamGraded {
     // The graded contract is therefore exactly CLOSED days; the idle
     // flush itself is deployment behavior, pinned deterministically by
     // StreamBatchParitySpec's sentinel batches.
-    replay(s, dir, "q296_cusum_stream")(ev =>
+    replay(s, s"$dir/events.parquet", s"$dir/events.parque*",
+      "q296_cusum_stream")(ev =>
       EventStreams.cusumPoints(ev, targets, idleMs = Long.MaxValue / 4).toDF())
       .orderBy("event_type", "day")
   }
@@ -113,7 +120,8 @@ object StreamGraded {
     * eviction structurally impossible, matching q296's contract. The
     * oracle is q211's lag formulation with the bitlen-log₂ bucket. */
   def q308GapStream(s: SparkSession, dir: String): DataFrame =
-    replay(s, dir, "q308_gap_stream")(ev =>
+    replay(s, s"$dir/events.parquet", s"$dir/events.parque*",
+      "q308_gap_stream")(ev =>
       EventStreams.gapPoints(ev, idleMs = Long.MaxValue / 4).toDF())
       .orderBy("user_id", "tus", "event_id")
 
@@ -132,7 +140,8 @@ object StreamGraded {
     * between the 16-tap integer recurrence and the declared batch
     * window now fails the round. */
   def q309EwmaStream(s: SparkSession, dir: String): DataFrame =
-    replay(s, dir, "q309_ewma_stream")(ev =>
+    replay(s, s"$dir/events.parquet", s"$dir/events.parque*",
+      "q309_ewma_stream")(ev =>
       EventStreams.ewmaPoints(ev.filter(col("user_id") % 3 === 0),
         idleMs = Long.MaxValue / 4).toDF())
       .orderBy("user_id", "tus", "event_id")
@@ -153,33 +162,113 @@ object StreamGraded {
     * max(session_id)` per user, applied BEFORE the ≥3-event gate —
     * the open session is excluded whatever its size). */
   def q311SessionStream(s: SparkSession, dir: String): DataFrame =
-    replay(s, dir, "q311_session_stream")(ev =>
+    replay(s, s"$dir/events.parquet", s"$dir/events.parque*",
+      "q311_session_stream")(ev =>
       EventStreams.sessionExamples(ev, flushDelayMs = Long.MaxValue / 4)
         .toDF())
       .orderBy("user_id", "n_events", "prefix_md5", "label")
+
+  /** The q313 replay source: the real events coalesced into ONE file
+    * (batch 0 — everything in one batch, so no real row is ever
+    * watermark-late) followed by three SENTINEL waves (batches 1–3
+    * under `maxFilesPerTrigger = 1`), each one click + one purchase at
+    * `user_id = -1` and `max(ts) + 30/60/90 days`. Built once per (JVM,
+    * dataset); mtimes are set 120 s apart so the file source's
+    * timestamp order IS the batch order.
+    *
+    * Why THREE waves (the r16 verdict's item 4, calibrated empirically
+    * at sf0.01): a stream-stream outer join emits a NULL-extended row
+    * only once the watermark passes the row's full match window, the
+    * watermark updates at END of a batch from that batch's max event
+    * time, and the join's STATE CLEANUP observably lags one further
+    * batch behind the update (measured: with waves at batches 1–2, the
+    * final ~2 h of unmatched purchases emitted only in the engine's
+    * optional post-data batch 3 — rows=0, not guaranteed under
+    * AvailableNow). So: wave 1's huge timestamp lands the watermark
+    * update at end-of-batch-1; the cleanup that evicts-and-emits ALL
+    * real unmatched purchases lands in batch 3 — wave 3's DATA batch,
+    * which always runs. Whether the engine schedules anything after the
+    * last data batch stays irrelevant. Each wave has BOTH event types
+    * because the query has two watermark nodes (clicks, purchases) and
+    * the global watermark is their MIN: a click-only sentinel would
+    * leave the purchase-side watermark behind and never close the left
+    * state. */
+  private def q313SourceDir(s: SparkSession, dir: String): String =
+    graft.sink.ScratchExport.once(s"q313src:$dir") {
+      val scratch = graft.sink.ScratchExport.scratchDir("graft-q313-src-")
+      val base = s.read.parquet(s"$dir/events.parquet")
+      val cols = base.columns.map(col).toSeq
+      val mx = base.agg(max(col("ts")).as("mxts"))
+      def wave(w: Int): DataFrame = Seq("click" -> (2 * w), "purchase" -> (2 * w + 1))
+        .map { case (tpe, i) =>
+          mx.select(
+            lit(-1L - i).as("event_id"),
+            expr(s"mxts + INTERVAL ${720 * w} HOURS").as("ts"),
+            lit(-1L).as("user_id"), lit(tpe).as("event_type"),
+            lit(0.0d).as("value"),
+            lit(null).cast(base.schema("props").dataType).as("props"))
+            .select(cols: _*)
+        }.reduce(_.unionByName(_))
+      def writeOne(df: DataFrame, name: String, mtimeOffsetSec: Long): Unit = {
+        val tmp = graft.sink.ScratchExport.scratchDir("graft-q313-tmp-")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        val src =
+          try part.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally part.close()
+        val dst = java.nio.file.Paths.get(scratch, name)
+        java.nio.file.Files.move(src, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + mtimeOffsetSec * 1000))
+      }
+      writeOne(base.select(cols: _*), "b0_events.parquet", -360)
+      writeOne(wave(1), "b1_sentinel.parquet", -240)
+      writeOne(wave(2), "b2_sentinel.parquet", -120)
+      writeOne(wave(3), "b3_sentinel.parquet", 0)
+      scratch
+    }
 
   /** q313: the stream-stream interval JOIN graded end-to-end — the
     * fourth stateful operator class under the hash gate (q296/q308/
     * q309/q311 all grade `flatMapGroupsWithState`; this grades the
     * engine's own two-sided join state). The DEPLOYED left-outer
-    * [[EventStreams.attributionAudit]] runs verbatim; the graded
-    * contract is its MATCHED rows only (`click_id IS NOT NULL`):
-    * stream-stream matches emit eagerly in the batch where both sides
-    * are present — schedule-independent by construction — while the
-    * NULL-extended unattributed rows are exactly the watermark-closed
-    * part whose emission depends on whether a post-data batch runs
-    * (the q296 analysis applied to an outer join; those rows stay
-    * pinned by StreamBatchParitySpec's batch parity). Timestamps lower
-    * to µs BIGINTs (q232's render-stable compare); `value` passes
-    * through untouched, so no float arithmetic crosses engines. Oracle
-    * = q232's interval join as a plain INNER join. */
+    * [[EventStreams.attributionAudit]] runs verbatim; since r17 the
+    * graded contract covers BOTH emission classes (the r16 verdict's
+    * item 4): matched rows (which emit eagerly in the batch where both
+    * sides are present — schedule-independent by construction) AND the
+    * NULL-extended unattributed purchases, whose watermark-closed
+    * emission is made deterministic by the [[q313SourceDir]] sentinel
+    * waves — two trailing data batches advance the watermark past every
+    * real purchase's match window and close all left join state before
+    * the replay ends, so emission no longer depends on whether the
+    * engine schedules a post-data batch. Sentinels carry `user_id = -1`
+    * and are excluded from the graded output by `user_id >= 0` (no real
+    * user is negative). Timestamps lower to µs BIGINTs (q232's
+    * render-stable compare); `value` passes through untouched, so no
+    * float arithmetic crosses engines. Oracle = q232's interval join as
+    * a plain LEFT join; `purchase_id` is unique, and a purchase has
+    * either matched rows or one NULL row (never both), so the
+    * (purchase_id, click_id) order is total with no NULL-placement
+    * ambiguity between engines. */
   def q313AttributionStream(s: SparkSession, dir: String): DataFrame =
-    replay(s, dir, "q313_attribution_stream")(ev =>
+    replay(s, s"$dir/events.parquet", s"${q313SourceDir(s, dir)}/*.parquet",
+      "q313_attribution_stream", maxFilesPerTrigger = Some(1))(ev =>
       EventStreams.attributionAudit(ev.toDF())
-        .filter(col("click_id").isNotNull)
         .select(col("user_id"), col("purchase_id"), col("click_id"),
           expr("unix_micros(p_ts)").as("p_us"),
           expr("unix_micros(c_ts)").as("c_us"), col("value")))
+      // sentinel exclusion AFTER materialization, never inside the
+      // monitor: a deterministic predicate there is pushed below the
+      // watermark node INTO the parquet source scan, which prunes the
+      // sentinel rows before they can advance the watermark and
+      // silently reverts the unmatched side to schedule-dependence
+      // (measured: batches 1–3 read 0 rows with the filter in-stream).
+      // Each wave's purchase matches its own click (same user/ts), so
+      // sentinels reach the sink as exactly one MATCHED row per wave —
+      // deterministic — and are dropped here by id.
+      .filter(col("user_id") >= 0)
       .orderBy("purchase_id", "click_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -201,9 +290,12 @@ object StreamGraded {
     // formulation — same sensor sample, same 16-tap dyadic filter,
     // same integer spike inequality, same order)
     "q309_ewma_stream" -> graft.ops.NorthStar.oracle("q238_ewma_smooth"),
-    // q313: q232's interval join as a plain INNER join — matched rows
-    // are the schedule-independent emission class; the same integer-µs
-    // time bounds, the same non-null (purchase_id, click_id) order
+    // q313: q232's interval join as a plain LEFT join — matched rows
+    // plus the NULL-extended unattributed purchases (the sentinel waves
+    // make their watermark-closed emission deterministic); the same
+    // integer-µs time bounds. purchase_id is unique and a purchase has
+    // either matches or one NULL row, so the order is total and NULL
+    // placement never ties against a non-NULL click_id
     "q313_attribution_stream" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
         |                  event_type, value FROM events),
@@ -212,7 +304,7 @@ object StreamGraded {
         |p AS (SELECT user_id, tus AS p_us, event_id AS purchase_id, value
         |      FROM e WHERE event_type = 'purchase')
         |SELECT p.user_id, p.purchase_id, c.click_id, p.p_us, c.c_us, p.value
-        |FROM p JOIN c
+        |FROM p LEFT JOIN c
         |  ON p.user_id = c.c_user
         | AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 3600000000
         |ORDER BY p.purchase_id, c.click_id""".stripMargin,

@@ -122,30 +122,39 @@ class StreamGradedSpec extends AnyFunSuite {
     assert(gotRows.length <= all.length)
   }
 
-  test("q313 equals the declared q232 batch interval join restricted to " +
-    "matched rows — every eager inner match, none dropped") {
-    val batch = graft.ops.NorthStar
+  test("q313 equals the declared q232 batch LEFT-OUTER interval join — " +
+    "every eager match AND every watermark-closed unmatched purchase " +
+    "(r17: the sentinel waves make the NULL-extended side deterministic)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+        r.getDouble(5))).toSet
+    val batch = rows(graft.ops.NorthStar
       .attributionAuditBatch(T.events(spark, dir)
         .select(col("event_id"), col("user_id"),
           expr("timestamp_micros(tus)").as("ts"), col("event_type"),
-          col("value")))
-      .filter(col("click_id").isNotNull)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getDouble(5))).toSet
-    val got = graft.SparkEntry.queries("q313_attribution_stream")(spark, dir)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getDouble(5))).toSet
-    assert(got == batch, "graded join stream diverged from the batch join")
-    assert(got.nonEmpty, "no attributed purchase — degenerate")
+          col("value"))))
+    val got = rows(
+      graft.SparkEntry.queries("q313_attribution_stream")(spark, dir))
+    assert(got == batch,
+      "graded join stream diverged from the batch left-outer join")
+    assert(got.exists(_._3.isDefined), "no attributed purchase — degenerate")
+    assert(got.exists(_._3.isEmpty), "no unattributed purchase — the outer " +
+      "side the sentinel waves exist to close never exercised")
+    // no sentinel leaks: every graded row belongs to a real user
+    assert(got.forall(_._1 >= 0), "sentinel row leaked into graded output")
     // every emitted match satisfies the interval bound it claims (the
     // multi-click case is sf-dependent — 0 at sf0.001, present at
     // sf0.01 — and its semantics are pinned by StreamBatchParitySpec's
     // synthetic fixture; here we pin the bound on real rows)
-    got.foreach { case (_, p, c, pUs, cUs, _) =>
-      assert(pUs >= cUs && pUs <= cUs + 3600000000L,
-        s"match ($p, $c) violates the 1-hour interval")
+    got.foreach {
+      case (_, p, Some(c), pUs, Some(cUs), _) =>
+        assert(pUs >= cUs && pUs <= cUs + 3600000000L,
+          s"match ($p, $c) violates the 1-hour interval")
+      case (_, p, c, _, cUs, _) =>
+        assert(c.isEmpty && cUs.isEmpty,
+          s"purchase $p has a half-null click pair")
     }
   }
 }
