@@ -6,7 +6,7 @@ import graft.ops.{Affinity, Audit, BpeTrain, Corpus, Curation, Erp, Governance, 
 import graft.sink.{AvroQueries, BloomManifest, BucketQueries, Compact, CsvQueries, DeleteQueries, FixedWidth, Layout, Manifest, MergeQueries, MvRefresh, StatsDecision, OrcQueries, PartitionedQueries, SchemaEvolution, ShardedExport, SurrogateKeys, Vacuum, ZOrderQueries}
 import graft.sources.JsonlIngest
 import graft.sources.rfc.RfcQueries
-import graft.streaming.StreamGraded
+import graft.streaming.{StreamGraded, StreamSinkGraded}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3 (normative inventory).
   *
@@ -41,7 +41,7 @@ object SparkEntry {
       Multimodal.queries ++ RfcQueries.queries ++ SketchRollup.queries ++
       JsonlIngest.queries ++ BpeTrain.queries ++ Graph.queries ++ Audit.queries ++
       Governance.queries ++ Matching.queries ++ Erp.queries ++
-      StreamGraded.queries
+      StreamGraded.queries ++ StreamSinkGraded.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TpchShapes.oracle ++ ParseRoute.oracle ++ Scalars.oracle ++
@@ -56,5 +56,5 @@ object SparkEntry {
       RfcQueries.oracle ++
       SketchRollup.oracle ++ JsonlIngest.oracle ++ BpeTrain.oracle ++ Graph.oracle ++
       Audit.oracle ++ Governance.oracle ++ Matching.oracle ++ Erp.oracle ++
-      StreamGraded.oracle
+      StreamGraded.oracle ++ StreamSinkGraded.oracle
 }

@@ -1382,6 +1382,31 @@ object Curation {
     graft.sink.BucketedTables.compact(s, idxTable, BandIndexBuckets,
       Seq("band", "k1", "k2"))
 
+  /** Registers a fresh EMPTY band index under `name` — the start-of-
+    * stream state for an ingest whose corpus is built entirely by
+    * [[admitToBandIndex]] admissions (the graded q316 replay). The seed
+    * frame is [[TrainingData.minhashBandsOfDocs]] over a zero-row docs
+    * frame, so the schema (and any future change to it) stays derived
+    * from the one banding implementation — plan-only, no job runs. */
+  private[graft] def freshBandIndex(s: SparkSession, name: String): String =
+    graft.sink.BucketedTables.ensure(s, name,
+      TrainingData.minhashBandsOfDocs(
+        s.range(0).select(col("id").as("doc_id"), lit("").as("text")))
+        .select(col("doc_id").as("o_doc"), col("band"), col("k1"),
+          col("k2")),
+      BandIndexBuckets, Seq("band", "k1", "k2"))
+
+  /** Drops a band index table AND its warehouse directory — the
+    * graded-replay cleanup (a q316 run's index is per-invocation
+    * scratch; leaving the files would accumulate one table per JVM in
+    * the warehouse). */
+  private[graft] def dropBandIndex(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table)
+    wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+  }
+
   /** Ensures (once per session per dataset) the persistent corpus band
     * index q107 probes: the existing-corpus half of
     * [[TrainingData.minhashBands]], bucketed+sorted on (band, k1, k2).

@@ -149,7 +149,7 @@ object TrainingData {
     * k1, k2)`) — interpolated into every minhash oracle (q72, q100,
     * q104) so the hash family can never drift between them (the Spark
     * sides already share [[minhashBands]]). */
-  private[ops] val minhashBandsCtes: String =
+  private[graft] val minhashBandsCtes: String =
     """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |shl AS (SELECT doc_id,
       |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS ss

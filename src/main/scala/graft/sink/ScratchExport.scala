@@ -33,6 +33,32 @@ private[graft] object ScratchExport {
     out
   }
 
+  /** Writes `df` as exactly ONE parquet file `destDir/name` with its
+    * mtime set to now + `mtimeOffsetSec` — the building block for
+    * file-streaming replay fixtures whose BATCH STRUCTURE is the file
+    * structure (StreamGraded's q313 sentinel waves, the q315/q316 CDC
+    * and ingest batches): under `maxFilesPerTrigger = 1` the file
+    * source's mtime order IS the batch order, so callers space offsets
+    * ≥ 60 s apart. The single-file constraint is a GRADING-HARNESS
+    * shape (deterministic batch membership), not a data-path one —
+    * deployments stream whatever file/offset layout their source has. */
+  private[graft] def writeSingleFile(df: org.apache.spark.sql.DataFrame,
+                                     destDir: String, name: String,
+                                     mtimeOffsetSec: Long): Unit = {
+    val tmp = scratchDir("graft-onefile-")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val listing = Files.list(Paths.get(tmp))
+    val src =
+      try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally listing.close()
+    val dst = Paths.get(destDir, name)
+    Files.move(src, dst)
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + mtimeOffsetSec * 1000))
+  }
+
   private val tempDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
   sys.addShutdownHook {

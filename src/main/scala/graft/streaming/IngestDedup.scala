@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.ops.{Curation, TrainingData}
 
@@ -103,9 +103,11 @@ object IngestDedup {
   def start(docs: DataFrame, idxTable: String,
             onReport: (Array[org.apache.spark.sql.Row], Long) => Unit,
             intraBatch: Boolean = false,
-            compactEvery: Int = 0): StreamingQuery =
+            compactEvery: Int = 0,
+            trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
     docs.writeStream
       .outputMode("update")
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val s = batch.sparkSession
         onReport(ingestBatch(s, idxTable, batch, intraBatch).collect(), id)

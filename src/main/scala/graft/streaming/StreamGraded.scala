@@ -209,24 +209,11 @@ object StreamGraded {
             lit(null).cast(base.schema("props").dataType).as("props"))
             .select(cols: _*)
         }.reduce(_.unionByName(_))
-      def writeOne(df: DataFrame, name: String, mtimeOffsetSec: Long): Unit = {
-        val tmp = graft.sink.ScratchExport.scratchDir("graft-q313-tmp-")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        val src =
-          try part.filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
-          finally part.close()
-        val dst = java.nio.file.Paths.get(scratch, name)
-        java.nio.file.Files.move(src, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() + mtimeOffsetSec * 1000))
-      }
-      writeOne(base.select(cols: _*), "b0_events.parquet", -360)
-      writeOne(wave(1), "b1_sentinel.parquet", -240)
-      writeOne(wave(2), "b2_sentinel.parquet", -120)
-      writeOne(wave(3), "b3_sentinel.parquet", 0)
+      import graft.sink.ScratchExport.writeSingleFile
+      writeSingleFile(base.select(cols: _*), scratch, "b0_events.parquet", -360)
+      writeSingleFile(wave(1), scratch, "b1_sentinel.parquet", -240)
+      writeSingleFile(wave(2), scratch, "b2_sentinel.parquet", -120)
+      writeSingleFile(wave(3), scratch, "b3_sentinel.parquet", 0)
       scratch
     }
 
