@@ -1245,8 +1245,39 @@ object PlanAudit {
         "span stage never re-executes.\n\n" +
         s"```\n${full.queryExecution.executedPlan}```\n\n"
     }
+    // q317: the corpus-build flagship — the q310 shared-exchange
+    // discipline at PIPELINE scope, plus the post-checkpoint
+    // decon/mix/pack tail as one plan.
+    locally {
+      val st = ops.Corpus.corpusBuildStages(spark, sfDir)
+      val ex = ops.Corpus.q310Excised(st.gated)
+      ex.queryExecution.toRdd.foreach(_ => ())
+      sb ++= "## q317_corpus_build — excision subplan over the GATED " +
+        "corpus (EXECUTED, AQE final)\n\n**Look for:** the same single " +
+        "`Exchange hashpartitioning(h…)` + `ReusedExchange` pair as " +
+        "q310's excision — the flagship inherits the shared shingle " +
+        "shuffle verbatim because it calls the identical q310Excised " +
+        "stage on its gated corpus (CorpusBuildSpec enforces this); " +
+        "upstream, the gated frame enters as the localCheckpointed " +
+        "clean+score projection (`Scan ExistingRDD`), so the JSONL " +
+        "ingest and the PII rewrite run exactly once for the whole " +
+        "pipeline.\n\n" +
+        s"```\n${ex.queryExecution.executedPlan}```\n\n"
+      val manifest = st.manifest
+      manifest.collect()
+      sb ++= "## q317_corpus_build — decon/mix/pack tail (EXECUTED, AQE " +
+        "final)\n\n**Look for:** the line-key exchange + `ReusedExchange` " +
+        "pair (the q310 line stage re-seated over the gated excision); " +
+        "the eval-shingle side entering the contamination join as a " +
+        "`BroadcastExchange` (benchmark-sized, the q95 argument) over a " +
+        "LEFT ANTI join; the mix and pack prefix sums as the TWO-pass " +
+        "ScalableRank shape (range repartition + per-partition window + " +
+        "broadcast offsets join) — no single-task global window " +
+        "anywhere in the composed plan.\n\n" +
+        s"```\n${manifest.queryExecution.executedPlan}```\n\n"
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"wrote PLANS.md (${picks.size + 2} plans)")
+    println(s"wrote PLANS.md (${picks.size + 4} plans)")
     spark.stop()
   }
 }

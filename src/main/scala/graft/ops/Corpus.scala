@@ -339,39 +339,10 @@ object Corpus {
     * language: docs, raw tokens, tokens surviving span excision,
     * tokens surviving both passes, and each survival share in bp. */
   def q310DedupPipeline(s: SparkSession, dir: String): DataFrame = {
-    val L = LineLen
     val tok = T(s, dir, "documents")
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
     val excised = q310Excised(tok).localCheckpoint()
-    val segd = excised.filter(col("span_tok") > 0)
-      .select(col("doc_id"), expr(
-        s"transform(sequence(1, (size(kw) + $L - 1) div $L), " +
-          s"i -> concat_ws(' ', slice(kw, (i - 1) * $L + 1, $L)))")
-        .as("segs"))
-    // ONE line-key exchange, shared by ownership agg and join-back.
-    // The explicit isNotNull keeps the two consumers' exchange children
-    // CANONICALLY IDENTICAL: the drops branch's null-rejecting filter
-    // (lineOwnKey ≠ ok) makes the optimizer infer isnotnull(doc_id) on
-    // that branch alone, which would otherwise specialize its copy of
-    // the exchange subtree and defeat ReuseExchange (probed, not
-    // assumed — DedupPipelineSpec pins single-materialization).
-    val ks = segd.select(col("doc_id"),
-        posexplode(expr("transform(segs, x -> md5(x))")).as(Seq("p", "k")))
-      .select(col("doc_id"), (col("p") + 1).cast("long").as("sid"),
-        col("k"))
-      .filter(col("doc_id").isNotNull)
-      .repartition(col("k"))
-    val own = ks.groupBy("k")
-      .agg(min(lineOwnKey).as("ok"), count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("k", "ok")
-    val drops = ks.join(own, Seq("k"))
-      .filter(lineOwnKey =!= col("ok"))
-      .groupBy("doc_id").agg(collect_list(col("sid")).as("drop_ids"))
-    val lineTok = segd.join(drops, Seq("doc_id"), "left")
-      .select(col("doc_id"), expr(
-        "concat_ws(' ', filter(segs, (x, i) -> drop_ids IS NULL OR " +
-          "NOT array_contains(drop_ids, cast(i + 1 as bigint))))")
-        .as("clean"))
+    val lineTok = lineCleanOf(excised)
       .select(col("doc_id"), expr(
         "CASE WHEN clean = '' THEN 0L " +
           "ELSE cast(size(split(clean, ' ')) as bigint) END").as("line_tok"))
@@ -383,6 +354,160 @@ object Corpus {
       .withColumn("span_bp", expr("(span_tok * 10000) div raw_tok"))
       .withColumn("line_bp", expr("(line_tok * 10000) div raw_tok"))
       .orderBy("lang")
+  }
+
+  /** q317's decontamination window: 4 consecutive tokens. Calibrated
+    * against this corpus's duplication density (measured r17): 3-token
+    * windows leave TWO survivors at sf0.1 (the synthetic near-dup
+    * clusters share so many 3-grams with the eval holdout that an
+    * any-overlap drop empties the corpus — the same reason production
+    * decontamination uses long windows, e.g. 13-gram collision in
+    * GPT-3/Lee et al), while ≥5-token windows drop nothing at the spec
+    * scales. 4 bites at every SF (3/5/333 drops at sf0.001/0.01/0.1)
+    * and leaves a healthy admitted corpus. */
+  private[ops] val DeconK = 4
+
+  /** q317: the END-TO-END corpus-build flagship (r17, the r16 verdict's
+    * item 2) — the pipeline a pretraining data owner actually ships, as
+    * ONE graded plan composed exclusively from shipped, individually-
+    * graded stages:
+    *
+    *  1. INGEST — q161's real JSONL read-back (PERMISSIVE, corrupt
+    *     lines routed out: doc_id % 37), eval holdout (doc_id % 97)
+    *     excluded from the training corpus;
+    *  2. CLEAN — q91's PII rewriters (email/URL masking) over the
+    *     crawl-shaped contact-line suffix, so the cleaner genuinely
+    *     rewrites and the masked boilerplate later exercises the line
+    *     dedup exactly the way CCNet-style pipelines intend;
+    *  3. QUALITY GATE at a q314-DERIVED threshold — the q83 exact
+    *     integer-bp score over the cleaned tokens; the threshold is the
+    *     LARGEST decile retaining ≥ 50% of corpus tokens, picked from
+    *     an ≤11-row bucket aggregate collected driver-side (the q296
+    *     batch-init class: bounded by the decile grid, never data);
+    *  4. SPAN + LINE DEDUP — the q310 core VERBATIM ([[q310Excised]] +
+    *     [[lineCleanOf]], shared shingle and line-key exchanges and all)
+    *     over the gated corpus;
+    *  5. DECONTAMINATE — q95's screen as a DROP: survivors sharing any
+    *     word 3-gram with the raw eval holdout are removed (eval
+    *     shingles broadcast — benchmark-sized);
+    *  6. MIX — q150's per-language token-budget admission
+    *     ([[TrainingData.budgetMixFrom]]: deterministic md5-shuffled
+    *     order, composite-key global prefix scan, |langs|-row broadcast
+    *     spec) denominated in SURVIVING tokens;
+    *  7. PACK + MANIFEST — q92/q159's bin geometry over the admitted
+    *     docs (global exclusive cumsum in doc order, 2000-token bins);
+    *     the graded frame IS the shard manifest: (bin, slot, doc_id,
+    *     lang, tokens, tok_offset).
+    *
+    * A hash match on the manifest certifies the WHOLE chain: membership
+    * encodes ingest routing, the gate, full-excision drops, and
+    * decontamination; `tokens` encodes cleaning and both dedup rewrites;
+    * (bin, slot, tok_offset) encode the mix admission and the pack
+    * geometry.
+    *
+    * Scale shape, stage by stage (each inherits its audited component):
+    * the ingest is a line-splittable text scan with explicit schema; the
+    * clean+score is one map-only projection materialized ONCE
+    * (localCheckpoint — at 100 TB this is the parquet staging write
+    * between pipeline phases, the q310 multi-consumer discipline) and
+    * consumed by the 11-row curve aggregate and the gate; the span stage
+    * shares its shingle exchange (ReuseExchange, pinned by
+    * CorpusBuildSpec on THIS plan) and the line stage its line-key
+    * exchange; decontamination broadcasts only eval shingles; the mix
+    * and pack scans are the two-pass distributed prefix sums — no
+    * single-task window anywhere. Spark's `sequence(1, n)` is DESCENDING
+    * for n < 1 (unlike DuckDB's empty `range`), so every shingle
+    * `transform` guards `size ≥ 3` explicitly. */
+  def q317CorpusBuild(s: SparkSession, dir: String): DataFrame =
+    corpusBuildStages(s, dir).manifest
+
+  /** q317's intermediate frames, exposed so CorpusBuildSpec can pin
+    * each stage's nonvacuity and PlanAudit can print the executed
+    * shared-exchange subplans — same pattern as [[q310Excised]]'s
+    * split. `thr` is the driver-picked decile; every DataFrame is the
+    * exact frame the manifest plan consumes. */
+  private[graft] final case class CorpusBuildStages(
+      thr: Int, gated: DataFrame, excised: DataFrame, fin: DataFrame,
+      contaminated: DataFrame, survivors: DataFrame, admitted: DataFrame,
+      manifest: DataFrame)
+
+  private[graft] def corpusBuildStages(s: SparkSession,
+                                       dir: String): CorpusBuildStages = {
+    // 1. ingest: real JSONL read-back; corrupt routed out, eval held out
+    val train = graft.sources.JsonlIngest.readBack(s, dir)
+      .filter(col("_corrupt").isNull && col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+    // 2.+3a. clean + score, one projection, materialized once
+    val scored = train
+      .withColumn("ctext", regexp_replace(regexp_replace(
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com see https://example.org/d/"), col("doc_id")),
+        "[a-z0-9.]+@[a-z0-9.]+", "<email>"), "https?://[^ ]+", "<url>"))
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(ctext, ' '), x -> x != '')").as("w"))
+      .filter(size(col("w")) > 0)
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("qbp", expr(
+        "(2 * (10 * least(n, 100) * n + 750 * size(array_distinct(w)) + " +
+          "750 * (n - size(filter(w, x -> x in ('the', 'a'))))) * 10000 " +
+          "+ 2500 * n) div (2 * 2500 * n)"))
+      .localCheckpoint()
+    // 3b. q314-derived threshold: ≤11-row curve, driver-side pick
+    // (bounded by the decile grid — the q296 batch-init class)
+    val buckets = scored
+      .groupBy(expr("least(qbp div 1000, 10)").as("b"))
+      .agg(sum("n").as("btok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = buckets.values.sum
+    val thr = (0 to 10)
+      .filter(t => buckets.filter(_._1 >= t).values.sum * 10000L >=
+        5000L * total)
+      .max
+    val gated = scored.filter(col("qbp") >= lit(thr * 1000L))
+      .select(col("doc_id"), col("lang"), col("w"))
+    // 4. span + line dedup: the q310 core verbatim
+    val excised = q310Excised(gated).localCheckpoint()
+    val fin = excised.join(lineCleanOf(excised), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("clean"), lit("")).as("ftext"))
+      .withColumn("tok", expr("CASE WHEN ftext = '' THEN 0L " +
+        "ELSE cast(size(split(ftext, ' ')) as bigint) END"))
+      .filter(col("tok") > 0)
+      .localCheckpoint()
+    // 5. decontaminate: word 3-grams of the SURVIVING text vs the raw
+    // eval holdout's (broadcast — benchmark-sized, the q95 argument)
+    val K = DeconK
+    val evalSh = T(s, dir, "documents").filter(col("doc_id") % 97 === 0)
+      .select(expr("filter(split(text, ' '), x -> x != '')").as("ew"))
+      .filter(size(col("ew")) >= K)
+      .select(explode(expr(s"transform(sequence(1, size(ew) - ${K - 1}), " +
+        s"i -> concat_ws(' ', slice(ew, i, $K)))")).as("sh"))
+      .distinct()
+    val contaminated = fin.filter(col("tok") >= K)
+      .select(col("doc_id"), split(col("ftext"), " ").as("fw"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(fw) - ${K - 1}), " +
+          s"i -> concat_ws(' ', slice(fw, i, $K)))")).as("sh"))
+      .join(broadcast(evalSh), Seq("sh"))
+      .select("doc_id").distinct()
+    val survivors = fin.join(contaminated, Seq("doc_id"), "left_anti")
+    // 6. mix: q150's admission core over surviving tokens
+    val admitted = TrainingData.budgetMixFrom(s,
+      survivors.select(col("doc_id"), col("lang"), col("tok")), col("tok"))
+    // 7. pack + manifest: q92/q159's bin geometry over the admission
+    val packed = ScalableRank.withGlobalCumsumExclusive(
+      admitted.select(col("doc_id"), col("lang"), col("tok")),
+      col("tok"), "cumex", col("doc_id").asc)
+      .withColumn("bin", expr("cumex div 2000"))
+    val manifest = packed
+      .withColumn("slot", row_number()
+        .over(Window.partitionBy("bin").orderBy("doc_id")).cast("long"))
+      .select(col("bin"), col("slot"), col("doc_id"), col("lang"),
+        col("tok").as("tokens"),
+        (col("cumex") - col("bin") * 2000).as("tok_offset"))
+      .orderBy("bin", "slot")
+    CorpusBuildStages(thr, gated, excised, fin, contaminated, survivors,
+      admitted, manifest)
   }
 
   /** q310's span-excision stage on any (doc_id, lang, w) token frame —
@@ -437,6 +562,46 @@ object Corpus {
       .select(col("doc_id"), col("lang"),
         size(col("w")).cast("long").as("raw_tok"),
         size(col("kw")).cast("long").as("span_tok"), col("kw"))
+  }
+
+  /** q310's keep-first LINE-dedup stage on an excised frame —
+    * `(doc_id, …, span_tok, kw)` → `(doc_id, clean)`, the re-joined
+    * surviving text. Factored out (r17) so the q317 corpus-build
+    * flagship runs the IDENTICAL stage (same segmentation, same guarded
+    * [[lineOwnKey]], same shared `repartition(k)` exchange) rather than
+    * a re-derivation that could drift.
+    *
+    * ONE line-key exchange, shared by ownership agg and join-back. The
+    * explicit isNotNull keeps the two consumers' exchange children
+    * CANONICALLY IDENTICAL: the drops branch's null-rejecting filter
+    * (lineOwnKey ≠ ok) makes the optimizer infer isnotnull(doc_id) on
+    * that branch alone, which would otherwise specialize its copy of
+    * the exchange subtree and defeat ReuseExchange (probed, not
+    * assumed — DedupPipelineSpec pins single-materialization). */
+  private[graft] def lineCleanOf(excised: DataFrame): DataFrame = {
+    val L = LineLen
+    val segd = excised.filter(col("span_tok") > 0)
+      .select(col("doc_id"), expr(
+        s"transform(sequence(1, (size(kw) + $L - 1) div $L), " +
+          s"i -> concat_ws(' ', slice(kw, (i - 1) * $L + 1, $L)))")
+        .as("segs"))
+    val ks = segd.select(col("doc_id"),
+        posexplode(expr("transform(segs, x -> md5(x))")).as(Seq("p", "k")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("sid"),
+        col("k"))
+      .filter(col("doc_id").isNotNull)
+      .repartition(col("k"))
+    val own = ks.groupBy("k")
+      .agg(min(lineOwnKey).as("ok"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("k", "ok")
+    val drops = ks.join(own, Seq("k"))
+      .filter(lineOwnKey =!= col("ok"))
+      .groupBy("doc_id").agg(collect_list(col("sid")).as("drop_ids"))
+    segd.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"), expr(
+        "concat_ws(' ', filter(segs, (x, i) -> drop_ids IS NULL OR " +
+          "NOT array_contains(drop_ids, cast(i + 1 as bigint))))")
+        .as("clean"))
   }
 
   /** q123: segment-level dedup REWRITE — the excision counterpart to
@@ -1409,6 +1574,7 @@ object Corpus {
     "q304_dedup_accounting" -> q304DedupAccounting _,
     "q305_span_excision" -> q305SpanExcision _,
     "q310_dedup_pipeline" -> q310DedupPipeline _,
+    "q317_corpus_build" -> q317CorpusBuild _,
     "q130_mix_pipeline" -> q130MixPipeline _,
     "q166_data_card" -> q166DataCard _,
     "q167_snapshot_diff" -> q167SnapshotDiff _,
@@ -1461,9 +1627,11 @@ object Corpus {
   /** The q294 span chain (`tok → sh → df → d → m → g → spans`), shared
     * VERBATIM by the q294 and q305 oracles — the excision cuts exactly
     * the extents the gauge reports, by construction. */
-  private lazy val dupSpanCtes: String =
-    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT doc_id,
+  /** The span chain DOWNSTREAM of the `tok(doc_id, w)` CTE — split from
+    * [[dupSpanCtes]] (r17) so the q317 corpus-build oracle can re-seat
+    * the IDENTICAL chain over its gated corpus instead of `documents`. */
+  private lazy val spanChainCtes: String =
+    s"""sh AS (SELECT doc_id,
       |         unnest([{'pos': i,
       |                  'h': md5(array_to_string(w[i:i+$SpanK-1], ' '))}
       |                 for i in range(1, len(w) - $SpanK + 2)],
@@ -1485,6 +1653,39 @@ object Corpus {
       |            CAST(max(pos) - min(pos) + $SpanK AS BIGINT) AS span_tokens,
       |            CAST(count(*) AS BIGINT) AS n_hits
       |          FROM g GROUP BY doc_id, sid)""".stripMargin
+
+  private lazy val dupSpanCtes: String =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |$spanChainCtes""".stripMargin
+
+  /** The q295 keep-first line chain re-seated over an `ex(doc_id, kw)`
+    * excised-token CTE — `seg → ks2 → own2 → drops2 → lk(doc_id,
+    * clean)`. Shared VERBATIM by the q310 and q317 oracles (r17), the
+    * SQL twin of [[lineCleanOf]]. */
+  private lazy val excisedLineCtes: String =
+    s"""seg AS (SELECT doc_id,
+      |         [array_to_string(kw[(i-1)*$LineLen+1:i*$LineLen], ' ')
+      |          for i in range(1, (len(kw) + $LineLen - 1) // $LineLen + 1)]
+      |           AS segs
+      |        FROM ex WHERE len(kw) > 0),
+      |ks2 AS (SELECT doc_id,
+      |          unnest([{'sid': i, 'k': md5(segs[i])}
+      |                  for i in range(1, len(segs) + 1)],
+      |                 recursive := true)
+      |        FROM seg),
+      |own2 AS (SELECT k, min(doc_id * $LineOwnBase + sid) AS ok
+      |         FROM ks2 GROUP BY k HAVING count(*) >= 2),
+      |drops2 AS (SELECT ks2.doc_id, list(ks2.sid) AS drop_ids
+      |           FROM ks2 JOIN own2 USING (k)
+      |           WHERE ks2.doc_id * $LineOwnBase + ks2.sid <> own2.ok
+      |           GROUP BY 1),
+      |lk AS (SELECT seg.doc_id,
+      |         coalesce(array_to_string([seg.segs[i]
+      |                   for i in range(1, len(seg.segs) + 1)
+      |                   if dr.drop_ids IS NULL
+      |                      OR NOT list_contains(dr.drop_ids, i)], ' '), '')
+      |           AS clean
+      |       FROM seg LEFT JOIN drops2 dr USING (doc_id))""".stripMargin
 
   /** The q295 keep-first chain (`tok → d → ks → own → drops → cleaned`),
     * shared VERBATIM by the q295 and q304 oracles — the accounting
@@ -1558,29 +1759,7 @@ object Corpus {
         |                   if len(list_filter(dp.sp,
         |                        p -> i >= p.s AND i <= p.e)) = 0] END AS kw
         |      FROM tok t LEFT JOIN dp USING (doc_id)),
-        |seg AS (SELECT doc_id,
-        |         [array_to_string(kw[(i-1)*$LineLen+1:i*$LineLen], ' ')
-        |          for i in range(1, (len(kw) + $LineLen - 1) // $LineLen + 1)]
-        |           AS segs
-        |        FROM ex WHERE len(kw) > 0),
-        |ks2 AS (SELECT doc_id,
-        |          unnest([{'sid': i, 'k': md5(segs[i])}
-        |                  for i in range(1, len(segs) + 1)],
-        |                 recursive := true)
-        |        FROM seg),
-        |own2 AS (SELECT k, min(doc_id * $LineOwnBase + sid) AS ok
-        |         FROM ks2 GROUP BY k HAVING count(*) >= 2),
-        |drops2 AS (SELECT ks2.doc_id, list(ks2.sid) AS drop_ids
-        |           FROM ks2 JOIN own2 USING (k)
-        |           WHERE ks2.doc_id * $LineOwnBase + ks2.sid <> own2.ok
-        |           GROUP BY 1),
-        |lk AS (SELECT seg.doc_id,
-        |         coalesce(array_to_string([seg.segs[i]
-        |                   for i in range(1, len(seg.segs) + 1)
-        |                   if dr.drop_ids IS NULL
-        |                      OR NOT list_contains(dr.drop_ids, i)], ' '), '')
-        |           AS clean
-        |       FROM seg LEFT JOIN drops2 dr USING (doc_id)),
+        |$excisedLineCtes,
         |lt AS (SELECT doc_id,
         |         CASE WHEN clean = '' THEN 0
         |              ELSE len(string_split(clean, ' ')) END AS line_tok
@@ -1597,6 +1776,101 @@ object Corpus {
         |       CAST((sum(span_tok) * 10000) // sum(raw_tok) AS BIGINT) AS span_bp,
         |       CAST((sum(line_tok) * 10000) // sum(raw_tok) AS BIGINT) AS line_bp
         |FROM acc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q317: the whole corpus-build chain in ONE statement, every stage
+    // spliced from the shared fragments so the flagship can never drift
+    // from the graded pieces it composes — q161's routing predicate,
+    // q91's rewriters, q83/q314's integer-bp score + decile curve, the
+    // q294/q305 span chain ($spanChainCtes re-seated over the gated
+    // corpus), the q295 line chain ($excisedLineCtes), q95's 3-gram
+    // screen, q150's admission chain (shared budget VALUES), and the
+    // q92/q159 pack geometry
+    "q317_corpus_build" ->
+      s"""WITH ing AS (SELECT doc_id, lang, text FROM documents
+        |             WHERE doc_id % 37 <> 0 AND doc_id % 97 <> 0),
+        |cl AS (SELECT doc_id, lang,
+        |        regexp_replace(regexp_replace(
+        |          text || ' contact user' || doc_id ||
+        |            '@example.com see https://example.org/d/' || doc_id,
+        |          '[a-z0-9.]+@[a-z0-9.]+', '<email>', 'g'),
+        |          'https?://[^ ]+', '<url>', 'g') AS ctext
+        |       FROM ing),
+        |tw AS (SELECT doc_id, lang,
+        |         list_filter(string_split(ctext, ' '), x -> x <> '') AS w
+        |       FROM cl),
+        |sc AS (SELECT doc_id, lang, w, len(w) AS n,
+        |         len(list_distinct(w)) AS k,
+        |         len(list_filter(w, x -> x IN ('the', 'a'))) AS st
+        |       FROM tw WHERE len(w) > 0),
+        |q AS (SELECT doc_id, lang, w, CAST(n AS BIGINT) AS n,
+        |        (2 * (10 * least(n, 100) * n + 750 * k + 750 * (n - st))
+        |           * 10000 + 2500 * n) // (2 * 2500 * n) AS qbp
+        |      FROM sc),
+        |tot AS (SELECT sum(n) AS tt FROM q),
+        |bk AS (SELECT least(qbp // 1000, 10) AS b, sum(n) AS btok
+        |       FROM q GROUP BY 1),
+        |cum AS (SELECT ts.t,
+        |          (SELECT coalesce(sum(btok), 0) FROM bk WHERE b >= ts.t)
+        |            AS stok
+        |        FROM (SELECT unnest(range(0, 11)) AS t) ts),
+        |thr AS (SELECT max(t) AS thr FROM cum, tot
+        |        WHERE stok * 10000 >= 5000 * tt),
+        |gate AS (SELECT q.doc_id, q.lang, q.w FROM q, thr
+        |         WHERE q.qbp >= thr.thr * 1000),
+        |tok AS (SELECT doc_id, w FROM gate),
+        |$spanChainCtes,
+        |dp AS (SELECT doc_id, list({'s': span_start, 'e': span_end}) AS sp
+        |       FROM spans GROUP BY 1),
+        |ex AS (SELECT t.doc_id,
+        |        CASE WHEN dp.sp IS NULL THEN t.w
+        |             ELSE [t.w[i] for i in range(1, len(t.w) + 1)
+        |                   if len(list_filter(dp.sp,
+        |                        p -> i >= p.s AND i <= p.e)) = 0] END AS kw
+        |       FROM tok t LEFT JOIN dp USING (doc_id)),
+        |$excisedLineCtes,
+        |fin AS (SELECT ex.doc_id, gate.lang,
+        |          coalesce(lk.clean, '') AS ftext,
+        |          CAST(CASE WHEN coalesce(lk.clean, '') = '' THEN 0
+        |               ELSE len(string_split(lk.clean, ' ')) END AS BIGINT)
+        |            AS tok
+        |        FROM ex JOIN gate USING (doc_id)
+        |        LEFT JOIN lk USING (doc_id)),
+        |ev AS (SELECT list_filter(string_split(text, ' '), x -> x <> '')
+        |         AS ew
+        |       FROM documents WHERE doc_id % 97 = 0),
+        |esh AS (SELECT DISTINCT array_to_string(ew[i:i+${DeconK - 1}], ' ') AS sh3
+        |        FROM ev, LATERAL (SELECT unnest(range(1, len(ew) - ${DeconK - 2})) AS i) r),
+        |tsh AS (SELECT DISTINCT f.doc_id,
+        |          array_to_string(fw[i:i+${DeconK - 1}], ' ') AS sh3
+        |        FROM (SELECT doc_id, string_split(ftext, ' ') AS fw
+        |              FROM fin WHERE tok >= $DeconK) f,
+        |             LATERAL (SELECT unnest(range(1, len(fw) - ${DeconK - 2})) AS i) r),
+        |cont AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN esh e USING (sh3)),
+        |surv AS (SELECT * FROM fin WHERE tok > 0
+        |         AND doc_id NOT IN (SELECT doc_id FROM cont)),
+        |t2 AS (SELECT doc_id, lang, tok,
+        |         ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 12))::BIGINT
+        |           AS skey
+        |       FROM surv),
+        |b(lang, budget) AS (VALUES ${TrainingData.budgetValuesSql}),
+        |c2 AS (SELECT lang, doc_id, tok,
+        |         COALESCE(CAST(sum(tok) OVER (PARTITION BY lang
+        |           ORDER BY skey, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |           0) AS lang_excl
+        |       FROM t2),
+        |adm AS (SELECT c2.lang, doc_id, tok FROM c2 JOIN b ON c2.lang = b.lang
+        |        WHERE lang_excl < budget),
+        |p AS (SELECT doc_id, lang, tok,
+        |        coalesce(CAST(sum(tok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |          0) AS cumex
+        |      FROM adm)
+        |SELECT CAST(cumex // 2000 AS BIGINT) AS bin,
+        |       CAST(row_number() OVER (PARTITION BY cumex // 2000
+        |                               ORDER BY doc_id) AS BIGINT) AS slot,
+        |       doc_id, lang, CAST(tok AS BIGINT) AS tokens,
+        |       CAST(cumex - (cumex // 2000) * 2000 AS BIGINT) AS tok_offset
+        |FROM p ORDER BY bin, slot""".stripMargin,
     // q304: the q295 keep-first chain VERBATIM + language accounting
     "q304_dedup_accounting" ->
       s"""WITH $lineDedupCtes

@@ -2665,7 +2665,7 @@ object TrainingData {
 
   /** `('de', 2500),…` — [[LangBudgets]] as a DuckDB VALUES list so the
     * oracles join the same mixture spec the Spark side broadcasts. */
-  private def budgetValuesSql: String =
+  private[ops] def budgetValuesSql: String =
     LangBudgets.map { case (l, b) => s"('$l', $b)" }.mkString(",")
 
   /** The shared BM25 score CTE chain (`w → d → st → sc`, one `score`

@@ -67,7 +67,7 @@ object JsonlIngest {
 
   /** The parsed read-back frame: good rows carry the document fields,
     * corrupt lines carry ONLY `_corrupt` (PERMISSIVE nulls the rest). */
-  private[sources] def readBack(s: SparkSession, dir: String): DataFrame =
+  private[graft] def readBack(s: SparkSession, dir: String): DataFrame =
     s.read.schema(schema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
