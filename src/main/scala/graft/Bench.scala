@@ -63,6 +63,19 @@ object Bench {
   def repsFor(surface: Int, budget: Int, explicit: Option[Int]): Int =
     explicit.map(_.max(1)).getOrElse(if (surface > budget) 3 else 5)
 
+  /** Per-query rep floor under the budget guard (r17, BASELINE.md): when
+    * the surface pushes the DEFAULT down to 3, queries whose previous
+    * round's min exceeded 2 s keep 5 reps — the heavies are where a
+    * noisy min misreads as a regression, and their count is small
+    * (~20), so the floor costs ~2 extra heavy reps each while the
+    * hundreds of sub-second queries take the cheaper default. An
+    * explicit SPARK_GRAFT_REPS still pins EVERY query. */
+  def repsForQuery(name: String, base: Int, explicit: Option[Int],
+                   prevMins: Map[String, Double]): Int =
+    if (explicit.isDefined || base >= 5) base
+    else if (prevMins.get(name).exists(_ > 2.0)) 5
+    else base
+
   /** The drift rule: recheck when both mins are real and the new one is
     * more than 2× the previous — the same factor as the within-run
     * variance flag, but across rounds, where uniform within-window
@@ -97,9 +110,16 @@ object Bench {
     // 5 reps would overflow the driver's bench window and corrupt the
     // cross-round tails the window truncates. An explicit
     // SPARK_GRAFT_REPS always wins. Documented in BASELINE.md.
+    val explicitReps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)
     val reps = repsFor(surface,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "300").toInt,
-      sys.env.get("SPARK_GRAFT_REPS").map(_.toInt))
+      explicitReps)
+    // parsed BEFORE the sweep (r17): the per-query rep floor needs the
+    // previous round's mins to know which queries are the heavies
+    val prevMins = sys.env.get("SPARK_GRAFT_PREV")
+      .filter(p => Files.exists(Paths.get(p)))
+      .map(p => parsePrevMins(Files.readString(Paths.get(p))))
+      .getOrElse(Map.empty)
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // Name any testdata schema drift up front (round 8's regression
@@ -122,7 +142,8 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         try {
-          val times = (1 to reps).map { _ =>
+          val qReps = repsForQuery(name, reps, explicitReps, prevMins)
+          val times = (1 to qReps).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
@@ -134,7 +155,7 @@ object Bench {
           // empty round after round — pure alarm fatigue). Two
           // near-tied smallest samples mean the min is reproducible;
           // a >2× gap between them is a genuinely unstable measurement.
-          val flagged = reps > 1 && times.head > 0 &&
+          val flagged = qReps > 1 && times.head > 0 &&
             times(1) / times.head > 2.0
           (name, times, flagged)
         } catch {
@@ -158,10 +179,6 @@ object Bench {
     // drift_rechecked / variance_rechecked put the adjudication in the
     // artifact: recheck ≈ first_min ⇒ the cost is real; recheck well
     // under ⇒ the flagged run was a noisy window.
-    val prevMins = sys.env.get("SPARK_GRAFT_PREV")
-      .filter(p => Files.exists(Paths.get(p)))
-      .map(p => parsePrevMins(Files.readString(Paths.get(p))))
-      .getOrElse(Map.empty)
     val rechecked = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, Double, Double)]
     val varRechecked = scala.collection.mutable.LinkedHashMap

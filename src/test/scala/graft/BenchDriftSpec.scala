@@ -78,4 +78,22 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(Bench.repsFor(301, 300, Some(7)) == 7, "explicit wins past budget")
     assert(Bench.repsFor(10, 300, Some(0)) == 1, "explicit clamps to >= 1")
   }
+
+  test("repsForQuery: heavies (prev min > 2 s) keep 5 under the 3-rep " +
+    "guard; sub-2 s and unknown queries take the default; explicit and " +
+    "an un-fired guard pass through (r17 floor — BASELINE.md)") {
+    val prev = Map("q_heavy" -> 3.5, "q_light" -> 0.4, "q_edge" -> 2.0)
+    assert(Bench.repsForQuery("q_heavy", 3, None, prev) == 5)
+    assert(Bench.repsForQuery("q_light", 3, None, prev) == 3)
+    assert(Bench.repsForQuery("q_edge", 3, None, prev) == 3,
+      "exactly 2 s is not a heavy")
+    assert(Bench.repsForQuery("q_new", 3, None, prev) == 3,
+      "no baseline, default applies")
+    assert(Bench.repsForQuery("q_heavy", 5, None, prev) == 5,
+      "guard not fired: base passes through")
+    assert(Bench.repsForQuery("q_heavy", 2, Some(2), prev) == 2,
+      "explicit SPARK_GRAFT_REPS pins every query")
+    assert(Bench.repsForQuery("q_heavy", 3, None, Map.empty) == 3,
+      "no SPARK_GRAFT_PREV: first guarded round takes the default")
+  }
 }
