@@ -33,6 +33,15 @@ import graft.streaming.EventStreams.SEvent
   */
 object StreamGraded {
 
+  /** Per-tag state footprint of the most recent replay — (operator,
+    * max numRowsTotal, max memoryUsedBytes) across its micro-batches.
+    * Bounded: one entry per graded query, a handful of operators each.
+    * ScaleProbe reads it to turn the scaladocs' bounded-state CLAIMS
+    * (2 longs/key, watermark-bounded join buffers) into measured facts
+    * in SCALING.md. */
+  private[graft] val stateStats =
+    scala.collection.concurrent.TrieMap[String, Seq[(String, Long, Long)]]()
+
   /** The shared replay harness: a parquet source replayed through a
     * real file streaming source under `Trigger.AvailableNow` (one batch
     * by default — see q296's scaladoc for why the graded contract
@@ -69,8 +78,18 @@ object StreamGraded {
       .option("path", s"$scratch/out")
       .option("checkpointLocation", s"$scratch/ckpt")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination()
-    finally q.stop()
+    try {
+      q.awaitTermination()
+      // state footprint of the replay just run (max across batches per
+      // operator) — read by ScaleProbe's state table (r17, the r16
+      // verdict's item 5: measure streaming state, not just time)
+      stateStats(tag) = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq
+          .map(o => (o.operatorName, o.numRowsTotal, o.memoryUsedBytes)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (op, xs) =>
+          (op, xs.map(_._2).max, xs.map(_._3).max) }
+    } finally q.stop()
     // explicit schema: a zero-emission replay leaves no data files and
     // schema inference would throw; the monitor's plan already knows it
     s.read.schema(out.schema).parquet(s"$scratch/out")
