@@ -277,12 +277,115 @@ object StreamGraded {
       .filter(col("user_id") >= 0)
       .orderBy("purchase_id", "click_id")
 
+  /** q318: the WINDOWED-AGGREGATION streaming class graded end-to-end
+    * (r17) — [[EventStreams.tumblingCounts]] verbatim (1 h tumbling,
+    * 2 h watermark, append mode) over the [[q313SourceDir]] replay: the
+    * three sentinel waves advance the watermark far past every real
+    * event, so ALL real windows close-and-emit inside guaranteed data
+    * batches (the q313 analysis applied to `StateStoreSaveExec`'s
+    * append path). Sentinels occupy only far-future windows and are
+    * excluded AFTER materialization by the window-start bound (the
+    * pushdown rule); `ws` lowers to µs. `sum_val` grades cross-engine
+    * because `value` is 2-decimal by generator contract: the true sum
+    * is a 2-decimal rational, float error ≪ the 4-dp rounding quantum
+    * (q80's shipped precedent). Oracle = q80's formulation verbatim —
+    * the stream and batch tumbling windows are the same epoch-aligned
+    * µs buckets. */
+  def q318TumblingStream(s: SparkSession, dir: String): DataFrame = {
+    // bounded scalar (q202 class): the last real event time — the
+    // sentinel-exclusion bound for window starts
+    val maxTus = T.events(s, dir).agg(max(col("tus"))).head().getLong(0)
+    replay(s, s"$dir/events.parquet", s"${q313SourceDir(s, dir)}/*.parquet",
+      "q318_tumbling_stream", maxFilesPerTrigger = Some(1))(ev =>
+      EventStreams.tumblingCounts(ev.toDF())
+        .select(expr("unix_micros(ws)").as("ws_us"), col("event_type"),
+          col("cnt"), col("sum_val")))
+      .filter(col("ws_us") <= maxTus)
+      .orderBy("ws_us", "event_type")
+  }
+
+  /** q321: the HOPPING-window twin (r17) — [[EventStreams.slidingCounts]]
+    * verbatim (1 h windows every 15 min; each event in 4 windows),
+    * same replay, same sentinel exclusion, same emission analysis as
+    * q318. Oracle = q169's µs slide expansion. */
+  def q321SlidingStream(s: SparkSession, dir: String): DataFrame = {
+    val maxTus = T.events(s, dir).agg(max(col("tus"))).head().getLong(0)
+    replay(s, s"$dir/events.parquet", s"${q313SourceDir(s, dir)}/*.parquet",
+      "q321_sliding_stream", maxFilesPerTrigger = Some(1))(ev =>
+      EventStreams.slidingCounts(ev.toDF())
+        .select(expr("unix_micros(ws)").as("ws_us"), col("event_type"),
+          col("cnt"), col("sum_val")))
+      .filter(col("ws_us") <= maxTus)
+      .orderBy("ws_us", "event_type")
+  }
+
+  /** The q319 replay source: the real events plus an exact duplicate of
+    * every `event_id % 13 == 0` row, one file = one batch — the dedup
+    * operator must DROP the injected copies or the row count itself
+    * fails the gate. Built once per (JVM, dataset). */
+  private def q319SourceDir(s: SparkSession, dir: String): String =
+    graft.sink.ScratchExport.once(s"q319src:$dir") {
+      val scratch = graft.sink.ScratchExport.scratchDir("graft-q319-src-")
+      val base = s.read.parquet(s"$dir/events.parquet")
+      graft.sink.ScratchExport.writeSingleFile(
+        base.unionByName(base.filter(col("event_id") % 13 === 0)),
+        scratch, "b0_events_with_dups.parquet", 0)
+      scratch
+    }
+
+  /** q319: the STREAMING-DEDUP class graded end-to-end (r17) —
+    * [[EventStreams.dedupedEvents]] verbatim
+    * (`dropDuplicatesWithinWatermark("event_id")`) over a replay source
+    * carrying injected exact duplicates ([[q319SourceDir]]). Emission is
+    * schedule-independent by construction: append mode emits each KEY's
+    * first occurrence in its arrival batch (state holds only the seen
+    * keys until watermark expiry — nothing emits on expiry), so the
+    * graded output is exactly the distinct real events whatever the
+    * batch boundaries. Oracle = the raw events table (each exactly
+    * once): the injected copies must vanish or rows/hash fail. */
+  def q319DedupStream(s: SparkSession, dir: String): DataFrame =
+    replay(s, s"$dir/events.parquet", s"${q319SourceDir(s, dir)}/*.parquet",
+      "q319_dedup_stream")(ev =>
+      EventStreams.dedupedEvents(ev.toDF())
+        .select(col("event_id"), expr("unix_micros(ts)").as("tus"),
+          col("user_id"), col("event_type"), col("value")))
+      .orderBy("event_id")
+
+  /** q320: the STREAM-STATIC ENRICHMENT class graded end-to-end (r17) —
+    * [[EventStreams.enrichedEvents]] verbatim: each streaming event
+    * broadcast-joins its user's segment from a STATIC dimension frame
+    * (derived deterministically from the same dataset: users
+    * `% 11 ≠ 0` carry segment `seg(user_id % 7)`, the rest exercise the
+    * left join's 'unknown' sentinel path). Stateless — one emitted row
+    * per event in its arrival batch, fully schedule-independent; no
+    * watermark, no sentinels. The oracle computes the segment as the
+    * same pure function of user_id, so a broken join (dropped rows,
+    * lost unknowns, wrong key) fails the hash. */
+  def q320EnrichStream(s: SparkSession, dir: String): DataFrame = {
+    val segs = T.events(s, dir)
+      .select(col("user_id")).distinct()
+      .filter(col("user_id") % 11 =!= 0)
+      .select(col("user_id"),
+        concat(lit("seg"), col("user_id") % 7).as("segment"))
+    replay(s, s"$dir/events.parquet", s"$dir/events.parque*",
+      "q320_enrich_stream")(ev =>
+      EventStreams.enrichedEvents(ev.toDF(), segs)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("tus"), col("event_type"),
+          col("segment")))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q296_cusum_stream" -> q296CusumStream _,
     "q308_gap_stream" -> q308GapStream _,
     "q309_ewma_stream" -> q309EwmaStream _,
     "q311_session_stream" -> q311SessionStream _,
     "q313_attribution_stream" -> q313AttributionStream _,
+    "q318_tumbling_stream" -> q318TumblingStream _,
+    "q319_dedup_stream" -> q319DedupStream _,
+    "q320_enrich_stream" -> q320EnrichStream _,
+    "q321_sliding_stream" -> q321SlidingStream _,
   )
 
   /** The q255 cusumDays frame in SQL, restricted to CLOSED days (every
@@ -291,6 +394,31 @@ object StreamGraded {
     * prefix-sum/prefix-min recurrence closed form, and µs day grid as
     * the batch op; sums CAST to BIGINT (DuckDB widens to HUGEINT). */
   val oracle: Map[String, String] = Map(
+    // q318: q80's tumbling formulation VERBATIM — the stream's
+    // epoch-aligned 1 h windows are the same µs buckets
+    "q318_tumbling_stream" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
+        |       event_type, count(*) AS cnt, round(sum(value), 4) AS sum_val
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q321: q169's hopping expansion VERBATIM (4 slides of 15 min)
+    "q321_sliding_stream" ->
+      """SELECT ((epoch_us(ts) // 900000000) - h.k) * 900000000 AS ws_us,
+        |       event_type, count(*) AS cnt, round(sum(value), 4) AS sum_val
+        |FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) h
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q319: every real event exactly once — the injected duplicates
+    // must vanish through the dedup operator
+    "q319_dedup_stream" ->
+      """SELECT event_id, epoch_us(ts) AS tus, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    // q320: the segment recomputed as the same pure function of
+    // user_id the static dimension was built from
+    "q320_enrich_stream" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS tus, event_type,
+        |       CASE WHEN user_id % 11 <> 0
+        |            THEN 'seg' || CAST(user_id % 7 AS VARCHAR)
+        |            ELSE 'unknown' END AS segment
+        |FROM events ORDER BY event_id""".stripMargin,
     // q309: q238's oracle VERBATIM (shared by reference, so the
     // streaming recurrence grades against exactly the declared batch
     // formulation — same sensor sample, same 16-tap dyadic filter,

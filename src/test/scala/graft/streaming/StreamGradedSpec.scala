@@ -157,4 +157,47 @@ class StreamGradedSpec extends AnyFunSuite {
           s"purchase $p has a half-null click pair")
     }
   }
+
+  test("q318/q321 equal their declared batch window twins (q80/q169) on " +
+    "the same parquet — every real window closed by the sentinel waves") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(rows(graft.SparkEntry.queries("q318_tumbling_stream")(spark, dir))
+      == rows(graft.ops.NorthStar.q80EventTumbling(spark, dir)
+          .selectExpr("ws_us", "event_type", "cnt", "sum_val")),
+      "tumbling stream diverged from the q80 batch windows")
+    assert(rows(graft.SparkEntry.queries("q321_sliding_stream")(spark, dir))
+      == rows(graft.ops.NorthStar.q169EventHopping(spark, dir)
+          .selectExpr("ws_us", "event_type", "cnt", "sum_val")),
+      "sliding stream diverged from the q169 batch windows")
+  }
+
+  test("q319 drops exactly the injected duplicates: the replay source " +
+    "genuinely carries them, and the graded output is each event once") {
+    val base = T.events(spark, dir)
+    val nDups = base.filter(col("event_id") % 13 === 0).count()
+    assert(nDups > 0, "no injected duplicates — dedup stage vacuous")
+    val got = graft.SparkEntry.queries("q319_dedup_stream")(spark, dir)
+      .groupBy("event_id").count()
+    assert(got.filter(col("count") > 1).isEmpty,
+      "duplicate event survived the streaming dedup")
+    assert(got.count() == base.count(),
+      "streamed dedup lost or invented events")
+  }
+
+  test("q320 enriches every event, with both the joined and the " +
+    "'unknown' segment paths genuinely exercised") {
+    val got = graft.SparkEntry.queries("q320_enrich_stream")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+    assert(got.length == T.events(spark, dir).count())
+    assert(got.exists(_._3 == "unknown"),
+      "no unknown-segment event — the left-join sentinel path vacuous")
+    assert(got.exists(_._3 != "unknown"),
+      "no enriched event — the join never matched")
+    got.foreach { case (e, u, seg) =>
+      val want = if (u % 11 != 0) s"seg${u % 7}" else "unknown"
+      assert(seg == want, s"event $e user $u got $seg, want $want")
+    }
+  }
 }
