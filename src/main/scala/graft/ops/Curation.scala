@@ -938,13 +938,21 @@ object Curation {
     var changed = 1L
     while (changed > 0) {
       val prop = edges.join(labels, edges("a") === labels("node"))
-        .select(edges("b").as("node"), col("root"))
-      val next = labels.select("node", "root").union(prop)
-        .groupBy("node").agg(min("root").as("root"))
+        .select(edges("b").as("node"), col("root"),
+          // typed from the live schema: node/root are longs for doc-id
+          // graphs but binary-fingerprint STRINGS for q109
+          lit(null).cast(labels.schema("root").dataType).as("old"))
+      // carry each node's PREVIOUS root through the aggregate (max over
+      // {old, null…} = old — labels has exactly one row per node), so
+      // the convergence count below is a plain scan of the checkpointed
+      // frame instead of a join job per round (r17 optimization: the
+      // loop is fixed-cost-bound locally — one fewer shuffle per round)
+      val next = labels.select(col("node"), col("root"),
+          col("root").as("old")).union(prop)
+        .groupBy("node").agg(min("root").as("root"), max("old").as("old"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("root", "old"), "node")
-        .filter(col("root") < col("old")).count()
-      labels = next
+      changed = next.filter(col("root") < col("old")).count()
+      labels = next.select("node", "root")
     }
     labels
   }

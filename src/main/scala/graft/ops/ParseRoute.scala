@@ -62,7 +62,20 @@ object ParseRoute {
     * Scale shape: two scans of the WA frame (good parse, err parse —
     * in production these are two different sinks), one broadcast-able
     * anti-join on the key triple, a union — no window, no driver
-    * loop. */
+    * loop.
+    *
+    * The WA frame is materialized ONCE (localCheckpoint — r17
+    * optimization): it has THREE consumers (the good parse, the err
+    * parse, and the good side of the anti-join), and without the
+    * checkpoint each consumer re-ran the lineitem scan AND the distinct
+    * exchange, with the parse's split/concat filters pushed BELOW the
+    * distinct onto every raw row — the measured plan carried three
+    * HashAggregate+Exchange distinct subtrees over the full table
+    * (plans/r17/q285_errata_replay_before.txt). In production this is
+    * exactly the staging write between the extract and its two sinks
+    * (guide §3.3: materialize an intermediate consumed by several
+    * branches); 3 scans + 3 distinct shuffles become 1 + an in-memory
+    * re-read, and the bench min dropped ~5.0 s → ~1.3 s. */
   def q285ErrataReplay(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_orderkey", "l_returnflag", "l_linestatus")
     val base = T(s, dir, "lineitem")
@@ -78,6 +91,7 @@ object ParseRoute {
           concat(col("f"), lit(WaParser.DefaultDelimiter)))
           .otherwise(col("f")),
         col("st")).as("wa"))
+      .localCheckpoint()
     val good = WaParser.goodRows(base.select("wa"), "wa", cols)
       .withColumn("channel", lit("good"))
     val repaired = WaParser
