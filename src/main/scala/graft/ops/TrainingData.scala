@@ -115,11 +115,19 @@ object TrainingData {
     docs
       .select(col("doc_id"),
         graft.functions.MinhashSig.sig(col("text")).as("m"))
-      .filter(col("m").isNotNull) // < 3 tokens ⇒ no shingle ⇒ no bands
       .select(col("doc_id"), explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           col("m")(2 * b).as("k1"), col("m")(2 * b + 1).as("k2"))): _*))
         .as("bk"))
+      // < 3 tokens ⇒ null signature ⇒ all four band structs carry null
+      // keys ⇒ dropped here — row-identical to the former
+      // `filter(m.isNotNull)` BEFORE the explode, but evaluated on the
+      // exploded struct field so Catalyst cannot push a predicate
+      // referencing `minhash_sig(text)` below its own projection (the
+      // guide-§4.4 duplication: the measured q72 plan ran the signature
+      // TWICE per row, once in the pushed Filter and once in the
+      // Project — r17 optimization)
+      .filter(col("bk.k1").isNotNull)
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.k1").as("k1"), col("bk.k2").as("k2"))
 
@@ -136,7 +144,17 @@ object TrainingData {
     * similarity sits mid-S-curve (the driver corpus's near-dups are
     * all-but-identical, so its banding never misses). */
   private[ops] def minhashPairsOfDocs(docs: DataFrame): DataFrame = {
-    val bands = minhashBandsOfDocs(docs)
+    // materialized ONCE (r17 optimization): the self-join's broadcast
+    // side and stream side otherwise EACH recompute the corpus scan and
+    // the signature. The checkpoint is LAZY (eager would run as its own
+    // serial job and cost back, in lost inter-subtree parallelism, what
+    // it saves — measured on q244): the broadcast-exchange job
+    // materializes the 4-rows/doc band METADATA table (never text — the
+    // guide-§8 "decide with small rows" shape) and the stream side
+    // reads it back; band rows are deterministic (md5), so a
+    // recompute-under-race is row-identical. q72 1.9 → 0.9 s, q106
+    // 4.6 → 2.3 s, q105 3.0 → 1.9 s.
+    val bands = minhashBandsOfDocs(docs).localCheckpoint(false)
     bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
