@@ -988,9 +988,10 @@ object PlanAudit {
     "q261_gap_ranges" ->
       ("**Look for:** NO global window — the lag subtree is " +
         "ScalableRank.withGlobalLag's localCheckpointed ExistingRDD " +
-        "(per-partition lag windows keyed on _pid, boundary carry via " +
-        "a broadcast offsets join), followed by a pure gap " +
-        "filter+projection and a presentation sort."),
+        "under one narrow MapPartitions running scan (r18: boundary " +
+        "carry rides the closure's driver-combined offsets; no _pid " +
+        "exchange, no window, no second materialization), followed by " +
+        "a pure gap filter+projection and a presentation sort."),
     "q262_ar_aging" ->
       ("**Look for:** `PushedFilters` carrying the o_orderstatus = 'O' " +
         "predicate into the orders scan, the derived-cutoff age " +
@@ -1010,18 +1011,22 @@ object PlanAudit {
         "orderkey exchange; no global window, no driver loop; output " +
         "stays line-grain."),
     "q265_fifo_costing" ->
-      ("**Look for:** ONE l_partkey exchange feeding the grain " +
-        "aggregate and BOTH windows (the exclusive cumulative-quantity " +
-        "queue interval and the per-part demand total share the " +
-        "partitioning); the FIFO consumption itself is a pure " +
+      ("**Look for:** ONE l_partkey exchange for the WHOLE query " +
+        "(r18 — the grain aggregate previously hashed the full " +
+        "4-column grain first, a second corpus shuffle): the explicit " +
+        "l_partkey repartition satisfies the grain aggregate's " +
+        "clustering (subset key), BOTH windows', and the final " +
+        "rollup's; the FIFO consumption itself is a pure " +
         "greatest/least clamp projection — no recursion, no loop, no " +
         "self-join — then one part-sized partial+final aggregate."),
     "q266_abc_class" ->
       ("**Look for:** NO global window — the inclusive running " +
         "revenue rides ScalableRank.withGlobalCumsumExclusive's " +
-        "localCheckpointed ExistingRDD (range-partitioned local prefix " +
-        "sums + broadcast offsets); the classification is a map-side " +
-        "integer-compare projection into a 3-row aggregate."),
+        "localCheckpointed ExistingRDD under one narrow MapPartitions " +
+        "running scan (r18: range-partitioned prefix sums with the " +
+        "driver-combined offsets in the closure; no _pid exchange, no " +
+        "window); the classification is a map-side integer-compare " +
+        "projection into a 3-row aggregate."),
     "q267_three_way_match" ->
       ("**Look for:** scan-shaped end to end — one lineitem FileScan, " +
         "the (order, line) grain partial+final HashAggregate, the " +

@@ -935,6 +935,14 @@ object Curation {
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("root", col("node"))
       .localCheckpoint(true)
+    // per-round checkpoint width from the MEASURED node count (r18,
+    // [[AdaptiveWidth]]): the label frame is node-sized every round, so
+    // a small working set stops paying width-proportional per-round
+    // fixed costs (the session cap keeps 100 TB behavior unchanged).
+    // The count rides the SAME per-round aggregate that already counts
+    // changed roots — no extra job; round 1 runs at the planner's width
+    // (unknown node count) and every later round at the derived one.
+    var labelW = -1
     var changed = 1L
     while (changed > 0) {
       val prop = edges.join(labels, edges("a") === labels("node"))
@@ -947,11 +955,17 @@ object Curation {
       // the convergence count below is a plain scan of the checkpointed
       // frame instead of a join job per round (r17 optimization: the
       // loop is fixed-cost-bound locally — one fewer shuffle per round)
-      val next = labels.select(col("node"), col("root"),
+      val next0 = labels.select(col("node"), col("root"),
           col("root").as("old")).union(prop)
         .groupBy("node").agg(min("root").as("root"), max("old").as("old"))
+      val next = (if (labelW > 0) next0.coalesce(labelW) else next0)
         .localCheckpoint(true)
-      changed = next.filter(col("root") < col("old")).count()
+      val stats = next.agg(count(lit(1)).as("n"),
+        sum(when(col("root") < col("old"), 1L).otherwise(0L)).as("chg"))
+        .collect()(0)
+      changed = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+      labelW = AdaptiveWidth.forRows(pairs.sparkSession,
+        stats.getLong(0), rowBytes = 48L)
       labels = next.select("node", "root")
     }
     labels
@@ -991,6 +1005,11 @@ object Curation {
         least(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
+    // per-round checkpoint width from the MEASURED initial edge count
+    // (×2: a large-star round's directed set is bounded by the
+    // symmetrized view) — the r18 [[AdaptiveWidth]] discipline; one
+    // edge-sized scan paid once
+    val edgeW = AdaptiveWidth.forRows(pairs.sparkSession, edges.count() * 2)
     var rounds = 0
     var converged = false
     while (!converged) {
@@ -1012,6 +1031,7 @@ object Curation {
         .select(col("a"), col("m").as("b"))         // child → min parent
         .union(joined.select(col("b").as("a"), col("m").as("b"))) // co-parents → min
         .filter(col("a") =!= col("b")).distinct()
+        .coalesce(edgeW)
         .localCheckpoint(true)
       // fixpoint = edge set unchanged. Both sides are DISTINCT sets, so
       // the symmetric difference is exactly the union rows with

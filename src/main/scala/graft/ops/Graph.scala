@@ -65,6 +65,9 @@ object Graph {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
+    // per-round checkpoint width from the MEASURED node count (the rank
+    // table is node-sized every round) — r18, [[AdaptiveWidth]]
+    val prW = AdaptiveWidth.forRows(s, nodes.count(), rowBytes = 24L)
     var pr = nodes.withColumn("pr", lit(PrScale))
     for (_ <- 1 to PrIters) {
       val contrib = edges
@@ -76,6 +79,7 @@ object Graph {
       pr = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(PrBase) + coalesce(col("ctr"), lit(0L))).as("pr"))
+        .coalesce(prW)
         .localCheckpoint(true) // plan must not grow with iterations
     }
     pr.select(col("node").as("node_id"),
@@ -314,6 +318,11 @@ object Graph {
     * reuses one exchange; the distance table stays node-sized. */
   def q235ShortestPath(s: SparkSession, dir: String): DataFrame = {
     val edges = weightedCoEdges(s, dir).localCheckpoint(true)
+    // per-round checkpoint width from the measured edge-row count — an
+    // upper bound on the node-sized distance table whatever the round
+    // (r18, [[AdaptiveWidth]]; overestimating only widens, never
+    // bottlenecks, and the session cap binds at cluster scale)
+    val distW = AdaptiveWidth.forRows(s, edges.count(), rowBytes = 24L)
     var dist = edges.select(col("src").as("node")).distinct()
       .filter(col("node") % SpSeedMod === 0)
       .select(col("node"), lit(0L).as("dist"))
@@ -323,6 +332,7 @@ object Graph {
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionByName(relax)
         .groupBy("node").agg(min("dist").as("dist"))
+        .coalesce(distW)
         .localCheckpoint(true) // plan must not grow with rounds
     }
     dist.orderBy("node")
@@ -369,6 +379,9 @@ object Graph {
     var lab = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
       .localCheckpoint(true)
+    // per-round checkpoint width from the MEASURED node count (the
+    // label table is node-sized every round) — r18, [[AdaptiveWidth]]
+    val labW = AdaptiveWidth.forRows(s, lab.count(), rowBytes = 24L)
     for (_ <- 1 to LpIters) {
       val votes = edges
         .join(lab.select(col("node").as("dst"), col("lab")), "dst")
@@ -385,6 +398,7 @@ object Graph {
       // branch is a no-op on the graded universe)
       lab = lab.join(votes, Seq("node"), "left")
         .select(col("node"), coalesce(col("newlab"), col("lab")).as("lab"))
+        .coalesce(labW)
         .localCheckpoint(true) // plan must not grow with rounds
     }
     val total = lab.agg(countDistinct("lab").as("n_communities"))
@@ -431,35 +445,86 @@ object Graph {
   def q256KCore(s: SparkSession, dir: String): DataFrame = {
     val p = Affinity.pairCounts(Affinity.basketItems(s, dir))
       .filter(col("n_pair") >= 2).select("p1", "p2")
-    val edges = p.select(col("p1").as("src"), col("p2").as("dst"))
-      .union(p.select(col("p2").as("src"), col("p1").as("dst")))
-      .localCheckpoint(true) // k derivation + every peel round read it
-    val k = edges.groupBy("src").agg(count(lit(1)).as("c"))
-      .agg(expr("(sum(c) + count(*) - 1) div count(*)").as("k"))
-      .collect()(0).getLong(0) // ONE row — ⌈mean degree⌉
-    kcoreTrace(s, edges, k, KcIters)
+    // symmetric closure via ONE explode instead of a two-branch union —
+    // one pass over the pair aggregate, nothing for ReuseExchange to
+    // have to rescue (r18, guide §2.4)
+    val edges = p
+      .select(explode(array(
+        struct(col("p1").as("src"), col("p2").as("dst")),
+        struct(col("p2").as("src"), col("p1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(true) // deg + every peel round read it
+    val deg = kcoreDegrees(s, edges, Int.MaxValue)
+    // ⌈mean degree⌉ off the NODE-sized degree table (sum(c) over deg =
+    // edge rows; count(*) = distinct src — identical to the former
+    // corpus-aggregate derivation, one tiny scan instead)
+    val k = deg.agg(expr("(sum(c) + count(*) - 1) div count(*)").as("k"))
+      .collect()(0).getLong(0)
+    kcoreTraceFrom(s, edges, deg, k, KcIters)
   }
+
+  /** Per-src degree counts of a checkpointed edge frame, eagerly
+    * materialized at a width derived from the expected node count —
+    * the single corpus-scanning aggregate each peel round pays. The
+    * checkpoint is load-bearing twice over: the keep set filters it
+    * (both endpoint semi-joins broadcast-build from the tiny
+    * materialized table instead of re-aggregating the edges) and the
+    * round's trace scalars are aggregates of it (node count = rows,
+    * edge rows = sum of degrees), so the former per-round
+    * `distinct().count()` + `count()` corpus scans collapse into one
+    * node-sized aggregate (r18, guide §2.4). */
+  private def kcoreDegrees(s: SparkSession, edges: DataFrame,
+                           maxNodes: Long): DataFrame =
+    edges.groupBy("src").agg(count(lit(1)).as("c"))
+      .coalesce(AdaptiveWidth.forRows(s, maxNodes, rowBytes = 24L))
+      .localCheckpoint(true)
 
   /** The peeling loop under q256 on any SYMMETRIC (src, dst) edge
     * frame — split out so KCoreSpec can drive the cascade fixture (a
     * chain whose removal propagates over several rounds) through the
     * exact graded plan. */
-  private[ops] def kcoreTrace(s: SparkSession, edgesIn: DataFrame,
-                              k: Long, iters: Int): DataFrame = {
-    var edges = edgesIn.localCheckpoint(true)
-    def nodes() = edges.select("src").distinct().count()
-    def undirected() = edges.count() / 2
+  private[graft] def kcoreTrace(s: SparkSession, edgesIn: DataFrame,
+                                k: Long, iters: Int): DataFrame = {
+    val edges = edgesIn.localCheckpoint(true)
+    kcoreTraceFrom(s, edges, kcoreDegrees(s, edges, Int.MaxValue), k, iters)
+  }
+
+  /** Peeling over a pre-checkpointed edge frame and its
+    * [[kcoreDegrees]] table. Per round: ONE edge-sized job (the two
+    * broadcast semi-probes + checkpoint, coalesced to the width the
+    * previous round's measured edge count warrants —
+    * [[AdaptiveWidth]]), one node-sized degree job, one tiny trace
+    * aggregate. The former shape ran four corpus-scanning jobs per
+    * round (keep checkpoint, probe checkpoint, distinct-count, count)
+    * at the session's full static width regardless of how far the
+    * graph had already peeled. */
+  private def kcoreTraceFrom(s: SparkSession, edges0: DataFrame,
+                             deg0: DataFrame, k: Long,
+                             iters: Int): DataFrame = {
+    var edges = edges0
+    var deg = deg0
+    // (n_nodes, undirected edges) off the node-sized degree table
+    def traceOf(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)).as("n"), sum(col("c")).as("m")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1) / 2)
+    }
     val trace = Seq.newBuilder[(Int, Long, Long)]
-    trace += ((0, nodes(), undirected()))
+    var (n, m) = traceOf(deg)
+    trace += ((0, n, m))
     for (r <- 1 to iters) {
-      val keep = edges.groupBy("src").agg(count(lit(1)).as("c"))
-        .filter(col("c") >= k).select("src")
-        .localCheckpoint(true) // probed by BOTH endpoint semi-joins
+      val keep = deg.filter(col("c") >= k).select("src")
       edges = edges
         .join(keep, Seq("src"), "left_semi")
         .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        // the previous round's measured edge-row count (2m) bounds this
+        // round's — peeling is monotone — so the checkpoint width is
+        // derived from data, not the session constant
+        .coalesce(AdaptiveWidth.forRows(s, 2 * m))
         .localCheckpoint(true) // plan must not grow with rounds
-      trace += ((r, nodes(), undirected()))
+      deg = kcoreDegrees(s, edges, n)
+      val t = traceOf(deg)
+      n = t._1; m = t._2
+      trace += ((r, n, m))
     }
     val t = trace.result()
     // stable last round ⇒ a true fixpoint (peeling is monotone, so an

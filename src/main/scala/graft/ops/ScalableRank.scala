@@ -1,32 +1,34 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-/** Exact global ranking without the single-task global window.
+/** Exact global ranking / running aggregates without the single-task
+  * global window.
   *
   * `Window.orderBy(...)` with no partition moves every row to one task —
   * correct at sf0.01, a scale-killer at 100 TB (Spark logs exactly this
-  * warning). The scalable equivalent is the classic two-pass rank:
+  * warning). The scalable equivalent is the classic two-pass shape:
   *
-  *  1. `repartitionByRange` on the sort key + local sort, so partition i
-  *     holds a contiguous, ordered key range;
-  *  2. a per-partition `row_number` window (partitioned by
-  *     `spark_partition_id()` — parallel, no global exchange);
-  *  3. per-partition row counts — one tiny row per partition — collected
-  *     to the driver, turned into cumulative offsets, and broadcast back.
-  *
-  * The input is persisted across the two passes so both see identical
-  * range boundaries (range partitioning samples its bounds; determinism
-  * across separate recomputations is not guaranteed otherwise). That one
-  * materialization replaces the all-rows-to-one-task exchange. The
-  * result is eagerly `localCheckpoint`ed so the intermediate cache can
-  * be released immediately — without it every invocation would pin its
-  * input in the cache for the session's lifetime (Dataset persist
-  * entries are not reclaimed by GC). Checkpoint blocks themselves are
-  * context-cleaned once the result is unreferenced.
+  *  1. `repartitionByRange` on the sort key + local sort, eagerly
+  *     `localCheckpoint`ed ONCE, so partition i holds a contiguous,
+  *     ordered key range and every pass below sees the same frozen
+  *     range boundaries (range partitioning samples its bounds;
+  *     determinism across separate recomputations is not guaranteed
+  *     otherwise);
+  *  2. one tiny per-partition summary row each (counts for the rank,
+  *     totals/max/last-value for the running aggregates) collected to
+  *     the driver and prefix-combined into per-partition offsets;
+  *  3. the per-row result attached WITHOUT a second corpus exchange:
+  *     the rank pass is a pure projection off
+  *     `monotonically_increasing_id()` plus a broadcast offsets join
+  *     (see [[withRankAndTotal]]); the cumsum/cummax/lag passes are one
+  *     narrow `mapPartitions` running scan over the checkpointed
+  *     partitions with the offsets captured in the closure (r18 — these
+  *     previously re-shuffled the corpus through an `Exchange
+  *     hashpartitioning(_pid)` + Sort + Window and materialized a
+  *     second full copy; the scan needs neither).
   */
 object ScalableRank {
 
@@ -63,137 +65,143 @@ object ScalableRank {
       .drop("_g_rn")
   }
 
+  /** Shared first pass of the running-aggregate variants: range
+    * partition + local sort, with `_v` (the value cast to long)
+    * appended as the LAST column, frozen by ONE eager localCheckpoint.
+    * Every job below — the per-partition summary collect and the
+    * [[scanPass]] running scan — reads these exact partitions, so all
+    * consumers see the same range boundaries. */
+  private def sortedParts(df: DataFrame, valueCol: Column,
+                          sortExprs: Seq[Column]): DataFrame =
+    df.repartitionByRange(sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .withColumn("_v", valueCol.cast("long"))
+      .localCheckpoint(true)
+
+  /** One tiny summary row per checkpoint partition: `(pid, agg(_v))`,
+    * driver-collected (partition-count-sized, never data-sized).
+    * `spark_partition_id()` evaluated on the checkpoint's ExistingRDD
+    * scan IS the checkpoint RDD's partition index — the same index
+    * `TaskContext.getPartitionId()` reports inside [[scanPass]], so the
+    * offsets computed from these rows address exactly the partitions
+    * the scan visits. The grouping collapses map-side (each pid lives
+    * in one scan task), so the exchange carries one row per partition. */
+  private def partSummaries(parts: DataFrame,
+                            agg: Column): Array[(Int, Option[Long])] =
+    parts.groupBy(spark_partition_id().as("_pid")).agg(agg.as("_t"))
+      .collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+
+  /** The running scan itself (r18): one narrow `mapPartitions` over the
+    * checkpointed partitions — emits every row of `parts` minus the
+    * trailing `_v`, plus `outCol` (LONG, nullable) computed by the
+    * per-row `step(state, v) => (emitted, state')` fold seeded with
+    * `init(partitionIndex)` (the driver-combined offset). Replaces the
+    * previous `Exchange hashpartitioning(_pid)` + Sort + Window +
+    * broadcast-offsets join + second eager localCheckpoint: a running
+    * aggregate over already-sorted partitions needs no exchange, no
+    * window sort. The object boundary (Row encoder) costs a per-row
+    * conversion, but saves a full corpus shuffle per pass. The output
+    * is LAZILY localCheckpointed: consumers that range-partition it
+    * again (nested passes — q219's double ECDF), feed several branches
+    * (q158/q159's shared pack pass), or re-aggregate it would
+    * otherwise re-run the scan once per consumption; lazy means a
+    * single-consumer pass pays the block write only when first
+    * consumed, never twice. */
+  private def scanPass[S](parts: DataFrame, outCol: String, init: Int => S,
+                          step: (S, java.lang.Long) => (java.lang.Long, S))
+      : DataFrame = {
+    val vIdx = parts.schema.length - 1
+    val outSchema = StructType(parts.schema.fields.dropRight(1) :+
+      StructField(outCol, LongType, nullable = true))
+    parts.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var st = init(pid)
+      it.map { r =>
+        val v: java.lang.Long =
+          if (r.isNullAt(vIdx)) null
+          else java.lang.Long.valueOf(r.getLong(vIdx))
+        val (out, st2) = step(st, v)
+        st = st2
+        Row.fromSeq(r.toSeq.dropRight(1) :+ out)
+      }
+    }(Encoders.row(outSchema))
+      .localCheckpoint(eager = false)
+  }
+
   /** Adds `outCol` = exact global EXCLUSIVE running MAX of `valueCol`
     * over `sortExprs` (max over all strictly-preceding rows;
-    * Long.MinValue before the first). The [[withGlobalCumsumExclusive]]
-    * two-pass shape with max as the merge — per-partition local
-    * exclusive cummax windows in parallel (partitioned by _pid, never
-    * global), per-partition maxes (one tiny row each) collected,
-    * prefix-maxed on the driver and broadcast back. r13, for q229's
-    * Pareto sweep: frontier membership on a 2-D skyline is
-    * `value > exclusive-prefix-max` along the other axis. */
+    * Long.MinValue before the first; never null — null values simply
+    * do not advance the running max). Per-partition maxes (one tiny
+    * row each) prefix-maxed on the driver seed the [[scanPass]] fold.
+    * r13, for q229's Pareto sweep: frontier membership on a 2-D
+    * skyline is `value > exclusive-prefix-max` along the other axis. */
   def withGlobalCummaxExclusive(df: DataFrame, valueCol: Column,
                                 outCol: String,
                                 sortExprs: Column*): DataFrame = {
     passes.incrementAndGet()
-    val spark = df.sparkSession
-    import spark.implicits._
-    val parts = df.repartitionByRange(sortExprs: _*)
-      .sortWithinPartitions(sortExprs: _*)
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_v", valueCol.cast("long"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val parts = sortedParts(df, valueCol, sortExprs)
     // null-tolerant (r13 review): a partition whose values are all
     // NULL yields a null max — it contributes nothing to the running
-    // prefix but must still receive an offset row, or the inner join
-    // below would drop its rows entirely
-    val maxes = parts.groupBy("_pid").agg(max("_v").as("t"))
-      .collect()
-      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
-      .sortBy(_._1)
+    // prefix but still receives an offset (its rows emit the carry)
+    val maxes = partSummaries(parts, max(col("_v")))
     var acc = Long.MinValue
     val offsets = maxes.map { case (pid, t) =>
       val o = (pid, acc); t.foreach(v => acc = math.max(acc, v)); o
-    }.toSeq
-    val offDf = broadcast(offsets.toDF("_pid", "_off"))
-    val w = Window.partitionBy("_pid").orderBy(sortExprs: _*)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val out = parts
-      .withColumn("_lmax", max("_v").over(w)) // null on each first row
-      .join(offDf, "_pid")
-      .withColumn(outCol,
-        greatest(coalesce(col("_lmax"), lit(Long.MinValue)), col("_off")))
-      .drop("_pid", "_v", "_lmax", "_off")
-      .localCheckpoint(true)
-    parts.unpersist(blocking = false)
-    out
+    }.toMap
+    scanPass[Long](parts, outCol,
+      init = pid => offsets.getOrElse(pid, Long.MinValue),
+      step = (st, v) =>
+        (java.lang.Long.valueOf(st), if (v == null) st else math.max(st, v)))
   }
 
   /** Adds `outCol` = exact global EXCLUSIVE running sum of `valueCol`
-    * over `sortExprs` (value of all strictly-preceding rows). Same
-    * two-pass shape as the rank: per-partition local prefix sums in
-    * parallel, per-partition totals (one tiny row each) collected and
-    * broadcast back as offsets. The distributed prefix-scan. */
+    * over `sortExprs` (sum of all strictly-preceding non-null values;
+    * null exactly where the row's OWN value is null — the contract the
+    * previous window formulation `off + inclusive_sum − v` had).
+    * Per-partition totals (one tiny row each) prefix-summed on the
+    * driver seed the [[scanPass]] fold. The distributed prefix-scan. */
   def withGlobalCumsumExclusive(df: DataFrame, valueCol: Column,
                                 outCol: String,
                                 sortExprs: Column*): DataFrame = {
     passes.incrementAndGet()
-    val spark = df.sparkSession
-    import spark.implicits._
-    val parts = df.repartitionByRange(sortExprs: _*)
-      .sortWithinPartitions(sortExprs: _*)
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_v", valueCol.cast("long"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val totals = parts.groupBy("_pid").agg(sum("_v").as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val parts = sortedParts(df, valueCol, sortExprs)
+    val totals = partSummaries(parts, sum(col("_v")))
     var acc = 0L
     val offsets = totals.map { case (pid, t) =>
-      val o = (pid, acc); acc += t; o
-    }.toSeq
-    val offDf = broadcast(offsets.toDF("_pid", "_off"))
-    val w = Window.partitionBy("_pid").orderBy(sortExprs: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val out = parts
-      .withColumn("_lcum", sum("_v").over(w))
-      .join(offDf, "_pid")
-      .withColumn(outCol, col("_off") + col("_lcum") - col("_v"))
-      .drop("_pid", "_v", "_lcum", "_off")
-      .localCheckpoint(true)
-    parts.unpersist(blocking = false)
-    out
+      val o = (pid, acc); acc += t.getOrElse(0L); o
+    }.toMap
+    scanPass[Long](parts, outCol,
+      init = pid => offsets.getOrElse(pid, 0L),
+      step = (st, v) =>
+        if (v == null) (null, st)
+        else (java.lang.Long.valueOf(st), st + v.longValue()))
   }
 
   /** Adds `outCol` = exact global lag(1) of `valueCol` over
     * `sortExprs` (the strictly-previous row's value; null on the global
     * first row — and wherever the previous row's VALUE is null, which
-    * is why first rows are detected by local row number, never by a
-    * null lag). Same two-pass shape as the rank: per-partition lag
-    * windows in parallel, each partition's LAST value (one tiny row)
-    * collected and broadcast back as the next partition's first-row
-    * lag. r14, for q261's number-range gap audit — "previous key" over
-    * a total order is the classic single-task global window. */
+    * is why consumers detect first rows by rank, never by a null lag).
+    * Each partition's LAST row's value (one tiny `last(_v)` summary —
+    * exact here because every pid group is aggregated by the single
+    * task that scans that partition, in its sorted order) carries into
+    * the next non-empty partition's first row via the [[scanPass]]
+    * seed. r14, for q261's number-range gap audit — "previous key"
+    * over a total order is the classic single-task global window. */
   def withGlobalLag(df: DataFrame, valueCol: Column, outCol: String,
                     sortExprs: Column*): DataFrame = {
     passes.incrementAndGet()
-    val spark = df.sparkSession
-    import spark.implicits._
-    val parts = df.repartitionByRange(sortExprs: _*)
-      .sortWithinPartitions(sortExprs: _*)
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_v", valueCol.cast("long"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // each non-empty partition's last ROW's value (None = that value is
-    // null); empty partitions have no group row and need no offset.
-    // max_by keys on the LOCAL row number, not on struct(sortExprs):
-    // sortExprs may be SortOrders (`.asc`/`.desc`), which a struct can
-    // hold in the plan but never evaluate (interpreted-eval fallback
-    // throws), and a desc sort would invert "last row" anyway — the
-    // row number is direction-correct and always evaluable
-    val lasts = parts
-      .withColumn("_lrn",
-        row_number().over(Window.partitionBy("_pid").orderBy(sortExprs: _*)))
-      .groupBy("_pid")
-      .agg(max_by(col("_v"), col("_lrn")).as("t"))
-      .collect()
-      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
-      .sortBy(_._1)
+    val parts = sortedParts(df, valueCol, sortExprs)
+    val lasts = partSummaries(parts, last(col("_v"), ignoreNulls = false))
     var carry: Option[Long] = None
     val offsets = lasts.map { case (pid, t) =>
       val o = (pid, carry); carry = t; o
-    }.toSeq
-    val offDf = broadcast(offsets.toDF("_pid", "_off"))
-    val w = Window.partitionBy("_pid").orderBy(sortExprs: _*)
-    val out = parts
-      .withColumn("_lrn", row_number().over(w))
-      .withColumn("_llag", lag(col("_v"), 1).over(w))
-      .join(offDf, "_pid")
-      .withColumn(outCol,
-        when(col("_lrn") === 1, col("_off")).otherwise(col("_llag")))
-      .drop("_pid", "_v", "_lrn", "_llag", "_off")
-      .localCheckpoint(true)
-    parts.unpersist(blocking = false)
-    out
+    }.toMap
+    scanPass[java.lang.Long](parts, outCol,
+      init = pid => offsets.getOrElse(pid, None)
+        .map(java.lang.Long.valueOf).orNull,
+      step = (st, v) => (st, v))
   }
 
   /** r17 optimization (guide §2.4: remove shuffles outright). The rank

@@ -579,11 +579,15 @@ object TrainingData {
     val t = 0.5
     val docsets = ngramDocsets(docs)
     val cand = ngramCandidates(docsets, t, maxDf)
-    // verification: true |A∩B| via array_intersect against the per-doc
-    // hashed shingle sets, joined as plain equi-joins on da/db — no
-    // broadcast hint, so the plan holds when the docset table exceeds
-    // executor memory at corpus scale (AQE still picks a broadcast
-    // locally)
+    // verification: true |A∩B| via a codegen'd sorted-merge count
+    // ([[graft.functions.IntersectCount]], r18 — the hs arrays are
+    // ascending-sorted distinct by the NgramSet contract, so the merge
+    // equals the former size(array_intersect(..)) exactly without its
+    // per-pair hash set + intersection-array allocation) against the
+    // per-doc hashed shingle sets, joined as plain equi-joins on
+    // da/db — no broadcast hint, so the plan holds when the docset
+    // table exceeds executor memory at corpus scale (AQE still picks a
+    // broadcast locally)
     val setsA = docsets.select(col("doc_id").as("da"), col("hs").as("sa"),
       col("n").as("na"))
     val setsB = docsets.select(col("doc_id").as("db"), col("hs").as("sb"),
@@ -591,7 +595,8 @@ object TrainingData {
     cand
       .join(setsA, "da")
       .join(setsB, "db")
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("i",
+        graft.functions.IntersectCount.count(col("sa"), col("sb")))
       .withColumn("u", col("na") + col("nb") - col("i"))
       // threshold on the exact rational (2i >= u ⟺ i/u >= 0.5)
       .filter(col("i") * 2 >= col("u"))

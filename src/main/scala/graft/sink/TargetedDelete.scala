@@ -90,6 +90,16 @@ object TargetedDelete {
       .map(_.getPath)
       .find(_.getName.endsWith(".parquet"))
       .getOrElse(sys.error(s"staged rewrite produced no file: $staged"))
+    swapPart(fs, f, part)
+    fs.delete(staged, true)
+  }
+
+  /** The swap half of [[swapStaged]] on an ALREADY-WRITTEN replacement
+    * part file — split out (r18) so [[MergeInto]] can stage every
+    * touched file's replacement in ONE write job and then run these
+    * driver-side atomic per-file swaps; the `.bak`-first discipline
+    * (and [[recover]]'s heal) is byte-identical either way. */
+  private[sink] def swapPart(fs: FileSystem, f: Path, part: Path): Unit = {
     val backup = new Path(f.getParent, s".${f.getName}.bak")
     require(fs.rename(f, backup),
       s"surgical rewrite: could not back up $f")
@@ -100,7 +110,6 @@ object TargetedDelete {
       sys.error(s"surgical rewrite: swap failed for $f (restored)")
     }
     fs.delete(backup, false)
-    fs.delete(staged, true)
   }
 
   /** Heals the artifacts of a crash at any point of a previous run:
@@ -119,6 +128,11 @@ object TargetedDelete {
             s"targeted delete: could not restore $orig from backup")
         else fs.delete(st.getPath, false)
       } else if (name.startsWith(".") && name.endsWith(".staged")) {
+        fs.delete(st.getPath, true)
+      } else if (name.startsWith(".merge-staged-")) {
+        // a crashed MergeInto batch-staged write root (r18) — every
+        // un-swapped replacement inside is a discarded rewrite, exactly
+        // the .staged case
         fs.delete(st.getPath, true)
       }
     }

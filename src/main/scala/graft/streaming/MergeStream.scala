@@ -48,7 +48,7 @@ object MergeStream {
 
   /** One micro-batch applied: compact, then the real MERGE. Exposed so
     * the spec can drive the identical path the stream runs. */
-  private[streaming] def applyBatch(tablePath: String, keyCol: String,
+  private[graft] def applyBatch(tablePath: String, keyCol: String,
                                     batch: DataFrame): Unit =
     if (!batch.isEmpty)
       MergeInto.merge(batch.sparkSession, tablePath, keyCol,

@@ -79,17 +79,7 @@ object StreamGraded {
     // count never changes WHAT a keyed stateful operator computes — only
     // how many state stores hold the keys — and each replay starts a
     // fresh checkpoint, so no restore ever sees a changed width.
-    val ss = s.newSession()
-    val srcPath = new org.apache.hadoop.fs.Path(glob)
-    val fs = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val srcBytes = Option(fs.globStatus(srcPath))
-      .map(_.map(_.getLen).sum).getOrElse(0L)
-    val targetBytes = ss.conf
-      .get("spark.graft.stream.partitionBytes", (64L << 20).toString).toLong
-    val sessionW = ss.conf.get("spark.sql.shuffle.partitions").toInt
-    val width = math.max(1L, math.min(sessionW.toLong,
-      (srcBytes + targetBytes - 1) / targetBytes)).toInt
-    ss.conf.set("spark.sql.shuffle.partitions", width.toString)
+    val ss = StreamWidth.sizedSession(s, glob, tag)
     import ss.implicits._
     val schema = ss.read.parquet(schemaFrom).schema
     val reader = ss.readStream.schema(schema)
@@ -121,7 +111,12 @@ object StreamGraded {
         }
       // state footprint of the replay just run (max across batches per
       // operator) — read by ScaleProbe's state table (r17, the r16
-      // verdict's item 5: measure streaming state, not just time)
+      // verdict's item 5: measure streaming state, not just time).
+      // NOTE: recentProgress retains only the most recent ~100 progress
+      // updates (spark.sql.streaming.numRecentProgressUpdates) — ample
+      // for today's 1–4-batch replays; a future many-batch replay must
+      // switch this (and the profile hook above) to a
+      // StreamingQueryListener or the stats silently truncate.
       stateStats(tag) = q.recentProgress.toSeq
         .flatMap(_.stateOperators.toSeq
           .map(o => (o.operatorName, o.numRowsTotal, o.memoryUsedBytes)))

@@ -31,8 +31,12 @@ object StreamSinkGraded {
     * the same provably-out-of-range key space. */
   private val InsertShift = 1000000000000L
 
-  /** Builds the q315 fixture once per (JVM, dataset) and REPLAYS the
-    * CDC stream through the real [[MergeStream.run]] path: orders
+  /** Builds the q315 fixture and REPLAYS the CDC stream through the
+    * real [[MergeStream.run]] path — ON EVERY CALL (r18; the build ran
+    * once per (JVM, dataset) until this round, so bench reps 2+ timed
+    * only the final aggregate over a memoized table — the r17 verdict's
+    * measurement-gaming finding. The declared query's name claims the
+    * streaming merge; the bench must pay it every rep). Orders are
     * clustered into 16 range-disjoint files, then a three-batch CDC log
     * (each batch one file; mtime order = batch order) drained under
     * `Trigger.AvailableNow`:
@@ -55,9 +59,14 @@ object StreamSinkGraded {
     * precedence, cross-batch resurrection, and the out-of-range insert
     * all landed through the streaming path. All price deltas are exact
     * dyadic constants (q233's cent-rounding discipline). */
-  private def mergedTable(s: SparkSession, dir: String): String =
-    ScratchExport.once(s"mergestream:$dir") {
-      val table = ScratchExport.scratchDir("graft-q315-table-")
+  /** The PRISTINE q315 inputs — the pre-merge clustered table and the
+    * three-file CDC log — built once per (JVM, dataset): pure INPUT
+    * fixtures, the q313SourceDir/q319SourceDir class (analogous to the
+    * testdata parquet itself), never the merge work. Returns
+    * (pristine table dir, cdc dir). */
+  private def pristineFixture(s: SparkSession, dir: String): (String, String) =
+    ScratchExport.once(s"mergestream-fixture:$dir") {
+      val table = ScratchExport.scratchDir("graft-q315-pristine-")
       val cdc = ScratchExport.scratchDir("graft-q315-cdc-")
       val base = T(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -79,15 +88,39 @@ object StreamSinkGraded {
       ScratchExport.writeSingleFile(b0, cdc, "b0_updates.parquet", -240)
       ScratchExport.writeSingleFile(b1, cdc, "b1_multi_delete.parquet", -120)
       ScratchExport.writeSingleFile(b2, cdc, "b2_reinsert_insert.parquet", 0)
-      val schema = s.read.parquet(s"$cdc/b0_updates.parquet").schema
-      val changes = s.readStream.schema(schema)
+      (table, cdc)
+    }
+
+  private def mergedTable(s: SparkSession, dir: String): String = {
+      val (pristine, cdc) = pristineFixture(s, dir)
+      // the MERGE WORK runs on every call (r18; memoizing it made bench
+      // reps 2+ time a tiny aggregate — the r17 verdict's
+      // measurement-gaming finding): copy the pristine table and drain
+      // the CDC backlog onto the copy through the real streaming path
+      val table = ScratchExport.scratchDir("graft-q315-table-")
+      val srcDir = new org.apache.hadoop.fs.Path(pristine)
+      val dstDir = new org.apache.hadoop.fs.Path(table)
+      val fs = srcDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(srcDir).filter(_.isFile).foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(dstDir, st.getPath.getName),
+          false, s.sparkContext.hadoopConfiguration)
+      }
+      // replay width from CDC source bytes (r18 — the [[StreamWidth]]
+      // rule the monitor replays got in r17; every per-batch
+      // compaction aggregate, routing count, and staged rewrite inside
+      // foreachBatch inherits the stream session's width)
+      val ss = StreamWidth.sizedSession(s, s"$cdc/*.parquet",
+        "q315_merge_stream")
+      val schema = ss.read.parquet(s"$cdc/b0_updates.parquet").schema
+      val changes = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$cdc/*.parquet")
       val q = MergeStream.run(changes, table, "o_orderkey",
         Trigger.AvailableNow())
       try q.awaitTermination() finally q.stop()
       table
-    }
+  }
 
   /** q315: [[MergeStream]] graded end-to-end — the q233 discipline
     * (drive the real write machinery, hash-compare a read of its OUTPUT
@@ -109,8 +142,10 @@ object StreamSinkGraded {
         max(col("o_orderkey")).as("max_key"))
       .orderBy("o_orderstatus")
 
-  /** Runs the q316 ingest replay once per (JVM, dataset) and memoizes
-    * the union of per-batch screening reports. The documents table
+  /** Runs the q316 ingest replay — ON EVERY CALL (r18; see
+    * [[mergedTable]] — the once-per-JVM memoization made bench reps 2+
+    * time a 27-row local sort) — and returns the union of per-batch
+    * screening reports. The documents table
     * streams through the real [[IngestDedup.start]] path in three
     * micro-batches (batch = `doc_id % 3`, one file each, mtime order =
     * batch order) against a FRESH empty band index, `intraBatch = true`,
@@ -122,20 +157,33 @@ object StreamSinkGraded {
     * bounded by FLAGGED docs (the deployed onReport contract), not the
     * corpus. The per-invocation index is dropped (table + files) after
     * the reports are collected. */
-  private def ingestReport(s: SparkSession, dir: String): Seq[(Long, Long, Long)] =
-    ScratchExport.once(s"ingeststream:$dir") {
+  /** The q316 SOURCE files (batch = doc_id % 3, one file each) — pure
+    * input fixture, built once per (JVM, dataset); the q313SourceDir
+    * class. */
+  private def ingestSourceDir(s: SparkSession, dir: String): String =
+    ScratchExport.once(s"ingeststream-src:$dir") {
       val src = ScratchExport.scratchDir("graft-q316-src-")
       val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
       (0 to 2).foreach { b =>
         ScratchExport.writeSingleFile(docs.filter(col("doc_id") % 3 === b),
           src, s"b$b.parquet", -120L * (2 - b))
       }
+      src
+    }
+
+  private def ingestReport(s: SparkSession, dir: String): Seq[(Long, Long, Long)] = {
+      val src = ingestSourceDir(s, dir)
       val idx = graft.ops.Curation.freshBandIndex(s,
         "graft_q316_idx_" + java.util.UUID.randomUUID.toString
           .replace("-", "").take(12))
       val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-      val schema = s.read.parquet(s"$src/b0.parquet").schema
-      val stream = s.readStream.schema(schema)
+      // replay width from source bytes (r18, the [[StreamWidth]] rule):
+      // the per-batch band screens, admissions, and index writes inside
+      // foreachBatch inherit the stream session's width
+      val ss = StreamWidth.sizedSession(s, s"$src/*.parquet",
+        "q316_ingest_dedup")
+      val schema = ss.read.parquet(s"$src/b0.parquet").schema
+      val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$src/*.parquet")
       val q = IngestDedup.start(stream, idx,
         (rows, _) => buf.synchronized {
@@ -145,7 +193,7 @@ object StreamSinkGraded {
       try q.awaitTermination() finally q.stop()
       graft.ops.Curation.dropBandIndex(s, idx)
       buf.synchronized(buf.sortBy(_._1).toSeq)
-    }
+  }
 
   /** q316: [[IngestDedup]] graded end-to-end — the streaming
     * incremental-dedup path (MinHash-band screen against the persisted

@@ -83,4 +83,30 @@ class ScalableRankSpec extends AnyFunSuite {
     assert(globalWindows.isEmpty,
       s"unpartitioned (single-task) window in plan:\n$plan")
   }
+
+  test("engine invariant: monotonically_increasing_id packs the " +
+    "partition id above bit 33 with contiguous local indices from 0") {
+    // The rank pass projects pid = _mid >> 33 and local rank =
+    // _mid & (2^33 - 1) off Spark's documented id layout, and the
+    // running-aggregate scans pair TaskContext partition ids with
+    // spark_partition_id()-keyed offsets. Both rest on implementation
+    // details a Spark upgrade could change silently — this pins them so
+    // an engine bump fails HERE, not downstream at the oracle gate
+    // (r18, the r17 advice item).
+    val parts = df.repartitionByRange(4, col("v"), col("id"))
+      .sortWithinPartitions(col("v"), col("id"))
+      .withColumn("_mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val rows = parts
+      .select(spark_partition_id().as("pid"), col("_mid"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert((r.getLong(1) >> 33) == r.getInt(0).toLong,
+      s"pid ${r.getInt(0)} not in _mid high bits: ${r.getLong(1)}"))
+    rows.groupBy(_.getInt(0)).foreach { case (pid, rs) =>
+      val locals = rs.map(_.getLong(1) & ((1L << 33) - 1)).sorted.toSeq
+      assert(locals == (0L until locals.length.toLong),
+        s"partition $pid local indices not contiguous from 0: $locals")
+    }
+  }
 }
