@@ -564,40 +564,48 @@ object Curation {
     * seq — one packed BIGINT ordering key (`vf·4 + seq`, exact: µs
     * epochs sit well under 2⁶¹) under max_by, the q183 aggregate shape.
     *
-    * Scale shape: the 9-cell grid rides a Generate (literal array
-    * explode — no join, no cross product; grid size is report policy,
-    * bounded); resolution is ONE partial+final max_by aggregate on
-    * (t, voff, key); the report is a second segment-sized aggregate.
+    * Scale shape (r18 — guide §2.3, aggregate before you shuffle,
+    * taken to its limit: ZERO corpus shuffles where the r17 shape paid
+    * two): every op of a key derives from that key's single orders row,
+    * so the per-(cell, key) resolution never needed the (t, voff, key)
+    * max_by exchange — the 9-cell grid rides a Generate (literal array
+    * explode; grid size is report policy, bounded) and each cell
+    * resolves by a HOF argmax over the row's own ≤3-element op array
+    * (same `vf·4 + seq` packed ordering — d0 is constant within a key,
+    * so `vfo·4 + seq` orders identically). The only exchange left is
+    * the 9-row partial+final report aggregate, which combines map-side.
     * All time arithmetic on exact µs BIGINTs. */
   def q247BitemporalPit(s: SparkSession, dir: String): DataFrame = {
     val grid = for (t <- 0 to 2; v <- Seq(15, 45, 75))
       yield s"named_struct('t', $t, 'voff', $v)"
-    val log = T(s, dir, "orders")
+    T(s, dir, "orders")
       .select(col("o_orderkey").as("k"),
         expr("unix_micros(cast(o_orderdate as timestamp))").as("d0"),
         col("o_totalprice"))
-      .select(col("k"), col("d0"), explode(expr(
+      .select(col("k"), col("d0"), expr(
         s"""filter(array(
           |  named_struct('seq', 0, 'op', 'I', 'vfo', 0, 'price', o_totalprice),
           |  named_struct('seq', 1, 'op', 'U', 'vfo', 30, 'price', o_totalprice + 10.0d),
           |  named_struct('seq', 2, 'op', 'D', 'vfo', 60, 'price', cast(null as double))),
           |  x -> x.seq = 0 OR (x.seq = 1 AND k % 5 = 0)
-          |               OR (x.seq = 2 AND k % 7 = 0))""".stripMargin)).as("e"))
-      .select(col("k"), col("d0"), col("e.seq").as("seq"),
-        col("e.op").as("op"),
-        (col("d0") + col("e.vfo") * DayUs).as("vf"),
-        expr("cast(round(e.price * 100) as bigint)").as("price_c2"))
-    log
-      .select(col("*"),
+          |               OR (x.seq = 2 AND k % 7 = 0))""".stripMargin).as("ops"))
+      .select(col("k"), col("d0"), col("ops"),
         explode(expr(s"array(${grid.mkString(", ")})")).as("g"))
-      .filter(col("seq") <= col("g.t") &&
-        col("vf") <= col("d0") + col("g.voff") * DayUs)
-      .groupBy(col("g.t").as("t"), col("g.voff").as("voff"), col("k"))
-      .agg(max_by(col("op"), col("vf") * 4 + col("seq")).as("op"),
-        max_by(col("price_c2"), col("vf") * 4 + col("seq")).as("c2"))
-      .filter(col("op") =!= "D")
+      // per-cell resolution: latest valid_from among eligible ops, ties
+      // by seq — the HOF fold replaces the former corpus-grain max_by
+      // aggregate (seq 0 is always eligible, so `best` is never null)
+      .select(col("g.t").as("t"), col("g.voff").as("voff"), expr(
+        """aggregate(
+          |  filter(ops, x -> x.seq <= g.t AND x.vfo <= g.voff),
+          |  cast(null as struct<seq:int,op:string,vfo:int,price:double>),
+          |  (acc, x) -> CASE WHEN acc IS NULL
+          |                     OR x.vfo * 4 + x.seq > acc.vfo * 4 + acc.seq
+          |                   THEN x ELSE acc END)""".stripMargin).as("best"))
+      .filter(col("best.op") =!= "D")
       .groupBy("t", "voff")
-      .agg(count(lit(1)).as("n_live"), sum("c2").as("sum_price_c2"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(expr("cast(round(best.price * 100) as bigint)"))
+          .as("sum_price_c2"))
       .orderBy("t", "voff")
   }
 

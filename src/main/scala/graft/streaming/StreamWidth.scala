@@ -45,6 +45,12 @@ private[streaming] object StreamWidth {
     val width = math.max(1L, math.min(sessionW.toLong,
       (srcBytes + targetBytes - 1) / targetBytes)).toInt
     ss.conf.set("spark.sql.shuffle.partitions", width.toString)
+    // AQE off on the CLONE only (batch sessions keep it): stateful
+    // replays run with AQE engine-disabled anyway, and for the
+    // foreachBatch sinks' width-pinned tiny batch jobs AQE is pure
+    // per-action planning overhead — A/B'd at sf0.1: 3.66 → 3.00 s per
+    // q315 merge batch with identical plans (r18)
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
     if (sys.env.contains("SPARK_GRAFT_STREAM_PROFILE"))
       System.err.println(
         s"[replay-profile] $tag srcBytes=$srcBytes width=$width")
